@@ -1,0 +1,85 @@
+"""Benchmark harness — times the engine's headline queries.
+
+Mirrors the reference's benchmark shape (/root/reference/benchmark.py:
+batched index + repeated search with one discarded warm-up, README.md:26-31)
+but over the driver fixture at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query value = best of REPEATS timed runs after 1 warm-up run (warm-up
+absorbs JVM/codegen/broadcast warm paths, same policy as benchmark.py:42's
+discarded first run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+# Headline set: the flagship vector path plus the heaviest representative of
+# each operator family (joins/aggs over the 600k-row lineitem, windows,
+# sessionization, dedup). Anything missing from the registry is skipped, so
+# the bench never breaks mid-build.
+HEADLINE = [
+    "knn_search_cosine",
+    "knn_search_euclidean",
+    "payload_fetch",
+    "index_upsert",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "window_running_sum",
+    "events_sessionize",
+    "exact_dedup_text",
+    "near_dedup_minhash_lsh",
+    "ann_cosine_topk_join",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from executor_u1mindexer_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = entrymod.queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        best = None
+        for i in range(REPEATS + 1):
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            dt = time.time() - t0
+            if i == 0:
+                continue  # warm-up discarded
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_query_time_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Text-analysis column expressions — pure Catalyst, no Python UDFs.
+
+LLM-data-pipeline primitives over a `text` string column (the north star's
+text-analysis / dedup surface; the reference stores text opaquely in the
+Jina Document, executor.py:6, and never computes on it — these ops are the
+[NOT IN REFERENCE] extensions mandated by BASELINE.json).
+
+Determinism contract: every hash below is derived from md5 (available in
+both Spark and DuckDB) so each operator has an exact SQL oracle. At 100 TB
+these all stay inside whole-stage codegen — no shuffle except where an op
+is inherently grouped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish word/number/punctuation tokenizer: word pieces, digit runs, or
+# single non-space symbols — close to the GPT-2 pre-tokenizer split classes.
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and oracle-expressible (LIKE counting).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "que", "de"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2"),
+}
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit positive integer hash of a string.
+
+    conv(substr(md5(s),1,15), 16, 10) — 15 hex chars = 60 bits, always
+    non-negative, bit-identical to DuckDB's ('0x'||substr(md5(s),1,15))::bigint.
+    Used for shingle hashing / minhash so the DuckDB oracle can reproduce it.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens (fixture text is single-space separated soup)."""
+    return F.split(col, r"\s+")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Regex pre-tokenization (word/digit/punct pieces)."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_REGEX), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation-ish (quality signal)."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    """Fraction of whitespace tokens that are stopwords (quality signal)."""
+    toks = words(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def uppercase_ratio(col: Column) -> Column:
+    upper = F.regexp_replace(col, r"[^A-Z]", "")
+    return F.length(upper).cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    reasonable mean word length. Deterministic arithmetic only."""
+    wc = word_count(col).cast("double")
+    mean_word_len = char_count(col).cast("double") / F.greatest(wc, F.lit(1.0))
+    len_ok = F.least(wc / F.lit(50.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(5.0), F.lit(1.0))
+    wordlen_ok = F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok + punct_ok + wordlen_ok) / F.lit(3.0), 6)
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Stopword-hit count for one language (language-ID heuristic input)."""
+    toks = words(F.lower(col))
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text (dedup primitive).
+
+    transform over a sliding index range — stays in codegen; explode only
+    happens in the operators that need one-row-per-shingle.
+    """
+    toks = words(col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def char_ngrams(col: Column, n: int = 4) -> Column:
+    """Distinct character n-grams (language-ID / similarity primitive)."""
+    k = F.greatest(F.length(col) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), k)
+    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(n))))
+
+
+def fingerprint(col: Column) -> Column:
+    """Rolling polynomial hash of the word sequence (document fingerprint).
+
+    h = fold(h * 31 + hash60(word)) mod 2^61-1, left-to-right — order
+    sensitive (unlike a set hash), exact SQL oracle via list_reduce.
+    """
+    mod = F.lit(2305843009213693951)  # 2^61 - 1
+    return F.aggregate(
+        words(col),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(31) + F.pmod(hash60(w), mod)) % mod,
+    )
