@@ -1,0 +1,176 @@
+"""Index-maintenance operators — the reference's write/maintenance endpoints
+re-expressed as pure relational builders over immutable DataFrames.
+
+Reference surface (executor.py):
+- /index  = keyed upsert: new ids get the next dense internal ids in arrival
+  order (executor.py:151-156); existing ids are updated in place keeping
+  their internal id (executor.py:157-161).
+- /update = like upsert but ONLY already-indexed ids; unknown ids are
+  skipped with a warning (executor.py:188-196).
+- /delete = tombstone by id list; unknown ids silently ignored
+  (executor.py:221-225); the HNSW slot survives (`mark_deleted`,
+  executor.py:223) so `count_indexed` still counts it.
+- /status = scalar counts (executor.py:246-257).
+- /dump + load = persist/restore state (executor.py:227-236, 51-63).
+- /clear  = drop everything (executor.py:238-244).
+
+Spark-first state model: the "index" is a DataFrame with columns
+(id, internal_id, emb) — internal_id reproduces the reference's dense
+insertion-order ints via row_number() over an explicit arrival ordering
+(never monotonically_increasing_id, which is partition-dependent).
+
+Scale notes (100 TB): the state side is the big side and is never
+shuffled by these builders except where a join requires it; maintenance
+batches are small → explicitly broadcast. Dense-id assignment for inserts
+is a window over the (small) batch only, not over the state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ID = "id"
+IID = "internal_id"
+EMB = "emb"
+SEQ = "seq"  # explicit arrival-order column (reference: list position)
+
+
+def index_state(emb_df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Build the canonical index-state DataFrame from a raw vector table.
+
+    internal_id = dense insertion-order int; for the fixture we define
+    arrival order := vec_id order (deterministic, matches the oracle).
+    """
+    w = Window.orderBy(F.col(id_col))
+    return emb_df.select(
+        F.col(id_col).alias(ID),
+        (F.row_number().over(w) - 1).alias(IID),
+        F.col(vec_col).cast("array<double>").alias(EMB),
+    )
+
+
+def dedup_latest(batch: DataFrame, id_col: str = ID, seq_col: str = SEQ) -> DataFrame:
+    """Keep-latest per id (last write in arrival order wins) — the batch-side
+    half of upsert (executor.py:157-161 reprocesses duplicate ids in order;
+    last assignment wins)."""
+    w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Keyed upsert (the /index endpoint, executor.py:127-168).
+
+    Returns the new state (id, internal_id, emb, status) where status marks
+    provenance: 'kept' (untouched), 'updated' (id existed; embedding
+    replaced, internal_id preserved — executor.py:157-161), 'inserted'
+    (new id; dense internal_id = prior_count + arrival rank among new rows
+    — executor.py:151-156).
+    """
+    b = dedup_latest(batch)
+    # prior count as a 1-row DF so the whole thing stays one lazy plan
+    prior = state.agg(F.count(F.lit(1)).alias("__prior"))
+
+    updated = (
+        state.drop(EMB)
+        .join(F.broadcast(b.select(ID, EMB)), on=ID, how="inner")
+        .select(ID, IID, EMB)
+        .withColumn("status", F.lit("updated"))
+    )
+    kept = (
+        state.join(F.broadcast(b.select(ID)), on=ID, how="left_anti")
+        .select(ID, IID, EMB)
+        .withColumn("status", F.lit("kept"))
+    )
+    new_rows = b.join(state.select(ID), on=ID, how="left_anti")
+    w_new = Window.orderBy(F.col(SEQ))
+    inserted = (
+        new_rows.withColumn("__arrival", F.row_number().over(w_new) - 1)
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col(ID),
+            (F.col("__prior") + F.col("__arrival")).alias(IID),
+            F.col(EMB),
+        )
+        .withColumn("status", F.lit("inserted"))
+    )
+    return kept.unionByName(updated).unionByName(inserted)
+
+
+def update_existing(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """The /update endpoint (executor.py:170-211): only already-indexed ids
+    are re-embedded; unknown ids are skipped (executor.py:188-196)."""
+    b = dedup_latest(batch).join(F.broadcast(state.select(ID)), on=ID, how="left_semi")
+    updated = (
+        state.drop(EMB)
+        .join(F.broadcast(b.select(ID, EMB)), on=ID, how="inner")
+        .select(ID, IID, EMB)
+        .withColumn("status", F.lit("updated"))
+    )
+    kept = (
+        state.join(F.broadcast(b.select(ID)), on=ID, how="left_anti")
+        .select(ID, IID, EMB)
+        .withColumn("status", F.lit("kept"))
+    )
+    return kept.unionByName(updated)
+
+
+def skipped_updates(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Ids an /update would warn about and skip (executor.py:188-196):
+    batch ids not present in the index."""
+    return (
+        dedup_latest(batch)
+        .join(state.select(ID), on=ID, how="left_anti")
+        .select(ID)
+    )
+
+
+def delete_by_ids(state: DataFrame, ids: DataFrame | Sequence[int]) -> DataFrame:
+    """The /delete endpoint (executor.py:213-225): remove rows whose id is in
+    the list; unknown ids silently ignored (set-intersection semantics,
+    executor.py:221). Anti join keeps the big state side shuffle-free when
+    the id list broadcasts."""
+    if not isinstance(ids, DataFrame):
+        ids = state.sparkSession.createDataFrame([(int(i),) for i in ids], f"{ID} long")
+    return state.join(F.broadcast(ids.select(ID)), on=ID, how="left_anti")
+
+
+def status_counts(state: DataFrame, active: DataFrame) -> DataFrame:
+    """The /status endpoint (executor.py:246-257).
+
+    count_indexed = total slots ever allocated (tombstones included —
+    hnswlib's element_count keeps deleted slots, executor.py:252);
+    count_active = live rows; count_deleted = indexed - active;
+    size_dam = doc-store size = active (doc-store rows are evicted on
+    delete, executor.py:225).
+    """
+    i = state.agg(F.count(F.lit(1)).alias("count_indexed"))
+    a = active.agg(F.count(F.lit(1)).alias("count_active"))
+    return (
+        i.crossJoin(a)
+        .withColumn("count_deleted", F.col("count_indexed") - F.col("count_active"))
+        .withColumn("size_dam", F.col("count_active"))
+        .select("count_indexed", "count_active", "count_deleted", "size_dam")
+    )
+
+
+def dump(state: DataFrame, path: str) -> None:
+    """Persist state (the /dump endpoint, executor.py:227-236) — one parquet
+    snapshot instead of index.bin + ids.json + memmap flush."""
+    state.write.mode("overwrite").parquet(path)
+
+
+def load(spark, path: str) -> DataFrame:
+    """Restore state (executor.py:51-57)."""
+    return spark.read.parquet(path)
+
+
+def clear(spark, like: DataFrame) -> DataFrame:
+    """The /clear endpoint (executor.py:238-244): same schema, zero rows."""
+    return spark.createDataFrame([], like.schema)

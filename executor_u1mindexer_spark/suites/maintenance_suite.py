@@ -1,0 +1,217 @@
+"""Maintenance suite: the reference's write endpoints (SURVEY.md §2.A #11-17).
+
+Each query builds a deterministic maintenance scenario from the fixture
+`embeddings` table (driver guidance: derive all inputs from the fixtures so
+Spark and DuckDB see identical data):
+
+- state  = embeddings with internal_id = dense rank of vec_id (arrival order)
+- batch  = updates (vec_id % 10 == 0, embedding doubled; ids % 20 == 0 also
+  get a LATER duplicate with embedding tripled — exercises keep-latest)
+  + inserts (vec_id % 7 == 0, shifted id +100000)
+- delete = ids % 5 == 0
+
+Output rows carry (id, internal_id, status, norm) — norm uses the same
+left-to-right double fold as the vector suite, bit-identical in DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.functions import vector as V
+from executor_u1mindexer_spark.operators import maintenance as M
+
+NEW_ID_OFFSET = 100_000
+DUP_SEQ_OFFSET = 1_000_000
+
+
+def _state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.index_state(tables.load(spark, sf_dir, "embeddings"))
+
+
+def _batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double_array("embedding").alias("e")
+    )
+    updates = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias(M.ID),
+        F.transform("e", lambda x: x * 2).alias(M.EMB),
+        F.col("vec_id").alias(M.SEQ),
+    )
+    dup_updates = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias(M.ID),
+        F.transform("e", lambda x: x * 3).alias(M.EMB),
+        (F.col("vec_id") + DUP_SEQ_OFFSET).alias(M.SEQ),
+    )
+    inserts = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + NEW_ID_OFFSET).alias(M.ID),
+        F.col("e").alias(M.EMB),
+        (F.col("vec_id") + NEW_ID_OFFSET).alias(M.SEQ),
+    )
+    return updates.unionByName(dup_updates).unionByName(inserts)
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.select(
+        M.ID, M.IID, "status", V.norm(F.col(M.EMB)).alias("norm")
+    )
+
+
+def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_norm(M.upsert(_state(spark, sf_dir), _batch(spark, sf_dir)))
+
+
+def update_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_norm(M.update_existing(_state(spark, sf_dir), _batch(spark, sf_dir)))
+
+
+def update_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.skipped_updates(_state(spark, sf_dir), _batch(spark, sf_dir))
+
+
+def delete_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _state(spark, sf_dir)
+    ids = state.filter(F.col(M.ID) % 5 == 0).select(M.ID)
+    return M.delete_by_ids(state, ids).select(M.ID, M.IID)
+
+
+def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts after upsert-then-delete (executor.py:246-257 arithmetic)."""
+    state = M.upsert(_state(spark, sf_dir), _batch(spark, sf_dir)).select(M.ID, M.IID, M.EMB)
+    ids = state.filter(F.col(M.ID) % 5 == 0).select(M.ID)
+    active = M.delete_by_ids(state, ids)
+    return M.status_counts(state, active)
+
+
+def dump_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dump → load → aggregate: proves the persist path loses nothing
+    (executor.py:227-236 + 51-63). Aggregate output keeps the oracle simple."""
+    state = _state(spark, sf_dir)
+    path = os.path.join("/tmp/spark_graft_state", os.path.basename(sf_dir.rstrip("/")))
+    M.dump(state, path)
+    back = M.load(spark, path)
+    # norm is rounded to micro-units and summed as integers so the aggregate
+    # is order-independent (double addition is not associative; partition
+    # order must not affect the driver's value hash).
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(M.ID).alias("sum_id"),
+        F.sum(F.round(V.norm(F.col(M.EMB)) * 1e6).cast("long")).alias("sum_norm_micro"),
+    )
+
+
+def clear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _state(spark, sf_dir)
+    return M.clear(spark, state).select(M.ID, M.IID)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "sqrt(list_reduce(list_transform(list_zip({a}, {a}), x -> x[1]*x[2]), (s,y) -> s+y))"
+
+_BASE = f"""
+WITH state AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY vec_id) - 1 AS internal_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), batch AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS emb,
+         vec_id AS seq
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 3),
+         vec_id + {DUP_SEQ_OFFSET}
+  FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + {NEW_ID_OFFSET}, list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         vec_id + {NEW_ID_OFFSET}
+  FROM embeddings WHERE vec_id % 7 = 0
+), b AS (
+  SELECT id, emb, seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn FROM batch
+  ) WHERE rn = 1
+)
+"""
+
+_UPSERT = _BASE + f"""
+, kept AS (
+  SELECT s.id, s.internal_id, s.emb, 'kept' AS status
+  FROM state s WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.id = s.id)
+), updated AS (
+  SELECT s.id, s.internal_id, b.emb, 'updated' AS status
+  FROM state s JOIN b ON b.id = s.id
+), new_rows AS (
+  SELECT b.id, b.emb, b.seq FROM b
+  WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.id = b.id)
+), inserted AS (
+  SELECT id,
+         (SELECT count(*) FROM state) + row_number() OVER (ORDER BY seq) - 1 AS internal_id,
+         emb, 'inserted' AS status
+  FROM new_rows
+), result AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM inserted
+)
+SELECT id, internal_id, status, {_NORM.format(a='emb')} AS norm FROM result
+"""
+
+_UPDATE = _BASE + f"""
+, bk AS (
+  SELECT b.* FROM b WHERE EXISTS (SELECT 1 FROM state s WHERE s.id = b.id)
+), kept AS (
+  SELECT s.id, s.internal_id, s.emb, 'kept' AS status
+  FROM state s WHERE NOT EXISTS (SELECT 1 FROM bk WHERE bk.id = s.id)
+), updated AS (
+  SELECT s.id, s.internal_id, bk.emb, 'updated' AS status
+  FROM state s JOIN bk ON bk.id = s.id
+), result AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM updated
+)
+SELECT id, internal_id, status, {_NORM.format(a='emb')} AS norm FROM result
+"""
+
+ORACLES = {
+    "index_upsert": _UPSERT,
+    "update_existing": _UPDATE,
+    "update_skipped": _BASE
+    + "SELECT id FROM b WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.id = b.id)",
+    "delete_by_ids": """
+WITH state AS (
+  SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) - 1 AS internal_id
+  FROM embeddings
+)
+SELECT id, internal_id FROM state WHERE id % 5 != 0
+""",
+    "status_counts": _UPSERT.replace(
+        f"SELECT id, internal_id, status, {_NORM.format(a='emb')} AS norm FROM result",
+        """
+, active AS (SELECT * FROM result WHERE id % 5 != 0)
+SELECT (SELECT count(*) FROM result) AS count_indexed,
+       (SELECT count(*) FROM active) AS count_active,
+       (SELECT count(*) FROM result) - (SELECT count(*) FROM active) AS count_deleted,
+       (SELECT count(*) FROM active) AS size_dam
+""",
+    ),
+    "dump_load_roundtrip": f"""
+SELECT count(*) AS n_rows, sum(vec_id) AS sum_id,
+       sum(CAST(round({_NORM.format(a="list_transform(embedding, x -> CAST(x AS DOUBLE))")} * 1e6, 0) AS BIGINT)) AS sum_norm_micro
+FROM embeddings
+""",
+    "clear": "SELECT vec_id AS id, 0 AS internal_id FROM embeddings WHERE FALSE",
+}
+
+QUERIES = {
+    "index_upsert": index_upsert,
+    "update_existing": update_existing,
+    "update_skipped": update_skipped,
+    "delete_by_ids": delete_by_ids,
+    "status_counts": status_counts,
+    "dump_load_roundtrip": dump_load_roundtrip,
+    "clear": clear,
+}

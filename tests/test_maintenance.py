@@ -1,0 +1,84 @@
+"""Maintenance semantics pinned to the reference quirks:
+upsert keeps internal id (executor.py:157-161), dense arrival-order ids for
+new rows (executor.py:151-156), update skips unknown ids (executor.py:188-196),
+delete ignores unknown ids (executor.py:221), status arithmetic
+(executor.py:252-257)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark.operators import maintenance as M
+
+
+@pytest.fixture(scope="module")
+def state(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return M.index_state(df)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, f"{M.ID} long, {M.EMB} array<double>, {M.SEQ} long")
+
+
+def test_upsert_keeps_internal_id_and_assigns_dense_new_ids(spark, state):
+    batch = _batch(
+        spark,
+        [
+            (3, [99.0, 99.0], 0),   # update: keeps internal_id 3
+            (100, [1.0, 0.0], 1),   # insert: internal_id 10
+            (200, [2.0, 0.0], 2),   # insert: internal_id 11
+        ],
+    )
+    out = {r[M.ID]: r for r in M.upsert(state, batch).collect()}
+    assert len(out) == 12
+    assert out[3][M.IID] == 3 and out[3]["status"] == "updated"
+    assert out[3][M.EMB] == [99.0, 99.0]
+    assert out[100][M.IID] == 10 and out[100]["status"] == "inserted"
+    assert out[200][M.IID] == 11
+    assert out[0]["status"] == "kept"
+
+
+def test_upsert_duplicate_ids_last_write_wins(spark, state):
+    batch = _batch(spark, [(5, [1.0, 1.0], 0), (5, [2.0, 2.0], 7)])
+    out = {r[M.ID]: r for r in M.upsert(state, batch).collect()}
+    assert out[5][M.EMB] == [2.0, 2.0]  # seq 7 arrived later
+
+
+def test_update_skips_unknown_ids(spark, state):
+    batch = _batch(spark, [(4, [8.0, 8.0], 0), (999, [0.0, 0.0], 1)])
+    out = M.update_existing(state, batch)
+    assert out.count() == 10  # no insert happened
+    assert out.filter(F.col(M.ID) == 999).count() == 0
+    skipped = M.skipped_updates(state, batch).collect()
+    assert [r[M.ID] for r in skipped] == [999]
+
+
+def test_delete_ignores_unknown_ids(spark, state):
+    out = M.delete_by_ids(state, [1, 2, 31337])
+    assert sorted(r[M.ID] for r in out.collect()) == [0, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_status_counts_arithmetic(spark, state):
+    active = M.delete_by_ids(state, [0, 1, 2])
+    row = M.status_counts(state, active).collect()[0]
+    assert row.count_indexed == 10
+    assert row.count_active == 7
+    assert row.count_deleted == 3
+    assert row.size_dam == 7
+
+
+def test_dump_load_roundtrip(spark, state, tmp_path):
+    p = str(tmp_path / "state")
+    M.dump(state, p)
+    back = M.load(spark, p)
+    assert sorted(back.columns) == sorted(state.columns)
+    assert back.count() == state.count()
+
+
+def test_clear_empty_same_schema(spark, state):
+    out = M.clear(spark, state)
+    assert out.count() == 0
+    assert out.schema == state.schema
