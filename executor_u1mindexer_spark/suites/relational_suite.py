@@ -1,0 +1,400 @@
+"""Relational-analytics suite over the TPC-H-ish star schema (SURVEY.md §2.B).
+
+The reference has no relational surface (its joins are implicit keyed-dict
+lookups, executor.py:116/154/186/221); these operators are the
+[NOT IN REFERENCE] breadth mandated by the north star, expressed entirely
+with built-in Catalyst operators so every plan keeps predicate pushdown,
+column pruning, partial aggregation, and AQE.
+
+Determinism policy for the driver's value-hash:
+- money/quantity sums are cast to decimal(18,6) BEFORE aggregation — decimal
+  addition is exact and order-independent, immune to partition order (double
+  sums are not associative);
+- derived averages divide the exact decimal sum as double by the count —
+  one deterministic double division per output row;
+- every ORDER BY carries a unique tiebreaker key.
+
+Scale notes: dim tables (region/nation/customer/supplier/part) broadcast;
+fact-fact joins (lineitem x orders) shuffle on the join key and benefit from
+AQE skew handling; rollup/cube use Spark's native grouping-sets expansion
+(partial aggregation per grouping set, no multi-pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+
+
+def _dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,6)")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+# -- grouped aggregation (TPC-H Q1 shape) -----------------------------------
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: grouped sums/avgs/count over lineitem with a shipdate
+    predicate that pushes down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+        F.sum(
+            _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+        ).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 9).alias("avg_qty"),
+        F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 9).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# -- multi-join analytics (Q3/Q5 shapes) -------------------------------------
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with selective predicates; top 10 orders
+    by revenue. customer broadcasts; orders⋈lineitem is the only shuffle."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join down to region; revenue per nation. Every dim side
+    broadcasts (nation/region/supplier/customer are tiny at any SF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dim: lineitem volume per part brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .orderBy("p_brand")
+    )
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers that have at least one high-value order
+    (the reference's membership predicate shape, executor.py:154)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all (executor.py:221 shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# -- grouping sets / rollup / cube -------------------------------------------
+
+def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def cube_orderstatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("o_totalprice")).alias("sum_price"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# -- window functions ---------------------------------------------------------
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total — sequential in-order fold,
+    deterministic in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).alias("running_total"),
+        F.row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")).alias("order_seq"),
+    )
+
+
+def window_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag/lead over customers per nation by account balance."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.lag("c_custkey", 1).over(w).alias("prev_cust"),
+        F.lead("c_custkey", 1).over(w).alias("next_cust"),
+    )
+
+
+# -- sorts / top-k / set ops ---------------------------------------------------
+
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge, no full sort at 100 TB)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets, tagged by op."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    u = building.union(rich).distinct().withColumn("op", F.lit("union"))
+    i = building.intersect(rich).withColumn("op", F.lit("intersect"))
+    e = building.exceptAll(rich).distinct().withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e)
+
+
+# -- scalar function coverage ---------------------------------------------------
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devowel"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) next to the exact count — approximate, so
+    no SQL oracle (driver rows-only check); sketch parameters differ across
+    engines by design."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "join_broadcast_dim": join_broadcast_dim,
+    "join_semi_customers_with_orders": join_semi_customers_with_orders,
+    "join_anti_customers_without_orders": join_anti_customers_without_orders,
+    "rollup_returnflag_linestatus": rollup_returnflag_linestatus,
+    "cube_orderstatus_priority": cube_orderstatus_priority,
+    "window_running_sum": window_running_sum,
+    "window_rank_lag_lead": window_rank_lag_lead,
+    "topk_orders_by_price": topk_orders_by_price,
+    "set_ops_customer_segments": set_ops_customer_segments,
+    "scalar_string_funcs": scalar_string_funcs,
+    "scalar_date_funcs": scalar_date_funcs,
+    "agg_approx_distinct": agg_approx_distinct,
+}
+
+_DISC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+
+ORACLES = {
+    "tpch_q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
+       sum({_DISC}) AS sum_disc_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q3_shipping_priority": f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, sum({_DISC}) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "tpch_q5_local_supplier_volume": f"""
+SELECT n_name, sum({_DISC}) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+    "join_broadcast_dim": """
+SELECT p_brand, count(*) AS n_items, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+    "join_semi_customers_with_orders": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""",
+    "join_anti_customers_without_orders": """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    "rollup_returnflag_linestatus": """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "cube_orderstatus_priority": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "window_running_sum": """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       sum(CAST(o_totalprice AS DECIMAL(18,6)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+""",
+    "window_rank_lag_lead": """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       rank() OVER w AS bal_rank,
+       dense_rank() OVER w AS bal_dense_rank,
+       lag(c_custkey, 1) OVER w AS prev_cust,
+       lead(c_custkey, 1) OVER w AS next_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+    "topk_orders_by_price": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+""",
+    "set_ops_customer_segments": """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT c_custkey, 'union' AS op FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich)
+UNION ALL
+SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+UNION ALL
+SELECT DISTINCT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM building EXCEPT ALL SELECT c_custkey FROM rich)
+""",
+    "scalar_string_funcs": """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       upper(p_brand) AS brand_upper,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 5) AS name_head,
+       regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devowel,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       str_split(p_name, ' ')[1] AS first_word
+FROM part
+""",
+    "scalar_date_funcs": """
+SELECT o_orderkey,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       day(o_orderdate) AS order_day,
+       quarter(o_orderdate) AS order_quarter,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+FROM orders
+""",
+    # agg_approx_distinct: intentionally no oracle (HLL sketch values are
+    # engine-specific); driver records the rows-only check.
+}

@@ -1,0 +1,67 @@
+"""Physical-plan quality gates — the 100 TB scale contract.
+
+A correctness-green operator with a bad plan (lost pushdown, shuffled dim
+join, global sort for a top-k) is a regression at scale even when the small
+-SF answer is right; these tests pin the plan shape."""
+
+from __future__ import annotations
+
+from executor_u1mindexer_spark import plans
+from executor_u1mindexer_spark.suites import relational_suite as R
+from executor_u1mindexer_spark.suites import vector_suite as V
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = R.tpch_q1_pricing_summary(spark, sf_dir)
+    pf = plans.pushed_filters(df)
+    assert "l_shipdate" in pf, pf  # predicate reached the parquet scan
+    rs = plans.read_schemas(df)
+    # column pruning: q1 never touches the join keys
+    assert "l_partkey" not in rs and "l_suppkey" not in rs, rs
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = R.tpch_q3_shipping_priority(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    pf = plans.pushed_filters(df)
+    assert "c_mktsegment" in pf and "o_orderdate" in pf and "l_shipdate" in pf, pf
+
+
+def test_q5_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = R.tpch_q5_local_supplier_volume(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # every dim join is a broadcast; the only shuffles are the fact-fact join
+    # and the final aggregation
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    df = R.topk_orders_by_price(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.physical_plan(df)
+
+
+def test_knn_is_broadcast_nested_loop(spark, sf_dir):
+    df = V.knn_search_cosine(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # query side broadcasts; the corpus is never shuffled before scoring
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_knn_prunes_corpus_columns(spark, sf_dir):
+    df = V.knn_search_cosine(spark, sf_dir)
+    rs = plans.read_schemas(df)
+    assert "label" not in rs, rs  # only vec_id + embedding are read
+
+
+def test_codegen_present_in_agg_plan(spark, sf_dir):
+    # AQE defers codegen until stage execution; disable it to inspect the
+    # statically-compiled plan (production runs keep AQE on).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = R.tpch_q1_pricing_summary(spark, sf_dir)
+        assert plans.codegen_stage_count(df) >= 1
+        knn = V.knn_search_cosine(spark, sf_dir)
+        assert plans.codegen_stage_count(knn) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
