@@ -1,0 +1,136 @@
+"""Event-stream operators — batch-computable windowing over the `events`
+fixture table (ts, user_id, event_type, value, props).
+
+[NOT IN REFERENCE] — the reference is strictly request/response batch
+(executor.py:73-257 is the whole API); these are the north-star event
+operators. Every builder here runs identically in batch and (except where
+noted) under Structured Streaming — see streaming/ for the streaming
+variants with watermarks.
+
+Scale notes (100 TB):
+- tumbling/sliding windows are a plain groupBy on (window, keys): one
+  shuffle, partial aggregation map-side;
+- session windows use Spark's native session_window merge (grouped
+  iterative merge per user partition);
+- the as-of join is the union+window formulation: ONE shuffle on the
+  session key instead of a per-row range probe — the idiomatic Spark way
+  to as-of-join two big tables (no broadcast needed on either side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window(
+    events: DataFrame,
+    duration: str,
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Fixed (tumbling) window aggregation: F.window(ts, duration)."""
+    aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_events")]
+    out = events.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "w" and c not in keys]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *agg_cols,
+    )
+
+
+def sliding_window(
+    events: DataFrame,
+    duration: str,
+    slide: str,
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Sliding window: each event lands in duration/slide windows."""
+    aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_events")]
+    out = events.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *keys).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "w" and c not in keys]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *agg_cols,
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Session windows: events of one user closer than `gap` merge into one
+    session (F.session_window — native stateful merge; in batch mode a
+    grouped sort-merge per user). window.end = last event + gap."""
+    aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_events")]
+    out = events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "w" and c != user_col]
+    return out.select(
+        user_col,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *agg_cols,
+    )
+
+
+def asof_join_last_before(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    asof_col: str = "asof_ts",
+) -> DataFrame:
+    """As-of join: for each left row, the greatest right timestamp of the
+    same key with right_ts <= left_ts (NULL when none).
+
+    Union+window formulation: tag both sides, sort per key by (ts, tag) with
+    right rows first at equal timestamps (<= semantics), then propagate the
+    last seen right timestamp with last(ignorenulls) over an unbounded-
+    preceding frame. One shuffle on the key; both sides can be arbitrarily
+    large (DuckDB's ASOF JOIN is the oracle equivalent).
+    """
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__row"),
+        F.lit(None).cast("timestamp").alias("__rts"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
+        F.col(right_ts).alias("__rts"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        u.withColumn(asof_col, F.last("__rts", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+        .select("__row.*", asof_col)
+    )
+    return out
+
+
+def json_get_int(col: Column | str, path: str) -> Column:
+    """get_json_object + int cast (the events.props '{"k": N}' shape)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, path).cast("int")

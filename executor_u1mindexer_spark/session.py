@@ -39,6 +39,10 @@ def get_spark(app_name: str = "executor-u1mindexer-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as int64 nanos and convert in tables.load (Spark
+        # timestamps are microseconds — ns precision is truncated there).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()

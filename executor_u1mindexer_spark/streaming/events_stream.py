@@ -1,0 +1,92 @@
+"""Structured Streaming event pipeline.
+
+readStream(parquet) → watermark → windowed aggregation → memory/parquet sink.
+The aggregation bodies are the SAME expressions as the batch builders in
+operators/events.py, so batch results are the oracle for the streaming path
+(tested in tests/test_streaming.py with trigger(availableNow=True)).
+
+Scale notes: watermark bounds state (late events beyond the watermark are
+dropped); availableNow processes a backlog in bounded batches — the same
+program serves both the 100 TB backfill (batch) and the live tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema: ts is int64 nanos (see tables.load note).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """File-source stream over the events fixture dir (ns → µs timestamp)."""
+    # the file source wants a directory; select only the events file from
+    # the fixture dir via glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the streaming twin
+    of operators/events.tumbling_window."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Watermarked session windows per user — the streaming twin of
+    operators/events.sessionize (native session_window state merge)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(sdf: DataFrame, table_name: str, output_mode: str = "complete") -> None:
+    """Drain the whole backlog into an in-memory sink (bounded test runs)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,157 @@
+"""Events suite: windowing / sessionization / as-of / JSON ops (SURVEY.md §2.B
+"Streaming-only" row — batch-computable equivalents over the `events` table;
+streaming/ holds the Structured Streaming variants of the same builders).
+
+Oracle notes:
+- tumbling/sliding window starts are epoch-aligned in both engines
+  (Spark F.window aligns to 1970-01-01 UTC; DuckDB time_bucket's default
+  origin 2000-01-03 00:00 UTC sits on every whole-hour/30-min boundary);
+- session semantics: a new session starts when ts - prev_ts >= gap (Spark
+  merges while the next event is strictly inside [ts, ts+gap)); oracle is
+  the classic gaps-and-islands rewrite;
+- the as-of oracle uses DuckDB's native ASOF LEFT JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import events as E
+
+GAP = "30 minutes"
+
+
+def _dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,6)")
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return E.tumbling_window(
+        ev,
+        "1 hour",
+        keys=("event_type",),
+        aggs=[F.count(F.lit(1)).alias("n_events"), F.sum(_dec("value")).alias("sum_value")],
+    )
+
+
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return E.sliding_window(ev, "1 hour", "30 minutes", aggs=[F.count(F.lit(1)).alias("n_events")])
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return E.sessionize(
+        ev,
+        GAP,
+        aggs=[F.count(F.lit(1)).alias("n_events"), F.sum(_dec("value")).alias("sum_value")],
+    )
+
+
+def events_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = E.asof_join_last_before(purchases, views, on="user_id", asof_col="last_view_ts")
+    return out.select("event_id", "user_id", "ts", "last_view_ts")
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        E.json_get_int("props", "$.k").alias("k"),
+    ).filter(F.col("k") > 50)
+
+
+def events_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per day x event_type (explicit value list keeps the
+    plan single-pass and the schema deterministic)."""
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=types)
+        .orderBy("day")
+    )
+
+
+QUERIES = {
+    "events_tumbling_hourly": events_tumbling_hourly,
+    "events_sliding_1h_30m": events_sliding_1h_30m,
+    "events_sessionize": events_sessionize,
+    "events_asof_purchase_last_view": events_asof_purchase_last_view,
+    "events_json_extract": events_json_extract,
+    "events_pivot_daily_types": events_pivot_daily_types,
+}
+
+ORACLES = {
+    "events_tumbling_hourly": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+    "events_sliding_1h_30m": """
+WITH starts AS (
+  SELECT e.*, s.window_start
+  FROM events e, LATERAL (
+    SELECT unnest([time_bucket(INTERVAL '30 minutes', e.ts),
+                   time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL '30 minutes']) AS window_start
+  ) s
+  WHERE e.ts >= s.window_start AND e.ts < s.window_start + INTERVAL '1 hour'
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end, count(*) AS n_events
+FROM starts GROUP BY 1, 2
+""",
+    "events_sessionize": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+    "events_asof_purchase_last_view": """
+WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     views AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    "events_json_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+""",
+    "events_pivot_daily_types": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY 1
+""",
+}

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -34,10 +35,20 @@ EMBEDDING_DIM = 64
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table as a DataFrame (vectorized parquet scan)."""
+    """Read one fixture table as a DataFrame (vectorized parquet scan).
+
+    events.ts is TIMESTAMP(NANOS) in the fixture; Spark reads it as int64
+    nanos (see session.py nanosAsLong) and we convert to a microsecond
+    timestamp here (truncating, matching DuckDB's ns→us cast).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV, not `/`: ns epochs (~1.7e18) exceed double's 2^53
+        # exact-integer range, so float division corrupts the low microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
