@@ -41,6 +41,16 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit positive integer hash (first 8 md5 hex chars).
+
+    Small enough that a*h+b stays below 2^63 for a,b < 2^20 — the overflow-
+    safe building block for minhash/fingerprint modular arithmetic.
+    DuckDB twin: CAST('0x' || substr(md5(s),1,8) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def words(col: Column) -> Column:
     """Whitespace tokens (fixture text is single-space separated soup)."""
     return F.split(col, r"\s+")
@@ -125,12 +135,14 @@ def char_ngrams(col: Column, n: int = 4) -> Column:
 def fingerprint(col: Column) -> Column:
     """Rolling polynomial hash of the word sequence (document fingerprint).
 
-    h = fold(h * 31 + hash60(word)) mod 2^61-1, left-to-right — order
+    h = fold(h * 31 + hash32(word)) mod 2^31-1, left-to-right — order
     sensitive (unlike a set hash), exact SQL oracle via list_reduce.
+    The modulus keeps acc*31 + h < 2^37, far from int64 overflow (a 2^61
+    modulus would overflow acc*31).
     """
-    mod = F.lit(2305843009213693951)  # 2^61 - 1
+    mod = F.lit(2147483647)  # 2^31 - 1
     return F.aggregate(
         words(col),
         F.lit(0).cast("long"),
-        lambda acc, w: (acc * F.lit(31) + F.pmod(hash60(w), mod)) % mod,
+        lambda acc, w: (acc * F.lit(31) + hash32(w) % mod) % mod,
     )

@@ -1,0 +1,285 @@
+"""Deduplication operators — the LLM-pipeline surface the north star mandates
+([NOT IN REFERENCE]; the reference's only dedup is the id-upsert at
+executor.py:154-161, generalized here to content-based identity).
+
+All hashing is derived from md5 (functions/text.py hash32) so every operator
+has an exact DuckDB oracle — no engine-specific hash functions, no RNG at
+query time. MinHash coefficients are fixed module constants.
+
+Scale design (100 TB):
+- exact dedup: one shuffle on the content hash (not the full text);
+- MinHash-LSH: signatures are computed scan-side in whole-stage codegen
+  (nested higher-order functions, no UDF); the only shuffle is the
+  band-bucket self-join, whose fan-out is bounded by bucket size; exact
+  jaccard runs only on candidate pairs (LSH prunes the O(n^2) space);
+- SimHash: 32-bit signature scan-side; near-pairs via banded prefix join;
+- embedding near-dup: label-blocked self-join (the IVF idea: only compare
+  within a coarse bucket), distance in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark.functions import text as T
+from executor_u1mindexer_spark.functions import vector as V
+
+# MinHash universe/coefficients. P is prime > 2^32; a,b < 2^20 keep
+# a*h32 + b < 2^52 (exact in int64 AND in double — DuckDB-safe).
+MINHASH_P = 4294967311
+# b=8 bands x r=4 rows: candidate probability ~ 1-(1-j^4)^8 — steep enough
+# that background pairs (j~0.2, word-soup corpora) almost never collide
+# (8*0.0016 ~ 1%) while true near-dups (j>=0.8) collide with p~0.99.
+# r=2 was measured to produce ~30% collision on background pairs => an
+# O(n^2) candidate explosion at sf0.1 (88s); r=4 cuts that ~50x.
+N_HASHES = 32
+BANDS = 8  # x ROWS_PER_BAND = N_HASHES
+ROWS_PER_BAND = 4
+_A = [((1103515245 * (i + 1) + 12345) % 1048576) | 1 for i in range(N_HASHES)]
+_B = [(69069 * (i + 1) + 1) % 1048576 for i in range(N_HASHES)]
+
+
+def content_hash(text_col: Column | str) -> Column:
+    """Exact-dedup key: md5 of the raw text (cheap, oracle-identical)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate collapse: keep the lowest id per content hash, count
+    the copies. One shuffle on the 32-hex hash."""
+    h = content_hash(text_col).alias("text_hash")
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("text_hash")))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col).alias("keep_id"), "text_hash", "n_copies")
+    )
+
+
+def minhash_signature(text_col: Column | str, n_shingle: int = 3) -> Column:
+    """k-element MinHash signature over word n-gram shingles.
+
+    sig[i] = min over shingles s of (A[i]*hash32(s) + B[i]) mod P — all in
+    nested higher-order functions (array_min . transform), zero UDFs.
+    """
+    sh = T.word_shingles(F.col(text_col) if isinstance(text_col, str) else text_col, n_shingle)
+    hashed = F.transform(sh, T.hash32)
+    # One fold over the hashed shingles, updating all k mins per element:
+    # md5 runs ONCE per shingle. (The naive k x array_min(transform(...))
+    # form textually inlines the shingle+md5 pipeline k times — Catalyst
+    # does not CSE across higher-order lambdas — measured 30x slower.)
+    a_arr = F.array(*[F.lit(a) for a in _A])
+    b_arr = F.array(*[F.lit(b) for b in _B])
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), N_HASHES)
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(MINHASH_P)),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def lsh_band_keys(sig_col: Column) -> Column:
+    """Band the signature: BANDS string keys of ROWS_PER_BAND sig values.
+    Equal band key => candidate pair (standard LSH banding).
+
+    Built with transform+slice so `sig_col` appears in the expression tree
+    EXACTLY ONCE: the getItem-per-value formulation duplicates the whole
+    upstream signature aggregate once per extracted value (Catalyst does
+    not CSE across lambda boundaries) — measured 100x slower.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda band: F.array_join(
+            F.slice(sig_col, band * ROWS_PER_BAND + 1, ROWS_PER_BAND).cast("array<string>"),
+            ",",
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact jaccard confirm.
+
+    (a) signature+bands scan-side; (b) explode bands, self-join on
+    (band_idx, band_key) CARRYING ONLY IDS — the heavy shingle arrays never
+    ride the shuffle; (c) distinct candidate pairs; (d) join shingles back
+    and exact-jaccard-confirm only those. Output (id_a < id_b, jaccard).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        T.word_shingles(F.col(text_col), n_shingle).alias("sh"),
+    )
+    # repartition = materialization barrier: the (interpreted) signature
+    # aggregate is computed exactly once per row and only the (id, 32-long)
+    # signature rides the exchange — downstream band/bucket logic reuses the
+    # physical column instead of re-evaluating the fold per consumer.
+    sig_df = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, n_shingle).alias("sig"),
+    ).repartition(F.col("id"))
+    banded = sig_df.select(
+        "id", F.posexplode(lsh_band_keys(F.col("sig"))).alias("band_idx", "band_key")
+    )
+    # bucket-group pair expansion: ONE aggregation over the banded rows
+    # (a banded self-join would evaluate the signature pipeline twice and
+    # shuffle it twice). Buckets are small by construction (r=4 banding),
+    # so the per-bucket m^2 expansion is bounded.
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    )
+    return (
+        cand.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, F.col("id_b") == F.col("b.id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    threshold: float = 0.5,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Exact n-gram jaccard over blocked pairs (the non-approximate
+    baseline; block_col bounds the quadratic fan-out, the classic
+    blocking-key trick)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        T.word_shingles(F.col(text_col), n_shingle).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(text_col: Column | str) -> Column:
+    """32-bit SimHash of the whitespace tokens — pure SQL higher-order
+    functions (shiftright with a non-foldable shift is valid Spark SQL even
+    though the Python F.shiftright wrapper only takes ints)."""
+    name = text_col if isinstance(text_col, str) else None
+    assert name is not None, "simhash32 needs a column name for the SQL expression"
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, 31), j ->
+            CASE WHEN aggregate(
+                   transform(split({name}, ' '),
+                             w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)),
+                   0L,
+                   (acc, h) -> acc + CASE WHEN (h DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                                          THEN 1 ELSE -1 END) > 0
+                 THEN CAST(pow(2, j) AS BIGINT) ELSE 0L END),
+          0L, (acc, x) -> acc + x)
+        """
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of the banded bit
+    chunks (4 x 8-bit bands => any pair within hamming distance 3 shares at
+    least one exact band — pigeonhole), then exact hamming filter."""
+    sim = df.select(F.col(id_col).alias("id"), simhash32(text_col).alias("simhash"))
+    n_bands = 32 // prefix_bits
+    bands = F.array(
+        *[
+            ((F.col("simhash") / F.lit(2 ** (prefix_bits * i))).cast("long")
+             % F.lit(2 ** prefix_bits)).alias(f"b{i}")
+            for i in range(n_bands)
+        ]
+    )
+    banded = sim.select("id", "simhash", F.posexplode(bands).alias("band_idx", "band_val"))
+    l, r = banded.alias("l"), banded.alias("r")
+    # hamming via popcount of xor: bit_count is native in both engines
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    max_cos_dist: float = 0.2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates within a coarse block (IVF-style:
+    compare only inside the bucket => n^2/buckets instead of n^2)."""
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        V.as_double_array(vec_col).alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dist = V.cosine_distance(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), dist.alias("cos_dist"))
+        .filter(F.col("cos_dist") <= max_cos_dist)
+    )

@@ -1,0 +1,191 @@
+"""Dedup suite (north-star LLM-pipeline operators over `documents`).
+
+The fixture has no exact duplicates, so `exact_dedup_text` injects them
+deterministically (docs with doc_id < 50 re-appear shifted by +10000 —
+derived purely from fixture data, identical in the oracle). Near-dup
+operators run on the raw table, which contains ~25 planted near-pairs
+(3-shingle jaccard >= 0.8).
+
+Every oracle replicates the Spark hashing bit-for-bit: hash32 = first 8 md5
+hex chars, MinHash coefficients inlined from operators/dedup.py constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import dedup as D
+
+DUP_OFFSET = 10_000
+N_DUP = 50
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.filter(F.col("doc_id") < N_DUP).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(shifted)
+
+
+def exact_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def near_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32("text").alias("simhash"))
+
+
+def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, max_hamming=3)
+
+
+def near_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, block_col="label", max_cos_dist=0.6)
+
+
+QUERIES = {
+    "exact_dedup_text": exact_dedup_text,
+    "near_dedup_minhash_lsh": near_dedup_minhash_lsh,
+    "near_dedup_ngram_jaccard": near_dedup_ngram_jaccard,
+    "simhash_fingerprints": simhash_fingerprints,
+    "near_dedup_simhash": near_dedup_simhash,
+    "near_dedup_embedding_cosine": near_dedup_embedding_cosine,
+}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_H32 = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+
+_SHINGLES = """
+CASE WHEN len(toks) >= 3
+     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+     ELSE [array_to_string(toks, ' ')] END
+"""
+
+_SIG_MINS = ", ".join(
+    f"list_min(list_transform(shh, h -> ({a} * h + {b}) % {D.MINHASH_P}))"
+    for a, b in zip(D._A, D._B)
+)
+
+_BAND_KEYS = ", ".join(
+    " || ',' || ".join(
+        f"CAST(sig[{band * D.ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+        for r in range(D.ROWS_PER_BAND)
+    )
+    for band in range(D.BANDS)
+)
+
+_JACCARD = (
+    "len(list_intersect(a.sh, b.sh))::DOUBLE / "
+    "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
+)
+
+_SIMHASH = """
+list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), j ->
+  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(str_split(text, ' '), w ->
+           CASE WHEN ((CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) >> j) & 1) = 1
+                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+         (acc, x) -> acc + x) > 0
+       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+  (acc, x) -> acc + x)
+"""
+
+ORACLES = {
+    "exact_dedup_text": f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents WHERE doc_id < {N_DUP}
+), hashed AS (
+  SELECT doc_id, md5(text) AS text_hash FROM all_docs
+)
+SELECT min(doc_id) AS keep_id, text_hash, count(*) AS n_copies
+FROM hashed GROUP BY text_hash
+""",
+    "near_dedup_minhash_lsh": f"""
+WITH t AS (
+  SELECT doc_id AS id, str_split(text, ' ') AS toks FROM documents
+), sh_t AS (
+  SELECT id, {_SHINGLES} AS sh FROM t
+), sig_t AS (
+  SELECT id, sh,
+         (SELECT [{_SIG_MINS}]
+          FROM (SELECT list_transform(sh, s -> {_H32.format(s='s')}) AS shh)) AS sig
+  FROM sh_t
+), banded AS (
+  SELECT id, sh, r.range AS band_idx, [{_BAND_KEYS}][r.range + 1] AS band_key
+  FROM sig_t, range({D.BANDS}) r
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.id < r.id
+)
+SELECT c.id_a, c.id_b, {_JACCARD} AS jaccard
+FROM cand c JOIN sh_t a ON a.id = c.id_a JOIN sh_t b ON b.id = c.id_b
+WHERE {_JACCARD} >= 0.5
+""",
+    "near_dedup_ngram_jaccard": f"""
+WITH t AS (
+  SELECT doc_id AS id, lang AS blk, str_split(text, ' ') AS toks FROM documents
+), sh_t AS (
+  SELECT id, blk, {_SHINGLES} AS sh FROM t
+)
+SELECT a.id AS id_a, b.id AS id_b, {_JACCARD} AS jaccard
+FROM sh_t a JOIN sh_t b ON a.blk = b.blk AND a.id < b.id
+WHERE {_JACCARD} >= 0.5
+""",
+    "simhash_fingerprints": f"""
+SELECT doc_id, {_SIMHASH} AS simhash FROM documents
+""",
+    "near_dedup_simhash": f"""
+WITH s AS (
+  SELECT doc_id AS id, {_SIMHASH} AS simhash FROM documents
+), banded AS (
+  SELECT id, simhash, r.range AS band_idx,
+         (simhash >> (8 * r.range)) & 255 AS band_val
+  FROM s, range(4) r
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         l.simhash AS sim_a, r.simhash AS sim_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val AND l.id < r.id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+    "near_dedup_embedding_cosine": """
+WITH e AS (
+  SELECT vec_id AS id, label AS blk,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       1.0 - list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y)
+           / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]), (s,y) -> s+y))
+            * sqrt(list_reduce(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y))) AS cos_dist
+FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id
+WHERE 1.0 - list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y)
+           / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]), (s,y) -> s+y))
+            * sqrt(list_reduce(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y))) <= 0.6
+""",
+}

@@ -1,0 +1,175 @@
+"""Similarity-search suite: brute-force baseline + the bucketed scale paths
+(IVF-by-label, sign-LSH hyperplanes, partitioned numpy top-k merge).
+
+Oracle notes: bucketed variants replicate bucket assignment bit-for-bit in
+SQL (the hyperplanes are inlined literal arrays, fold order identical).
+The partitioned-merge variant omits `dist` from its output: the numpy
+kernel's SIMD summation differs from the sequential fold at the last bit,
+but the RANKING is identical on this data — rank-only output keeps the
+oracle exact while the kernel stays vectorized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import knn, similarity as S
+
+K = 5
+QUERY_MOD = 100  # queries = every 100th vec_id (deterministic, sf-scalable)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+def _queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+        F.col("label").alias("query_label"),
+    )
+
+
+def ann_cosine_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force vector-vector similarity join (the exact baseline)."""
+    emb = _emb(spark, sf_dir)
+    return knn.knn_search(emb, _queries(emb), k=K, metric="cosine")
+
+
+def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style: the coarse cell is the fixture label — each query scans
+    only its own cell (n/cells of the corpus)."""
+    emb = _emb(spark, sf_dir)
+    return S.bucketed_topk(
+        emb,
+        _queries(emb),
+        bucket_stored=F.col("label"),
+        bucket_query=F.col("query_label"),
+        k=K,
+        metric="cosine",
+    )
+
+
+def ann_lsh_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH: 4 fixed hyperplanes -> 16 buckets; search within bucket."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    return S.bucketed_topk(
+        emb,
+        q,
+        bucket_stored=S.sign_lsh_bucket(
+            F.col("embedding").cast("array<double>")
+        ),
+        bucket_query=S.sign_lsh_bucket(
+            F.col("query_embedding").cast("array<double>")
+        ),
+        k=K,
+        metric="cosine",
+    )
+
+
+def ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition numpy top-k + window merge (rank-only output; see
+    module docstring)."""
+    emb = _emb(spark, sf_dir)
+    qpdf = (
+        _queries(emb)
+        .select("query_id", "query_embedding")
+        .orderBy("query_id")
+        .toPandas()
+    )
+    return S.partitioned_topk_merge(emb, qpdf, k=K, metric="cosine").select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+QUERIES = {
+    "ann_cosine_topk_join": ann_cosine_topk_join,
+    "ann_ivf_label_topk": ann_ivf_label_topk,
+    "ann_lsh_hyperplane_topk": ann_lsh_hyperplane_topk,
+    "ann_partitioned_topk": ann_partitioned_topk,
+}
+
+_DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), (s,y) -> s+y)"
+_NORM = "sqrt(" + _DOT.format(a="{a}", b="{a}") + ")"
+_COS = (
+    f"1.0 - {_DOT.format(a='q.qv', b='e.v')} / "
+    f"({_NORM.format(a='q.qv')} * {_NORM.format(a='e.v')})"
+)
+
+_BASE = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id % {QUERY_MOD} = 0
+)
+"""
+
+
+def _plane_literal(p: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p) + "]"
+
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN {_DOT.format(a='{v}', b=_plane_literal(p))} >= 0 THEN {2**i} ELSE 0 END)"
+    for i, p in enumerate(S.PLANES)
+)
+
+ORACLES = {
+    "ann_cosine_topk_join": _BASE
+    + f"""
+, scored AS (
+  SELECT q.query_id, e.vec_id, {_COS} AS dist FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, "rank", dist AS score FROM ranked WHERE "rank" <= {K}
+""",
+    "ann_ivf_label_topk": _BASE
+    + f"""
+, scored AS (
+  SELECT q.query_id, e.vec_id, {_COS} AS dist
+  FROM e JOIN q ON e.label = q.qlabel
+), ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, "rank", dist FROM ranked WHERE "rank" <= {K}
+""",
+    "ann_lsh_hyperplane_topk": _BASE
+    + f"""
+, eb AS (
+  SELECT vec_id, v, {_BUCKET.format(v='v')} AS bucket FROM e
+), qb AS (
+  SELECT query_id, qv, {_BUCKET.format(v='qv')} AS bucket FROM q
+), scored AS (
+  SELECT qb.query_id, eb.vec_id,
+         1.0 - {_DOT.format(a='qb.qv', b='eb.v')} /
+              ({_NORM.format(a='qb.qv')} * {_NORM.format(a='eb.v')}) AS dist
+  FROM eb JOIN qb ON eb.bucket = qb.bucket
+), ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, "rank", dist FROM ranked WHERE "rank" <= {K}
+""",
+    "ann_partitioned_topk": _BASE
+    + f"""
+, scored AS (
+  SELECT q.query_id, e.vec_id, {_COS} AS dist FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, "rank" FROM ranked WHERE "rank" <= {K}
+""",
+}

@@ -1,0 +1,167 @@
+"""Text-analysis suite (north-star LLM-pipeline operators over `documents`):
+token counting, quality scoring, language ID, document fingerprinting,
+corpus distribution stats. All expressions from functions/text.py — pure
+Catalyst, each with a bit-parallel DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.functions import text as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.word_count(F.col("text")).alias("n_words"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        T.char_count(F.col("text")).alias("n_chars_calc"),
+    )
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.stopword_ratio(F.col("text")).alias("stopword_ratio_en"),
+        T.uppercase_ratio(F.col("text")).alias("uppercase_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit argmax over the 5 fixture languages; alphabetical-first
+    tie-break makes the prediction deterministic."""
+    d = _docs(spark, sf_dir)
+    hits = {lang: T.lang_score(F.col("text"), lang) for lang in sorted(T.LANG_STOPWORDS)}
+    best: Column = F.greatest(*hits.values())
+    pred = F.lit("de")
+    # build CASE lang DESC so earlier (alphabetical) langs win ties
+    for lang in sorted(hits, reverse=True):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    out = d.select(
+        "doc_id",
+        "lang",
+        *[hits[lang].alias(f"hits_{lang}") for lang in sorted(hits)],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats per (lang, source): the text_analysis aggregate."""
+    d = _docs(spark, sf_dir)
+    out = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return out.withColumn(
+        "avg_chars", F.round(F.col("sum_chars").cast("double") / F.col("n_docs"), 9)
+    )
+
+
+QUERIES = {
+    "text_token_counts": text_token_counts,
+    "text_quality_scores": text_quality_scores,
+    "text_language_id": text_language_id,
+    "text_fingerprints": text_fingerprints,
+    "text_corpus_stats": text_corpus_stats,
+}
+
+_WORDS = "str_split_regex(text, '\\s+')"
+_BPE = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
+_H32W = "CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)"
+
+_PUNCT_RATIO = (
+    r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE"
+    " / greatest(length(text), 1)::DOUBLE"
+)
+_UPPER_RATIO = (
+    "length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE"
+    " / greatest(length(text), 1)::DOUBLE"
+)
+
+_STOP = {
+    "de": "('der','die','und','das','ist')",
+    "en": "('the','and','of','to','in')",
+    "es": "('el','la','los','que','de')",
+    "fr": "('le','la','les','et','des')",
+    "zh": "('de5','le5','shi4','zai4','he2')",
+}
+_HITS = {
+    lang: f"len(list_filter(str_split_regex(lower(text), '\\s+'), t -> t IN {s}))"
+    for lang, s in _STOP.items()
+}
+
+_QUALITY = f"""
+round((
+  least(len({_WORDS})::DOUBLE / 50.0, 1.0)
+  + (1.0 - least(({_PUNCT_RATIO}) * 5.0, 1.0))
+  + CASE WHEN length(text)::DOUBLE / greatest(len({_WORDS})::DOUBLE, 1.0) >= 3.0
+          AND length(text)::DOUBLE / greatest(len({_WORDS})::DOUBLE, 1.0) <= 10.0
+         THEN 1.0 ELSE 0.5 END
+) / 3.0, 6)
+"""
+
+ORACLES = {
+    "text_token_counts": f"""
+SELECT doc_id, len({_WORDS}) AS n_words, len({_BPE}) AS n_bpe_tokens,
+       length(text) AS n_chars_calc
+FROM documents
+""",
+    "text_quality_scores": f"""
+SELECT doc_id,
+       {_PUNCT_RATIO} AS punct_ratio,
+       len(list_filter({_WORDS}, t -> t IN {_STOP['en']}))::DOUBLE
+         / greatest(len({_WORDS}), 1)::DOUBLE AS stopword_ratio_en,
+       {_UPPER_RATIO} AS uppercase_ratio,
+       {_QUALITY} AS quality
+FROM documents
+""",
+    "text_language_id": f"""
+SELECT doc_id, lang,
+       {_HITS['de']} AS hits_de,
+       {_HITS['en']} AS hits_en,
+       {_HITS['es']} AS hits_es,
+       {_HITS['fr']} AS hits_fr,
+       {_HITS['zh']} AS hits_zh,
+       CASE
+         WHEN {_HITS['de']} = greatest({_HITS['de']}, {_HITS['en']}, {_HITS['es']}, {_HITS['fr']}, {_HITS['zh']}) THEN 'de'
+         WHEN {_HITS['en']} = greatest({_HITS['de']}, {_HITS['en']}, {_HITS['es']}, {_HITS['fr']}, {_HITS['zh']}) THEN 'en'
+         WHEN {_HITS['es']} = greatest({_HITS['de']}, {_HITS['en']}, {_HITS['es']}, {_HITS['fr']}, {_HITS['zh']}) THEN 'es'
+         WHEN {_HITS['fr']} = greatest({_HITS['de']}, {_HITS['en']}, {_HITS['es']}, {_HITS['fr']}, {_HITS['zh']}) THEN 'fr'
+         ELSE 'zh'
+       END AS pred_lang
+FROM documents
+""",
+    "text_fingerprints": f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_WORDS}, w -> {_H32W} % 2147483647)),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+FROM documents
+""",
+    "text_corpus_stats": """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(sum(n_chars)::DOUBLE / count(*), 9) AS avg_chars
+FROM documents GROUP BY lang, source
+""",
+}

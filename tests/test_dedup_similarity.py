@@ -1,0 +1,68 @@
+"""Dedup + similarity + multimodal semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import dedup as D
+from executor_u1mindexer_spark.operators import knn, multimodal as MM
+from executor_u1mindexer_spark.suites import dedup_suite, similarity_suite
+
+
+def test_exact_dedup_collapses_injected_dups(spark, sf_dir):
+    out = dedup_suite.exact_dedup_text(spark, sf_dir).collect()
+    n_docs = tables.load(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs  # every survivor is an original
+    dup_groups = [r for r in out if r.n_copies == 2]
+    assert len(dup_groups) == dedup_suite.N_DUP
+    assert all(r.keep_id < dedup_suite.DUP_OFFSET for r in out)  # lowest id wins
+
+
+def test_minhash_pairs_are_high_jaccard(spark, sf_dir):
+    rows = dedup_suite.near_dedup_minhash_lsh(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.jaccard >= 0.5 and r.id_a < r.id_b for r in rows)
+
+
+def test_simhash_pairs_within_hamming(spark, sf_dir):
+    rows = dedup_suite.near_dedup_simhash(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.hamming <= 3 and r.id_a < r.id_b for r in rows)
+
+
+def test_partitioned_topk_equals_catalyst_knn(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in knn.knn_search(emb, q, k=5, metric="cosine").collect()
+    }
+    part = {
+        (r.query_id, r.rank): r.vec_id
+        for r in similarity_suite.ann_partitioned_topk(spark, sf_dir).collect()
+    }
+    assert part == exact  # numpy kernel + merge reproduces the Catalyst ranking
+
+
+def test_bucketed_search_is_subset_of_corpus(spark, sf_dir):
+    rows = similarity_suite.ann_ivf_label_topk(spark, sf_dir).collect()
+    emb = {r.vec_id: r.label for r in tables.load(spark, sf_dir, "embeddings").collect()}
+    for r in rows:
+        assert emb[r.vec_id] == emb[r.query_id]  # match stayed in the query's cell
+
+
+def test_decode_image_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x00" * 16)
+
+
+def test_binary_metadata_shapes(spark, sf_dir):
+    out = MM.extract_binary_metadata(
+        MM.attach_fake_binary(tables.load(spark, sf_dir, "documents"))
+    )
+    rows = out.collect()
+    assert all(r.n_bytes == 16 and 1 <= r.fake_width <= 64 for r in rows)
