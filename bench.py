@@ -32,6 +32,9 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # the bench never breaks mid-build.
 HEADLINE = [
     "knn_search_cosine",
+    "knn_search_batch1",
+    "knn_search_batch8",
+    "knn_search_batch64",
     "knn_search_euclidean",
     "payload_fetch",
     "index_upsert",

@@ -1,0 +1,188 @@
+"""U1MIndexerSpark — the user-facing facade mirroring the reference's
+endpoint surface (executor.py:73-257) so a reference user can switch:
+
+    reference endpoint            this class
+    /search  (executor.py:73)  -> .search(queries_df, limit=, is_distance=)
+    /index   (executor.py:127) -> .index(docs_df)
+    /update  (executor.py:170) -> .update(docs_df)
+    /delete  (executor.py:213) -> .delete(ids)
+    /dump    (executor.py:227) -> .dump()
+    /clear   (executor.py:238) -> .clear()
+    /status  (executor.py:246) -> .status()
+
+Differences by design (Spark-first, north star):
+- state is immutable DataFrames snapshotted to parquet under `workspace`
+  (vectors + docstore), not a mutable in-process index + memmap;
+- search is EXACT (recall 1.0): `ef_query`/`ef_construction`/`max_connection`
+  are accepted and ignored with the reasoning documented (executor.py:22-24
+  tune an approximation this engine does not make);
+- no `max_elements` capacity (executor.py:21) — the 100 TB point;
+- ids may be any orderable type (the reference used strings).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark.operators import knn, maintenance as M
+
+VECTORS = "vectors"
+DOCSTORE = "docstore"
+
+
+class U1MIndexerSpark:
+    def __init__(
+        self,
+        spark: SparkSession,
+        dim: int,
+        *,
+        workspace: str | None = None,
+        metric: str = "cosine",
+        limit: int = 20,
+        ef_construction: int | None = None,
+        ef_query: int | None = None,
+        max_connection: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.dim = dim
+        self.metric = metric
+        self.limit = limit
+        # HNSW knobs accepted for signature parity; exact search has no
+        # recall/speed trade-off to tune (executor.py:22-24).
+        self._ignored_knobs = (ef_construction, ef_query, max_connection)
+        self.workspace = workspace
+        self._vectors = self._empty_vectors()
+        self._docstore: DataFrame | None = None
+        if workspace and os.path.exists(os.path.join(workspace, VECTORS)):
+            self._vectors = M.load(spark, os.path.join(workspace, VECTORS))
+            doc_path = os.path.join(workspace, DOCSTORE)
+            if os.path.exists(doc_path):
+                self._docstore = M.load(spark, doc_path)
+
+    # -- helpers ---------------------------------------------------------
+
+    def _empty_vectors(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], f"{M.ID} long, {M.IID} long, {M.EMB} array<double>"
+        )
+
+    def _as_batch(self, docs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """Normalize an input batch to (id, emb, seq). Arrival order := a
+        `seq` column when present, else the id order (deterministic stand-in
+        for the reference's list position, executor.py:151)."""
+        knn.validate_dim(docs, self.dim, vec_col=vec_col)
+        seq = F.col("seq") if "seq" in docs.columns else F.col(id_col)
+        return docs.select(
+            F.col(id_col).alias(M.ID),
+            F.col(vec_col).cast("array<double>").alias(M.EMB),
+            seq.alias(M.SEQ),
+        )
+
+    # -- endpoints -------------------------------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        *,
+        limit: int | None = None,
+        is_distance: bool = True,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_embedding",
+        with_payload: bool = True,
+    ) -> DataFrame:
+        """Top-k exact KNN with full-payload rows (executor.py:73-125)."""
+        k = limit if limit is not None else self.limit
+        knn.validate_dim(queries, self.dim, vec_col=query_vec_col)
+        stored = self._vectors.select(
+            F.col(M.ID).alias("vec_id"), F.col(M.EMB).alias("embedding")
+        )
+        payload = self._docstore if with_payload and self._docstore is not None else None
+        return knn.knn_search(
+            stored,
+            queries,
+            k=k,
+            metric=self.metric,
+            is_distance=is_distance,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            payload=payload,
+            payload_key=M.ID,
+        )
+
+    def index(
+        self, docs: DataFrame, *, id_col: str = "doc_id", vec_col: str = "embedding"
+    ) -> None:
+        """Keyed upsert (executor.py:127-168): existing ids keep their
+        internal id, new ids get dense arrival-order ids."""
+        batch = self._as_batch(docs, id_col, vec_col)
+        self._vectors = M.upsert(self._vectors, batch).select(M.ID, M.IID, M.EMB)
+        payload = docs.withColumnRenamed(id_col, M.ID).drop(vec_col)
+        if self._docstore is None:
+            self._docstore = payload
+        else:
+            keep = self._docstore.join(payload.select(M.ID), on=M.ID, how="left_anti")
+            self._docstore = keep.unionByName(payload, allowMissingColumns=True)
+
+    def update(
+        self, docs: DataFrame, *, id_col: str = "doc_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Re-embed only already-indexed ids (executor.py:170-211); returns
+        the skipped-id DataFrame (the reference logs a warning per skip)."""
+        batch = self._as_batch(docs, id_col, vec_col)
+        skipped = M.skipped_updates(self._vectors, batch)
+        self._vectors = M.update_existing(self._vectors, batch).select(M.ID, M.IID, M.EMB)
+        return skipped
+
+    def delete(self, ids: DataFrame | Sequence[int]) -> None:
+        """Remove ids; unknown ids silently ignored (executor.py:213-225).
+        count_indexed keeps counting removed slots (tombstone arithmetic) via
+        the retained internal-id watermark in status()."""
+        before = self._vectors.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        self._tombstones = getattr(self, "_tombstones", 0)
+        self._vectors = M.delete_by_ids(self._vectors, ids)
+        after = self._vectors.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        self._tombstones += before - after
+        if self._docstore is not None:
+            ids_df = (
+                ids
+                if isinstance(ids, DataFrame)
+                else self.spark.createDataFrame([(int(i),) for i in ids], f"{M.ID} long")
+            )
+            self._docstore = self._docstore.join(
+                F.broadcast(ids_df.select(M.ID)), on=M.ID, how="left_anti"
+            )
+
+    def dump(self) -> None:
+        """Snapshot state to the workspace (executor.py:227-236)."""
+        if not self.workspace:
+            raise ValueError("no workspace configured")
+        M.dump(self._vectors, os.path.join(self.workspace, VECTORS))
+        if self._docstore is not None:
+            M.dump(self._docstore, os.path.join(self.workspace, DOCSTORE))
+
+    def clear(self) -> None:
+        """Drop everything, keep config (executor.py:238-244)."""
+        self._vectors = self._empty_vectors()
+        self._docstore = None
+        self._tombstones = 0
+
+    def status(self) -> dict[str, int]:
+        """Counts (executor.py:246-257): count_indexed includes tombstoned
+        slots, matching hnswlib element_count semantics."""
+        active = self._vectors.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        tombstones = getattr(self, "_tombstones", 0)
+        dam = (
+            self._docstore.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+            if self._docstore is not None
+            else active
+        )
+        return {
+            "count_indexed": active + tombstones,
+            "count_active": active,
+            "count_deleted": tombstones,
+            "size_dam": dam,
+        }

@@ -27,6 +27,7 @@ SUITE_MODULES = (
     "text_suite",
     "multimodal_suite",
     "similarity_suite",
+    "sources_suite",
 )
 
 

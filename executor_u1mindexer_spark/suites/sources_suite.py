@@ -1,0 +1,96 @@
+"""Sources/traversal suite: CSV/JSON interchange round-trips (sources/) and
+the chunk-level traversal (operators/traverse.py — executor.py:86-88).
+
+Round-trip queries write under /tmp/spark_graft_io (mode=overwrite, so
+re-runs are idempotent) and read back; oracles read the original fixture —
+equality proves the sink+scan lose nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import sources, tables
+from executor_u1mindexer_spark.operators import traverse
+
+IO_DIR = "/tmp/spark_graft_io"
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = tables.load(spark, sf_dir, "nation")
+    path = os.path.join(IO_DIR, os.path.basename(sf_dir.rstrip("/")), "nation_csv")
+    sources.write_table(nation, path, fmt="csv")
+    back = sources.read_table(
+        spark, path, fmt="csv", schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    return back.orderBy("n_nationkey")
+
+
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = tables.load(spark, sf_dir, "region")
+    path = os.path.join(IO_DIR, os.path.basename(sf_dir.rstrip("/")), "region_json")
+    sources.write_table(region, path, fmt="json")
+    back = sources.read_table(
+        spark, path, fmt="json", schema="r_regionkey int, r_name string"
+    )
+    return back.orderBy("r_regionkey")
+
+
+def source_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-by write + partition-pruned read: only one lang directory
+    is scanned on read (the on-disk coarse index)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    path = os.path.join(IO_DIR, os.path.basename(sf_dir.rstrip("/")), "docs_by_lang")
+    sources.write_table(docs, path, fmt="parquet", partition_by=("lang",))
+    back = sources.read_table(spark, path, fmt="parquet").filter(F.col("lang") == "en")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def traverse_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'c'-path traversal: explode the synthesized two-chunk split."""
+    docs = traverse.with_chunks(tables.load(spark, sf_dir, "documents"))
+    out = traverse.traverse_flat(docs, path="c")
+    return out.select(
+        "doc_id",
+        "chunk_seq",
+        F.size(F.split("chunk_text", r"\s+")).alias("chunk_words"),
+        F.length("chunk_text").alias("chunk_chars"),
+    )
+
+
+QUERIES = {
+    "source_csv_roundtrip": source_csv_roundtrip,
+    "source_json_roundtrip": source_json_roundtrip,
+    "source_partitioned_parquet": source_partitioned_parquet,
+    "traverse_chunks": traverse_chunks,
+}
+
+ORACLES = {
+    "source_csv_roundtrip": "SELECT * FROM nation ORDER BY n_nationkey",
+    "source_json_roundtrip": "SELECT * FROM region ORDER BY r_regionkey",
+    "source_partitioned_parquet": """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents WHERE lang = 'en' GROUP BY lang
+""",
+    "traverse_chunks": """
+WITH t AS (
+  SELECT doc_id, str_split_regex(text, '\\s+') AS toks,
+         (len(str_split_regex(text, '\\s+')) + 1) // 2 AS h,
+         len(str_split_regex(text, '\\s+')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, 0 AS chunk_seq, array_to_string(toks[1:h], ' ') AS chunk_text FROM t
+  UNION ALL
+  SELECT doc_id, 1, array_to_string(toks[h+1:n], ' ') FROM t
+)
+SELECT doc_id, chunk_seq,
+       len(str_split_regex(chunk_text, '\\s+')) AS chunk_words,
+       length(chunk_text) AS chunk_chars
+FROM c
+""",
+}

@@ -116,8 +116,33 @@ SELECT query_id, vec_id, "rank", {score_expr} AS score FROM ranked WHERE "rank" 
     )
 
 
+def _knn_batch(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
+    """Baseline-comparable search shapes (reference README.md:26-31 measures
+    query batches of 1/8/64 at k=20, executor.py:19)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    return knn.knn_search(emb, q, k=20, metric="cosine")
+
+
+def knn_search_batch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_batch(spark, sf_dir, 1)
+
+
+def knn_search_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_batch(spark, sf_dir, 8)
+
+
+def knn_search_batch64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_batch(spark, sf_dir, 64)
+
+
 QUERIES = {
     "knn_search_cosine": knn_search_cosine,
+    "knn_search_batch1": knn_search_batch1,
+    "knn_search_batch8": knn_search_batch8,
+    "knn_search_batch64": knn_search_batch64,
     "knn_search_euclidean": knn_search_euclidean,
     "knn_search_inner_product": knn_search_inner_product,
     "score_transform_similarity": score_transform_similarity,
@@ -128,6 +153,9 @@ QUERIES = {
 
 ORACLES = {
     "knn_search_cosine": _knn_oracle(_COS_DIST),
+    "knn_search_batch1": _knn_oracle(_COS_DIST, k=20, nq=1),
+    "knn_search_batch8": _knn_oracle(_COS_DIST, k=20, nq=8),
+    "knn_search_batch64": _knn_oracle(_COS_DIST, k=20, nq=64),
     "knn_search_euclidean": _knn_oracle(_L2_DIST),
     "knn_search_inner_product": _knn_oracle(_IP_DIST),
     # euclidean similarity transform: 1/(1+d) (executor.py:121-122)
