@@ -22,6 +22,7 @@ SUITE_MODULES = (
     "vector_suite",
     "maintenance_suite",
     "relational_suite",
+    "relational_extra_suite",
     "events_suite",
     "dedup_suite",
     "text_suite",

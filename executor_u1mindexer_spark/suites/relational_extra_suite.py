@@ -1,0 +1,150 @@
+"""Second relational batch: scalar math, map columns, GROUPING SETS, range
+join — the remaining §2.B scalar/join families.
+
+Range-join scale note: the purchase-views join is an equi join on user_id
+with a range predicate on ts — Catalyst plans the equi part as a hash/SMJ
+shuffle join and applies the range as a post-join filter, so the quadratic
+blow-up is bounded per user (never a global BNLJ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+
+
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/sqrt/pow/log/exp/round/sign over part prices — per-row double
+    ops on identical inputs are bit-deterministic in both engines."""
+    part = tables.load(spark, sf_dir, "part")
+    p = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.abs(p - 1000.0).alias("abs_centered"),
+        F.sqrt(p).alias("sqrt_price"),
+        (p * p).alias("price_sq"),  # not pow(x,2): JVM special-cases it to x*x, libm doesn't
+        # ln is a libm transcendental — JVM and DuckDB differ by 1 ulp on
+        # ~1% of inputs (not correctly-rounded); round both sides to 9dp
+        F.round(F.log(p), 9).alias("ln_price"),
+        F.round(p / 7.0, 3).alias("seventh_rounded"),
+        F.signum(p - 1000.0).alias("sign_centered"),
+        F.greatest(p, F.lit(500.0)).alias("floor_500"),
+        F.least(p, F.lit(1500.0)).alias("cap_1500"),
+    )
+
+
+def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map column from event fields, then read it back with
+    element_at / map_keys — MapType round-trip coverage."""
+    ev = tables.load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        m.alias("attrs"),
+    ).select(
+        "event_id",
+        F.element_at("attrs", "type").alias("attr_type"),
+        F.element_at("attrs", "user").alias("attr_user"),
+        F.size("attrs").alias("n_attrs"),
+        F.array_join(F.map_keys("attrs"), ",").alias("key_list"),
+    )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube) via SQL with
+    grouping_id to disambiguate the null rows."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: views of the same user within the hour before each
+    purchase (equi on user_id + ts interval predicate)."""
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id", "purchase_ts").agg(
+        F.count("view_ts").alias("views_last_hour")
+    )
+
+
+QUERIES = {
+    "scalar_math_funcs": scalar_math_funcs,
+    "map_column_ops": map_column_ops,
+    "grouping_sets_orders": grouping_sets_orders,
+    "events_range_join": events_range_join,
+}
+
+ORACLES = {
+    "scalar_math_funcs": """
+SELECT p_partkey,
+       abs(p_retailprice - 1000.0) AS abs_centered,
+       sqrt(p_retailprice) AS sqrt_price,
+       p_retailprice * p_retailprice AS price_sq,
+       round(ln(p_retailprice), 9) AS ln_price,
+       round(p_retailprice / 7.0, 3) AS seventh_rounded,
+       CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sign_centered,
+       greatest(p_retailprice, 500.0) AS floor_500,
+       least(p_retailprice, 1500.0) AS cap_1500
+FROM part
+""",
+    "map_column_ops": """
+SELECT event_id,
+       event_type AS attr_type,
+       CAST(user_id AS VARCHAR) AS attr_user,
+       2 AS n_attrs,
+       'type,user' AS key_list
+FROM events
+""",
+    "grouping_sets_orders": """
+SELECT o_orderstatus, o_orderpriority,
+       CASE WHEN grouping(o_orderstatus) THEN 1 ELSE 0 END AS g_status,
+       CASE WHEN grouping(o_orderpriority) THEN 1 ELSE 0 END AS g_priority,
+       count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    "events_range_join": """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, ts AS view_ts FROM events WHERE event_type = 'view'
+)
+SELECT purchase_id, user_id, purchase_ts, count(view_ts) AS views_last_hour
+FROM p LEFT JOIN v
+  ON user_id = v_user
+ AND view_ts <= purchase_ts
+ AND view_ts > purchase_ts - INTERVAL '1 hour'
+GROUP BY purchase_id, user_id, purchase_ts
+""",
+}

@@ -26,6 +26,18 @@ def test_minhash_pairs_are_high_jaccard(spark, sf_dir):
     assert all(r.jaccard >= 0.5 and r.id_a < r.id_b for r in rows)
 
 
+def test_minhash_arrow_and_catalyst_signatures_identical(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    arrow = {r.id: r.sig for r in D.minhash_signatures_arrow(docs).collect()}
+    catalyst = {
+        r.id: r.sig
+        for r in docs.select(
+            F.col("doc_id").alias("id"), D.minhash_signature("text").alias("sig")
+        ).collect()
+    }
+    assert arrow == catalyst
+
+
 def test_simhash_pairs_within_hamming(spark, sf_dir):
     rows = dedup_suite.near_dedup_simhash(spark, sf_dir).collect()
     assert len(rows) > 0
