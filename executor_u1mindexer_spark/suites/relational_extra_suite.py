@@ -96,7 +96,26 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-fact join (deterministic salt from l_linenumber) —
+    result-identical to the plain join, hot keys spread over 8 reducers."""
+    from executor_u1mindexer_spark.operators import skew
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = skew.salted_join(
+        li, orders, "l_orderkey", salt_source=F.col("l_linenumber")
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+    )
+
+
 QUERIES = {
+    "skew_salted_join": skew_salted_join,
     "scalar_math_funcs": scalar_math_funcs,
     "map_column_ops": map_column_ops,
     "grouping_sets_orders": grouping_sets_orders,
@@ -104,6 +123,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "skew_salted_join": """
+SELECT o_orderstatus, count(*) AS n_lines,
+       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
     "scalar_math_funcs": """
 SELECT p_partkey,
        abs(p_retailprice - 1000.0) AS abs_centered,
