@@ -46,6 +46,7 @@ HEADLINE = [
     "exact_dedup_text",
     "near_dedup_minhash_lsh",
     "ann_cosine_topk_join",
+    "ann_partitioned_topk",
 ]
 
 

@@ -333,9 +333,9 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         V.as_double_array(vec_col).alias("v"),
-    )
+    ).withColumn("n", V.norm(F.col("v")))  # norm once per row, not per pair
     a, b = base.alias("a"), base.alias("b")
-    dist = V.cosine_distance(F.col("a.v"), F.col("b.v"))
+    dist = F.lit(1.0) - V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), dist.alias("cos_dist"))

@@ -102,12 +102,13 @@ def asof_join_last_before(
     preceding frame. One shuffle on the key; both sides can be arbitrarily
     large (DuckDB's ASOF JOIN is the oracle equivalent).
     """
+    rts_type = right.schema[right_ts].dataType  # keep tz-ness identical to the input
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__row"),
-        F.lit(None).cast("timestamp").alias("__rts"),
+        F.lit(None).cast(rts_type).alias("__rts"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),

@@ -69,10 +69,22 @@ def knn_search(
         F.col(id_col),
         V.as_double_array(vec_col).alias("__svec"),
     )
+    if metric == "cosine":
+        # norms once per ROW before the join, not once per PAIR inside the
+        # distance expression (q queries x n vectors would fold each norm
+        # q times); the arithmetic 1 - dot/(qn*sn) is bit-identical to
+        # V.cosine_distance, just factored out of the pair loop.
+        q = q.withColumn("__qn", V.norm(F.col("__qvec")))
+        s = s.withColumn("__sn", V.norm(F.col("__svec")))
 
     # Broadcast the small query side; BNL join keeps the corpus un-shuffled.
     joined = s.crossJoin(F.broadcast(q))
-    dist = V.distance(metric, F.col("__qvec"), F.col("__svec"))
+    if metric == "cosine":
+        dist = F.lit(1.0) - V.dot(F.col("__qvec"), F.col("__svec")) / (
+            F.col("__qn") * F.col("__sn")
+        )
+    else:
+        dist = V.distance(metric, F.col("__qvec"), F.col("__svec"))
     scored = joined.select(
         query_id_col,
         id_col,

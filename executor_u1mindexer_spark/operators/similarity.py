@@ -79,8 +79,17 @@ def bucketed_topk(
         V.as_double_array(query_vec_col).alias("__qvec"),
         bucket_query.alias("__bucket"),
     )
+    if metric == "cosine":
+        # per-row norms before the join (same factoring as knn.knn_search)
+        q = q.withColumn("__qn", V.norm(F.col("__qvec")))
+        s = s.withColumn("__sn", V.norm(F.col("__svec")))
     joined = s.join(F.broadcast(q), on="__bucket")
-    dist = V.distance(metric, F.col("__qvec"), F.col("__svec"))
+    if metric == "cosine":
+        dist = F.lit(1.0) - V.dot(F.col("__qvec"), F.col("__svec")) / (
+            F.col("__qn") * F.col("__sn")
+        )
+    else:
+        dist = V.distance(metric, F.col("__qvec"), F.col("__svec"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("__dist").asc(), F.col(id_col).asc())
     return (
         joined.select(query_id_col, id_col, dist.alias("__dist"))
@@ -123,6 +132,9 @@ def partitioned_topk_merge(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # With hnswlib available, this is where a per-partition HNSW
+            # index build + knn_query would replace the exact numpy pass
+            # (reference executor.py:112); the merge topology is identical.
             if metric == "cosine":
                 sim = mat @ qmat_l.T
                 d = 1.0 - sim / (

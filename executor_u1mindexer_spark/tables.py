@@ -46,8 +46,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV, not `/`: ns epochs (~1.7e18) exceed double's 2^53
-        # exact-integer range, so float division corrupts the low microseconds
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # exact-integer range, so float division corrupts the low microseconds.
+        # Cast to timestamp_ntz to match the other fixture tables (parquet
+        # isAdjustedToUTC=false) — keeps every timestamp column tz-naive so
+        # Arrow conversions can't diverge from the DuckDB oracle.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
     return df
 
 
