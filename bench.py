@@ -61,6 +61,35 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
 
     timings: dict[str, float] = {}
+
+    # Ingest throughput — the baseline's headline metric (README.md:26-31
+    # indexing times): full embeddings+documents ingest through the engine
+    # facade including the persisted snapshot (dump), best of REPEATS.
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.engine import U1MIndexerSpark
+
+    import shutil
+
+    shutil.rmtree("/tmp/spark_graft_bench_ws", ignore_errors=True)  # fresh ingest target
+    docs = (
+        tables.load(spark, SF_DIR, "embeddings")
+        .join(tables.load(spark, SF_DIR, "documents"), F.col("vec_id") == F.col("doc_id"))
+        .select("doc_id", "embedding", "text", "lang", "source")
+    )
+    n_docs = docs.count()
+    best_ingest = None
+    for i in range(REPEATS + 1):
+        eng = U1MIndexerSpark(spark, dim=64, workspace=f"/tmp/spark_graft_bench_ws/{i}")
+        t0 = time.time()
+        eng.index(docs)
+        eng.dump()
+        dt = time.time() - t0
+        if i == 0:
+            continue
+        best_ingest = dt if best_ingest is None else min(best_ingest, dt)
+    timings[f"index_ingest_{n_docs}_docs"] = round(best_ingest, 4)
     for name in names:
         fn = registry[name]
         best = None

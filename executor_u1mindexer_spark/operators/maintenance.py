@@ -27,6 +27,7 @@ is a window over the (small) batch only, not over the state.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -162,8 +163,22 @@ def status_counts(state: DataFrame, active: DataFrame) -> DataFrame:
 
 def dump(state: DataFrame, path: str) -> None:
     """Persist state (the /dump endpoint, executor.py:227-236) — one parquet
-    snapshot instead of index.bin + ids.json + memmap flush."""
-    state.write.mode("overwrite").parquet(path)
+    snapshot instead of index.bin + ids.json + memmap flush.
+
+    Written to a temp dir then swapped: the state DataFrame's lineage may
+    lazily READ the very path being overwritten (load -> upsert -> dump),
+    and a direct overwrite would delete the input mid-plan. The swap makes
+    dump safe to call on state derived from a previous dump — on a real
+    deployment this is the snapshot-then-commit pattern (or a table format's
+    transactional MERGE).
+    """
+    import shutil
+
+    tmp = path.rstrip("/") + "._tmp"
+    state.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
 
 
 def load(spark, path: str) -> DataFrame:

@@ -114,7 +114,59 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer max order price via a correlated scalar subquery —
+    Catalyst decorrelates it into a left outer aggregate join."""
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView("cust_cs")
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT max(o_totalprice) FROM orders_cs WHERE o_custkey = c_custkey)
+                 AS max_order_price
+        FROM cust_cs
+        """
+    )
+
+
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / nvl2 / null-safe equality over a derived nullable
+    column (customers without orders yield NULL from the outer join)."""
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("max_price", F.lit(0.0)).alias("price_or_zero"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_nb"),
+        F.when(F.col("max_price").isNull(), "never_ordered").otherwise("ordered").alias(
+            "order_flag"
+        ),
+        F.col("max_price").eqNullSafe(F.lit(None).cast("double")).alias("is_null_safe"),
+    )
+
+
+def agg_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median / exact percentile / stddev / variance per returnflag —
+    rounded to 6dp: accumulation order differs across engines for the
+    moment-based aggregates (Welford vs two-pass), so these are the one
+    family where tolerance-by-rounding is semantically honest."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("median(l_quantity)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
 QUERIES = {
+    "correlated_scalar_subquery": correlated_scalar_subquery,
+    "null_handling_funcs": null_handling_funcs,
+    "agg_stats_funcs": agg_stats_funcs,
     "skew_salted_join": skew_salted_join,
     "scalar_math_funcs": scalar_math_funcs,
     "map_column_ops": map_column_ops,
@@ -123,6 +175,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "correlated_scalar_subquery": """
+SELECT c_custkey, c_name,
+       (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+         AS max_order_price
+FROM customer
+""",
+    "null_handling_funcs": """
+WITH agg AS (
+  SELECT o_custkey, max(o_totalprice) AS max_price FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey,
+       coalesce(max_price, 0.0) AS price_or_zero,
+       nullif(c_mktsegment, 'BUILDING') AS segment_nb,
+       CASE WHEN max_price IS NULL THEN 'never_ordered' ELSE 'ordered' END AS order_flag,
+       max_price IS NOT DISTINCT FROM NULL AS is_null_safe
+FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+""",
+    "agg_stats_funcs": """
+SELECT l_returnflag,
+       round(median(l_quantity), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem GROUP BY l_returnflag
+""",
     "skew_salted_join": """
 SELECT o_orderstatus, count(*) AS n_lines,
        sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty

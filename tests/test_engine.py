@@ -70,6 +70,18 @@ def test_dump_load_roundtrip_preserves_search(spark, engine, sf_dir, tmp_path):
     assert sorted(a) == sorted(b)
 
 
+def test_dump_after_load_same_workspace(spark, engine, tmp_path):
+    """dump over a workspace the state was LOADED from (lineage reads the
+    path being overwritten) — must not corrupt the snapshot."""
+    engine.dump()
+    eng2 = U1MIndexerSpark(spark, dim=64, workspace=str(tmp_path))
+    upd = spark.createDataFrame([(3, [2.0] * 64)], "doc_id long, embedding array<double>")
+    eng2.index(upd)
+    eng2.dump()  # self-overwrite cycle
+    eng3 = U1MIndexerSpark(spark, dim=64, workspace=str(tmp_path))
+    assert eng3.status()["count_active"] == 100
+
+
 def test_dim_mismatch_raises(spark, engine):
     bad = spark.createDataFrame([(1, [1.0] * 32)], "doc_id long, embedding array<double>")
     with pytest.raises(ValueError):
