@@ -9,6 +9,8 @@ blow-up is bounded per user (never a global BNLJ).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -163,7 +165,35 @@ def agg_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with the shuffle paid at WRITE time: both sides stored
+    bucketed by orderkey, so the join itself is exchange-free (pinned in
+    test_plans). The aggregate after it is the only shuffle in the plan."""
+    from executor_u1mindexer_spark.operators import bucketing
+
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, rt = f"li_bkt_{suffix}", f"ord_bkt_{suffix}"
+    bucketing.write_bucketed(
+        tables.load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+        lt,
+        "l_orderkey",
+    )
+    bucketing.write_bucketed(
+        tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        rt,
+        "o_orderkey",
+    )
+    j = bucketing.bucketed_join(spark, lt, rt, "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("sum_price"),
+    )
+
+
 QUERIES = {
+    "bucketed_colocated_join": bucketed_colocated_join,
     "correlated_scalar_subquery": correlated_scalar_subquery,
     "null_handling_funcs": null_handling_funcs,
     "agg_stats_funcs": agg_stats_funcs,
@@ -175,6 +205,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bucketed_colocated_join": """
+SELECT o_orderstatus, count(*) AS n_lines,
+       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
     "correlated_scalar_subquery": """
 SELECT c_custkey, c_name,
        (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)

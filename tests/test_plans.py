@@ -54,6 +54,17 @@ def test_knn_prunes_corpus_columns(spark, sf_dir):
     assert "label" not in rs, rs  # only vec_id + embedding are read
 
 
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    from executor_u1mindexer_spark.suites import relational_extra_suite as RX
+
+    df = RX.bucketed_colocated_join(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    # the join shuffle was paid at write time; the ONLY exchange in the
+    # whole plan is the post-join aggregation (group key != bucket key)
+    assert plan.count("Exchange (") == 1, plan
+
+
 def test_codegen_present_in_agg_plan(spark, sf_dir):
     # AQE defers codegen until stage execution; disable it to inspect the
     # statically-compiled plan (production runs keep AQE on).
