@@ -103,7 +103,9 @@ def minhash_signatures_arrow(
     folds are interpreted, so the 32-permutation fold is the one place in
     this engine where a vectorized Python kernel beats pure expressions.
 
-    Returns (id, sig: array<long>). Both paths are equality-tested.
+    Returns (id, sig: array<long>, sh: array<string>) — the distinct
+    shingle set rides along so the jaccard-confirm stage never recomputes
+    shingles through interpreted HOFs. Both paths are equality-tested.
     """
     a_vec = np.array(_A, dtype=np.uint64)
     b_vec = np.array(_B, dtype=np.uint64)
@@ -111,7 +113,7 @@ def minhash_signatures_arrow(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sigs, shs = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks = ws.split(text)
                 if len(toks) >= n_shingle:
@@ -132,9 +134,12 @@ def minhash_signatures_arrow(
                 sig = (a_vec[None, :] * hs[:, None] + b_vec[None, :]) % MINHASH_P
                 ids.append(did)
                 sigs.append(sig.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"id": ids, "sig": sigs})
+                shs.append(list(shingles))
+            yield pd.DataFrame({"id": ids, "sig": sigs, "sh": shs})
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema="id long, sig array<long>")
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="id long, sig array<long>, sh array<string>"
+    )
 
 
 def lsh_band_keys(sig_col: Column) -> Column:
@@ -173,13 +178,19 @@ def minhash_lsh_pairs(
     impl='arrow' (default) uses the vectorized signature kernel;
     impl='catalyst' the pure-expression fold — value-identical (tested).
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        T.word_shingles(F.col(text_col), n_shingle).alias("sh"),
-    )
     if impl == "arrow":
-        sig_df = minhash_signatures_arrow(df, id_col=id_col, text_col=text_col, n_shingle=n_shingle)
+        # one kernel pass yields signatures AND shingle sets; persist so the
+        # banding branch and the jaccard-confirm branch don't each rerun it
+        both = minhash_signatures_arrow(
+            df, id_col=id_col, text_col=text_col, n_shingle=n_shingle
+        ).persist()
+        sig_df = both.select("id", "sig")
+        shingled = both.select("id", "sh")
     else:
+        shingled = df.select(
+            F.col(id_col).alias("id"),
+            T.word_shingles(F.col(text_col), n_shingle).alias("sh"),
+        )
         # repartition = materialization barrier: the (interpreted) signature
         # aggregate is computed exactly once per row and only the (id,
         # 32-long) signature rides the exchange — downstream band/bucket

@@ -99,6 +99,57 @@ def bucketed_topk(
     )
 
 
+def kmeans_ivf_topk(
+    stored: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    n_cells: int = 8,
+    max_iter: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """True IVF: a seeded MLlib KMeans coarse quantizer assigns cells; each
+    query searches only its own cell (the production form of the label-
+    bucket demo — cells adapt to the data distribution).
+
+    Training runs on the stored side (at 100 TB: fit on a sample, transform
+    everything); seed fixed for reproducibility. No SQL oracle — the
+    trained centroids aren't expressible in static SQL — so the driver
+    records the rows-only check for this one.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    s_feat = stored.select(
+        F.col(id_col),
+        V.as_double_array(vec_col).alias("__svec"),
+    ).withColumn("features", array_to_vector(F.col("__svec")))
+    model = KMeans(k=n_cells, seed=42, maxIter=max_iter).fit(s_feat.select("features"))
+    s_cells = model.transform(s_feat).select(
+        id_col, "__svec", F.col("prediction").alias("__cell")
+    )
+    q_feat = queries.select(
+        F.col(query_id_col),
+        V.as_double_array(query_vec_col).alias("__qvec"),
+    ).withColumn("features", array_to_vector(F.col("__qvec")))
+    q_cells = model.transform(q_feat).select(
+        query_id_col, "__qvec", F.col("prediction").alias("__cell")
+    )
+    joined = s_cells.join(F.broadcast(q_cells), on="__cell")
+    dist = V.distance(metric, F.col("__qvec"), F.col("__svec"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("__dist").asc(), F.col(id_col).asc())
+    return (
+        joined.select(query_id_col, id_col, dist.alias("__dist"), "__cell")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.col("__cell").alias("cell"))
+    )
+
+
 def partitioned_topk_merge(
     stored: DataFrame,
     queries_pdf: pd.DataFrame,

@@ -80,6 +80,41 @@ def streaming_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def streaming_dedup(events: DataFrame, key: str = "event_id") -> DataFrame:
+    """Streaming exact dedup: dropDuplicates within the watermark horizon —
+    the streaming twin of operators/dedup.exact_dedup (state = one entry per
+    key, expired once the watermark passes)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicates([key])
+
+
+def streaming_purchase_view_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases x views of the same user with
+    the view in the hour before the purchase. Both sides watermarked so the
+    join state is bounded (Spark buffers each side only until watermark +
+    interval)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_ts")
+
+
 def run_available_now(sdf: DataFrame, table_name: str, output_mode: str = "complete") -> None:
     """Drain the whole backlog into an in-memory sink (bounded test runs)."""
     q = (

@@ -86,8 +86,17 @@ def ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-adaptive IVF (seeded MLlib KMeans quantizer) — rows-only check;
+    see operators/similarity.kmeans_ivf_topk."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb).select("query_id", "query_embedding")
+    return S.kmeans_ivf_topk(emb, q, k=K)
+
+
 QUERIES = {
     "ann_cosine_topk_join": ann_cosine_topk_join,
+    "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk,
     "ann_ivf_label_topk": ann_ivf_label_topk,
     "ann_lsh_hyperplane_topk": ann_lsh_hyperplane_topk,
     "ann_partitioned_topk": ann_partitioned_topk,

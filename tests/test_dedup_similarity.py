@@ -67,6 +67,18 @@ def test_bucketed_search_is_subset_of_corpus(spark, sf_dir):
         assert emb[r.vec_id] == emb[r.query_id]  # match stayed in the query's cell
 
 
+def test_kmeans_ivf_self_match_first(spark, sf_dir):
+    rows = similarity_suite.ann_kmeans_ivf_topk(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, matches in by_q.items():
+        first = min(matches, key=lambda r: r.rank)
+        assert first.vec_id == qid  # a query is always in its own cell
+        assert len({r.cell for r in matches}) == 1
+
+
 def test_decode_image_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x00" * 16)

@@ -1,0 +1,43 @@
+"""Streaming dedup + stream-stream interval join vs their batch twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.streaming import events_stream as S
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    stream = S.read_events_stream(spark, sf_dir)
+    S.run_available_now(S.streaming_dedup(stream), "stream_dedup", output_mode="append")
+    got = spark.table("stream_dedup").count()
+    want = tables.load(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
+    assert got == want > 0
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
+    stream = S.read_events_stream(spark, sf_dir)
+    S.run_available_now(
+        S.streaming_purchase_view_join(stream), "stream_pv_join", output_mode="append"
+    )
+    got = {
+        (r.purchase_id, r.view_ts) for r in spark.table("stream_pv_join").collect()
+    }
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    want = {
+        (r.purchase_id, r.view_ts)
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
