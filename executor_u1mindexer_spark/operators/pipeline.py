@@ -1,0 +1,141 @@
+"""Training-data pipeline operators — sampling, mixing, packing, chunking,
+quantization. [NOT IN REFERENCE]; this is the "operations a large-scale
+training-data pipeline would need" surface of the north star.
+
+Everything is HASH-deterministic (md5-derived, like the dedup family):
+a sample is a pure function of the row, never of an RNG stream, so (a) the
+same row always lands on the same side of a split across reruns/engines —
+the property training pipelines actually need — and (b) every operator has
+an exact DuckDB oracle.
+
+Scale notes: hash sampling and mixture weighting are scan-side filters (no
+shuffle, pushdown-friendly); token budgeting is one window per stratum;
+chunking is an explode whose fan-out is len/stride per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark.functions import text as T
+
+HASH_BUCKETS = 1_000_000
+
+
+def hash_bucket(col: Column) -> Column:
+    """Uniform bucket in [0, 1e6) from the md5 of a key column — the
+    deterministic replacement for rand() in sampling decisions."""
+    return T.hash32(col.cast("string")) % F.lit(HASH_BUCKETS)
+
+
+def sample_fraction(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~fraction of rows, decided per-row by key hash (stable across
+    runs, engines, and partitionings)."""
+    return df.filter(hash_bucket(F.col(key)) < int(fraction * HASH_BUCKETS))
+
+
+def sample_stratified(
+    df: DataFrame, key: str, stratum: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. keep 50% en, 10% everything else);
+    '__default__' sets the rate for unlisted strata."""
+    expr = None
+    default = int(fractions.get("__default__", 0.0) * HASH_BUCKETS)
+    for value, frac in sorted(fractions.items()):
+        if value == "__default__":
+            continue
+        c = F.when(F.col(stratum) == value, F.lit(int(frac * HASH_BUCKETS)))
+        expr = c if expr is None else expr.when(
+            F.col(stratum) == value, F.lit(int(frac * HASH_BUCKETS))
+        )
+    threshold = expr.otherwise(F.lit(default)) if expr is not None else F.lit(default)
+    return df.filter(hash_bucket(F.col(key)) < threshold)
+
+
+def mixture_weights(df: DataFrame, key: str, stratum: str, weights: dict[str, float]) -> DataFrame:
+    """Down-sample each stratum to its mixture weight (max weight = keep
+    all) — the source-mixing step of a pretraining data recipe."""
+    top = max(weights.values())
+    fractions = {k: v / top for k, v in weights.items()}
+    fractions["__default__"] = 0.0
+    return sample_stratified(df, key, stratum, fractions)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    stratum: str = "lang",
+    order_col: str = "doc_id",
+    cost_col: str = "n_chars",
+) -> DataFrame:
+    """Greedy per-stratum packing: take docs in a deterministic order until
+    the cumulative cost exceeds the budget (inclusive of the first
+    overflowing doc's predecessor only). One running-sum window per stratum."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_cost", F.sum(F.col(cost_col)).over(w))
+        .filter(F.col("cum_cost") <= budget)
+        .select(stratum, order_col, cost_col, "cum_cost")
+    )
+
+
+def chunk_sliding_window(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking of the token sequence (training-sample
+    construction): windows of `size` words every `stride` words, last
+    partial window kept when anything remains."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + 1, F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * stride + 1, size), " ").alias("chunk_text"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+        .withColumn("chunk_words", F.size(F.split("chunk_text", r"\s+")))
+    )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). Returns scale + integer checksum + max
+    reconstruction error (the storage-compression step of an embedding
+    pipeline; int sums are order-independent so the oracle is exact)."""
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    deq = F.zip_with(q, v, lambda qi, _x: qi.cast("double") * scale)
+    max_err = F.array_max(F.zip_with(deq, v, lambda d, x: F.abs(d - x)))
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.aggregate(q, F.lit(0), lambda a, x: a + x).alias("q_checksum"),
+        F.round(max_err, 9).alias("max_abs_err"),
+    )

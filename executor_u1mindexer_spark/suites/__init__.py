@@ -29,6 +29,7 @@ SUITE_MODULES = (
     "multimodal_suite",
     "similarity_suite",
     "sources_suite",
+    "pipeline_suite",
 )
 
 

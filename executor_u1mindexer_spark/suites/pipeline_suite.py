@@ -1,0 +1,142 @@
+"""Training-data pipeline suite (operators/pipeline.py): hash sampling,
+source mixing, token budgeting, sliding-window chunking, int8 quantization.
+All hash-deterministic -> exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import pipeline as P
+
+FRACTION = 0.1
+STRATA = {"en": 0.5, "zh": 0.3, "__default__": 0.1}
+WEIGHTS = {"de": 1.0, "en": 3.0, "es": 1.0, "fr": 2.0, "zh": 0.5}
+BUDGET = 5_000
+CHUNK, STRIDE = 32, 16
+
+
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return P.sample_fraction(docs, "doc_id", FRACTION).select("doc_id", "lang")
+
+
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return P.sample_stratified(docs, "doc_id", "lang", STRATA).select("doc_id", "lang")
+
+
+def mixture_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample languages to a pretraining mixture; output per-lang kept
+    counts (the recipe-auditing view)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = P.mixture_weights(docs, "doc_id", "lang", WEIGHTS)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return P.pack_token_budget(docs, BUDGET)
+
+
+def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    out = P.chunk_sliding_window(docs, size=CHUNK, stride=STRIDE)
+    return out.select("doc_id", "chunk_idx", "chunk_words")
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return P.quantize_int8(emb)
+
+
+QUERIES = {
+    "sample_hash_fraction": sample_hash_fraction,
+    "sample_stratified_by_lang": sample_stratified_by_lang,
+    "mixture_weighted_sources": mixture_weighted_sources,
+    "pack_token_budget": pack_token_budget,
+    "chunk_sliding_window": chunk_sliding_window,
+    "embedding_quantize_int8": embedding_quantize_int8,
+}
+
+_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000"
+)
+
+_STRAT_THRESHOLD = """
+CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 300000 ELSE 100000 END
+"""
+
+# mixture: fractions = weight / max_weight (max=3.0 for en)
+_MIX_THRESHOLD = """
+CASE lang
+  WHEN 'de' THEN CAST(1000000.0 * (1.0/3.0) AS BIGINT)
+  WHEN 'en' THEN 1000000
+  WHEN 'es' THEN CAST(1000000.0 * (1.0/3.0) AS BIGINT)
+  WHEN 'fr' THEN CAST(1000000.0 * (2.0/3.0) AS BIGINT)
+  WHEN 'zh' THEN CAST(1000000.0 * (0.5/3.0) AS BIGINT)
+  ELSE 0 END
+"""
+
+ORACLES = {
+    "sample_hash_fraction": f"""
+SELECT doc_id, lang FROM documents WHERE {_BUCKET} < 100000
+""",
+    "sample_stratified_by_lang": f"""
+SELECT doc_id, lang FROM documents WHERE {_BUCKET} < ({_STRAT_THRESHOLD})
+""",
+    "mixture_weighted_sources": f"""
+SELECT lang, count(*) AS n_kept FROM documents
+WHERE {_BUCKET} < ({_MIX_THRESHOLD})
+GROUP BY lang ORDER BY lang
+""",
+    "pack_token_budget": f"""
+WITH c AS (
+  SELECT lang, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_cost
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, cum_cost FROM c WHERE cum_cost <= {BUDGET}
+""",
+    "chunk_sliding_window": f"""
+WITH t AS (
+  SELECT doc_id, str_split_regex(text, '\\s+') AS toks,
+         len(str_split_regex(text, '\\s+')) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(greatest(CAST(ceil((n - {CHUNK}) / {STRIDE}.0) AS BIGINT) + 1, 1)))
+           AS chunk_idx
+  FROM t
+), c AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(toks[chunk_idx*{STRIDE}+1 : chunk_idx*{STRIDE}+{CHUNK}], ' ') AS chunk_text
+  FROM idx
+)
+SELECT doc_id, chunk_idx,
+       len(str_split_regex(chunk_text, '\\s+')) AS chunk_words
+FROM c
+""",
+    "embedding_quantize_int8": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / scale, 0) AS INT)) AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       list_reduce(list_prepend(0, qv), (a, x) -> a + x) AS q_checksum,
+       round(list_max(list_transform(list_zip(qv, v),
+             p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 9) AS max_abs_err
+FROM q
+""",
+}

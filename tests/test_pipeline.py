@@ -1,0 +1,61 @@
+"""Training-data pipeline op semantics: hash-sampling stability, budget
+packing, chunk coverage, quantization error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import pipeline as P
+
+
+def test_hash_sample_is_nested_across_fractions(spark, sf_dir):
+    """The 10% sample is a SUBSET of the 20% sample — the property that lets
+    a pipeline scale a mixture up without resampling everything (rand()
+    sampling does not have it)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    s10 = {r.doc_id for r in P.sample_fraction(docs, "doc_id", 0.1).collect()}
+    s20 = {r.doc_id for r in P.sample_fraction(docs, "doc_id", 0.2).collect()}
+    assert s10 and s10 < s20
+
+
+def test_hash_sample_rate_is_close(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()
+    kept = P.sample_fraction(docs, "doc_id", 0.3).count()
+    assert abs(kept / n - 0.3) < 0.1  # hash uniformity at n=500
+
+
+def test_pack_budget_monotone_and_bounded(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    rows = P.pack_token_budget(docs, 5000).collect()
+    assert rows
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in per_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        assert rs[-1].cum_cost <= 5000
+        assert all(a.cum_cost < b.cum_cost for a, b in zip(rs, rs[1:]))
+
+
+def test_chunks_cover_all_words(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").limit(20)
+    chunks = P.chunk_sliding_window(docs, size=32, stride=16).collect()
+    words = {r.doc_id: r.n for r in docs.select("doc_id", F.size(F.split("text", r"\s+")).alias("n")).collect()}
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    for doc_id, cs in by_doc.items():
+        # stride 16 / size 32: every word index is inside some chunk
+        last = max(c.chunk_idx for c in cs)
+        assert 16 * last + 32 >= words[doc_id]
+        assert all(c.chunk_words <= 32 for c in cs)
+
+
+def test_quantize_error_bounded_by_half_scale(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    rows = P.quantize_int8(emb).collect()
+    assert rows
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 2 + 1e-12  # round-to-nearest bound
