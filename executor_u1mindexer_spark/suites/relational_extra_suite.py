@@ -192,7 +192,80 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with both null sides guaranteed: the two aggregates
+    cover explicitly different (overlapping) segment subsets, so each side
+    contributes rows the other lacks."""
+    left_segs = ["BUILDING", "FURNITURE", "MACHINERY"]
+    right_segs = ["MACHINERY", "HOUSEHOLD", "AUTOMOBILE"]
+    cust = (
+        tables.load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .filter(F.col("c_mktsegment").isin(left_segs))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+    orders = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .join(tables.load(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin(right_segs))
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    j = cust.join(orders, cust.c_mktsegment == orders.seg, "full_outer")
+    return j.select(
+        F.coalesce("c_mktsegment", "seg").alias("segment"),
+        F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+        F.coalesce("n_big_orders", F.lit(0)).alias("n_big_orders"),
+    )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over day offsets: per customer, revenue in the 30 days up
+    to each order (value-based frame, not row-based)."""
+    orders = tables.load(spark, sf_dir, "orders").withColumn(
+        "order_day", F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("order_day"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_day",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / first_value / last_value / nth_value over customers per
+    segment by balance (full-partition frame for the value functions)."""
+    cust = tables.load(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.first("c_custkey").over(w_full).alias("richest_cust"),
+        F.last("c_custkey").over(w_full).alias("poorest_cust"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_cust"),
+    )
+
+
 QUERIES = {
+    "join_full_outer_segments": join_full_outer_segments,
+    "window_range_frame": window_range_frame,
+    "window_ntile_first_last": window_ntile_first_last,
     "bucketed_colocated_join": bucketed_colocated_join,
     "correlated_scalar_subquery": correlated_scalar_subquery,
     "null_handling_funcs": null_handling_funcs,
@@ -205,6 +278,49 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_full_outer_segments": """
+WITH cust AS (
+  SELECT c_mktsegment, count(*) AS n_rich FROM customer
+  WHERE c_acctbal > 9000
+    AND c_mktsegment IN ('BUILDING', 'FURNITURE', 'MACHINERY')
+  GROUP BY c_mktsegment
+), ords AS (
+  SELECT c_mktsegment AS seg, count(*) AS n_big_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_totalprice > 450000
+    AND c_mktsegment IN ('MACHINERY', 'HOUSEHOLD', 'AUTOMOBILE')
+  GROUP BY c_mktsegment
+)
+SELECT coalesce(c_mktsegment, seg) AS segment,
+       coalesce(n_rich, 0) AS n_rich,
+       coalesce(n_big_orders, 0) AS n_big_orders
+FROM cust FULL OUTER JOIN ords ON c_mktsegment = seg
+""",
+    "window_range_frame": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS order_day
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, order_day,
+       sum(CAST(o_totalprice AS DECIMAL(18,6)))
+         OVER (PARTITION BY o_custkey ORDER BY order_day
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS rev_30d,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY order_day
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d
+FROM o
+""",
+    "window_ntile_first_last": """
+SELECT c_mktsegment, c_custkey,
+       ntile(4) OVER w AS balance_quartile,
+       first_value(c_custkey) OVER wf AS richest_cust,
+       last_value(c_custkey) OVER wf AS poorest_cust,
+       nth_value(c_custkey, 2) OVER wf AS second_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC),
+       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
     "bucketed_colocated_join": """
 SELECT o_orderstatus, count(*) AS n_lines,
        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_price
