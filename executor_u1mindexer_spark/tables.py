@@ -43,6 +43,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # set on the CALLER's session, not only ours (session.py): the
+        # driver harness passes its own vanilla SparkSession, which rejects
+        # TIMESTAMP(NANOS) parquet without this (runtime-settable legacy conf)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV, not `/`: ns epochs (~1.7e18) exceed double's 2^53
