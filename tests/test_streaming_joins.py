@@ -16,6 +16,43 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
     assert got == want > 0
 
 
+def test_streaming_parquet_sink_with_checkpoint(spark, sf_dir, tmp_path):
+    """Durable streaming sink: append-mode parquet + checkpoint dir; output
+    read back equals the batch aggregate (watermark-closed windows only is
+    moot here — availableNow drains everything, then the final windows
+    flush on the terminal batch)."""
+    from executor_u1mindexer_spark.operators import events as E
+    from executor_u1mindexer_spark import tables as T
+
+    stream = S.read_events_stream(spark, sf_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        S.streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir).count()
+    want = T.load(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
+    assert got == want > 0
+    # restart on the same checkpoint: nothing new to process, no duplicates
+    q2 = (
+        S.streaming_dedup(S.read_events_stream(spark, sf_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == want  # exactly-once held
+
+
 def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
     stream = S.read_events_stream(spark, sf_dir)
     S.run_available_now(
