@@ -148,7 +148,9 @@ WHERE {_JACCARD} >= 0.5
 WITH t AS (
   SELECT doc_id AS id, lang AS blk, str_split(text, ' ') AS toks FROM documents
 ), sh_t AS (
-  SELECT id, blk, {_SHINGLES} AS sh FROM t
+  SELECT id, blk,
+         list_distinct(list_transform({_SHINGLES}, s -> {_H32.format(s='s')})) AS sh
+  FROM t
 )
 SELECT a.id AS id_a, b.id AS id_b, {_JACCARD} AS jaccard
 FROM sh_t a JOIN sh_t b ON a.blk = b.blk AND a.id < b.id
