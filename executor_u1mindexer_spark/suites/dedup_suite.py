@@ -46,7 +46,8 @@ def near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash32("text").alias("simhash"))
+    # Arrow kernel (value-identical to D.simhash32, equality-tested)
+    return D.simhash32_arrow(docs).withColumnRenamed("id", "doc_id")
 
 
 def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,6 +38,16 @@ def test_minhash_arrow_and_catalyst_signatures_identical(spark, sf_dir):
     assert arrow == catalyst
 
 
+def test_simhash_arrow_matches_expression(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    arrow = {r.id: r.simhash for r in D.simhash32_arrow(docs).collect()}
+    expr = {
+        r.doc_id: r.simhash
+        for r in docs.select("doc_id", D.simhash32("text").alias("simhash")).collect()
+    }
+    assert arrow == {k: v for k, v in expr.items()}
+
+
 def test_simhash_pairs_within_hamming(spark, sf_dir):
     rows = dedup_suite.near_dedup_simhash(spark, sf_dir).collect()
     assert len(rows) > 0
