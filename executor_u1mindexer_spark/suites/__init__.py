@@ -30,6 +30,7 @@ SUITE_MODULES = (
     "similarity_suite",
     "sources_suite",
     "pipeline_suite",
+    "composed_suite",
 )
 
 

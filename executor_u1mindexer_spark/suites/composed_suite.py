@@ -1,0 +1,123 @@
+"""Composed end-to-end pipelines — the operators chained the way a real
+training-data job chains them. Each stage is an operator already verified
+in isolation; these queries verify the COMPOSITIONS (schema hand-offs,
+filter interactions) with a single oracle over the whole chain.
+
+llm_corpus_pipeline: documents -> quality gate -> language gate -> 50%
+hash sample -> sliding-window chunks -> corpus accounting.
+
+vector_dedup_quantize: embeddings -> drop near-duplicate vectors (keep the
+lowest id of each cosine-near pair, IVF-blocked) -> int8 quantization ->
+storage accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.functions import text as T
+from executor_u1mindexer_spark.operators import dedup as D
+from executor_u1mindexer_spark.operators import pipeline as P
+
+QUALITY_MIN = 0.5
+LANGS = ("en", "de")
+SAMPLE = 0.5
+COS_DUP = 0.6
+
+
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    gated = docs.filter(T.quality_score(F.col("text")) >= QUALITY_MIN).filter(
+        F.col("lang").isin(*LANGS)
+    )
+    sampled = P.sample_fraction(gated, "doc_id", SAMPLE)
+    chunks = P.chunk_sliding_window(sampled, size=32, stride=16)
+    return (
+        chunks.join(sampled.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_words").alias("sum_chunk_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+def vector_dedup_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load(spark, sf_dir, "embeddings")
+    dup_pairs = D.embedding_near_dup_pairs(emb, block_col="label", max_cos_dist=COS_DUP)
+    drop = dup_pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept = emb.join(drop, on="vec_id", how="left_anti")
+    q = P.quantize_int8(kept)
+    return q.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("q_checksum").alias("sum_checksums"),
+        F.sum(F.round(F.col("scale") * 1e9).cast("long")).alias("sum_scale_nano"),
+    )
+
+
+QUERIES = {
+    "llm_corpus_pipeline": llm_corpus_pipeline,
+    "vector_dedup_quantize": vector_dedup_quantize,
+}
+
+# oracle fragments reused from the per-operator suites
+from executor_u1mindexer_spark.suites.text_suite import _QUALITY  # noqa: E402
+from executor_u1mindexer_spark.suites.pipeline_suite import _BUCKET  # noqa: E402
+
+_LANGS_SQL = "('en', 'de')"
+
+ORACLES = {
+    "llm_corpus_pipeline": f"""
+WITH gated AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE ({_QUALITY}) >= {QUALITY_MIN} AND lang IN {_LANGS_SQL}
+), sampled AS (
+  SELECT * FROM gated WHERE {_BUCKET} < {int(SAMPLE * P.HASH_BUCKETS)}
+), t AS (
+  SELECT doc_id, lang, str_split_regex(text, '\\s+') AS toks,
+         len(str_split_regex(text, '\\s+')) AS n
+  FROM sampled
+), idx AS (
+  SELECT doc_id, lang, toks,
+         unnest(range(greatest(CAST(ceil((n - 32) / 16.0) AS BIGINT) + 1, 1))) AS chunk_idx
+  FROM t
+), c AS (
+  SELECT doc_id, lang,
+         len(str_split_regex(array_to_string(toks[chunk_idx*16+1 : chunk_idx*16+32], ' '), '\\s+'))
+           AS chunk_words
+  FROM idx
+)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+       sum(chunk_words) AS sum_chunk_words
+FROM c GROUP BY lang ORDER BY lang
+""",
+    "vector_dedup_quantize": f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT b.vec_id AS dup_id
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE 1.0 - list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y)
+            / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]), (s,y) -> s+y))
+             * sqrt(list_reduce(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y)))
+        <= {COS_DUP}
+), kept AS (
+  SELECT * FROM e WHERE vec_id NOT IN (SELECT DISTINCT dup_id FROM pairs)
+), s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM kept
+), q AS (
+  SELECT vec_id, scale,
+         list_reduce(list_prepend(0, list_transform(v, x -> CAST(round(x / scale, 0) AS INT))),
+                     (a, x) -> a + x) AS q_checksum
+  FROM s
+)
+SELECT count(*) AS n_vectors, sum(q_checksum) AS sum_checksums,
+       sum(CAST(round(scale * 1e9, 0) AS BIGINT)) AS sum_scale_nano
+FROM q
+""",
+}
