@@ -141,17 +141,19 @@ class U1MIndexerSpark:
         """Remove ids; unknown ids silently ignored (executor.py:213-225).
         count_indexed keeps counting removed slots (tombstone arithmetic) via
         the retained internal-id watermark in status()."""
-        before = self._vectors.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-        self._tombstones = getattr(self, "_tombstones", 0)
-        self._vectors = M.delete_by_ids(self._vectors, ids)
-        after = self._vectors.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-        self._tombstones += before - after
+        ids_df = (
+            ids
+            if isinstance(ids, DataFrame)
+            else self.spark.createDataFrame([(int(i),) for i in ids], f"{M.ID} long")
+        )
+        # one semi-join count (ids actually present) instead of before/after
+        # full counts — a single job against the state table
+        n_hit = self._vectors.join(
+            F.broadcast(ids_df.select(M.ID)), on=M.ID, how="left_semi"
+        ).count()
+        self._tombstones = getattr(self, "_tombstones", 0) + n_hit
+        self._vectors = M.delete_by_ids(self._vectors, ids_df)
         if self._docstore is not None:
-            ids_df = (
-                ids
-                if isinstance(ids, DataFrame)
-                else self.spark.createDataFrame([(int(i),) for i in ids], f"{M.ID} long")
-            )
             self._docstore = self._docstore.join(
                 F.broadcast(ids_df.select(M.ID)), on=M.ID, how="left_anti"
             )
