@@ -34,7 +34,10 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "1 hour",
         keys=("event_type",),
-        aggs=[F.count(F.lit(1)).alias("n_events"), F.sum(_dec("value")).alias("sum_value")],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        ],
     )
 
 
@@ -48,7 +51,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.sessionize(
         ev,
         GAP,
-        aggs=[F.count(F.lit(1)).alias("n_events"), F.sum(_dec("value")).alias("sum_value")],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        ],
     )
 
 
@@ -99,7 +105,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
        event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2, 3
 """,
     "events_sliding_1h_30m": """
@@ -130,7 +136,7 @@ WITH o AS (
 SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL '30 minutes' AS session_end,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM s GROUP BY user_id, sid
 """,
     "events_asof_purchase_last_view": """

@@ -67,7 +67,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                grouping(o_orderstatus) AS g_status,
                grouping(o_orderpriority) AS g_priority,
                count(*) AS n,
-               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -112,7 +112,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
     )
 
 
@@ -188,7 +188,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = bucketing.bucketed_join(spark, lt, rt, "l_orderkey", "o_orderkey")
     return j.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("sum_price"),
     )
 
 
@@ -238,7 +238,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "order_day",
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).alias("rev_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("rev_30d"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
 
@@ -303,9 +303,9 @@ WITH o AS (
   FROM orders
 )
 SELECT o_custkey, o_orderkey, order_day,
-       sum(CAST(o_totalprice AS DECIMAL(18,6)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
          OVER (PARTITION BY o_custkey ORDER BY order_day
-               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS rev_30d,
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d,
        count(*) OVER (PARTITION BY o_custkey ORDER BY order_day
                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d
 FROM o
@@ -323,7 +323,7 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC),
 """,
     "bucketed_colocated_join": """
 SELECT o_orderstatus, count(*) AS n_lines,
-       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_price
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """,
@@ -355,7 +355,7 @@ FROM lineitem GROUP BY l_returnflag
 """,
     "skew_salted_join": """
 SELECT o_orderstatus, count(*) AS n_lines,
-       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """,
@@ -384,7 +384,7 @@ SELECT o_orderstatus, o_orderpriority,
        CASE WHEN grouping(o_orderstatus) THEN 1 ELSE 0 END AS g_status,
        CASE WHEN grouping(o_orderpriority) THEN 1 ELSE 0 END AS g_priority,
        count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,

@@ -43,13 +43,20 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary: grouped sums/avgs/count over lineitem with a shipdate
     predicate that pushes down to the parquet scan."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # Aggregate in exact decimal (order-independent), then cast the FINAL
+    # column to double: the driver's value hash compares Python Decimal vs
+    # DuckDB float64 by representation, so decimal must not reach the output.
     out = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("sum_disc_price"),
         F.sum(
             _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
-        ).alias("sum_charge"),
+        )
+        .cast("double")
+        .alias("sum_charge"),
         F.count(F.lit(1)).alias("count_order"),
     )
     return out.select(
@@ -59,8 +66,8 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_base_price",
         "sum_disc_price",
         "sum_charge",
-        F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 9).alias("avg_qty"),
-        F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 9).alias("avg_price"),
+        F.round(F.col("sum_qty") / F.col("count_order"), 9).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 9).alias("avg_price"),
         "count_order",
     ).orderBy("l_returnflag", "l_linestatus")
 
@@ -77,7 +84,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
     )
     return out.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
@@ -103,7 +114,11 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
     )
     return out.orderBy(F.col("revenue").desc(), F.col("n_name").asc())
 
@@ -115,7 +130,10 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
         .orderBy("p_brand")
     )
 
@@ -147,7 +165,10 @@ def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
 
@@ -156,7 +177,10 @@ def cube_orderstatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("o_totalprice")).alias("sum_price"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
         .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
     )
 
@@ -176,7 +200,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(_dec("o_totalprice")).over(w).alias("running_total"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
         F.row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")).alias("order_seq"),
     )
 
@@ -285,10 +309,10 @@ _DISC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
 ORACLES = {
     "tpch_q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-       sum({_DISC}) AS sum_disc_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_DISC}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9) AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 9) AS avg_price,
        count(*) AS count_order
@@ -297,7 +321,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
     "tpch_q3_shipping_priority": f"""
-SELECT l_orderkey, o_orderdate, o_orderpriority, sum({_DISC}) AS revenue
+SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(sum({_DISC}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -309,7 +333,7 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """,
     "tpch_q5_local_supplier_volume": f"""
-SELECT n_name, sum({_DISC}) AS revenue
+SELECT n_name, CAST(sum({_DISC}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -322,7 +346,8 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """,
     "join_broadcast_dim": """
-SELECT p_brand, count(*) AS n_items, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+SELECT p_brand, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand
 """,
@@ -336,19 +361,19 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """,
     "rollup_returnflag_linestatus": """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     "cube_orderstatus_priority": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     "window_running_sum": """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       sum(CAST(o_totalprice AS DECIMAL(18,6)))
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
 FROM orders
 """,
