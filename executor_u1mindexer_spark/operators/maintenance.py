@@ -39,16 +39,62 @@ EMB = "emb"
 SEQ = "seq"  # explicit arrival-order column (reference: list position)
 
 
+def dense_rank_by(df: DataFrame, order_col: str, out_col: str) -> DataFrame:
+    """Attach a 0-based dense global rank by ``order_col`` WITHOUT a global
+    single-task window (`Window.orderBy` with no partitionBy funnels the whole
+    table through one task — the 100×-scale killer flagged in r01).
+
+    Scheme: range-partition on the key (partition boundaries are contiguous
+    key ranges, so partition id order == key order), rank locally per
+    partition, and add the cumulative count of all earlier partitions. The
+    offsets table is one row per partition — its own window is over ~10²-10⁵
+    rows at any data scale — and broadcasts back onto the ranked rows.
+    Output is invariant to where the (sampled, nondeterministic) range
+    boundaries land because ranks only depend on the total order of the
+    unique key. Requires ``order_col`` values to be unique.
+
+    The ranking pipeline runs on the KEY COLUMN ONLY (the payload — e.g.
+    768-dim embeddings — would otherwise ride the range exchange AND the
+    rank window exchange); ranks join back on the unique key, so wide rows
+    shuffle exactly once."""
+    keys = df.select(order_col)
+    parted = keys.repartitionByRange(F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # cumulative offsets via a triangular self-join over the per-partition
+    # counts (n_partitions² pairs — trivial at any scale) instead of a
+    # partition-less running-sum window, so NO operator in the whole plan
+    # requires a SinglePartition exchange (pinned in test_plans).
+    earlier = counts.select(
+        F.col("__pid").alias("__pid_e"), F.col("__cnt").alias("__cnt_e")
+    )
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("__pid_e") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__cnt_e"), F.lit(0)).alias("__off"))
+    )
+    w_local = Window.partitionBy("__pid").orderBy(F.col(order_col))
+    ranked = (
+        parted.join(F.broadcast(offsets), on="__pid")
+        .withColumn(out_col, F.row_number().over(w_local) - 1 + F.col("__off"))
+        .select(order_col, out_col)
+    )
+    return df.join(ranked, on=order_col)
+
+
 def index_state(emb_df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Build the canonical index-state DataFrame from a raw vector table.
 
     internal_id = dense insertion-order int; for the fixture we define
     arrival order := vec_id order (deterministic, matches the oracle).
+    Rank assignment is the parallel partition-offset scheme (dense_rank_by),
+    not a partition-less window.
     """
-    w = Window.orderBy(F.col(id_col))
-    return emb_df.select(
+    ranked = dense_rank_by(emb_df.select(id_col, vec_col), id_col, IID)
+    return ranked.select(
         F.col(id_col).alias(ID),
-        (F.row_number().over(w) - 1).alias(IID),
+        F.col(IID),
         F.col(vec_col).cast("array<double>").alias(EMB),
     )
 
@@ -90,9 +136,8 @@ def upsert(state: DataFrame, batch: DataFrame) -> DataFrame:
         .withColumn("status", F.lit("kept"))
     )
     new_rows = b.join(state.select(ID), on=ID, how="left_anti")
-    w_new = Window.orderBy(F.col(SEQ))
     inserted = (
-        new_rows.withColumn("__arrival", F.row_number().over(w_new) - 1)
+        dense_rank_by(new_rows, SEQ, "__arrival")
         .crossJoin(F.broadcast(prior))
         .select(
             F.col(ID),

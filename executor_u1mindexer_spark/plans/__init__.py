@@ -48,6 +48,26 @@ def read_schemas(df: DataFrame) -> str:
     )
 
 
+def window_over_single_partition(df: DataFrame) -> bool:
+    """True if any Window operator is fed by a SinglePartition exchange —
+    the whole-table-through-one-task shape (a partition-less Window.orderBy).
+    Scalar global aggregates also use SinglePartition but only over the tiny
+    partial-agg output, so they are deliberately NOT flagged."""
+    import re
+
+    lines = physical_plan(df, "simple").splitlines()
+    for i, ln in enumerate(lines):
+        # exact Window node (not WindowGroupLimit, which is a top-k pushdown)
+        if re.match(r"^[\s:+*-]*Window\s", ln):
+            # child chain is Window <- Sort <- Exchange within a few lines
+            for nxt in lines[i + 1 : i + 4]:
+                if "Exchange" in nxt:
+                    if "SinglePartition" in nxt:
+                        return True
+                    break
+    return False
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen subtrees. Uses the `codegen` explain
     mode because AQE plans don't expose codegen ids in `formatted` output

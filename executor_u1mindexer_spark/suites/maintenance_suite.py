@@ -17,6 +17,7 @@ left-to-right double fold as the vector suite, bit-identical in DuckDB.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,18 +90,28 @@ def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dump_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dump → load → aggregate: proves the persist path loses nothing
-    (executor.py:227-236 + 51-63). Aggregate output keeps the oracle simple."""
+    (executor.py:227-236 + 51-63). Aggregate output keeps the oracle simple.
+
+    The dump target is unique per invocation: a fixed shared path + lazy
+    load means a concurrent run (or stale prior state) could be read
+    mid-check — the r01 driver flake. floor() instead of round(): Spark
+    F.round is HALF_UP while DuckDB round on doubles is half-even, and
+    Spark's double→long cast truncates while DuckDB's rounds; floor is
+    identical in both engines and norms are non-negative."""
     state = _state(spark, sf_dir)
-    path = os.path.join("/tmp/spark_graft_state", os.path.basename(sf_dir.rstrip("/")))
+    path = os.path.join(
+        "/tmp/spark_graft_state",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{uuid.uuid4().hex}",
+    )
     M.dump(state, path)
     back = M.load(spark, path)
-    # norm is rounded to micro-units and summed as integers so the aggregate
+    # norm is floored to micro-units and summed as integers so the aggregate
     # is order-independent (double addition is not associative; partition
     # order must not affect the driver's value hash).
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(M.ID).alias("sum_id"),
-        F.sum(F.round(V.norm(F.col(M.EMB)) * 1e6).cast("long")).alias("sum_norm_micro"),
+        F.sum(F.floor(V.norm(F.col(M.EMB)) * 1e6).cast("long")).alias("sum_norm_micro"),
     )
 
 
@@ -200,7 +211,7 @@ SELECT (SELECT count(*) FROM result) AS count_indexed,
     ),
     "dump_load_roundtrip": f"""
 SELECT count(*) AS n_rows, sum(vec_id) AS sum_id,
-       sum(CAST(round({_NORM.format(a="list_transform(embedding, x -> CAST(x AS DOUBLE))")} * 1e6, 0) AS BIGINT)) AS sum_norm_micro
+       sum(CAST(floor({_NORM.format(a="list_transform(embedding, x -> CAST(x AS DOUBLE))")} * 1e6) AS BIGINT)) AS sum_norm_micro
 FROM embeddings
 """,
     "clear": "SELECT vec_id AS id, 0 AS internal_id FROM embeddings WHERE FALSE",

@@ -276,13 +276,21 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL) next to the exact count — approximate, so
-    no SQL oracle (driver rows-only check); sketch parameters differ across
-    engines by design."""
+    """approx_count_distinct (HLL) checked as an invariant: the raw sketch
+    value is engine-specific, so the hashed output is the exact count plus a
+    boolean asserting the approximation landed within ±10% — checkable by an
+    oracle that emits the exact count and TRUE."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            (F.col("approx") >= F.col("exact_parts") * 0.9)
+            & (F.col("approx") <= F.col("exact_parts") * 1.1)
+        ).alias("approx_within_10pct"),
     )
 
 
@@ -420,6 +428,11 @@ SELECT o_orderkey,
        datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
 FROM orders
 """,
-    # agg_approx_distinct: intentionally no oracle (HLL sketch values are
-    # engine-specific); driver records the rows-only check.
+    # HLL sketch values are engine-specific, so the hashed surface is the
+    # exact count plus the ±10% accuracy invariant (always true for Spark's
+    # default rsd=0.05 at fixture cardinalities).
+    "agg_approx_distinct": """
+SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_within_10pct
+FROM lineitem
+""",
 }

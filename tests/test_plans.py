@@ -65,7 +65,26 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     assert plan.count("Exchange (") == 1, plan
 
 
-def test_codegen_present_in_agg_plan(spark, sf_dir):
+def test_dense_id_ingest_has_no_single_partition_window(spark, sf_dir):
+    """The r01 scale killer: dense internal-id assignment used a global
+    Window.orderBy with no partitionBy, funneling the whole table through a
+    SinglePartition exchange in the ingest hot path. Every Window in the
+    ingest plans must now be fed by a parallel (hash/range) exchange; only
+    scalar count aggregates may use SinglePartition (tiny partial rows)."""
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import maintenance as M
+
+    state = M.index_state(tables.load(spark, sf_dir, "embeddings"))
+    assert "SinglePartition" not in plans.physical_plan(state)
+    assert not plans.window_over_single_partition(state)
+
+    # the upsert insert-rank path uses the same scheme
+    batch = state.select(
+        (F.col(M.ID) + 100000).alias(M.ID), F.col(M.EMB), F.col(M.ID).alias(M.SEQ)
+    )
+    assert not plans.window_over_single_partition(M.upsert(state, batch))
     # AQE defers codegen until stage execution; disable it to inspect the
     # statically-compiled plan (production runs keep AQE on).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
