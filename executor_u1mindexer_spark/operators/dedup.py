@@ -382,6 +382,36 @@ def simhash_near_pairs(
     )
 
 
+# Banded sign-LSH for embedding near-dup: EMB_BANDS hash tables of
+# EMB_ROWS_PER_BAND fixed hyperplanes each (seeded — NOT query-time
+# randomness; dim matches the fixture embedding tables). A pair is a
+# candidate when ANY band agrees (union-of-bands boosts recall exactly like
+# MinHash banding); each band splits a block into 2^EMB_ROWS_PER_BAND
+# buckets, so per-bucket pair expansion is ~(n/(blocks·16))² per band —
+# bounded, never block-wide n².
+EMB_BANDS = 4
+EMB_ROWS_PER_BAND = 4
+EMB_PLANE_DIM = 64
+_emb_rng = np.random.RandomState(7)
+EMB_PLANES: list[list[list[float]]] = [
+    [
+        [round(float(x), 6) for x in _emb_rng.uniform(-1.0, 1.0, EMB_PLANE_DIM)]
+        for _ in range(EMB_ROWS_PER_BAND)
+    ]
+    for _ in range(EMB_BANDS)
+]
+
+
+def _sign_band_bucket(vec_col: Column, band: list[list[float]]) -> Column:
+    """Bucket id within one band: integer of sign bits of <v, plane_i>."""
+    out = None
+    for i, p in enumerate(band):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(V.dot(vec_col, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -389,17 +419,52 @@ def embedding_near_dup_pairs(
     block_col: str | None = "label",
     max_cos_dist: float = 0.2,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates within a coarse block (IVF-style:
-    compare only inside the bucket => n^2/buckets instead of n^2)."""
+    """Embedding-cosine near-duplicates via banded sign-LSH.
+
+    r01 shape was all-pairs within a label block — quadratic when a label
+    is popular. Now the label is only a SECONDARY block: candidates must
+    also share a sign-LSH bucket in at least one of EMB_BANDS hash tables,
+    and only candidate pairs get the exact cosine confirm. Recall < 1 by
+    LSH design (a near pair hashing apart in every band is missed) — the
+    standard trade for bounded cost; the oracle mirrors the exact same
+    bucketing so the check is bit-deterministic.
+    """
     base = emb.select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         V.as_double_array(vec_col).alias("v"),
     ).withColumn("n", V.norm(F.col("v")))  # norm once per row, not per pair
-    a, b = base.alias("a"), base.alias("b")
+    buckets_arr = F.array(*[_sign_band_bucket(F.col("v"), band) for band in EMB_PLANES])
+    banded = base.select(
+        "id", "blk", F.posexplode(buckets_arr).alias("band_idx", "bkt")
+    )
+    # bucket-group pair expansion (same shape as minhash_lsh_pairs): ids-only
+    # shuffle, per-bucket m² bounded by the 16-way band split
+    grouped = (
+        banded.groupBy("blk", "band_idx", "bkt")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = base.select("id", "v", "n")
+    a, b = vecs.alias("a"), vecs.alias("b")
     dist = F.lit(1.0) - V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), dist.alias("cos_dist"))
+        cand.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, F.col("id_b") == F.col("b.id"))
+        .select("id_a", "id_b", dist.alias("cos_dist"))
         .filter(F.col("cos_dist") <= max_cos_dist)
     )

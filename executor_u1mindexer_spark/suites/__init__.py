@@ -33,6 +33,76 @@ SUITE_MODULES = (
     "composed_suite",
 )
 
+# The grading driver checks only the FIRST 50 registry entries, so ordering
+# is evidence policy: queries listed here come first (in this order), the
+# rest follow in suite order. Round 2 front-loads (a) the 30 LLM-pipeline
+# queries that had no driver correctness row in r01, and (b) every query
+# whose implementation or oracle changed this round (decimal→double casts,
+# dense-id ranking, dump path, approx-distinct invariant, banded LSH), so
+# the round's deltas all land inside the driver's window. Rotate in later
+# rounds so already-green rows cycle back through.
+DRIVER_PRIORITY = (
+    # dedup family (r01: driver-unchecked; embedding_cosine reworked to LSH)
+    "exact_dedup_text",
+    "near_dedup_minhash_lsh",
+    "near_dedup_ngram_jaccard",
+    "simhash_fingerprints",
+    "near_dedup_simhash",
+    "near_dedup_embedding_cosine",
+    # text analysis (driver-unchecked in r01)
+    "text_token_counts",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "text_corpus_stats",
+    # multimodal (driver-unchecked in r01)
+    "multimodal_join",
+    "multimodal_binary_metadata",
+    # similarity scale paths (driver-unchecked in r01)
+    "ann_cosine_topk_join",
+    "ann_kmeans_ivf_topk",
+    "ann_ivf_label_topk",
+    "ann_lsh_hyperplane_topk",
+    "ann_partitioned_topk",
+    # sources + traversal (driver-unchecked in r01)
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_partitioned_parquet",
+    "traverse_chunks",
+    # training-data pipeline ops (driver-unchecked in r01)
+    "sample_hash_fraction",
+    "sample_stratified_by_lang",
+    "mixture_weighted_sources",
+    "pack_token_budget",
+    "chunk_sliding_window",
+    "embedding_quantize_int8",
+    # composed end-to-end chains (driver-unchecked in r01)
+    "llm_corpus_pipeline",
+    "vector_dedup_quantize",
+    # r01 hash-fails fixed this round (decimal→double)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "join_broadcast_dim",
+    "rollup_returnflag_linestatus",
+    "cube_orderstatus_priority",
+    "window_running_sum",
+    "grouping_sets_orders",
+    "window_range_frame",
+    "bucketed_colocated_join",
+    "skew_salted_join",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    # r01 flake fixed (unique dump path + floor micro-units)
+    "dump_load_roundtrip",
+    # new oracle this round (was rows-only)
+    "agg_approx_distinct",
+    # dense-id ranking re-implemented this round — keep under the driver
+    "index_upsert",
+    "update_existing",
+    "status_counts",
+)
+
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     import importlib
@@ -59,4 +129,10 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     unknown = set(oracles) - set(queries)
     if unknown:
         raise ValueError(f"oracles without queries: {unknown}")
+    missing = [n for n in DRIVER_PRIORITY if n not in queries]
+    if missing:
+        raise ValueError(f"DRIVER_PRIORITY names without queries: {missing}")
+    ordered = list(DRIVER_PRIORITY) + [n for n in queries if n not in set(DRIVER_PRIORITY)]
+    queries = {n: queries[n] for n in ordered}
+    oracles = {n: oracles[n] for n in ordered if n in oracles}
     return queries, oracles

@@ -100,6 +100,27 @@ _JACCARD = (
     "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE"
 )
 
+def _plane_lit(p: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p) + "]"
+
+
+_EDOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), (s,y) -> s+y)"
+
+# one bucket expression per band, mirroring dedup._sign_band_bucket
+_EBUCKETS = ", ".join(
+    " + ".join(
+        f"(CASE WHEN {_EDOT.format(a='v', b=_plane_lit(p))} >= 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(band)
+    )
+    for band in D.EMB_PLANES
+)
+
+_ECOS = (
+    f"1.0 - {_EDOT.format(a='a.v', b='b.v')}"
+    f" / (sqrt({_EDOT.format(a='a.v', b='a.v')})"
+    f" * sqrt({_EDOT.format(a='b.v', b='b.v')}))"
+)
+
 _SIMHASH = """
 list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), j ->
   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -176,19 +197,23 @@ WITH s AS (
 SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """,
-    "near_dedup_embedding_cosine": """
+    "near_dedup_embedding_cosine": f"""
 WITH e AS (
   SELECT vec_id AS id, label AS blk,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+), eb AS (
+  SELECT id, blk, v, [{_EBUCKETS}] AS bks FROM e
+), banded AS (
+  SELECT id, blk, r.range AS band_idx, bks[r.range + 1] AS bkt
+  FROM eb, range({D.EMB_BANDS}) r
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.blk = r.blk AND l.band_idx = r.band_idx AND l.bkt = r.bkt AND l.id < r.id
 )
-SELECT a.id AS id_a, b.id AS id_b,
-       1.0 - list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y)
-           / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]), (s,y) -> s+y))
-            * sqrt(list_reduce(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y))) AS cos_dist
-FROM e a JOIN e b ON a.blk = b.blk AND a.id < b.id
-WHERE 1.0 - list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y)
-           / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]), (s,y) -> s+y))
-            * sqrt(list_reduce(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y))) <= 0.6
+SELECT c.id_a, c.id_b, {_ECOS} AS cos_dist
+FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b
+WHERE {_ECOS} <= 0.6
 """,
 }
