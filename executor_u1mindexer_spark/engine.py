@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from executor_u1mindexer_spark.operators import knn, maintenance as M
+from executor_u1mindexer_spark.operators import knn, maintenance as M, traverse
 
 VECTORS = "vectors"
 DOCSTORE = "docstore"
@@ -90,11 +90,18 @@ class U1MIndexerSpark:
         *,
         limit: int | None = None,
         is_distance: bool = True,
+        traversal_paths: str = "r",
         query_id_col: str = "query_id",
         query_vec_col: str = "query_embedding",
         with_payload: bool = True,
     ) -> DataFrame:
-        """Top-k exact KNN with full-payload rows (executor.py:73-125)."""
+        """Top-k exact KNN with full-payload rows (executor.py:73-125).
+
+        traversal_paths (executor.py:86): 'r' searches the root rows; 'c'
+        explodes the `chunks` array first, so each chunk Document is a
+        query — the chunk struct must carry the query id/embedding fields.
+        """
+        queries = traverse.traverse_flat(queries, traversal_paths, id_col=query_id_col)
         k = limit if limit is not None else self.limit
         knn.validate_dim(queries, self.dim, vec_col=query_vec_col)
         stored = self._vectors.select(
@@ -114,10 +121,17 @@ class U1MIndexerSpark:
         )
 
     def index(
-        self, docs: DataFrame, *, id_col: str = "doc_id", vec_col: str = "embedding"
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        vec_col: str = "embedding",
+        traversal_paths: str = "r",
     ) -> None:
         """Keyed upsert (executor.py:127-168): existing ids keep their
-        internal id, new ids get dense arrival-order ids."""
+        internal id, new ids get dense arrival-order ids. traversal_paths
+        (executor.py:138): 'c' indexes the chunk level of each document."""
+        docs = traverse.traverse_flat(docs, traversal_paths, id_col=id_col)
         batch = self._as_batch(docs, id_col, vec_col)
         self._vectors = M.upsert(self._vectors, batch).select(M.ID, M.IID, M.EMB)
         payload = docs.withColumnRenamed(id_col, M.ID).drop(vec_col)
@@ -128,10 +142,25 @@ class U1MIndexerSpark:
             self._docstore = keep.unionByName(payload, allowMissingColumns=True)
 
     def update(
-        self, docs: DataFrame, *, id_col: str = "doc_id", vec_col: str = "embedding"
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        vec_col: str = "embedding",
+        traversal_paths: str = "r",
     ) -> DataFrame:
         """Re-embed only already-indexed ids (executor.py:170-211); returns
-        the skipped-id DataFrame (the reference logs a warning per skip)."""
+        the skipped-id DataFrame (the reference logs a warning per skip).
+        traversal_paths (executor.py:181): 'c' updates the chunk level.
+
+        Known divergence, by design: the reference's /update writes ALL
+        traversed docs to its doc store, including ids it just skipped as
+        not-indexed (executor.py:210-211 loops over docs_to_update, not
+        docs_filtered) — so a skipped doc becomes fetchable as payload
+        while having no vector. This engine's update never touches the doc
+        store: payload changes go through index(). We treat the reference
+        behavior as a bug rather than semantics to reproduce."""
+        docs = traverse.traverse_flat(docs, traversal_paths, id_col=id_col)
         batch = self._as_batch(docs, id_col, vec_col)
         skipped = M.skipped_updates(self._vectors, batch)
         self._vectors = M.update_existing(self._vectors, batch).select(M.ID, M.IID, M.EMB)

@@ -30,17 +30,32 @@ def with_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("chunks", chunks)
 
 
-def traverse_flat(docs: DataFrame, path: str = "r", id_col: str = "doc_id") -> DataFrame:
+def traverse_flat(
+    docs: DataFrame,
+    path: str = "r",
+    id_col: str = "doc_id",
+    chunks_col: str = "chunks",
+) -> DataFrame:
     """Select a tree level: 'r' returns roots unchanged (executor.py:88
-    default); 'c' explodes the chunks level, one row per chunk."""
+    default); 'c' explodes the chunks level, one row per chunk, lifting
+    EVERY chunk-struct field to a top-level column (in the reference,
+    chunks are full Documents with their own id/embedding/text — whatever
+    the struct carries becomes the operating surface).
+
+    If the chunk struct carries its own ``id_col`` field (full-Document
+    chunks), the chunk's id wins and the parent id is dropped — matching
+    `DocumentArray.traverse_flat`, which yields the chunk Documents
+    themselves. Otherwise the parent id is kept alongside the lifted
+    fields (the flat-fixture shape used by `traverse_chunks`)."""
     if path == "r":
         return docs
     if path == "c":
-        return docs.select(
-            id_col, F.explode("chunks").alias("chunk")
-        ).select(
-            id_col,
-            F.col("chunk.chunk_seq").alias("chunk_seq"),
-            F.col("chunk.chunk_text").alias("chunk_text"),
+        exploded = docs.select(
+            F.col(id_col), F.explode(F.col(chunks_col)).alias("__chunk")
         )
+        fields = [f.name for f in exploded.schema["__chunk"].dataType.fields]
+        lifted = [F.col(f"__chunk.{f}").alias(f) for f in fields]
+        if id_col in fields:
+            return exploded.select(*lifted)
+        return exploded.select(id_col, *lifted)
     raise ValueError(f"unknown traversal path {path!r}; expected 'r' or 'c'")

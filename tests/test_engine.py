@@ -88,6 +88,69 @@ def test_dim_mismatch_raises(spark, engine):
         engine.index(bad)
 
 
+def test_traversal_paths_chunk_level_index_and_search(spark, tmp_path):
+    """traversal_paths='c' (executor.py:86/138/181): chunk Documents —
+    structs carrying their own id + embedding — are the operating level."""
+    eng = U1MIndexerSpark(spark, dim=4, workspace=str(tmp_path), metric="cosine", limit=5)
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    {"doc_id": 101, "embedding": [1.0, 0.0, 0.0, 0.0]},
+                    {"doc_id": 102, "embedding": [0.0, 1.0, 0.0, 0.0]},
+                ],
+            ),
+            (
+                2,
+                [
+                    {"doc_id": 201, "embedding": [0.0, 0.0, 1.0, 0.0]},
+                    {"doc_id": 202, "embedding": [0.0, 0.0, 0.0, 1.0]},
+                ],
+            ),
+        ],
+        "doc_id long, chunks array<struct<doc_id: long, embedding: array<double>>>",
+    )
+    eng.index(docs, traversal_paths="c")
+    assert eng.status()["count_active"] == 4  # chunk level, not 2 roots
+
+    queries = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    {"query_id": 11, "query_embedding": [1.0, 0.0, 0.0, 0.0]},
+                    {"query_id": 12, "query_embedding": [0.0, 0.0, 1.0, 0.0]},
+                ],
+            )
+        ],
+        "query_id long, chunks array<struct<query_id: long, query_embedding: array<double>>>",
+    )
+    hits = (
+        eng.search(queries, traversal_paths="c", limit=1, with_payload=False)
+        .orderBy("query_id")
+        .collect()
+    )
+    assert [(r.query_id, r.vec_id) for r in hits] == [(11, 101), (12, 201)]
+
+    # chunk-level update: known chunk id re-embedded, unknown skipped
+    upd = spark.createDataFrame(
+        [
+            (
+                9,
+                [
+                    {"doc_id": 102, "embedding": [9.0, 9.0, 9.0, 9.0]},
+                    {"doc_id": 999, "embedding": [1.0, 1.0, 1.0, 1.0]},
+                ],
+            )
+        ],
+        "doc_id long, chunks array<struct<doc_id: long, embedding: array<double>>>",
+    )
+    skipped = eng.update(upd, traversal_paths="c").collect()
+    assert [r.id for r in skipped] == [999]
+    assert eng.status()["count_active"] == 4
+
+
 def test_clear_empties(spark, engine):
     engine.clear()
     st = engine.status()
