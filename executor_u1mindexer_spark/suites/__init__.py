@@ -55,9 +55,10 @@ DRIVER_PRIORITY = (
     "text_language_id",
     "text_fingerprints",
     "text_corpus_stats",
-    # multimodal (driver-unchecked in r01)
+    # multimodal (driver-unchecked in r01; decode query new this round)
     "multimodal_join",
     "multimodal_binary_metadata",
+    "multimodal_decode_image",
     # similarity scale paths (driver-unchecked in r01)
     "ann_cosine_topk_join",
     "ann_kmeans_ivf_topk",

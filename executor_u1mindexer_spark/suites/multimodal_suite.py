@@ -34,9 +34,21 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_binary_metadata(MM.attach_fake_binary(docs))
 
 
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize deterministic PPM/BMP bytes
+    per doc (even ids P6 PPM, odd ids 24-bit BMP), then parse headers and
+    pixel data with the pure-Python codecs (operators/multimodal.py). The
+    oracle states the decoded metadata in closed form from the generation
+    rule — if the decoder misreads a header or drops row padding, width/
+    height/pixel_sum diverge."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return MM.decode_images_metadata(MM.attach_synthetic_images(docs))
+
+
 QUERIES = {
     "multimodal_join": multimodal_join,
     "multimodal_binary_metadata": multimodal_binary_metadata,
+    "multimodal_decode_image": multimodal_decode_image,
 }
 
 ORACLES = {
@@ -55,6 +67,19 @@ SELECT doc_id,
        CAST('0x' || substr(md5(text), 1, 2) AS INT) AS first_byte,
        CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 + 1 AS fake_width,
        CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 + 1 AS fake_height
+FROM documents
+""",
+    # image generation rule: w = id%5+2, h = id%3+2, channel byte i =
+    # (id*7 + i) % 256 in top-down raster order — so the decoded metadata
+    # has this closed form (no decoding in the oracle)
+    "multimodal_decode_image": """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 3 + 2 AS INT) AS height,
+       CAST(list_sum(list_transform(
+              range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2) * 3),
+              i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum
 FROM documents
 """,
 }
