@@ -45,6 +45,8 @@ HEADLINE = [
     "events_sessionize",
     "exact_dedup_text",
     "near_dedup_minhash_lsh",
+    "near_dedup_ngram_jaccard",
+    "multimodal_decode_image",
     "ann_cosine_topk_join",
     "ann_partitioned_topk",
 ]

@@ -33,6 +33,17 @@ from executor_u1mindexer_spark.operators import knn, maintenance as M, traverse
 VECTORS = "vectors"
 DOCSTORE = "docstore"
 
+# Iterated mutations MUST truncate lineage every batch: one upsert embeds
+# the previous state's LOGICAL plan ~16 times (kept/updated/inserted/anti
+# branches, the prior-count aggregate, and the dense-rank key pipeline), so
+# N stacked batches give a ~16^N-node logical plan — measured 55k plan lines
+# and 40s of driver-side analysis after just 3 batches. persist() alone does
+# not help: the cache dedupes execution, not analysis. localCheckpoint
+# (eager) collapses the plan to a single LogicalRDD at the cost of one
+# materialization per batch — the same eager per-batch processing the
+# reference endpoints do. On a real cluster a durable dump()/load() snapshot
+# is the robust form (localCheckpoint does not survive executor loss).
+
 
 class U1MIndexerSpark:
     def __init__(
@@ -81,6 +92,23 @@ class U1MIndexerSpark:
             F.col(vec_col).cast("array<double>").alias(M.EMB),
             seq.alias(M.SEQ),
         )
+
+    def _before_mutation(self) -> None:
+        """Truncate pending mutation lineage (see module note) BEFORE
+        stacking another level: coalesce caps the partition fan-out (each
+        upsert unions 3 branches whose broadcast joins preserve child
+        partitioning — partitions would multiply ~3x per batch), then an
+        eager localCheckpoint collapses the logical plan to one LogicalRDD
+        so plan analysis stays O(1) per batch. Deferred to the NEXT
+        mutation so the common one-shot flow (index once, then dump/search)
+        pays no extra materialization."""
+        if not getattr(self, "_dirty", False):
+            return
+        self._dirty = False
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self._vectors = self._vectors.coalesce(n).localCheckpoint(eager=True)
+        if self._docstore is not None:
+            self._docstore = self._docstore.coalesce(n).localCheckpoint(eager=True)
 
     # -- endpoints -------------------------------------------------------
 
@@ -132,6 +160,7 @@ class U1MIndexerSpark:
         internal id, new ids get dense arrival-order ids. traversal_paths
         (executor.py:138): 'c' indexes the chunk level of each document."""
         docs = traverse.traverse_flat(docs, traversal_paths, id_col=id_col)
+        self._before_mutation()
         batch = self._as_batch(docs, id_col, vec_col)
         self._vectors = M.upsert(self._vectors, batch).select(M.ID, M.IID, M.EMB)
         payload = docs.withColumnRenamed(id_col, M.ID).drop(vec_col)
@@ -140,6 +169,7 @@ class U1MIndexerSpark:
         else:
             keep = self._docstore.join(payload.select(M.ID), on=M.ID, how="left_anti")
             self._docstore = keep.unionByName(payload, allowMissingColumns=True)
+        self._dirty = True
 
     def update(
         self,
@@ -161,9 +191,11 @@ class U1MIndexerSpark:
         store: payload changes go through index(). We treat the reference
         behavior as a bug rather than semantics to reproduce."""
         docs = traverse.traverse_flat(docs, traversal_paths, id_col=id_col)
+        self._before_mutation()
         batch = self._as_batch(docs, id_col, vec_col)
         skipped = M.skipped_updates(self._vectors, batch)
         self._vectors = M.update_existing(self._vectors, batch).select(M.ID, M.IID, M.EMB)
+        self._dirty = True
         return skipped
 
     def delete(self, ids: DataFrame | Sequence[int]) -> None:
@@ -175,6 +207,7 @@ class U1MIndexerSpark:
             if isinstance(ids, DataFrame)
             else self.spark.createDataFrame([(int(i),) for i in ids], f"{M.ID} long")
         )
+        self._before_mutation()
         # one semi-join count (ids actually present) instead of before/after
         # full counts — a single job against the state table
         n_hit = self._vectors.join(
@@ -186,6 +219,7 @@ class U1MIndexerSpark:
             self._docstore = self._docstore.join(
                 F.broadcast(ids_df.select(M.ID)), on=M.ID, how="left_anti"
             )
+        self._dirty = True
 
     def dump(self) -> None:
         """Snapshot state to the workspace (executor.py:227-236)."""
@@ -200,6 +234,7 @@ class U1MIndexerSpark:
         self._vectors = self._empty_vectors()
         self._docstore = None
         self._tombstones = 0
+        self._dirty = False
 
     def status(self) -> dict[str, int]:
         """Counts (executor.py:246-257): count_indexed includes tombstoned

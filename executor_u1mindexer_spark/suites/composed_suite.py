@@ -67,6 +67,7 @@ QUERIES = {
 # oracle fragments reused from the per-operator suites
 from executor_u1mindexer_spark.suites.text_suite import _QUALITY  # noqa: E402
 from executor_u1mindexer_spark.suites.pipeline_suite import _BUCKET  # noqa: E402
+from executor_u1mindexer_spark.suites.dedup_suite import _EBUCKETS, _ECOS  # noqa: E402
 
 _LANGS_SQL = "('en', 'de')"
 
@@ -95,17 +96,27 @@ SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
        sum(chunk_words) AS sum_chunk_words
 FROM c GROUP BY lang ORDER BY lang
 """,
+    # the dedup stage mirrors the banded sign-LSH candidate generation of
+    # dedup_suite.near_dedup_embedding_cosine (same plane literals), then
+    # confirms candidates with the exact cosine — identical to the Spark op
     "vector_dedup_quantize": f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+), eb AS (
+  SELECT vec_id, label, [{_EBUCKETS}] AS bks FROM e
+), banded AS (
+  SELECT vec_id, label, r.range AS band_idx, bks[r.range + 1] AS bkt
+  FROM eb, range({D.EMB_BANDS}) r
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.label = r.label AND l.band_idx = r.band_idx AND l.bkt = r.bkt
+   AND l.vec_id < r.vec_id
 ), pairs AS (
-  SELECT b.vec_id AS dup_id
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE 1.0 - list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y)
-            / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2]), (s,y) -> s+y))
-             * sqrt(list_reduce(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2]), (s,y) -> s+y)))
-        <= {COS_DUP}
+  SELECT c.id_b AS dup_id
+  FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+  WHERE {_ECOS} <= {COS_DUP}
 ), kept AS (
   SELECT * FROM e WHERE vec_id NOT IN (SELECT DISTINCT dup_id FROM pairs)
 ), s AS (

@@ -151,6 +151,27 @@ def test_traversal_paths_chunk_level_index_and_search(spark, tmp_path):
     assert eng.status()["count_active"] == 4
 
 
+def test_many_batches_checkpoint_bounds_plan_growth(spark, tmp_path):
+    """Each index() embeds the previous state's logical plan ~16 times; the
+    per-mutation checkpoint must keep plan size AND per-batch latency O(1)
+    over many batches (un-truncated, 20 batches would be a ~16^20-node plan)
+    while results stay exact."""
+    eng = U1MIndexerSpark(spark, dim=4, workspace=str(tmp_path))
+    for b in range(20):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, [float(b), float(i), 1.0, 0.0]) for i in range(10)],
+            "doc_id long, embedding array<double>",
+        )
+        eng.index(docs)
+    assert eng.status()["count_active"] == 200
+    plan_lines = (
+        eng._vectors._jdf.queryExecution().analyzed().numberedTreeString().count("\n")
+    )
+    # truncation defers to the next mutation, so at most ONE un-truncated
+    # level (~113 lines) may remain — never the stacked ~16^20 plan
+    assert plan_lines < 150, plan_lines
+
+
 def test_clear_empties(spark, engine):
     engine.clear()
     st = engine.status()
