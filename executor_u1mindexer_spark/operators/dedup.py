@@ -382,6 +382,44 @@ def simhash_near_pairs(
     )
 
 
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination — the standard LLM-training hygiene step:
+    a training doc is contaminated if it shares at least one word n-gram
+    with ANY benchmark doc. Returns (id, n_shared_shingles) for the
+    contaminated docs.
+
+    Plan shape: the benchmark shingle set is small by definition (eval sets
+    are thousands of docs, not billions) — distinct hashed shingles
+    broadcast, so the TRAINING corpus never shuffles: explode + broadcast
+    hash join + partial-aggregated count, all codegen."""
+    t = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(T.word_shingles(F.col(text_col), n_shingle), T.hash32)
+        ).alias("h"),
+    )
+    b = (
+        bench.select(
+            F.explode(
+                F.transform(T.word_shingles(F.col(text_col), n_shingle), T.hash32)
+            ).alias("h")
+        )
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(b), on="h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .select(F.col("id").alias(id_col), "n_shared_shingles")
+    )
+
+
 # Banded sign-LSH for embedding near-dup: EMB_BANDS hash tables of
 # EMB_ROWS_PER_BAND fixed hyperplanes each (seeded — NOT query-time
 # randomness; dim matches the fixture embedding tables). A pair is a

@@ -3,7 +3,9 @@
 The reference's persistence is index.bin + ids.json + a memmap dir
 (executor.py:51-62, 233-236); the Spark engine's state is format-agnostic
 tables. Parquet is the primary format (columnar, predicate pushdown,
-column pruning); CSV/JSON are supported for interchange.
+column pruning); ORC is the second columnar option (same pushdown/pruning
+machinery, built into vanilla Spark); CSV/JSON are supported for
+interchange.
 """
 
 from __future__ import annotations
@@ -12,7 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def read_table(

@@ -51,6 +51,18 @@ def source_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan with a pushed filter — the second columnar format
+    (same predicate-pushdown/column-pruning machinery as parquet)."""
+    supplier = tables.load(spark, sf_dir, "supplier")
+    path = os.path.join(IO_DIR, os.path.basename(sf_dir.rstrip("/")), "supplier_orc")
+    sources.write_table(supplier, path, fmt="orc")
+    back = sources.read_table(spark, path, fmt="orc").filter(F.col("s_acctbal") > 0)
+    return back.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").orderBy(
+        "s_suppkey"
+    )
+
+
 def traverse_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'c'-path traversal: explode the synthesized two-chunk split."""
     docs = traverse.with_chunks(tables.load(spark, sf_dir, "documents"))
@@ -67,12 +79,17 @@ QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_json_roundtrip": source_json_roundtrip,
     "source_partitioned_parquet": source_partitioned_parquet,
+    "source_orc_roundtrip": source_orc_roundtrip,
     "traverse_chunks": traverse_chunks,
 }
 
 ORACLES = {
     "source_csv_roundtrip": "SELECT * FROM nation ORDER BY n_nationkey",
     "source_json_roundtrip": "SELECT * FROM region ORDER BY r_regionkey",
+    "source_orc_roundtrip": """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+WHERE s_acctbal > 0 ORDER BY s_suppkey
+""",
     "source_partitioned_parquet": """
 SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
 FROM documents WHERE lang = 'en' GROUP BY lang

@@ -76,12 +76,45 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 lowercased whitespace tokens by frequency
+    (token asc tie-break). The heavy-shuffle corpus op done right: explode →
+    hash aggregate with map-side partial counts → TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(T.words(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+BENCH_MOD = 97  # benchmark set := every 97th doc (deterministic holdout)
+
+
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: training docs sharing ≥1 word 4-gram with the
+    held-out benchmark set (operators/dedup.benchmark_contamination).
+    4-grams are the fixture's sweet spot: 3-grams flag a third of the
+    corpus (word-soup base rate), 5-grams flag almost nothing; real
+    pipelines tune exactly this knob against their corpus."""
+    from executor_u1mindexer_spark.operators import dedup as D
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % BENCH_MOD == 0)
+    train = d.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return D.benchmark_contamination(train, bench, n_shingle=4)
+
+
 QUERIES = {
     "text_token_counts": text_token_counts,
     "text_quality_scores": text_quality_scores,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
     "text_corpus_stats": text_corpus_stats,
+    "text_vocab_topk": text_vocab_topk,
+    "text_benchmark_contamination": text_benchmark_contamination,
 }
 
 _WORDS = "str_split_regex(text, '\\s+')"
@@ -163,5 +196,33 @@ SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
        round(sum(n_chars)::DOUBLE / count(*), 9) AS avg_chars
 FROM documents GROUP BY lang, source
+""",
+    "text_vocab_topk": f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(str_split_regex(lower(text), '\\s+')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+""",
+    # 4-gram shingles, mirroring functions/text.word_shingles(n=4):
+    # short docs (< 4 words) collapse to one whole-text shingle
+    "text_benchmark_contamination": f"""
+WITH t AS (
+  SELECT doc_id, str_split_regex(text, '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN len(toks) >= 4
+                THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                       i -> array_to_string(toks[i : i + 3], ' ')))
+                ELSE [array_to_string(toks, ' ')] END,
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+  FROM t
+), bench AS (
+  SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % {BENCH_MOD} = 0
+), train AS (
+  SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % {BENCH_MOD} != 0
+)
+SELECT train.doc_id, count(*) AS n_shared_shingles
+FROM train JOIN bench ON train.h = bench.h
+GROUP BY train.doc_id
 """,
 }
