@@ -46,6 +46,20 @@ _A = [((1103515245 * (i + 1) + 12345) % 1048576) | 1 for i in range(N_HASHES)]
 _B = [(69069 * (i + 1) + 1) % 1048576 for i in range(N_HASHES)]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow-partitioned input out to the session's parallelism.
+
+    A small parquet file arrives as ONE scan partition, which serializes
+    the expensive per-doc work (shingle hashing, Arrow kernels) into a
+    single task — measured 6.8 s of a 6.9 s sf0.1 jaccard run in one core.
+    At real scale inputs already carry >= cores partitions and this is a
+    no-op (getNumPartitions inspects the plan, no job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def content_hash(text_col: Column | str) -> Column:
     """Exact-dedup key: md5 of the raw text (cheap, oracle-identical)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -137,7 +151,7 @@ def minhash_signatures_arrow(
                 shs.append(list(shingles))
             yield pd.DataFrame({"id": ids, "sig": sigs, "sh": shs})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         kernel, schema="id long, sig array<long>, sh array<string>"
     )
 
@@ -187,7 +201,8 @@ def minhash_lsh_pairs(
         sig_df = both.select("id", "sig")
         shingled = both.select("id", "sh")
     else:
-        shingled = df.select(
+        spread = _spread(df.select(id_col, text_col))
+        shingled = spread.select(
             F.col(id_col).alias("id"),
             T.word_shingles(F.col(text_col), n_shingle).alias("sh"),
         )
@@ -195,7 +210,7 @@ def minhash_lsh_pairs(
         # aggregate is computed exactly once per row and only the (id,
         # 32-long) signature rides the exchange — downstream band/bucket
         # logic reuses the physical column instead of re-evaluating the fold.
-        sig_df = df.select(
+        sig_df = spread.select(
             F.col(id_col).alias("id"),
             minhash_signature(text_col, n_shingle).alias("sig"),
         ).repartition(F.col("id"))
@@ -258,11 +273,18 @@ def ngram_jaccard_pairs(
     # measured at 164s @sf0.1; this runs in a few seconds). Fan-out is
     # bounded by per-shingle document frequency, and pairs sharing zero
     # shingles never materialize at all (they can't reach any threshold).
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+    proj = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+            F.col(text_col).alias("__text"),
+        )
+    )
+    base = proj.select(
+        "id",
+        "blk",
         F.array_distinct(
-            F.transform(T.word_shingles(F.col(text_col), n_shingle), T.hash32)
+            F.transform(T.word_shingles(F.col("__text"), n_shingle), T.hash32)
         ).alias("sh"),
     ).withColumn("n_sh", F.size("sh")).repartition(F.col("id"))
     postings = base.select("id", "blk", "n_sh", F.explode("sh").alias("h"))
@@ -335,7 +357,9 @@ def simhash32_arrow(
                 ids.append(did)
             yield pd.DataFrame({"id": ids, "simhash": sims})
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema="id long, simhash long")
+    return _spread(df.select(id_col, text_col)).mapInPandas(
+        kernel, schema="id long, simhash long"
+    )
 
 
 def simhash_near_pairs(
@@ -398,14 +422,15 @@ def benchmark_contamination(
     are thousands of docs, not billions) — distinct hashed shingles
     broadcast, so the TRAINING corpus never shuffles: explode + broadcast
     hash join + partial-aggregated count, all codegen."""
-    t = train.select(
+    t = _spread(train.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(T.word_shingles(F.col(text_col), n_shingle), T.hash32)
         ).alias("h"),
     )
     b = (
-        bench.select(
+        _spread(bench.select(text_col))
+        .select(
             F.explode(
                 F.transform(T.word_shingles(F.col(text_col), n_shingle), T.hash32)
             ).alias("h")
@@ -467,10 +492,12 @@ def embedding_near_dup_pairs(
     standard trade for bounded cost; the oracle mirrors the exact same
     bucketing so the check is bit-deterministic.
     """
-    base = emb.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-        V.as_double_array(vec_col).alias("v"),
+    base = _spread(
+        emb.select(
+            F.col(id_col).alias("id"),
+            *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+            V.as_double_array(vec_col).alias("v"),
+        )
     ).withColumn("n", V.norm(F.col("v")))  # norm once per row, not per pair
     buckets_arr = F.array(*[_sign_band_bucket(F.col("v"), band) for band in EMB_PLANES])
     banded = base.select(
