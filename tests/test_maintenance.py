@@ -23,6 +23,26 @@ def _batch(spark, rows):
     return spark.createDataFrame(rows, f"{M.ID} long, {M.EMB} array<double>, {M.SEQ} long")
 
 
+def test_dense_rank_by_matches_global_sort_order(spark):
+    """The partition-offset rank scheme must equal row_number-by-key minus 1
+    regardless of input partitioning (shuffled input, many partitions)."""
+    import random
+
+    keys = list(range(0, 2000, 3))
+    random.Random(7).shuffle(keys)
+    df = spark.createDataFrame([(k, k * 2) for k in keys], "k long, payload long").repartition(16)
+    out = {r.k: (r.rank, r.payload) for r in M.dense_rank_by(df, "k", "rank").collect()}
+    for pos, k in enumerate(sorted(keys)):
+        assert out[k] == (pos, k * 2)
+
+
+def test_dense_rank_by_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "k long")
+    assert M.dense_rank_by(empty, "k", "rank").count() == 0
+    one = spark.createDataFrame([(42,)], "k long")
+    assert M.dense_rank_by(one, "k", "rank").collect()[0].rank == 0
+
+
 def test_upsert_keeps_internal_id_and_assigns_dense_new_ids(spark, state):
     batch = _batch(
         spark,
