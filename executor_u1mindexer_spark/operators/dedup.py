@@ -286,8 +286,16 @@ def ngram_jaccard_pairs(
         F.array_distinct(
             F.transform(T.word_shingles(F.col("__text"), n_shingle), T.hash32)
         ).alias("sh"),
-    ).withColumn("n_sh", F.size("sh")).repartition(F.col("id"))
-    postings = base.select("id", "blk", "n_sh", F.explode("sh").alias("h"))
+    ).withColumn("n_sh", F.size("sh"))
+    # persist = the self-join's sharing point: exchange reuse does NOT fire
+    # across join aliases (alias resolution re-ids the subtrees), so without
+    # it BOTH sides recompute scan+shingle+hash+explode — measured ~2x the
+    # whole pipeline. Same pattern as the minhash arrow path above.
+    postings = (
+        base.select("id", "blk", "n_sh", F.explode("sh").alias("h"))
+        .repartition(F.col("blk"), F.col("h"))
+        .persist()
+    )
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(
