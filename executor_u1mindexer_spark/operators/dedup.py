@@ -381,8 +381,14 @@ def simhash_near_pairs(
     chunks (4 x 8-bit bands => any pair within hamming distance 3 shares at
     least one exact band — pigeonhole), then exact hamming filter."""
     # Arrow signature kernel (value-identical to simhash32, ~10x the
-    # interpreted fold) behind a barrier so both self-join branches reuse it
-    sim = simhash32_arrow(df, id_col=id_col, text_col=text_col).repartition(F.col("id"))
+    # interpreted fold), persisted so both self-join branches truly reuse it
+    # (exchange reuse does not fire across join aliases — see the postings
+    # persist in ngram_jaccard_pairs)
+    sim = (
+        simhash32_arrow(df, id_col=id_col, text_col=text_col)
+        .repartition(F.col("id"))
+        .persist()
+    )
     n_bands = 32 // prefix_bits
     bands = F.array(
         *[
