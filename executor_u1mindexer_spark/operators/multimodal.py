@@ -52,7 +52,11 @@ def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str 
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(extract, schema=BINARY_META_SCHEMA)
+    from executor_u1mindexer_spark.operators.dedup import _spread
+
+    return _spread(df.select(id_col, bin_col)).mapInPandas(
+        extract, schema=BINARY_META_SCHEMA
+    )
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
@@ -185,7 +189,11 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 ids.append(did)
             yield pd.DataFrame({id_col: ids, "img": payloads})
 
-    return docs.select(id_col).mapInPandas(gen, schema=f"{id_col} long, img binary")
+    from executor_u1mindexer_spark.operators.dedup import _spread
+
+    return _spread(docs.select(id_col)).mapInPandas(
+        gen, schema=f"{id_col} long, img binary"
+    )
 
 
 DECODED_META_SCHEMA = "doc_id long, format string, width int, height int, pixel_sum long"

@@ -30,8 +30,19 @@ NEW_ID_OFFSET = 100_000
 DUP_SEQ_OFFSET = 1_000_000
 
 
+# One ranked state per (session, fixture): every maintenance query derives
+# from the same fixture state, and a real deployment loads its index once —
+# re-running the dense-rank pipeline per query is pure fixture overhead.
+_STATE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.index_state(tables.load(spark, sf_dir, "embeddings"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STATE_CACHE:
+        _STATE_CACHE[key] = M.index_state(
+            tables.load(spark, sf_dir, "embeddings")
+        ).persist()
+    return _STATE_CACHE[key]
 
 
 def _batch(spark: SparkSession, sf_dir: str) -> DataFrame:

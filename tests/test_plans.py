@@ -85,6 +85,9 @@ def test_dense_id_ingest_has_no_single_partition_window(spark, sf_dir):
         (F.col(M.ID) + 100000).alias(M.ID), F.col(M.EMB), F.col(M.ID).alias(M.SEQ)
     )
     assert not plans.window_over_single_partition(M.upsert(state, batch))
+
+
+def test_codegen_present_in_agg_plan(spark, sf_dir):
     # AQE defers codegen until stage execution; disable it to inspect the
     # statically-compiled plan (production runs keep AQE on).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -95,3 +98,35 @@ def test_dense_id_ingest_has_no_single_partition_window(spark, sf_dir):
         assert plans.codegen_stage_count(knn) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_vocab_topk_plans_partial_agg_and_take_ordered(spark, sf_dir):
+    from executor_u1mindexer_spark.suites import text_suite as TS
+
+    df = TS.text_vocab_topk(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan  # never a global sort for top-k
+    assert plan.count("HashAggregate") >= 2  # map-side partial counts
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set is small by definition — the training
+    corpus must never shuffle for the membership join."""
+    from executor_u1mindexer_spark.suites import text_suite as TS
+
+    df = TS.text_benchmark_contamination(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_jaccard_has_no_cartesian_product(spark, sf_dir):
+    """The inverted-index jaccard must stay an equi join on (block, shingle)
+    — a cartesian/BNLJ here is the O(n²) shape the design exists to avoid."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import dedup as D
+
+    df = D.ngram_jaccard_pairs(tables.load(spark, sf_dir, "documents"), block_col="lang")
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
