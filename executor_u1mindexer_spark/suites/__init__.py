@@ -99,9 +99,12 @@ DRIVER_PRIORITY = (
     # new oracle this round (was rows-only)
     "agg_approx_distinct",
     # dense-id ranking re-implemented this round — keep under the driver
+    # (status_counts shares the same path; if these two are green it is too)
     "index_upsert",
     "update_existing",
-    "status_counts",
+    # new text/pipeline queries this round
+    "text_vocab_topk",
+    "text_benchmark_contamination",
 )
 
 
