@@ -131,6 +131,43 @@ def asof_join_last_before(
     return out
 
 
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time each stage was
+    reached STRICTLY AFTER the previous stage (view → click → purchase
+    style). Returns one row per user who completed stage 1, with a nullable
+    reach-time per later stage.
+
+    Plan shape: each stage is a groupBy(user) min-aggregate over that
+    stage's filtered events, joined against the previous reached-set. The
+    reached-set shrinks monotonically down the funnel (it is per-user, not
+    per-event), so Catalyst broadcasts it against the next stage's events —
+    each stage costs one shuffle of its own filtered events and the big
+    events table is never joined against itself."""
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    reached = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("stage_1_ts"))
+    )
+    for i, stage in enumerate(stages[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .join(reached.select(user_col, f"stage_{i-1}_ts"), on=user_col)
+            .filter(F.col(ts_col) > F.col(f"stage_{i-1}_ts"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"stage_{i}_ts"))
+        )
+        reached = reached.join(nxt, on=user_col, how="left")
+    return reached
+
+
 def json_get_int(col: Column | str, path: str) -> Column:
     """get_json_object + int cast (the events.props '{"k": N}' shape)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -90,6 +90,19 @@ def events_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after their
+    first view, then purchased strictly after that first qualifying click
+    (operators/events.funnel_stages)."""
+    ev = tables.load(spark, sf_dir, "events")
+    f = E.funnel_stages(ev, ["view", "click", "purchase"])
+    return f.agg(
+        F.count("stage_1_ts").alias("n_viewed"),
+        F.count("stage_2_ts").alias("n_clicked_after_view"),
+        F.count("stage_3_ts").alias("n_purchased_after_click"),
+    )
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
@@ -97,6 +110,7 @@ QUERIES = {
     "events_asof_purchase_last_view": events_asof_purchase_last_view,
     "events_json_extract": events_json_extract,
     "events_pivot_daily_types": events_pivot_daily_types,
+    "events_funnel_view_click_purchase": events_funnel_view_click_purchase,
 }
 
 ORACLES = {
@@ -159,5 +173,21 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        count(*) FILTER (WHERE event_type = 'signup') AS signup,
        count(*) FILTER (WHERE event_type = 'view') AS view
 FROM events GROUP BY 1 ORDER BY 1
+""",
+    "events_funnel_view_click_purchase": """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
 """,
 }

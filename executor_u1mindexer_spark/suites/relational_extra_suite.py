@@ -262,8 +262,20 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_listagg_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted string aggregation per group (LISTAGG): top-balance customer
+    names per nation, sorted — collect_list is unordered by contract, so
+    array_sort makes the result deterministic in both engines."""
+    cust = tables.load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rich"),
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("rich_names"),
+    )
+
+
 QUERIES = {
     "join_full_outer_segments": join_full_outer_segments,
+    "agg_listagg_names": agg_listagg_names,
     "window_range_frame": window_range_frame,
     "window_ntile_first_last": window_ntile_first_last,
     "bucketed_colocated_join": bucketed_colocated_join,
@@ -278,6 +290,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_listagg_names": """
+SELECT c_nationkey, count(*) AS n_rich,
+       string_agg(c_name, ',' ORDER BY c_name) AS rich_names
+FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+""",
     "join_full_outer_segments": """
 WITH cust AS (
   SELECT c_mktsegment, count(*) AS n_rich FROM customer
