@@ -103,6 +103,30 @@ def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted by
+    how many days after their cohort day they were active. Two shuffles on
+    user_id (first-seen agg + distinct active days), then the broadcastable
+    per-user cohort map joins back — the standard product-analytics rollup."""
+    ev = tables.load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        active.join(first, on="user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.col("active_day").cast("date"), F.col("cohort_day").cast("date")
+            ).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
@@ -111,6 +135,7 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_pivot_daily_types": events_pivot_daily_types,
     "events_funnel_view_click_purchase": events_funnel_view_click_purchase,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 
 ORACLES = {
@@ -189,5 +214,19 @@ WITH v AS (
 SELECT (SELECT count(*) FROM v) AS n_viewed,
        (SELECT count(*) FROM c) AS n_clicked_after_view,
        (SELECT count(*) FROM p) AS n_purchased_after_click
+""",
+    "events_retention_cohorts": """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS active_day
+  FROM events
+)
+SELECT cohort_day,
+       datediff('day', CAST(cohort_day AS DATE), CAST(active_day AS DATE)) AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset
 """,
 }
