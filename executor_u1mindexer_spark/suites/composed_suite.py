@@ -59,15 +59,41 @@ def vector_dedup_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_MOD = 97  # mirrors text_suite's holdout rule
+PACK_BUDGET = 5_000
+
+
+def decontaminated_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 capstone chain: drop the benchmark holdout AND every training
+    doc sharing a word 4-gram with it (decontamination), gate on quality,
+    pack each language to a char budget, account the final mixture."""
+    from executor_u1mindexer_spark.operators import dedup as D
+
+    docs = tables.load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    contam = D.benchmark_contamination(train, bench, n_shingle=4).select("doc_id")
+    clean = train.join(contam, on="doc_id", how="left_anti")
+    gated = clean.filter(T.quality_score(F.col("text")) >= QUALITY_MIN)
+    packed = P.pack_token_budget(gated, PACK_BUDGET)
+    return (
+        packed.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "llm_corpus_pipeline": llm_corpus_pipeline,
     "vector_dedup_quantize": vector_dedup_quantize,
+    "decontaminated_training_mix": decontaminated_training_mix,
 }
 
 # oracle fragments reused from the per-operator suites
 from executor_u1mindexer_spark.suites.text_suite import _QUALITY  # noqa: E402
 from executor_u1mindexer_spark.suites.pipeline_suite import _BUCKET  # noqa: E402
 from executor_u1mindexer_spark.suites.dedup_suite import _EBUCKETS, _ECOS  # noqa: E402
+from executor_u1mindexer_spark.suites.text_suite import _SHINGLE4_HS  # noqa: E402
 
 _LANGS_SQL = "('en', 'de')"
 
@@ -130,5 +156,31 @@ WITH e AS (
 SELECT count(*) AS n_vectors, sum(q_checksum) AS sum_checksums,
        sum(CAST(round(scale * 1e9, 0) AS BIGINT)) AS sum_scale_nano
 FROM q
+""",
+    "decontaminated_training_mix": f"""
+WITH t AS (
+  SELECT doc_id, str_split_regex(text, '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLE4_HS} AS hs FROM t
+), bench AS (
+  SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % {BENCH_MOD} = 0
+), train_h AS (
+  SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % {BENCH_MOD} != 0
+), contam AS (
+  SELECT DISTINCT train_h.doc_id FROM train_h JOIN bench ON train_h.h = bench.h
+), clean AS (
+  SELECT d.lang, d.doc_id, d.n_chars FROM documents d
+  WHERE d.doc_id % {BENCH_MOD} != 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    AND ({_QUALITY}) >= {QUALITY_MIN}
+), c AS (
+  SELECT lang, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_cost
+  FROM clean
+)
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM c WHERE cum_cost <= {PACK_BUDGET}
+GROUP BY lang ORDER BY lang
 """,
 }

@@ -121,6 +121,17 @@ _WORDS = "str_split_regex(text, '\\s+')"
 _BPE = r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
 _H32W = "CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)"
 
+# hashed distinct word 4-grams over a `toks` list column (the SQL twin of
+# functions/text.word_shingles(n=4) + hash32) — shared with composed_suite
+_SHINGLE4_HS = """
+list_transform(
+  CASE WHEN len(toks) >= 4
+       THEN list_distinct(list_transform(range(1, len(toks) - 2),
+              i -> array_to_string(toks[i : i + 3], ' ')))
+       ELSE [array_to_string(toks, ' ')] END,
+  s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))
+"""
+
 _PUNCT_RATIO = (
     r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE"
     " / greatest(length(text), 1)::DOUBLE"
@@ -204,18 +215,13 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
 """,
     # 4-gram shingles, mirroring functions/text.word_shingles(n=4):
     # short docs (< 4 words) collapse to one whole-text shingle
+    # 4-gram shingles, mirroring functions/text.word_shingles(n=4):
+    # short docs (< 4 words) collapse to one whole-text shingle
     "text_benchmark_contamination": f"""
 WITH t AS (
   SELECT doc_id, str_split_regex(text, '\\s+') AS toks FROM documents
 ), sh AS (
-  SELECT doc_id,
-         list_transform(
-           CASE WHEN len(toks) >= 4
-                THEN list_distinct(list_transform(range(1, len(toks) - 2),
-                       i -> array_to_string(toks[i : i + 3], ' ')))
-                ELSE [array_to_string(toks, ' ')] END,
-           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
-  FROM t
+  SELECT doc_id, {_SHINGLE4_HS} AS hs FROM t
 ), bench AS (
   SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % {BENCH_MOD} = 0
 ), train AS (
