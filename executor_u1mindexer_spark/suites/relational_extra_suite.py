@@ -262,6 +262,23 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / percent_rank over supplier balances per nation — the two
+    distribution window functions not covered elsewhere."""
+    from pyspark.sql import Window
+
+    supp = tables.load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.cume_dist().over(w), 9).alias("bal_cume_dist"),
+        F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
+    )
+
+
 def agg_listagg_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted string aggregation per group (LISTAGG): top-balance customer
     names per nation, sorted — collect_list is unordered by contract, so
@@ -276,6 +293,7 @@ def agg_listagg_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "join_full_outer_segments": join_full_outer_segments,
     "agg_listagg_names": agg_listagg_names,
+    "window_cume_dist_percent_rank": window_cume_dist_percent_rank,
     "window_range_frame": window_range_frame,
     "window_ntile_first_last": window_ntile_first_last,
     "bucketed_colocated_join": bucketed_colocated_join,
@@ -290,6 +308,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_cume_dist_percent_rank": """
+SELECT s_nationkey, s_suppkey,
+       round(cume_dist() OVER w, 9) AS bal_cume_dist,
+       round(percent_rank() OVER w, 9) AS bal_pct_rank
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+""",
     "agg_listagg_names": """
 SELECT c_nationkey, count(*) AS n_rich,
        string_agg(c_name, ',' ORDER BY c_name) AS rich_names

@@ -90,6 +90,20 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct character 4-gram counts per doc (functions/text.char_ngrams
+    — the language-ID / fuzzy-similarity primitive) plus the uniqueness
+    ratio against the maximum possible n-gram count."""
+    d = _docs(spark, sf_dir)
+    n4 = F.size(T.char_ngrams(F.col("text"), 4))
+    denom = F.greatest(F.length("text") - 3, F.lit(1))
+    return d.select(
+        "doc_id",
+        n4.alias("n_char4_distinct"),
+        F.round(n4.cast("double") / denom.cast("double"), 9).alias("char4_uniqueness"),
+    )
+
+
 BENCH_MOD = 97  # benchmark set := every 97th doc (deterministic holdout)
 
 
@@ -115,6 +129,7 @@ QUERIES = {
     "text_corpus_stats": text_corpus_stats,
     "text_vocab_topk": text_vocab_topk,
     "text_benchmark_contamination": text_benchmark_contamination,
+    "text_char_ngram_stats": text_char_ngram_stats,
 }
 
 _WORDS = "str_split_regex(text, '\\s+')"
@@ -212,6 +227,19 @@ FROM documents GROUP BY lang, source
 SELECT token, count(*) AS n
 FROM (SELECT unnest(str_split_regex(lower(text), '\\s+')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+""",
+    "text_char_ngram_stats": """
+WITH g AS (
+  SELECT doc_id,
+         len(list_distinct(list_transform(
+               range(1, greatest(length(text) - 3, 1) + 1),
+               i -> substr(text, i, 4)))) AS n4,
+         greatest(length(text) - 3, 1) AS denom
+  FROM documents
+)
+SELECT doc_id, n4 AS n_char4_distinct,
+       round(n4::DOUBLE / denom::DOUBLE, 9) AS char4_uniqueness
+FROM g
 """,
     # 4-gram shingles, mirroring functions/text.word_shingles(n=4):
     # short docs (< 4 words) collapse to one whole-text shingle
