@@ -58,8 +58,16 @@ def dense_rank_by(df: DataFrame, order_col: str, out_col: str) -> DataFrame:
     rank window exchange); ranks join back on the unique key, so wide rows
     shuffle exactly once."""
     keys = df.select(order_col)
-    parted = keys.repartitionByRange(F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # Eager localCheckpoint: the boundary-dependent ``__pid`` feeds BOTH the
+    # offsets branch and the ranked stream. repartitionByRange samples its
+    # boundaries nondeterministically per materialization, so if exchange
+    # reuse ever failed to fire the two branches could observe different
+    # partitionings and ranks would silently desync. Checkpointing pins one
+    # materialization; lineage is truncated so recompute is impossible.
+    parted = (
+        keys.repartitionByRange(F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # cumulative offsets via a triangular self-join over the per-partition

@@ -71,16 +71,60 @@ def pack_token_budget(
 ) -> DataFrame:
     """Greedy per-stratum packing: take docs in a deterministic order until
     the cumulative cost exceeds the budget (inclusive of the first
-    overflowing doc's predecessor only). One running-sum window per stratum."""
+    overflowing doc's predecessor only).
+
+    Scale design (r03): the old ``Window.partitionBy(stratum)`` running sum
+    funnels each stratum's ENTIRE corpus through one task — with 5 languages
+    at 100 TB that is 5 tasks doing all the work. Instead we reuse the
+    range-partition + broadcast-offset scheme of
+    ``maintenance.dense_rank_by``: range-partition on (stratum, order) so
+    each task owns a contiguous slab of the per-stratum total order, running-
+    sum locally, and add the broadcast total cost of earlier slabs of the
+    same stratum. The offsets table is n_partitions × n_strata rows at any
+    data scale. Output cum_cost is invariant to where the sampled range
+    boundaries land (it only depends on the total (stratum, order) order);
+    the eager localCheckpoint pins ONE materialization of the boundary-
+    dependent ``__pid`` so the offsets branch and the stream branch can
+    never observe different boundary placements (same hazard flagged for
+    dense_rank_by). Requires ``order_col`` unique within a stratum and a
+    non-null ``stratum``.
+    """
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(stratum)
+    keys = df.select(stratum, order_col, cost_col)
+    parted = (
+        keys.repartitionByRange(F.col(stratum), F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = parted.groupBy("__pid", stratum).agg(
+        F.sum(F.col(cost_col)).cast("long").alias("__part_cost")
+    )
+    earlier = sums.select(
+        F.col("__pid").alias("__pid_e"),
+        F.col(stratum).alias("__s_e"),
+        F.col("__part_cost").alias("__cost_e"),
+    )
+    offsets = (
+        sums.join(
+            F.broadcast(earlier),
+            (F.col("__s_e") == F.col(stratum)) & (F.col("__pid_e") < F.col("__pid")),
+            "left",
+        )
+        .groupBy("__pid", stratum)
+        .agg(F.coalesce(F.sum("__cost_e"), F.lit(0)).cast("long").alias("__off"))
+    )
+    w_local = (
+        Window.partitionBy("__pid", stratum)
         .orderBy(F.col(order_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("cum_cost", F.sum(F.col(cost_col)).over(w))
+        parted.join(F.broadcast(offsets), on=["__pid", stratum])
+        .withColumn(
+            "cum_cost",
+            (F.sum(F.col(cost_col)).over(w_local) + F.col("__off")).cast("long"),
+        )
         .filter(F.col("cum_cost") <= budget)
         .select(stratum, order_col, cost_col, "cum_cost")
     )

@@ -34,77 +34,76 @@ SUITE_MODULES = (
 )
 
 # The grading driver checks only the FIRST 50 registry entries, so ordering
-# is evidence policy: queries listed here come first (in this order), the
-# rest follow in suite order. Round 2 front-loads (a) the 30 LLM-pipeline
-# queries that had no driver correctness row in r01, and (b) every query
-# whose implementation or oracle changed this round (decimal→double casts,
-# dense-id ranking, dump path, approx-distinct invariant, banded LSH), so
-# the round's deltas all land inside the driver's window. Rotate in later
-# rounds so already-green rows cycle back through.
+# decides which SAMPLE of the registry gets a driver correctness row this
+# round. The driver window is a sample, NOT the verification gate: the gate
+# is `tools/oracle_check.py` (dtype-faithful since r03), which runs ALL ~90
+# registry queries against their DuckDB oracles locally every round and
+# whose result is committed as CORRECTNESS_LOCAL_r{N}.json. Rotation policy:
+# (a) queries never driver-checked come first, (b) queries whose
+# implementation or oracle changed this round, (c) the oldest previously-
+# green rows cycle back through so every query re-earns a driver row over
+# time. Round 3 front-loads the 7 never-checked queries, the 6 HUGEINT-sum
+# oracle fixes, the operators reworked this round (pack/dense-id/simhash/
+# partitioned-ANN), and 31 of the 33 queries last checked in r01.
 DRIVER_PRIORITY = (
-    # dedup family (r01: driver-unchecked; embedding_cosine reworked to LSH)
-    "exact_dedup_text",
-    "near_dedup_minhash_lsh",
-    "near_dedup_ngram_jaccard",
-    "simhash_fingerprints",
-    "near_dedup_simhash",
-    "near_dedup_embedding_cosine",
-    # text analysis (driver-unchecked in r01)
-    "text_token_counts",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprints",
+    # never driver-checked (added late in r02 after the window filled)
+    "agg_listagg_names",
+    "window_cume_dist_percent_rank",
+    "events_funnel_view_click_purchase",
+    "events_retention_cohorts",
+    "text_char_ngram_stats",
+    "source_orc_roundtrip",
+    "decontaminated_training_mix",
+    # r02 hash-fails fixed this round (CAST(sum(...) AS BIGINT) in oracles)
     "text_corpus_stats",
-    # multimodal (driver-unchecked in r01; decode query new this round)
-    "multimodal_join",
-    "multimodal_binary_metadata",
-    "multimodal_decode_image",
-    # similarity scale paths (driver-unchecked in r01)
-    "ann_cosine_topk_join",
-    "ann_kmeans_ivf_topk",
-    "ann_ivf_label_topk",
-    "ann_lsh_hyperplane_topk",
-    "ann_partitioned_topk",
-    # sources + traversal (driver-unchecked in r01)
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
     "source_partitioned_parquet",
-    "traverse_chunks",
-    # training-data pipeline ops (driver-unchecked in r01)
-    "sample_hash_fraction",
-    "sample_stratified_by_lang",
-    "mixture_weighted_sources",
     "pack_token_budget",
-    "chunk_sliding_window",
-    "embedding_quantize_int8",
-    # composed end-to-end chains (driver-unchecked in r01)
     "llm_corpus_pipeline",
     "vector_dedup_quantize",
-    # r01 hash-fails fixed this round (decimal→double)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "join_broadcast_dim",
-    "rollup_returnflag_linestatus",
-    "cube_orderstatus_priority",
-    "window_running_sum",
-    "grouping_sets_orders",
-    "window_range_frame",
-    "bucketed_colocated_join",
-    "skew_salted_join",
-    "events_tumbling_hourly",
-    "events_sessionize",
-    # r01 flake fixed (unique dump path + floor micro-units)
     "dump_load_roundtrip",
-    # new oracle this round (was rows-only)
-    "agg_approx_distinct",
-    # dense-id ranking re-implemented this round — keep under the driver
-    # (status_counts shares the same path; if these two are green it is too)
+    # implementation reworked this round — keep under the driver:
+    # pack_token_budget (above) + dense-id localCheckpoint path, simhash
+    # bucket-group candidates, distributed partitioned-ANN query set,
+    # kmeans-IVF oracle-ification
     "index_upsert",
     "update_existing",
-    # new text/pipeline queries this round
-    "text_vocab_topk",
-    "text_benchmark_contamination",
+    "simhash_fingerprints",
+    "near_dedup_simhash",
+    "ann_partitioned_topk",
+    "ann_kmeans_ivf_topk",
+    # last checked in r01 — rotate back through the driver window
+    # (dense-id family first: shares the reworked localCheckpoint path)
+    "status_counts",
+    "update_skipped",
+    "delete_by_ids",
+    "clear",
+    "knn_search_cosine",
+    "knn_search_euclidean",
+    "knn_search_inner_product",
+    "knn_search_batch1",
+    "knn_search_batch64",
+    "limit_clamp",
+    "dim_validate",
+    "payload_fetch",
+    "score_transform_similarity",
+    "agg_stats_funcs",
+    "correlated_scalar_subquery",
+    "events_asof_purchase_last_view",
+    "events_json_extract",
+    "events_pivot_daily_types",
+    "events_range_join",
+    "join_anti_customers_without_orders",
+    "join_full_outer_segments",
+    "join_semi_customers_with_orders",
+    "map_column_ops",
+    "null_handling_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "set_ops_customer_segments",
+    "topk_orders_by_price",
+    "window_ntile_first_last",
+    "window_rank_lag_lead",
 )
 
 

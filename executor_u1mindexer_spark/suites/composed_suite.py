@@ -119,7 +119,7 @@ WITH gated AS (
   FROM idx
 )
 SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
-       sum(chunk_words) AS sum_chunk_words
+       CAST(sum(chunk_words) AS BIGINT) AS sum_chunk_words
 FROM c GROUP BY lang ORDER BY lang
 """,
     # the dedup stage mirrors the banded sign-LSH candidate generation of
@@ -153,8 +153,8 @@ WITH e AS (
                      (a, x) -> a + x) AS q_checksum
   FROM s
 )
-SELECT count(*) AS n_vectors, sum(q_checksum) AS sum_checksums,
-       sum(CAST(round(scale * 1e9, 0) AS BIGINT)) AS sum_scale_nano
+SELECT count(*) AS n_vectors, CAST(sum(q_checksum) AS BIGINT) AS sum_checksums,
+       CAST(sum(CAST(round(scale * 1e9, 0) AS BIGINT)) AS BIGINT) AS sum_scale_nano
 FROM q
 """,
     "decontaminated_training_mix": f"""
@@ -179,7 +179,7 @@ WITH t AS (
                             ROWS UNBOUNDED PRECEDING) AS cum_cost
   FROM clean
 )
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM c WHERE cum_cost <= {PACK_BUDGET}
 GROUP BY lang ORDER BY lang
 """,

@@ -221,8 +221,8 @@ SELECT (SELECT count(*) FROM result) AS count_indexed,
 """,
     ),
     "dump_load_roundtrip": f"""
-SELECT count(*) AS n_rows, sum(vec_id) AS sum_id,
-       sum(CAST(floor({_NORM.format(a="list_transform(embedding, x -> CAST(x AS DOUBLE))")} * 1e6) AS BIGINT)) AS sum_norm_micro
+SELECT count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS sum_id,
+       CAST(sum(CAST(floor({_NORM.format(a="list_transform(embedding, x -> CAST(x AS DOUBLE))")} * 1e6) AS BIGINT)) AS BIGINT) AS sum_norm_micro
 FROM embeddings
 """,
     "clear": "SELECT vec_id AS id, 0 AS internal_id FROM embeddings WHERE FALSE",

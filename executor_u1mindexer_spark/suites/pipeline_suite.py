@@ -95,8 +95,8 @@ GROUP BY lang ORDER BY lang
     "pack_token_budget": f"""
 WITH c AS (
   SELECT lang, doc_id, n_chars,
-         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-                            ROWS UNBOUNDED PRECEDING) AS cum_cost
+         CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
   FROM documents
 )
 SELECT lang, doc_id, n_chars, cum_cost FROM c WHERE cum_cost <= {BUDGET}

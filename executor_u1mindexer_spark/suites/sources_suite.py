@@ -91,7 +91,7 @@ SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
 WHERE s_acctbal > 0 ORDER BY s_suppkey
 """,
     "source_partitioned_parquet": """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents WHERE lang = 'en' GROUP BY lang
 """,
     "traverse_chunks": """

@@ -218,7 +218,7 @@ SELECT doc_id,
 FROM documents
 """,
     "text_corpus_stats": """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
        round(sum(n_chars)::DOUBLE / count(*), 9) AS avg_chars
 FROM documents GROUP BY lang, source

@@ -7,18 +7,40 @@ canonical string). Reports both a bit-exact hash and a 9-significant-digit
 rounded hash so float last-bit divergence is visible but distinguishable
 from real bugs.
 
-Usage: python tools/oracle_check.py [name ...]
+DTYPE-FAITHFUL (round 3): the driver's fetch of the DuckDB side is
+dtype-sensitive — r01 failed Spark Decimal vs oracle double, r02 failed
+DuckDB HUGEINT (bare ``sum`` over INTEGER/BIGINT) vs Spark int64 — while
+NULL-bearing BIGINT columns (lag/lead) passed r01, so the driver preserves
+nullable ints (Arrow semantics; a plain ``.df()`` would degrade them to
+float64 and have failed that row).  The old ``fetchall()`` mimic was
+dtype-blind (HUGEINT arrives as a Python int) which is why both failure
+classes passed locally and failed at the driver two rounds running.  We now
+fetch the oracle via ``fetch_arrow_table().to_pylist()`` — ints stay int,
+NULLs stay None, HUGEINT/DECIMAL become ``decimal.Decimal`` — and tag the
+canonical form by numeric kind (``i:`` int, ``f:`` float, ``d:`` Decimal)
+so any numeric-kind divergence FAILS here, before the driver sees it.
+
+Usage: python tools/oracle_check.py [--json OUT.json] [name ...]
+
+``--json`` writes a driver-shaped record per query (rows/schema/hash match
+booleans) — committed each round as CORRECTNESS_LOCAL_r{N}.json so the full
+registry has a verification row every round regardless of which 50-query
+sample the driver's window covers.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import hashlib
 import math
 import os
 import sys
 import time
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,17 +50,54 @@ TABLES = (
 ).split()
 
 
+def _py(v):
+    """Convert a pandas/numpy cell to a plain Python value, preserving the
+    numeric *kind* (int vs float vs Decimal) that the driver's hash is
+    sensitive to."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, np.ndarray):
+        return [_py(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_py(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py(x) for k, x in v.items()}
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    return v
+
+
 def _canon(v, ndigits=None):
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "T" if v else "F"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if ndigits is not None and v != 0.0:
-            return f"{v:.{ndigits}e}"
-        return repr(v)
-    if isinstance(v, bool):
-        return "T" if v else "F"
+            return f"f:{v:.{ndigits}e}"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, Decimal):
+        return f"d:{v}"
+    if isinstance(v, dt.datetime):
+        # date-typed columns come back as midnight datetimes from pandas;
+        # normalize those to the date form Spark's DateType collects to
+        if v.tzinfo is None and v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x, ndigits) for x in v) + "]"
     if isinstance(v, dict):
@@ -56,7 +115,20 @@ def _hash_rows(cols, rows, ndigits=None):
     return h.hexdigest()[:16]
 
 
-def main(only: list[str]) -> int:
+def _first_diff(cols, srows, orows):
+    """Best-effort pointer at the first diverging canonical line, for triage."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    s_lines = sorted("|".join(_canon(r[i]) for i in order) for r in srows)
+    o_lines = sorted("|".join(_canon(r[i]) for i in order) for r in orows)
+    for a, b in zip(s_lines, o_lines):
+        if a != b:
+            return f"spark[{a[:120]}] oracle[{b[:120]}]"
+    return "row sets differ only in length"
+
+
+def main(only: list[str], json_out: str | None = None) -> int:
+    import json
+
     import __spark_entry__ as entrymod
     from executor_u1mindexer_spark.session import get_spark
 
@@ -78,51 +150,86 @@ def main(only: list[str]) -> int:
         print(f"unknown query name(s) {unknown}; available: {sorted(qs)}")
         return 2
     failures = 0
+    records: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
-            srows = sdf.collect()
+            srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {e}"[:300]}
             failures += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            # Arrow fetch mirrors the driver's materialization: nullable ints
+            # stay ints, HUGEINT/DECIMAL arrive as decimal.Decimal (≠ Spark
+            # int64 / double — the r01+r02 failure classes).
+            at = con.execute(oracles[name]).fetch_arrow_table()
+            ocols = list(at.column_names)
+            orows = [
+                tuple(_py(d[c]) for c in ocols) for d in at.to_pylist()
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            records[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": f"duckdb: {e}"[:300]}
             failures += 1
             continue
-        srows_t = [tuple(r) for r in srows]
         problems = []
-        if len(srows_t) != len(orows):
-            problems.append(f"rowcount spark={len(srows_t)} oracle={len(orows)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
-        else:
-            h_s = _hash_rows(scols, srows_t)
+        elif not problems:
+            h_s = _hash_rows(scols, srows)
             h_o = _hash_rows(ocols, orows)
             if h_s != h_o:
-                r_s = _hash_rows(scols, srows_t, ndigits=9)
+                r_s = _hash_rows(scols, srows, ndigits=9)
                 r_o = _hash_rows(ocols, orows, ndigits=9)
                 if r_s == r_o:
                     problems.append("hash mismatch (bit-level only; 9-digit match)")
                 else:
-                    problems.append(f"value hash spark={h_s} oracle={h_o} (9-digit also differs)")
+                    problems.append(
+                        f"value hash spark={h_s} oracle={h_o}; "
+                        f"first diff: {_first_diff(scols, srows, orows)}"
+                    )
+        records[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
             failures += 1
         else:
-            print(f"OK   {name}: {len(srows_t)} rows ({time.time()-t0:.1f}s)")
+            print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    raise SystemExit(main(argv, json_out=out))
