@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from executor_u1mindexer_spark import cache
 from executor_u1mindexer_spark.functions import text as T
 from executor_u1mindexer_spark.functions import vector as V
 
@@ -193,11 +194,15 @@ def minhash_lsh_pairs(
     impl='catalyst' the pure-expression fold — value-identical (tested).
     """
     if impl == "arrow":
-        # one kernel pass yields signatures AND shingle sets; persist so the
-        # banding branch and the jaccard-confirm branch don't each rerun it
-        both = minhash_signatures_arrow(
-            df, id_col=id_col, text_col=text_col, n_shingle=n_shingle
-        ).persist()
+        # one kernel pass yields signatures AND shingle sets; persist (via
+        # the cache registry, so harnesses can release between queries) so
+        # the banding branch and the jaccard-confirm branch don't each
+        # rerun it
+        both = cache.pin(
+            minhash_signatures_arrow(
+                df, id_col=id_col, text_col=text_col, n_shingle=n_shingle
+            )
+        )
         sig_df = both.select("id", "sig")
         shingled = both.select("id", "sh")
     else:
@@ -291,10 +296,9 @@ def ngram_jaccard_pairs(
     # across join aliases (alias resolution re-ids the subtrees), so without
     # it BOTH sides recompute scan+shingle+hash+explode — measured ~2x the
     # whole pipeline. Same pattern as the minhash arrow path above.
-    postings = (
+    postings = cache.pin(
         base.select("id", "blk", "n_sh", F.explode("sh").alias("h"))
         .repartition(F.col("blk"), F.col("h"))
-        .persist()
     )
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
@@ -379,16 +383,18 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share one of the banded bit
     chunks (4 x 8-bit bands => any pair within hamming distance 3 shares at
-    least one exact band — pigeonhole), then exact hamming filter."""
-    # Arrow signature kernel (value-identical to simhash32, ~10x the
-    # interpreted fold), persisted so both self-join branches truly reuse it
-    # (exchange reuse does not fire across join aliases — see the postings
-    # persist in ngram_jaccard_pairs)
-    sim = (
-        simhash32_arrow(df, id_col=id_col, text_col=text_col)
-        .repartition(F.col("id"))
-        .persist()
-    )
+    least one exact band — pigeonhole), then exact hamming filter.
+
+    Candidate generation is the bounded BUCKET-GROUP expansion (same shape
+    as minhash_lsh_pairs / embedding_near_dup_pairs, unified in r03): one
+    aggregation over the banded rows, per-bucket pair expansion. The r02
+    banded SELF-join computed the signature pipeline twice, shuffled it
+    twice, and a hot (band_idx, band_val) (degenerate/short texts collapse
+    to few simhash values) produced its m² join rows through the join
+    operator; here a hot bucket is a single collect_list whose m² expansion
+    is the pair OUTPUT itself — near-dup pairs among m identical docs are
+    inherently m², so the expansion is the floor, not overhead."""
+    sim = simhash32_arrow(df, id_col=id_col, text_col=text_col)
     n_bands = 32 // prefix_bits
     bands = F.array(
         *[
@@ -398,21 +404,31 @@ def simhash_near_pairs(
         ]
     )
     banded = sim.select("id", "simhash", F.posexplode(bands).alias("band_idx", "band_val"))
-    l, r = banded.alias("l"), banded.alias("r")
+    # struct sort orders by leading field `id`, so slice(i+2,...) yields
+    # id_a < id_b pairs without a join
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("sim_a"),
+                    y["simhash"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
     # hamming via popcount of xor: bit_count is native in both engines
     return (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
         .filter(F.col("hamming") <= max_hamming)
@@ -426,6 +442,7 @@ def benchmark_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shingle: int = 8,
+    max_broadcast_shingles: int = 20_000_000,
 ) -> DataFrame:
     """Benchmark decontamination — the standard LLM-training hygiene step:
     a training doc is contaminated if it shares at least one word n-gram
@@ -435,7 +452,12 @@ def benchmark_contamination(
     Plan shape: the benchmark shingle set is small by definition (eval sets
     are thousands of docs, not billions) — distinct hashed shingles
     broadcast, so the TRAINING corpus never shuffles: explode + broadcast
-    hash join + partial-aggregated count, all codegen."""
+    hash join + partial-aggregated count, all codegen.
+
+    The broadcast hint is GATED on a measured count (one cheap job over the
+    small side): an unexpectedly large benchmark (> max_broadcast_shingles
+    distinct 8-grams, ~160 MB of longs) degrades to a plain shuffled
+    equi-join instead of OOMing executors or tripping the broadcast limit."""
     t = _spread(train.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -451,8 +473,10 @@ def benchmark_contamination(
         )
         .distinct()
     )
+    n_bench_shingles = b.count()
+    b_side = F.broadcast(b) if n_bench_shingles <= max_broadcast_shingles else b
     return (
-        t.join(F.broadcast(b), on="h")
+        t.join(b_side, on="h")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .select(F.col("id").alias(id_col), "n_shared_shingles")

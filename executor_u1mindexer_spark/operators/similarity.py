@@ -152,66 +152,88 @@ def kmeans_ivf_topk(
 
 def partitioned_topk_merge(
     stored: DataFrame,
-    queries_pdf: pd.DataFrame,
+    queries: DataFrame,
     *,
     k: int,
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
     n_partitions: int = 8,
 ) -> DataFrame:
     """Exact KNN via per-partition numpy top-k + global merge.
 
-    The corpus is repartitioned into n_partitions; each partition computes
-    its local top-k per query with one vectorized numpy pass over an Arrow
-    batch (mapInPandas), emitting k rows/query/partition; a final window
-    keeps the global top-k. This is the shape a per-partition ANN library
-    build would use (hnswlib is not in this container; numpy argpartition
-    is the exact, dependency-free stand-in — same merge topology).
+    The corpus is bucketed into n_partitions deterministic hash buckets;
+    each bucket computes its local top-k per query with one vectorized
+    numpy pass over the Arrow-batched group (cogrouped applyInPandas),
+    emitting k rows/query/partition; a final window keeps the global top-k.
+    This is the shape a per-partition ANN library build would use (hnswlib
+    is not in this container; numpy argpartition is the exact,
+    dependency-free stand-in — same merge topology).
+
+    BOTH sides stay DataFrames end-to-end (r03: the old signature took a
+    driver-collected pandas query set — a driver OOM once the query set is
+    corpus-derived and grows with the data). The query set is replicated to
+    every bucket via a broadcast cross-join against the n_partitions pid
+    table (q × n_partitions small rows — the standard scatter cost of
+    scatter-gather search), then cogrouped with the stored bucket.
     """
     spark = stored.sparkSession
-    qids = queries_pdf["query_id"].to_numpy()
-    qmat = np.stack(queries_pdf["query_embedding"].to_numpy()).astype(np.float64)
-    bq = spark.sparkContext.broadcast((qids, qmat))
+    s = stored.select(
+        F.col(id_col),
+        V.as_double_array(vec_col).alias("__svec"),
+        (F.abs(F.hash(F.col(id_col))) % n_partitions).alias("__pid"),
+    )
+    pids = spark.range(n_partitions).select(F.col("id").cast("int").alias("__pid"))
+    q_rep = pids.crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col), V.as_double_array(query_vec_col).alias("__qvec")
+            )
+        )
+    )
 
-    out_schema = f"query_id long, {id_col} long, dist double"
+    out_schema = f"{query_id_col} long, {id_col} long, dist double"
+    empty = pd.DataFrame({query_id_col: [], id_col: [], "dist": []})
 
-    def local_topk(batches):
-        qids_l, qmat_l = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            # With hnswlib available, this is where a per-partition HNSW
-            # index build + knn_query would replace the exact numpy pass
-            # (reference executor.py:112); the merge topology is identical.
-            if metric == "cosine":
-                sim = mat @ qmat_l.T
-                d = 1.0 - sim / (
-                    np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(qmat_l, axis=1)[None, :]
-                )
-            elif metric == "euclidean":
-                d = ((mat[:, None, :] - qmat_l[None, :, :]) ** 2).sum(axis=2)
-            else:  # inner_product
-                d = 1.0 - mat @ qmat_l.T
-            kk = min(k, len(ids))
-            part = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, n_queries)
-            rows = {
-                "query_id": np.repeat(qids_l, kk),
+    def local_topk(spdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(spdf) == 0 or len(qpdf) == 0:
+            return empty
+        qids = qpdf[query_id_col].to_numpy()
+        qmat = np.stack(qpdf["__qvec"].to_numpy()).astype(np.float64)
+        ids = spdf[id_col].to_numpy()
+        mat = np.stack(spdf["__svec"].to_numpy()).astype(np.float64)
+        # With hnswlib available, this is where a per-partition HNSW
+        # index build + knn_query would replace the exact numpy pass
+        # (reference executor.py:112); the merge topology is identical.
+        if metric == "cosine":
+            sim = mat @ qmat.T
+            d = 1.0 - sim / (
+                np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(qmat, axis=1)[None, :]
+            )
+        elif metric == "euclidean":
+            d = ((mat[:, None, :] - qmat[None, :, :]) ** 2).sum(axis=2)
+        else:  # inner_product
+            d = 1.0 - mat @ qmat.T
+        kk = min(k, len(ids))
+        part = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, n_queries)
+        return pd.DataFrame(
+            {
+                query_id_col: np.repeat(qids, kk),
                 id_col: ids[part.T.ravel()],
                 "dist": np.take_along_axis(d, part, axis=0).T.ravel(),
             }
-            yield pd.DataFrame(rows)
+        )
 
     local = (
-        stored.select(id_col, vec_col)
-        .repartition(n_partitions)
-        .mapInPandas(local_topk, schema=out_schema)
+        s.groupBy("__pid")
+        .cogroup(q_rep.groupBy("__pid"))
+        .applyInPandas(local_topk, schema=out_schema)
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
     return (
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "rank", "dist")
+        .select(query_id_col, id_col, "rank", "dist")
     )

@@ -17,12 +17,13 @@ left-to-right double fold as the vector suite, bit-identical in DuckDB.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark import cache, tables
 from executor_u1mindexer_spark.functions import vector as V
 from executor_u1mindexer_spark.operators import maintenance as M
 
@@ -34,14 +35,15 @@ DUP_SEQ_OFFSET = 1_000_000
 # from the same fixture state, and a real deployment loads its index once —
 # re-running the dense-rank pipeline per query is pure fixture overhead.
 _STATE_CACHE: dict[tuple[str, str], DataFrame] = {}
+cache.on_release(lambda: _STATE_CACHE.clear())
 
 
 def _state(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _STATE_CACHE:
-        _STATE_CACHE[key] = M.index_state(
-            tables.load(spark, sf_dir, "embeddings")
-        ).persist()
+        _STATE_CACHE[key] = cache.pin(
+            M.index_state(tables.load(spark, sf_dir, "embeddings"))
+        )
     return _STATE_CACHE[key]
 
 
@@ -119,11 +121,18 @@ def dump_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm is floored to micro-units and summed as integers so the aggregate
     # is order-independent (double addition is not associative; partition
     # order must not affect the driver's value hash).
-    return back.agg(
+    agg = back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(M.ID).alias("sum_id"),
         F.sum(F.floor(V.norm(F.col(M.EMB)) * 1e6).cast("long")).alias("sum_norm_micro"),
     )
+    # Materialize the aggregate, then delete the dump directory — each dump
+    # is a full state copy, and a lazy return would grow /tmp without bound
+    # across driver/bench runs. The returned local relation keeps the
+    # driver-facing schema and values identical.
+    rows = agg.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=agg.schema)
 
 
 def clear(spark: SparkSession, sf_dir: str) -> DataFrame:

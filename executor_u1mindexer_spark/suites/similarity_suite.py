@@ -73,25 +73,54 @@ def ann_lsh_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition numpy top-k + window merge (rank-only output; see
-    module docstring)."""
+    module docstring). Query side stays a DataFrame — no driver collect."""
     emb = _emb(spark, sf_dir)
-    qpdf = (
-        _queries(emb)
-        .select("query_id", "query_embedding")
-        .orderBy("query_id")
-        .toPandas()
-    )
-    return S.partitioned_topk_merge(emb, qpdf, k=K, metric="cosine").select(
+    q = _queries(emb).select("query_id", "query_embedding")
+    return S.partitioned_topk_merge(emb, q, k=K, metric="cosine").select(
         "query_id", "vec_id", "rank"
     )
 
 
 def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-adaptive IVF (seeded MLlib KMeans quantizer) — rows-only check;
-    see operators/similarity.kmeans_ivf_topk."""
+    """Data-adaptive IVF (seeded MLlib KMeans quantizer) reduced to a
+    deterministic invariant row so the driver gets a HARD check instead of
+    the rows-only fallback (the trained centroids aren't expressible in
+    static SQL, but these facts about the result are):
+
+    - n_queries / n_results: every query returns exactly K rows (a query
+      vector is a corpus member, so its cell is never empty);
+    - per_query_k_ok / cell_consistent: each query's matches all come from
+      ONE cell (the IVF contract);
+    - recall_floor_ok: total overlap with the exact-KNN top-K is >= 6
+      (measured 10 of 25 at sf0.01, seed=42 — the floor has 40% slack).
+
+    The per-row output shape stays covered by tests/test_dedup_similarity.py
+    against operators/similarity.kmeans_ivf_topk directly."""
     emb = _emb(spark, sf_dir)
     q = _queries(emb).select("query_id", "query_embedding")
-    return S.kmeans_ivf_topk(emb, q, k=K)
+    ivf = S.kmeans_ivf_topk(emb, q, k=K)
+    exact = knn.knn_search(emb, q, k=K, metric="cosine").select("query_id", "vec_id")
+    hits = ivf.join(exact, ["query_id", "vec_id"], "leftsemi")
+    per_q = (
+        ivf.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cell").alias("n_cells"),
+        )
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h")),
+            "query_id",
+            "left",
+        )
+        .fillna(0, subset=["h"])
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n").cast("long").alias("n_results"),
+        ((F.min("n") == F.lit(K)) & (F.max("n") == F.lit(K))).alias("per_query_k_ok"),
+        (F.max("n_cells") == F.lit(1)).alias("cell_consistent"),
+        (F.sum("h") >= F.lit(6)).alias("recall_floor_ok"),
+    )
 
 
 QUERIES = {
@@ -180,5 +209,18 @@ SELECT query_id, vec_id, "rank", dist FROM ranked WHERE "rank" <= {K}
   FROM scored
 )
 SELECT query_id, vec_id, "rank" FROM ranked WHERE "rank" <= {K}
+""",
+    # The trained centroids aren't expressible in static SQL; the oracle
+    # states the EXPECTED invariants (each of the corpus-derived queries
+    # yields exactly K one-cell rows with >= 6/25 exact-KNN overlap) and the
+    # Spark side computes the ACTUAL ones — any IVF regression flips a
+    # boolean or a count and hash-mismatches.
+    "ann_kmeans_ivf_topk": f"""
+SELECT count(*) AS n_queries,
+       CAST(count(*) * {K} AS BIGINT) AS n_results,
+       true AS per_query_k_ok,
+       true AS cell_consistent,
+       true AS recall_floor_ok
+FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
 """,
 }

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from executor_u1mindexer_spark import tables
 from executor_u1mindexer_spark.operators import dedup as D
 from executor_u1mindexer_spark.operators import knn, multimodal as MM
+from executor_u1mindexer_spark.operators import similarity as S
 from executor_u1mindexer_spark.suites import dedup_suite, similarity_suite
 
 
@@ -78,7 +79,12 @@ def test_bucketed_search_is_subset_of_corpus(spark, sf_dir):
 
 
 def test_kmeans_ivf_self_match_first(spark, sf_dir):
-    rows = similarity_suite.ann_kmeans_ivf_topk(spark, sf_dir).collect()
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % similarity_suite.QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    rows = S.kmeans_ivf_topk(emb, q, k=similarity_suite.K).collect()
     assert len(rows) > 0
     by_q = {}
     for r in rows:

@@ -130,6 +130,7 @@ def main(only: list[str], json_out: str | None = None) -> int:
     import json
 
     import __spark_entry__ as entrymod
+    from executor_u1mindexer_spark import cache
     from executor_u1mindexer_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
@@ -152,6 +153,7 @@ def main(only: list[str], json_out: str | None = None) -> int:
     failures = 0
     records: dict[str, dict] = {}
     for name in names:
+        cache.release_all()  # per-query cache hygiene, mirrors bench.py
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
