@@ -58,16 +58,19 @@ def dense_rank_by(df: DataFrame, order_col: str, out_col: str) -> DataFrame:
     rank window exchange); ranks join back on the unique key, so wide rows
     shuffle exactly once."""
     keys = df.select(order_col)
-    # Eager localCheckpoint: the boundary-dependent ``__pid`` feeds BOTH the
-    # offsets branch and the ranked stream. repartitionByRange samples its
-    # boundaries nondeterministically per materialization, so if exchange
-    # reuse ever failed to fire the two branches could observe different
-    # partitionings and ranks would silently desync. Checkpointing pins one
-    # materialization; lineage is truncated so recompute is impossible.
-    parted = (
-        keys.repartitionByRange(F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # The boundary-dependent ``__pid`` feeds BOTH the offsets branch and the
+    # ranked stream. repartitionByRange samples its boundaries
+    # nondeterministically per materialization, so the two branches MUST read
+    # ONE materialization of this exchange — otherwise ranks silently
+    # desync. Spark's ReuseExchange rule guarantees that here (identical
+    # exchange subtrees collapse to one; AQE reuses the shuffle stage the
+    # same way); tests/test_plans.py::test_dense_rank_materializes_range_
+    # exchange_once pins it so plan drift cannot silently break the
+    # invariant. An eager localCheckpoint would also pin it but costs a full
+    # extra materialization + partition copy per ingest batch (measured
+    # +57% on the ingest bench in r03) — rejected.
+    parted = keys.repartitionByRange(F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
     counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # cumulative offsets via a triangular self-join over the per-partition

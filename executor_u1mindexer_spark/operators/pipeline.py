@@ -82,37 +82,43 @@ def pack_token_budget(
     sum locally, and add the broadcast total cost of earlier slabs of the
     same stratum. The offsets table is n_partitions × n_strata rows at any
     data scale. Output cum_cost is invariant to where the sampled range
-    boundaries land (it only depends on the total (stratum, order) order);
-    the eager localCheckpoint pins ONE materialization of the boundary-
-    dependent ``__pid`` so the offsets branch and the stream branch can
-    never observe different boundary placements (same hazard flagged for
-    dense_rank_by). Requires ``order_col`` unique within a stratum and a
-    non-null ``stratum``.
+    boundaries land (it only depends on the total (stratum, order) order) —
+    PROVIDED both branches read one materialization of the boundary-
+    dependent ``__pid``, which Spark's ReuseExchange rule guarantees
+    (identical exchange subtrees collapse; AQE reuses the shuffle stage) and
+    tests/test_plans.py pins (same hazard and same resolution as
+    dense_rank_by — an eager localCheckpoint would cost an extra full
+    materialization per call). Requires ``order_col`` unique within a
+    stratum and a non-null ``stratum``.
     """
     from pyspark.sql import Window
 
     keys = df.select(stratum, order_col, cost_col)
-    parted = (
-        keys.repartitionByRange(F.col(stratum), F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    parted = keys.repartitionByRange(F.col(stratum), F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
     sums = parted.groupBy("__pid", stratum).agg(
         F.sum(F.col(cost_col)).cast("long").alias("__part_cost")
     )
-    earlier = sums.select(
-        F.col("__pid").alias("__pid_e"),
-        F.col(stratum).alias("__s_e"),
-        F.col("__part_cost").alias("__cost_e"),
+    # Per-stratum running offset over the SUMMARY table (n_partitions ×
+    # n_strata rows at any data scale — this window's exchange moves ~10²
+    # rows, never the corpus). Deliberately NOT a sums⟕sums triangular
+    # self-join: self-join attribute dedup re-ids one branch's subtree,
+    # which defeated ReuseExchange and materialized the boundary-sampling
+    # range exchange TWICE (caught by the r03 plan test) — sums could then
+    # observe different boundaries than the stream, silently corrupting
+    # cum_cost.
+    w_off = (
+        Window.partitionBy(stratum)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        sums.join(
-            F.broadcast(earlier),
-            (F.col("__s_e") == F.col(stratum)) & (F.col("__pid_e") < F.col("__pid")),
-            "left",
-        )
-        .groupBy("__pid", stratum)
-        .agg(F.coalesce(F.sum("__cost_e"), F.lit(0)).cast("long").alias("__off"))
+    offsets = sums.select(
+        "__pid",
+        stratum,
+        F.coalesce(F.sum("__part_cost").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("__off"),
     )
     w_local = (
         Window.partitionBy("__pid", stratum)

@@ -120,6 +120,97 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_simhash_pairs_have_no_join(spark, sf_dir):
+    """r03: simhash candidates come from the bounded bucket-group expansion
+    (aggregate + HOF pair expansion) — the r02 banded SELF-join pushed a hot
+    (band_idx, band_val)'s m² candidate rows through a join operator. The
+    plan must contain no join node of any kind."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import dedup as D
+
+    df = D.simhash_near_pairs(tables.load(spark, sf_dir, "documents"))
+    plan = plans.physical_plan(df)
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan, f"{node} in simhash plan:\n{plan}"
+
+
+def test_pack_token_budget_window_partitions_by_slab(spark, sf_dir):
+    """r03: the running sum must be computed per range-partition slab
+    (__pid, stratum) — one task per SLAB — never per stratum alone, whose
+    task count is bounded by stratum cardinality (5 langs at 100 TB = 5
+    tasks). The Window's exchange must hash on __pid."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import pipeline as P
+
+    df = P.pack_token_budget(tables.load(spark, sf_dir, "documents"), budget=100_000)
+    assert not plans.window_over_single_partition(df)
+    plan = plans.physical_plan(df, "simple")
+    # The CORPUS running sum (the one over the cost column n_chars) must be
+    # slab-keyed. The per-stratum offsets window over the (__pid, stratum)
+    # SUMMARY (~n_partitions × n_strata rows) legitimately partitions by
+    # stratum alone — it never sees the corpus.
+    corpus_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "n_chars#" in ln
+    ]
+    assert corpus_windows, plan
+    for ln in corpus_windows:
+        assert "__pid" in ln.split("windowspecdefinition", 1)[1], ln
+
+
+def _range_exchange_reuse(df):
+    """(n_materialized_range_exchanges, n_reused) in the static no-AQE plan."""
+    plan = plans.physical_plan(df)
+    mat = sum(
+        1
+        for ln in plan.splitlines()
+        if "Arguments: rangepartitioning" in ln
+    )
+    return mat, plan.count("ReusedExchange")
+
+
+def test_dense_rank_materializes_range_exchange_once(spark, sf_dir):
+    """dense_rank_by's correctness contract: the boundary-dependent __pid
+    feeds both the offsets branch and the ranked stream, and
+    repartitionByRange samples boundaries nondeterministically per
+    materialization — so the range exchange must appear ONCE with every
+    other reader a ReusedExchange. If this test fails after a plan/Spark
+    change, ranks can silently desync; restore reuse or pin a single
+    materialization explicitly (persist/checkpoint) before shipping."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import maintenance as M
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        st = M.index_state(tables.load(spark, sf_dir, "embeddings"))
+        mat, reused = _range_exchange_reuse(st)
+        assert mat == 1 and reused >= 1, plans.physical_plan(st)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_pack_token_budget_materializes_range_exchange_once(spark, sf_dir):
+    """Same single-materialization contract as dense_rank_by (cum_cost is
+    boundary-invariant only if offsets and stream read one __pid)."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import pipeline as P
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = P.pack_token_budget(tables.load(spark, sf_dir, "documents"), budget=100_000)
+        mat, reused = _range_exchange_reuse(df)
+        assert mat == 1 and reused >= 1, plans.physical_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_jaccard_has_no_cartesian_product(spark, sf_dir):
     """The inverted-index jaccard must stay an equi join on (block, shingle)
     — a cartesian/BNLJ here is the O(n²) shape the design exists to avoid."""
