@@ -35,6 +35,7 @@ HEADLINE = [
     "knn_search_batch1",
     "knn_search_batch8",
     "knn_search_batch64",
+    "knn_search_batch512",
     "knn_search_euclidean",
     "payload_fetch",
     "index_upsert",

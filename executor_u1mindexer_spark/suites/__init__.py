@@ -71,6 +71,9 @@ DRIVER_PRIORITY = (
     "near_dedup_simhash",
     "ann_partitioned_topk",
     "ann_kmeans_ivf_topk",
+    # new in r03: Arrow-kernel batched search (batch1/8/64 switched to the
+    # bit-identical arrow impl; 512 is the new scale point)
+    "knn_search_batch512",
     # last checked in r01 — rotate back through the driver window
     # (dense-id family first: shares the reworked localCheckpoint path)
     "status_counts",
@@ -103,7 +106,6 @@ DRIVER_PRIORITY = (
     "set_ops_customer_segments",
     "topk_orders_by_price",
     "window_ntile_first_last",
-    "window_rank_lag_lead",
 )
 
 

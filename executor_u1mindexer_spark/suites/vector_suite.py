@@ -118,12 +118,18 @@ SELECT query_id, vec_id, "rank", {score_expr} AS score FROM ranked WHERE "rank" 
 
 def _knn_batch(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
     """Baseline-comparable search shapes (reference README.md:26-31 measures
-    query batches of 1/8/64 at k=20, executor.py:19)."""
+    query batches of 1/8/64 at k=20, executor.py:19).
+
+    impl='arrow': the chunk-packed numpy kernel (operators/knn._arrow_scored)
+    — bit-identical scores to the Catalyst fold (equivalence pinned in
+    tests/test_knn.py), ~0.5 ms/query marginal batched cost vs ~12 ms/query
+    for the interpreted per-pair HOF fold. The single-query flagship path
+    (knn_search_cosine) stays Catalyst: zero Python in the plan."""
     emb = tables.load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
-    return knn.knn_search(emb, q, k=20, metric="cosine")
+    return knn.knn_search(emb, q, k=20, metric="cosine", impl="arrow")
 
 
 def knn_search_batch1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,11 +144,16 @@ def knn_search_batch64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_batch(spark, sf_dir, 64)
 
 
+def knn_search_batch512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_batch(spark, sf_dir, 512)
+
+
 QUERIES = {
     "knn_search_cosine": knn_search_cosine,
     "knn_search_batch1": knn_search_batch1,
     "knn_search_batch8": knn_search_batch8,
     "knn_search_batch64": knn_search_batch64,
+    "knn_search_batch512": knn_search_batch512,
     "knn_search_euclidean": knn_search_euclidean,
     "knn_search_inner_product": knn_search_inner_product,
     "score_transform_similarity": score_transform_similarity,
@@ -156,6 +167,7 @@ ORACLES = {
     "knn_search_batch1": _knn_oracle(_COS_DIST, k=20, nq=1),
     "knn_search_batch8": _knn_oracle(_COS_DIST, k=20, nq=8),
     "knn_search_batch64": _knn_oracle(_COS_DIST, k=20, nq=64),
+    "knn_search_batch512": _knn_oracle(_COS_DIST, k=20, nq=512),
     "knn_search_euclidean": _knn_oracle(_L2_DIST),
     "knn_search_inner_product": _knn_oracle(_IP_DIST),
     # euclidean similarity transform: 1/(1+d) (executor.py:121-122)

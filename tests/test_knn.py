@@ -96,6 +96,30 @@ def test_payload_fetch_returns_full_rows(spark, emb_df, sf_dir):
     assert {"text", "lang", "source", "n_chars"} <= set(out.columns)
 
 
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "inner_product"])
+def test_arrow_impl_bit_identical_to_catalyst(spark, emb_df, metric):
+    """The arrow kernel folds distances dimension-by-dimension in the same
+    left-to-right order as the Catalyst HOF fold, so scores must be
+    BIT-identical (the driver's value hash is bit-sensitive) — not merely
+    approximately equal."""
+    import struct
+
+    queries = emb_df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    key = lambda r: (r.query_id, r["rank"], r.vec_id, struct.pack("<d", r.score))
+    a = sorted(map(key, knn.knn_search(emb_df, queries, k=20, metric=metric, impl="arrow").collect()))
+    c = sorted(map(key, knn.knn_search(emb_df, queries, k=20, metric=metric, impl="catalyst").collect()))
+    assert a == c and len(a) > 0
+
+
+def test_arrow_impl_empty_query_batch(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    assert knn.knn_search(emb_df, queries, k=5, impl="arrow").count() == 0
+
+
 def test_dim_validate_raises(spark, emb_df):
     with pytest.raises(ValueError):
         knn.validate_dim(emb_df, 32)
