@@ -60,16 +60,17 @@ def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str 
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Compressed-format decode (PNG/JPEG/...) — STUB. The container has no
+    """Lossy-format decode (JPEG/WebP/...) — STUB. The container has no
     PIL/opencv; gate the import and fail loudly rather than fake silently.
-    Uncompressed BMP and PPM are decoded for real by decode_image_meta."""
+    BMP, PPM, and (since r03) baseline PNG are decoded for real by
+    decode_image_meta — no library needed."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "compressed image decode requires PIL, which is not available in "
-            "this environment; decode_image_meta handles uncompressed "
-            "BMP/PPM in pure Python"
+            "JPEG/WebP decode requires PIL, which is not available in this "
+            "environment; decode_image_meta handles BMP/PPM/baseline-PNG in "
+            "pure Python"
         ) from e
     raise NotImplementedError("real decode path not implemented in this round")
 
@@ -159,24 +160,183 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+# -- real pure-Python PNG codec (zlib is stdlib) -----------------------------
+#
+# PNG is "compressed" only in the DEFLATE sense — zlib + the five scanline
+# filters of the PNG spec (RFC 2083 §6) are all it takes for the baseline
+# non-interlaced 8-bit case, no image library needed. Supports color type
+# 0 (gray), 2 (RGB), 6 (RGBA) at bit depth 8; interlaced/paletted/16-bit
+# payloads raise loudly.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    color_type: int = 2,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal valid PNG from a top-down 8-bit raster. filter_type applies
+    the given PNG filter to every scanline (0=None..4=Paeth) — the encoder
+    computes the forward filter so all five decode paths are exercisable in
+    roundtrip tests without an external reference image."""
+    import struct
+    import zlib as _z
+
+    ch = _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * ch:
+        raise ValueError(f"expected {width * height * ch} pixel bytes, got {len(pixels)}")
+    stride = width * ch
+    raw = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        raw.append(filter_type)
+        for x in range(stride):
+            left = row[x - ch] if x >= ch else 0
+            up = prior[x]
+            ul = prior[x - ch] if x >= ch else 0
+            if filter_type == 0:
+                f = row[x]
+            elif filter_type == 1:
+                f = (row[x] - left) % 256
+            elif filter_type == 2:
+                f = (row[x] - up) % 256
+            elif filter_type == 3:
+                f = (row[x] - (left + up) // 2) % 256
+            elif filter_type == 4:
+                f = (row[x] - _paeth(left, up, ul)) % 256
+            else:
+                raise ValueError(f"unknown PNG filter {filter_type}")
+            raw.append(f)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a baseline PNG → (width, height, channels, top-down raster).
+
+    Full unfilter support for all five scanline filters; Sub and Up are
+    vectorized (per-channel cumsum / vector add), Average and Paeth walk
+    the row (sequential left-dependency is inherent to the spec)."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, bytearray(), None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color_type={color_type}, "
+                    f"interlace={interlace}); baseline 8-bit gray/RGB/RGBA only"
+                )
+            meta = (w, h, _PNG_CHANNELS[color_type])
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    raw = _z.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            recon = row
+        elif ft == 1:  # Sub: per-channel cumsum
+            recon = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            recon = (row + prior) % 256
+        elif ft == 3:  # Average
+            recon = row.copy()
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                recon[x] = (row[x] + (left + prior[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            recon = row.copy()
+            for x in range(stride):
+                left = int(recon[x - ch]) if x >= ch else 0
+                ul = int(prior[x - ch]) if x >= ch else 0
+                recon[x] = (row[x] + _paeth(left, int(prior[x]), ul)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter byte {ft}")
+        out[r] = recon
+        prior = recon.astype(np.int32)
+    return w, h, ch, out.tobytes()
+
+
 def decode_image_meta(payload: bytes) -> dict:
     """Dispatch on magic bytes; returns format/width/height/pixel_sum where
-    pixel_sum is the sum of all RGB channel bytes in top-down raster order
-    (identical for the same image in either container format)."""
+    pixel_sum is the sum of all channel bytes in top-down raster order
+    (identical for the same RGB image in any of the three containers)."""
     if payload.startswith(b"P6"):
         fmt, (w, h, px) = "ppm", decode_ppm(payload)
     elif payload.startswith(b"BM"):
         fmt, (w, h, px) = "bmp", decode_bmp(payload)
+    elif payload.startswith(_PNG_MAGIC):
+        fmt, (w, h, _ch, px) = "png", decode_png(payload)
     else:
-        raise ValueError("unrecognized image payload (expected P6 PPM or BMP)")
+        raise ValueError("unrecognized image payload (expected P6 PPM, BMP, or PNG)")
     return {"format": fmt, "width": w, "height": h, "pixel_sum": sum(px)}
 
 
 def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic test images derived ONLY from the id: width = id%5+2,
-    height = id%3+2, channel byte i = (id*7 + i) % 256 (top-down raster),
-    even ids PPM / odd ids BMP — so an oracle can state the decoded
-    metadata in closed form without itself decoding anything."""
+    height = id%3+2, channel byte i = (id*7 + i) % 256 (top-down raster);
+    container cycles id%3 → PPM / BMP / PNG (the PNG scanline filter also
+    cycles, id%5, so every unfilter path decodes under the oracle) — so an
+    oracle can state the decoded metadata in closed form without itself
+    decoding anything."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,7 +345,13 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 did = int(did)
                 w, h = did % 5 + 2, did % 3 + 2
                 px = bytes((did * 7 + i) % 256 for i in range(w * h * 3))
-                payloads.append(encode_ppm(w, h, px) if did % 2 == 0 else encode_bmp(w, h, px))
+                kind = did % 3
+                if kind == 0:
+                    payloads.append(encode_ppm(w, h, px))
+                elif kind == 1:
+                    payloads.append(encode_bmp(w, h, px))
+                else:
+                    payloads.append(encode_png(w, h, px, filter_type=did % 5))
                 ids.append(did)
             yield pd.DataFrame({id_col: ids, "img": payloads})
 

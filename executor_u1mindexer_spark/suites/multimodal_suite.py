@@ -35,12 +35,14 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end: synthesize deterministic PPM/BMP bytes
-    per doc (even ids P6 PPM, odd ids 24-bit BMP), then parse headers and
-    pixel data with the pure-Python codecs (operators/multimodal.py). The
-    oracle states the decoded metadata in closed form from the generation
-    rule — if the decoder misreads a header or drops row padding, width/
-    height/pixel_sum diverge."""
+    """REAL image decode end-to-end: synthesize deterministic PPM/BMP/PNG
+    bytes per doc (container cycles id%3; the PNG scanline filter cycles
+    id%5 so all five unfilter paths run), then parse headers, DEFLATE
+    streams, and pixel data with the pure-Python codecs
+    (operators/multimodal.py). The oracle states the decoded metadata in
+    closed form from the generation rule — if the decoder misreads a
+    header, drops row padding, or unfilters a scanline wrong, width/height/
+    pixel_sum diverge."""
     docs = tables.load(spark, sf_dir, "documents")
     return MM.decode_images_metadata(MM.attach_synthetic_images(docs))
 
@@ -74,7 +76,7 @@ FROM documents
     # has this closed form (no decoding in the oracle)
     "multimodal_decode_image": """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+       CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS format,
        CAST(doc_id % 5 + 2 AS INT) AS width,
        CAST(doc_id % 3 + 2 AS INT) AS height,
        CAST(list_sum(list_transform(

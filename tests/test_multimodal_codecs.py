@@ -43,15 +43,59 @@ def test_decode_image_meta_dispatch_and_sum():
         }
 
 
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_scanline_filter(filter_type):
+    """The forward filter in encode_png and the unfilter in decode_png are
+    independent implementations of RFC 2083 §6 — a roundtrip mismatch on
+    any filter type means one of them is wrong."""
+    px = _pixels(5, 4, seed=filter_type + 3)
+    payload = MM.encode_png(5, 4, px, filter_type=filter_type)
+    w, h, ch, out = MM.decode_png(payload)
+    assert (w, h, ch) == (5, 4, 3)
+    assert out == px
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (6, 4)])
+def test_png_color_types(color_type, ch):
+    px = bytes((11 * i + 7) % 256 for i in range(3 * 2 * ch))
+    w, h, got_ch, out = MM.decode_png(
+        MM.encode_png(3, 2, px, color_type=color_type, filter_type=4)
+    )
+    assert (w, h, got_ch) == (3, 2, ch)
+    assert out == px
+
+
+def test_png_meta_dispatch():
+    px = _pixels(2, 2, seed=1)
+    meta = MM.decode_image_meta(MM.encode_png(2, 2, px, filter_type=1))
+    assert meta == {"format": "png", "width": 2, "height": 2, "pixel_sum": sum(px)}
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    # 16-bit depth header
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        MM.decode_png(bad)
+
+
 def test_malformed_payloads_raise():
     with pytest.raises(ValueError):
-        MM.decode_image_meta(b"\x89PNG....")
+        MM.decode_image_meta(b"\x00NOTANIMAGE")
     with pytest.raises(ValueError):
         MM.decode_ppm(b"P6\n2 2\n127\n" + b"\x00" * 12)  # unsupported maxval
     with pytest.raises(ValueError):
         MM.decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 3)  # truncated
 
 
-def test_compressed_decode_stub_is_loud():
+def test_lossy_decode_stub_is_loud():
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG....")
+        MM.decode_image(b"\xff\xd8\xff\xe0....")  # JPEG magic
