@@ -571,3 +571,92 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", dist.alias("cos_dist"))
         .filter(F.col("cos_dist") <= max_cos_dist)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    quality_col: str | None = None,
+    max_iters: int = 6,
+) -> DataFrame:
+    """Near-dup CLUSTERING + canonical-doc selection — the keep-list step a
+    real dedup pipeline ends with: detector pairs (minhash/simhash/
+    embedding) define an undirected graph; each connected component is one
+    duplicate cluster; exactly one doc per cluster survives.
+
+    Returns (id_col, cluster_id, cluster_size, is_canonical) for EVERY doc
+    (unpaired docs are singleton clusters of themselves). cluster_id = the
+    component's min doc id. The canonical doc is the cluster's best by
+    ``quality_col`` (ties → lowest id), or the lowest id when no quality
+    column is given — "keep the longest copy" is the usual corpus-hygiene
+    policy.
+
+    Components via iterative min-label propagation, all DataFrame ops:
+    labels_{t+1}(v) = min(labels_t(v), min over neighbors labels_t(u)),
+    iterated ONLY over the pair-touched node set — the corpus never enters
+    the loop; unpaired docs join in once at the end as singletons. Exact
+    when the component diameter <= the iterations run; each round ends
+    with a scalar sum(label) check (min-propagation strictly lowers the
+    sum until converged) so typical corpora stop after diameter+1 rounds —
+    max_iters is the safety bound for adversarial chain graphs.
+
+    100 TB design: the dominant data (unpaired corpus) is touched exactly
+    once by a left join; the loop shuffles only detector-paired ids (a
+    tiny fraction of the corpus by construction). Symmetric edges are
+    built once and pinned; each iteration is one equi-join on src + one
+    partial-aggregated min + one scalar aggregate — bounded shuffles, no
+    driver-collected rows (the convergence check is a 1-row aggregate,
+    the same driver-side scalar any iterate-until-fixpoint algorithm
+    needs). Each converged-loop output is pinned so the final plan is
+    shallow; cluster windows partition by cluster id (cluster sizes are
+    detector-bounded).
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    sym = cache.pin(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        labels = cache.pin(
+            prop.unionByName(labels.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    all_ids = docs.select(F.col(id_col).cast("long").alias("id"))
+    out = all_ids.join(labels, on="id", how="left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
+    if quality_col is not None:
+        q = docs.select(
+            F.col(id_col).cast("long").alias("id"), F.col(quality_col).alias("__q")
+        )
+        out = out.join(q, on="id")
+        w = Window.partitionBy("label").orderBy(F.col("__q").desc(), F.col("id").asc())
+    else:
+        w = Window.partitionBy("label").orderBy(F.col("id").asc())
+    wc = Window.partitionBy("label")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

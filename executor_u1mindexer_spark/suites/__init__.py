@@ -72,8 +72,11 @@ DRIVER_PRIORITY = (
     "ann_partitioned_topk",
     "ann_kmeans_ivf_topk",
     # new in r03: Arrow-kernel batched search (batch1/8/64 switched to the
-    # bit-identical arrow impl; 512 is the new scale point)
+    # bit-identical arrow impl; 512 is the new scale point), PNG decode
+    # joins the multimodal decode query, and the dedup keep-list
     "knn_search_batch512",
+    "near_dedup_clusters",
+    "multimodal_decode_image",
     # last checked in r01 — rotate back through the driver window
     # (dense-id family first: shares the reworked localCheckpoint path)
     "status_counts",
@@ -104,8 +107,6 @@ DRIVER_PRIORITY = (
     "scalar_math_funcs",
     "scalar_string_funcs",
     "set_ops_customer_segments",
-    "topk_orders_by_price",
-    "window_ntile_first_last",
 )
 
 

@@ -60,6 +60,19 @@ def near_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(emb, block_col="label", max_cos_dist=0.6)
 
 
+def near_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup KEEP-LIST: minhash-LSH pairs -> connected components ->
+    one canonical doc per cluster (longest text wins, ties lowest id).
+    The oracle computes the same components with a recursive CTE over the
+    identical pair SQL — transitive closure, so any under-iteration or
+    label-propagation bug in the Spark side diverges."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return D.dedup_clusters(
+        docs.select("doc_id", "n_chars"), pairs, quality_col="n_chars"
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "exact_dedup_text": exact_dedup_text,
     "near_dedup_minhash_lsh": near_dedup_minhash_lsh,
@@ -67,6 +80,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "near_dedup_simhash": near_dedup_simhash,
     "near_dedup_embedding_cosine": near_dedup_embedding_cosine,
+    "near_dedup_clusters": near_dedup_clusters,
 }
 
 # ---------------------------------------------------------------------------
@@ -196,6 +210,52 @@ WITH s AS (
 )
 SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+    # same minhash pair pipeline as near_dedup_minhash_lsh, then TRUE
+    # transitive closure via a recursive CTE — the strongest possible check
+    # on the Spark side's iterative min-label propagation (any
+    # under-iteration or propagation bug breaks cluster_id equality)
+    "near_dedup_clusters": f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id AS id, str_split(text, ' ') AS toks FROM documents
+), sh_t AS (
+  SELECT id, {_SHINGLES} AS sh FROM t
+), sig_t AS (
+  SELECT id, sh,
+         (SELECT [{_SIG_MINS}]
+          FROM (SELECT list_transform(sh, s -> {_H32.format(s='s')}) AS shh)) AS sig
+  FROM sh_t
+), banded AS (
+  SELECT id, sh, r.range AS band_idx, [{_BAND_KEYS}][r.range + 1] AS band_key
+  FROM sig_t, range({D.BANDS}) r
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.id < r.id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh_t a ON a.id = c.id_a JOIN sh_t b ON b.id = c.id_b
+  WHERE {_JACCARD} >= 0.5
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), lab AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), ranked AS (
+  SELECT l.doc_id, l.cluster_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY l.cluster_id) AS csize
+  FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id, CAST(csize AS BIGINT) AS cluster_size,
+       rn = 1 AS is_canonical
+FROM ranked ORDER BY doc_id
 """,
     "near_dedup_embedding_cosine": f"""
 WITH e AS (

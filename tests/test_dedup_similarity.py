@@ -78,6 +78,34 @@ def test_bucketed_search_is_subset_of_corpus(spark, sf_dir):
         assert emb[r.vec_id] == emb[r.query_id]  # match stayed in the query's cell
 
 
+def test_dedup_clusters_chain_quality_and_singletons(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) must collapse to ONE cluster labeled
+    by its min id even though the diameter (3) exceeds one propagation hop;
+    the canonical doc is the highest-quality member (ties lowest id);
+    unpaired docs come back as singleton canonicals."""
+    docs = spark.createDataFrame(
+        [(i, q) for i, q in [(1, 10), (2, 99), (3, 10), (4, 10), (7, 5)]],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    rows = {
+        r.doc_id: r
+        for r in D.dedup_clusters(docs, pairs, quality_col="n_chars").collect()
+    }
+    assert {rows[i].cluster_id for i in (1, 2, 3, 4)} == {1}
+    assert all(rows[i].cluster_size == 4 for i in (1, 2, 3, 4))
+    assert [i for i in (1, 2, 3, 4) if rows[i].is_canonical] == [2]  # best quality
+    assert rows[7].cluster_id == 7 and rows[7].cluster_size == 1 and rows[7].is_canonical
+
+
+def test_dedup_clusters_no_pairs_all_singletons(spark):
+    docs = spark.createDataFrame([(i, 1) for i in range(5)], "doc_id long, n_chars long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    rows = D.dedup_clusters(docs, pairs, quality_col="n_chars").collect()
+    assert len(rows) == 5
+    assert all(r.cluster_id == r.doc_id and r.is_canonical for r in rows)
+
+
 def test_kmeans_ivf_self_match_first(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % similarity_suite.QUERY_MOD == 0).select(
