@@ -244,14 +244,19 @@ class U1MIndexerSpark:
 
     def status(self) -> dict[str, int]:
         """Counts (executor.py:246-257): count_indexed includes tombstoned
-        slots, matching hnswlib element_count semantics."""
-        active = self._vectors.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        slots, matching hnswlib element_count semantics. Both counts run in
+        ONE Spark job (the scalar aggregates cross-join into a single 1-row
+        plan) instead of two separate collects."""
         tombstones = getattr(self, "_tombstones", 0)
-        dam = (
-            self._docstore.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
-            if self._docstore is not None
-            else active
-        )
+        vec_n = self._vectors.agg(F.count(F.lit(1)).alias("n_vec"))
+        if self._docstore is not None:
+            row = vec_n.crossJoin(
+                self._docstore.agg(F.count(F.lit(1)).alias("n_doc"))
+            ).collect()[0]
+            active, dam = row["n_vec"], row["n_doc"]
+        else:
+            active = vec_n.collect()[0]["n_vec"]
+            dam = active
         return {
             "count_indexed": active + tombstones,
             "count_active": active,
