@@ -125,6 +125,44 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams_all(col: Column, n: int) -> Column:
+    """ALL word n-grams (NON-distinct, unlike word_shingles) — the input to
+    repetition metrics, where multiplicity is the signal. Empty array when
+    the text has fewer than n tokens."""
+    toks = words(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def dup_ngram_fraction(col: Column, n: int) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    repeats of an earlier n-gram (1 - distinct/total). 0.0 for texts too
+    short to have any n-gram."""
+    g = word_ngrams_all(col, n)
+    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double")
+    )
+
+
+def top_token_fraction(col: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token (Gopher's
+    'most common word' rule). Pure Catalyst: count each distinct token via
+    filter+size. HOF lambdas get no common-subexpression elimination, so
+    the token split re-evaluates per distinct token — fine for quality
+    scoring at document granularity; an Arrow kernel is the scale lever if
+    a corpus of mega-documents ever needs it."""
+    toks = words(col)
+    counts = F.transform(
+        F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+    )
+    return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+        F.array_max(counts).cast("double") / F.size(toks).cast("double")
+    )
+
+
 def char_ngrams(col: Column, n: int = 4) -> Column:
     """Distinct character n-grams (language-ID / similarity primitive)."""
     k = F.greatest(F.length(col) - F.lit(n - 1), F.lit(1))

@@ -189,3 +189,30 @@ def quantize_int8(
         F.aggregate(q, F.lit(0), lambda a, x: a + x).alias("q_checksum"),
         F.round(max_err, 9).alias("max_abs_err"),
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    *,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the holdout step of a
+    training-data pipeline. The decision hashes (key, salt), NOT the bare
+    key, so the split is statistically independent of every other
+    hash-sampling decision on the same key (sampling with the bare key
+    would correlate: the 10% sample and a 10% val split would select the
+    SAME rows). Scan-side expression: no shuffle, no RNG state, stable
+    across engines/partitionings; splits are exhaustive and disjoint by
+    construction."""
+    b = hash_bucket(F.concat(F.col(key).cast("string"), F.lit(":" + salt)))
+    val_t = int(val_frac * HASH_BUCKETS)
+    test_t = val_t + int(test_frac * HASH_BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < val_t, F.lit("val"))
+        .when(b < test_t, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

@@ -77,6 +77,9 @@ DRIVER_PRIORITY = (
     "knn_search_batch512",
     "near_dedup_clusters",
     "multimodal_decode_image",
+    "text_repetition_scores",
+    "split_train_val_test",
+    "tpch_q6_forecast_revenue",
     # last checked in r01 — rotate back through the driver window
     # (dense-id family first: shares the reworked localCheckpoint path)
     "status_counts",
@@ -104,9 +107,6 @@ DRIVER_PRIORITY = (
     "map_column_ops",
     "null_handling_funcs",
     "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "set_ops_customer_segments",
 )
 
 

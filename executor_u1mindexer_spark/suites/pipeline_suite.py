@@ -52,6 +52,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.quantize_int8(emb)
 
 
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted 90/5/5 holdout assignment (P.split_assign);
+    salted so it is independent of the other hash-sampling decisions."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return P.split_assign(docs, "doc_id").select("doc_id", "lang", "split")
+
+
 QUERIES = {
     "sample_hash_fraction": sample_hash_fraction,
     "sample_stratified_by_lang": sample_stratified_by_lang,
@@ -59,6 +66,7 @@ QUERIES = {
     "pack_token_budget": pack_token_budget,
     "chunk_sliding_window": chunk_sliding_window,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "split_train_val_test": split_train_val_test,
 }
 
 _BUCKET = (
@@ -80,9 +88,21 @@ CASE lang
   ELSE 0 END
 """
 
+_SPLIT_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT)"
+    " % 1000000"
+)
+
 ORACLES = {
     "sample_hash_fraction": f"""
 SELECT doc_id, lang FROM documents WHERE {_BUCKET} < 100000
+""",
+    "split_train_val_test": f"""
+SELECT doc_id, lang,
+       CASE WHEN {_SPLIT_BUCKET} < 50000 THEN 'val'
+            WHEN {_SPLIT_BUCKET} < 100000 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
 """,
     "sample_stratified_by_lang": f"""
 SELECT doc_id, lang FROM documents WHERE {_BUCKET} < ({_STRAT_THRESHOLD})

@@ -72,6 +72,27 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (dates shifted into the fixture's range): a pure
+    scan-filter-aggregate with ALL three predicates pushed to the parquet
+    scan — the canonical pushdown showcase; no shuffle except the 1-row
+    final aggregate. Decimal sum keeps the result partition-order
+    independent; double only at the output boundary."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # -- multi-join analytics (Q3/Q5 shapes) -------------------------------------
 
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,6 +317,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "join_broadcast_dim": join_broadcast_dim,
@@ -327,6 +349,13 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q6_forecast_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
 """,
     "tpch_q3_shipping_priority": f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(sum({_DISC}) AS DOUBLE) AS revenue

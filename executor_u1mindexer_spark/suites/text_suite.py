@@ -121,8 +121,23 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.benchmark_contamination(train, bench, n_shingle=4)
 
 
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate word 2-/3-gram
+    fractions (1 - distinct/total) and the most-frequent-token fraction.
+    The standard LLM-corpus filters for boilerplate / keyword-stuffed /
+    looping documents; all pure Catalyst expressions."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.dup_ngram_fraction(F.col("text"), 2).alias("dup_2gram_frac"),
+        T.dup_ngram_fraction(F.col("text"), 3).alias("dup_3gram_frac"),
+        T.top_token_fraction(F.col("text")).alias("top_token_frac"),
+    )
+
+
 QUERIES = {
     "text_token_counts": text_token_counts,
+    "text_repetition_scores": text_repetition_scores,
     "text_quality_scores": text_quality_scores,
     "text_language_id": text_language_id,
     "text_fingerprints": text_fingerprints,
@@ -183,6 +198,35 @@ ORACLES = {
 SELECT doc_id, len({_WORDS}) AS n_words, len({_BPE}) AS n_bpe_tokens,
        length(text) AS n_chars_calc
 FROM documents
+""",
+    # n-gram lists are NON-distinct (multiplicity IS the signal); both
+    # engines do the identical int->double casts and one IEEE division, so
+    # the fractions are bit-exact
+    "text_repetition_scores": f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(toks)),
+                     i -> array_to_string(list_slice(toks, i, i+1), ' ')) END AS g2,
+         CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(toks)-1),
+                     i -> array_to_string(list_slice(toks, i, i+2), ' ')) END AS g3
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(g2) <= 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                       / CAST(len(g2) AS DOUBLE) END AS dup_2gram_frac,
+       CASE WHEN len(g3) <= 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                       / CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac,
+       CASE WHEN len(toks) <= 0 THEN 0.0
+            ELSE CAST(list_max(list_transform(list_distinct(toks),
+                        tt -> len(list_filter(toks, x -> x = tt)))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) END AS top_token_frac
+FROM g
 """,
     "text_quality_scores": f"""
 SELECT doc_id,

@@ -20,6 +20,15 @@ def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
     assert "l_partkey" not in rs and "l_suppkey" not in rs, rs
 
 
+def test_q6_pushes_all_predicates_and_prunes(spark, sf_dir):
+    df = R.tpch_q6_forecast_revenue(spark, sf_dir)
+    pf = plans.pushed_filters(df)
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pf, pf
+    rs = plans.read_schemas(df)
+    assert "l_orderkey" not in rs and "l_tax" not in rs, rs  # 4-column scan
+
+
 def test_q3_broadcasts_customer(spark, sf_dir):
     df = R.tpch_q3_shipping_priority(spark, sf_dir)
     plan = plans.physical_plan(df)
