@@ -80,6 +80,8 @@ DRIVER_PRIORITY = (
     "text_repetition_scores",
     "split_train_val_test",
     "tpch_q6_forecast_revenue",
+    "agg_percentiles",
+    "unpivot_lineitem_metrics",
     # last checked in r01 — rotate back through the driver window
     # (dense-id family first: shares the reworked localCheckpoint path)
     "status_counts",
@@ -105,8 +107,6 @@ DRIVER_PRIORITY = (
     "join_full_outer_segments",
     "join_semi_customers_with_orders",
     "map_column_ops",
-    "null_handling_funcs",
-    "scalar_date_funcs",
 )
 
 

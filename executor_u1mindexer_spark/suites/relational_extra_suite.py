@@ -290,8 +290,54 @@ def agg_listagg_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Spark's `percentile` and
+    DuckDB's `quantile_cont` both use the (n-1)*p linear-interpolation
+    definition on sorted doubles — verified bit-identical. (The
+    approx_percentile sketch is NOT oracle-able; exact percentile is the
+    deterministic form, one sort per group inside the agg.)"""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25D)").alias("p25_price"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("p50_price"),
+            F.expr("percentile(l_extendedprice, 0.75D)").alias("p75_price"),
+            F.expr("percentile(l_quantity, 0.5D)").alias("p50_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) of the lineitem measure columns, then a
+    per-metric profile — the schema-normalization op feature stores and
+    metric pipelines lean on. DataFrame.unpivot stays a zero-shuffle
+    projection (each input row emits k metric rows); only the profile
+    aggregate shuffles, on a 3-value key."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,6)")).cast("double").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("metric")
+    )
+
+
 QUERIES = {
     "join_full_outer_segments": join_full_outer_segments,
+    "agg_percentiles": agg_percentiles,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "agg_listagg_names": agg_listagg_names,
     "window_cume_dist_percent_rank": window_cume_dist_percent_rank,
     "window_range_frame": window_range_frame,
@@ -308,6 +354,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_percentiles": """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price,
+       quantile_cont(l_extendedprice, 0.5)  AS p50_price,
+       quantile_cont(l_extendedprice, 0.75) AS p75_price,
+       quantile_cont(l_quantity, 0.5)       AS p50_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    "unpivot_lineitem_metrics": """
+WITH long AS (
+  SELECT 'l_discount' AS metric, l_discount AS val FROM lineitem
+  UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT metric,
+       CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+       min(val) AS min_val, max(val) AS max_val, count(*) AS n
+FROM long GROUP BY metric ORDER BY metric
+""",
     "window_cume_dist_percent_rank": """
 SELECT s_nationkey, s_suppkey,
        round(cume_dist() OVER w, 9) AS bal_cume_dist,

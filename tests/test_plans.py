@@ -63,6 +63,32 @@ def test_knn_prunes_corpus_columns(spark, sf_dir):
     assert "label" not in rs, rs  # only vec_id + embedding are read
 
 
+def test_arrow_knn_corpus_never_shuffles(spark, sf_dir):
+    """The arrow kernel path must keep the BNLJ shape: corpus scan (pruned
+    to id+vec) -> pack -> broadcast-joined queries -> score -> PARTIAL
+    WindowGroupLimit, with the ONLY corpus-row exchange being the final
+    per-query top-k merge. A shuffle before scoring would move the whole
+    corpus at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    df = knn.knn_search(emb, q, k=5, impl="arrow")
+    plan = plans.physical_plan(df, "simple")
+    assert plan.count("MapInArrow") == 2  # pack + score
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan  # local top-k before the merge shuffle
+    # one hash exchange (top-k merge) + one SinglePartition (tiny query agg)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "label" not in plans.read_schemas(df)
+
+
 def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     from executor_u1mindexer_spark.suites import relational_extra_suite as RX
 
