@@ -172,3 +172,49 @@ def json_get_int(col: Column | str, path: str) -> Column:
     """get_json_object + int cast (the events.props '{"k": N}' shape)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, path).cast("int")
+
+
+def gapfill_hourly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-bucket rollup with GAP FILLING + forward fill — the hypertable
+    op TSDBs ship natively: hourly sums per key over a dense hour spine
+    (every hour between the corpus min and max, whether or not events
+    landed in it), empty buckets carrying the last seen value forward.
+
+    Scale shape: the raw events aggregate ONCE (hash agg on (hour, key));
+    the spine is generated from a 1-row min/max aggregate via sequence +
+    explode and cross-joined with the distinct key set — spine × keys is
+    summary-sized (hours × cardinality), so the forward-fill window runs
+    over the SUMMARY, never the event stream. Sum in decimal so the filled
+    values are partition-order independent."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = events.groupBy(hour.alias("h"), F.col(key_col)).agg(
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    keys = events.select(key_col).distinct()
+    full = spine.crossJoin(keys)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("h").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = full.join(hourly, on=["h", key_col], how="left")
+    return joined.select(
+        F.col("h").alias("hour"),
+        F.col(key_col),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("v").isNull().alias("is_gap"),
+    )

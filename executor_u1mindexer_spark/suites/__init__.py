@@ -82,6 +82,8 @@ DRIVER_PRIORITY = (
     "tpch_q6_forecast_revenue",
     "agg_percentiles",
     "unpivot_lineitem_metrics",
+    "events_gapfill_hourly",
+    "embedding_matryoshka_stats",
     # last checked in r01 — rotate back through the driver window
     # (dense-id family first: shares the reworked localCheckpoint path)
     "status_counts",
@@ -106,7 +108,6 @@ DRIVER_PRIORITY = (
     "join_anti_customers_without_orders",
     "join_full_outer_segments",
     "join_semi_customers_with_orders",
-    "map_column_ops",
 )
 
 

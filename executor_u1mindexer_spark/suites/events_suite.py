@@ -127,8 +127,16 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine per event_type with forward-filled sums
+    (operators/events.gapfill_hourly) — the TSDB gapfill/locf op."""
+    ev = tables.load(spark, sf_dir, "events")
+    return E.gapfill_hourly(ev).orderBy("hour", "event_type")
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
+    "events_gapfill_hourly": events_gapfill_hourly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
     "events_sessionize": events_sessionize,
     "events_asof_purchase_last_view": events_asof_purchase_last_view,
@@ -139,6 +147,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    # dense spine via generate_series over the corpus min/max hour; DuckDB's
+    # last_value IGNORE NULLS is the same forward-fill as Spark's
+    # F.last(ignorenulls=True) over ROWS UNBOUNDED PRECEDING
+    "events_gapfill_hourly": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+), keys AS (
+  SELECT DISTINCT event_type FROM events
+), dense AS (
+  SELECT s.h, k.event_type FROM spine s CROSS JOIN keys k
+)
+SELECT f.h AS hour, f.event_type AS event_type,
+       last_value(hr.v IGNORE NULLS) OVER (
+         PARTITION BY f.event_type ORDER BY f.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+       coalesce(hr.n_events, 0) AS n_events,
+       hr.v IS NULL AS is_gap
+FROM dense f LEFT JOIN hourly hr ON hr.h = f.h AND hr.event_type = f.event_type
+ORDER BY hour, event_type
+""",
     "events_tumbling_hourly": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

@@ -148,12 +148,32 @@ def knn_search_batch512(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_batch(spark, sf_dir, 512)
 
 
+def embedding_matryoshka_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: norms of the full vs first-16-dim
+    prefix and the retained-energy ratio — the check run before shipping
+    truncated embeddings (MRL-style) to cut storage/ANN cost. Pure
+    Catalyst; folds match the oracle's order, so values are bit-exact."""
+    from executor_u1mindexer_spark.functions import vector as V
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    v = V.as_double_array("embedding")
+    v16 = F.slice(v, 1, 16)
+    nf, n16 = V.norm(v), V.norm(v16)
+    return emb.select(
+        "vec_id",
+        nf.alias("norm_full"),
+        n16.alias("norm_16"),
+        ((n16 * n16) / (nf * nf)).alias("retained_energy"),
+    )
+
+
 QUERIES = {
     "knn_search_cosine": knn_search_cosine,
     "knn_search_batch1": knn_search_batch1,
     "knn_search_batch8": knn_search_batch8,
     "knn_search_batch64": knn_search_batch64,
     "knn_search_batch512": knn_search_batch512,
+    "embedding_matryoshka_stats": embedding_matryoshka_stats,
     "knn_search_euclidean": knn_search_euclidean,
     "knn_search_inner_product": knn_search_inner_product,
     "score_transform_similarity": score_transform_similarity,
@@ -168,6 +188,20 @@ ORACLES = {
     "knn_search_batch8": _knn_oracle(_COS_DIST, k=20, nq=8),
     "knn_search_batch64": _knn_oracle(_COS_DIST, k=20, nq=64),
     "knn_search_batch512": _knn_oracle(_COS_DIST, k=20, nq=512),
+    "embedding_matryoshka_stats": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), t AS (
+  SELECT vec_id, emb, list_slice(emb, 1, 16) AS emb16 FROM e
+)
+SELECT vec_id,
+       {_NORM.format(a='emb')} AS norm_full,
+       {_NORM.format(a='emb16')} AS norm_16,
+       ({_NORM.format(a='emb16')} * {_NORM.format(a='emb16')})
+         / ({_NORM.format(a='emb')} * {_NORM.format(a='emb')}) AS retained_energy
+FROM t
+""",
     "knn_search_euclidean": _knn_oracle(_L2_DIST),
     "knn_search_inner_product": _knn_oracle(_IP_DIST),
     # euclidean similarity transform: 1/(1+d) (executor.py:121-122)
