@@ -12,40 +12,36 @@ program serves both the 100 TB backfill (batch) and the live tail.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# events.parquet physical schema: ts is int64 nanos (see tables.load note).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import LongType
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
-    """File-source stream over the events fixture dir (ns → µs timestamp)."""
+    """File-source stream over the events fixture dir.
+
+    The fixture's ts column has shipped both as TIMESTAMP(NANOS) (read as
+    int64 nanos via nanosAsLong) and as plain timestamp[us]; probe the
+    physical schema with a batch read and convert exactly like tables.load
+    so the streaming twin always matches the batch oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    phys = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file source wants a directory; select only the events file from
     # the fixture dir via glob filter
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(phys)
         .option("maxFilesPerTrigger", max_files)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(phys["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # watermarks require TIMESTAMP (ltz) — with a UTC session tz (session.py)
+    # the wall-clock values match the batch path's timestamp_ntz exactly
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:

@@ -55,11 +55,21 @@ def _update_profile(
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
+        # Arrow hands the batch over as datetime64[us] (parquet timestamp[us]);
+        # the state/output serializer assumes ns-resolution int64s, so keep
+        # every timestamp we store or emit pinned to ns.
+        batch_max = pd.Timestamp(pdf["ts"].max()).as_unit("ns")
         last = batch_max if last is None or batch_max > last else last
+    if last is not None:
+        last = pd.Timestamp(last).as_unit("ns")
     state.update((n, s, last))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "sum_value": [s], "last_ts": [last]}
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [s],
+            "last_ts": pd.Series([last], dtype="datetime64[ns]"),
+        }
     )
 
 
