@@ -184,3 +184,49 @@ def fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, w: (acc * F.lit(31) + hash32(w) % mod) % mod,
     )
+
+
+# --- PII detection / redaction (training-data scrubbing primitives) -------
+#
+# Patterns restricted to the RE2 ∩ java.util.regex common subset (no
+# backrefs, no lookaround) so the identical pattern string runs in Spark
+# (Java regex) and in the DuckDB oracle (RE2). Redaction order matters and
+# is part of the contract: emails first (an email contains dots that could
+# otherwise be nibbled by the IP pattern), then IPv4, then phone.
+
+PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_REGEX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_REGEX = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) — counted in redaction order, i.e. the
+    IP count is over the email-redacted text and the phone count over the
+    IP-redacted text, matching what redact_pii removes at each step."""
+    after_email = F.regexp_replace(col, PII_EMAIL_REGEX, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_REGEX, "<IP>")
+    return (
+        F.regexp_count(col, F.lit(PII_EMAIL_REGEX)).cast("long"),
+        F.regexp_count(after_email, F.lit(PII_IPV4_REGEX)).cast("long"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE_REGEX)).cast("long"),
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails -> <EMAIL>, IPv4 -> <IP>, phones -> <PHONE>.
+
+    Pure Catalyst (three chained regexp_replace); at 100 TB this is a
+    map-only pass inside whole-stage codegen — no shuffle, no Python.
+    """
+    out = F.regexp_replace(col, PII_EMAIL_REGEX, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_REGEX, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_REGEX, "<PHONE>")
+
+
+URL_REGEX = r"https?://([^/\s]+)"
+
+
+def url_domain(col: Column) -> Column:
+    """First URL's registrable host in the text ('' when none). regexp_extract
+    group 1 — identical pattern in the DuckDB oracle."""
+    return F.regexp_extract(col, URL_REGEX, 1)

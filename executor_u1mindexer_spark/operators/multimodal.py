@@ -390,3 +390,205 @@ def multimodal_join(docs: DataFrame, emb: DataFrame) -> DataFrame:
     """documents ⋈ embeddings on doc_id = vec_id — one row per document with
     text + vector + metadata (the Jina Document shape as a DataFrame)."""
     return docs.join(emb, docs.doc_id == emb.vec_id, "inner").drop("vec_id")
+
+
+# --- audio: real RIFF/WAVE PCM16 codec (pure Python, like the image path) --
+#
+# The reference never decodes audio (bytes are opaque in the Jina Document,
+# executor.py:6); this is the [NOT IN REFERENCE] audio leg of the multimodal
+# mandate. The codec is REAL — a chunk-walking RIFF parser — only the
+# payloads are synthesized (no audio fixtures in the container).
+
+
+def encode_wav(
+    sample_rate: int, n_channels: int, samples: list[int], junk_chunk: bool = False
+) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16-LE, interleaved `samples` (len must
+    be a multiple of n_channels). With junk_chunk, a LIST chunk precedes
+    fmt — real WAV files carry such chunks, and the parser must skip them."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * 2,  # byte rate
+        n_channels * 2,  # block align
+        16,  # bits per sample
+    )
+    chunks = b""
+    if junk_chunk:
+        body = b"INFOISFT" + b"graft\x00"
+        chunks += b"LIST" + struct.pack("<I", len(body)) + body
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Chunk-walking RIFF/WAVE parser: skips unknown chunks (LIST, fact, …),
+    honors word alignment (odd-sized chunks are padded), and reads PCM16
+    frames. Returns sample_rate / n_channels / bit_depth / n_frames /
+    duration_us / sum_abs."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    sr = ch = bits = None
+    frames = 0
+    sum_abs = 0
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            _, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            if ch is None:
+                raise ValueError("data chunk before fmt")
+            n = size // 2
+            vals = struct.unpack(f"<{n}h", body[: n * 2])
+            frames += n // ch
+            sum_abs += sum(abs(v) for v in vals)
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if sr is None:
+        raise ValueError("missing fmt chunk")
+    return {
+        "sample_rate": sr,
+        "n_channels": ch,
+        "bit_depth": bits,
+        "n_frames": frames,
+        "duration_us": frames * 1_000_000 // sr,
+        "sum_abs": sum_abs,
+    }
+
+
+def attach_synthetic_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV payloads from the id alone: channels = id%2+1,
+    sample_rate = 8000*(id%3+1), frames = id%40+5, interleaved sample i =
+    ((id*131 + i*17) % 65536) - 32768; every 4th doc gets a LIST junk chunk
+    (exercises the parser's chunk-skip). Closed form ⇒ the oracle states the
+    decoded metadata without decoding."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                ch, sr, frames = did % 2 + 1, 8000 * (did % 3 + 1), did % 40 + 5
+                samples = [
+                    ((did * 131 + i * 17) % 65536) - 32768 for i in range(frames * ch)
+                ]
+                payloads.append(encode_wav(sr, ch, samples, junk_chunk=did % 4 == 0))
+                ids.append(did)
+            yield pd.DataFrame({id_col: ids, "wav": payloads})
+
+    from executor_u1mindexer_spark.operators.dedup import _spread
+
+    return _spread(docs.select(id_col)).mapInPandas(
+        gen, schema=f"{id_col} long, wav binary"
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bit_depth int,"
+    " n_frames long, duration_us long, sum_abs long"
+)
+
+
+def decode_audio_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "wav") -> DataFrame:
+    """Arrow-batched WAV decode via mapInPandas — same 100 TB shape as the
+    image kernel: binary stays columnar, Python sees bounded batches."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_channels": [], "bit_depth": [],
+                "n_frames": [], "duration_us": [], "sum_abs": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                meta = decode_wav(bytes(payload))
+                rows["doc_id"].append(did)
+                for k in ("sample_rate", "n_channels", "bit_depth", "n_frames",
+                          "duration_us", "sum_abs"):
+                    rows[k].append(meta[k])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema=AUDIO_META_SCHEMA)
+
+
+# --- video: frame-index container + every-Nth frame sampling ---------------
+#
+# Real video decode needs ffmpeg (absent here); what Spark owns — the
+# container walk, the sampling policy, the row explosion (one output row per
+# SAMPLED frame from one input row) — is real. The container is a minimal
+# length-prefixed frame index ("GFV1": magic, n_frames, fps, then one u32
+# checksum per frame), the shape a demuxer's index table has.
+
+
+def encode_video_index(fps: int, checksums: list[int]) -> bytes:
+    import struct
+
+    head = b"GFV1" + struct.pack("<II", len(checksums), fps)
+    return head + b"".join(struct.pack("<I", c) for c in checksums)
+
+
+def decode_video_index(payload: bytes) -> tuple[int, list[int]]:
+    """-> (fps, per-frame checksums)."""
+    import struct
+
+    if payload[:4] != b"GFV1":
+        raise ValueError("not a GFV1 index")
+    n, fps = struct.unpack("<II", payload[4:12])
+    return fps, list(struct.unpack(f"<{n}I", payload[12 : 12 + 4 * n]))
+
+
+def attach_synthetic_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic frame index from the id: n_frames = id%24+8,
+    fps = 10*(id%3+1), checksum of frame f = (id*997 + f*31) % 2147483647."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                n, fps = did % 24 + 8, 10 * (did % 3 + 1)
+                cks = [(did * 997 + f * 31) % 2147483647 for f in range(n)]
+                payloads.append(encode_video_index(fps, cks))
+                ids.append(did)
+            yield pd.DataFrame({id_col: ids, "video": payloads})
+
+    from executor_u1mindexer_spark.operators.dedup import _spread
+
+    return _spread(docs.select(id_col)).mapInPandas(
+        gen, schema=f"{id_col} long, video binary"
+    )
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, ts_ms long, checksum long"
+
+
+def sample_video_frames(
+    df: DataFrame, every: int = 5, id_col: str = "doc_id", bin_col: str = "video"
+) -> DataFrame:
+    """Every-Nth-frame sampling: one input row (video) -> ceil(n/every)
+    output rows (sampled frames with timestamps). mapInPandas handles the
+    1->many explosion without collecting; at 100 TB the output row count is
+    n_frames/every — bounded fan-out, no shuffle."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "ts_ms": [], "checksum": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                fps, cks = decode_video_index(bytes(payload))
+                for f in range(0, len(cks), every):
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(f)
+                    rows["ts_ms"].append(f * 1000 // fps)
+                    rows["checksum"].append(cks[f])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)

@@ -77,6 +77,11 @@ DRIVER_PRIORITY = (
     "knn_search_batch512",
     "near_dedup_clusters",
     "multimodal_decode_image",
+    "multimodal_decode_audio",
+    "multimodal_sample_video_frames",
+    "text_pii_redaction",
+    "text_url_domains",
+    "text_length_histogram",
     "text_repetition_scores",
     "split_train_val_test",
     "tpch_q6_forecast_revenue",

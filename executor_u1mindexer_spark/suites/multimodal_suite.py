@@ -47,10 +47,31 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_images_metadata(MM.attach_synthetic_images(docs))
 
 
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize deterministic RIFF/WAVE
+    PCM16 payloads per doc (every 4th carries a LIST junk chunk the parser
+    must skip), then chunk-walk the container and integrate the samples
+    (operators/multimodal.py decode_wav). The oracle states the decoded
+    metadata in closed form from the generation rule — a misread header,
+    unskipped chunk, or sign error in the PCM unpack diverges sum_abs."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return MM.decode_audio_metadata(MM.attach_synthetic_audio(docs))
+
+
+def multimodal_sample_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-5th-frame sampling over a synthesized frame-index container:
+    one row per SAMPLED frame (1->many mapInPandas explosion), timestamps
+    from the fps in the container header."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return MM.sample_video_frames(MM.attach_synthetic_video(docs), every=5)
+
+
 QUERIES = {
     "multimodal_join": multimodal_join,
     "multimodal_binary_metadata": multimodal_binary_metadata,
     "multimodal_decode_image": multimodal_decode_image,
+    "multimodal_decode_audio": multimodal_decode_audio,
+    "multimodal_sample_video_frames": multimodal_sample_video_frames,
 }
 
 ORACLES = {
@@ -83,5 +104,29 @@ SELECT doc_id,
               range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2) * 3),
               i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum
 FROM documents
+""",
+    # audio generation rule: channels = id%2+1, rate = 8000*(id%3+1),
+    # frames = id%40+5, interleaved sample i = ((id*131 + i*17) % 65536)
+    # - 32768 — closed form, no decoding in the oracle
+    "multimodal_decode_audio": """
+SELECT doc_id,
+       CAST(8000 * (doc_id % 3 + 1) AS INT) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bit_depth,
+       CAST(doc_id % 40 + 5 AS BIGINT) AS n_frames,
+       CAST((doc_id % 40 + 5) * 1000000 // (8000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_us,
+       CAST(list_sum(list_transform(
+              range(0, (doc_id % 40 + 5) * (doc_id % 2 + 1)),
+              i -> abs(((doc_id * 131 + i * 17) % 65536) - 32768))) AS BIGINT) AS sum_abs
+FROM documents
+""",
+    # video index rule: n_frames = id%24+8, fps = 10*(id%3+1), checksum of
+    # frame f = (id*997 + f*31) % 2147483647; sampled f = 0,5,10,...
+    "multimodal_sample_video_frames": """
+SELECT d.doc_id,
+       CAST(t.i * 5 AS INT) AS frame_idx,
+       CAST(t.i * 5 * 1000 // (10 * (d.doc_id % 3 + 1)) AS BIGINT) AS ts_ms,
+       CAST((d.doc_id * 997 + t.i * 5 * 31) % 2147483647 AS BIGINT) AS checksum
+FROM documents d, unnest(range(0, (d.doc_id % 24 + 8 + 4) // 5)) AS t(i)
 """,
 }

@@ -135,8 +135,92 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_pii(d: DataFrame) -> Column:
+    """Deterministic PII injection (email+IP+phone derived from doc_id) so
+    the redaction path has guaranteed hits; the identical expression is
+    inlined in the oracle (_PII_TEXT)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(".9 tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: count + redact emails/IPv4/phones.
+
+    100 TB shape: three chained regexp_replace inside whole-stage codegen,
+    map-only, no shuffle — the scan streams straight to the sink. [NOT IN
+    REFERENCE: the reference stores text opaquely, executor.py:6.]"""
+    d = _docs(spark, sf_dir)
+    injected = _with_pii(d)
+    n_emails, n_ips, n_phones = T.pii_counts(injected)
+    red = T.redact_pii(injected)
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats after URL extraction (crawl-style grouping).
+
+    One shuffle on the extracted domain (low cardinality); extraction is a
+    codegen regexp_extract on the scan side."""
+    d = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(T.url_domain(injected).alias("domain"), "doc_id", "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram: 100-char buckets, capped at bucket 19.
+
+    Map-side partial agg on ~20 keys — the canonical distribution profile
+    a corpus QA pass runs before training; negligible shuffle."""
+    d = _docs(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(19)).cast("int")
+    return (
+        d.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_counts": text_token_counts,
+    "text_pii_redaction": text_pii_redaction,
+    "text_url_domains": text_url_domains,
+    "text_length_histogram": text_length_histogram,
     "text_repetition_scores": text_repetition_scores,
     "text_quality_scores": text_quality_scores,
     "text_language_id": text_language_id,
@@ -193,7 +277,53 @@ round((
 ) / 3.0, 6)
 """
 
+# the deterministic PII / URL injections — SQL twins of _with_pii and the
+# text_url_domains concat (identical byte-for-byte output in both engines)
+_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || '.9 tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_URL_TEXT = (
+    "text || ' see https://site' || CAST(doc_id % 37 AS VARCHAR)"
+    " || '.example.org/p/' || CAST(doc_id AS VARCHAR)"
+)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
 ORACLES = {
+    "text_pii_redaction": f"""
+WITH base AS (SELECT doc_id, {_PII_TEXT} AS t FROM documents),
+s1 AS (SELECT doc_id, t, regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM base),
+s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '{_IPV4_RE}', '<IP>', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,  '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{_IPV4_RE}'))  AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,
+       md5(regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM s2
+""",
+    "text_url_domains": f"""
+SELECT regexp_extract({_URL_TEXT}, 'https?://([^/\\s]+)', 1) AS domain,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+""",
+    "text_length_histogram": """
+SELECT CAST(least(n_chars // 100, 19) AS INT) AS bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+""",
     "text_token_counts": f"""
 SELECT doc_id, len({_WORDS}) AS n_words, len({_BPE}) AS n_bpe_tokens,
        length(text) AS n_chars_calc

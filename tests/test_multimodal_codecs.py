@@ -99,3 +99,42 @@ def test_malformed_payloads_raise():
 def test_lossy_decode_stub_is_loud():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\xff\xd8\xff\xe0....")  # JPEG magic
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    for ch in (1, 2):
+        samples = [((i * 17) % 65536) - 32768 for i in range(12 * ch)]
+        wav = MM.encode_wav(16000, ch, samples)
+        meta = MM.decode_wav(wav)
+        assert meta["sample_rate"] == 16000
+        assert meta["n_channels"] == ch
+        assert meta["bit_depth"] == 16
+        assert meta["n_frames"] == 12
+        assert meta["sum_abs"] == sum(abs(s) for s in samples)
+        assert meta["duration_us"] == 12 * 1_000_000 // 16000
+
+
+def test_wav_parser_skips_junk_chunks():
+    samples = [100, -100, 32767, -32768]
+    plain = MM.decode_wav(MM.encode_wav(8000, 1, samples, junk_chunk=False))
+    junked = MM.decode_wav(MM.encode_wav(8000, 1, samples, junk_chunk=True))
+    assert plain == junked
+
+
+def test_wav_malformed_raises():
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFXzzzzWAVE")
+    with pytest.raises(ValueError):
+        # fmt missing entirely
+        MM.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_video_index_roundtrip_and_sampling_arith():
+    cks = [(f * 31) % 2147483647 for f in range(23)]
+    fps, out = MM.decode_video_index(MM.encode_video_index(30, cks))
+    assert fps == 30
+    assert out == cks
+    sampled = list(range(0, 23, 5))
+    assert sampled == [0, 5, 10, 15, 20]  # ceil(23/5) = 5 frames
+    with pytest.raises(ValueError):
+        MM.decode_video_index(b"XXXX\x00\x00\x00\x00\x00\x00\x00\x00")
