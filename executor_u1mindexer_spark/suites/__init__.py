@@ -83,6 +83,9 @@ DRIVER_PRIORITY = (
     "text_url_domains",
     "text_length_histogram",
     "text_repetition_scores",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customer",
     "split_train_val_test",
     "tpch_q6_forecast_revenue",
     "agg_percentiles",

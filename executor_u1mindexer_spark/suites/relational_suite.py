@@ -144,6 +144,78 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.orderBy(F.col("revenue").desc(), F.col("n_name").asc())
 
 
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer. The
+    only shuffle is lineitem ⋈ orders + the customer-grained aggregate;
+    customer and nation broadcast. Top 20 by revenue (TakeOrderedAndProject,
+    no global sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    lineitem ⋈ broadcast(part); one shuffle (the 1-row final agg). Both
+    sums are exact decimals; ONE double division at the output."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01")) & (F.col("l_shipdate") < F.lit("1997-09-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    out = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)")))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return out.select(
+        F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 9).alias(
+            "promo_pct"
+        ),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 150. The
+    HAVING-subquery is a grouped aggregate over lineitem re-joined to
+    orders+customer — Catalyst plans the semi-filter as a plain join on
+    the aggregated (small) side, so the big lineitem table shuffles once
+    for the groupBy and the survivors broadcast upward."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    out = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+    return out.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(100)
+
+
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact ⋈ broadcast dim: lineitem volume per part brand."""
     li = _t(spark, sf_dir, "lineitem")
@@ -320,6 +392,9 @@ QUERIES = {
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q10_returned_items": tpch_q10_returned_items,
+    "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q18_large_volume_customer": tpch_q18_large_volume_customer,
     "join_broadcast_dim": join_broadcast_dim,
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
@@ -381,6 +456,45 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
+""",
+    "tpch_q10_returned_items": f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum({_DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "tpch_q14_promo_revenue": f"""
+WITH s AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC}
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+         CAST(sum({_DISC}) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-09-01'
+)
+SELECT round(100.0 * promo_revenue / total_revenue, 9) AS promo_pct,
+       promo_revenue, total_revenue
+FROM s
+""",
+    "tpch_q18_large_volume_customer": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
 """,
     "join_broadcast_dim": """
 SELECT p_brand, count(*) AS n_items,
