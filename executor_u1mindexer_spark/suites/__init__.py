@@ -89,6 +89,7 @@ DRIVER_PRIORITY = (
     "split_train_val_test",
     "tpch_q6_forecast_revenue",
     "agg_percentiles",
+    "agg_approx_quantiles",
     "unpivot_lineitem_metrics",
     "events_gapfill_hourly",
     "embedding_matryoshka_stats",

@@ -309,6 +309,41 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) checked as an invariant,
+    the same scheme as agg_approx_distinct: the sketch's raw value is
+    engine-specific, so the hashed output is the EXACT interpolated
+    quantile plus a boolean asserting the approximation landed inside the
+    exact [q-0.05, q+0.05] quantile band (accuracy=10000 guarantees rank
+    error <= n/10000, far tighter). Oracle emits the exact values and TRUE.
+
+    100 TB note: approx_percentile is the scale path — a mergeable sketch
+    with map-side partials; exact percentile sorts per group inside the agg
+    and is the small-data/verification path."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.45D)").alias("_lo50"),
+        F.expr("percentile(l_extendedprice, 0.55D)").alias("_hi50"),
+        F.expr("percentile(l_extendedprice, 0.9D)").alias("p90_exact"),
+        F.expr("percentile(l_extendedprice, 0.85D)").alias("_lo90"),
+        F.expr("percentile(l_extendedprice, 0.95D)").alias("_hi90"),
+        F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)").alias("_a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9D, 10000)").alias("_a90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        "p90_exact",
+        ((F.col("_a50") >= F.col("_lo50")) & (F.col("_a50") <= F.col("_hi50"))).alias(
+            "p50_within_band"
+        ),
+        ((F.col("_a90") >= F.col("_lo90")) & (F.col("_a90") <= F.col("_hi90"))).alias(
+            "p90_within_band"
+        ),
+    ).orderBy("l_returnflag")
+
+
 def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long unpivot (melt) of the lineitem measure columns, then a
     per-metric profile — the schema-normalization op feature stores and
@@ -337,6 +372,7 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "join_full_outer_segments": join_full_outer_segments,
     "agg_percentiles": agg_percentiles,
+    "agg_approx_quantiles": agg_approx_quantiles,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "agg_listagg_names": agg_listagg_names,
     "window_cume_dist_percent_rank": window_cume_dist_percent_rank,
@@ -354,6 +390,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_approx_quantiles": """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+       quantile_cont(l_extendedprice, 0.9) AS p90_exact,
+       TRUE AS p50_within_band,
+       TRUE AS p90_within_band
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
     "agg_percentiles": """
 SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.25) AS p25_price,
