@@ -237,3 +237,59 @@ def partitioned_topk_merge(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "dist")
     )
+
+
+def range_search(
+    stored: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    *,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Radius (range) search: every stored vector within `radius` of each
+    query — the unbounded-k sibling of knn_search (hnswlib exposes only
+    top-k, reference executor.py:112; radius search is the standard
+    extension every vector store ships).
+
+    100 TB shape: broadcast the (small) query side, scan the corpus once —
+    the distance + filter are codegen'd higher-order functions evaluated
+    scan-side, so output size is the only data-dependent cost; NO top-k
+    window, NO shuffle at all (compare knn_search's rank window)."""
+    qs = queries.select(
+        F.col(query_id_col),
+        V.as_double_array(query_vec_col).alias("_qv"),
+    )
+    st = stored.select(F.col(id_col), V.as_double_array(vec_col).alias("_sv"))
+    dist = V.distance(metric, F.col("_qv"), F.col("_sv"))
+    return (
+        st.join(F.broadcast(qs))
+        .select(query_id_col, id_col, dist.alias("dist"))
+        .filter(F.col("dist") <= F.lit(radius))
+    )
+
+
+def label_centroids(emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid in long form: (label, dim [1-based], centroid, n).
+
+    posexplode -> groupBy(label, dim) — ONE shuffle on (label, dim), partial
+    aggregation map-side; at 100 TB this is the canonical class-prototype /
+    cluster-summary op (e.g. seeding an IVF coarse quantizer from labeled
+    data). avg is rounded to 6dp at the boundary: fold order across
+    partitions is engine-specific for double sums (same policy as
+    agg_stats_funcs); the magnitude here is O(1) so 6dp is ~1e10 ulps of
+    slack."""
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(V.as_double_array(vec_col)).alias("pos", "val"),
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

@@ -75,6 +75,8 @@ DRIVER_PRIORITY = (
     # bit-identical arrow impl; 512 is the new scale point), PNG decode
     # joins the multimodal decode query, and the dedup keep-list
     "knn_search_batch512",
+    "ann_range_search",
+    "embedding_centroids_by_label",
     "near_dedup_clusters",
     "multimodal_decode_image",
     "multimodal_decode_audio",

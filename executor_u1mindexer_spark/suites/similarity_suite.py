@@ -123,8 +123,27 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RADIUS = 0.65  # fixture cosine distances: min non-self ~0.547, p1 ~0.70
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search at cosine distance <= 0.65: each query returns itself
+    (dist 0) plus its genuinely-close neighbors (~p0.5 of the pair
+    distribution). No top-k window, no shuffle — pure broadcast scan."""
+    emb = _emb(spark, sf_dir)
+    return S.range_search(emb, _queries(emb), RADIUS, metric="cosine")
+
+
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long form (label, dim, centroid, n_vectors) —
+    the class-prototype aggregate that seeds IVF coarse quantizers."""
+    return S.label_centroids(_emb(spark, sf_dir))
+
+
 QUERIES = {
     "ann_cosine_topk_join": ann_cosine_topk_join,
+    "ann_range_search": ann_range_search,
+    "embedding_centroids_by_label": embedding_centroids_by_label,
     "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk,
     "ann_ivf_label_topk": ann_ivf_label_topk,
     "ann_lsh_hyperplane_topk": ann_lsh_hyperplane_topk,
@@ -158,6 +177,23 @@ _BUCKET = " + ".join(
 )
 
 ORACLES = {
+    "ann_range_search": _BASE
+    + f"""
+SELECT q.query_id, e.vec_id, {_COS} AS dist
+FROM e CROSS JOIN q
+WHERE {_COS} <= {RADIUS}
+""",
+    "embedding_centroids_by_label": """
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT label, CAST(t.i AS INT) AS dim,
+       round(avg(v[t.i]), 6) AS centroid,
+       count(*) AS n_vectors
+FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+GROUP BY label, t.i
+""",
     "ann_cosine_topk_join": _BASE
     + f"""
 , scored AS (
