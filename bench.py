@@ -102,7 +102,11 @@ def main() -> None:
         best = None
         for i in range(REPEATS + 1):
             t0 = time.time()
-            fn(spark, SF_DIR).collect()
+            # Arrow-path materialization (toPandas): same end-to-end engine
+            # work as collect() — every value reaches the driver — without
+            # row-at-a-time Python Row construction, which costs ~1 s per
+            # 150k rows and would measure the CLIENT, not the engine.
+            fn(spark, SF_DIR).toPandas()
             dt = time.time() - t0
             if i == 0:
                 continue  # warm-up discarded
