@@ -216,3 +216,22 @@ def split_assign(
         .when(b < test_t, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, seed: str = "42") -> DataFrame:
+    """Reproducible global corpus shuffle — assign each row its position in
+    the order of md5(seed || id). Training pipelines need a shuffle that is
+    (a) uniform, (b) reproducible across reruns, (c) re-seedable per epoch;
+    a hash-order rank is all three (no RNG state, no sort instability).
+
+    100 TB shape: the rank comes from dense_rank_by's range-partition +
+    broadcast-offset scheme (operators/maintenance.py:42) — NO partition-less
+    window, NO single-task sort; the hash key range-partitions uniformly by
+    construction, so the sort is skew-free by design."""
+    from executor_u1mindexer_spark.operators.maintenance import dense_rank_by
+
+    keyed = df.withColumn(
+        "__shuffle_key", F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    )
+    ranked = dense_rank_by(keyed, "__shuffle_key", "shuffle_pos")
+    return ranked.drop("__shuffle_key")

@@ -95,6 +95,8 @@ DRIVER_PRIORITY = (
     "unpivot_lineitem_metrics",
     "events_gapfill_hourly",
     "embedding_matryoshka_stats",
+    "shuffle_epoch_order",
+    "source_compact_small_files",
     # last checked in r01 — rotate back through the driver window
     # (dense-id family first: shares the reworked localCheckpoint path)
     "status_counts",

@@ -59,8 +59,18 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.split_assign(docs, "doc_id").select("doc_id", "lang", "split")
 
 
+def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle: every doc gets its position in
+    md5('42:'||doc_id) order via the range-partition + broadcast-offset
+    rank (P.deterministic_shuffle) — no single-task global window."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = P.deterministic_shuffle(docs.select("doc_id", "lang"), "doc_id", seed="42")
+    return out.select("doc_id", "lang", "shuffle_pos")
+
+
 QUERIES = {
     "sample_hash_fraction": sample_hash_fraction,
+    "shuffle_epoch_order": shuffle_epoch_order,
     "sample_stratified_by_lang": sample_stratified_by_lang,
     "mixture_weighted_sources": mixture_weighted_sources,
     "pack_token_budget": pack_token_budget,
@@ -96,6 +106,12 @@ _SPLIT_BUCKET = (
 ORACLES = {
     "sample_hash_fraction": f"""
 SELECT doc_id, lang FROM documents WHERE {_BUCKET} < 100000
+""",
+    "shuffle_epoch_order": """
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)))
+            - 1 AS BIGINT) AS shuffle_pos
+FROM documents
 """,
     "split_train_val_test": f"""
 SELECT doc_id, lang,

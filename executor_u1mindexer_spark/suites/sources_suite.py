@@ -63,6 +63,30 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the 100 TB table-maintenance op: a fragmented
+    write (32 shards) rewritten to 4 right-sized files via coalesce (NOT
+    repartition — coalesce merges map-side with zero shuffle), with proof
+    nothing was lost: file counts from the filesystem, row count + checksum
+    from the data. At scale this is the nightly job that keeps scan task
+    counts sane (a million 1 MB files makes a 100 TB scan unschedulable)."""
+    ev = tables.load(spark, sf_dir, "events")
+    base = os.path.join(IO_DIR, os.path.basename(sf_dir.rstrip("/")))
+    frag, compact = os.path.join(base, "events_frag"), os.path.join(base, "events_compact")
+    ev.repartition(32).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    n_compact = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.lit(n_frag).alias("n_files_frag"),
+        F.lit(n_compact).alias("n_files_compact"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("event_id")).alias("sum_ids"),
+        F.sum(F.col("user_id")).alias("sum_users"),
+    )
+
+
 def traverse_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'c'-path traversal: explode the synthesized two-chunk split."""
     docs = traverse.with_chunks(tables.load(spark, sf_dir, "documents"))
@@ -80,6 +104,7 @@ QUERIES = {
     "source_json_roundtrip": source_json_roundtrip,
     "source_partitioned_parquet": source_partitioned_parquet,
     "source_orc_roundtrip": source_orc_roundtrip,
+    "source_compact_small_files": source_compact_small_files,
     "traverse_chunks": traverse_chunks,
 }
 
@@ -93,6 +118,14 @@ WHERE s_acctbal > 0 ORDER BY s_suppkey
     "source_partitioned_parquet": """
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents WHERE lang = 'en' GROUP BY lang
+""",
+    "source_compact_small_files": """
+SELECT CAST(32 AS INT) AS n_files_frag,
+       CAST(4 AS INT) AS n_files_compact,
+       count(*) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+       CAST(sum(user_id) AS BIGINT) AS sum_users
+FROM events
 """,
     "traverse_chunks": """
 WITH t AS (
