@@ -256,3 +256,58 @@ def test_jaccard_has_no_cartesian_product(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q10_broadcasts_dims_and_takes_ordered(spark, sf_dir):
+    df = R.tpch_q10_returned_items(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan  # customer + nation broadcast
+    assert "TakeOrderedAndProject" in plan  # top-20 without a global sort
+    pf = plans.pushed_filters(df)
+    assert "l_returnflag" in pf and "o_orderdate" in pf, pf
+
+
+def test_q14_broadcasts_part_and_prunes(spark, sf_dir):
+    df = R.tpch_q14_promo_revenue(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    rs = plans.read_schemas(df)
+    assert "p_name" not in rs and "l_tax" not in rs, rs
+
+
+def test_q18_takes_ordered_no_global_sort(spark, sf_dir):
+    df = R.tpch_q18_large_volume_customer(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the lineitem quantity aggregate is the only wide shuffle; customer
+    # rides a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_search_has_no_shuffle_or_window(spark, sf_dir):
+    from executor_u1mindexer_spark.suites import similarity_suite as SS
+
+    df = SS.ann_range_search(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # pure broadcast scan: distance + filter evaluated scan-side
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_pii_redaction_is_map_only(spark, sf_dir):
+    from executor_u1mindexer_spark.suites import text_suite as T
+
+    df = T.text_pii_redaction(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Exchange" not in plan, plan  # no shuffle at all
+    assert "codegen id" in plan, plan  # the whole query is one codegen stage
+
+
+def test_shuffle_epoch_order_no_single_partition(spark, sf_dir):
+    from executor_u1mindexer_spark.suites import pipeline_suite as P
+
+    df = P.shuffle_epoch_order(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
