@@ -45,3 +45,36 @@ def test_streaming_is_incremental(spark, sf_dir):
     stream = S.read_events_stream(spark, sf_dir)
     assert stream.isStreaming
     assert E.tumbling_window(tables.load(spark, sf_dir, "events"), "1 hour").isStreaming is False
+
+
+def test_streaming_file_sink_exactly_once_across_restarts(spark, sf_dir, tmp_path):
+    """Checkpointed file sink + availableNow: a restarted query must resume
+    from the checkpoint and process NOTHING new when the source is
+    unchanged — duplicate rows in the sink would mean at-least-once, not
+    exactly-once. This is the recovery contract a 100 TB streaming backfill
+    leans on."""
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = S.read_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(sink)
+    n_total, n_ids = first.count(), first.select("event_id").distinct().count()
+    assert n_total == n_ids > 0  # one row per event, no dupes
+
+    run_once()  # "restart" — same checkpoint, same source files
+    second = spark.read.parquet(sink)
+    assert second.count() == n_total  # nothing reprocessed
+    assert second.select("event_id").distinct().count() == n_ids
