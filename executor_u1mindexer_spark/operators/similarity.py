@@ -293,3 +293,76 @@ def label_centroids(emb: DataFrame, *, label_col: str = "label", vec_col: str = 
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+def product_quantize(
+    stored: DataFrame,
+    *,
+    m: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: split the d-dim vector into m contiguous
+    subspaces, train an independent seeded KMeans codebook per subspace,
+    encode every vector as m small integer codes — dim-64 float32 (256 B)
+    becomes 8 one-byte codes (32× compression), the storage layout IVF-PQ
+    engines keep in RAM while raw vectors stay on disk.
+
+    100 TB shape: codebooks are TINY (m × n_codes × d/m floats) — train on
+    a sample, broadcast implicitly as literals into the encode expression,
+    so encoding is a map-only codegen pass over the corpus: no shuffle, no
+    Python, nothing but the scan. Returns (id, codes array, recon_err —
+    the per-vector squared reconstruction error from the SAME literal
+    codebooks).
+
+    Like the IVF quantizer, trained centers aren't static SQL — the suite
+    reduces this to an invariant row (codes in range, error bounded).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(stored.select(V.as_double_array(vec_col).alias("v")).first()["v"])
+    sub = d // m
+    base = stored.select(F.col(id_col), V.as_double_array(vec_col).alias("__v"))
+    # slice(arr, start, length) is 1-based
+    feats = base.select(
+        id_col,
+        "__v",
+        *[
+            array_to_vector(F.slice("__v", j * sub + 1, sub)).alias(f"__f{j}")
+            for j in range(m)
+        ],
+    )
+    out = feats
+    code_cols, err_cols = [], []
+    for j in range(m):
+        model = KMeans(k=n_codes, seed=42 + j, maxIter=max_iter, featuresCol=f"__f{j}").fit(
+            feats.select(F.col(f"__f{j}"))
+        )
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        out = model.setPredictionCol(f"__c{j}").transform(out)
+        # reconstruction: codebook as a literal array-of-arrays, indexed by
+        # the assigned code — keeps the error computation codegen-side
+        book = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+        recon = F.element_at(book, F.col(f"__c{j}") + 1)
+        subv = F.slice("__v", j * sub + 1, sub)
+        err = F.aggregate(
+            F.zip_with(subv, recon, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code_cols.append(F.col(f"__c{j}"))
+        err_cols.append(err)
+    total_err = err_cols[0]
+    for e in err_cols[1:]:
+        total_err = total_err + e
+    return out.select(
+        F.col(id_col),
+        F.array(*code_cols).alias("codes"),
+        total_err.alias("recon_err"),
+        F.aggregate(
+            F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("sq_norm"),
+    )

@@ -77,6 +77,7 @@ DRIVER_PRIORITY = (
     "knn_search_batch512",
     "ann_range_search",
     "embedding_centroids_by_label",
+    "vector_pq_codes",
     "near_dedup_clusters",
     "multimodal_decode_image",
     "multimodal_decode_audio",

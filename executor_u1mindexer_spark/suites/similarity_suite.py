@@ -123,6 +123,28 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization reduced to a deterministic invariant row (same
+    scheme as ann_kmeans_ivf_topk — trained codebooks aren't static SQL):
+
+    - n_vectors: every corpus vector is encoded;
+    - codes_in_range / code_len_ok: m=8 codes per vector, each in [0,16);
+    - mse_ratio_ok: mean squared reconstruction error <= 0.7 x mean squared
+      norm (measured 0.549 at sf0.01, seed fixed — 27% slack; a broken
+      codebook lookup or slice off-by-one pushes the ratio to ~1+)."""
+    pq = S.product_quantize(_emb(spark, sf_dir))
+    return pq.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            (F.min(F.array_min("codes")) >= 0) & (F.max(F.array_max("codes")) < 16)
+        ).alias("codes_in_range"),
+        ((F.min(F.size("codes")) == 8) & (F.max(F.size("codes")) == 8)).alias(
+            "code_len_ok"
+        ),
+        (F.avg("recon_err") <= 0.7 * F.avg("sq_norm")).alias("mse_ratio_ok"),
+    )
+
+
 RADIUS = 0.65  # fixture cosine distances: min non-self ~0.547, p1 ~0.70
 
 
@@ -148,6 +170,7 @@ QUERIES = {
     "ann_ivf_label_topk": ann_ivf_label_topk,
     "ann_lsh_hyperplane_topk": ann_lsh_hyperplane_topk,
     "ann_partitioned_topk": ann_partitioned_topk,
+    "vector_pq_codes": vector_pq_codes,
 }
 
 _DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), (s,y) -> s+y)"
@@ -177,6 +200,13 @@ _BUCKET = " + ".join(
 )
 
 ORACLES = {
+    "vector_pq_codes": """
+SELECT count(*) AS n_vectors,
+       TRUE AS codes_in_range,
+       TRUE AS code_len_ok,
+       TRUE AS mse_ratio_ok
+FROM embeddings
+""",
     "ann_range_search": _BASE
     + f"""
 SELECT q.query_id, e.vec_id, {_COS} AS dist
