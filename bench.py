@@ -8,7 +8,9 @@ local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Per-query value = best of REPEATS timed runs after 1 warm-up run (warm-up
+Per-query value = best of REPEATS timed runs after 1 warm-up run (5 repeats
+since r03: this host shows intermittent multi-second stalls, and best-of-5
+absorbs a stalled repeat that best-of-3 sometimes cannot) (warm-up
 absorbs JVM/codegen/broadcast warm paths, same policy as benchmark.py:42's
 discarded first run).
 """
@@ -24,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
 
 # Headline set: the flagship vector path plus the heaviest representative of
 # each operator family (joins/aggs over the 600k-row lineitem, windows,
