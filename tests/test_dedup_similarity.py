@@ -134,3 +134,54 @@ def test_binary_metadata_shapes(spark, sf_dir):
     )
     rows = out.collect()
     assert all(r.n_bytes == 16 and 1 <= r.fake_width <= 64 for r in rows)
+
+
+def test_range_search_radius_zero_returns_only_self(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    rows = S.range_search(emb, q, 1e-12, metric="cosine").collect()
+    # each query matches exactly itself (cosine dist 0), nothing else
+    assert sorted((r.query_id, r.vec_id) for r in rows) == sorted(
+        (r.query_id, r.query_id) for r in q.collect()
+    )
+    assert all(abs(r.dist) < 1e-9 for r in rows)
+
+
+def test_label_centroids_mean_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 3.0]),
+            ("a", [3.0, 5.0]),
+            ("b", [10.0, -2.0]),
+        ],
+        "label string, embedding array<double>",
+    )
+    got = {(r.label, r.dim): (r.centroid, r.n_vectors) for r in S.label_centroids(df).collect()}
+    assert got == {
+        ("a", 1): (2.0, 2),
+        ("a", 2): (4.0, 2),
+        ("b", 1): (10.0, 1),
+        ("b", 2): (-2.0, 1),
+    }
+
+
+def test_product_quantize_recovers_clustered_data(spark):
+    # two tight clusters per subspace -> codebook centers land on them and
+    # reconstruction error collapses to ~0
+    rows = []
+    for i in range(64):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.product_quantize(df, m=2, n_codes=2).collect()
+    assert len(out) == 64
+    for r in out:
+        assert len(r.codes) == 2
+        assert all(0 <= c < 2 for c in r.codes)
+        assert r.recon_err < 1e-12
+        assert abs(r.sq_norm - 8.0) < 1e-9
+    # the two input patterns map to distinct code words
+    pats = {tuple(r.codes) for r in out}
+    assert len(pats) == 2
