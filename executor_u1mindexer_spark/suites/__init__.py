@@ -93,6 +93,7 @@ DRIVER_PRIORITY = (
     "tpch_q6_forecast_revenue",
     "agg_percentiles",
     "agg_approx_quantiles",
+    "scalar_array_funcs",
     "unpivot_lineitem_metrics",
     "events_gapfill_hourly",
     "embedding_matryoshka_stats",

@@ -309,6 +309,30 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType surface: build a per-order quantity array (sort_array over
+    collect_list — collect_list alone is partition-order nondeterministic;
+    the sort makes the array canonical in both engines), then exercise
+    size / distinct / min / max / slice / contains / fold. One shuffle (the
+    groupBy); every array op is a codegen expression."""
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("int").alias("qty")
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("qty")).alias("qties")
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("qties").alias("n_items"),
+        F.size(F.array_distinct("qties")).alias("n_distinct"),
+        F.array_min("qties").alias("min_qty"),
+        F.array_max("qties").alias("max_qty"),
+        F.array_join(F.slice("qties", 1, 3), ",").alias("first3"),
+        F.array_contains("qties", F.lit(25)).alias("has_25"),
+        F.aggregate("qties", F.lit(0), lambda acc, x: acc + x).alias("sum_fold"),
+    )
+
+
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (t-digest-style sketch) checked as an invariant,
     the same scheme as agg_approx_distinct: the sketch's raw value is
@@ -373,6 +397,7 @@ QUERIES = {
     "join_full_outer_segments": join_full_outer_segments,
     "agg_percentiles": agg_percentiles,
     "agg_approx_quantiles": agg_approx_quantiles,
+    "scalar_array_funcs": scalar_array_funcs,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "agg_listagg_names": agg_listagg_names,
     "window_cume_dist_percent_rank": window_cume_dist_percent_rank,
@@ -390,6 +415,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scalar_array_funcs": """
+WITH g AS (
+  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qties
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qties) AS INT) AS n_items,
+       CAST(len(list_distinct(qties)) AS INT) AS n_distinct,
+       list_min(qties) AS min_qty,
+       list_max(qties) AS max_qty,
+       array_to_string(qties[1:3], ',') AS first3,
+       list_contains(qties, 25) AS has_25,
+       CAST(list_reduce(list_prepend(0, qties), (acc, x) -> acc + x) AS INT) AS sum_fold
+FROM g
+""",
     "agg_approx_quantiles": """
 SELECT l_returnflag,
        quantile_cont(l_extendedprice, 0.5) AS p50_exact,
