@@ -82,6 +82,7 @@ DRIVER_PRIORITY = (
     "multimodal_decode_image",
     "multimodal_decode_audio",
     "multimodal_sample_video_frames",
+    "multimodal_training_manifest",
     "text_pii_redaction",
     "text_url_domains",
     "text_length_histogram",

@@ -59,6 +59,48 @@ def vector_dedup_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_PIXEL_AREA = 9
+MIN_DURATION_US = 1500
+
+
+def multimodal_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal capstone chain: REAL image decode + REAL audio decode +
+    text quality, joined per doc, gated on decoded facts (pixel area,
+    audio duration) and quality, accounted per language — the manifest a
+    multimodal training job reads. Every gate uses values the decoders
+    produced, so a codec regression changes the manifest, not just a
+    per-operator row."""
+    from executor_u1mindexer_spark.operators import multimodal as MM
+
+    docs = tables.load(spark, sf_dir, "documents")
+    img = MM.decode_images_metadata(MM.attach_synthetic_images(docs)).select(
+        "doc_id", "width", "height", "pixel_sum"
+    )
+    aud = MM.decode_audio_metadata(MM.attach_synthetic_audio(docs)).select(
+        "doc_id", "duration_us"
+    )
+    q = docs.select("doc_id", "lang", T.quality_score(F.col("text")).alias("q"))
+    gated = (
+        q.join(img, "doc_id")
+        .join(aud, "doc_id")
+        .filter(
+            (F.col("width") * F.col("height") >= MIN_PIXEL_AREA)
+            & (F.col("duration_us") >= MIN_DURATION_US)
+            & (F.col("q") >= QUALITY_MIN)
+        )
+    )
+    return (
+        gated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pixel_sum").alias("sum_pixels"),
+            F.sum("duration_us").alias("sum_duration_us"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 BENCH_MOD = 97  # mirrors text_suite's holdout rule
 PACK_BUDGET = 5_000
 
@@ -87,6 +129,7 @@ QUERIES = {
     "llm_corpus_pipeline": llm_corpus_pipeline,
     "vector_dedup_quantize": vector_dedup_quantize,
     "decontaminated_training_mix": decontaminated_training_mix,
+    "multimodal_training_manifest": multimodal_training_manifest,
 }
 
 # oracle fragments reused from the per-operator suites
@@ -98,6 +141,25 @@ from executor_u1mindexer_spark.suites.text_suite import _SHINGLE4_HS  # noqa: E4
 _LANGS_SQL = "('en', 'de')"
 
 ORACLES = {
+    # image/audio closed forms from the generation rules (multimodal_suite)
+    "multimodal_training_manifest": f"""
+WITH m AS (
+  SELECT doc_id, lang, ({_QUALITY}) AS q,
+         (doc_id % 5 + 2) * (doc_id % 3 + 2) AS area,
+         CAST(list_sum(list_transform(
+                range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2) * 3),
+                i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum,
+         CAST((doc_id % 40 + 5) * 1000000 // (8000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_us
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(pixel_sum) AS BIGINT) AS sum_pixels,
+       CAST(sum(duration_us) AS BIGINT) AS sum_duration_us,
+       round(avg(q), 6) AS avg_quality
+FROM m
+WHERE area >= {MIN_PIXEL_AREA} AND duration_us >= {MIN_DURATION_US} AND q >= {QUALITY_MIN}
+GROUP BY lang ORDER BY lang
+""",
     "llm_corpus_pipeline": f"""
 WITH gated AS (
   SELECT doc_id, lang, text FROM documents
