@@ -85,6 +85,7 @@ DRIVER_PRIORITY = (
     "multimodal_training_manifest",
     "text_pii_redaction",
     "text_url_domains",
+    "text_bigram_lm_scores",
     "text_length_histogram",
     "text_repetition_scores",
     "tpch_q10_returned_items",

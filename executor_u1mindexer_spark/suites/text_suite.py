@@ -216,8 +216,75 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM scoring — the CCNet/perplexity-style quality filter:
+    train add-one-smoothed bigram statistics ON the corpus itself, score
+    every document by its mean bigram log-probability, ln p(w2|w1) =
+    ln((C(w1w2)+1)/(C(w1)+V)).
+
+    Determinism: each ln is rounded to 6dp and scaled to integer micros
+    BEFORE the per-doc sum (ln is a libm transcendental — JVM vs DuckDB
+    differ by 1 ulp on ~1e-6 of inputs; integer sums are fold-order free).
+    The mean is ONE double division at the output.
+
+    100 TB shape: two grouped counts (bigram, unigram — shuffles on the
+    token keys, map-side partials), then the exploded corpus joins the count
+    tables on those same keys; the V scalar broadcasts. This is the
+    standard distributed n-gram-LM scoring layout — no driver-side model."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", T.words(F.col("text")).alias("toks"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    unigrams = toks.select(F.explode("toks").alias("w"))
+    uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni_counts.agg(F.count(F.lit(1)).alias("v"))
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bigrams.join(bg_counts, "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(uni_counts, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            # round ONCE at micro scale then cast: Spark's double->long cast
+            # truncates toward zero while DuckDB's rounds, so a rounded-then-
+            # scaled value like -3812344.9999999995 would diverge by 1
+            "logp_micro",
+            F.round(
+                F.log(
+                    (F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")).cast("double")
+                )
+                * 1_000_000,
+                0,
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("logp_micro").alias("sum_logp_micro"),
+        F.round(
+            F.sum("logp_micro").cast("double")
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("avg_logp"),
+    )
+
+
 QUERIES = {
     "text_token_counts": text_token_counts,
+    "text_bigram_lm_scores": text_bigram_lm_scores,
     "text_pii_redaction": text_pii_redaction,
     "text_url_domains": text_url_domains,
     "text_length_histogram": text_length_histogram,
@@ -294,6 +361,39 @@ _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
 
 ORACLES = {
+    "text_bigram_lm_scores": f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])
+           ELSE CAST([] AS VARCHAR[]) END) AS bg
+  FROM t
+), uni AS (
+  SELECT unnest(toks) AS w FROM t
+), uc AS (
+  SELECT w, count(*) AS cu FROM uni GROUP BY w
+), v AS (
+  SELECT count(*) AS v FROM uc
+), bc AS (
+  SELECT bg, count(*) AS cb FROM bg GROUP BY bg
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(round(ln(CAST(bc.cb + 1 AS DOUBLE) / CAST(uc.cu + v.v AS DOUBLE))
+              * 1000000, 0) AS BIGINT) AS logp_micro
+  FROM bg
+  JOIN bc USING (bg)
+  JOIN uc ON str_split(bg.bg, ' ')[1] = uc.w
+  CROSS JOIN v
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(logp_micro) AS BIGINT) AS sum_logp_micro,
+       round(CAST(sum(logp_micro) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 9)
+         AS avg_logp
+FROM scored GROUP BY doc_id
+""",
     "text_pii_redaction": f"""
 WITH base AS (SELECT doc_id, {_PII_TEXT} AS t FROM documents),
 s1 AS (SELECT doc_id, t, regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM base),
