@@ -78,3 +78,49 @@ def test_streaming_file_sink_exactly_once_across_restarts(spark, sf_dir, tmp_pat
     second = spark.read.parquet(sink)
     assert second.count() == n_total  # nothing reprocessed
     assert second.select("event_id").distinct().count() == n_ids
+
+
+def test_streaming_ingest_into_engine_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch feeds the vector index from a stream: after draining an
+    embeddings file-stream through engine.index() micro-batch by micro-batch,
+    search results are identical to a one-shot batch ingest — the live-tail
+    half of the backfill+tail story (the batch path is the oracle)."""
+    from executor_u1mindexer_spark.engine import U1MIndexerSpark
+
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    phys = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+
+    eng_stream = U1MIndexerSpark(spark, dim=64, workspace=str(tmp_path / "ws_stream"))
+
+    def feed(batch_df, batch_id):
+        eng_stream.index(
+            batch_df.select("vec_id", "embedding"), id_col="vec_id", vec_col="embedding"
+        )
+
+    q = (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .writeStream.foreachBatch(feed)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    eng_batch = U1MIndexerSpark(spark, dim=64, workspace=str(tmp_path / "ws_batch"))
+    eng_batch.index(emb, id_col="vec_id", vec_col="embedding")
+
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in eng_stream.search(queries, limit=5, with_payload=False).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in eng_batch.search(queries, limit=5, with_payload=False).collect()
+    }
+    assert got == want and len(got) == 10
