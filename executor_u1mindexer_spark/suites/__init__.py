@@ -103,6 +103,7 @@ DRIVER_PRIORITY = (
     "embedding_matryoshka_stats",
     "shuffle_epoch_order",
     "source_compact_small_files",
+    "events_range_join_bucketed",
     # last checked in r01 — rotate back through the driver window
     # (dense-id family first: shares the reworked localCheckpoint path)
     "status_counts",

@@ -98,6 +98,52 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of events_range_join: a BANDED interval join. The
+    plain form joins on user_id alone and filters the ts interval AFTER the
+    join — per-user fan-out is views(u) × purchases(u), quadratic in a hot
+    user's activity. Banding adds the hour bucket to the join key: each
+    purchase explodes to its two candidate view buckets (hour h and h-1 —
+    any view within the trailing hour lies in one of them), each view keeps
+    its single bucket, and the equi-join on (user, bucket) bounds fan-out
+    to one hour of activity per key. Pairs stay unique (a view has ONE
+    bucket; the two exploded buckets are distinct), so no dedup is needed.
+    Result is IDENTICAL to events_range_join — same oracle, only the join
+    geometry changes."""
+    ev = tables.load(spark, sf_dir, "events")
+    hour = F.lit(3600)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        (F.unix_timestamp("ts") / hour).cast("long").alias("__b"),
+    )
+    p_exp = p.withColumn("__bucket", F.explode(F.array(F.col("__b"), F.col("__b") - 1)))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        (F.unix_timestamp("ts") / hour).cast("long").alias("__bucket"),
+    )
+    joined = p_exp.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (p_exp["__bucket"] == v["__bucket"])
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    counts = joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        p.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.coalesce("__n", F.lit(0)).alias("views_last_hour"),
+        )
+    )
+
+
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted fact-fact join (deterministic salt from l_linenumber) —
     result-identical to the plain join, hot keys spread over 8 reducers."""
@@ -412,6 +458,7 @@ QUERIES = {
     "map_column_ops": map_column_ops,
     "grouping_sets_orders": grouping_sets_orders,
     "events_range_join": events_range_join,
+    "events_range_join_bucketed": events_range_join_bucketed,
 }
 
 ORACLES = {
@@ -580,6 +627,20 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
     "events_range_join": """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, ts AS view_ts FROM events WHERE event_type = 'view'
+)
+SELECT purchase_id, user_id, purchase_ts, count(view_ts) AS views_last_hour
+FROM p LEFT JOIN v
+  ON user_id = v_user
+ AND view_ts <= purchase_ts
+ AND view_ts > purchase_ts - INTERVAL '1 hour'
+GROUP BY purchase_id, user_id, purchase_ts
+""",
+    "events_range_join_bucketed": """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
   FROM events WHERE event_type = 'purchase'
