@@ -44,8 +44,8 @@ SUITE_MODULES = (
 # green rows cycle back through so every query re-earns a driver row over
 # time. Round 3 front-loads the 7 never-checked r02 queries, the 6
 # HUGEINT-sum oracle fixes, the operators reworked this round (pack/
-# dense-id/simhash/partitioned-ANN), all 16 queries ADDED in r03 (none has
-# a driver row yet), and 4 r01-rotations; everything outside the window has
+# dense-id/simhash/partitioned-ANN), every query ADDED in r03 (none has
+# a driver row yet), and the oldest r01-rotations that still fit; everything outside the window has
 # a green driver row from r01/r02 AND a green CORRECTNESS_LOCAL_r03 row.
 DRIVER_PRIORITY = (
     # never driver-checked (added late in r02 after the window filled)
