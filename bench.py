@@ -50,6 +50,9 @@ HEADLINE = [
     "near_dedup_minhash_lsh",
     "near_dedup_ngram_jaccard",
     "multimodal_decode_image",
+    "multimodal_decode_audio",
+    "text_bigram_lm_scores",
+    "tpch_q18_large_volume_customer",
     "ann_cosine_topk_join",
     "ann_partitioned_topk",
     "pack_token_budget",
