@@ -138,3 +138,47 @@ def test_video_index_roundtrip_and_sampling_arith():
     assert sampled == [0, 5, 10, 15, 20]  # ceil(23/5) = 5 frames
     with pytest.raises(ValueError):
         MM.decode_video_index(b"XXXX\x00\x00\x00\x00\x00\x00\x00\x00")
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    sr=st.sampled_from([8000, 16000, 44100]),
+    ch=st.integers(1, 2),
+    frames=st.integers(0, 100),
+    seed=st.integers(0, 2**31),
+    junk=st.booleans(),
+)
+def test_wav_roundtrip_property(sr, ch, frames, seed, junk):
+    samples = [((seed + i * 7919) % 65536) - 32768 for i in range(frames * ch)]
+    meta = MM.decode_wav(MM.encode_wav(sr, ch, samples, junk_chunk=junk))
+    assert meta["sample_rate"] == sr
+    assert meta["n_channels"] == ch
+    assert meta["n_frames"] == frames
+    assert meta["sum_abs"] == sum(abs(s) for s in samples)
+    assert meta["duration_us"] == frames * 1_000_000 // sr
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    fps=st.integers(1, 120),
+    cks=st.lists(st.integers(0, 2**32 - 1), max_size=200),
+)
+def test_video_index_roundtrip_property(fps, cks):
+    got_fps, got = MM.decode_video_index(MM.encode_video_index(fps, cks))
+    assert got_fps == fps and got == cks
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+    seed=st.integers(0, 255),
+    filter_type=st.integers(0, 4),
+)
+def test_png_roundtrip_property(w, h, seed, filter_type):
+    px = bytes((seed * 31 + i) % 256 for i in range(w * h * 3))
+    ww, hh, _, out = MM.decode_png(MM.encode_png(w, h, px, filter_type=filter_type))
+    assert (ww, hh) == (w, h) and out == px
