@@ -311,3 +311,25 @@ def test_shuffle_epoch_order_no_single_partition(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_bigram_lm_broadcasts_vocab_no_cartesian(spark, sf_dir):
+    from executor_u1mindexer_spark.suites import text_suite as T
+
+    df = T.text_bigram_lm_scores(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # the vocab scalar rides a broadcast; the count joins are keyed — the
+    # only acceptable nested-loop is the broadcast of the 1-row vocab
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_banded_range_join_is_equi_keyed(spark, sf_dir):
+    from executor_u1mindexer_spark.suites import relational_extra_suite as RE
+
+    df = RE.events_range_join_bucketed(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    # the band key makes this a plain equi join — never a nested loop over
+    # per-user cross products
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
