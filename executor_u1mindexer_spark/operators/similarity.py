@@ -24,7 +24,37 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from executor_u1mindexer_spark.functions import text as T
 from executor_u1mindexer_spark.functions import vector as V
+
+# Quantizer (KMeans) training never needs the full corpus: codebook quality
+# converges long before 100k training rows, while a full-corpus MLlib fit at
+# 100 TB is an iterative all-data job per codebook. Every trainer below fits
+# on fit_sample() output and transforms everything.
+FIT_SAMPLE_CAP = 100_000
+
+
+def fit_sample(df: DataFrame, id_col: str, cap: int = FIT_SAMPLE_CAP) -> DataFrame:
+    """Deterministic bounded training sample: order by md5-hash of the id
+    (ties broken by the id itself) and keep the first `cap` rows.
+
+    - Deterministic: a pure function of the row keys — same sample across
+      reruns, partitionings, and engines (no rand()/sample() RNG stream).
+    - Bounded: orderBy+limit compiles to TakeOrderedAndProject — each
+      partition keeps its local top-cap, one merge of <= cap rows; the fit
+      input is <= cap rows no matter the corpus size (no full sort shuffle).
+    - Unbiased: md5 order is uncorrelated with insertion/value order, so the
+      prefix is a uniform draw.
+    When the corpus has <= cap rows the sample IS the corpus, so small-SF
+    oracle results are unchanged.
+    """
+    return (
+        df.withColumn("__fit_h", T.hash32(F.col(id_col).cast("string")))
+        .orderBy("__fit_h", id_col)
+        .limit(cap)
+        .drop("__fit_h")
+    )
+
 
 # Fixed hyperplanes for sign-LSH (seeded — NOT query-time randomness).
 N_PLANES = 4
@@ -111,15 +141,17 @@ def kmeans_ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_embedding",
+    fit_sample_cap: int = FIT_SAMPLE_CAP,
 ) -> DataFrame:
     """True IVF: a seeded MLlib KMeans coarse quantizer assigns cells; each
     query searches only its own cell (the production form of the label-
     bucket demo — cells adapt to the data distribution).
 
-    Training runs on the stored side (at 100 TB: fit on a sample, transform
-    everything); seed fixed for reproducibility. No SQL oracle — the
-    trained centroids aren't expressible in static SQL — so the driver
-    records the rows-only check for this one.
+    Training FITS ON A BOUNDED SAMPLE (fit_sample, <= fit_sample_cap rows —
+    deterministic hash-prefix draw) and TRANSFORMS everything: the fit is
+    never an all-corpus iterative job. Seed fixed for reproducibility. No
+    SQL oracle — the trained centroids aren't expressible in static SQL —
+    so the suite reduces this to an invariant row.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -128,7 +160,8 @@ def kmeans_ivf_topk(
         F.col(id_col),
         V.as_double_array(vec_col).alias("__svec"),
     ).withColumn("features", array_to_vector(F.col("__svec")))
-    model = KMeans(k=n_cells, seed=42, maxIter=max_iter).fit(s_feat.select("features"))
+    fit_input = fit_sample(s_feat, id_col, fit_sample_cap).select("features")
+    model = KMeans(k=n_cells, seed=42, maxIter=max_iter).fit(fit_input)
     s_cells = model.transform(s_feat).select(
         id_col, "__svec", F.col("prediction").alias("__cell")
     )
@@ -303,6 +336,8 @@ def product_quantize(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    fit_sample_cap: int = FIT_SAMPLE_CAP,
 ) -> DataFrame:
     """Product quantization: split the d-dim vector into m contiguous
     subspaces, train an independent seeded KMeans codebook per subspace,
@@ -310,12 +345,18 @@ def product_quantize(
     becomes 8 one-byte codes (32× compression), the storage layout IVF-PQ
     engines keep in RAM while raw vectors stay on disk.
 
-    100 TB shape: codebooks are TINY (m × n_codes × d/m floats) — train on
-    a sample, broadcast implicitly as literals into the encode expression,
-    so encoding is a map-only codegen pass over the corpus: no shuffle, no
-    Python, nothing but the scan. Returns (id, codes array, recon_err —
-    the per-vector squared reconstruction error from the SAME literal
-    codebooks).
+    100 TB shape: codebooks are TINY (m × n_codes × d/m floats) — all m
+    fits run on ONE shared bounded sample (fit_sample, <= fit_sample_cap
+    rows, cached across the m fits), then the codebooks are broadcast
+    implicitly as literals into the encode expression, so encoding is a
+    map-only codegen pass over the corpus: no shuffle, no Python, nothing
+    but the scan. Returns (id, codes array, recon_err — the per-vector
+    squared reconstruction error from the SAME literal codebooks).
+
+    `dim` is the vector width; pass it when known (at 100 TB a catalog
+    fact), else it is probed from ONE row via limit(1). Must be divisible
+    by m — a silent remainder drop would leave d % m dims unencoded while
+    sq_norm still sums all d, skewing the mse invariant (ValueError).
 
     Like the IVF quantizer, trained centers aren't static SQL — the suite
     reduces this to an invariant row (codes in range, error bounded).
@@ -323,7 +364,16 @@ def product_quantize(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    d = len(stored.select(V.as_double_array(vec_col).alias("v")).first()["v"])
+    d = dim
+    if d is None:
+        probe = (
+            stored.select(F.size(V.as_double_array(vec_col)).alias("d")).limit(1).collect()
+        )
+        if not probe:
+            raise ValueError("product_quantize: empty input, pass dim= explicitly")
+        d = probe[0]["d"]
+    if d % m != 0:
+        raise ValueError(f"product_quantize: dim {d} not divisible by m={m}")
     sub = d // m
     base = stored.select(F.col(id_col), V.as_double_array(vec_col).alias("__v"))
     # slice(arr, start, length) is 1-based
@@ -335,11 +385,14 @@ def product_quantize(
             for j in range(m)
         ],
     )
+    fit_input = fit_sample(
+        feats.select(id_col, *[f"__f{j}" for j in range(m)]), id_col, fit_sample_cap
+    ).cache()
     out = feats
     code_cols, err_cols = [], []
     for j in range(m):
         model = KMeans(k=n_codes, seed=42 + j, maxIter=max_iter, featuresCol=f"__f{j}").fit(
-            feats.select(F.col(f"__f{j}"))
+            fit_input.select(F.col(f"__f{j}"))
         )
         centers = [[float(x) for x in c] for c in model.clusterCenters()]
         out = model.setPredictionCol(f"__c{j}").transform(out)
@@ -355,6 +408,7 @@ def product_quantize(
         )
         code_cols.append(F.col(f"__c{j}"))
         err_cols.append(err)
+    fit_input.unpersist()  # fits are eager; the returned plan doesn't read it
     total_err = err_cols[0]
     for e in err_cols[1:]:
         total_err = total_err + e

@@ -185,3 +185,50 @@ def test_product_quantize_recovers_clustered_data(spark):
     # the two input patterns map to distinct code words
     pats = {tuple(r.codes) for r in out}
     assert len(pats) == 2
+
+
+def test_fit_sample_bounded_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(500)],
+        "vec_id long, embedding array<double>",
+    )
+    a = S.fit_sample(df, "vec_id", cap=50)
+    assert a.count() == 50
+    # deterministic under repartitioning: same ids, same content
+    b = S.fit_sample(df.repartition(7), "vec_id", cap=50)
+    assert sorted(r.vec_id for r in a.collect()) == sorted(r.vec_id for r in b.collect())
+    # bounded plan: TakeOrderedAndProject, not a full global sort
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quantizers_fit_on_bounded_sample(spark, sf_dir):
+    # cap far below the corpus size: results must still satisfy the
+    # operator contracts (the fit input is a sample, the TRANSFORM covers
+    # everything)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cap = 32
+    assert n > cap
+    q = emb.filter(F.col("vec_id") % similarity_suite.QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    ivf = S.kmeans_ivf_topk(emb, q, k=3, fit_sample_cap=cap).collect()
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == q.count()
+    for qid, matches in by_q.items():
+        assert min(matches, key=lambda r: r.rank).vec_id == qid
+        assert len({r.cell for r in matches}) == 1
+    pq = S.product_quantize(emb, fit_sample_cap=cap)
+    assert pq.count() == n  # every corpus vector encoded despite sampled fit
+
+
+def test_product_quantize_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        S.product_quantize(df, m=2, n_codes=2)
