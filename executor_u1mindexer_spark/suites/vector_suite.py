@@ -16,6 +16,7 @@ from executor_u1mindexer_spark.operators import knn
 
 N_QUERIES = 5  # query vectors = the N lowest vec_ids (FIXTURES.md guidance)
 K = 10
+ARROW_MIN_BATCH = 16  # impl crossover; measurement in _knn_batch docstring
 
 
 def _queries_df(emb: DataFrame) -> DataFrame:
@@ -120,16 +121,21 @@ def _knn_batch(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
     """Baseline-comparable search shapes (reference README.md:26-31 measures
     query batches of 1/8/64 at k=20, executor.py:19).
 
-    impl='arrow': the chunk-packed numpy kernel (operators/knn._arrow_scored)
-    — bit-identical scores to the Catalyst fold (equivalence pinned in
-    tests/test_knn.py), ~0.5 ms/query marginal batched cost vs ~12 ms/query
-    for the interpreted per-pair HOF fold. The single-query flagship path
-    (knn_search_cosine) stays Catalyst: zero Python in the plan."""
+    The two impls are bit-identical (equivalence pinned in tests/test_knn.py)
+    so the choice is pure routing: the arrow kernel (operators/knn.
+    _arrow_scored) has ~0.5 ms/query marginal batched cost vs ~12 ms/query
+    for the interpreted per-pair HOF fold, but pays a fixed pack/broadcast
+    cost per batch that dominates tiny batches. Measured at sf0.1/local[32]
+    (best-of-5, uncached read, r04): batch1 0.55s catalyst vs 0.56s arrow,
+    batch8 0.50 vs 0.52, batch32 0.70 vs 0.49 — crossover ~16 queries, so
+    batches below ARROW_MIN_BATCH route catalyst (zero Python in the plan,
+    same story as the flagship knn_search_cosine), larger route arrow."""
     emb = tables.load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )
-    return knn.knn_search(emb, q, k=20, metric="cosine", impl="arrow")
+    impl = "catalyst" if nq < ARROW_MIN_BATCH else "arrow"
+    return knn.knn_search(emb, q, k=20, metric="cosine", impl=impl)
 
 
 def knn_search_batch1(spark: SparkSession, sf_dir: str) -> DataFrame:
