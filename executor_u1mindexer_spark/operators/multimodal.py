@@ -60,17 +60,19 @@ def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str 
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Lossy-format decode (JPEG/WebP/...) — STUB. The container has no
-    PIL/opencv; gate the import and fail loudly rather than fake silently.
-    BMP, PPM, and (since r03) baseline PNG are decoded for real by
-    decode_image_meta — no library needed."""
+    """Remaining lossy-format decode (WebP/AVIF/...) — STUB. The container
+    has no PIL/opencv; gate the import and fail loudly rather than fake
+    silently. BMP, PPM, baseline PNG (since r03) and baseline JPEG (since
+    r04, operators/jpeg.py) are decoded for real by decode_image_meta — no
+    library needed; progressive JPEG raises its own loud
+    NotImplementedError inside decode_jpeg."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "JPEG/WebP decode requires PIL, which is not available in this "
-            "environment; decode_image_meta handles BMP/PPM/baseline-PNG in "
-            "pure Python"
+            "WebP/AVIF decode requires PIL, which is not available in this "
+            "environment; decode_image_meta handles BMP/PPM/baseline-PNG/"
+            "baseline-JPEG in pure Python"
         ) from e
     raise NotImplementedError("real decode path not implemented in this round")
 
@@ -318,25 +320,39 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
 def decode_image_meta(payload: bytes) -> dict:
     """Dispatch on magic bytes; returns format/width/height/pixel_sum where
     pixel_sum is the sum of all channel bytes in top-down raster order
-    (identical for the same RGB image in any of the three containers)."""
+    (identical for the same RGB image in any lossless container; for JPEG
+    it is the sum over the DECODED raster — exact for block-constant
+    images under the default all-ones quant table, see operators/jpeg.py)."""
+    from executor_u1mindexer_spark.operators.jpeg import decode_jpeg
+
     if payload.startswith(b"P6"):
         fmt, (w, h, px) = "ppm", decode_ppm(payload)
     elif payload.startswith(b"BM"):
         fmt, (w, h, px) = "bmp", decode_bmp(payload)
     elif payload.startswith(_PNG_MAGIC):
         fmt, (w, h, _ch, px) = "png", decode_png(payload)
+    elif payload.startswith(b"\xff\xd8"):
+        fmt, (w, h, _ch, px) = "jpeg", decode_jpeg(payload)
     else:
-        raise ValueError("unrecognized image payload (expected P6 PPM, BMP, or PNG)")
+        raise ValueError(
+            "unrecognized image payload (expected P6 PPM, BMP, PNG, or JPEG)"
+        )
     return {"format": fmt, "width": w, "height": h, "pixel_sum": sum(px)}
 
 
 def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic test images derived ONLY from the id: width = id%5+2,
-    height = id%3+2, channel byte i = (id*7 + i) % 256 (top-down raster);
-    container cycles id%3 → PPM / BMP / PNG (the PNG scanline filter also
-    cycles, id%5, so every unfilter path decodes under the oracle) — so an
-    oracle can state the decoded metadata in closed form without itself
+    height = id%3+2; container cycles id%4 → PPM / BMP / PNG / JPEG.
+    Lossless containers carry RGB channel byte i = (id*7 + i) % 256
+    (top-down raster; the PNG scanline filter cycles id%5 so every
+    unfilter path decodes under the oracle). JPEG — lossy in general — is
+    given a CONSTANT grayscale image of value (id*7) % 256, which the
+    baseline codec roundtrips EXACTLY under its all-ones quant table
+    (operators/jpeg.py): every 8x8 block is constant so the only nonzero
+    coefficient is the integer DC. So an oracle can state the decoded
+    metadata for all four containers in closed form without itself
     decoding anything."""
+    from executor_u1mindexer_spark.operators.jpeg import encode_jpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -345,13 +361,16 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 did = int(did)
                 w, h = did % 5 + 2, did % 3 + 2
                 px = bytes((did * 7 + i) % 256 for i in range(w * h * 3))
-                kind = did % 3
+                kind = did % 4
                 if kind == 0:
                     payloads.append(encode_ppm(w, h, px))
                 elif kind == 1:
                     payloads.append(encode_bmp(w, h, px))
-                else:
+                elif kind == 2:
                     payloads.append(encode_png(w, h, px, filter_type=did % 5))
+                else:
+                    gray = bytes([did * 7 % 256]) * (w * h)
+                    payloads.append(encode_jpeg(w, h, gray, channels=1))
                 ids.append(did)
             yield pd.DataFrame({id_col: ids, "img": payloads})
 

@@ -146,9 +146,12 @@ ORACLES = {
 WITH m AS (
   SELECT doc_id, lang, ({_QUALITY}) AS q,
          (doc_id % 5 + 2) * (doc_id % 3 + 2) AS area,
-         CAST(list_sum(list_transform(
-                range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2) * 3),
-                i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum,
+         CAST(CASE WHEN doc_id % 4 = 3
+              THEN (doc_id % 5 + 2) * (doc_id % 3 + 2) * ((doc_id * 7) % 256)
+              ELSE list_sum(list_transform(
+                     range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2) * 3),
+                     i -> (doc_id * 7 + i) % 256))
+         END AS BIGINT) AS pixel_sum,
          CAST((doc_id % 40 + 5) * 1000000 // (8000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_us
   FROM documents
 )

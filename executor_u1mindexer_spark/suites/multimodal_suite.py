@@ -35,14 +35,16 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end: synthesize deterministic PPM/BMP/PNG
-    bytes per doc (container cycles id%3; the PNG scanline filter cycles
-    id%5 so all five unfilter paths run), then parse headers, DEFLATE
-    streams, and pixel data with the pure-Python codecs
-    (operators/multimodal.py). The oracle states the decoded metadata in
-    closed form from the generation rule — if the decoder misreads a
-    header, drops row padding, or unfilters a scanline wrong, width/height/
-    pixel_sum diverge."""
+    """REAL image decode end-to-end: synthesize deterministic
+    PPM/BMP/PNG/JPEG bytes per doc (container cycles id%4; the PNG
+    scanline filter cycles id%5 so all five unfilter paths run; JPEG rows
+    are block-constant grayscale so the baseline huffman+DCT codec of
+    operators/jpeg.py roundtrips them exactly), then parse headers,
+    DEFLATE streams, entropy-coded segments, and pixel data with the
+    pure-Python codecs. The oracle states the decoded metadata in closed
+    form from the generation rule — if a decoder misreads a header, drops
+    row padding, unfilters a scanline wrong, or mis-dequantizes a DC
+    coefficient, width/height/pixel_sum diverge."""
     docs = tables.load(spark, sf_dir, "documents")
     return MM.decode_images_metadata(MM.attach_synthetic_images(docs))
 
@@ -92,17 +94,22 @@ SELECT doc_id,
        CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 + 1 AS fake_height
 FROM documents
 """,
-    # image generation rule: w = id%5+2, h = id%3+2, channel byte i =
-    # (id*7 + i) % 256 in top-down raster order — so the decoded metadata
-    # has this closed form (no decoding in the oracle)
+    # image generation rule: w = id%5+2, h = id%3+2; lossless containers
+    # (id%4 in 0..2) carry RGB byte i = (id*7 + i) % 256; JPEG (id%4=3) is
+    # constant gray (id*7)%256, exactly roundtripped — so the decoded
+    # metadata has this closed form (no decoding in the oracle)
     "multimodal_decode_image": """
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS format,
+       CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
        CAST(doc_id % 5 + 2 AS INT) AS width,
        CAST(doc_id % 3 + 2 AS INT) AS height,
-       CAST(list_sum(list_transform(
-              range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2) * 3),
-              i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum
+       CAST(CASE WHEN doc_id % 4 = 3
+            THEN (doc_id % 5 + 2) * (doc_id % 3 + 2) * ((doc_id * 7) % 256)
+            ELSE list_sum(list_transform(
+                   range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2) * 3),
+                   i -> (doc_id * 7 + i) % 256))
+       END AS BIGINT) AS pixel_sum
 FROM documents
 """,
     # audio generation rule: channels = id%2+1, rate = 8000*(id%3+1),

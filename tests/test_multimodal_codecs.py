@@ -97,8 +97,9 @@ def test_malformed_payloads_raise():
 
 
 def test_lossy_decode_stub_is_loud():
+    # WebP stays gated behind the absent PIL; JPEG is real since r04
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0....")  # JPEG magic
+        MM.decode_image(b"RIFF\x00\x00\x00\x00WEBP")
 
 
 def test_wav_roundtrip_mono_and_stereo():
@@ -182,3 +183,78 @@ def test_png_roundtrip_property(w, h, seed, filter_type):
     px = bytes((seed * 31 + i) % 256 for i in range(w * h * 3))
     ww, hh, _, out = MM.decode_png(MM.encode_png(w, h, px, filter_type=filter_type))
     assert (ww, hh) == (w, h) and out == px
+
+
+# --- JPEG (operators/jpeg.py) ----------------------------------------------
+
+from executor_u1mindexer_spark.operators import jpeg as J
+
+
+def test_jpeg_constant_gray_roundtrips_exactly():
+    # every 8x8 block constant -> only the integer DC survives -> exact
+    for v in (0, 37, 128, 255):
+        for w, h in ((2, 2), (6, 4), (16, 9)):
+            px = bytes([v]) * (w * h)
+            ww, hh, ch, out = J.decode_jpeg(J.encode_jpeg(w, h, px, channels=1))
+            assert (ww, hh, ch) == (w, h, 1)
+            assert out == px
+
+
+def test_jpeg_meta_dispatch():
+    px = bytes([91]) * (3 * 4)
+    meta = MM.decode_image_meta(J.encode_jpeg(3, 4, px, channels=1))
+    assert meta == {"format": "jpeg", "width": 3, "height": 4, "pixel_sum": 91 * 12}
+
+
+def test_jpeg_unsupported_variants_raise():
+    import struct
+
+    base = J.encode_jpeg(4, 4, bytes(16), channels=1)
+    # flip SOF0 -> SOF2 (progressive): decoder must refuse loudly
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.decode_jpeg(prog)
+    # 4:2:0 subsampling in SOF0: refuse loudly
+    idx = base.index(b"\xff\xc0")
+    hv_off = idx + 2 + 2 + 6 + 1  # marker+len, prec/h/w/nc, comp id -> h/v byte
+    sub = base[:hv_off] + bytes([0x22]) + base[hv_off + 1 :]
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        J.decode_jpeg(sub)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x00\x01notajpeg")
+    with pytest.raises(ValueError):  # SOI but no SOS
+        J.decode_jpeg(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError):
+        J.encode_jpeg(2, 2, bytes(3), channels=1)  # wrong byte count
+
+
+def test_jpeg_quant_table_tradeoff():
+    # a coarse quant table still decodes to the right shape, just lossier
+    px = bytes((i * 13 + 5) % 256 for i in range(8 * 8))
+    coarse = J.encode_jpeg(8, 8, px, channels=1, quant=[16] * 64)
+    w, h, ch, out = J.decode_jpeg(coarse)
+    assert (w, h, ch) == (8, 8, 1)
+    err = max(abs(a - b) for a, b in zip(out, px))
+    assert err <= 64  # lossy but sane
+    fine = J.decode_jpeg(J.encode_jpeg(8, 8, px, channels=1))[3]
+    assert max(abs(a - b) for a, b in zip(fine, px)) <= err
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 20), h=st.integers(1, 20), seed=st.integers(0, 2**31))
+def test_jpeg_gray_roundtrip_property(w, h, seed):
+    # all-ones quant: loss is only coefficient rounding; |err| <= 2 per px
+    px = bytes(((seed >> (i % 16)) + i * 97) % 256 for i in range(w * h))
+    ww, hh, ch, out = J.decode_jpeg(J.encode_jpeg(w, h, px, channels=1))
+    assert (ww, hh, ch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(out, px)) <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 12), h=st.integers(1, 12), seed=st.integers(0, 2**31))
+def test_jpeg_color_roundtrip_property(w, h, seed):
+    # color adds YCbCr<->RGB float rounding on top: |err| <= 4 per channel
+    px = bytes(((seed >> (i % 16)) + i * 31) % 256 for i in range(w * h * 3))
+    ww, hh, ch, out = J.decode_jpeg(J.encode_jpeg(w, h, px, channels=3))
+    assert (ww, hh, ch) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(out, px)) <= 4
