@@ -230,7 +230,15 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: two grouped counts (bigram, unigram — shuffles on the
     token keys, map-side partials), then the exploded corpus joins the count
     tables on those same keys; the V scalar broadcasts. This is the
-    standard distributed n-gram-LM scoring layout — no driver-side model."""
+    standard distributed n-gram-LM scoring layout — no driver-side model.
+
+    Skew note: the unigram join key w1 is Zipf-distributed ('the'
+    dominates), but the count tables are aggregates (one row per key), so
+    AQE sizes them under the broadcast threshold and runs both joins as
+    BroadcastHashJoin — the corpus-side probe never shuffles on the hot
+    key (pinned by test_plans.test_bigram_lm_count_joins_are_skew_immune).
+    Past the broadcast threshold (vocab of billions), the fallback SMJ is
+    covered by spark.sql.adaptive.skewJoin (enabled in session.py)."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", T.words(F.col("text")).alias("toks"))
     bigrams = toks.select(

@@ -324,6 +324,24 @@ def test_bigram_lm_broadcasts_vocab_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bigram_lm_count_joins_are_skew_immune(spark, sf_dir):
+    """The unigram join key w1 is Zipf-skewed ('the' dominates). Skew only
+    hurts when the probe side SHUFFLES on the hot key (sort-merge /
+    shuffled-hash); after AQE sizes the tiny aggregated count tables, both
+    count joins run as BroadcastHashJoin — the probe stays where it is and
+    hot keys are a non-issue. At vocab sizes past the broadcast threshold
+    the joins fall back to SMJ, where session.py enables
+    spark.sql.adaptive.skewJoin to split hot partitions."""
+    from executor_u1mindexer_spark.suites import text_suite as T
+
+    df = T.text_bigram_lm_scores(spark, sf_dir)
+    df.collect()  # materialize so AQE finalizes the join strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # bg_counts + uni_counts
+
+
 def test_banded_range_join_is_equi_keyed(spark, sf_dir):
     from executor_u1mindexer_spark.suites import relational_extra_suite as RE
 
