@@ -8,11 +8,13 @@ local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Per-query value = best of REPEATS timed runs after 1 warm-up run (5 repeats
-since r03: this host shows intermittent multi-second stalls, and best-of-5
-absorbs a stalled repeat that best-of-3 sometimes cannot) (warm-up
-absorbs JVM/codegen/broadcast warm paths, same policy as benchmark.py:42's
-discarded first run).
+Per-query value = best of REPEATS timed runs after one discarded warm-up
+run; the warm-up absorbs JVM/codegen/broadcast warm paths, the same policy
+as the reference's benchmark.py:42. REPEATS defaults to 5 (raised from 3
+in r03: this host shows intermittent multi-second stalls, and best-of-5
+absorbs a stalled repeat that best-of-3 sometimes cannot). Timing loop
+uses toPandas() (since r03) so the measured time is the engine, not a
+driver-side row-materialization loop.
 """
 
 from __future__ import annotations

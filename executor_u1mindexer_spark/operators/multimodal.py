@@ -468,6 +468,11 @@ def decode_wav(payload: bytes) -> dict:
         elif tag == b"data":
             if ch is None:
                 raise ValueError("data chunk before fmt")
+            if len(body) < size:
+                # declared size exceeds the buffer: body is a silently-short
+                # slice; keep the malformed-payload contract (ValueError,
+                # like every other corruption mode) instead of struct.error
+                raise ValueError("truncated data chunk")
             n = size // 2
             vals = struct.unpack(f"<{n}h", body[: n * 2])
             frames += n // ch

@@ -128,6 +128,11 @@ def test_wav_malformed_raises():
     with pytest.raises(ValueError):
         # fmt missing entirely
         MM.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    # declared data size exceeds the buffer -> ValueError, not struct.error
+    wav = MM.encode_wav(8000, 1, [1, -1, 2, -2])
+    truncated = wav[:-4]
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_wav(truncated)
 
 
 def test_video_index_roundtrip_and_sampling_arith():
