@@ -53,6 +53,8 @@ HEADLINE = [
     "near_dedup_ngram_jaccard",
     "multimodal_decode_image",
     "multimodal_decode_audio",
+    "events_range_join",
+    "events_range_join_bucketed",
     "text_bigram_lm_scores",
     "tpch_q18_large_volume_customer",
     "ann_cosine_topk_join",
