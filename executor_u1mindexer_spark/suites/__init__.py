@@ -39,95 +39,68 @@ SUITE_MODULES = (
 # is `tools/oracle_check.py` (dtype-faithful since r03), which runs ALL
 # registry queries against their DuckDB oracles locally every round and
 # whose result is committed as CORRECTNESS_LOCAL_r{N}.json. Rotation policy:
-# (a) queries never driver-checked come first, (b) queries whose
-# implementation or oracle changed this round, (c) the oldest previously-
-# green rows cycle back through so every query re-earns a driver row over
-# time. Round 3 front-loads the 7 never-checked r02 queries, the 6
-# HUGEINT-sum oracle fixes, the operators reworked this round (pack/
-# dense-id/simhash/partitioned-ANN), every query ADDED in r03 (none has
-# a driver row yet), and the oldest r01-rotations that still fit; everything outside the window has
-# a green driver row from r01/r02 AND a green CORRECTNESS_LOCAL_r03 row.
+# (a) queries whose implementation or oracle changed this round come first,
+# (b) then queries with the OLDEST driver row (re-earn a row over time),
+# (c) everything else keeps its newest green row and cycles next round.
+# Round 4 window: the 5 queries touched this round (JPEG joined the image
+# decode + manifest, quantizer fits sampled, batch routing), then every
+# query whose only driver row is from r01 (30), then the 15 oldest r02
+# rows. After this round no query's newest driver row is older than two
+# rounds; the 22 remaining r02 rows rotate in r05.
 DRIVER_PRIORITY = (
-    # never driver-checked (added late in r02 after the window filled)
-    "agg_listagg_names",
-    "window_cume_dist_percent_rank",
-    "events_funnel_view_click_purchase",
-    "events_retention_cohorts",
-    "text_char_ngram_stats",
-    "source_orc_roundtrip",
-    "decontaminated_training_mix",
-    # r02 hash-fails fixed this round (CAST(sum(...) AS BIGINT) in oracles)
-    "text_corpus_stats",
-    "source_partitioned_parquet",
-    "pack_token_budget",
-    "llm_corpus_pipeline",
-    "vector_dedup_quantize",
-    "dump_load_roundtrip",
-    # implementation reworked this round — keep under the driver:
-    # pack_token_budget (above) + dense-id localCheckpoint path, simhash
-    # bucket-group candidates, distributed partitioned-ANN query set,
-    # kmeans-IVF oracle-ification
-    "index_upsert",
-    "update_existing",
-    "simhash_fingerprints",
-    "near_dedup_simhash",
-    "ann_partitioned_topk",
-    "ann_kmeans_ivf_topk",
-    # new in r03: Arrow-kernel batched search (batch1/8/64 switched to the
-    # bit-identical arrow impl; 512 is the new scale point), PNG decode
-    # joins the multimodal decode query, and the dedup keep-list
-    "knn_search_batch512",
-    "ann_range_search",
-    "embedding_centroids_by_label",
-    "vector_pq_codes",
-    "near_dedup_clusters",
-    "multimodal_decode_image",
-    "multimodal_decode_audio",
-    "multimodal_sample_video_frames",
-    "multimodal_training_manifest",
-    "text_pii_redaction",
-    "text_url_domains",
-    "text_bigram_lm_scores",
-    "text_length_histogram",
-    "text_repetition_scores",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customer",
-    "split_train_val_test",
-    "tpch_q6_forecast_revenue",
-    "agg_percentiles",
-    "agg_approx_quantiles",
-    "scalar_array_funcs",
-    "unpivot_lineitem_metrics",
-    "events_gapfill_hourly",
-    "embedding_matryoshka_stats",
-    "shuffle_epoch_order",
-    "source_compact_small_files",
-    "events_range_join_bucketed",
-    # last checked in r01 — rotate back through the driver window
-    # (dense-id family first: shares the reworked localCheckpoint path)
-    "status_counts",
-    "update_skipped",
-    "delete_by_ids",
-    "clear",
+    # changed this round
+    "multimodal_decode_image",      # id%4 container cycle + JPEG decode
+    "multimodal_training_manifest", # consumes the new image generation rule
+    "ann_kmeans_ivf_topk",          # KMeans now fits on a bounded sample
+    "vector_pq_codes",              # 8 codebooks fit on a shared sample
+    "knn_search_batch512",          # batch-size impl routing (arrow side)
+    # newest driver row is r01 — all 30 rotate back through
     "knn_search_cosine",
     "knn_search_euclidean",
     "knn_search_inner_product",
-    "knn_search_batch1",
+    "knn_search_batch1",            # routing change: now catalyst impl
+    "knn_search_batch8",
     "knn_search_batch64",
     "limit_clamp",
     "dim_validate",
     "payload_fetch",
     "score_transform_similarity",
+    "clear",
     "agg_stats_funcs",
     "correlated_scalar_subquery",
     "events_asof_purchase_last_view",
     "events_json_extract",
     "events_pivot_daily_types",
     "events_range_join",
+    "events_sliding_1h_30m",
     "join_anti_customers_without_orders",
     "join_full_outer_segments",
     "join_semi_customers_with_orders",
+    "map_column_ops",
+    "null_handling_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "set_ops_customer_segments",
+    "topk_orders_by_price",
+    "window_ntile_first_last",
+    "window_rank_lag_lead",
+    # oldest r02 rows — 15 of 37 fit this window, heaviest shapes first
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "window_running_sum",
+    "events_sessionize",
+    "exact_dedup_text",
+    "near_dedup_minhash_lsh",
+    "near_dedup_ngram_jaccard",
+    "ann_cosine_topk_join",
+    "traverse_chunks",
+    "multimodal_join",
+    "multimodal_binary_metadata",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "skew_salted_join",
 )
 
 
