@@ -33,6 +33,21 @@ from executor_u1mindexer_spark.operators import knn, maintenance as M, traverse
 VECTORS = "vectors"
 DOCSTORE = "docstore"
 
+# Docstore ingest is LSM-style since r04: index() APPENDS the batch payload
+# (tagged with a batch number) instead of eagerly anti-joining the whole
+# docstore per batch. The r03 eager form cost one full-docstore scan +
+# checkpoint per batch — O(B * S) for B batches over a docstore of size S;
+# the append form costs O(batch) per index() and ONE keep-latest compaction
+# (window on id over the appended log) at the next read point (search
+# payload / dump / status) or every DOCSTORE_COMPACT_EVERY appends,
+# whichever comes first. Crossover: a single ingest-then-read session pays
+# the same one compaction either way; a B-batch ingest session saves B-1
+# full-docstore rewrites. Deletes stay eager anti-joins (they must drop all
+# copies) — each adds one O(1)-analysis broadcast layer, bounded by the
+# compaction checkpoint at the next read.
+DS_BATCH = "__ds_batch"
+DOCSTORE_COMPACT_EVERY = 16
+
 # Iterated mutations MUST truncate lineage every batch: one upsert embeds
 # the previous state's LOGICAL plan ~16 times (kept/updated/inserted/anti
 # branches, the prior-count aggregate, and the dense-rank key pipeline), so
@@ -68,11 +83,16 @@ class U1MIndexerSpark:
         self.workspace = workspace
         self._vectors = self._empty_vectors()
         self._docstore: DataFrame | None = None
+        self._ds_pending = 0  # appended batches since the last compaction
+        self._ds_batch_no = 0
         if workspace and os.path.exists(os.path.join(workspace, VECTORS)):
             self._vectors = M.load(spark, os.path.join(workspace, VECTORS))
             doc_path = os.path.join(workspace, DOCSTORE)
             if os.path.exists(doc_path):
-                self._docstore = M.load(spark, doc_path)
+                # a dumped docstore is already compacted; batch 0 = loaded
+                self._docstore = M.load(spark, doc_path).withColumn(
+                    DS_BATCH, F.lit(0)
+                )
 
     # -- helpers ---------------------------------------------------------
 
@@ -94,21 +114,51 @@ class U1MIndexerSpark:
         )
 
     def _before_mutation(self) -> None:
-        """Truncate pending mutation lineage (see module note) BEFORE
-        stacking another level: coalesce caps the partition fan-out (each
-        upsert unions 3 branches whose broadcast joins preserve child
+        """Truncate pending VECTOR mutation lineage (see module note)
+        BEFORE stacking another level: coalesce caps the partition fan-out
+        (each upsert unions 3 branches whose broadcast joins preserve child
         partitioning — partitions would multiply ~3x per batch), then an
         eager localCheckpoint collapses the logical plan to one LogicalRDD
         so plan analysis stays O(1) per batch. Deferred to the NEXT
         mutation so the common one-shot flow (index once, then dump/search)
-        pays no extra materialization."""
+        pays no extra materialization. The docstore is NOT checkpointed
+        here: its append-only lineage grows one externally-rooted union per
+        batch (linear, not the vectors' ~16x self-embedding), and the
+        compaction points own its truncation (see module note)."""
         if not getattr(self, "_dirty", False):
             return
         self._dirty = False
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         self._vectors = self._vectors.coalesce(n).localCheckpoint(eager=True)
-        if self._docstore is not None:
-            self._docstore = self._docstore.coalesce(n).localCheckpoint(eager=True)
+
+    def _docstore_compact(self) -> None:
+        """Collapse the appended batch log to keep-latest-batch per id —
+        the same state the r03 eager anti-join maintained per batch (ids
+        duplicated WITHIN one batch keep all their rows, as before). One
+        shuffle on id, then an eager checkpoint so later reads and delete
+        layers start from a flat plan."""
+        if self._docstore is None or self._ds_pending == 0:
+            return
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(M.ID)
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self._docstore = (
+            self._docstore.withColumn("__ds_max", F.max(DS_BATCH).over(w))
+            .filter(F.col(DS_BATCH) == F.col("__ds_max"))
+            .drop("__ds_max")
+            .coalesce(n)
+            .localCheckpoint(eager=True)
+        )
+        self._ds_pending = 0
+
+    def _docstore_view(self) -> DataFrame | None:
+        """Compacted docstore without bookkeeping columns — what payload
+        joins, dump, and status consume."""
+        if self._docstore is None:
+            return None
+        self._docstore_compact()
+        return self._docstore.drop(DS_BATCH)
 
     # -- endpoints -------------------------------------------------------
 
@@ -140,7 +190,7 @@ class U1MIndexerSpark:
         stored = self._vectors.select(
             F.col(M.ID).alias("vec_id"), F.col(M.EMB).alias("embedding")
         )
-        payload = self._docstore if with_payload and self._docstore is not None else None
+        payload = self._docstore_view() if with_payload else None
         return knn.knn_search(
             stored,
             queries,
@@ -169,12 +219,24 @@ class U1MIndexerSpark:
         self._before_mutation()
         batch = self._as_batch(docs, id_col, vec_col)
         self._vectors = M.upsert(self._vectors, batch).select(M.ID, M.IID, M.EMB)
-        payload = docs.withColumnRenamed(id_col, M.ID).drop(vec_col)
+        self._ds_batch_no += 1
+        payload = (
+            docs.withColumnRenamed(id_col, M.ID)
+            .drop(vec_col)
+            .withColumn(DS_BATCH, F.lit(self._ds_batch_no))
+        )
         if self._docstore is None:
             self._docstore = payload
         else:
-            keep = self._docstore.join(payload.select(M.ID), on=M.ID, how="left_anti")
-            self._docstore = keep.unionByName(payload, allowMissingColumns=True)
+            # LSM append: O(batch) per call; keep-latest resolution happens
+            # at the next read / every DOCSTORE_COMPACT_EVERY batches (see
+            # module note for the crossover vs the eager per-batch anti-join)
+            self._docstore = self._docstore.unionByName(
+                payload, allowMissingColumns=True
+            )
+            self._ds_pending += 1
+            if self._ds_pending >= DOCSTORE_COMPACT_EVERY:
+                self._docstore_compact()
         self._dirty = True
 
     def update(
@@ -222,6 +284,8 @@ class U1MIndexerSpark:
         self._tombstones = getattr(self, "_tombstones", 0) + n_hit
         self._vectors = M.delete_by_ids(self._vectors, ids_df)
         if self._docstore is not None:
+            # eager anti-join over the appended log: drops every copy of
+            # the id regardless of batch, so no compaction is needed first
             self._docstore = self._docstore.join(
                 F.broadcast(ids_df.select(M.ID)), on=M.ID, how="left_anti"
             )
@@ -232,13 +296,16 @@ class U1MIndexerSpark:
         if not self.workspace:
             raise ValueError("no workspace configured")
         M.dump(self._vectors, os.path.join(self.workspace, VECTORS))
-        if self._docstore is not None:
-            M.dump(self._docstore, os.path.join(self.workspace, DOCSTORE))
+        ds = self._docstore_view()
+        if ds is not None:
+            M.dump(ds, os.path.join(self.workspace, DOCSTORE))
 
     def clear(self) -> None:
         """Drop everything, keep config (executor.py:238-244)."""
         self._vectors = self._empty_vectors()
         self._docstore = None
+        self._ds_pending = 0
+        self._ds_batch_no = 0
         self._tombstones = 0
         self._dirty = False
 
@@ -249,9 +316,10 @@ class U1MIndexerSpark:
         plan) instead of two separate collects."""
         tombstones = getattr(self, "_tombstones", 0)
         vec_n = self._vectors.agg(F.count(F.lit(1)).alias("n_vec"))
-        if self._docstore is not None:
+        ds = self._docstore_view()
+        if ds is not None:
             row = vec_n.crossJoin(
-                self._docstore.agg(F.count(F.lit(1)).alias("n_doc"))
+                ds.agg(F.count(F.lit(1)).alias("n_doc"))
             ).collect()[0]
             active, dam = row["n_vec"], row["n_doc"]
         else:

@@ -176,3 +176,53 @@ def test_clear_empties(spark, engine):
     engine.clear()
     st = engine.status()
     assert st == {"count_indexed": 0, "count_active": 0, "count_deleted": 0, "size_dam": 0}
+
+
+def test_docstore_append_keeps_latest_payload_across_batches(spark, tmp_path):
+    """LSM docstore: index() appends; keep-latest compaction at the read
+    point must resolve overlapping ids to the NEWEST batch's payload (the
+    state the old eager anti-join maintained per batch)."""
+    eng = U1MIndexerSpark(spark, dim=2, workspace=str(tmp_path))
+    for b in range(5):
+        docs = spark.createDataFrame(
+            [(i, [float(b), float(i)], f"text-b{b}-i{i}") for i in range(4)],
+            "doc_id long, embedding array<double>, text string",
+        )
+        eng.index(docs)
+    assert eng._ds_pending > 0  # appends really were deferred
+    st = eng.status()  # read point -> compaction
+    assert st["count_active"] == 4
+    assert st["size_dam"] == 4  # duplicates resolved, not counted
+    assert eng._ds_pending == 0
+    q = spark.createDataFrame([(0, [4.0, 1.0])], "query_id long, query_embedding array<double>")
+    rows = eng.search(q, limit=1).collect()
+    assert rows[0].text.startswith("text-b4-")  # newest batch's payload won
+
+
+def test_docstore_compacts_every_threshold_batches(spark, tmp_path):
+    from executor_u1mindexer_spark import engine as E
+
+    eng = U1MIndexerSpark(spark, dim=2, workspace=str(tmp_path))
+    for b in range(E.DOCSTORE_COMPACT_EVERY + 1):
+        docs = spark.createDataFrame(
+            [(b, [1.0, float(b)], f"t{b}")],
+            "doc_id long, embedding array<double>, text string",
+        )
+        eng.index(docs)
+    # the threshold compaction fired at least once mid-ingest
+    assert eng._ds_pending < E.DOCSTORE_COMPACT_EVERY
+    assert eng.status()["size_dam"] == E.DOCSTORE_COMPACT_EVERY + 1
+
+
+def test_docstore_delete_then_reindex_resolves_to_new_payload(spark, tmp_path):
+    eng = U1MIndexerSpark(spark, dim=2, workspace=str(tmp_path))
+    mk = lambda txt: spark.createDataFrame(
+        [(7, [1.0, 2.0], txt)], "doc_id long, embedding array<double>, text string"
+    )
+    eng.index(mk("old"))
+    eng.delete([7])
+    assert eng.status()["size_dam"] == 0
+    eng.index(mk("new"))
+    q = spark.createDataFrame([(0, [1.0, 2.0])], "query_id long, query_embedding array<double>")
+    rows = eng.search(q, limit=1).collect()
+    assert rows[0].text == "new"
