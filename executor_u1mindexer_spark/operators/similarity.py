@@ -272,6 +272,157 @@ def partitioned_topk_merge(
     )
 
 
+def ivf_pq_topk(
+    stored: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    dim: int | None = None,
+    fit_sample_cap: int = FIT_SAMPLE_CAP,
+) -> DataFrame:
+    """IVF-PQ search with asymmetric distance (ADC) — the composed form of
+    kmeans_ivf_topk + product_quantize, and the storage layout real
+    100 TB vector engines serve from: the corpus is reduced to (cell,
+    m one-byte codes); raw vectors never enter the search join.
+
+    Plan shape (all quantizer state rides as literals — no Python in the
+    search path, no shuffle of corpus rows beyond the cell equi-join):
+    1. both quantizers fit on ONE shared bounded sample (fit_sample);
+    2. encode pass: corpus -> (id, cell, codes) — map-only, one scan;
+    3. query side: per query, per subspace j, an ADC lookup table
+       lut_j[c] = ||q_j - center_jc||^2 as a 16-element literal-array
+       expression (m * n_codes = 128 codegen'd folds per query row —
+       query batches are small by contract);
+    4. broadcast queries+LUTs into their cells; approximate distance =
+       sum_j lut_j[code_j] — an element_at chain over the m code bytes;
+    5. per-query top-k window (k rows per query out of its cell).
+
+    Distances are approximate (PQ quantizes the corpus side; this is the
+    standard ADC estimator of squared L2), so the suite reduces the result
+    to invariants + a recall floor vs exact KNN, like the other trained
+    operators. PQ encodes raw vectors, not coarse residuals — the simpler
+    textbook variant; residual encoding is the accuracy upgrade, not a
+    different plan shape."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = dim
+    if d is None:
+        probe = (
+            stored.select(F.size(V.as_double_array(vec_col)).alias("d")).limit(1).collect()
+        )
+        if not probe:
+            raise ValueError("ivf_pq_topk: empty corpus, pass dim= explicitly")
+        d = probe[0]["d"]
+    if d % m != 0:
+        raise ValueError(f"ivf_pq_topk: dim {d} not divisible by m={m}")
+    sub = d // m
+
+    base = stored.select(F.col(id_col), V.as_double_array(vec_col).alias("__v"))
+    feats = base.select(
+        id_col,
+        "__v",
+        array_to_vector(F.col("__v")).alias("__full"),
+        *[
+            array_to_vector(F.slice("__v", j * sub + 1, sub)).alias(f"__f{j}")
+            for j in range(m)
+        ],
+    )
+    fit_input = fit_sample(feats, id_col, fit_sample_cap).cache()
+    coarse = KMeans(
+        k=n_cells, seed=42, maxIter=max_iter, featuresCol="__full"
+    ).fit(fit_input.select("__full"))
+    books = []
+    for j in range(m):
+        pq_model = KMeans(
+            k=n_codes, seed=42 + j, maxIter=max_iter, featuresCol=f"__f{j}"
+        ).fit(fit_input.select(F.col(f"__f{j}")))
+        books.append([[float(x) for x in c] for c in pq_model.clusterCenters()])
+    fit_input.unpersist()
+
+    # encode pass: map-only — nearest code per subspace via literal argmin.
+    # Build the n_codes distances ONCE as an array expression, then
+    # array_position(arr, array_min(arr)) - 1; a chained when-tree argmin
+    # would re-embed the running-best expression twice per code (2^n_codes
+    # node blowup — measured as an analysis-time OOM). First-match ties are
+    # deterministic (lowest code wins).
+    def nearest_code(subvec, book: list[list[float]]):
+        dists = F.array(
+            *[
+                V.l2_sq_distance(subvec, F.array(*[F.lit(x) for x in center]))
+                for center in book
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    s_enc = (
+        coarse.setPredictionCol("__cell")
+        .transform(feats.select(id_col, "__v", "__full"))
+        .select(
+            id_col,
+            "__cell",
+            *[
+                nearest_code(F.slice("__v", j * sub + 1, sub), books[j]).alias(f"__c{j}")
+                for j in range(m)
+            ],
+        )
+    )
+
+    q_base = queries.select(
+        F.col(query_id_col), V.as_double_array(query_vec_col).alias("__qv")
+    )
+    q_cells = (
+        coarse.setPredictionCol("__cell")
+        .transform(q_base.withColumn("__full", array_to_vector(F.col("__qv"))))
+        .select(query_id_col, "__qv", "__cell")
+    )
+    # ADC lookup tables: lut_j = [||q_j - center_jc||^2 for c in codes]
+    luts = q_cells.select(
+        query_id_col,
+        "__cell",
+        *[
+            F.array(
+                *[
+                    V.l2_sq_distance(
+                        F.slice("__qv", j * sub + 1, sub),
+                        F.array(*[F.lit(x) for x in books[j][c]]),
+                    )
+                    for c in range(n_codes)
+                ]
+            ).alias(f"__lut{j}")
+            for j in range(m)
+        ],
+    )
+
+    joined = s_enc.join(F.broadcast(luts), on="__cell")
+    adc = F.element_at(F.col("__lut0"), F.col("__c0") + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"__lut{j}"), F.col(f"__c{j}") + 1)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__adc").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select(query_id_col, id_col, F.col("__cell"), adc.alias("__adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rank",
+            F.col("__cell").alias("cell"),
+            F.col("__adc").alias("adc_dist"),
+        )
+    )
+
+
 def range_search(
     stored: DataFrame,
     queries: DataFrame,

@@ -145,6 +145,48 @@ def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance search reduced to a deterministic
+    invariant row (same scheme as ann_kmeans_ivf_topk — two trained
+    quantizers aren't static SQL):
+
+    - n_queries / n_results: every query returns exactly K rows;
+    - per_query_k_ok / cell_consistent: all of a query's matches come from
+      ONE coarse cell (the IVF contract, unchanged by PQ);
+    - recall_floor_ok: total overlap with the exact squared-L2 top-K is
+      >= 6 (measured 11 of 25 at sf0.01, seeds fixed, fit-sample
+      deterministic — ~45% slack; a broken codebook/LUT/element_at
+      off-by-one collapses overlap to near-random).
+
+    The per-row output shape is covered by tests/test_dedup_similarity.py
+    against operators/similarity.ivf_pq_topk directly."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb).select("query_id", "query_embedding")
+    pq = S.ivf_pq_topk(emb, q, k=K)
+    exact = knn.knn_search(emb, q, k=K, metric="euclidean").select("query_id", "vec_id")
+    hits = pq.join(exact, ["query_id", "vec_id"], "leftsemi")
+    per_q = (
+        pq.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cell").alias("n_cells"),
+        )
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h")),
+            "query_id",
+            "left",
+        )
+        .fillna(0, subset=["h"])
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n").cast("long").alias("n_results"),
+        ((F.min("n") == F.lit(K)) & (F.max("n") == F.lit(K))).alias("per_query_k_ok"),
+        (F.max("n_cells") == F.lit(1)).alias("cell_consistent"),
+        (F.sum("h") >= F.lit(6)).alias("recall_floor_ok"),
+    )
+
+
 RADIUS = 0.65  # fixture cosine distances: min non-self ~0.547, p1 ~0.70
 
 
@@ -167,6 +209,7 @@ QUERIES = {
     "ann_range_search": ann_range_search,
     "embedding_centroids_by_label": embedding_centroids_by_label,
     "ann_kmeans_ivf_topk": ann_kmeans_ivf_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_ivf_label_topk": ann_ivf_label_topk,
     "ann_lsh_hyperplane_topk": ann_lsh_hyperplane_topk,
     "ann_partitioned_topk": ann_partitioned_topk,
@@ -282,6 +325,18 @@ SELECT query_id, vec_id, "rank" FROM ranked WHERE "rank" <= {K}
     # Spark side computes the ACTUAL ones — any IVF regression flips a
     # boolean or a count and hash-mismatches.
     "ann_kmeans_ivf_topk": f"""
+SELECT count(*) AS n_queries,
+       CAST(count(*) * {K} AS BIGINT) AS n_results,
+       true AS per_query_k_ok,
+       true AS cell_consistent,
+       true AS recall_floor_ok
+FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+""",
+    # same invariant scheme: the oracle states the EXPECTED facts about an
+    # IVF-PQ result (K one-cell rows per query, >= 6/25 exact-KNN overlap);
+    # the Spark side computes the ACTUAL ones — any quantizer/LUT/encode
+    # regression flips a boolean or a count and hash-mismatches.
+    "ann_ivf_pq_topk": f"""
 SELECT count(*) AS n_queries,
        CAST(count(*) * {K} AS BIGINT) AS n_results,
        true AS per_query_k_ok,

@@ -232,3 +232,35 @@ def test_product_quantize_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         S.product_quantize(df, m=2, n_codes=2)
+
+
+def test_ivf_pq_topk_contract(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % similarity_suite.QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    rows = S.ivf_pq_topk(emb, q, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == q.count()
+    for qid, matches in by_q.items():
+        assert len(matches) == 3
+        assert len({r.cell for r in matches}) == 1  # IVF contract survives PQ
+        assert all(r.adc_dist >= 0 for r in matches)
+        # ranks are dense 1..k and ordered by adc distance
+        ranked = sorted(matches, key=lambda r: r.rank)
+        assert [r.rank for r in ranked] == [1, 2, 3]
+        assert all(a.adc_dist <= b.adc_dist for a, b in zip(ranked, ranked[1:]))
+
+
+def test_ivf_pq_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "query_id long, query_embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        S.ivf_pq_topk(df, q, k=1, m=2)

@@ -351,3 +351,24 @@ def test_banded_range_join_is_equi_keyed(spark, sf_dir):
     # per-user cross products
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_pq_search_join_carries_codes_not_vectors(spark, sf_dir):
+    """The ADC search join's corpus side must be (id, cell, m code ints) —
+    raw vectors exist only in the upstream encode Project, and the corpus
+    never shuffles: the only hash exchange is the per-query top-k window
+    (queries + LUTs broadcast into cells)."""
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import similarity as S
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    df = S.ivf_pq_topk(emb, q, k=3)
+    plan = plans.physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan  # LUTs broadcast into cells
+    # corpus rows cross exactly ONE hash exchange: the top-k rank window
+    assert plan.count("Exchange hashpartitioning") == 1, plan
