@@ -290,9 +290,71 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("query", "table", "spark")  # fixture vocabulary, any SF
+BM25_K1, BM25_B, BM25_K = 1.2, 0.75, 20
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed 3-term query — the
+    classic sparse-retrieval scoring run distributed. [NOT IN REFERENCE;
+    north-star text-analysis surface.]
+
+    100 TB shape: ONE wide shuffle total. The exploded tokens aggregate
+    once by doc_id producing dl AND the per-term tfs as conditional counts
+    (map-side partials); corpus statistics (N, sum_dl, per-term df) reduce
+    that to a 1-row scalar that broadcasts back via crossJoin; the score
+    is a codegen'd expression and the top-k is TakeOrderedAndProject —
+    no second shuffle, no join on a token key (so no Zipf-skew exposure;
+    compare text_bigram_lm_scores' skew note).
+
+    Determinism: contributions are summed in FIXED term order (t0+t1+t2,
+    never a grouped sum over terms), avgdl enters as dl*N/sum_dl (integer
+    products before one division), and the score is rounded once at micro
+    scale like the bigram LM (ln differs at ulp level across libms)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("w") == t, 1)).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        n = F.col("n").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+        norm_len = (F.col("dl") * F.col("n")).cast("double") / F.col("sum_dl").cast("double")
+        return idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * norm_len))
+
+    score = contrib(0)
+    for i in range(1, len(BM25_TERMS)):
+        score = score + contrib(i)
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(score * 1_000_000, 0).cast("long").alias("score_micro"),
+        "dl",
+        *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(BM25_TERMS)],
+    )
+    return scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(
+        BM25_K
+    )
+
+
 QUERIES = {
     "text_token_counts": text_token_counts,
     "text_bigram_lm_scores": text_bigram_lm_scores,
+    "text_bm25_topk": text_bm25_topk,
     "text_pii_redaction": text_pii_redaction,
     "text_url_domains": text_url_domains,
     "text_length_histogram": text_length_histogram,
@@ -368,7 +430,37 @@ _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
 
+_BM25_TF = ",\n         ".join(
+    f"len(list_filter({_WORDS}, t -> t = '{t}')) AS tf{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_BM25_CONTRIB = " + ".join(
+    f"(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+    f" * CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0}"
+    f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+    f" * CAST(dl * n AS DOUBLE) / CAST(sum_dl AS DOUBLE))))"
+    for i in range(len(BM25_TERMS))
+)
+
 ORACLES = {
+    "text_bm25_topk": f"""
+WITH per_doc AS (
+  SELECT doc_id, len({_WORDS}) AS dl,
+         {_BM25_TF}
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         {", ".join(f"count(*) FILTER (tf{i} > 0) AS df{i}" for i in range(len(BM25_TERMS)))}
+  FROM per_doc
+)
+SELECT doc_id,
+       CAST(round(({_BM25_CONTRIB}) * 1000000, 0) AS BIGINT) AS score_micro,
+       CAST(dl AS BIGINT) AS dl,
+       {", ".join(f"CAST(tf{i} AS BIGINT) AS tf_{t}" for i, t in enumerate(BM25_TERMS))}
+FROM per_doc CROSS JOIN stats
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT {BM25_K}
+""",
     "text_bigram_lm_scores": f"""
 WITH t AS (
   SELECT doc_id, {_WORDS} AS toks FROM documents

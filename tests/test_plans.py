@@ -372,3 +372,20 @@ def test_ivf_pq_search_join_carries_codes_not_vectors(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan  # LUTs broadcast into cells
     # corpus rows cross exactly ONE hash exchange: the top-k rank window
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bm25_reuses_token_agg_and_takes_ordered(spark, sf_dir):
+    """BM25's only wide shuffle is the doc_id token aggregate, and the
+    1-row corpus-stats branch must REUSE it (ReusedExchange under AQE),
+    not rescan + re-aggregate the corpus; stats broadcast back via
+    crossJoin and the top-k is TakeOrderedAndProject — no global sort, no
+    join on a token key (the skew-exposed shape text_bigram_lm_scores has
+    to defend against)."""
+    from executor_u1mindexer_spark.suites import text_suite as TS
+
+    df = TS.text_bm25_topk(spark, sf_dir)
+    df.collect()  # materialize so AQE finalizes (ReuseExchange is adaptive)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("ReusedExchange") >= 1, plan  # token agg computed once
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
