@@ -56,6 +56,7 @@ HEADLINE = [
     "events_range_join",
     "events_range_join_bucketed",
     "text_bigram_lm_scores",
+    "text_bm25_topk",
     "tpch_q18_large_volume_customer",
     "ann_cosine_topk_join",
     "ann_partitioned_topk",
