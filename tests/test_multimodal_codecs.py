@@ -212,8 +212,6 @@ def test_jpeg_meta_dispatch():
 
 
 def test_jpeg_unsupported_variants_raise():
-    import struct
-
     base = J.encode_jpeg(4, 4, bytes(16), channels=1)
     # flip SOF0 -> SOF2 (progressive): decoder must refuse loudly
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
