@@ -129,6 +129,88 @@ def bucketed_topk(
     )
 
 
+def train_pq_codebooks(
+    sample: DataFrame,
+    *,
+    m: int,
+    n_codes: int,
+    sub: int,
+    max_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "__v",
+) -> list[list[list[float]]]:
+    """Train ALL m subspace codebooks in ONE cogrouped Spark job.
+
+    The r04 predecessor ran m sequential MLlib fits — m driver-coordinated
+    iterative jobs even on a bounded sample. Here the sample explodes to
+    (subspace j, subvector) rows, groupBy(j).applyInPandas runs a seeded
+    numpy Lloyd's per group (all m in parallel, one shuffle of
+    sample_rows x m tiny subvectors), and the returned m*n_codes centers —
+    the codebooks are TINY by construction — come back as literals.
+
+    Deterministic: the kernel sorts its group by id before touching the
+    data (Arrow group order is partitioning-dependent), inits from
+    seed+j-chosen rows, and re-seeds empty/duplicate clusters to the
+    farthest point — a pure function of the sample content.
+    """
+    import pandas as pd
+
+    rows = sample.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(vec_col, j * sub + 1, sub) for j in range(m)])
+        ).alias("j", "sv"),
+    )
+
+    def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
+        j = int(pdf["j"].iloc[0])
+        pdf = pdf.sort_values(id_col)
+        x = np.stack(pdf["sv"].to_numpy()).astype(np.float64)
+        rng = np.random.RandomState(seed + j)
+        k = min(n_codes, len(x))
+        centers = x[rng.choice(len(x), k, replace=False)].copy()
+        if k < n_codes:  # degenerate tiny sample: pad with repeats
+            centers = np.vstack([centers, centers[rng.choice(k, n_codes - k)]])
+        for _ in range(max_iter):
+            d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            far = x[d.min(axis=1).argmax()]
+            for c in range(n_codes):
+                pts = x[assign == c]
+                centers[c] = pts.mean(axis=0) if len(pts) else far
+        return pd.DataFrame(
+            {
+                "j": [j] * n_codes,
+                "code": list(range(n_codes)),
+                "center": [[float(v) for v in c] for c in centers],
+            }
+        )
+
+    got = rows.groupBy("j").applyInPandas(
+        lloyd, schema="j int, code int, center array<double>"
+    ).collect()
+    books: list[list[list[float] | None]] = [[None] * n_codes for _ in range(m)]
+    for r in got:
+        books[r.j][r.code] = [float(v) for v in r.center]
+    return books  # type: ignore[return-value]
+
+
+def nearest_code(subvec, book: list[list[float]]):
+    """Literal-codebook argmin as a codegen'd expression: build the n_codes
+    distances ONCE as an array, then array_position(array_min) — a chained
+    when-tree would re-embed the running best twice per code (2^n_codes
+    analysis blowup, measured as a driver OOM). First-match ties are
+    deterministic (lowest code wins)."""
+    dists = F.array(
+        *[
+            V.l2_sq_distance(subvec, F.array(*[F.lit(x) for x in center]))
+            for center in book
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def kmeans_ivf_topk(
     stored: DataFrame,
     queries: DataFrame,
@@ -331,37 +413,18 @@ def ivf_pq_topk(
         id_col,
         "__v",
         array_to_vector(F.col("__v")).alias("__full"),
-        *[
-            array_to_vector(F.slice("__v", j * sub + 1, sub)).alias(f"__f{j}")
-            for j in range(m)
-        ],
     )
     fit_input = fit_sample(feats, id_col, fit_sample_cap).cache()
     coarse = KMeans(
         k=n_cells, seed=42, maxIter=max_iter, featuresCol="__full"
     ).fit(fit_input.select("__full"))
-    books = []
-    for j in range(m):
-        pq_model = KMeans(
-            k=n_codes, seed=42 + j, maxIter=max_iter, featuresCol=f"__f{j}"
-        ).fit(fit_input.select(F.col(f"__f{j}")))
-        books.append([[float(x) for x in c] for c in pq_model.clusterCenters()])
+    # all m PQ codebooks in ONE cogrouped job (train_pq_codebooks) — never
+    # m sequential fits; encode below is the literal-argmin codegen pass
+    books = train_pq_codebooks(
+        fit_input.select(id_col, "__v"),
+        m=m, n_codes=n_codes, sub=sub, max_iter=max_iter * 2, id_col=id_col,
+    )
     fit_input.unpersist()
-
-    # encode pass: map-only — nearest code per subspace via literal argmin.
-    # Build the n_codes distances ONCE as an array expression, then
-    # array_position(arr, array_min(arr)) - 1; a chained when-tree argmin
-    # would re-embed the running-best expression twice per code (2^n_codes
-    # node blowup — measured as an analysis-time OOM). First-match ties are
-    # deterministic (lowest code wins).
-    def nearest_code(subvec, book: list[list[float]]):
-        dists = F.array(
-            *[
-                V.l2_sq_distance(subvec, F.array(*[F.lit(x) for x in center]))
-                for center in book
-            ]
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     s_enc = (
         coarse.setPredictionCol("__cell")
@@ -491,18 +554,20 @@ def product_quantize(
     fit_sample_cap: int = FIT_SAMPLE_CAP,
 ) -> DataFrame:
     """Product quantization: split the d-dim vector into m contiguous
-    subspaces, train an independent seeded KMeans codebook per subspace,
-    encode every vector as m small integer codes — dim-64 float32 (256 B)
+    subspaces, train an independent seeded codebook per subspace, encode
+    every vector as m small integer codes — dim-64 float32 (256 B)
     becomes 8 one-byte codes (32× compression), the storage layout IVF-PQ
     engines keep in RAM while raw vectors stay on disk.
 
-    100 TB shape: codebooks are TINY (m × n_codes × d/m floats) — all m
-    fits run on ONE shared bounded sample (fit_sample, <= fit_sample_cap
-    rows, cached across the m fits), then the codebooks are broadcast
-    implicitly as literals into the encode expression, so encoding is a
-    map-only codegen pass over the corpus: no shuffle, no Python, nothing
-    but the scan. Returns (id, codes array, recon_err — the per-vector
-    squared reconstruction error from the SAME literal codebooks).
+    100 TB shape: codebooks are TINY (m × n_codes × d/m floats) and ALL m
+    of them train in ONE cogrouped job over the shared bounded sample
+    (train_pq_codebooks — r04 replaced m sequential MLlib fits); the
+    codebooks then ride as literals into both the code-assignment argmin
+    (nearest_code) and the reconstruction-error expression, so the encode
+    really is a map-only codegen pass over the corpus: no shuffle, no
+    Python, no MLlib transform stage — nothing but the scan. Returns
+    (id, codes array, recon_err — the per-vector squared reconstruction
+    error from the SAME literal codebooks, sq_norm).
 
     `dim` is the vector width; pass it when known (at 100 TB a catalog
     fact), else it is probed from ONE row via limit(1). Must be divisible
@@ -512,9 +577,6 @@ def product_quantize(
     Like the IVF quantizer, trained centers aren't static SQL — the suite
     reduces this to an invariant row (codes in range, error bounded).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     d = dim
     if d is None:
         probe = (
@@ -527,43 +589,28 @@ def product_quantize(
         raise ValueError(f"product_quantize: dim {d} not divisible by m={m}")
     sub = d // m
     base = stored.select(F.col(id_col), V.as_double_array(vec_col).alias("__v"))
-    # slice(arr, start, length) is 1-based
-    feats = base.select(
-        id_col,
-        "__v",
-        *[
-            array_to_vector(F.slice("__v", j * sub + 1, sub)).alias(f"__f{j}")
-            for j in range(m)
-        ],
+    books = train_pq_codebooks(
+        fit_sample(base, id_col, fit_sample_cap),
+        m=m, n_codes=n_codes, sub=sub, max_iter=max_iter * 2, id_col=id_col,
     )
-    fit_input = fit_sample(
-        feats.select(id_col, *[f"__f{j}" for j in range(m)]), id_col, fit_sample_cap
-    ).cache()
-    out = feats
     code_cols, err_cols = [], []
     for j in range(m):
-        model = KMeans(k=n_codes, seed=42 + j, maxIter=max_iter, featuresCol=f"__f{j}").fit(
-            fit_input.select(F.col(f"__f{j}"))
-        )
-        centers = [[float(x) for x in c] for c in model.clusterCenters()]
-        out = model.setPredictionCol(f"__c{j}").transform(out)
-        # reconstruction: codebook as a literal array-of-arrays, indexed by
-        # the assigned code — keeps the error computation codegen-side
-        book = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
-        recon = F.element_at(book, F.col(f"__c{j}") + 1)
+        # slice(arr, start, length) is 1-based
         subv = F.slice("__v", j * sub + 1, sub)
+        code = nearest_code(subv, books[j])
+        book = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])
+        recon = F.element_at(book, code + 1)
         err = F.aggregate(
             F.zip_with(subv, recon, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        code_cols.append(F.col(f"__c{j}"))
+        code_cols.append(code)
         err_cols.append(err)
-    fit_input.unpersist()  # fits are eager; the returned plan doesn't read it
     total_err = err_cols[0]
     for e in err_cols[1:]:
         total_err = total_err + e
-    return out.select(
+    return base.select(
         F.col(id_col),
         F.array(*code_cols).alias("codes"),
         total_err.alias("recon_err"),

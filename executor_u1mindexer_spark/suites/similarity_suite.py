@@ -130,7 +130,7 @@ def vector_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     - n_vectors: every corpus vector is encoded;
     - codes_in_range / code_len_ok: m=8 codes per vector, each in [0,16);
     - mse_ratio_ok: mean squared reconstruction error <= 0.7 x mean squared
-      norm (measured 0.549 at sf0.01, seed fixed — 27% slack; a broken
+      norm (measured 0.544 at sf0.01, seeds fixed — 29% slack; a broken
       codebook lookup or slice off-by-one pushes the ratio to ~1+)."""
     pq = S.product_quantize(_emb(spark, sf_dir))
     return pq.agg(
@@ -154,8 +154,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     - per_query_k_ok / cell_consistent: all of a query's matches come from
       ONE coarse cell (the IVF contract, unchanged by PQ);
     - recall_floor_ok: total overlap with the exact squared-L2 top-K is
-      >= 6 (measured 11 of 25 at sf0.01, seeds fixed, fit-sample
-      deterministic — ~45% slack; a broken codebook/LUT/element_at
+      >= 6 (measured 10 of 25 at sf0.01, seeds fixed, fit-sample
+      deterministic — 40% slack; a broken codebook/LUT/element_at
       off-by-one collapses overlap to near-random).
 
     The per-row output shape is covered by tests/test_dedup_similarity.py
