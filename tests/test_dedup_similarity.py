@@ -264,3 +264,15 @@ def test_ivf_pq_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         S.ivf_pq_topk(df, q, k=1, m=2)
+
+
+def test_train_pq_codebooks_deterministic_under_partitioning(spark):
+    df = spark.createDataFrame(
+        [(i, [float((i * 13) % 7), float(i % 5), float(i % 3), float(i % 2)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    ).selectExpr("vec_id", "cast(embedding as array<double>) as __v")
+    a = S.train_pq_codebooks(df, m=2, n_codes=4, sub=2, id_col="vec_id")
+    b = S.train_pq_codebooks(df.repartition(7), m=2, n_codes=4, sub=2, id_col="vec_id")
+    assert a == b  # kernel sorts by id: partitioning cannot change the books
+    assert len(a) == 2 and all(len(book) == 4 for book in a)
+    assert all(len(center) == 2 for book in a for center in book)
