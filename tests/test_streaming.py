@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from executor_u1mindexer_spark import tables
-from executor_u1mindexer_spark.operators import events as E
+from executor_u1mindexer_spark.operators import events as E, knn
 from executor_u1mindexer_spark.streaming import events_stream as S
 
 
@@ -124,3 +124,48 @@ def test_streaming_ingest_into_engine_matches_batch(spark, sf_dir, tmp_path):
         for r in eng_batch.search(queries, limit=5, with_payload=False).collect()
     }
     assert got == want and len(got) == 10
+
+
+def test_streaming_search_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming /search twin: a query-vector file-stream scored
+    micro-batch by micro-batch against the static corpus must produce
+    exactly the batch knn_search results (the batch path is the oracle),
+    plus a batch_id provenance column."""
+    from executor_u1mindexer_spark.streaming.search_stream import run_streaming_search
+
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    phys = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+
+    q_stream = (
+        spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )
+    )
+    handle = run_streaming_search(
+        q_stream,
+        emb,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        k=5,
+        metric="cosine",
+    )
+    handle.awaitTermination()
+
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    q_batch = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in knn.knn_search(emb, q_batch, k=5, metric="cosine").collect()
+    }
+    assert got == want and len(got) > 0
