@@ -101,6 +101,63 @@ def multimodal_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_C = 60  # the standard reciprocal-rank-fusion constant
+RRF_N = 50  # per-list depth
+RRF_K = 20  # fused output size
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval capstone: fuse the BM25 lexical top-50 (r04's
+    text_bm25_topk scoring, fixed 3-term query) with the vector top-50
+    (exact cosine KNN, query = vec_id 0's embedding) by reciprocal-rank
+    fusion: rrf = 1/(C+rank_bm25) + 1/(C+rank_vec), missing-list docs
+    contribute 0. The modern lexical+dense retrieval stack as one plan.
+
+    100 TB shape: each branch ends in a bounded 50-row list (BM25:
+    TakeOrderedAndProject then a rank window over ONLY those 50 rows —
+    never a global rank window; KNN: the pinned broadcast/BNLJ plan), so
+    the fusion join is trivially tiny. Determinism: rrf terms are exact
+    rational arithmetic (no ln at fusion level) summed in fixed order;
+    list truncation tie-breaks by doc_id everywhere."""
+    from executor_u1mindexer_spark.operators import knn
+    from executor_u1mindexer_spark.suites.text_suite import bm25_scores
+
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    bm_top = (
+        bm25_scores(docs)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(RRF_N)
+    )
+    from pyspark.sql import Window
+
+    # rank window over the ALREADY-truncated 50 rows (tiny, bounded)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    bm_ranked = bm_top.select(
+        "doc_id", F.row_number().over(w).alias("bm25_rank")
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    vec_ranked = (
+        knn.knn_search(emb, q, k=RRF_N, metric="cosine")
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    )
+
+    fused = bm_ranked.join(vec_ranked, on="doc_id", how="full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).alias("bm25_rank"),
+        F.coalesce(F.col("vec_rank"), F.lit(0)).alias("vec_rank"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(RRF_K)
+
+
 BENCH_MOD = 97  # mirrors text_suite's holdout rule
 PACK_BUDGET = 5_000
 
@@ -130,6 +187,7 @@ QUERIES = {
     "vector_dedup_quantize": vector_dedup_quantize,
     "decontaminated_training_mix": decontaminated_training_mix,
     "multimodal_training_manifest": multimodal_training_manifest,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 # oracle fragments reused from the per-operator suites
@@ -137,10 +195,68 @@ from executor_u1mindexer_spark.suites.text_suite import _QUALITY  # noqa: E402
 from executor_u1mindexer_spark.suites.pipeline_suite import _BUCKET  # noqa: E402
 from executor_u1mindexer_spark.suites.dedup_suite import _EBUCKETS, _ECOS  # noqa: E402
 from executor_u1mindexer_spark.suites.text_suite import _SHINGLE4_HS  # noqa: E402
+from executor_u1mindexer_spark.suites.text_suite import (  # noqa: E402
+    _BM25_CONTRIB,
+    _BM25_TF,
+    _WORDS,
+    BM25_TERMS,
+)
+
+_RRF_DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), (s,y) -> s+y)"
+_RRF_NORM = "sqrt(" + _RRF_DOT.format(a="{a}", b="{a}") + ")"
+_RRF_COS = (
+    f"1.0 - {_RRF_DOT.format(a='qv.qv', b='e.v')} / "
+    f"({_RRF_NORM.format(a='qv.qv')} * {_RRF_NORM.format(a='e.v')})"
+)
+_RRF_DFS = ", ".join(
+    f"count(*) FILTER (tf{i} > 0) AS df{i}" for i in range(len(BM25_TERMS))
+)
 
 _LANGS_SQL = "('en', 'de')"
 
 ORACLES = {
+    # hybrid RRF: both branch rankings replicated exactly (BM25 fragments
+    # shared with text_suite; cosine fold identical to the KNN oracles);
+    # rrf terms are rational arithmetic summed in fixed order — bit-exact
+    "hybrid_search_rrf": f"""
+WITH per_doc AS (
+  SELECT doc_id, len({_WORDS}) AS dl,
+         {_BM25_TF}
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl, {_RRF_DFS} FROM per_doc
+), bm AS (
+  SELECT doc_id, CAST(round(({_BM25_CONTRIB}) * 1000000, 0) AS BIGINT) AS score_micro
+  FROM per_doc CROSS JOIN stats
+), bm_top AS (
+  SELECT doc_id, brank FROM (
+    SELECT doc_id, score_micro,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS brank
+    FROM bm)
+  ORDER BY score_micro DESC, doc_id ASC LIMIT {RRF_N}
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), qv AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), vscore AS (
+  SELECT e.vec_id, {_RRF_COS} AS dist FROM e CROSS JOIN qv
+), vec_top AS (
+  SELECT vec_id, vrank FROM (
+    SELECT vec_id, dist,
+           row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS vrank
+    FROM vscore)
+  ORDER BY dist ASC, vec_id ASC LIMIT {RRF_N}
+), fused AS (
+  SELECT COALESCE(b.doc_id, v.vec_id) AS doc_id,
+         COALESCE(1.0 / ({RRF_C} + b.brank), 0.0)
+           + COALESCE(1.0 / ({RRF_C} + v.vrank), 0.0) AS rrf_score,
+         CAST(COALESCE(b.brank, 0) AS INT) AS bm25_rank,
+         CAST(COALESCE(v.vrank, 0) AS INT) AS vec_rank
+  FROM bm_top b FULL OUTER JOIN vec_top v ON b.doc_id = v.vec_id
+)
+SELECT doc_id, rrf_score, bm25_rank, vec_rank
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_K}
+""",
     # image/audio closed forms from the generation rules (multimodal_suite)
     "multimodal_training_manifest": f"""
 WITH m AS (

@@ -311,7 +311,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a grouped sum over terms), avgdl enters as dl*N/sum_dl (integer
     products before one division), and the score is rounded once at micro
     scale like the bigram LM (ln differs at ulp level across libms)."""
-    d = _docs(spark, sf_dir)
+    scored = bm25_scores(_docs(spark, sf_dir))
+    return scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(
+        BM25_K
+    )
+
+
+def bm25_scores(d: DataFrame) -> DataFrame:
+    """Every doc's BM25 score against the fixed term set — the scored form
+    text_bm25_topk truncates and hybrid_search_rrf (composed_suite) fuses.
+    Plan/determinism notes in text_bm25_topk's docstring."""
     toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
     per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
@@ -340,14 +349,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = contrib(0)
     for i in range(1, len(BM25_TERMS)):
         score = score + contrib(i)
-    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+    return per_doc.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         F.round(score * 1_000_000, 0).cast("long").alias("score_micro"),
         "dl",
         *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(BM25_TERMS)],
-    )
-    return scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(
-        BM25_K
     )
 
 
