@@ -245,3 +245,46 @@ def load(spark, path: str) -> DataFrame:
 def clear(spark, like: DataFrame) -> DataFrame:
     """The /clear endpoint (executor.py:238-244): same schema, zero rows."""
     return spark.createDataFrame([], like.schema)
+
+
+def state_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff: classify every id across two index states as
+    inserted / deleted / updated / unchanged — the audit op between two
+    dump() snapshots (what changed since the last backup? did a restore
+    lose rows?). [NOT IN REFERENCE — the reference has no way to compare
+    two of its dumps short of reloading both into hnswlib.]
+
+    100 TB shape: ONE full outer join on id (both sides shuffle once on
+    the key — unavoidable for a full diff); change detection compares the
+    embedding arrays with <=> (null-safe equality) so it runs codegen-side
+    inside the join's output projection, never in Python. Emits only
+    changed rows by default (unchanged is the overwhelming majority at
+    scale, and callers auditing a diff want the exceptions).
+    """
+    o = old.select(
+        F.col(ID), F.col(IID).alias("__old_iid"), F.col(EMB).alias("__old_emb")
+    )
+    n = new.select(
+        F.col(ID), F.col(IID).alias("__new_iid"), F.col(EMB).alias("__new_emb")
+    )
+    joined = o.join(n, on=ID, how="full_outer")
+    change = (
+        F.when(F.col("__old_iid").isNull(), F.lit("inserted"))
+        .when(F.col("__new_iid").isNull(), F.lit("deleted"))
+        .when(
+            F.col("__old_emb").eqNullSafe(F.col("__new_emb"))
+            & (F.col("__old_iid") == F.col("__new_iid")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change") != "unchanged")
+        .select(
+            ID,
+            "change",
+            F.col("__old_iid").alias("old_internal_id"),
+            F.col("__new_iid").alias("new_internal_id"),
+        )
+    )

@@ -44,14 +44,15 @@ SUITE_MODULES = (
 # (c) everything else keeps its newest green row and cycles next round.
 # Round 4 window: the 5 queries touched this round (JPEG joined the image
 # decode + manifest, quantizer fits sampled, batch routing), then every
-# query whose only driver row is from r01 (30), then the 12 oldest r02
+# query whose only driver row is from r01 (30), then the 11 oldest r02
 # rows. After this round no query's newest driver row is older than two
-# rounds; the 25 remaining r02 rows rotate in r05.
+# rounds; the 26 remaining r02 rows rotate in r05.
 DRIVER_PRIORITY = (
     # NEW in r04 — never driver-checked
     "ann_ivf_pq_topk",
     "text_bm25_topk",
     "hybrid_search_rrf",
+    "index_state_diff",
     # changed this round
     "multimodal_decode_image",      # id%4 container cycle + JPEG decode
     "multimodal_training_manifest", # consumes the new image generation rule
@@ -101,7 +102,6 @@ DRIVER_PRIORITY = (
     "ann_cosine_topk_join",
     "traverse_chunks",
     "multimodal_join",
-    "multimodal_binary_metadata",
 )
 
 

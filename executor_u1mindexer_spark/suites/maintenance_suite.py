@@ -207,7 +207,50 @@ _UPDATE = _BASE + f"""
 SELECT id, internal_id, status, {_NORM.format(a='emb')} AS norm FROM result
 """
 
+DIFF_DELETE_MOD = 6  # 6 is coprime-ish to the batch mods: deletes hit kept,
+                     # updated, AND inserted ids, so all diff classes appear
+
+
+def index_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit (operators/maintenance.state_diff): old = the
+    ranked fixture state, new = upsert(old, batch) then delete ids with
+    id % 6 == 1 — so the diff contains inserted (new % 7 ids that survive
+    the delete), updated (% 10 re-embeds that survive), and deleted rows,
+    while the kept majority is filtered as unchanged. One full outer join
+    on id; change detection is codegen'd null-safe array equality."""
+    state = _state(spark, sf_dir)
+    new = M.upsert(state, _batch(spark, sf_dir)).select(M.ID, M.IID, M.EMB)
+    # the delete leg as a direct filter: delete_by_ids(new, ids-from-new)
+    # would re-derive the whole upsert pipeline a second time just to name
+    # the doomed ids (measured 5x slower); the anti-join form is already
+    # oracle-proven by delete_by_ids
+    new = new.filter(F.col(M.ID) % DIFF_DELETE_MOD != 1)
+    return M.state_diff(state, new)
+
+
+_DIFF = _UPSERT.replace(
+    f"SELECT id, internal_id, status, {_NORM.format(a='emb')} AS norm FROM result",
+    f"""
+, new_state AS (
+  SELECT id, internal_id, emb FROM result WHERE id % {{mod}} != 1
+), diff AS (
+  SELECT COALESCE(s.id, n.id) AS id,
+         CASE WHEN s.id IS NULL THEN 'inserted'
+              WHEN n.id IS NULL THEN 'deleted'
+              WHEN s.internal_id = n.internal_id AND s.emb = n.emb THEN 'unchanged'
+              ELSE 'updated' END AS change,
+         s.internal_id AS old_internal_id,
+         n.internal_id AS new_internal_id
+  FROM state s FULL OUTER JOIN new_state n ON s.id = n.id
+)
+SELECT id, change, old_internal_id, new_internal_id
+FROM diff WHERE change != 'unchanged'
+""",
+).format(mod=6)
+
+
 ORACLES = {
+    "index_state_diff": _DIFF,
     "index_upsert": _UPSERT,
     "update_existing": _UPDATE,
     "update_skipped": _BASE
@@ -244,5 +287,6 @@ QUERIES = {
     "delete_by_ids": delete_by_ids,
     "status_counts": status_counts,
     "dump_load_roundtrip": dump_load_roundtrip,
+    "index_state_diff": index_state_diff,
     "clear": clear,
 }

@@ -102,3 +102,30 @@ def test_clear_empty_same_schema(spark, state):
     out = M.clear(spark, state)
     assert out.count() == 0
     assert out.schema == state.schema
+
+
+def test_state_diff_classifies_all_change_kinds(spark):
+    from executor_u1mindexer_spark.operators import maintenance as M
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0]), (2, 1, [3.0, 4.0]), (3, 2, [5.0, 6.0]), (4, 3, [7.0, 8.0])],
+        f"{M.ID} long, {M.IID} long, {M.EMB} array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),     # unchanged -> filtered out
+            (2, 1, [30.0, 40.0]),   # updated (emb changed)
+            (4, 9, [7.0, 8.0]),     # updated (internal id moved)
+            (5, 4, [9.0, 9.0]),     # inserted
+        ],                           # 3 deleted
+        f"{M.ID} long, {M.IID} long, {M.EMB} array<double>",
+    )
+    got = {r.id: (r.change, r.old_internal_id, r.new_internal_id)
+           for r in M.state_diff(old, new).collect()}
+    assert got == {
+        2: ("updated", 1, 1),
+        3: ("deleted", 2, None),
+        4: ("updated", 3, 9),
+        5: ("inserted", None, 4),
+    }
