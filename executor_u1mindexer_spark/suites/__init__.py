@@ -42,11 +42,13 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 4 window: the 5 queries touched this round (JPEG joined the image
-# decode + manifest, quantizer fits sampled, batch routing), then every
-# query whose only driver row is from r01 (30), then the 11 oldest r02
-# rows. After this round no query's newest driver row is older than two
-# rounds; the 26 remaining r02 rows rotate in r05.
+# Round 4 window: the 4 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
+# snapshot diff — never driver-checked, policy (a) strongest form), the 5
+# queries whose implementation/oracle changed (JPEG joined the image
+# decode + manifest, quantizer fits sampled + cogrouped, batch routing),
+# then every query whose only driver row is from r01 (30), then the 11
+# oldest r02 rows. After this round no query's newest driver row is older
+# than two rounds; the 26 remaining r02 rows rotate first in r05.
 DRIVER_PRIORITY = (
     # NEW in r04 — never driver-checked
     "ann_ivf_pq_topk",
