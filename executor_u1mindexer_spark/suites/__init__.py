@@ -46,15 +46,16 @@ SUITE_MODULES = (
 # snapshot diff — never driver-checked, policy (a) strongest form), the 5
 # queries whose implementation/oracle changed (JPEG joined the image
 # decode + manifest, quantizer fits sampled + cogrouped, batch routing),
-# then every query whose only driver row is from r01 (30), then the 11
+# then every query whose only driver row is from r01 (30), then the 10
 # oldest r02 rows. After this round no query's newest driver row is older
-# than two rounds; the 26 remaining r02 rows rotate first in r05.
+# than two rounds; the 27 remaining r02 rows rotate first in r05.
 DRIVER_PRIORITY = (
     # NEW in r04 — never driver-checked
     "ann_ivf_pq_topk",
     "text_bm25_topk",
     "hybrid_search_rrf",
     "index_state_diff",
+    "tpch_q4_order_priority",
     # changed this round
     "multimodal_decode_image",      # id%4 container cycle + JPEG decode
     "multimodal_training_manifest", # consumes the new image generation rule
@@ -103,7 +104,6 @@ DRIVER_PRIORITY = (
     "near_dedup_ngram_jaccard",
     "ann_cosine_topk_join",
     "traverse_chunks",
-    "multimodal_join",
 )
 
 

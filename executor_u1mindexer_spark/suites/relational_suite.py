@@ -194,6 +194,31 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (fixture-adapted: the fixture lineitem has no
+    commit/receipt dates, so 'late' := shipped after the order date):
+    count 1996 orders per priority having AT LEAST ONE late lineitem — a
+    correlated-inequality EXISTS, planned as a left-SEMI equi-join on
+    orderkey with the l_shipdate > o_orderdate condition evaluated inside
+    the join. One join shuffle + one grouped agg; semi-join means lineitem
+    rows never multiply the output."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds 150. The
     HAVING-subquery is a grouped aggregate over lineitem re-joined to
@@ -394,6 +419,7 @@ QUERIES = {
     "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
     "tpch_q10_returned_items": tpch_q10_returned_items,
     "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q18_large_volume_customer": tpch_q18_large_volume_customer,
     "join_broadcast_dim": join_broadcast_dim,
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
@@ -481,6 +507,15 @@ WITH s AS (
 SELECT round(100.0 * promo_revenue / total_revenue, 9) AS promo_pct,
        promo_revenue, total_revenue
 FROM s
+""",
+    "tpch_q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
 """,
     "tpch_q18_large_volume_customer": """
 WITH big AS (
