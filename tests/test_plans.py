@@ -389,3 +389,13 @@ def test_bm25_reuses_token_agg_and_takes_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("ReusedExchange") >= 1, plan  # token agg computed once
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    """The correlated-inequality EXISTS must plan as a LEFT SEMI join
+    (probe rows never multiply) with the inequality inside the join —
+    never an inner join + distinct."""
+    df = R.tpch_q4_order_priority(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "Distinct" not in plan, plan
