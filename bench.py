@@ -57,6 +57,8 @@ HEADLINE = [
     "events_range_join_bucketed",
     "text_bigram_lm_scores",
     "text_bm25_topk",
+    "hybrid_search_rrf",
+    "tpch_q4_order_priority",
     "tpch_q18_large_volume_customer",
     "ann_cosine_topk_join",
     "ann_partitioned_topk",
