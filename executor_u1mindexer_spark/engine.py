@@ -84,6 +84,7 @@ class U1MIndexerSpark:
         self._vectors = self._empty_vectors()
         self._docstore: DataFrame | None = None
         self._ds_pending = 0  # appended batches since the last compaction
+        self._ds_layers = 0  # delete anti-join layers since the last checkpoint
         self._ds_batch_no = 0
         if workspace and os.path.exists(os.path.join(workspace, VECTORS)):
             self._vectors = M.load(spark, os.path.join(workspace, VECTORS))
@@ -136,21 +137,26 @@ class U1MIndexerSpark:
         the same state the r03 eager anti-join maintained per batch (ids
         duplicated WITHIN one batch keep all their rows, as before). One
         shuffle on id, then an eager checkpoint so later reads and delete
-        layers start from a flat plan."""
-        if self._docstore is None or self._ds_pending == 0:
+        layers start from a flat plan. Delete-ONLY lineage (anti-join
+        layers with no pending appends) needs no window — just the
+        checkpoint — but it must still truncate, else a delete-heavy
+        session re-executes every anti-join on every read."""
+        if self._docstore is None or (self._ds_pending == 0 and self._ds_layers == 0):
             return
-        from pyspark.sql import Window
+        ds = self._docstore
+        if self._ds_pending > 0:
+            from pyspark.sql import Window
 
-        w = Window.partitionBy(M.ID)
+            w = Window.partitionBy(M.ID)
+            ds = (
+                ds.withColumn("__ds_max", F.max(DS_BATCH).over(w))
+                .filter(F.col(DS_BATCH) == F.col("__ds_max"))
+                .drop("__ds_max")
+            )
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        self._docstore = (
-            self._docstore.withColumn("__ds_max", F.max(DS_BATCH).over(w))
-            .filter(F.col(DS_BATCH) == F.col("__ds_max"))
-            .drop("__ds_max")
-            .coalesce(n)
-            .localCheckpoint(eager=True)
-        )
+        self._docstore = ds.coalesce(n).localCheckpoint(eager=True)
         self._ds_pending = 0
+        self._ds_layers = 0
 
     def _docstore_view(self) -> DataFrame | None:
         """Compacted docstore without bookkeeping columns — what payload
@@ -285,10 +291,16 @@ class U1MIndexerSpark:
         self._vectors = M.delete_by_ids(self._vectors, ids_df)
         if self._docstore is not None:
             # eager anti-join over the appended log: drops every copy of
-            # the id regardless of batch, so no compaction is needed first
+            # the id regardless of batch, so no compaction is needed first;
+            # the layer still counts toward lineage truncation (a
+            # delete-heavy session would otherwise stack anti-joins that
+            # every read re-executes)
             self._docstore = self._docstore.join(
                 F.broadcast(ids_df.select(M.ID)), on=M.ID, how="left_anti"
             )
+            self._ds_layers += 1
+            if self._ds_layers >= DOCSTORE_COMPACT_EVERY:
+                self._docstore_compact()
         self._dirty = True
 
     def dump(self) -> None:
@@ -305,6 +317,7 @@ class U1MIndexerSpark:
         self._vectors = self._empty_vectors()
         self._docstore = None
         self._ds_pending = 0
+        self._ds_layers = 0
         self._ds_batch_no = 0
         self._tombstones = 0
         self._dirty = False

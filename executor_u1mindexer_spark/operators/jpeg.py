@@ -400,6 +400,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 def _decode_scan(payload, pos, frame, scan_tabs, qtables, dc_tables, ac_tables, dri):
     w, h, comps = frame
     nc = len(comps)
+    # loud gates, not KeyErrors: T.81 allows a baseline image to arrive as
+    # several non-interleaved scans (one component each); this decoder
+    # supports only the single interleaved scan every common encoder emits
+    if set(scan_tabs) != {cid for cid, _ in comps}:
+        raise NotImplementedError(
+            f"non-interleaved multi-scan JPEG not supported (scan covers "
+            f"{sorted(scan_tabs)} of components {sorted(c for c, _ in comps)})"
+        )
+    for cid, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"component {cid} references undeclared quant table {tq}")
+        dc_id, ac_id = scan_tabs[cid]
+        if dc_id not in dc_tables or ac_id not in ac_tables:
+            raise ValueError(
+                f"component {cid} references undeclared huffman table "
+                f"(dc={dc_id}, ac={ac_id})"
+            )
     n_bx, n_by = (w + 7) // 8, (h + 7) // 8
     planes = [np.zeros((n_by * 8, n_bx * 8)) for _ in range(nc)]
     br = _BitReader(payload, pos)

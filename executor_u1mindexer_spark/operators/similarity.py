@@ -129,6 +129,26 @@ def bucketed_topk(
     )
 
 
+def _resolve_dim(
+    stored: DataFrame, vec_col: str, m: int, dim: int | None, op: str
+) -> int:
+    """Shared dim probe + divisibility gate for the PQ family: pass `dim`
+    when known (at 100 TB a catalog fact), else probe ONE row via
+    limit(1); reject widths m can't split evenly (a silent remainder drop
+    would leave dims unencoded while sq_norm sums all of them)."""
+    d = dim
+    if d is None:
+        probe = (
+            stored.select(F.size(V.as_double_array(vec_col)).alias("d")).limit(1).collect()
+        )
+        if not probe:
+            raise ValueError(f"{op}: empty input, pass dim= explicitly")
+        d = probe[0]["d"]
+    if d % m != 0:
+        raise ValueError(f"{op}: dim {d} not divisible by m={m}")
+    return d
+
+
 def train_pq_codebooks(
     sample: DataFrame,
     *,
@@ -190,6 +210,11 @@ def train_pq_codebooks(
     got = rows.groupBy("j").applyInPandas(
         lloyd, schema="j int, code int, center array<double>"
     ).collect()
+    if not got:
+        # an empty sample trains nothing; fail HERE with a clear message
+        # instead of letting a None-filled codebook crash literal
+        # construction downstream
+        raise ValueError("train_pq_codebooks: empty training sample")
     books: list[list[list[float] | None]] = [[None] * n_codes for _ in range(m)]
     for r in got:
         books[r.j][r.code] = [float(v) for v in r.center]
@@ -396,16 +421,7 @@ def ivf_pq_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    d = dim
-    if d is None:
-        probe = (
-            stored.select(F.size(V.as_double_array(vec_col)).alias("d")).limit(1).collect()
-        )
-        if not probe:
-            raise ValueError("ivf_pq_topk: empty corpus, pass dim= explicitly")
-        d = probe[0]["d"]
-    if d % m != 0:
-        raise ValueError(f"ivf_pq_topk: dim {d} not divisible by m={m}")
+    d = _resolve_dim(stored, vec_col, m, dim, "ivf_pq_topk")
     sub = d // m
 
     base = stored.select(F.col(id_col), V.as_double_array(vec_col).alias("__v"))
@@ -577,16 +593,7 @@ def product_quantize(
     Like the IVF quantizer, trained centers aren't static SQL — the suite
     reduces this to an invariant row (codes in range, error bounded).
     """
-    d = dim
-    if d is None:
-        probe = (
-            stored.select(F.size(V.as_double_array(vec_col)).alias("d")).limit(1).collect()
-        )
-        if not probe:
-            raise ValueError("product_quantize: empty input, pass dim= explicitly")
-        d = probe[0]["d"]
-    if d % m != 0:
-        raise ValueError(f"product_quantize: dim {d} not divisible by m={m}")
+    d = _resolve_dim(stored, vec_col, m, dim, "product_quantize")
     sub = d // m
     base = stored.select(F.col(id_col), V.as_double_array(vec_col).alias("__v"))
     books = train_pq_codebooks(

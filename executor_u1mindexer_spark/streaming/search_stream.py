@@ -12,10 +12,13 @@ path stays the oracle (tested in tests/test_streaming.py).
 
 Scale notes: the static corpus is scanned per micro-batch (the
 stream-side broadcast keeps the 100 TB side un-shuffled, same plan as
-batch); exactly-once lands on the checkpoint + per-batch-id idempotent
-append the file sink provides. trigger(availableNow) drains a backlog in
-bounded batches — the same program serves backfill and live tail, like
-the events pipeline.
+batch); exactly-once = checkpoint + an IDEMPOTENT per-batch write — each
+micro-batch overwrites its own batch_id=<n> partition directory, so a
+replayed batch (failure after the parquet commit but before the
+checkpoint records it) rewrites the same directory instead of appending
+duplicates. trigger(availableNow) drains a backlog in bounded batches —
+the same program serves backfill and live tail, like the events
+pipeline.
 """
 
 from __future__ import annotations
@@ -41,8 +44,11 @@ def run_streaming_search(
     """Start the streaming search; returns the StreamingQuery handle.
 
     Each micro-batch of queries runs the batch knn_search against the
-    static corpus and appends (batch_id, query_id, vec_id, rank, score
-    [, payload columns]) to the parquet sink."""
+    static corpus and writes (query_id, vec_id, rank, score [, payload
+    columns]) into the sink's batch_id=<n> partition directory (read the
+    sink root and batch_id comes back as a partition column). Overwriting
+    the batch's OWN directory makes replays idempotent — see module
+    docstring."""
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -56,9 +62,7 @@ def run_streaming_search(
             query_vec_col=query_vec_col,
             payload=payload,
         )
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            sink_path
-        )
+        out.write.mode("overwrite").parquet(f"{sink_path}/batch_id={batch_id}")
 
     return (
         query_stream.writeStream.foreachBatch(score)

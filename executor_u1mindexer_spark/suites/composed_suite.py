@@ -198,7 +198,7 @@ from executor_u1mindexer_spark.suites.text_suite import _SHINGLE4_HS  # noqa: E4
 from executor_u1mindexer_spark.suites.text_suite import (  # noqa: E402
     _BM25_CONTRIB,
     _BM25_TF,
-    _WORDS,
+    _BM25_WORDS,
     BM25_TERMS,
 )
 
@@ -220,7 +220,7 @@ ORACLES = {
     # rrf terms are rational arithmetic summed in fixed order — bit-exact
     "hybrid_search_rrf": f"""
 WITH per_doc AS (
-  SELECT doc_id, len({_WORDS}) AS dl,
+  SELECT doc_id, len({_BM25_WORDS}) AS dl,
          {_BM25_TF}
   FROM documents
 ), stats AS (

@@ -321,7 +321,13 @@ def bm25_scores(d: DataFrame) -> DataFrame:
     """Every doc's BM25 score against the fixed term set — the scored form
     text_bm25_topk truncates and hybrid_search_rrf (composed_suite) fuses.
     Plan/determinism notes in text_bm25_topk's docstring."""
-    toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
+    # coalesce NULL text to '' (one empty token both engines) so a
+    # NULL-text doc still counts toward N/sum_dl exactly like the oracle —
+    # a plain explode would DROP the doc from the corpus statistics and
+    # shift every idf
+    toks = d.select(
+        "doc_id", F.explode(T.words(F.coalesce(F.col("text"), F.lit("")))).alias("w")
+    )
     per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl"),
         *[
@@ -436,8 +442,11 @@ _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
 
+# null-safe twin of _WORDS for the BM25 corpus statistics: coalesce(text,'')
+# splits to one empty token, matching the Spark side's explode(coalesce(...))
+_BM25_WORDS = "str_split_regex(coalesce(text, ''), '\\s+')"
 _BM25_TF = ",\n         ".join(
-    f"len(list_filter({_WORDS}, t -> t = '{t}')) AS tf{i}"
+    f"len(list_filter({_BM25_WORDS}, t -> t = '{t}')) AS tf{i}"
     for i, t in enumerate(BM25_TERMS)
 )
 _BM25_CONTRIB = " + ".join(
@@ -451,7 +460,7 @@ _BM25_CONTRIB = " + ".join(
 ORACLES = {
     "text_bm25_topk": f"""
 WITH per_doc AS (
-  SELECT doc_id, len({_WORDS}) AS dl,
+  SELECT doc_id, len({_BM25_WORDS}) AS dl,
          {_BM25_TF}
   FROM documents
 ), stats AS (

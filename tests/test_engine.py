@@ -226,3 +226,30 @@ def test_docstore_delete_then_reindex_resolves_to_new_payload(spark, tmp_path):
     q = spark.createDataFrame([(0, [1.0, 2.0])], "query_id long, query_embedding array<double>")
     rows = eng.search(q, limit=1).collect()
     assert rows[0].text == "new"
+
+
+def test_docstore_delete_only_lineage_truncates(spark, tmp_path):
+    """Delete-heavy sessions must still checkpoint the docstore: each
+    delete stacks an anti-join layer, and the next read (or every 16
+    deletes) collapses it — otherwise every read re-executes every
+    anti-join since the last compaction."""
+    from executor_u1mindexer_spark import engine as E
+
+    eng = U1MIndexerSpark(spark, dim=2, workspace=str(tmp_path))
+    docs = spark.createDataFrame(
+        [(i, [1.0, float(i)], f"t{i}") for i in range(40)],
+        "doc_id long, embedding array<double>, text string",
+    )
+    eng.index(docs)
+    eng.status()  # compaction point: append log flattened
+    for i in range(E.DOCSTORE_COMPACT_EVERY + 2):
+        eng.delete([i])
+    # the threshold compaction fired mid-stream even with no reads
+    assert eng._ds_layers < E.DOCSTORE_COMPACT_EVERY
+    st = eng.status()  # read point truncates the remainder
+    assert eng._ds_layers == 0
+    assert st["size_dam"] == 40 - (E.DOCSTORE_COMPACT_EVERY + 2)
+    plan_lines = (
+        eng._docstore._jdf.queryExecution().analyzed().numberedTreeString().count("\n")
+    )
+    assert plan_lines < 30, plan_lines  # flat LogicalRDD, not stacked joins

@@ -261,3 +261,25 @@ def test_jpeg_color_roundtrip_property(w, h, seed):
     ww, hh, ch, out = J.decode_jpeg(J.encode_jpeg(w, h, px, channels=3))
     assert (ww, hh, ch) == (w, h, 3)
     assert max(abs(a - b) for a, b in zip(out, px)) <= 4
+
+
+def test_jpeg_multiscan_and_undeclared_tables_raise_loudly():
+    import struct
+
+    color = J.encode_jpeg(4, 4, bytes(48), channels=3)
+    # rewrite SOS to cover only component 1 (a legal non-interleaved
+    # layout this decoder does not support): must be loud, not a KeyError
+    idx = color.index(b"\xff\xda")
+    (old_len,) = struct.unpack_from(">H", color, idx + 2)
+    new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    oneScan = color[:idx] + new_sos + color[idx + 2 + old_len :]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        J.decode_jpeg(oneScan)
+
+    gray = J.encode_jpeg(2, 2, bytes(4), channels=1)
+    # point the scan at huffman table 1, which no DHT declared
+    idx = gray.index(b"\xff\xda")
+    tt_off = idx + 2 + 2 + 1 + 1  # marker, len, ns, comp id -> table byte
+    bad = gray[:tt_off] + bytes([0x11]) + gray[tt_off + 1 :]
+    with pytest.raises(ValueError, match="undeclared huffman"):
+        J.decode_jpeg(bad)

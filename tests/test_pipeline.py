@@ -59,3 +59,16 @@ def test_quantize_error_bounded_by_half_scale(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.max_abs_err <= r.scale / 2 + 1e-12  # round-to-nearest bound
+
+
+def test_bm25_scores_keep_null_text_docs_in_corpus_stats(spark):
+    from executor_u1mindexer_spark.suites.text_suite import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(0, "query table spark"), (1, None), (2, "query query")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bm25_scores(docs).collect()}
+    assert set(rows) == {0, 1, 2}  # the NULL-text doc still counts toward N
+    assert rows[1].dl == 1 and rows[1].tf_query == 0  # '' -> one empty token
+    assert rows[0].score_micro > rows[2].score_micro > rows[1].score_micro == 0
