@@ -59,6 +59,9 @@ HEADLINE = [
     "text_bm25_topk",
     "hybrid_search_rrf",
     "tpch_q4_order_priority",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q21_waiting_suppliers",
     "tpch_q18_large_volume_customer",
     "ann_cosine_topk_join",
     "ann_partitioned_topk",

@@ -23,6 +23,7 @@ SUITE_MODULES = (
     "maintenance_suite",
     "relational_suite",
     "relational_extra_suite",
+    "tpch_suite",
     "events_suite",
     "dedup_suite",
     "text_suite",
@@ -42,13 +43,15 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 4 window: the 4 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
-# snapshot diff — never driver-checked, policy (a) strongest form), the 5
-# queries whose implementation/oracle changed (JPEG joined the image
-# decode + manifest, quantizer fits sampled + cogrouped, batch routing),
-# then every query whose only driver row is from r01 (30), then the 10
-# oldest r02 rows. After this round no query's newest driver row is older
-# than two rounds; the 27 remaining r02 rows rotate first in r05.
+# Round 4 window: the 18 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
+# snapshot diff, TPC-H Q4 + the 14 queries completing the 22-query TPC-H
+# suite — never driver-checked, policy (a) strongest form), the 5 queries
+# whose implementation/oracle changed (JPEG joined the image decode +
+# manifest, quantizer fits sampled + cogrouped, batch routing), then the
+# r01-stale rotations as far as the 50-slot window reaches (26 of 30 fit).
+# The 4 r01 stragglers (set_ops/topk/window_ntile/window_rank) plus all 37
+# r02 rows rotate first in r05; every one of them is green in the committed
+# local full sweep (CORRECTNESS_LOCAL_r04.json) meanwhile.
 DRIVER_PRIORITY = (
     # NEW in r04 — never driver-checked
     "ann_ivf_pq_topk",
@@ -56,6 +59,20 @@ DRIVER_PRIORITY = (
     "hybrid_search_rrf",
     "index_state_diff",
     "tpch_q4_order_priority",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
     # changed this round
     "multimodal_decode_image",      # id%4 container cycle + JPEG decode
     "multimodal_training_manifest", # consumes the new image generation rule
@@ -89,21 +106,6 @@ DRIVER_PRIORITY = (
     "scalar_date_funcs",
     "scalar_math_funcs",
     "scalar_string_funcs",
-    "set_ops_customer_segments",
-    "topk_orders_by_price",
-    "window_ntile_first_last",
-    "window_rank_lag_lead",
-    # oldest r02 rows — 15 of 37 fit this window, heaviest shapes first
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "window_running_sum",
-    "events_sessionize",
-    "exact_dedup_text",
-    "near_dedup_minhash_lsh",
-    "near_dedup_ngram_jaccard",
-    "ann_cosine_topk_join",
-    "traverse_chunks",
 )
 
 

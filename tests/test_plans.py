@@ -399,3 +399,54 @@ def test_q4_exists_plans_as_semi_join(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "LeftSemi" in plan, plan
     assert "Distinct" not in plan, plan
+
+
+def test_q21_exists_and_not_exists_plan_as_semi_and_anti(spark, sf_dir):
+    """Q21's EXISTS(another supplier) / NOT EXISTS(another late supplier)
+    must plan as one LEFT SEMI and one LEFT ANTI join, both hash-keyed on
+    the orderkey with the suppkey inequality as a residual condition —
+    never a cartesian/BNLJ expansion of the per-order supplier sets."""
+    from executor_u1mindexer_spark.suites import tpch_suite as T
+
+    plan = plans.physical_plan(T.tpch_q21_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q19_disjunction_stays_inside_hash_join(spark, sf_dir):
+    """Q19's OR-of-AND-groups spans both join sides; the partkey
+    equi-condition must still drive a broadcast hash join with the
+    disjunction as a residual — a planner that falls back to BNLJ for the
+    OR would scan lineitem × part at 100 TB."""
+    from executor_u1mindexer_spark.suites import tpch_suite as T
+
+    plan = plans.physical_plan(T.tpch_q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q2_correlated_min_stays_broadcast(spark, sf_dir):
+    """Q2's correlated scalar-min resolves to grouped-min + equality
+    join-back; the min side is tiny (one row per filtered part) and must
+    broadcast, leaving the filtered-lineitem side un-shuffled."""
+    from executor_u1mindexer_spark.suites import tpch_suite as T
+
+    plan = plans.physical_plan(T.tpch_q2_min_cost_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q13_keeps_outer_join_for_zero_order_customers(spark, sf_dir):
+    """Q13's histogram depends on zero-order customers surviving: the
+    customer ⋈ orders join must stay LeftOuter (the priority filter lives
+    on the orders side, not as a post-join filter that would turn it
+    inner)."""
+    from executor_u1mindexer_spark.suites import tpch_suite as T
+
+    plan = plans.physical_plan(T.tpch_q13_customer_distribution(spark, sf_dir))
+    assert "LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
