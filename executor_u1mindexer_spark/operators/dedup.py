@@ -660,3 +660,57 @@ def dedup_clusters(
         F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 5,
+) -> DataFrame:
+    """Span-level exact dedup — the CCNet-style "drop duplicated paragraphs
+    but keep the document" pass (Wenzek et al. 2020), fixture-adapted: the
+    corpus has no newlines, so a "paragraph" is a fixed non-overlapping
+    ``span_words``-word window. Every span whose exact text occurred
+    earlier in the corpus is removed (first occurrence wins, ordered by
+    (doc_id, span_idx)); the cleaned document is reassembled in span order.
+
+    Returns (id_col, clean_text, n_spans, n_dropped) for EVERY input doc —
+    a fully-deduplicated doc comes back with clean_text = ''.
+
+    At 100 TB: spans are derived by array slicing (no word-level explode —
+    one row per span, not per word); the only shuffles are the span-text
+    grouped-min (span text travels exactly once into the aggregate) and the
+    doc_id reassembly. The first-occurrence rule is an arithmetic min over
+    doc_id * 1e6 + span_idx, so no window over a global ordering exists
+    anywhere. [NOT IN REFERENCE — executor.py has no text surface.]
+    """
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
+    ).withColumn("occ_key", F.col(id_col) * 1_000_000 + F.col("span_idx"))
+    firsts = exploded.groupBy("span").agg(F.min("occ_key").alias("first_key"))
+    kept = exploded.join(firsts, "span").withColumn(
+        "keep", F.col("occ_key") == F.col("first_key")
+    )
+    surviving = F.when(
+        F.col("keep"), F.struct(F.col("span_idx"), F.col("span"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(surviving)), lambda s: s["span"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.when(~F.col("keep"), F.lit(1))).alias("n_dropped"),
+    )

@@ -73,6 +73,16 @@ def near_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style span dedup: drop every 5-word span whose exact text
+    occurred earlier in the corpus, reassemble each doc. First occurrence
+    = lowest (doc_id, span_idx); the oracle replays the identical rule via
+    word-unnest + string_agg (a deliberately different formulation — Spark
+    slices arrays, DuckDB explodes words — same semantics)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.span_dedup(docs, span_words=5).orderBy("doc_id")
+
+
 QUERIES = {
     "exact_dedup_text": exact_dedup_text,
     "near_dedup_minhash_lsh": near_dedup_minhash_lsh,
@@ -81,6 +91,7 @@ QUERIES = {
     "near_dedup_simhash": near_dedup_simhash,
     "near_dedup_embedding_cosine": near_dedup_embedding_cosine,
     "near_dedup_clusters": near_dedup_clusters,
+    "dedup_repeated_spans": dedup_repeated_spans,
 }
 
 # ---------------------------------------------------------------------------
@@ -275,5 +286,28 @@ WITH e AS (
 SELECT c.id_a, c.id_b, {_ECOS} AS cos_dist
 FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b
 WHERE {_ECOS} <= 0.6
+""",
+    # Deliberately different formulation: Spark slices word arrays into
+    # spans without exploding words; the oracle explodes words and
+    # string_aggs them back. Same first-occurrence rule (min over
+    # doc_id*1e6 + span_idx), same reassembly order.
+    "dedup_repeated_spans": """
+WITH spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(ws[i*5+1 : i*5+5], ' ') AS span,
+         doc_id * 1000000 + i AS occ_key
+  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents) d,
+       unnest(range(CAST(ceil(len(ws)/5.0) AS BIGINT))) AS t(i)
+), firsts AS (
+  SELECT span, min(occ_key) AS first_key FROM spans GROUP BY span
+)
+SELECT s.doc_id,
+       coalesce(string_agg(CASE WHEN s.occ_key = f.first_key THEN s.span END,
+                           ' ' ORDER BY s.span_idx), '') AS clean_text,
+       count(*) AS n_spans,
+       count(CASE WHEN s.occ_key <> f.first_key THEN 1 END) AS n_dropped
+FROM spans s JOIN firsts f ON s.span = f.span
+GROUP BY s.doc_id
+ORDER BY s.doc_id
 """,
 }

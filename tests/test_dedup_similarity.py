@@ -276,3 +276,30 @@ def test_train_pq_codebooks_deterministic_under_partitioning(spark):
     assert a == b  # kernel sorts by id: partitioning cannot change the books
     assert len(a) == 2 and all(len(book) == 4 for book in a)
     assert all(len(center) == 2 for book in a for center in book)
+
+
+def test_span_dedup_crafted_semantics(spark):
+    """First occurrence (lowest doc_id, span_idx) survives; later exact
+    spans drop — including a WITHIN-doc repeat and a doc whose every span
+    is seen earlier (comes back empty, still present in the output)."""
+    rows = [
+        # doc 1: two spans; the second repeats the first within the doc
+        (1, "a b c d e a b c d e"),
+        # doc 2: first span copies doc 1's; second span is fresh
+        (2, "a b c d e f g h i j"),
+        # doc 3: both spans seen earlier -> fully deduplicated
+        (3, "a b c d e f g h i j"),
+        # doc 4: short tail span (3 words), unique
+        (4, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.span_dedup(df, span_words=5).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d e"
+    assert out[1]["n_spans"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "f g h i j"
+    assert out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 2
+    assert out[4]["clean_text"] == "x y z" and out[4]["n_dropped"] == 0
