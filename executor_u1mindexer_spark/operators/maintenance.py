@@ -288,3 +288,81 @@ def state_diff(old: DataFrame, new: DataFrame) -> DataFrame:
             F.col("__new_iid").alias("new_internal_id"),
         )
     )
+
+
+def scd2_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    *,
+    key_col: str,
+    attr_cols: Sequence[str],
+    base_from: str = "1995-01-01",
+    effective_date: str = "2000-01-01",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 merge — the lakehouse MERGE pattern
+    the reference's in-place /update endpoint (executor.py:188-196) cannot
+    express: instead of overwriting, every attribute change CLOSES the old
+    version (valid_to = effective date, is_current = false) and OPENS a new
+    one, so the dimension keeps full history.
+
+    Per key: update absent or attribute-identical -> one open row
+    (null-safe comparison, so NULL attrs don't read as a change); update
+    differing -> closed old version + open new version; key new in the
+    update -> one open row starting at the effective date.
+
+    Returns (key_col, *attr_cols, valid_from, valid_to date, is_current).
+
+    At 100 TB: one full-outer hash shuffle on the key — the irreducible
+    cost of a merge that must see both sides (full-outer cannot broadcast);
+    the version fan-out is an array-explode of at most 2 structs per key,
+    map-side, no window and no second shuffle. [NOT IN REFERENCE]
+    """
+    import functools
+    import operator as op
+
+    b = base.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_b_{c}") for c in attr_cols],
+    )
+    u = updates.select(
+        F.col(key_col).alias("_uk"),
+        *[F.col(c).alias(f"_u_{c}") for c in attr_cols],
+    )
+    j = b.join(u, F.col("_k") == F.col("_uk"), "full_outer")
+    has_b = F.col("_k").isNotNull()
+    has_u = F.col("_uk").isNotNull()
+    same = functools.reduce(
+        op.and_,
+        [F.col(f"_b_{c}").eqNullSafe(F.col(f"_u_{c}")) for c in attr_cols],
+    )
+    d0 = F.lit(base_from).cast("date")
+    d1 = F.lit(effective_date).cast("date")
+    no_date = F.lit(None).cast("date")
+
+    def _ver(side: str, vfrom, vto, cur: bool):
+        return F.struct(
+            *[F.col(f"_{side}_{c}").alias(c) for c in attr_cols],
+            vfrom.alias("valid_from"),
+            vto.alias("valid_to"),
+            F.lit(cur).alias("is_current"),
+        )
+
+    versions = (
+        F.when(~has_u, F.array(_ver("b", d0, no_date, True)))
+        .when(~has_b, F.array(_ver("u", d1, no_date, True)))
+        .when(same, F.array(_ver("b", d0, no_date, True)))
+        .otherwise(
+            F.array(_ver("b", d0, d1, False), _ver("u", d1, no_date, True))
+        )
+    )
+    ex = j.select(
+        F.coalesce(F.col("_k"), F.col("_uk")).alias(key_col),
+        F.explode(versions).alias("_v"),
+    )
+    return ex.select(
+        key_col,
+        *[F.col(f"_v.{c}").alias(c) for c in attr_cols],
+        F.col("_v.valid_from").alias("valid_from"),
+        F.col("_v.valid_to").alias("valid_to"),
+        F.col("_v.is_current").alias("is_current"),
+    )

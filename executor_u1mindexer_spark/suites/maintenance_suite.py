@@ -249,8 +249,77 @@ FROM diff WHERE change != 'unchanged'
 ).format(mod=6)
 
 
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge over the customer dimension. The update batch is
+    derived from the fixture: every custkey % 5 == 0 appears in the batch
+    (even keys with acctbal + 100 — a real change; odd keys unchanged — the
+    no-op branch), and custkey % 97 == 0 re-enters shifted +1e6 as a brand
+    new key. Changed keys yield a closed + an open version; everything
+    else exactly one open row."""
+    cust = tables.load(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+    upd_existing = base.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    upd_new = base.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return M.scd2_merge(
+        base,
+        upd_existing.unionByName(upd_new),
+        key_col="c_custkey",
+        attr_cols=("c_acctbal", "c_mktsegment"),
+    ).orderBy("c_custkey", "valid_from")
+
+
 ORACLES = {
     "index_state_diff": _DIFF,
+    "scd2_customer_history": """
+WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+           AS c_acctbal,
+         c_mktsegment
+  FROM base WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+  FROM base WHERE c_custkey % 97 = 0),
+j AS (
+  SELECT b.c_custkey AS bk, u.c_custkey AS uk,
+         b.c_acctbal AS b_bal, b.c_mktsegment AS b_seg,
+         u.c_acctbal AS u_bal, u.c_mktsegment AS u_seg
+  FROM base b FULL JOIN upd u ON b.c_custkey = u.c_custkey),
+changed AS (
+  SELECT * FROM j WHERE bk IS NOT NULL AND uk IS NOT NULL
+    AND NOT (b_bal IS NOT DISTINCT FROM u_bal
+             AND b_seg IS NOT DISTINCT FROM u_seg))
+SELECT coalesce(bk, uk) AS c_custkey,
+       CASE WHEN uk IS NULL OR bk IS NOT NULL THEN b_bal ELSE u_bal END
+         AS c_acctbal,
+       CASE WHEN uk IS NULL OR bk IS NOT NULL THEN b_seg ELSE u_seg END
+         AS c_mktsegment,
+       CASE WHEN bk IS NOT NULL THEN DATE '1995-01-01'
+            ELSE DATE '2000-01-01' END AS valid_from,
+       CASE WHEN bk IS NOT NULL AND uk IS NOT NULL
+                 AND NOT (b_bal IS NOT DISTINCT FROM u_bal
+                          AND b_seg IS NOT DISTINCT FROM u_seg)
+            THEN DATE '2000-01-01' END AS valid_to,
+       NOT (bk IS NOT NULL AND uk IS NOT NULL
+            AND NOT (b_bal IS NOT DISTINCT FROM u_bal
+                     AND b_seg IS NOT DISTINCT FROM u_seg)) AS is_current
+FROM j
+UNION ALL
+SELECT coalesce(bk, uk), u_bal, u_seg, DATE '2000-01-01', NULL, TRUE
+FROM changed
+ORDER BY c_custkey, valid_from
+""",
     "index_upsert": _UPSERT,
     "update_existing": _UPDATE,
     "update_skipped": _BASE
@@ -288,5 +357,6 @@ QUERIES = {
     "status_counts": status_counts,
     "dump_load_roundtrip": dump_load_roundtrip,
     "index_state_diff": index_state_diff,
+    "scd2_customer_history": scd2_customer_history,
     "clear": clear,
 }

@@ -439,7 +439,41 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-join (entity-resolution shape): distinct
+    part names paired when levenshtein ≤ 3, blocked on the first character
+    so the join has an EQUI key (the block) and the distance is a residual
+    — never an all-pairs cartesian. A ±2 length band prunes before the
+    O(len²) distance. At 100 TB the block key would widen (first 2 chars +
+    length bucket) but the shape is the same: equi-join on block, residual
+    metric."""
+    names = (
+        tables.load(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 1).alias("blk"),
+        F.length("p_name").alias("len_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 1).alias("blk"),
+        F.length("p_name").alias("len_b"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+    )
+    return pairs.select("name_a", "name_b", "dist").orderBy("name_a", "name_b")
+
+
 QUERIES = {
+    "fuzzy_join_part_names": fuzzy_join_part_names,
     "join_full_outer_segments": join_full_outer_segments,
     "agg_percentiles": agg_percentiles,
     "agg_approx_quantiles": agg_approx_quantiles,
@@ -462,6 +496,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fuzzy_join_part_names": """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM names a JOIN names b
+  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+ AND a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY name_a, name_b
+""",
     "scalar_array_funcs": """
 WITH g AS (
   SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qties

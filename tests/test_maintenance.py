@@ -129,3 +129,39 @@ def test_state_diff_classifies_all_change_kinds(spark):
         4: ("updated", 3, 9),
         5: ("inserted", None, 4),
     }
+
+
+def test_scd2_merge_version_semantics(spark):
+    """Changed key -> closed old + open new; unchanged update -> single
+    open row; new key -> open at effective date; NULL attr equal to NULL
+    is NOT a change (null-safe comparison)."""
+    from executor_u1mindexer_spark.operators.maintenance import scd2_merge
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, None), (3, 30.0, "C")],
+        ["k", "bal", "seg"],
+    )
+    upd = spark.createDataFrame(
+        [(1, 11.0, "A"), (2, 20.0, None), (9, 90.0, "Z")],
+        ["k", "bal", "seg"],
+    )
+    rows = scd2_merge(
+        base, upd, key_col="k", attr_cols=("bal", "seg")
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    # k=1 changed: one closed (old bal) + one open (new bal)
+    v1 = sorted(by_key[1], key=lambda r: (r["valid_from"]))
+    assert len(v1) == 2
+    assert v1[0]["bal"] == 10.0 and not v1[0]["is_current"]
+    assert v1[0]["valid_to"] is not None
+    assert v1[1]["bal"] == 11.0 and v1[1]["is_current"]
+    assert v1[1]["valid_to"] is None
+    # k=2: NULL seg == NULL seg is NOT a change
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"]
+    # k=3: absent from update -> untouched open row
+    assert len(by_key[3]) == 1 and by_key[3][0]["valid_to"] is None
+    # k=9: new key opens at the effective date
+    v9 = by_key[9][0]
+    assert v9["is_current"] and str(v9["valid_from"]) == "2000-01-01"
