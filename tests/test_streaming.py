@@ -169,3 +169,26 @@ def test_streaming_search_matches_batch(spark, sf_dir, tmp_path):
         for r in knn.knn_search(emb, q_batch, k=5, metric="cosine").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_ledger_matches_batch(spark, sf_dir):
+    """The streaming dedup ledger (hash -> keep_id, n_copies) must equal
+    the batch exact_dedup over the same fixture."""
+    from executor_u1mindexer_spark.operators import dedup as D
+    from executor_u1mindexer_spark.streaming import dedup_stream as DS
+
+    stream = DS.read_documents_stream(spark, sf_dir)
+    assert stream.isStreaming
+    S.run_available_now(
+        DS.streaming_exact_dedup_ledger(stream), "stream_dedup_ledger"
+    )
+    got = {
+        r.text_hash: (r.keep_id, r.n_copies)
+        for r in spark.table("stream_dedup_ledger").collect()
+    }
+    docs = tables.load(spark, sf_dir, "documents")
+    want = {
+        r.text_hash: (r.keep_id, r.n_copies)
+        for r in D.exact_dedup(docs).collect()
+    }
+    assert got == want and len(got) > 0
