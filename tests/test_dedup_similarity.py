@@ -303,3 +303,49 @@ def test_span_dedup_crafted_semantics(spark):
     assert out[2]["n_dropped"] == 1
     assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 2
     assert out[4]["clean_text"] == "x y z" and out[4]["n_dropped"] == 0
+
+
+def test_span_dedup_properties(spark):
+    """Property check against a pure-Python replay: on arbitrary small
+    word-corpora, span_dedup must (a) preserve word mass (kept + dropped
+    spans = total), (b) return clean_text == text whenever nothing
+    dropped, and (c) equal the sequential first-occurrence replay."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["a", "b", "c", "d"]
+    doc_strat = st.lists(
+        st.sampled_from(vocab), min_size=1, max_size=12
+    ).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc_strat, min_size=1, max_size=5))
+    def check(texts):
+        k = 3
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: r
+            for r in D.span_dedup(df, span_words=k).collect()
+        }
+        seen: set[str] = set()
+        for doc_id, text in enumerate(texts):
+            ws = text.split(" ")
+            spans = [
+                " ".join(ws[i : i + k]) for i in range(0, len(ws), k)
+            ]
+            kept = []
+            for s in spans:
+                if s in seen:
+                    continue
+                seen.add(s)
+                kept.append(s)
+            r = got[doc_id]
+            assert r["n_spans"] == len(spans)
+            assert r["n_dropped"] == len(spans) - len(kept)
+            assert r["clean_text"] == " ".join(kept)
+            if r["n_dropped"] == 0:
+                assert r["clean_text"] == text
+
+    check()
