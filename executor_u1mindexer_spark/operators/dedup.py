@@ -682,11 +682,15 @@ def span_dedup(
     At 100 TB: spans are derived by array slicing (no word-level explode —
     one row per span, not per word); the only shuffles are the span-text
     grouped-min (span text travels exactly once into the aggregate) and the
-    doc_id reassembly. The first-occurrence rule is an arithmetic min over
-    doc_id * 1e6 + span_idx, so no window over a global ordering exists
-    anywhere. [NOT IN REFERENCE — executor.py has no text surface.]
+    doc_id reassembly. The first-occurrence rule is a lexicographic min
+    over struct(doc_id, span_idx) — orderable structs, so it is exact for
+    the FULL long id domain and any document length (an arithmetic
+    id*K+idx packing would silently mis-order past its K bound); no window
+    over a global ordering exists anywhere. NULL text is treated as ''
+    (the doc still gets its output row, per the every-doc contract).
+    [NOT IN REFERENCE — executor.py has no text surface.]
     """
-    words = F.split(F.col(text_col), " ")
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - 1),
@@ -696,10 +700,10 @@ def span_dedup(
     )
     exploded = df.select(
         F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
-    ).withColumn("occ_key", F.col(id_col) * 1_000_000 + F.col("span_idx"))
-    firsts = exploded.groupBy("span").agg(F.min("occ_key").alias("first_key"))
+    ).withColumn("occ", F.struct(F.col(id_col), F.col("span_idx")))
+    firsts = exploded.groupBy("span").agg(F.min("occ").alias("first_occ"))
     kept = exploded.join(firsts, "span").withColumn(
-        "keep", F.col("occ_key") == F.col("first_key")
+        "keep", F.col("occ") == F.col("first_occ")
     )
     surviving = F.when(
         F.col("keep"), F.struct(F.col("span_idx"), F.col("span"))

@@ -310,6 +310,15 @@ def scd2_merge(
     differing -> closed old version + open new version; key new in the
     update -> one open row starting at the effective date.
 
+    CONTRACT: both inputs are SNAPSHOTS — exactly one row per key. Feeding
+    a full SCD2 history (multiple versions per key) back in would multiply
+    versions through the full-outer join; to apply a second batch on top
+    of a produced history, use :func:`scd2_apply`, which passes closed
+    versions through untouched and re-merges only the current slice. If
+    ``base`` carries a ``valid_from`` column (the current slice of a
+    history does), it is preserved per row instead of the ``base_from``
+    constant, so open dates survive composition.
+
     Returns (key_col, *attr_cols, valid_from, valid_to date, is_current).
 
     At 100 TB: one full-outer hash shuffle on the key — the irreducible
@@ -320,9 +329,15 @@ def scd2_merge(
     import functools
     import operator as op
 
+    base_vfrom = (
+        F.col("valid_from")
+        if "valid_from" in base.columns
+        else F.lit(base_from).cast("date")
+    )
     b = base.select(
         F.col(key_col).alias("_k"),
         *[F.col(c).alias(f"_b_{c}") for c in attr_cols],
+        base_vfrom.alias("_b_from"),
     )
     u = updates.select(
         F.col(key_col).alias("_uk"),
@@ -335,7 +350,7 @@ def scd2_merge(
         op.and_,
         [F.col(f"_b_{c}").eqNullSafe(F.col(f"_u_{c}")) for c in attr_cols],
     )
-    d0 = F.lit(base_from).cast("date")
+    d0 = F.col("_b_from")
     d1 = F.lit(effective_date).cast("date")
     no_date = F.lit(None).cast("date")
 
@@ -366,3 +381,42 @@ def scd2_merge(
         F.col("_v.valid_to").alias("valid_to"),
         F.col("_v.is_current").alias("is_current"),
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    *,
+    key_col: str,
+    attr_cols: Sequence[str],
+    effective_date: str,
+) -> DataFrame:
+    """Apply an update batch on top of an EXISTING SCD2 history (the output
+    shape of :func:`scd2_merge`): closed versions pass through untouched;
+    only the current slice (one row per key by construction) re-enters the
+    merge, with each row's own valid_from preserved. This is the correct
+    composition path — merging a raw multi-version history would multiply
+    versions through the full-outer join (see the scd2_merge contract).
+
+    At 100 TB the pass-through is a filter (no shuffle); only the current
+    slice pays the merge's key shuffle.
+    """
+    out_cols = [
+        key_col,
+        *attr_cols,
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ]
+    closed = history.filter(~F.col("is_current")).select(*out_cols)
+    current = history.filter(F.col("is_current")).select(
+        key_col, *attr_cols, "valid_from"
+    )
+    merged = scd2_merge(
+        current,
+        updates,
+        key_col=key_col,
+        attr_cols=attr_cols,
+        effective_date=effective_date,
+    )
+    return closed.unionByName(merged.select(*out_cols))

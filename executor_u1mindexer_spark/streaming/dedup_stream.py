@@ -19,26 +19,19 @@ no streaming surface.]
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from executor_u1mindexer_spark.operators.dedup import content_hash
+from executor_u1mindexer_spark.streaming.events_stream import read_fixture_stream
 
 
 def read_documents_stream(
     spark: SparkSession, sf_dir: str, max_files: int = 1
 ) -> DataFrame:
-    """File-source stream over the documents fixture (schema probed from a
-    batch read, same device as read_events_stream)."""
-    phys = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-    return (
-        spark.readStream.schema(phys)
-        .option("maxFilesPerTrigger", max_files)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    """Documents stream via the shared fixture reader (no per-table
+    normalization needed — the documents schema streams as-is)."""
+    return read_fixture_stream(spark, sf_dir, "documents", max_files)
 
 
 def streaming_exact_dedup_ledger(docs: DataFrame) -> DataFrame:

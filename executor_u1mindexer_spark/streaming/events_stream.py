@@ -19,25 +19,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
-    """File-source stream over the events fixture dir.
-
-    The fixture's ts column has shipped both as TIMESTAMP(NANOS) (read as
-    int64 nanos via nanosAsLong) and as plain timestamp[us]; probe the
-    physical schema with a batch read and convert exactly like tables.load
-    so the streaming twin always matches the batch oracle.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    phys = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # the file source wants a directory; select only the events file from
-    # the fixture dir via glob filter
-    raw = (
+def read_fixture_stream(
+    spark: SparkSession, sf_dir: str, table: str, max_files: int = 1
+) -> DataFrame:
+    """File-source stream over one fixture table: probe the physical schema
+    with a batch read (schemas are mandatory for file streams), then stream
+    the fixture dir with a glob filter selecting just that table's file.
+    Shared scaffold for every streaming twin (events, documents, ...)."""
+    phys = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).schema
+    return (
         spark.readStream.schema(phys)
         .option("maxFilesPerTrigger", max_files)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(phys["ts"].dataType, LongType):
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files: int = 1) -> DataFrame:
+    """Events stream = the shared fixture reader + the events-specific ts
+    normalization: the fixture's ts column has shipped both as
+    TIMESTAMP(NANOS) (read as int64 nanos via nanosAsLong) and as plain
+    timestamp[us]; convert exactly like tables.load so the streaming twin
+    always matches the batch oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_fixture_stream(spark, sf_dir, "events", max_files)
+    if isinstance(raw.schema["ts"].dataType, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     # watermarks require TIMESTAMP (ltz) — with a UTC session tz (session.py)
     # the wall-clock values match the batch path's timestamp_ntz exactly

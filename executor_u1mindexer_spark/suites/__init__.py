@@ -43,7 +43,7 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 4 window: the 21 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
+# Round 4 window: the 22 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
 # snapshot diff, span dedup, SCD2 merge, fuzzy join, TPC-H Q4 + the 14
 # queries completing the 22-query TPC-H suite — never driver-checked,
 # policy (a) strongest form), the 5 queries whose implementation/oracle

@@ -289,23 +289,26 @@ WHERE {_ECOS} <= 0.6
 """,
     # Deliberately different formulation: Spark slices word arrays into
     # spans without exploding words; the oracle explodes words and
-    # string_aggs them back. Same first-occurrence rule (min over
-    # doc_id*1e6 + span_idx), same reassembly order.
+    # string_aggs them back. Same first-occurrence rule (lexicographic
+    # min over (doc_id, span_idx) — ROW min, overflow-free like Spark's
+    # struct min), same reassembly order.
     "dedup_repeated_spans": """
 WITH spans AS (
   SELECT doc_id, i AS span_idx,
-         array_to_string(ws[i*5+1 : i*5+5], ' ') AS span,
-         doc_id * 1000000 + i AS occ_key
-  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents) d,
+         array_to_string(ws[i*5+1 : i*5+5], ' ') AS span
+  FROM (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS ws
+        FROM documents) d,
        unnest(range(CAST(ceil(len(ws)/5.0) AS BIGINT))) AS t(i)
 ), firsts AS (
-  SELECT span, min(occ_key) AS first_key FROM spans GROUP BY span
+  SELECT span, min(ROW(doc_id, span_idx)) AS first_occ FROM spans GROUP BY span
 )
 SELECT s.doc_id,
-       coalesce(string_agg(CASE WHEN s.occ_key = f.first_key THEN s.span END,
+       coalesce(string_agg(CASE WHEN ROW(s.doc_id, s.span_idx) = f.first_occ
+                                THEN s.span END,
                            ' ' ORDER BY s.span_idx), '') AS clean_text,
        count(*) AS n_spans,
-       count(CASE WHEN s.occ_key <> f.first_key THEN 1 END) AS n_dropped
+       count(CASE WHEN ROW(s.doc_id, s.span_idx) <> f.first_occ THEN 1 END)
+         AS n_dropped
 FROM spans s JOIN firsts f ON s.span = f.span
 GROUP BY s.doc_id
 ORDER BY s.doc_id

@@ -41,10 +41,11 @@ from pyspark.sql import functions as F
 
 from executor_u1mindexer_spark import tables
 
-
-def _dec(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(18,6)")
+# The decimal(18,6) money-cast convention is determinism-critical (module
+# docstring) and defined ONCE in relational_suite — shared here so a policy
+# change cannot leave half the TPC-H suite on a stale precision.
+from executor_u1mindexer_spark.suites.relational_suite import _dec
+from executor_u1mindexer_spark.suites.relational_suite import _DISC as _DISC_SQL
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,9 +55,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _rev() -> Column:
     """Lazy: building a Column requires an active SparkContext (PySpark 4)."""
     return _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-
-
-_DISC_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
 
 
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:

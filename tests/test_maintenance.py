@@ -165,3 +165,48 @@ def test_scd2_merge_version_semantics(spark):
     # k=9: new key opens at the effective date
     v9 = by_key[9][0]
     assert v9["is_current"] and str(v9["valid_from"]) == "2000-01-01"
+
+
+def test_scd2_apply_composes_history(spark):
+    """Applying a second batch via scd2_apply must preserve closed history,
+    keep exactly one current row per key, and carry each current row's own
+    valid_from through the merge (not reset it to the base constant)."""
+    from executor_u1mindexer_spark.operators.maintenance import (
+        scd2_apply,
+        scd2_merge,
+    )
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "bal"])
+    h1 = scd2_merge(
+        base,
+        spark.createDataFrame([(1, 11.0)], ["k", "bal"]),
+        key_col="k",
+        attr_cols=("bal",),
+        effective_date="2000-01-01",
+    )
+    h2 = scd2_apply(
+        h1,
+        spark.createDataFrame([(1, 12.0), (3, 30.0)], ["k", "bal"]),
+        key_col="k",
+        attr_cols=("bal",),
+        effective_date="2001-01-01",
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in h2:
+        by_key.setdefault(r["k"], []).append(r)
+    # k=1: three versions, one current, dates chain 1995->2000->2001
+    v1 = sorted(by_key[1], key=lambda r: r["valid_from"])
+    assert [str(r["valid_from"]) for r in v1] == [
+        "1995-01-01", "2000-01-01", "2001-01-01",
+    ]
+    assert [r["is_current"] for r in v1] == [False, False, True]
+    assert str(v1[1]["valid_to"]) == "2001-01-01"  # closed by batch 2
+    assert v1[2]["bal"] == 12.0
+    # k=2 untouched: single current row with the original open date
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"]
+    assert str(by_key[2][0]["valid_from"]) == "1995-01-01"
+    # k=3 new in batch 2
+    assert str(by_key[3][0]["valid_from"]) == "2001-01-01"
+    # global invariant: exactly one current row per key
+    for k, rows in by_key.items():
+        assert sum(1 for r in rows if r["is_current"]) == 1, (k, rows)

@@ -450,3 +450,14 @@ def test_q13_keeps_outer_join_for_zero_order_customers(spark, sf_dir):
     plan = plans.physical_plan(T.tpch_q13_customer_distribution(spark, sf_dir))
     assert "LeftOuter" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_join_is_block_keyed_not_cartesian(spark, sf_dir):
+    """The levenshtein fuzzy join must ride the first-char block as an
+    equi key (hash join) with the distance as a residual filter — an
+    all-pairs cartesian/BNLJ over names would be quadratic at scale."""
+    from executor_u1mindexer_spark.suites import relational_extra_suite as RX
+
+    plan = plans.physical_plan(RX.fuzzy_join_part_names(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
