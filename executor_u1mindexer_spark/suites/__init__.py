@@ -43,16 +43,17 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 4 window: the 22 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
-# snapshot diff, span dedup, SCD2 merge, fuzzy join, TPC-H Q4 + the 14
-# queries completing the 22-query TPC-H suite — never driver-checked,
-# policy (a) strongest form), the 5 queries whose implementation/oracle
-# changed (JPEG joined the image decode + manifest, quantizer fits sampled
-# + cogrouped, batch routing), then the r01-stale rotations as far as the
-# 50-slot window reaches (23 of 30 fit). The 7 r01 stragglers
-# (scalar_date/math/string, set_ops, topk, window_ntile, window_rank) plus
-# all 37 r02 rows rotate first in r05; every one of them is green in the
-# committed local full sweep (CORRECTNESS_LOCAL_r04.json) meanwhile.
+# Round 4 window: the 23 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
+# snapshot diff, span dedup, SCD2 merge, fuzzy join, clean-corpus
+# pipeline, TPC-H Q4 + the 14 queries completing the 22-query TPC-H suite
+# — never driver-checked, policy (a) strongest form), the 5 queries whose
+# implementation/oracle changed (JPEG joined the image decode + manifest,
+# quantizer fits sampled + cogrouped, batch routing), then the r01-stale
+# rotations as far as the 50-slot window reaches (22 of 30 fit). The 8
+# r01 stragglers (scalar_date/math/string, set_ops, topk, window_ntile,
+# window_rank, null_handling) plus all 37 r02 rows rotate first in r05;
+# every one of them is green in the committed local full sweep
+# (CORRECTNESS_LOCAL_r04.json) meanwhile.
 DRIVER_PRIORITY = (
     # NEW in r04 — never driver-checked
     "ann_ivf_pq_topk",
@@ -77,6 +78,7 @@ DRIVER_PRIORITY = (
     "dedup_repeated_spans",
     "scd2_customer_history",
     "fuzzy_join_part_names",
+    "clean_corpus_pipeline",
     # changed this round
     "multimodal_decode_image",      # id%4 container cycle + JPEG decode
     "multimodal_training_manifest", # consumes the new image generation rule
@@ -106,7 +108,6 @@ DRIVER_PRIORITY = (
     "join_full_outer_segments",
     "join_semi_customers_with_orders",
     "map_column_ops",
-    "null_handling_funcs",
 )
 
 

@@ -182,7 +182,50 @@ def decontaminated_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_OFFSET = 10_000
+N_DUP = 50
+
+
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene capstone: exact dedup (keep-list) -> span-level dedup
+    over the SURVIVORS -> quality gate on the CLEANED text -> per-language
+    accounting. Exercises the hand-off a real hygiene job depends on: the
+    span stage must see only deduplicated docs (the injected exact copies
+    never reach it), and the quality gate must score the cleaned text, not
+    the original. Dup injection = dedup_suite's device (doc_id < 50
+    re-appears shifted +10000)."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    shifted = docs.filter(F.col("doc_id") < N_DUP).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text", "lang"
+    )
+    dups = docs.unionByName(shifted)
+    keep = D.exact_dedup(dups).select(F.col("keep_id").alias("doc_id"))
+    survivors = dups.join(keep, on="doc_id", how="left_semi")
+    cleaned = D.span_dedup(survivors.select("doc_id", "text"), span_words=5)
+    enriched = cleaned.join(survivors.select("doc_id", "lang"), on="doc_id")
+    ok = T.quality_score(F.col("clean_text")) >= QUALITY_MIN
+    return (
+        enriched.select(
+            "lang",
+            "n_spans",
+            "n_dropped",
+            F.length("clean_text").alias("clean_chars"),
+            ok.alias("ok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("ok"), F.lit(1))).alias("n_quality_docs"),
+            F.sum("n_spans").alias("sum_spans"),
+            F.sum("n_dropped").alias("sum_dropped"),
+            F.sum("clean_chars").alias("sum_clean_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
+    "clean_corpus_pipeline": clean_corpus_pipeline,
     "llm_corpus_pipeline": llm_corpus_pipeline,
     "vector_dedup_quantize": vector_dedup_quantize,
     "decontaminated_training_mix": decontaminated_training_mix,
@@ -215,6 +258,48 @@ _RRF_DFS = ", ".join(
 _LANGS_SQL = "('en', 'de')"
 
 ORACLES = {
+    # The span stage replays the dedup_repeated_spans oracle formulation
+    # (word-explode + string_agg) over the exact-dedup survivors; the
+    # quality gate reuses text_suite's _QUALITY twin with the CLEANED text
+    # aliased as `text`.
+    "clean_corpus_pipeline": f"""
+WITH dups AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text, lang FROM documents WHERE doc_id < {N_DUP}),
+keep AS (SELECT min(doc_id) AS doc_id FROM dups GROUP BY md5(text)),
+survivors AS (SELECT d.* FROM dups d JOIN keep k ON d.doc_id = k.doc_id),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(ws[i*5+1 : i*5+5], ' ') AS span
+  FROM (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS ws
+        FROM survivors) s,
+       unnest(range(CAST(ceil(len(ws)/5.0) AS BIGINT))) AS t(i)),
+firsts AS (
+  SELECT span, min(ROW(doc_id, span_idx)) AS first_occ FROM spans GROUP BY span),
+cleaned AS (
+  SELECT s.doc_id,
+         coalesce(string_agg(CASE WHEN ROW(s.doc_id, s.span_idx) = f.first_occ
+                                  THEN s.span END, ' ' ORDER BY s.span_idx),
+                  '') AS text,
+         count(*) AS n_spans,
+         count(CASE WHEN ROW(s.doc_id, s.span_idx) <> f.first_occ THEN 1 END)
+           AS n_dropped
+  FROM spans s JOIN firsts f ON s.span = f.span
+  GROUP BY s.doc_id),
+enriched AS (
+  SELECT c.text, c.n_spans, c.n_dropped, v.lang, ({_QUALITY}) AS q
+  FROM cleaned c JOIN (SELECT doc_id, lang FROM survivors) v
+    ON c.doc_id = v.doc_id)
+SELECT lang, count(*) AS n_docs,
+       count(CASE WHEN q >= {QUALITY_MIN} THEN 1 END) AS n_quality_docs,
+       CAST(sum(n_spans) AS BIGINT) AS sum_spans,
+       CAST(sum(n_dropped) AS BIGINT) AS sum_dropped,
+       CAST(sum(length(text)) AS BIGINT) AS sum_clean_chars
+FROM enriched
+GROUP BY lang
+ORDER BY lang
+""",
     # hybrid RRF: both branch rankings replicated exactly (BM25 fragments
     # shared with text_suite; cosine fold identical to the KNN oracles);
     # rrf terms are rational arithmetic summed in fixed order — bit-exact

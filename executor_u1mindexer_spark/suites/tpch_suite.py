@@ -199,7 +199,10 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fraction of the nation's total (group-vs-global-scalar HAVING). The
     global total aggregates the SAME decimal base (never a re-sum of the
     per-group doubles — that would be order-dependent) and cross-joins
-    broadcast as a 1-row gate."""
+    broadcast as a 1-row gate. The fraction is 5/n_lineitems — the TPC-H
+    original divides its fraction by SF for exactly this reason; deriving
+    it from the measured row count keeps the HAVING non-vacuous at every
+    scale (a fixed 0.001 returned 0 rows at sf0.1)."""
     supp5 = (
         _t(spark, sf_dir, "supplier")
         .join(
@@ -213,10 +216,13 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     value = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     grouped = li.groupBy("l_partkey").agg(F.sum(value).cast("double").alias("part_value"))
-    total = li.agg(F.sum(value).cast("double").alias("total_value"))
+    total = li.agg(
+        F.sum(value).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
     out = (
         grouped.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("total_value") * 0.001)
+        .filter(F.col("part_value") > F.col("total_value") * (5.0 / F.col("n_li")))
         .select("l_partkey", "part_value")
     )
     return out.orderBy(F.col("part_value").desc(), "l_partkey")
@@ -555,7 +561,7 @@ SELECT l_partkey, CAST(sum(value) AS DOUBLE) AS part_value
 FROM nat5_li
 GROUP BY l_partkey
 HAVING CAST(sum(value) AS DOUBLE) >
-       (SELECT CAST(sum(value) AS DOUBLE) FROM nat5_li) * 0.001
+       (SELECT CAST(sum(value) AS DOUBLE) * (5.0 / count(*)) FROM nat5_li)
 ORDER BY part_value DESC, l_partkey
 """,
     "tpch_q12_priority_shipping": """
