@@ -236,12 +236,49 @@ def nearest_code(subvec, book: list[list[float]]):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def probe_cells(
+    q_df: DataFrame,
+    qvec_col: str,
+    query_id_col: str,
+    centers,
+    n_probe: int,
+) -> DataFrame:
+    """(query_id, __cell) pairs for each query's ``n_probe`` NEAREST coarse
+    centroids — the standard IVF multi-probe knob. nprobe=1 reproduces the
+    single nearest-cell assignment; nprobe>1 rescues queries whose nearest
+    cell holds fewer than k members (the reason a fixed per-query-k
+    invariant failed at sf0.1) and lifts recall.
+
+    Centroids ride as literal arrays (n_cells is small by construction);
+    ranking is array_sort over (distance, cell) structs + slice + explode —
+    pure codegen, no MLlib transform and no shuffle on the query side.
+    Probe #1 equals MLlib's own prediction (both argmin squared-L2)."""
+    structs = F.array(
+        *[
+            F.struct(
+                V.l2_sq_distance(
+                    F.col(qvec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                ).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    probes = F.slice(F.array_sort(structs), 1, n_probe)
+    return q_df.select(
+        query_id_col,
+        F.explode(F.transform(probes, lambda s: s["c"])).alias("__cell"),
+    )
+
+
 def kmeans_ivf_topk(
     stored: DataFrame,
     queries: DataFrame,
     *,
     k: int,
     n_cells: int = 8,
+    n_probe: int = 2,
     max_iter: int = 5,
     metric: str = "cosine",
     id_col: str = "vec_id",
@@ -251,8 +288,10 @@ def kmeans_ivf_topk(
     fit_sample_cap: int = FIT_SAMPLE_CAP,
 ) -> DataFrame:
     """True IVF: a seeded MLlib KMeans coarse quantizer assigns cells; each
-    query searches only its own cell (the production form of the label-
-    bucket demo — cells adapt to the data distribution).
+    query searches its ``n_probe`` nearest cells (the production form of
+    the label-bucket demo — cells adapt to the data distribution, and
+    multi-probe both lifts recall and guards the per-query k when one cell
+    runs short).
 
     Training FITS ON A BOUNDED SAMPLE (fit_sample, <= fit_sample_cap rows —
     deterministic hash-prefix draw) and TRANSFORMS everything: the fit is
@@ -275,10 +314,10 @@ def kmeans_ivf_topk(
     q_feat = queries.select(
         F.col(query_id_col),
         V.as_double_array(query_vec_col).alias("__qvec"),
-    ).withColumn("features", array_to_vector(F.col("__qvec")))
-    q_cells = model.transform(q_feat).select(
-        query_id_col, "__qvec", F.col("prediction").alias("__cell")
     )
+    q_cells = probe_cells(
+        q_feat, "__qvec", query_id_col, model.clusterCenters(), n_probe
+    ).join(q_feat, on=query_id_col)
     joined = s_cells.join(F.broadcast(q_cells), on="__cell")
     dist = V.distance(metric, F.col("__qvec"), F.col("__svec"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("__dist").asc(), F.col(id_col).asc())
@@ -385,6 +424,7 @@ def ivf_pq_topk(
     *,
     k: int,
     n_cells: int = 8,
+    n_probe: int = 2,
     m: int = 8,
     n_codes: int = 16,
     max_iter: int = 5,
@@ -404,13 +444,15 @@ def ivf_pq_topk(
     search path, no shuffle of corpus rows beyond the cell equi-join):
     1. both quantizers fit on ONE shared bounded sample (fit_sample);
     2. encode pass: corpus -> (id, cell, codes) — map-only, one scan;
-    3. query side: per query, per subspace j, an ADC lookup table
-       lut_j[c] = ||q_j - center_jc||^2 as a 16-element literal-array
-       expression (m * n_codes = 128 codegen'd folds per query row —
-       query batches are small by contract);
-    4. broadcast queries+LUTs into their cells; approximate distance =
-       sum_j lut_j[code_j] — an element_at chain over the m code bytes;
-    5. per-query top-k window (k rows per query out of its cell).
+    3. query side: each query probes its n_probe nearest cells
+       (probe_cells — literal centroids, codegen ranking); per query, per
+       subspace j, an ADC lookup table lut_j[c] = ||q_j - center_jc||^2 as
+       a 16-element literal-array expression (m * n_codes = 128 codegen'd
+       folds per query row — query batches are small by contract);
+    4. broadcast queries+LUTs into their probed cells; approximate
+       distance = sum_j lut_j[code_j] — an element_at chain over the m
+       code bytes;
+    5. per-query top-k window (k rows per query out of its probed cells).
 
     Distances are approximate (PQ quantizes the corpus side; this is the
     standard ADC estimator of squared L2), so the suite reduces the result
@@ -458,11 +500,10 @@ def ivf_pq_topk(
     q_base = queries.select(
         F.col(query_id_col), V.as_double_array(query_vec_col).alias("__qv")
     )
-    q_cells = (
-        coarse.setPredictionCol("__cell")
-        .transform(q_base.withColumn("__full", array_to_vector(F.col("__qv"))))
-        .select(query_id_col, "__qv", "__cell")
-    )
+    # n_probe nearest cells per query (literal centroids, codegen ranking)
+    q_cells = probe_cells(
+        q_base, "__qv", query_id_col, coarse.clusterCenters(), n_probe
+    ).join(q_base, on=query_id_col)
     # ADC lookup tables: lut_j = [||q_j - center_jc||^2 for c in codes]
     luts = q_cells.select(
         query_id_col,

@@ -46,13 +46,15 @@ SUITE_MODULES = (
 # Round 4 window: the 23 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
 # snapshot diff, span dedup, SCD2 merge, fuzzy join, clean-corpus
 # pipeline, TPC-H Q4 + the 14 queries completing the 22-query TPC-H suite
-# — never driver-checked, policy (a) strongest form), the 5 queries whose
+# — never driver-checked, policy (a) strongest form), the 7 queries whose
 # implementation/oracle changed (JPEG joined the image decode + manifest,
-# quantizer fits sampled + cogrouped, batch routing), then the r01-stale
-# rotations as far as the 50-slot window reaches (22 of 30 fit). The 8
-# r01 stragglers (scalar_date/math/string, set_ops, topk, window_ntile,
-# window_rank, null_handling) plus all 37 r02 rows rotate first in r05;
-# every one of them is green in the committed local full sweep
+# quantizer fits sampled + cogrouped + nprobe=2 multi-probe, batch
+# routing, bigram mean as floor-nano, anti join made non-vacuous), then
+# the r01-stale rotations as far as the 50-slot window reaches (20 of 29
+# fit; join_anti moved up into the changed block). The 9 r01 stragglers
+# (scalar_date/math/string, set_ops, topk, window_ntile, window_rank,
+# null_handling, map_column_ops) plus all 37 r02 rows rotate first in
+# r05; every one of them is green in the committed local full sweep
 # (CORRECTNESS_LOCAL_r04.json) meanwhile.
 DRIVER_PRIORITY = (
     # NEW in r04 — never driver-checked
@@ -82,9 +84,11 @@ DRIVER_PRIORITY = (
     # changed this round
     "multimodal_decode_image",      # id%4 container cycle + JPEG decode
     "multimodal_training_manifest", # consumes the new image generation rule
-    "ann_kmeans_ivf_topk",          # KMeans now fits on a bounded sample
+    "ann_kmeans_ivf_topk",          # sampled fit + nprobe=2 multi-probe
     "vector_pq_codes",              # 8 codebooks fit on a shared sample
     "knn_search_batch512",          # batch-size impl routing (arrow side)
+    "text_bigram_lm_scores",        # mean emitted as floor-nano integer
+    "join_anti_customers_without_orders",  # non-vacuous price-filtered form
     # newest driver row is r01 — all 30 rotate back through
     "knn_search_cosine",
     "knn_search_euclidean",
@@ -104,10 +108,8 @@ DRIVER_PRIORITY = (
     "events_pivot_daily_types",
     "events_range_join",
     "events_sliding_1h_30m",
-    "join_anti_customers_without_orders",
     "join_full_outer_segments",
     "join_semi_customers_with_orders",
-    "map_column_ops",
 )
 
 

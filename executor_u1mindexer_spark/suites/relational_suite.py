@@ -268,9 +268,12 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no orders at all (executor.py:221 shape)."""
+    """Left-anti: customers with no HIGH-VALUE order (executor.py:221
+    shape). The price filter keeps the check non-vacuous: every fixture
+    customer has SOME order, so an unfiltered anti join returns 0 rows and
+    proves nothing — this is the exact complement of the semi twin."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
@@ -543,7 +546,8 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 """,
     "join_anti_customers_without_orders": """
 SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """,
     "rollup_returnflag_linestatus": """
 SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -88,11 +88,13 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     static SQL, but these facts about the result are):
 
     - n_queries / n_results: every query returns exactly K rows (a query
-      vector is a corpus member, so its cell is never empty);
-    - per_query_k_ok / cell_consistent: each query's matches all come from
-      ONE cell (the IVF contract);
+      vector is a corpus member and probes 2 cells, so its candidate set
+      is never short — nprobe=1 ran 4 results short at sf0.1);
+    - per_query_k_ok / cell_consistent: each query's matches come from at
+      most n_probe=2 cells (the multi-probe IVF contract);
     - recall_floor_ok: total overlap with the exact-KNN top-K is >= 6
-      (measured 10 of 25 at sf0.01, seed=42 — the floor has 40% slack).
+      (nprobe=2 measures 19 of 25 at sf0.01, seed=42, up from 10 at
+      nprobe=1 — the floor keeps >3x slack).
 
     The per-row output shape stays covered by tests/test_dedup_similarity.py
     against operators/similarity.kmeans_ivf_topk directly."""
@@ -118,7 +120,7 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.sum("n").cast("long").alias("n_results"),
         ((F.min("n") == F.lit(K)) & (F.max("n") == F.lit(K))).alias("per_query_k_ok"),
-        (F.max("n_cells") == F.lit(1)).alias("cell_consistent"),
+        (F.max("n_cells") <= F.lit(2)).alias("cell_consistent"),
         (F.sum("h") >= F.lit(6)).alias("recall_floor_ok"),
     )
 
@@ -150,13 +152,15 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant row (same scheme as ann_kmeans_ivf_topk — two trained
     quantizers aren't static SQL):
 
-    - n_queries / n_results: every query returns exactly K rows;
-    - per_query_k_ok / cell_consistent: all of a query's matches come from
-      ONE coarse cell (the IVF contract, unchanged by PQ);
+    - n_queries / n_results: every query returns exactly K rows (nprobe=2
+      candidate sets; the nprobe=1 form ran 4 results short at sf0.1 when
+      one query's nearest cell held fewer than K members);
+    - per_query_k_ok / cell_consistent: each query's matches come from at
+      most n_probe=2 coarse cells (the multi-probe IVF contract);
     - recall_floor_ok: total overlap with the exact squared-L2 top-K is
-      >= 6 (measured 10 of 25 at sf0.01, seeds fixed, fit-sample
-      deterministic — 40% slack; a broken codebook/LUT/element_at
-      off-by-one collapses overlap to near-random).
+      >= 6 (seeds fixed, fit-sample deterministic; a broken
+      codebook/LUT/element_at off-by-one collapses overlap to
+      near-random).
 
     The per-row output shape is covered by tests/test_dedup_similarity.py
     against operators/similarity.ivf_pq_topk directly."""
@@ -182,7 +186,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.sum("n").cast("long").alias("n_results"),
         ((F.min("n") == F.lit(K)) & (F.max("n") == F.lit(K))).alias("per_query_k_ok"),
-        (F.max("n_cells") == F.lit(1)).alias("cell_consistent"),
+        (F.max("n_cells") <= F.lit(2)).alias("cell_consistent"),
         (F.sum("h") >= F.lit(6)).alias("recall_floor_ok"),
     )
 

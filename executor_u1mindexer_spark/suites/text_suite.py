@@ -281,12 +281,19 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("logp_micro").alias("sum_logp_micro"),
-        F.round(
+        # mean as floor-integer NANOS, not a 9dp-rounded double: the mean's
+        # true resolution is 1/(n*1e6), so a 9-digit decimal rounding can
+        # land on an exact tie whose direction depends on the binary
+        # representation (engines disagreed at sf0.1: ...862 vs ...863).
+        # sum*1000 is exactly representable; one IEEE division + floor is
+        # bit-identical in both engines on identical operands.
+        F.floor(
             F.sum("logp_micro").cast("double")
-            / F.lit(1_000_000.0)
-            / F.count(F.lit(1)).cast("double"),
-            9,
-        ).alias("avg_logp"),
+            * F.lit(1000.0)
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("long")
+        .alias("avg_logp_nano"),
     )
 
 
@@ -505,8 +512,9 @@ WITH t AS (
 SELECT doc_id,
        count(*) AS n_bigrams,
        CAST(sum(logp_micro) AS BIGINT) AS sum_logp_micro,
-       round(CAST(sum(logp_micro) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 9)
-         AS avg_logp
+       CAST(floor(CAST(sum(logp_micro) AS DOUBLE) * 1000.0
+                  / CAST(count(*) AS DOUBLE)) AS BIGINT)
+         AS avg_logp_nano
 FROM scored GROUP BY doc_id
 """,
     "text_pii_redaction": f"""

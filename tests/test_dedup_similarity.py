@@ -120,7 +120,7 @@ def test_kmeans_ivf_self_match_first(spark, sf_dir):
     for qid, matches in by_q.items():
         first = min(matches, key=lambda r: r.rank)
         assert first.vec_id == qid  # a query is always in its own cell
-        assert len({r.cell for r in matches}) == 1
+        assert len({r.cell for r in matches}) <= 2  # nprobe=2 cells max
 
 
 def test_decode_image_stub_raises(spark):
@@ -221,7 +221,7 @@ def test_quantizers_fit_on_bounded_sample(spark, sf_dir):
     assert len(by_q) == q.count()
     for qid, matches in by_q.items():
         assert min(matches, key=lambda r: r.rank).vec_id == qid
-        assert len({r.cell for r in matches}) == 1
+        assert len({r.cell for r in matches}) <= 2  # nprobe=2 cells max
     pq = S.product_quantize(emb, fit_sample_cap=cap)
     assert pq.count() == n  # every corpus vector encoded despite sampled fit
 
@@ -247,7 +247,7 @@ def test_ivf_pq_topk_contract(spark, sf_dir):
     assert len(by_q) == q.count()
     for qid, matches in by_q.items():
         assert len(matches) == 3
-        assert len({r.cell for r in matches}) == 1  # IVF contract survives PQ
+        assert len({r.cell for r in matches}) <= 2  # multi-probe (nprobe=2) IVF contract survives PQ
         assert all(r.adc_dist >= 0 for r in matches)
         # ranks are dense 1..k and ordered by adc distance
         ranked = sorted(matches, key=lambda r: r.rank)
