@@ -298,6 +298,7 @@ def scd2_merge(
     attr_cols: Sequence[str],
     base_from: str = "1995-01-01",
     effective_date: str = "2000-01-01",
+    carry_valid_from: bool = False,
 ) -> DataFrame:
     """Slowly-Changing-Dimension Type-2 merge — the lakehouse MERGE pattern
     the reference's in-place /update endpoint (executor.py:188-196) cannot
@@ -314,10 +315,12 @@ def scd2_merge(
     a full SCD2 history (multiple versions per key) back in would multiply
     versions through the full-outer join; to apply a second batch on top
     of a produced history, use :func:`scd2_apply`, which passes closed
-    versions through untouched and re-merges only the current slice. If
-    ``base`` carries a ``valid_from`` column (the current slice of a
-    history does), it is preserved per row instead of the ``base_from``
-    constant, so open dates survive composition.
+    versions through untouched and re-merges only the current slice.
+    ``carry_valid_from=True`` (set by scd2_apply) preserves each base
+    row's own ``valid_from`` instead of the ``base_from`` constant, so
+    open dates survive composition — an explicit opt-in, never inferred
+    from column names (a source extract may carry an unrelated
+    ``valid_from`` column that must NOT silently override ``base_from``).
 
     Returns (key_col, *attr_cols, valid_from, valid_to date, is_current).
 
@@ -330,8 +333,8 @@ def scd2_merge(
     import operator as op
 
     base_vfrom = (
-        F.col("valid_from")
-        if "valid_from" in base.columns
+        F.col("valid_from")  # fails loudly if the column is absent
+        if carry_valid_from
         else F.lit(base_from).cast("date")
     )
     b = base.select(
@@ -418,5 +421,6 @@ def scd2_apply(
         key_col=key_col,
         attr_cols=attr_cols,
         effective_date=effective_date,
+        carry_valid_from=True,
     )
     return closed.unionByName(merged.select(*out_cols))

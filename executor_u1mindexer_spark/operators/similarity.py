@@ -32,6 +32,7 @@ from executor_u1mindexer_spark.functions import vector as V
 # 100 TB is an iterative all-data job per codebook. Every trainer below fits
 # on fit_sample() output and transforms everything.
 FIT_SAMPLE_CAP = 100_000
+N_PROBE = 2  # default IVF multi-probe width; suites assert against this
 
 
 def fit_sample(df: DataFrame, id_col: str, cap: int = FIT_SAMPLE_CAP) -> DataFrame:
@@ -266,8 +267,10 @@ def probe_cells(
         ]
     )
     probes = F.slice(F.array_sort(structs), 1, n_probe)
+    # carry ALL of q_df's columns through so callers don't need to join
+    # the query frame back to itself to recover the vector
     return q_df.select(
-        query_id_col,
+        "*",
         F.explode(F.transform(probes, lambda s: s["c"])).alias("__cell"),
     )
 
@@ -278,7 +281,7 @@ def kmeans_ivf_topk(
     *,
     k: int,
     n_cells: int = 8,
-    n_probe: int = 2,
+    n_probe: int = N_PROBE,
     max_iter: int = 5,
     metric: str = "cosine",
     id_col: str = "vec_id",
@@ -317,7 +320,7 @@ def kmeans_ivf_topk(
     )
     q_cells = probe_cells(
         q_feat, "__qvec", query_id_col, model.clusterCenters(), n_probe
-    ).join(q_feat, on=query_id_col)
+    )
     joined = s_cells.join(F.broadcast(q_cells), on="__cell")
     dist = V.distance(metric, F.col("__qvec"), F.col("__svec"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("__dist").asc(), F.col(id_col).asc())
@@ -424,7 +427,7 @@ def ivf_pq_topk(
     *,
     k: int,
     n_cells: int = 8,
-    n_probe: int = 2,
+    n_probe: int = N_PROBE,
     m: int = 8,
     n_codes: int = 16,
     max_iter: int = 5,
@@ -503,7 +506,7 @@ def ivf_pq_topk(
     # n_probe nearest cells per query (literal centroids, codegen ranking)
     q_cells = probe_cells(
         q_base, "__qv", query_id_col, coarse.clusterCenters(), n_probe
-    ).join(q_base, on=query_id_col)
+    )
     # ADC lookup tables: lut_j = [||q_j - center_jc||^2 for c in codes]
     luts = q_cells.select(
         query_id_col,

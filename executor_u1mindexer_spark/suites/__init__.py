@@ -89,7 +89,7 @@ DRIVER_PRIORITY = (
     "knn_search_batch512",          # batch-size impl routing (arrow side)
     "text_bigram_lm_scores",        # mean emitted as floor-nano integer
     "join_anti_customers_without_orders",  # non-vacuous price-filtered form
-    # newest driver row is r01 — all 30 rotate back through
+    # newest driver row is r01 — the 20 that fit this window (9 defer to r05)
     "knn_search_cosine",
     "knn_search_euclidean",
     "knn_search_inner_product",

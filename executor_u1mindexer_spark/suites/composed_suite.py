@@ -182,8 +182,9 @@ def decontaminated_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DUP_OFFSET = 10_000
-N_DUP = 50
+# the SAME injection device as dedup_suite — imported, not copied, so the
+# two suites cannot silently diverge
+from executor_u1mindexer_spark.suites.dedup_suite import DUP_OFFSET, N_DUP  # noqa: E402
 
 
 def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +194,7 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     span stage must see only deduplicated docs (the injected exact copies
     never reach it), and the quality gate must score the cleaned text, not
     the original. Dup injection = dedup_suite's device (doc_id < 50
-    re-appears shifted +10000)."""
+    re-appears shifted +DUP_OFFSET)."""
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     shifted = docs.filter(F.col("doc_id") < N_DUP).select(
         (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text", "lang"

@@ -1,7 +1,7 @@
 """Dedup suite (north-star LLM-pipeline operators over `documents`).
 
 The fixture has no exact duplicates, so `exact_dedup_text` injects them
-deterministically (docs with doc_id < 50 re-appear shifted by +10000 —
+deterministically (docs with doc_id < 50 re-appear shifted by +1e9 —
 derived purely from fixture data, identical in the oracle). Near-dup
 operators run on the raw table, which contains ~25 planted near-pairs
 (3-shingle jaccard >= 0.8).
@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from executor_u1mindexer_spark import tables
 from executor_u1mindexer_spark.operators import dedup as D
 
-DUP_OFFSET = 10_000
+# 1e9 clears any plausible fixture id range (sf1 ~5e4, sf100 ~5e6) so
+# injected ids can never collide with real doc_ids at larger scales
+DUP_OFFSET = 1_000_000_000
 N_DUP = 50
 
 

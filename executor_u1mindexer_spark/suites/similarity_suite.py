@@ -100,7 +100,7 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against operators/similarity.kmeans_ivf_topk directly."""
     emb = _emb(spark, sf_dir)
     q = _queries(emb).select("query_id", "query_embedding")
-    ivf = S.kmeans_ivf_topk(emb, q, k=K)
+    ivf = S.kmeans_ivf_topk(emb, q, k=K, n_probe=S.N_PROBE)
     exact = knn.knn_search(emb, q, k=K, metric="cosine").select("query_id", "vec_id")
     hits = ivf.join(exact, ["query_id", "vec_id"], "leftsemi")
     per_q = (
@@ -120,7 +120,7 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.sum("n").cast("long").alias("n_results"),
         ((F.min("n") == F.lit(K)) & (F.max("n") == F.lit(K))).alias("per_query_k_ok"),
-        (F.max("n_cells") <= F.lit(2)).alias("cell_consistent"),
+        (F.max("n_cells") <= F.lit(S.N_PROBE)).alias("cell_consistent"),
         (F.sum("h") >= F.lit(6)).alias("recall_floor_ok"),
     )
 
@@ -166,7 +166,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against operators/similarity.ivf_pq_topk directly."""
     emb = _emb(spark, sf_dir)
     q = _queries(emb).select("query_id", "query_embedding")
-    pq = S.ivf_pq_topk(emb, q, k=K)
+    pq = S.ivf_pq_topk(emb, q, k=K, n_probe=S.N_PROBE)
     exact = knn.knn_search(emb, q, k=K, metric="euclidean").select("query_id", "vec_id")
     hits = pq.join(exact, ["query_id", "vec_id"], "leftsemi")
     per_q = (
@@ -186,7 +186,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.sum("n").cast("long").alias("n_results"),
         ((F.min("n") == F.lit(K)) & (F.max("n") == F.lit(K))).alias("per_query_k_ok"),
-        (F.max("n_cells") <= F.lit(2)).alias("cell_consistent"),
+        (F.max("n_cells") <= F.lit(S.N_PROBE)).alias("cell_consistent"),
         (F.sum("h") >= F.lit(6)).alias("recall_floor_ok"),
     )
 
