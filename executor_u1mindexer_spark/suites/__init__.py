@@ -43,17 +43,17 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 4 window: the 23 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
-# snapshot diff, span dedup, SCD2 merge, fuzzy join, clean-corpus
-# pipeline, TPC-H Q4 + the 14 queries completing the 22-query TPC-H suite
+# Round 4 window: the 24 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
+# snapshot diff, span dedup, SCD2 merge + point-in-time join, fuzzy
+# join, clean-corpus pipeline, TPC-H Q4 + the 14 queries completing the 22-query TPC-H suite
 # — never driver-checked, policy (a) strongest form), the 7 queries whose
 # implementation/oracle changed (JPEG joined the image decode + manifest,
 # quantizer fits sampled + cogrouped + nprobe=2 multi-probe, batch
 # routing, bigram mean as floor-nano, anti join made non-vacuous), then
-# the r01-stale rotations as far as the 50-slot window reaches (20 of 29
-# fit; join_anti moved up into the changed block). The 9 r01 stragglers
+# the r01-stale rotations as far as the 50-slot window reaches (19 of 29
+# fit; join_anti moved up into the changed block). The 10 r01 stragglers
 # (scalar_date/math/string, set_ops, topk, window_ntile, window_rank,
-# null_handling, map_column_ops) plus all 37 r02 rows rotate first in
+# null_handling, map_column_ops, join_semi) plus all 37 r02 rows rotate first in
 # r05; every one of them is green in the committed local full sweep
 # (CORRECTNESS_LOCAL_r04.json) meanwhile.
 DRIVER_PRIORITY = (
@@ -81,6 +81,7 @@ DRIVER_PRIORITY = (
     "scd2_customer_history",
     "fuzzy_join_part_names",
     "clean_corpus_pipeline",
+    "scd2_point_in_time_join",
     # changed this round
     "multimodal_decode_image",      # id%4 container cycle + JPEG decode
     "multimodal_training_manifest", # consumes the new image generation rule
@@ -89,7 +90,7 @@ DRIVER_PRIORITY = (
     "knn_search_batch512",          # batch-size impl routing (arrow side)
     "text_bigram_lm_scores",        # mean emitted as floor-nano integer
     "join_anti_customers_without_orders",  # non-vacuous price-filtered form
-    # newest driver row is r01 — the 20 that fit this window (9 defer to r05)
+    # newest driver row is r01 — the 19 that fit this window (10 defer to r05)
     "knn_search_cosine",
     "knn_search_euclidean",
     "knn_search_inner_product",
@@ -109,7 +110,6 @@ DRIVER_PRIORITY = (
     "events_range_join",
     "events_sliding_1h_30m",
     "join_full_outer_segments",
-    "join_semi_customers_with_orders",
 )
 
 

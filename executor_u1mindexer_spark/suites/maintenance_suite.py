@@ -278,8 +278,86 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "valid_from")
 
 
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the canonical consumer of SCD2
+    history: each order joins the customer VERSION that was valid at its
+    order date (equi key + half-open [valid_from, valid_to) interval).
+    Every order matches exactly one version because the versions partition
+    time per key. Catalyst plans the equi part as a hash/SMJ join with the
+    interval as a residual — never a cartesian; at 100 TB this is one key
+    shuffle, the same as any fact-dim join."""
+    hist = scd2_customer_history(spark, sf_dir)
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    j = orders.join(
+        hist,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return j.select(
+        "o_orderkey",
+        "c_custkey",
+        "c_acctbal",
+        "valid_from",
+        "is_current",
+    ).orderBy("o_orderkey")
+
+
+_SCD2_HISTORY_SQL = """
+WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+           AS c_acctbal,
+         c_mktsegment
+  FROM base WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+  FROM base WHERE c_custkey % 97 = 0),
+j AS (
+  SELECT b.c_custkey AS bk, u.c_custkey AS uk,
+         b.c_acctbal AS b_bal, b.c_mktsegment AS b_seg,
+         u.c_acctbal AS u_bal, u.c_mktsegment AS u_seg
+  FROM base b FULL JOIN upd u ON b.c_custkey = u.c_custkey),
+changed AS (
+  SELECT * FROM j WHERE bk IS NOT NULL AND uk IS NOT NULL
+    AND NOT (b_bal IS NOT DISTINCT FROM u_bal
+             AND b_seg IS NOT DISTINCT FROM u_seg)),
+hist AS (
+  SELECT coalesce(bk, uk) AS c_custkey,
+         CASE WHEN uk IS NULL OR bk IS NOT NULL THEN b_bal ELSE u_bal END
+           AS c_acctbal,
+         CASE WHEN uk IS NULL OR bk IS NOT NULL THEN b_seg ELSE u_seg END
+           AS c_mktsegment,
+         CASE WHEN bk IS NOT NULL THEN DATE '1995-01-01'
+              ELSE DATE '2000-01-01' END AS valid_from,
+         CASE WHEN bk IS NOT NULL AND uk IS NOT NULL
+                   AND NOT (b_bal IS NOT DISTINCT FROM u_bal
+                            AND b_seg IS NOT DISTINCT FROM u_seg)
+              THEN DATE '2000-01-01' END AS valid_to,
+         NOT (bk IS NOT NULL AND uk IS NOT NULL
+              AND NOT (b_bal IS NOT DISTINCT FROM u_bal
+                       AND b_seg IS NOT DISTINCT FROM u_seg)) AS is_current
+  FROM j
+  UNION ALL
+  SELECT coalesce(bk, uk), u_bal, u_seg, DATE '2000-01-01', NULL, TRUE
+  FROM changed)
+"""
+
+
 ORACLES = {
     "index_state_diff": _DIFF,
+    "scd2_point_in_time_join": _SCD2_HISTORY_SQL
+    + """
+SELECT o_orderkey, h.c_custkey, h.c_acctbal, h.valid_from, h.is_current
+FROM orders o JOIN hist h
+  ON o.o_custkey = h.c_custkey
+ AND o.o_orderdate >= h.valid_from
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+ORDER BY o_orderkey
+""",
     "scd2_customer_history": """
 WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
 upd AS (
@@ -358,5 +436,6 @@ QUERIES = {
     "dump_load_roundtrip": dump_load_roundtrip,
     "index_state_diff": index_state_diff,
     "scd2_customer_history": scd2_customer_history,
+    "scd2_point_in_time_join": scd2_point_in_time_join,
     "clear": clear,
 }

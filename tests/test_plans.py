@@ -461,3 +461,14 @@ def test_fuzzy_join_is_block_keyed_not_cartesian(spark, sf_dir):
     plan = plans.physical_plan(RX.fuzzy_join_part_names(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scd2_point_in_time_join_is_equi_keyed(spark, sf_dir):
+    """The temporal join must ride the custkey equi condition (hash/SMJ)
+    with the [valid_from, valid_to) interval as a residual — a planner
+    that saw only the range predicates would BNLJ orders x history."""
+    from executor_u1mindexer_spark.suites import maintenance_suite as MS
+
+    plan = plans.physical_plan(MS.scd2_point_in_time_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
