@@ -358,44 +358,12 @@ FROM orders o JOIN hist h
  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
 ORDER BY o_orderkey
 """,
-    "scd2_customer_history": """
-WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
-upd AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
-           AS c_acctbal,
-         c_mktsegment
-  FROM base WHERE c_custkey % 5 = 0
-  UNION ALL
-  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
-  FROM base WHERE c_custkey % 97 = 0),
-j AS (
-  SELECT b.c_custkey AS bk, u.c_custkey AS uk,
-         b.c_acctbal AS b_bal, b.c_mktsegment AS b_seg,
-         u.c_acctbal AS u_bal, u.c_mktsegment AS u_seg
-  FROM base b FULL JOIN upd u ON b.c_custkey = u.c_custkey),
-changed AS (
-  SELECT * FROM j WHERE bk IS NOT NULL AND uk IS NOT NULL
-    AND NOT (b_bal IS NOT DISTINCT FROM u_bal
-             AND b_seg IS NOT DISTINCT FROM u_seg))
-SELECT coalesce(bk, uk) AS c_custkey,
-       CASE WHEN uk IS NULL OR bk IS NOT NULL THEN b_bal ELSE u_bal END
-         AS c_acctbal,
-       CASE WHEN uk IS NULL OR bk IS NOT NULL THEN b_seg ELSE u_seg END
-         AS c_mktsegment,
-       CASE WHEN bk IS NOT NULL THEN DATE '1995-01-01'
-            ELSE DATE '2000-01-01' END AS valid_from,
-       CASE WHEN bk IS NOT NULL AND uk IS NOT NULL
-                 AND NOT (b_bal IS NOT DISTINCT FROM u_bal
-                          AND b_seg IS NOT DISTINCT FROM u_seg)
-            THEN DATE '2000-01-01' END AS valid_to,
-       NOT (bk IS NOT NULL AND uk IS NOT NULL
-            AND NOT (b_bal IS NOT DISTINCT FROM u_bal
-                     AND b_seg IS NOT DISTINCT FROM u_seg)) AS is_current
-FROM j
-UNION ALL
-SELECT coalesce(bk, uk), u_bal, u_seg, DATE '2000-01-01', NULL, TRUE
-FROM changed
+    # the shared hist CTE, projected in full — ONE definition of the
+    # update device serves both SCD2 oracles
+    "scd2_customer_history": _SCD2_HISTORY_SQL
+    + """
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to, is_current
+FROM hist
 ORDER BY c_custkey, valid_from
 """,
     "index_upsert": _UPSERT,
