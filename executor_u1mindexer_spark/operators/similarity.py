@@ -253,7 +253,11 @@ def probe_cells(
     Centroids ride as literal arrays (n_cells is small by construction);
     ranking is array_sort over (distance, cell) structs + slice + explode —
     pure codegen, no MLlib transform and no shuffle on the query side.
-    Probe #1 equals MLlib's own prediction (both argmin squared-L2)."""
+    Probe #1 agrees with MLlib's own prediction except at floating-point
+    near-ties (MLlib assigns via fastSquaredDistance's precomputed-norm
+    shortcut, not this naive sum-of-squares fold, so bit-equality is not
+    guaranteed when two cells are almost equidistant); multi-probe (the
+    nprobe>=2 default) covers those ties by searching both cells."""
     structs = F.array(
         *[
             F.struct(
@@ -445,24 +449,31 @@ def ivf_pq_topk(
 
     Plan shape (all quantizer state rides as literals — no Python in the
     search path, no shuffle of corpus rows beyond the cell equi-join):
-    1. both quantizers fit on ONE shared bounded sample (fit_sample);
-    2. encode pass: corpus -> (id, cell, codes) — map-only, one scan;
+    1. both quantizers fit on ONE shared bounded sample (fit_sample); the
+       PQ codebooks are trained on coarse-cell RESIDUALS (v − centroid),
+       the standard IVFADC layout — residuals have far less variance than
+       raw vectors, so the same m×n_codes budget quantizes finer;
+    2. encode pass: corpus -> (id, cell, codes of v − centroid[cell]) —
+       map-only, one scan; the (n_cells × dim) centroid table is a literal
+       array-of-arrays indexed by element_at, residual is a zip_with;
     3. query side: each query probes its n_probe nearest cells
-       (probe_cells — literal centroids, codegen ranking); per query, per
-       subspace j, an ADC lookup table lut_j[c] = ||q_j - center_jc||^2 as
-       a 16-element literal-array expression (m * n_codes = 128 codegen'd
-       folds per query row — query batches are small by contract);
+       (probe_cells — literal centroids, codegen ranking); per PROBE, per
+       subspace j, an ADC lookup table lut_j[c] = ||(q−centroid)_j −
+       center_jc||^2 as a 16-element literal-array expression. With
+       residual encoding the LUT genuinely depends on the probed cell, so
+       it is computed after the probe explode by necessity (the r04
+       raw-vector form computed cell-independent LUTs post-explode, an
+       n_probe-times redundancy — subsumed by this change);
     4. broadcast queries+LUTs into their probed cells; approximate
        distance = sum_j lut_j[code_j] — an element_at chain over the m
-       code bytes;
+       code bytes. ||(q−c) − (v−c)||² = ||q − v||², so the estimator still
+       targets the true squared L2;
     5. per-query top-k window (k rows per query out of its probed cells).
 
     Distances are approximate (PQ quantizes the corpus side; this is the
     standard ADC estimator of squared L2), so the suite reduces the result
     to invariants + a recall floor vs exact KNN, like the other trained
-    operators. PQ encodes raw vectors, not coarse residuals — the simpler
-    textbook variant; residual encoding is the accuracy upgrade, not a
-    different plan shape."""
+    operators."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -479,22 +490,42 @@ def ivf_pq_topk(
     coarse = KMeans(
         k=n_cells, seed=42, maxIter=max_iter, featuresCol="__full"
     ).fit(fit_input.select("__full"))
-    # all m PQ codebooks in ONE cogrouped job (train_pq_codebooks) — never
-    # m sequential fits; encode below is the literal-argmin codegen pass
+    coarse.setPredictionCol("__cell")
+
+    # literal (n_cells x dim) centroid table, element_at-indexed by cell id;
+    # residual = v - centroid[cell] as a zip_with — map-only codegen
+    cent_table = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in coarse.clusterCenters()
+        ]
+    )
+
+    def _residual(vec_col, cell_col):
+        return F.zip_with(
+            vec_col, F.element_at(cent_table, cell_col + 1), lambda a, b: a - b
+        )
+
+    # all m PQ codebooks in ONE cogrouped job (train_pq_codebooks), trained
+    # on the fit sample's coarse-cell RESIDUALS — never m sequential fits;
+    # encode below is the literal-argmin codegen pass
+    fit_res = coarse.transform(fit_input).select(
+        id_col, _residual(F.col("__v"), F.col("__cell")).alias("__v")
+    )
     books = train_pq_codebooks(
-        fit_input.select(id_col, "__v"),
+        fit_res,
         m=m, n_codes=n_codes, sub=sub, max_iter=max_iter * 2, id_col=id_col,
     )
     fit_input.unpersist()
 
     s_enc = (
-        coarse.setPredictionCol("__cell")
-        .transform(feats.select(id_col, "__v", "__full"))
+        coarse.transform(feats.select(id_col, "__v", "__full"))
+        .withColumn("__r", _residual(F.col("__v"), F.col("__cell")))
         .select(
             id_col,
             "__cell",
             *[
-                nearest_code(F.slice("__v", j * sub + 1, sub), books[j]).alias(f"__c{j}")
+                nearest_code(F.slice("__r", j * sub + 1, sub), books[j]).alias(f"__c{j}")
                 for j in range(m)
             ],
         )
@@ -507,15 +538,18 @@ def ivf_pq_topk(
     q_cells = probe_cells(
         q_base, "__qv", query_id_col, coarse.clusterCenters(), n_probe
     )
-    # ADC lookup tables: lut_j = [||q_j - center_jc||^2 for c in codes]
-    luts = q_cells.select(
+    # per-probe ADC lookup tables over the QUERY residual for that cell:
+    # lut_j = [||(q - centroid[cell])_j - center_jc||^2 for c in codes]
+    luts = q_cells.withColumn(
+        "__qr", _residual(F.col("__qv"), F.col("__cell"))
+    ).select(
         query_id_col,
         "__cell",
         *[
             F.array(
                 *[
                     V.l2_sq_distance(
-                        F.slice("__qv", j * sub + 1, sub),
+                        F.slice("__qr", j * sub + 1, sub),
                         F.array(*[F.lit(x) for x in books[j][c]]),
                     )
                     for c in range(n_codes)

@@ -29,6 +29,13 @@ from executor_u1mindexer_spark.operators import maintenance as M
 
 NEW_ID_OFFSET = 100_000
 DUP_SEQ_OFFSET = 1_000_000
+# Collision-proof "brand new key" shift for the SCD2 scenarios: a TPC-H-style
+# generator at sf10+ has >=1.5M customers, so a +1e6 shift would collide with
+# a real custkey and violate scd2_merge's one-row-per-key snapshot contract
+# (duplicate update keys multiply versions through the full-outer join).
+# Same rationale as dedup_suite's DUP_OFFSET — 1e9 clears any realistic key
+# domain.
+SCD2_NEW_KEY_OFFSET = 1_000_000_000
 
 
 # One ranked state per (session, fixture): every maintenance query derives
@@ -249,12 +256,37 @@ FROM diff WHERE change != 'unchanged'
 ).format(mod=6)
 
 
+def _scd2_base_from(spark: SparkSession, sf_dir: str) -> str:
+    """Base-version start date for the SCD2 scenarios = min(o_orderdate).
+
+    Derived, not hard-coded: scd2_point_in_time_join's inner join drops any
+    order dated before the base version opens, so the base date MUST cover
+    the full order-date domain — deriving it from the orders table makes
+    that coupling explicit instead of relying on the fixture's minimum
+    happening to equal a constant. One scalar agg per (session, fixture),
+    cached like the ranked state."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BASE_FROM_CACHE:
+        row = (
+            tables.load(spark, sf_dir, "orders")
+            .agg(F.min("o_orderdate").alias("d"))
+            .first()
+        )
+        _BASE_FROM_CACHE[key] = row["d"].isoformat()
+    return _BASE_FROM_CACHE[key]
+
+
+_BASE_FROM_CACHE: dict[tuple[str, str], str] = {}
+cache.on_release(lambda: _BASE_FROM_CACHE.clear())
+
+
 def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 merge over the customer dimension. The update batch is
     derived from the fixture: every custkey % 5 == 0 appears in the batch
     (even keys with acctbal + 100 — a real change; odd keys unchanged — the
-    no-op branch), and custkey % 97 == 0 re-enters shifted +1e6 as a brand
-    new key. Changed keys yield a closed + an open version; everything
+    no-op branch), and custkey % 97 == 0 re-enters shifted +1e9
+    (SCD2_NEW_KEY_OFFSET, collision-proof for any realistic key domain) as a
+    brand new key. Changed keys yield a closed + an open version; everything
     else exactly one open row."""
     cust = tables.load(spark, sf_dir, "customer")
     base = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
@@ -266,7 +298,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     upd_new = base.filter(F.col("c_custkey") % 97 == 0).select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        (F.col("c_custkey") + SCD2_NEW_KEY_OFFSET).alias("c_custkey"),
         "c_acctbal",
         "c_mktsegment",
     )
@@ -275,6 +307,47 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd_existing.unionByName(upd_new),
         key_col="c_custkey",
         attr_cols=("c_acctbal", "c_mktsegment"),
+        base_from=_scd2_base_from(spark, sf_dir),
+    ).orderBy("c_custkey", "valid_from")
+
+
+SCD2_BATCH2_DATE = "2005-01-01"
+
+
+def scd2_two_batch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation SCD2 composition: apply a follow-up batch on the
+    PRODUCED history via scd2_apply (closed versions pass through; only the
+    current slice re-merges, each row's own valid_from carried). Batch 2 is
+    defined against the base fixture so the oracle is deterministic:
+    custkey % 7 == 0 gets acctbal - 50 (always a change), and the batch-1
+    brand-new shifted keys (% 97, + SCD2_NEW_KEY_OFFSET) get acctbal + 200
+    — so the result exercises three-version keys (% 70: changed in both
+    batches), two-version keys opened at either effective date, and
+    untouched pass-through, all in one history."""
+    cust = tables.load(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+    hist = scd2_customer_history(spark, sf_dir)
+    batch2 = (
+        base.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") - 50).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + SCD2_NEW_KEY_OFFSET).alias("c_custkey"),
+                (F.col("c_acctbal") + 200).alias("c_acctbal"),
+                "c_mktsegment",
+            )
+        )
+    )
+    return M.scd2_apply(
+        hist,
+        batch2,
+        key_col="c_custkey",
+        attr_cols=("c_acctbal", "c_mktsegment"),
+        effective_date=SCD2_BATCH2_DATE,
     ).orderBy("c_custkey", "valid_from")
 
 
@@ -305,8 +378,9 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-_SCD2_HISTORY_SQL = """
+_SCD2_HISTORY_SQL = f"""
 WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+base_from AS (SELECT min(o_orderdate) AS d FROM orders),
 upd AS (
   SELECT c_custkey,
          CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
@@ -314,7 +388,7 @@ upd AS (
          c_mktsegment
   FROM base WHERE c_custkey % 5 = 0
   UNION ALL
-  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+  SELECT c_custkey + {SCD2_NEW_KEY_OFFSET}, c_acctbal, c_mktsegment
   FROM base WHERE c_custkey % 97 = 0),
 j AS (
   SELECT b.c_custkey AS bk, u.c_custkey AS uk,
@@ -331,7 +405,7 @@ hist AS (
            AS c_acctbal,
          CASE WHEN uk IS NULL OR bk IS NOT NULL THEN b_seg ELSE u_seg END
            AS c_mktsegment,
-         CASE WHEN bk IS NOT NULL THEN DATE '1995-01-01'
+         CASE WHEN bk IS NOT NULL THEN (SELECT d FROM base_from)
               ELSE DATE '2000-01-01' END AS valid_from,
          CASE WHEN bk IS NOT NULL AND uk IS NOT NULL
                    AND NOT (b_bal IS NOT DISTINCT FROM u_bal
@@ -347,8 +421,54 @@ hist AS (
 """
 
 
+_SCD2_TWO_BATCH_SQL = _SCD2_HISTORY_SQL + f"""
+, upd2 AS (
+  SELECT c_custkey, c_acctbal - 50 AS c_acctbal, c_mktsegment
+  FROM base WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + {SCD2_NEW_KEY_OFFSET}, c_acctbal + 200, c_mktsegment
+  FROM base WHERE c_custkey % 97 = 0),
+cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment, valid_from
+  FROM hist WHERE is_current),
+j2 AS (
+  SELECT c.c_custkey AS bk, u.c_custkey AS uk,
+         c.c_acctbal AS b_bal, c.c_mktsegment AS b_seg, c.valid_from AS b_from,
+         u.c_acctbal AS u_bal, u.c_mktsegment AS u_seg
+  FROM cur c FULL JOIN upd2 u ON c.c_custkey = u.c_custkey),
+changed2 AS (
+  SELECT * FROM j2 WHERE bk IS NOT NULL AND uk IS NOT NULL
+    AND NOT (b_bal IS NOT DISTINCT FROM u_bal
+             AND b_seg IS NOT DISTINCT FROM u_seg)),
+hist2 AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to, is_current
+  FROM hist WHERE NOT is_current
+  UNION ALL
+  SELECT coalesce(bk, uk),
+         CASE WHEN uk IS NULL OR bk IS NOT NULL THEN b_bal ELSE u_bal END,
+         CASE WHEN uk IS NULL OR bk IS NOT NULL THEN b_seg ELSE u_seg END,
+         CASE WHEN bk IS NOT NULL THEN b_from
+              ELSE DATE '{SCD2_BATCH2_DATE}' END,
+         CASE WHEN bk IS NOT NULL AND uk IS NOT NULL
+                   AND NOT (b_bal IS NOT DISTINCT FROM u_bal
+                            AND b_seg IS NOT DISTINCT FROM u_seg)
+              THEN DATE '{SCD2_BATCH2_DATE}' END,
+         NOT (bk IS NOT NULL AND uk IS NOT NULL
+              AND NOT (b_bal IS NOT DISTINCT FROM u_bal
+                       AND b_seg IS NOT DISTINCT FROM u_seg))
+  FROM j2
+  UNION ALL
+  SELECT coalesce(bk, uk), u_bal, u_seg, DATE '{SCD2_BATCH2_DATE}', NULL, TRUE
+  FROM changed2)
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to, is_current
+FROM hist2
+ORDER BY c_custkey, valid_from
+"""
+
+
 ORACLES = {
     "index_state_diff": _DIFF,
+    "scd2_two_batch_history": _SCD2_TWO_BATCH_SQL,
     "scd2_point_in_time_join": _SCD2_HISTORY_SQL
     + """
 SELECT o_orderkey, h.c_custkey, h.c_acctbal, h.valid_from, h.is_current
@@ -405,5 +525,6 @@ QUERIES = {
     "index_state_diff": index_state_diff,
     "scd2_customer_history": scd2_customer_history,
     "scd2_point_in_time_join": scd2_point_in_time_join,
+    "scd2_two_batch_history": scd2_two_batch_history,
     "clear": clear,
 }
