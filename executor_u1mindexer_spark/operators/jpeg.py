@@ -2,19 +2,26 @@
 
 Closes the last multimodal stub the way PNG was closed: real entropy
 coding, real DCT — no image library. Supported: baseline huffman-coded
-grayscale (1 component) and YCbCr 4:4:4 color (3 components), restart
-intervals, multi-table DQT/DHT segments, APPn/COM skip. Loudly rejected
+grayscale (1 component) and YCbCr color (3 components) at any
+integer-ratio sampling layout — 4:4:4, 4:2:2, and (since r05) the
+dominant real-world 4:2:0 chroma-subsampled form, decoded via the T.81
+A.2.3 MCU interleave (e.g. 4 Y + 1 Cb + 1 Cr blocks per 16x16 MCU) with
+pixel-replication upsampling — plus restart intervals, multi-table
+DQT/DHT segments, APPn/COM skip. The encoder can emit both 4:4:4 and
+4:2:0 (2x2 box-averaged chroma). Loudly rejected
 (NotImplementedError/ValueError): progressive (SOF2), arithmetic coding,
-12-bit precision, chroma subsampling — the same honest-gate policy the
-PNG decoder applies to interlaced/16-bit payloads.
+12-bit precision, non-integer sampling ratios — the same honest-gate
+policy the PNG decoder applies to interlaced/16-bit payloads.
 
 The encoder writes its OWN canonical Huffman tables into DHT (flat code
 lengths — generated, not the T.81 Annex K examples) and an all-ones
 quantization table by default, making the codec near-lossless: the only
 loss is the round() on DCT coefficients. Images that are constant within
-every 8x8 block (all the synthetic fixtures' JPEGs — tiny images pad by
-edge replication into one constant block) roundtrip EXACTLY, which is
-what lets the suite oracle state decoded pixel_sum in closed form.
+every 8x8 block — or, for 4:2:0, within every 16x16 MCU (box-averaging a
+constant is the constant; replication restores it) — roundtrip EXACTLY
+(all the synthetic fixtures' JPEGs: tiny images pad by edge replication
+into one constant block), which is what lets the suite oracle state
+decoded pixel_sum in closed form.
 
 Reference parity note: the reference treats image bytes as opaque Jina
 Document payloads (executor.py:6) — this module is part of the [NOT IN
@@ -178,6 +185,50 @@ def _pad_edge(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (h + mult - 1) // mult * mult
+    pw = (w + mult - 1) // mult * mult
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qtab: np.ndarray, pred: int) -> int:
+    """DCT + quantize + huffman-encode one 8x8 block (level-shifted input);
+    returns the new DC predictor."""
+    coeffs = _DCT @ (block - 128.0) @ _DCT.T
+    qc = np.rint(coeffs / qtab).astype(np.int64)
+    zz = qc.reshape(64)[ZIGZAG]
+    # DC: differential, category + magnitude bits
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    size, extra = _magnitude(diff)
+    code, length = _DC_CODES[size]
+    bw.write(code, length)
+    if size:
+        bw.write(extra, size)
+    # AC: run-length of zeros + (run,size) symbols
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = _AC_CODES[0xF0]
+            bw.write(zc, zl)
+            run -= 16
+        size, extra = _magnitude(v)
+        code, length = _AC_CODES[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(extra, size)
+        run = 0
+    if last_nz < 63:
+        ec, el = _AC_CODES[0x00]
+        bw.write(ec, el)
+    return pred
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -185,13 +236,19 @@ def encode_jpeg(
     *,
     channels: int = 1,
     quant: list[int] | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """Baseline JPEG from a top-down 8-bit raster (gray: w*h bytes; RGB:
-    w*h*3 bytes, encoded as YCbCr 4:4:4). quant is the 64-entry natural-
-    order quantization table shared by all components (default all ones —
-    near-lossless)."""
+    w*h*3 bytes, encoded as YCbCr). quant is the 64-entry natural-order
+    quantization table shared by all components (default all ones —
+    near-lossless). subsampling: '444' (every component full-resolution,
+    one 8x8 MCU) or '420' (chroma box-averaged 2x2, 16x16 MCUs of
+    4 Y + 1 Cb + 1 Cr blocks — the dominant real-world camera/web layout);
+    ignored for grayscale."""
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"expected {width * height * channels} pixel bytes, got {len(pixels)}"
@@ -205,47 +262,41 @@ def encode_jpeg(
         planes = _rgb_to_ycbcr(arr.astype(np.float64))
     else:
         planes = arr.astype(np.float64)
-    comps = [_pad_edge(planes[..., c]) for c in range(channels)]
 
+    # comps: (plane padded to its own block grid, hs, vs)
+    if channels == 3 and subsampling == "420":
+        y = _pad_to(planes[..., 0], 16)
+        # chroma from the 16-aligned luma grid by 2x2 box average -> the
+        # half-res planes are 8-aligned by construction
+        sub = [
+            (
+                _pad_to(planes[..., c], 16)
+                .reshape(y.shape[0] // 2, 2, y.shape[1] // 2, 2)
+                .mean(axis=(1, 3))
+            )
+            for c in (1, 2)
+        ]
+        comps = [(y, 2, 2), (sub[0], 1, 1), (sub[1], 1, 1)]
+    else:
+        comps = [(_pad_edge(planes[..., c]), 1, 1) for c in range(channels)]
+
+    hmax = max(hs for _, hs, _ in comps)
+    vmax = max(vs for _, _, vs in comps)
     qtab = q.reshape(8, 8)
     bw = _BitWriter()
     pred = [0] * channels
-    n_by, n_bx = comps[0].shape[0] // 8, comps[0].shape[1] // 8
-    for by in range(n_by):
-        for bx in range(n_bx):
-            for ci, plane in enumerate(comps):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coeffs = _DCT @ block @ _DCT.T
-                qc = np.rint(coeffs / qtab).astype(np.int64)
-                zz = qc.reshape(64)[ZIGZAG]
-                # DC: differential, category + magnitude bits
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, extra = _magnitude(diff)
-                code, length = _DC_CODES[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(extra, size)
-                # AC: run-length of zeros + (run,size) symbols
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        zc, zl = _AC_CODES[0xF0]
-                        bw.write(zc, zl)
-                        run -= 16
-                    size, extra = _magnitude(v)
-                    code, length = _AC_CODES[(run << 4) | size]
-                    bw.write(code, length)
-                    bw.write(extra, size)
-                    run = 0
-                if last_nz < 63:
-                    ec, el = _AC_CODES[0x00]
-                    bw.write(ec, el)
+    n_my = comps[0][0].shape[0] // (8 * vmax)
+    n_mx = comps[0][0].shape[1] // (8 * hmax)
+    for my in range(n_my):
+        for mx in range(n_mx):
+            for ci, (plane, hs, vs) in enumerate(comps):
+                for v in range(vs):
+                    for u in range(hs):
+                        py = (my * vs + v) * 8
+                        px = (mx * hs + u) * 8
+                        pred[ci] = _encode_block(
+                            bw, plane[py : py + 8, px : px + 8], qtab, pred[ci]
+                        )
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -254,7 +305,8 @@ def encode_jpeg(
     qz = np.array([int(x) for x in q], dtype=np.int64)[ZIGZAG]
     dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in qz))
     sof_comps = b"".join(
-        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(channels)
+        struct.pack(">BBB", ci + 1, (hs << 4) | vs, 0)
+        for ci, (_, hs, vs) in enumerate(comps)
     )
     sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, channels) + sof_comps)
     dht = seg(
@@ -371,11 +423,26 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + ci * 3)
-                if hv != 0x11:
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"sampling factors {hs}/{vs} out of T.81 range")
+                if nc == 1:
+                    # a single-component scan is non-interleaved: its MCU is
+                    # ONE data unit and the declared factors play no role
+                    # (T.81 A.2.2) — some encoders still write 0x22 here
+                    hs = vs = 1
+                comps.append((cid, hs, vs, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hs, vs, _ in comps:
+                # integer-ratio upsampling only — every real-world layout
+                # (4:4:4, 4:2:2, 4:2:0, 4:1:1) divides evenly; a 3:2-style
+                # ratio would need fractional resampling
+                if hmax % hs or vmax % vs:
                     raise NotImplementedError(
-                        f"chroma subsampling (h/v={hv >> 4}/{hv & 15}) not supported; 4:4:4 only"
+                        f"non-integer sampling ratio (component {cid}: "
+                        f"{hs}/{vs} vs max {hmax}/{vmax}) not supported"
                     )
-                comps.append((cid, tq))
             frame = (w, h, comps)
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(f"{_SOF_UNSUPPORTED[marker]} JPEG not supported (SOF{marker - 0xC0})")
@@ -403,12 +470,12 @@ def _decode_scan(payload, pos, frame, scan_tabs, qtables, dc_tables, ac_tables, 
     # loud gates, not KeyErrors: T.81 allows a baseline image to arrive as
     # several non-interleaved scans (one component each); this decoder
     # supports only the single interleaved scan every common encoder emits
-    if set(scan_tabs) != {cid for cid, _ in comps}:
+    if set(scan_tabs) != {cid for cid, _, _, _ in comps}:
         raise NotImplementedError(
             f"non-interleaved multi-scan JPEG not supported (scan covers "
-            f"{sorted(scan_tabs)} of components {sorted(c for c, _ in comps)})"
+            f"{sorted(scan_tabs)} of components {sorted(c for c, _, _, _ in comps)})"
         )
-    for cid, tq in comps:
+    for cid, _, _, tq in comps:
         if tq not in qtables:
             raise ValueError(f"component {cid} references undeclared quant table {tq}")
         dc_id, ac_id = scan_tabs[cid]
@@ -417,48 +484,67 @@ def _decode_scan(payload, pos, frame, scan_tabs, qtables, dc_tables, ac_tables, 
                 f"component {cid} references undeclared huffman table "
                 f"(dc={dc_id}, ac={ac_id})"
             )
-    n_bx, n_by = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((n_by * 8, n_bx * 8)) for _ in range(nc)]
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    # MCU grid covers the image at the MAX sampling resolution; each MCU
+    # carries hs*vs blocks of every component in row-major interleave order
+    # (T.81 A.2.3) — for 4:2:0 that is 4 Y blocks then 1 Cb then 1 Cr
+    n_mx = (w + 8 * hmax - 1) // (8 * hmax)
+    n_my = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((n_my * 8 * vs, n_mx * 8 * hs)) for _, hs, vs, _ in comps
+    ]
     br = _BitReader(payload, pos)
     pred = [0] * nc
     mcu = 0
-    for by in range(n_by):
-        for bx in range(n_bx):
+    for my in range(n_my):
+        for mx in range(n_mx):
             if dri and mcu and mcu % dri == 0:
                 m = br.align_to_marker()
                 if not 0xD0 <= m <= 0xD7:
                     raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
                 pred = [0] * nc
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
                 dc_id, ac_id = scan_tabs[cid]
                 dc_tab, ac_tab = dc_tables[dc_id], ac_tables[ac_id]
                 qtab = qtables[tq]
-                zz = np.zeros(64, dtype=np.int64)
-                size = dc_tab.decode(br)
-                if size > 11:
-                    raise ValueError(f"DC category {size} out of range")
-                pred[ci] += _extend(br.bits(size), size) if size else 0
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = ac_tab.decode(br)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overruns block")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coeffs = np.zeros(64)
-                coeffs[ZIGZAG] = zz
-                block = _DCT.T @ (coeffs.reshape(8, 8) * qtab) @ _DCT + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                for v in range(vs):
+                    for u in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = dc_tab.decode(br)
+                        if size > 11:
+                            raise ValueError(f"DC category {size} out of range")
+                        pred[ci] += _extend(br.bits(size), size) if size else 0
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = ac_tab.decode(br)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overruns block")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        coeffs = np.zeros(64)
+                        coeffs[ZIGZAG] = zz
+                        block = _DCT.T @ (coeffs.reshape(8, 8) * qtab) @ _DCT + 128.0
+                        py = (my * vs + v) * 8
+                        px = (mx * hs + u) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
             mcu += 1
-    cropped = [p[:h, :w] for p in planes]
+    # upsample subsampled planes to full resolution by pixel replication
+    # (JFIF nearest-neighbor; fancy triangle filtering is a decoder QoS
+    # choice, not part of the format) and crop to the declared size
+    cropped = []
+    for (cid, hs, vs, _), p in zip(comps, planes):
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        cropped.append(p[:h, :w])
     if nc == 1:
         out = np.clip(np.rint(cropped[0]), 0, 255).astype(np.uint8)
         return w, h, 1, out.tobytes()

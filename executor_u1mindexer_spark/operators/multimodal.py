@@ -346,12 +346,16 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
     Lossless containers carry RGB channel byte i = (id*7 + i) % 256
     (top-down raster; the PNG scanline filter cycles id%5 so every
     unfilter path decodes under the oracle). JPEG — lossy in general — is
-    given a CONSTANT grayscale image of value (id*7) % 256, which the
-    baseline codec roundtrips EXACTLY under its all-ones quant table
-    (operators/jpeg.py): every 8x8 block is constant so the only nonzero
-    coefficient is the integer DC. So an oracle can state the decoded
-    metadata for all four containers in closed form without itself
-    decoding anything."""
+    given a CONSTANT image, which the baseline codec roundtrips EXACTLY
+    under its all-ones quant table (operators/jpeg.py): every block is
+    constant so the only nonzero coefficient is the DC. The JPEG slot
+    itself alternates on id%8: 3 → 4:4:4 grayscale of value (id*7)%256;
+    7 → 4:2:0 chroma-subsampled CONSTANT COLOR (r,g,b) = (id*7, id*11,
+    id*13) % 256 — the dominant real-world sampling layout, exercising
+    the 16x16 MCU interleave + chroma box-average + upsample path
+    (roundtrip verified exhaustively over the full id cycle). So an
+    oracle can state the decoded metadata for every container in closed
+    form without itself decoding anything."""
     from executor_u1mindexer_spark.operators.jpeg import encode_jpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -368,9 +372,14 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                     payloads.append(encode_bmp(w, h, px))
                 elif kind == 2:
                     payloads.append(encode_png(w, h, px, filter_type=did % 5))
-                else:
+                elif did % 8 == 3:
                     gray = bytes([did * 7 % 256]) * (w * h)
                     payloads.append(encode_jpeg(w, h, gray, channels=1))
+                else:  # did % 8 == 7: constant-color 4:2:0
+                    color = bytes([did * 7 % 256, did * 11 % 256, did * 13 % 256])
+                    payloads.append(
+                        encode_jpeg(w, h, color * (w * h), channels=3, subsampling="420")
+                    )
                 ids.append(did)
             yield pd.DataFrame({id_col: ids, "img": payloads})
 

@@ -348,8 +348,11 @@ FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_K}
 WITH m AS (
   SELECT doc_id, lang, ({_QUALITY}) AS q,
          (doc_id % 5 + 2) * (doc_id % 3 + 2) AS area,
-         CAST(CASE WHEN doc_id % 4 = 3
+         CAST(CASE WHEN doc_id % 8 = 3
               THEN (doc_id % 5 + 2) * (doc_id % 3 + 2) * ((doc_id * 7) % 256)
+              WHEN doc_id % 8 = 7
+              THEN (doc_id % 5 + 2) * (doc_id % 3 + 2)
+                   * ((doc_id * 7) % 256 + (doc_id * 11) % 256 + (doc_id * 13) % 256)
               ELSE list_sum(list_transform(
                      range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2) * 3),
                      i -> (doc_id * 7 + i) % 256))

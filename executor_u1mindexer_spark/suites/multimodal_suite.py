@@ -37,13 +37,15 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: synthesize deterministic
     PPM/BMP/PNG/JPEG bytes per doc (container cycles id%4; the PNG
-    scanline filter cycles id%5 so all five unfilter paths run; JPEG rows
-    are block-constant grayscale so the baseline huffman+DCT codec of
-    operators/jpeg.py roundtrips them exactly), then parse headers,
-    DEFLATE streams, entropy-coded segments, and pixel data with the
-    pure-Python codecs. The oracle states the decoded metadata in closed
-    form from the generation rule — if a decoder misreads a header, drops
-    row padding, unfilters a scanline wrong, or mis-dequantizes a DC
+    scanline filter cycles id%5 so all five unfilter paths run; the JPEG
+    slot alternates id%8=3 → 4:4:4 grayscale and id%8=7 → 4:2:0
+    chroma-subsampled constant color, both MCU-constant so the baseline
+    huffman+DCT codec of operators/jpeg.py roundtrips them exactly), then
+    parse headers, DEFLATE streams, entropy-coded segments, and pixel
+    data with the pure-Python codecs. The oracle states the decoded
+    metadata in closed form from the generation rule — if a decoder
+    misreads a header, drops row padding, unfilters a scanline wrong,
+    mis-orders the 4:2:0 MCU interleave, or mis-dequantizes a DC
     coefficient, width/height/pixel_sum diverge."""
     docs = tables.load(spark, sf_dir, "documents")
     return MM.decode_images_metadata(MM.attach_synthetic_images(docs))
@@ -95,17 +97,23 @@ SELECT doc_id,
 FROM documents
 """,
     # image generation rule: w = id%5+2, h = id%3+2; lossless containers
-    # (id%4 in 0..2) carry RGB byte i = (id*7 + i) % 256; JPEG (id%4=3) is
-    # constant gray (id*7)%256, exactly roundtripped — so the decoded
-    # metadata has this closed form (no decoding in the oracle)
+    # (id%4 in 0..2) carry RGB byte i = (id*7 + i) % 256; the JPEG slot
+    # (id%4=3) alternates: id%8=3 is constant gray (id*7)%256 in 4:4:4,
+    # id%8=7 is constant color ((id*7)%256, (id*11)%256, (id*13)%256) in
+    # 4:2:0 — both exactly roundtripped (block/MCU-constant, all-ones
+    # quant) — so the decoded metadata has this closed form (no decoding
+    # in the oracle)
     "multimodal_decode_image": """
 SELECT doc_id,
        CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
             WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
        CAST(doc_id % 5 + 2 AS INT) AS width,
        CAST(doc_id % 3 + 2 AS INT) AS height,
-       CAST(CASE WHEN doc_id % 4 = 3
+       CAST(CASE WHEN doc_id % 8 = 3
             THEN (doc_id % 5 + 2) * (doc_id % 3 + 2) * ((doc_id * 7) % 256)
+            WHEN doc_id % 8 = 7
+            THEN (doc_id % 5 + 2) * (doc_id % 3 + 2)
+                 * ((doc_id * 7) % 256 + (doc_id * 11) % 256 + (doc_id * 13) % 256)
             ELSE list_sum(list_transform(
                    range(0, (doc_id % 5 + 2) * (doc_id % 3 + 2) * 3),
                    i -> (doc_id * 7 + i) % 256))

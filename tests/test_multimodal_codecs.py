@@ -217,18 +217,35 @@ def test_jpeg_unsupported_variants_raise():
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError, match="progressive"):
         J.decode_jpeg(prog)
-    # 4:2:0 subsampling in SOF0: refuse loudly
-    idx = base.index(b"\xff\xc0")
-    hv_off = idx + 2 + 2 + 6 + 1  # marker+len, prec/h/w/nc, comp id -> h/v byte
-    sub = base[:hv_off] + bytes([0x22]) + base[hv_off + 1 :]
-    with pytest.raises(NotImplementedError, match="subsampling"):
-        J.decode_jpeg(sub)
+    # NON-INTEGER sampling ratio (Y 3/1 vs Cb 2/1): refuse loudly. Integer
+    # layouts (4:4:4 / 4:2:2 / 4:2:0) are supported since r05.
+    color = J.encode_jpeg(4, 4, bytes(48), channels=3)
+    idx = color.index(b"\xff\xc0")
+    hv1 = idx + 2 + 2 + 6 + 1  # marker+len, prec/h/w/nc, comp1 id -> h/v byte
+    hv2 = hv1 + 3
+    weird = bytearray(color)
+    weird[hv1], weird[hv2] = 0x31, 0x21
+    with pytest.raises(NotImplementedError, match="non-integer sampling"):
+        J.decode_jpeg(bytes(weird))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x00\x01notajpeg")
     with pytest.raises(ValueError):  # SOI but no SOS
         J.decode_jpeg(b"\xff\xd8\xff\xd9")
     with pytest.raises(ValueError):
         J.encode_jpeg(2, 2, bytes(3), channels=1)  # wrong byte count
+    with pytest.raises(ValueError):
+        J.encode_jpeg(2, 2, bytes(12), channels=3, subsampling="422")
+
+
+def test_jpeg_gray_declared_factors_are_ignored():
+    # T.81 A.2.2: a single-component scan is non-interleaved — its MCU is
+    # one data unit, so a gray stream declaring 2x2 factors decodes the same
+    px = bytes([91]) * 16
+    base = J.encode_jpeg(4, 4, px, channels=1)
+    idx = base.index(b"\xff\xc0")
+    hv_off = idx + 2 + 2 + 6 + 1
+    declared22 = base[:hv_off] + bytes([0x22]) + base[hv_off + 1 :]
+    assert J.decode_jpeg(declared22) == J.decode_jpeg(base)
 
 
 def test_jpeg_quant_table_tradeoff():
@@ -261,6 +278,72 @@ def test_jpeg_color_roundtrip_property(w, h, seed):
     ww, hh, ch, out = J.decode_jpeg(J.encode_jpeg(w, h, px, channels=3))
     assert (ww, hh, ch) == (w, h, 3)
     assert max(abs(a - b) for a, b in zip(out, px)) <= 4
+
+
+def test_jpeg_420_constant_color_roundtrips_exactly():
+    # constant within every 16x16 MCU: chroma box-average of a constant is
+    # the constant, replication restores it -> exact, like 4:4:4 blocks
+    for r, g, b in ((0, 0, 0), (255, 255, 255), (13, 200, 77), (91, 7, 250)):
+        for w, h in ((2, 3), (16, 16), (20, 11), (33, 17)):
+            px = bytes([r, g, b]) * (w * h)
+            ww, hh, ch, out = J.decode_jpeg(
+                J.encode_jpeg(w, h, px, channels=3, subsampling="420")
+            )
+            assert (ww, hh, ch) == (w, h, 3)
+            assert out == px
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 12), h=st.integers(1, 12), seed=st.integers(0, 2**31))
+def test_jpeg_420_roundtrip_matches_boxavg_replicate_property(w, h, seed):
+    # 4:2:0 is lossy on arbitrary images BY DESIGN (chroma carries 1/4 the
+    # samples); the correctness contract is against the analytic model:
+    # decode == rgb(Y full-res, chroma 2x2 box-averaged then replicated),
+    # up to DCT coefficient rounding (|err| <= 4 per channel, as 4:4:4)
+    import numpy as np
+
+    px = bytes(((seed >> (i % 16)) + i * 31) % 256 for i in range(w * h * 3))
+    ww, hh, ch, out = J.decode_jpeg(
+        J.encode_jpeg(w, h, px, channels=3, subsampling="420")
+    )
+    assert (ww, hh, ch) == (w, h, 3)
+    rgb = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(np.float64)
+    ycc = J._rgb_to_ycbcr(rgb)
+    pad = J._pad_to(ycc[..., 0], 16).shape
+    y = ycc[..., 0]
+    planes = [y]
+    for c in (1, 2):
+        p = J._pad_to(ycc[..., c], 16)
+        p = p.reshape(pad[0] // 2, 2, pad[1] // 2, 2).mean(axis=(1, 3))
+        planes.append(np.repeat(np.repeat(p, 2, 0), 2, 1)[:h, :w])
+    yy, cb, cr = planes
+    exp = np.stack(
+        [
+            yy + 1.402 * (cr - 128.0),
+            yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            yy + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    exp = np.clip(np.rint(exp), 0, 255)
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 3).astype(np.float64)
+    assert np.abs(got - exp).max() <= 4
+
+
+def test_jpeg_420_meta_dispatch():
+    # the suite's id%8==7 generation rule in closed form
+    did = 7
+    w, h = did % 5 + 2, did % 3 + 2
+    color = bytes([did * 7 % 256, did * 11 % 256, did * 13 % 256])
+    meta = MM.decode_image_meta(
+        J.encode_jpeg(w, h, color * (w * h), channels=3, subsampling="420")
+    )
+    assert meta == {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "pixel_sum": w * h * sum(color),
+    }
 
 
 def test_jpeg_multiscan_and_undeclared_tables_raise_loudly():
