@@ -158,6 +158,77 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(RRF_K)
 
 
+# The RRF query batch: (query_id = a corpus vec_id for the dense side,
+# term tuple for the lexical side). Different arities on purpose.
+RRF_QUERIES = (
+    (0, ("query", "table", "spark")),
+    (1, ("join", "hash", "merge", "sort")),
+    (2, ("data", "stream", "vector", "filter", "scan")),
+)
+
+
+def hybrid_search_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_search_rrf generalized to a QUERY SET — the batch contract
+    knn_search's batch path set, applied to the fused stack: each query
+    fuses its own BM25 top-50 (its own term set) with its own cosine-KNN
+    top-50 (its vec_id's embedding), rank windows partitioned by
+    query_id, fusion join on (query_id, doc_id).
+
+    100 TB shape: the lexical side pays ONE token-aggregate shuffle for
+    the whole batch (bm25_multi_scores — tf columns for the union of all
+    queries' terms, per-query scores as codegen expressions, post-agg
+    struct explode); per-query truncation is a query_id-partitioned rank
+    window (the exact shape of the batched KNN merge — no single-task
+    window); the dense side is the pinned broadcast KNN plan; both
+    branches are <= 50 rows per query at the fusion join."""
+    from pyspark.sql import Window
+
+    from executor_u1mindexer_spark.operators import knn
+    from executor_u1mindexer_spark.suites.text_suite import bm25_multi_scores
+
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    scored = bm25_multi_scores(docs, RRF_QUERIES)
+    w_b = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    bm_ranked = (
+        scored.withColumn("bm25_rank", F.row_number().over(w_b))
+        .filter(F.col("bm25_rank") <= RRF_N)
+        .select("query_id", "doc_id", "bm25_rank")
+    )
+
+    q = emb.filter(F.col("vec_id").isin([qid for qid, _ in RRF_QUERIES])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    vec_ranked = knn.knn_search(emb, q, k=RRF_N, metric="cosine").select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+
+    fused = bm_ranked.join(
+        vec_ranked, on=["query_id", "doc_id"], how="full_outer"
+    ).select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).alias("bm25_rank"),
+        F.coalesce(F.col("vec_rank"), F.lit(0)).alias("vec_rank"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= RRF_K)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
 BENCH_MOD = 97  # mirrors text_suite's holdout rule
 PACK_BUDGET = 5_000
 
@@ -232,6 +303,7 @@ QUERIES = {
     "decontaminated_training_mix": decontaminated_training_mix,
     "multimodal_training_manifest": multimodal_training_manifest,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "hybrid_search_rrf_batch": hybrid_search_rrf_batch,
 }
 
 # oracle fragments reused from the per-operator suites
@@ -240,11 +312,12 @@ from executor_u1mindexer_spark.suites.pipeline_suite import _BUCKET  # noqa: E40
 from executor_u1mindexer_spark.suites.dedup_suite import _EBUCKETS, _ECOS  # noqa: E402
 from executor_u1mindexer_spark.suites.text_suite import _SHINGLE4_HS  # noqa: E402
 from executor_u1mindexer_spark.suites.text_suite import (  # noqa: E402
-    _BM25_CONTRIB,
-    _BM25_TF,
     _BM25_WORDS,
     BM25_TERMS,
+    bm25_sql_fragments,
 )
+
+_BM25_TF, _BM25_CONTRIB, _RRF_DFS = bm25_sql_fragments(BM25_TERMS)
 
 _RRF_DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), (s,y) -> s+y)"
 _RRF_NORM = "sqrt(" + _RRF_DOT.format(a="{a}", b="{a}") + ")"
@@ -252,13 +325,62 @@ _RRF_COS = (
     f"1.0 - {_RRF_DOT.format(a='qv.qv', b='e.v')} / "
     f"({_RRF_NORM.format(a='qv.qv')} * {_RRF_NORM.format(a='e.v')})"
 )
-_RRF_DFS = ", ".join(
-    f"count(*) FILTER (tf{i} > 0) AS df{i}" for i in range(len(BM25_TERMS))
-)
-
 _LANGS_SQL = "('en', 'de')"
 
+
+def _rrf_branch_sql(qid: int, terms: tuple[str, ...]) -> str:
+    """One query's CTE chain of the batched-RRF oracle — the single-query
+    hybrid_search_rrf oracle parameterized by (query_id, term set) with
+    suffixed CTE names so the branches compose under one WITH."""
+    tf, contrib, dfs = bm25_sql_fragments(terms)
+    return f"""
+per_doc_{qid} AS (
+  SELECT doc_id, len({_BM25_WORDS}) AS dl,
+         {tf}
+  FROM documents
+), stats_{qid} AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl, {dfs} FROM per_doc_{qid}
+), bm_top_{qid} AS (
+  SELECT doc_id, brank FROM (
+    SELECT doc_id, score_micro,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS brank
+    FROM (SELECT doc_id,
+                 CAST(round(({contrib}) * 1000000, 0) AS BIGINT) AS score_micro
+          FROM per_doc_{qid} CROSS JOIN stats_{qid}))
+  WHERE brank <= {RRF_N}
+), vec_top_{qid} AS (
+  SELECT vec_id, vrank FROM (
+    SELECT e.vec_id,
+           row_number() OVER (ORDER BY {_RRF_COS} ASC, e.vec_id ASC) AS vrank
+    FROM e CROSS JOIN (SELECT v AS qv FROM e WHERE vec_id = {qid}) qv)
+  WHERE vrank <= {RRF_N}
+), out_{qid} AS (
+  SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, rrf_score,
+         bm25_rank, vec_rank,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT)
+           AS fused_rank
+  FROM (
+    SELECT COALESCE(b.doc_id, v.vec_id) AS doc_id,
+           COALESCE(1.0 / ({RRF_C} + b.brank), 0.0)
+             + COALESCE(1.0 / ({RRF_C} + v.vrank), 0.0) AS rrf_score,
+           CAST(COALESCE(b.brank, 0) AS INT) AS bm25_rank,
+           CAST(COALESCE(v.vrank, 0) AS INT) AS vec_rank
+    FROM bm_top_{qid} b FULL OUTER JOIN vec_top_{qid} v ON b.doc_id = v.vec_id)
+  QUALIFY fused_rank <= {RRF_K}
+)"""
+
+
+_RRF_BATCH_SQL = (
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    " FROM embeddings),"
+    + ",".join(_rrf_branch_sql(qid, ts) for qid, ts in RRF_QUERIES)
+    + "\n"
+    + "\nUNION ALL\n".join(f"SELECT * FROM out_{qid}" for qid, _ in RRF_QUERIES)
+    + "\nORDER BY query_id, fused_rank"
+)
+
 ORACLES = {
+    "hybrid_search_rrf_batch": _RRF_BATCH_SQL,
     # The span stage replays the dedup_repeated_spans oracle formulation
     # (word-explode + string_agg) over the exact-dedup survivors; the
     # quality gate reuses text_suite's _QUALITY twin with the CLEANED text

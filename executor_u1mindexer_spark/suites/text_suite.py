@@ -298,13 +298,14 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BM25_TERMS = ("query", "table", "spark")  # fixture vocabulary, any SF
+BM25_TERMS_JOINS = ("join", "hash", "merge", "sort")  # 2nd set, different arity
 BM25_K1, BM25_B, BM25_K = 1.2, 0.75, 20
 
 
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranking of the corpus against a fixed 3-term query — the
-    classic sparse-retrieval scoring run distributed. [NOT IN REFERENCE;
-    north-star text-analysis surface.]
+    """BM25 ranking of the corpus against a query term set (default
+    3-term) — the classic sparse-retrieval scoring run distributed.
+    [NOT IN REFERENCE; north-star text-analysis surface.]
 
     100 TB shape: ONE wide shuffle total. The exploded tokens aggregate
     once by doc_id producing dl AND the per-term tfs as conditional counts
@@ -314,7 +315,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second shuffle, no join on a token key (so no Zipf-skew exposure;
     compare text_bigram_lm_scores' skew note).
 
-    Determinism: contributions are summed in FIXED term order (t0+t1+t2,
+    Determinism: contributions are summed in FIXED term order (t0+t1+...,
     never a grouped sum over terms), avgdl enters as dl*N/sum_dl (integer
     products before one division), and the score is rounded once at micro
     scale like the bigram LM (ln differs at ulp level across libms)."""
@@ -324,10 +325,95 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_scores(d: DataFrame) -> DataFrame:
-    """Every doc's BM25 score against the fixed term set — the scored form
-    text_bm25_topk truncates and hybrid_search_rrf (composed_suite) fuses.
-    Plan/determinism notes in text_bm25_topk's docstring."""
+def text_bm25_topk_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same generalized BM25 builder parameterized over a DIFFERENT
+    query term set (4 terms, not 3) — pins that the operator is a function
+    of the term list (tf/df columns, contribution chain, and output tf_*
+    names all generated from it), not a hard-coded 3-term plan."""
+    scored = bm25_scores(_docs(spark, sf_dir), terms=BM25_TERMS_JOINS)
+    return scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(
+        BM25_K
+    )
+
+
+def bm25_multi_scores(
+    d: DataFrame, queries: tuple[tuple[int, tuple[str, ...]], ...]
+) -> DataFrame:
+    """BM25 scores for a SET of queries (query_id, term tuple) in ONE
+    token-aggregate pass: the per-doc aggregate computes tf conditional
+    counts for the UNION of all queries' distinct terms, corpus stats
+    reduce once, and each query's score is a codegen'd expression over its
+    own terms (fixed order within each query). Output one row per
+    (query_id, doc_id) via a post-aggregate struct explode — map-side, no
+    extra shuffle. Same single-shuffle no-skew shape as bm25_scores, paid
+    once for the whole query batch (the multi-query contract knn_search's
+    batch path set).
+
+    Returns (query_id, doc_id, score_micro, dl)."""
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    idx = {t: i for i, t in enumerate(all_terms)}
+    toks = d.select(
+        "doc_id", F.explode(T.words(F.coalesce(F.col("text"), F.lit("")))).alias("w")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("w") == t, 1)).alias(f"tf{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(all_terms))
+        ],
+    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        n = F.col("n").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+        norm_len = (F.col("dl") * F.col("n")).cast("double") / F.col("sum_dl").cast("double")
+        return idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * norm_len))
+
+    def qscore(ts: tuple[str, ...]):
+        s = contrib(idx[ts[0]])
+        for t in ts[1:]:
+            s = s + contrib(idx[t])
+        return F.round(s * 1_000_000, 0).cast("long")
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                qscore(ts).alias("score_micro"),
+            )
+            for qid, ts in queries
+        ]
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", F.explode(pairs).alias("_q"))
+        .select(
+            F.col("_q.query_id").alias("query_id"),
+            "doc_id",
+            F.col("_q.score_micro").alias("score_micro"),
+            "dl",
+        )
+    )
+
+
+def bm25_scores(d: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> DataFrame:
+    """Every doc's BM25 score against ``terms`` (any arity — the tf/df
+    conditional-count columns and the fixed-order contribution chain are
+    generated from the list; this is the query-set parameterization, with
+    terms as plan literals so the single-shuffle no-skew shape survives
+    any term list). The scored form text_bm25_topk truncates and
+    hybrid_search_rrf (composed_suite) fuses. Plan/determinism notes in
+    text_bm25_topk's docstring."""
     # coalesce NULL text to '' (one empty token both engines) so a
     # NULL-text doc still counts toward N/sum_dl exactly like the oracle —
     # a plain explode would DROP the doc from the corpus statistics and
@@ -339,7 +425,7 @@ def bm25_scores(d: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("dl"),
         *[
             F.count(F.when(F.col("w") == t, 1)).alias(f"tf{i}")
-            for i, t in enumerate(BM25_TERMS)
+            for i, t in enumerate(terms)
         ],
     )
     stats = per_doc.agg(
@@ -347,7 +433,7 @@ def bm25_scores(d: DataFrame) -> DataFrame:
         F.sum("dl").alias("sum_dl"),
         *[
             F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
-            for i in range(len(BM25_TERMS))
+            for i in range(len(terms))
         ],
     )
 
@@ -360,13 +446,13 @@ def bm25_scores(d: DataFrame) -> DataFrame:
         return idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * norm_len))
 
     score = contrib(0)
-    for i in range(1, len(BM25_TERMS)):
+    for i in range(1, len(terms)):
         score = score + contrib(i)
     return per_doc.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         F.round(score * 1_000_000, 0).cast("long").alias("score_micro"),
         "dl",
-        *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(BM25_TERMS)],
+        *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
     )
 
 
@@ -374,6 +460,7 @@ QUERIES = {
     "text_token_counts": text_token_counts,
     "text_bigram_lm_scores": text_bigram_lm_scores,
     "text_bm25_topk": text_bm25_topk,
+    "text_bm25_topk_joins": text_bm25_topk_joins,
     "text_pii_redaction": text_pii_redaction,
     "text_url_domains": text_url_domains,
     "text_length_histogram": text_length_histogram,
@@ -452,37 +539,54 @@ _PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
 # null-safe twin of _WORDS for the BM25 corpus statistics: coalesce(text,'')
 # splits to one empty token, matching the Spark side's explode(coalesce(...))
 _BM25_WORDS = "str_split_regex(coalesce(text, ''), '\\s+')"
-_BM25_TF = ",\n         ".join(
-    f"len(list_filter({_BM25_WORDS}, t -> t = '{t}')) AS tf{i}"
-    for i, t in enumerate(BM25_TERMS)
-)
-_BM25_CONTRIB = " + ".join(
-    f"(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
-    f" * CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0}"
-    f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
-    f" * CAST(dl * n AS DOUBLE) / CAST(sum_dl AS DOUBLE))))"
-    for i in range(len(BM25_TERMS))
-)
+def bm25_sql_fragments(terms: tuple[str, ...]) -> tuple[str, str, str]:
+    """(tf column list, contribution expression, df aggregate list) — the
+    DuckDB twins of bm25_scores' generated columns, parameterized over the
+    same term list. Shared with composed_suite's hybrid-RRF oracles."""
+    tf = ",\n         ".join(
+        f"len(list_filter({_BM25_WORDS}, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    contrib = " + ".join(
+        f"(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0}"
+        f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        f" * CAST(dl * n AS DOUBLE) / CAST(sum_dl AS DOUBLE))))"
+        for i in range(len(terms))
+    )
+    dfs = ", ".join(f"count(*) FILTER (tf{i} > 0) AS df{i}" for i in range(len(terms)))
+    return tf, contrib, dfs
 
-ORACLES = {
-    "text_bm25_topk": f"""
+
+def _bm25_sql(terms: tuple[str, ...], k: int = BM25_K) -> str:
+    """DuckDB twin of bm25_scores(terms) + top-k — generated from the same
+    term list the Spark builder consumes, so both sides parameterize
+    identically."""
+    tf, contrib, dfs = bm25_sql_fragments(terms)
+    tf_out = ", ".join(f"CAST(tf{i} AS BIGINT) AS tf_{t}" for i, t in enumerate(terms))
+    return f"""
 WITH per_doc AS (
   SELECT doc_id, len({_BM25_WORDS}) AS dl,
-         {_BM25_TF}
+         {tf}
   FROM documents
 ), stats AS (
   SELECT count(*) AS n, sum(dl) AS sum_dl,
-         {", ".join(f"count(*) FILTER (tf{i} > 0) AS df{i}" for i in range(len(BM25_TERMS)))}
+         {dfs}
   FROM per_doc
 )
 SELECT doc_id,
-       CAST(round(({_BM25_CONTRIB}) * 1000000, 0) AS BIGINT) AS score_micro,
+       CAST(round(({contrib}) * 1000000, 0) AS BIGINT) AS score_micro,
        CAST(dl AS BIGINT) AS dl,
-       {", ".join(f"CAST(tf{i} AS BIGINT) AS tf_{t}" for i, t in enumerate(BM25_TERMS))}
+       {tf_out}
 FROM per_doc CROSS JOIN stats
 ORDER BY score_micro DESC, doc_id ASC
-LIMIT {BM25_K}
-""",
+LIMIT {k}
+"""
+
+
+ORACLES = {
+    "text_bm25_topk": _bm25_sql(BM25_TERMS),
+    "text_bm25_topk_joins": _bm25_sql(BM25_TERMS_JOINS),
     "text_bigram_lm_scores": f"""
 WITH t AS (
   SELECT doc_id, {_WORDS} AS toks FROM documents

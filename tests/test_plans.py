@@ -391,6 +391,63 @@ def test_bm25_reuses_token_agg_and_takes_ordered(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
 
 
+def test_bm25_joins_variant_keeps_the_shape(spark, sf_dir):
+    """The generalized builder must produce the SAME single-shuffle plan
+    for a different (4-term) query set — parameterization must not change
+    the physical strategy."""
+    from executor_u1mindexer_spark.suites import text_suite as TS
+
+    df = TS.text_bm25_topk_joins(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("ReusedExchange") >= 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_bm25_multi_pays_one_token_aggregate(spark, sf_dir):
+    """The batched scorer pays the token-explode aggregate ONCE for the
+    whole query set (tf columns for the union of terms + struct explode),
+    never one aggregate per query: exactly one doc_id hash exchange
+    upstream of the explode, stats reuse it, and no partition-less window
+    appears anywhere (per-query work is keyed by query_id)."""
+    from executor_u1mindexer_spark.suites.composed_suite import RRF_QUERIES
+    from executor_u1mindexer_spark.suites.text_suite import bm25_multi_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bm25_multi_scores(docs, RRF_QUERIES)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-reuse "Initial Plan" section, and a
+    # ReusedExchange node prints its referenced exchange inline — count
+    # only real Exchange OPERATOR lines in the final plan
+    final = plan.split("== Initial Plan ==")[0]
+    real_exchanges = [
+        line
+        for line in final.splitlines()
+        if "Exchange hashpartitioning(doc_id" in line and "ReusedExchange" not in line
+    ]
+    # one doc_id aggregate exchange; the 1-row stats branch reuses it
+    assert len(real_exchanges) == 1, final
+    assert final.count("ReusedExchange") >= 1, final
+    assert "explode" in final, final
+
+
+def test_rrf_batch_windows_are_query_partitioned(spark, sf_dir):
+    """Every rank window in the batched RRF is partitioned by query_id —
+    a partition-less window here would funnel corpus-scale rows through
+    one task (the r01 scale-killer class)."""
+    from executor_u1mindexer_spark.suites import composed_suite as CS
+
+    df = CS.hybrid_search_rrf_batch(spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Window" in plan, plan
+    # every Window operator's spec names query_id as a partition key
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "query_id" in line, line
+
+
 def test_q4_exists_plans_as_semi_join(spark, sf_dir):
     """The correlated-inequality EXISTS must plan as a LEFT SEMI join
     (probe rows never multiply) with the inequality inside the join —
