@@ -55,6 +55,8 @@ HEADLINE = [
     "multimodal_decode_audio",
     "events_range_join",
     "events_range_join_bucketed",
+    "events_range_join_amplified",
+    "events_range_join_banded_amplified",
     "text_bigram_lm_scores",
     "text_bm25_topk",
     "hybrid_search_rrf",

@@ -74,10 +74,9 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join: views of the same user within the hour before each
-    purchase (equi on user_id + ts interval predicate)."""
-    ev = tables.load(spark, sf_dir, "events")
+def _range_join_plain(ev: DataFrame) -> DataFrame:
+    """Plain range-join core: equi on user_id, ts interval as a post-join
+    residual — per-user fan-out is views(u) × purchases(u)."""
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
@@ -98,19 +97,12 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of events_range_join: a BANDED interval join. The
-    plain form joins on user_id alone and filters the ts interval AFTER the
-    join — per-user fan-out is views(u) × purchases(u), quadratic in a hot
-    user's activity. Banding adds the hour bucket to the join key: each
-    purchase explodes to its two candidate view buckets (hour h and h-1 —
-    any view within the trailing hour lies in one of them), each view keeps
-    its single bucket, and the equi-join on (user, bucket) bounds fan-out
-    to one hour of activity per key. Pairs stay unique (a view has ONE
-    bucket; the two exploded buckets are distinct), so no dedup is needed.
-    Result is IDENTICAL to events_range_join — same oracle, only the join
-    geometry changes."""
-    ev = tables.load(spark, sf_dir, "events")
+def _range_join_banded(ev: DataFrame) -> DataFrame:
+    """Banded range-join core: (user, hour-bucket) equi key — each purchase
+    explodes to its two candidate buckets, each view keeps one, so per-key
+    fan-out is bounded by one hour of activity. Keys carry user_id through
+    the count so replicated inputs (the amplified bench pair) cannot merge
+    rows that share an event_id across users."""
     hour = F.lit(3600)
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -132,9 +124,11 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "inner",
     )
-    counts = joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("__n"))
+    counts = joined.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     return (
-        p.join(counts, "purchase_id", "left")
+        p.join(counts, ["purchase_id", "user_id"], "left")
         .select(
             "purchase_id",
             "user_id",
@@ -142,6 +136,73 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__n", F.lit(0)).alias("views_last_hour"),
         )
     )
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: views of the same user within the hour before each
+    purchase (equi on user_id + ts interval predicate)."""
+    return _range_join_plain(tables.load(spark, sf_dir, "events"))
+
+
+def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of events_range_join: a BANDED interval join. The
+    plain form joins on user_id alone and filters the ts interval AFTER the
+    join — per-user fan-out is views(u) × purchases(u), quadratic in a hot
+    user's activity. Banding adds the hour bucket to the join key: each
+    purchase explodes to its two candidate view buckets (hour h and h-1 —
+    any view within the trailing hour lies in one of them), each view keeps
+    its single bucket, and the equi-join on (user, bucket) bounds fan-out
+    to one hour of activity per key. Pairs stay unique (a view has ONE
+    bucket; the two exploded buckets are distinct), so no dedup is needed.
+    Result is IDENTICAL to events_range_join — same oracle, only the join
+    geometry changes."""
+    return _range_join_banded(tables.load(spark, sf_dir, "events"))
+
+
+# The fixture's events table is small enough that BOTH range-join forms run
+# in ~0.3-0.5 s of fixed overhead at sf0.1, inside the documented ±0.5 s
+# host-noise band — which is why BENCH_r04 could not separate them even
+# though the candidate-pair counts differ by 376x (267,846 plain vs 711
+# banded at sf0.1). The amplified pair below scales the JOIN WORK (x32
+# users via replica shift — same per-user density, the 100 TB growth
+# axis) while collapsing the output to one row, so the structural
+# difference dominates the fixed overhead and the driver's bench can
+# finally see it.
+RANGE_AMPLIFY = 32
+
+
+def _amplified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(RANGE_AMPLIFY - 1)))
+        )
+        .withColumn("user_id", F.col("user_id") + F.col("__r") * 1_000_000)
+        .drop("__r")
+    )
+
+
+def _range_join_summary(per_purchase: DataFrame) -> DataFrame:
+    return per_purchase.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("views_last_hour").cast("long").alias("sum_views"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def events_range_join_amplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain range join over the x32-amplified events — the bench-scale
+    form of events_range_join (identical join geometry, aggregated
+    output). Paired with events_range_join_banded_amplified below; the two
+    share one oracle because the results are identical."""
+    return _range_join_summary(_range_join_plain(_amplified_events(spark, sf_dir)))
+
+
+def events_range_join_banded_amplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join over the SAME x32-amplified events — measures the
+    banded geometry against the plain form at a scale where join work
+    dominates fixed overhead."""
+    return _range_join_summary(_range_join_banded(_amplified_events(spark, sf_dir)))
 
 
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,8 +553,35 @@ QUERIES = {
     "map_column_ops": map_column_ops,
     "grouping_sets_orders": grouping_sets_orders,
     "events_range_join": events_range_join,
+    "events_range_join_amplified": events_range_join_amplified,
+    "events_range_join_banded_amplified": events_range_join_banded_amplified,
     "events_range_join_bucketed": events_range_join_bucketed,
 }
+
+# shared by both amplified range-join forms — the results are identical by
+# construction (only the join geometry differs), like the per-purchase pair
+_RANGE_AMPLIFIED_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id + r * 1000000 AS user_id, ts, event_type
+  FROM events CROSS JOIN range({RANGE_AMPLIFY}) AS t(r)
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM e WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, ts AS view_ts FROM e WHERE event_type = 'view'
+), pv AS (
+  SELECT purchase_id, user_id, count(view_ts) AS views_last_hour
+  FROM p LEFT JOIN v
+    ON user_id = v_user
+   AND view_ts <= purchase_ts
+   AND view_ts > purchase_ts - INTERVAL '1 hour'
+  GROUP BY purchase_id, user_id
+)
+SELECT count(*) AS n_purchases,
+       CAST(sum(views_last_hour) AS BIGINT) AS sum_views,
+       count(DISTINCT user_id) AS n_users
+FROM pv
+"""
 
 ORACLES = {
     "fuzzy_join_part_names": """
@@ -699,4 +787,6 @@ FROM p LEFT JOIN v
  AND view_ts > purchase_ts - INTERVAL '1 hour'
 GROUP BY purchase_id, user_id, purchase_ts
 """,
+    "events_range_join_amplified": _RANGE_AMPLIFIED_SQL,
+    "events_range_join_banded_amplified": _RANGE_AMPLIFIED_SQL,
 }
