@@ -62,9 +62,10 @@ def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
     """Remaining lossy-format decode (WebP/AVIF/...) — STUB. The container
     has no PIL/opencv; gate the import and fail loudly rather than fake
-    silently. BMP, PPM, baseline PNG (since r03) and baseline JPEG (since
-    r04, operators/jpeg.py) are decoded for real by decode_image_meta — no
-    library needed; progressive JPEG raises its own loud
+    silently. BMP, PPM, baseline PNG (since r03), baseline JPEG (since
+    r04) and progressive + 4:2:0 JPEG (since r05, operators/jpeg.py) are
+    decoded for real by decode_image_meta — no library needed; arithmetic
+    / lossless / 12-bit JPEG variants raise their own loud
     NotImplementedError inside decode_jpeg."""
     try:
         from PIL import Image  # noqa: F401
@@ -72,7 +73,7 @@ def decode_image(payload: bytes):  # pragma: no cover - stub by design
         raise NotImplementedError(
             "WebP/AVIF decode requires PIL, which is not available in this "
             "environment; decode_image_meta handles BMP/PPM/baseline-PNG/"
-            "baseline-JPEG in pure Python"
+            "baseline-and-progressive-JPEG in pure Python"
         ) from e
     raise NotImplementedError("real decode path not implemented in this round")
 
@@ -346,17 +347,23 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
     Lossless containers carry RGB channel byte i = (id*7 + i) % 256
     (top-down raster; the PNG scanline filter cycles id%5 so every
     unfilter path decodes under the oracle). JPEG — lossy in general — is
-    given a CONSTANT image, which the baseline codec roundtrips EXACTLY
-    under its all-ones quant table (operators/jpeg.py): every block is
-    constant so the only nonzero coefficient is the DC. The JPEG slot
-    itself alternates on id%8: 3 → 4:4:4 grayscale of value (id*7)%256;
+    given a CONSTANT image, which the codecs roundtrip EXACTLY under the
+    all-ones quant table (operators/jpeg.py): every block is constant so
+    the only nonzero coefficient is the DC. The JPEG slot itself
+    alternates on id%8: 3 → baseline 4:4:4 grayscale of value (id*7)%256;
     7 → 4:2:0 chroma-subsampled CONSTANT COLOR (r,g,b) = (id*7, id*11,
     id*13) % 256 — the dominant real-world sampling layout, exercising
     the 16x16 MCU interleave + chroma box-average + upsample path
-    (roundtrip verified exhaustively over the full id cycle). So an
-    oracle can state the decoded metadata for every container in closed
-    form without itself decoding anything."""
-    from executor_u1mindexer_spark.operators.jpeg import encode_jpeg
+    (roundtrip verified exhaustively over the full id cycle) — with the
+    4:2:0 slot further split on id%16: 7 → baseline (SOF0), 15 →
+    PROGRESSIVE (SOF2, multi-scan spectral selection + successive
+    approximation; decodes to the identical pixels, so the oracle formula
+    is untouched). So an oracle can state the decoded metadata for every
+    container in closed form without itself decoding anything."""
+    from executor_u1mindexer_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -375,10 +382,11 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 elif did % 8 == 3:
                     gray = bytes([did * 7 % 256]) * (w * h)
                     payloads.append(encode_jpeg(w, h, gray, channels=1))
-                else:  # did % 8 == 7: constant-color 4:2:0
+                else:  # did % 8 == 7: constant-color 4:2:0 (15 -> progressive)
                     color = bytes([did * 7 % 256, did * 11 % 256, did * 13 % 256])
+                    enc = encode_jpeg_progressive if did % 16 == 15 else encode_jpeg
                     payloads.append(
-                        encode_jpeg(w, h, color * (w * h), channels=3, subsampling="420")
+                        enc(w, h, color * (w * h), channels=3, subsampling="420")
                     )
                 ids.append(did)
             yield pd.DataFrame({id_col: ids, "img": payloads})

@@ -257,7 +257,17 @@ def probe_cells(
     near-ties (MLlib assigns via fastSquaredDistance's precomputed-norm
     shortcut, not this naive sum-of-squares fold, so bit-equality is not
     guaranteed when two cells are almost equidistant); multi-probe (the
-    nprobe>=2 default) covers those ties by searching both cells."""
+    nprobe>=2 default) covers those ties by searching both cells.
+
+    EXPRESSION-SIZE CEILING: the ranking embeds n_cells × dim double
+    literals in one expression tree (512 at the suite's n_cells=8 /
+    dim=64 — trivial). Catalyst handles thousands of literals fine, but
+    past n_cells in the low hundreds the generated method risks the JVM's
+    64KB bytecode limit (Spark falls back to interpreted eval) and
+    analysis time grows; raising n_cells into the hundreds should switch
+    to joining a broadcast centroid DataFrame (or an array-literal lookup
+    like ivf_pq_topk's element_at table) instead of per-centroid struct
+    literals."""
     structs = F.array(
         *[
             F.struct(

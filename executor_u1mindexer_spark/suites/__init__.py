@@ -43,73 +43,83 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 4 window: the 24 queries NEW this round (IVF-PQ, BM25, hybrid RRF,
-# snapshot diff, span dedup, SCD2 merge + point-in-time join, fuzzy
-# join, clean-corpus pipeline, TPC-H Q4 + the 14 queries completing the 22-query TPC-H suite
-# — never driver-checked, policy (a) strongest form), the 7 queries whose
-# implementation/oracle changed (JPEG joined the image decode + manifest,
-# quantizer fits sampled + cogrouped + nprobe=2 multi-probe, batch
-# routing, bigram mean as floor-nano, anti join made non-vacuous), then
-# the r01-stale rotations as far as the 50-slot window reaches (19 of 29
-# fit; join_anti moved up into the changed block). The 10 r01 stragglers
-# (scalar_date/math/string, set_ops, topk, window_ntile, window_rank,
-# null_handling, map_column_ops, join_semi) plus all 37 r02 rows rotate first in
-# r05; every one of them is green in the committed local full sweep
-# (CORRECTNESS_LOCAL_r04.json) meanwhile.
+# Round 5 window — the rotation-debt round VERDICT r04 #1 mandated: ALL 47
+# queries whose newest driver row was r01 (10) or r02 (37) come first, so
+# after this round no query's newest driver row is older than r03. That
+# leaves 3 slots for the riskiest r05 changes: ann_ivf_pq_topk (residual
+# PQ encoding + a new self_match_ok column — its r04 row no longer
+# describes the current schema), multimodal_decode_image (the JPEG slot
+# now alternates 4:4:4 gray / 4:2:0 constant color — new pixel_sum
+# values), and scd2_two_batch_history (brand new — scd2_apply
+# composition). The OTHER r05 new/changed rows (text_bm25_topk_joins,
+# hybrid_search_rrf_batch, the amplified range-join pair,
+# scd2_customer_history / scd2_point_in_time_join with the 1e9 offset +
+# derived base_from, multimodal_training_manifest) are placed immediately
+# after the window so they lead the r06 rotation; ALL of them are green
+# in the committed r05 local dtype-faithful sweeps at sf0.01 AND sf0.1
+# meanwhile.
 DRIVER_PRIORITY = (
-    # NEW in r04 — never driver-checked
+    # r05 changes too risky to leave without a fresh driver row
     "ann_ivf_pq_topk",
-    "text_bm25_topk",
-    "hybrid_search_rrf",
-    "index_state_diff",
-    "tpch_q4_order_priority",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "dedup_repeated_spans",
+    "multimodal_decode_image",
+    "scd2_two_batch_history",
+    # newest driver row r01 — the 10 stragglers deferred from the r04 window
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "null_handling_funcs",
+    "map_column_ops",
+    "set_ops_customer_segments",
+    "topk_orders_by_price",
+    "window_ntile_first_last",
+    "window_rank_lag_lead",
+    "join_semi_customers_with_orders",
+    # newest driver row r02 — all 37
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "join_broadcast_dim",
+    "rollup_returnflag_linestatus",
+    "cube_orderstatus_priority",
+    "window_running_sum",
+    "agg_approx_distinct",
+    "window_range_frame",
+    "bucketed_colocated_join",
+    "skew_salted_join",
+    "grouping_sets_orders",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "exact_dedup_text",
+    "near_dedup_minhash_lsh",
+    "near_dedup_ngram_jaccard",
+    "near_dedup_embedding_cosine",
+    "text_token_counts",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "multimodal_join",
+    "multimodal_binary_metadata",
+    "ann_cosine_topk_join",
+    "ann_ivf_label_topk",
+    "ann_lsh_hyperplane_topk",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "traverse_chunks",
+    "sample_hash_fraction",
+    "sample_stratified_by_lang",
+    "mixture_weighted_sources",
+    "chunk_sliding_window",
+    "embedding_quantize_int8",
+    "text_vocab_topk",
+    "text_benchmark_contamination",
+    # --- 50-slot window boundary: rows below lead the r06 rotation ---
+    "text_bm25_topk_joins",
+    "hybrid_search_rrf_batch",
+    "events_range_join_amplified",
+    "events_range_join_banded_amplified",
     "scd2_customer_history",
-    "fuzzy_join_part_names",
-    "clean_corpus_pipeline",
     "scd2_point_in_time_join",
-    # changed this round
-    "multimodal_decode_image",      # id%4 container cycle + JPEG decode
-    "multimodal_training_manifest", # consumes the new image generation rule
-    "ann_kmeans_ivf_topk",          # sampled fit + nprobe=2 multi-probe
-    "vector_pq_codes",              # 8 codebooks fit on a shared sample
-    "knn_search_batch512",          # batch-size impl routing (arrow side)
-    "text_bigram_lm_scores",        # mean emitted as floor-nano integer
-    "join_anti_customers_without_orders",  # non-vacuous price-filtered form
-    # newest driver row is r01 — the 19 that fit this window (10 defer to r05)
-    "knn_search_cosine",
-    "knn_search_euclidean",
-    "knn_search_inner_product",
-    "knn_search_batch1",            # routing change: now catalyst impl
-    "knn_search_batch8",
-    "knn_search_batch64",
-    "limit_clamp",
-    "dim_validate",
-    "payload_fetch",
-    "score_transform_similarity",
-    "clear",
-    "agg_stats_funcs",
-    "correlated_scalar_subquery",
-    "events_asof_purchase_last_view",
-    "events_json_extract",
-    "events_pivot_daily_types",
-    "events_range_join",
-    "events_sliding_1h_30m",
-    "join_full_outer_segments",
+    "multimodal_training_manifest",
 )
 
 

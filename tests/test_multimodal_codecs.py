@@ -213,10 +213,11 @@ def test_jpeg_meta_dispatch():
 
 def test_jpeg_unsupported_variants_raise():
     base = J.encode_jpeg(4, 4, bytes(16), channels=1)
-    # flip SOF0 -> SOF2 (progressive): decoder must refuse loudly
-    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        J.decode_jpeg(prog)
+    # flip SOF0 -> SOF9 (arithmetic coding): decoder must refuse loudly
+    # (SOF2 progressive is SUPPORTED since r05 — see the tests below)
+    arith = base.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        J.decode_jpeg(arith)
     # NON-INTEGER sampling ratio (Y 3/1 vs Cb 2/1): refuse loudly. Integer
     # layouts (4:4:4 / 4:2:2 / 4:2:0) are supported since r05.
     color = J.encode_jpeg(4, 4, bytes(48), channels=3)
@@ -344,6 +345,49 @@ def test_jpeg_420_meta_dispatch():
         "height": h,
         "pixel_sum": w * h * sum(color),
     }
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+    mode=st.sampled_from(["gray", "color", "420", "coarse"]),
+)
+def test_jpeg_progressive_decodes_identically_to_baseline(w, h, seed, mode):
+    # the progressive encoder arranges the SAME quantized coefficients into
+    # multiple scans (spectral selection + successive approximation), so
+    # decode must be BIT-IDENTICAL to the baseline stream of the same
+    # image — a differential oracle against the already-property-tested
+    # baseline codec. "coarse" drives long EOB runs / ZRL-in-refinement.
+    kw = {"channels": 1}
+    n = w * h
+    if mode == "color":
+        kw = {"channels": 3}
+        n *= 3
+    elif mode == "420":
+        kw = {"channels": 3, "subsampling": "420"}
+        n *= 3
+    elif mode == "coarse":
+        kw = {"channels": 1, "quant": [32] * 64}
+    px = bytes(((seed >> (i % 16)) + i * 31) % 256 for i in range(n))
+    assert J.decode_jpeg(J.encode_jpeg_progressive(w, h, px, **kw)) == J.decode_jpeg(
+        J.encode_jpeg(w, h, px, **kw)
+    )
+
+
+def test_jpeg_progressive_constant_color_420_exact_and_dispatches():
+    # the suite's id%16==15 generation rule: progressive 4:2:0 constant
+    # color roundtrips exactly and the metadata dispatch sees it as jpeg
+    did = 15
+    w, h = did % 5 + 2, did % 3 + 2
+    color = bytes([did * 7 % 256, did * 11 % 256, did * 13 % 256])
+    pay = J.encode_jpeg_progressive(w, h, color * (w * h), channels=3, subsampling="420")
+    ww, hh, ch, out = J.decode_jpeg(pay)
+    assert (ww, hh, ch) == (w, h, 3)
+    assert out == color * (w * h)
+    meta = MM.decode_image_meta(pay)
+    assert meta == {"format": "jpeg", "width": w, "height": h, "pixel_sum": w * h * sum(color)}
 
 
 def test_jpeg_multiscan_and_undeclared_tables_raise_loudly():
