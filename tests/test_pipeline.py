@@ -72,3 +72,34 @@ def test_bm25_scores_keep_null_text_docs_in_corpus_stats(spark):
     assert set(rows) == {0, 1, 2}  # the NULL-text doc still counts toward N
     assert rows[1].dl == 1 and rows[1].tf_query == 0  # '' -> one empty token
     assert rows[0].score_micro > rows[2].score_micro > rows[1].score_micro == 0
+
+
+def test_bm25_query_table_matches_literal_term_sets(spark):
+    """The query-TABLE form must produce exactly the per-query scores of
+    the literal-terms form — it is the same operator with the term sets
+    arriving as data."""
+    from executor_u1mindexer_spark.suites.text_suite import (
+        bm25_from_query_table,
+        bm25_multi_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "query table spark"), (1, "join hash join"), (2, "query query hash")],
+        "doc_id long, text string",
+    )
+    qtab = spark.createDataFrame(
+        [(10, "query"), (10, "table"), (11, "hash"), (11, "join")],
+        "query_id long, term string",
+    )
+    via_table = {
+        (r.query_id, r.doc_id): r.score_micro
+        for r in bm25_from_query_table(docs, qtab).collect()
+    }
+    via_literals = {
+        (r.query_id, r.doc_id): r.score_micro
+        for r in bm25_multi_scores(
+            docs, ((10, ("query", "table")), (11, ("hash", "join")))
+        ).collect()
+    }
+    assert via_table == via_literals
+    assert len(via_table) == 6  # 2 queries x 3 docs
