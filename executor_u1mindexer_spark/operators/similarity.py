@@ -435,6 +435,86 @@ def partitioned_topk_merge(
     )
 
 
+def hnsw_partitioned_topk(
+    stored: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    metric: str = "cosine",
+    m: int = 16,
+    ef_construction: int = 100,
+    ef_search: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_embedding",
+    n_partitions: int = 8,
+) -> DataFrame:
+    """Approximate KNN via a REAL per-partition HNSW graph build + global
+    merge — the reference's actual architecture (hnswlib build + knn_query,
+    executor.py:49, 66-70, 112) in the scatter-gather topology of
+    partitioned_topk_merge, with operators/hnsw.py's deterministic
+    pure-numpy HNSW replacing the C++ library this container lacks.
+
+    Same plan shape as partitioned_topk_merge: corpus hash-bucketed, query
+    set broadcast-replicated to every bucket, cogrouped applyInPandas
+    builds one HNSW per bucket and searches it (k rows/query/bucket out),
+    global window keeps the top-k. The graph + search are deterministic
+    (id-hash levels, id-ordered inserts, id tie-breaks), so the result is
+    stable across partitionings and runs — unlike hnswlib, whose RNG
+    levels make every build different.
+
+    ef/M forwarding (executor.py:22-24): ef_construction/m shape the
+    graph, ef_search trades recall for speed at query time — the knobs the
+    exact path accepts-and-ignores become REAL here."""
+    from executor_u1mindexer_spark.operators.hnsw import HNSW
+
+    spark = stored.sparkSession
+    s = stored.select(
+        F.col(id_col),
+        V.as_double_array(vec_col).alias("__svec"),
+        (F.abs(F.hash(F.col(id_col))) % n_partitions).alias("__pid"),
+    )
+    pids = spark.range(n_partitions).select(F.col("id").cast("int").alias("__pid"))
+    q_rep = pids.crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col), V.as_double_array(query_vec_col).alias("__qvec")
+            )
+        )
+    )
+    out_schema = f"{query_id_col} long, {id_col} long, dist double"
+    empty = pd.DataFrame({query_id_col: [], id_col: [], "dist": []})
+    hnsw_metric = {"cosine": "cosine", "euclidean": "l2", "inner_product": "ip"}[metric]
+
+    def local_hnsw_topk(spdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(spdf) == 0 or len(qpdf) == 0:
+            return empty
+        ids = spdf[id_col].to_numpy()
+        mat = np.stack(spdf["__svec"].to_numpy()).astype(np.float64)
+        index = HNSW(
+            mat.shape[1], metric=hnsw_metric, m=m, ef_construction=ef_construction
+        ).build(ids, mat)
+        qids = qpdf[query_id_col].to_numpy()
+        qmat = np.stack(qpdf["__qvec"].to_numpy()).astype(np.float64)
+        rows, out_ids, out_d = index.search_batch(qmat, k, ef=ef_search)
+        return pd.DataFrame(
+            {query_id_col: qids[rows], id_col: out_ids, "dist": out_d}
+        )
+
+    local = (
+        s.groupBy("__pid")
+        .cogroup(q_rep.groupBy("__pid"))
+        .applyInPandas(local_hnsw_topk, schema=out_schema)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "dist")
+    )
+
+
 def ivf_pq_topk(
     stored: DataFrame,
     queries: DataFrame,

@@ -206,6 +206,52 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_hnsw_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-partition HNSW graph search (operators/hnsw.py — the
+    reference's hnswlib architecture, executor.py:49/66-70/112, rebuilt
+    from the public paper as a deterministic pure-numpy kernel inside the
+    partitioned scatter-gather topology), reduced to the invariant scheme
+    of the other trained/approximate operators:
+
+    - n_queries / n_results / per_query_k_ok: every query returns exactly
+      K merged rows;
+    - recall_floor_ok: >= 60% overlap with exact cosine KNN (measured
+      100% at both sf0.01 and sf0.1 — ef_search=50 is effectively exact
+      on this corpus; the floor leaves room for graph-shape drift if the
+      fixture changes);
+    - self_match_ok: every corpus-drawn query finds its own stored copy
+      (distance 0 — a navigable graph cannot miss it at ef >= K).
+
+    Deterministic by construction (id-hash levels, id-ordered inserts,
+    id tie-breaks), which is what makes these invariants stable enough to
+    oracle — hnswlib itself would give a different graph every build."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb).select("query_id", "query_embedding")
+    res = S.hnsw_partitioned_topk(emb, q, k=K)
+    exact = knn.knn_search(emb, q, k=K, metric="cosine").select("query_id", "vec_id")
+    hits = res.join(exact, ["query_id", "vec_id"], "leftsemi")
+    per_q = (
+        res.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max((F.col("query_id") == F.col("vec_id")).cast("int")).alias("self_hit"),
+        )
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h")),
+            "query_id",
+            "left",
+        )
+        .fillna(0, subset=["h"])
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n").cast("long").alias("n_results"),
+        ((F.min("n") == F.lit(K)) & (F.max("n") == F.lit(K))).alias("per_query_k_ok"),
+        (F.sum("h") >= F.lit(3) * F.count(F.lit(1))).alias("recall_floor_ok"),
+        (F.min("self_hit") == F.lit(1)).alias("self_match_ok"),
+    )
+
+
 RADIUS = 0.65  # fixture cosine distances: min non-self ~0.547, p1 ~0.70
 
 
@@ -232,6 +278,7 @@ QUERIES = {
     "ann_ivf_label_topk": ann_ivf_label_topk,
     "ann_lsh_hyperplane_topk": ann_lsh_hyperplane_topk,
     "ann_partitioned_topk": ann_partitioned_topk,
+    "ann_hnsw_partitioned_topk": ann_hnsw_partitioned_topk,
     "vector_pq_codes": vector_pq_codes,
 }
 
@@ -361,6 +408,18 @@ SELECT count(*) AS n_queries,
        CAST(count(*) * {K} AS BIGINT) AS n_results,
        true AS per_query_k_ok,
        true AS cell_consistent,
+       true AS recall_floor_ok,
+       true AS self_match_ok
+FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+""",
+    # HNSW is approximate + graph-shaped, not SQL-expressible: the oracle
+    # states the EXPECTED invariants (K merged rows per query, >=60%
+    # exact-KNN overlap, every query finds its own copy); the Spark side
+    # computes the ACTUAL ones over the deterministic graph.
+    "ann_hnsw_partitioned_topk": f"""
+SELECT count(*) AS n_queries,
+       CAST(count(*) * {K} AS BIGINT) AS n_results,
+       true AS per_query_k_ok,
        true AS recall_floor_ok,
        true AS self_match_ok
 FROM embeddings WHERE vec_id % {QUERY_MOD} = 0

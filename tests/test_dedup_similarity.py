@@ -255,6 +255,79 @@ def test_ivf_pq_topk_contract(spark, sf_dir):
         assert all(a.adc_dist <= b.adc_dist for a, b in zip(ranked, ranked[1:]))
 
 
+def test_hnsw_kernel_recall_determinism_selfmatch():
+    """The pure-numpy HNSW (operators/hnsw.py): high recall vs exact on
+    random vectors, bit-identical results under input permutation (the
+    determinism hnswlib does not give), and guaranteed self-match."""
+    import numpy as np
+
+    from executor_u1mindexer_spark.operators.hnsw import HNSW
+
+    rng = np.random.RandomState(3)
+    n, d, k = 600, 32, 10
+    vecs = rng.randn(n, d)
+    ids = np.arange(n) * 7  # non-contiguous external ids
+    idx = HNSW(d, metric="cosine", m=16, ef_construction=100).build(ids, vecs)
+
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    hits = 0
+    for qi in range(0, n, 30):
+        q = vecs[qi]
+        exact = np.argsort(1.0 - vn @ (q / np.linalg.norm(q)), kind="stable")[:k]
+        got, dists = idx.search(q, k, ef=50)
+        hits += len(set(ids[exact]) & set(got))
+        assert got[0] == ids[qi] and dists[0] <= 1e-12  # self at rank 1
+        assert list(dists) == sorted(dists)
+    assert hits >= 0.9 * k * len(range(0, n, 30))
+
+    perm = rng.permutation(n)
+    idx2 = HNSW(d, metric="cosine", m=16, ef_construction=100).build(ids[perm], vecs[perm])
+    for qi in range(0, n, 60):
+        a_ids, a_d = idx.search(vecs[qi], k)
+        b_ids, b_d = idx2.search(vecs[qi], k)
+        assert np.array_equal(a_ids, b_ids) and np.allclose(a_d, b_d)
+
+
+def test_hnsw_kernel_l2_and_ip_metrics():
+    import numpy as np
+
+    from executor_u1mindexer_spark.operators.hnsw import HNSW
+
+    rng = np.random.RandomState(9)
+    n, d = 200, 16
+    vecs = rng.randn(n, d)
+    ids = np.arange(n)
+    for metric, score in (
+        ("l2", lambda q: ((vecs - q) ** 2).sum(axis=1)),
+        ("ip", lambda q: 1.0 - vecs @ q),
+    ):
+        idx = HNSW(d, metric=metric, m=8, ef_construction=64).build(ids, vecs)
+        q = vecs[17]
+        got, dists = idx.search(q, 5, ef=40)
+        exact = np.argsort(score(q), kind="stable")[:5]
+        assert len(set(exact) & set(got)) >= 4
+        # reference metric semantics: squared L2 / 1 - <a,b>
+        assert abs(dists[0] - score(q)[got[0]]) < 1e-9
+
+
+def test_hnsw_partitioned_topk_contract(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % similarity_suite.QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    rows = S.hnsw_partitioned_topk(emb, q, k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == q.count()
+    for qid, matches in by_q.items():
+        ranked = sorted(matches, key=lambda r: r.rank)
+        assert [r.rank for r in ranked] == [1, 2, 3]
+        assert all(a.dist <= b.dist for a, b in zip(ranked, ranked[1:]))
+        assert ranked[0].vec_id == qid and ranked[0].dist <= 1e-12  # self-match
+
+
 def test_ivf_pq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
