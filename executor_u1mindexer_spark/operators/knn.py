@@ -218,8 +218,28 @@ def knn_search(
     (same fold order), ~10x less per-pair interpretation overhead for
     large query batches; the shape an hnswlib-style per-partition index
     would plug into.
+    impl='hnsw': APPROXIMATE search through the from-scratch deterministic
+    per-partition HNSW graph (operators/hnsw.py + similarity.
+    hnsw_partitioned_topk) — the reference's actual index structure
+    (executor.py:49, 112); sub-linear per-partition search, recall < 1.0
+    possible by construction, same output contract.
     """
-    if impl == "arrow":
+    if impl == "hnsw":
+        from executor_u1mindexer_spark.operators.similarity import (
+            hnsw_partitioned_topk,
+        )
+
+        scored = hnsw_partitioned_topk(
+            stored,
+            queries,
+            k=k,
+            metric=metric,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col, F.col("dist").alias("__dist"))
+    elif impl == "arrow":
         scored = _arrow_scored(
             stored,
             queries,
