@@ -448,6 +448,29 @@ def test_rrf_batch_windows_are_query_partitioned(spark, sf_dir):
             assert "query_id" in line, line
 
 
+def test_hnsw_partitioned_topk_plan_shape(spark, sf_dir):
+    """The per-partition HNSW search must keep the scatter-gather shape:
+    the corpus pays ONE pid-hash exchange into the cogroup (graph build is
+    executor-local), the query side rides a broadcast before its pid
+    replication, and the merge window is query-partitioned — never a
+    single-task window or a corpus re-shuffle."""
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    df = S.hnsw_partitioned_topk(emb, q, k=3)
+    plan = plans.physical_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BroadcastExchange" in plan, plan  # query side scattered by broadcast
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "query_id" in line, line
+
+
 def test_q4_exists_plans_as_semi_join(spark, sf_dir):
     """The correlated-inequality EXISTS must plan as a LEFT SEMI join
     (probe rows never multiply) with the inequality inside the join —
