@@ -289,6 +289,7 @@ def encode_jpeg(
     channels: int = 1,
     quant: list[int] | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG from a top-down 8-bit raster (gray: w*h bytes; RGB:
     w*h*3 bytes, encoded as YCbCr). quant is the 64-entry natural-order
@@ -296,7 +297,9 @@ def encode_jpeg(
     near-lossless). subsampling: '444' (every component full-resolution,
     one 8x8 MCU) or '420' (chroma box-averaged 2x2, 16x16 MCUs of
     4 Y + 1 Cb + 1 Cr blocks — the dominant real-world camera/web layout);
-    ignored for grayscale."""
+    ignored for grayscale. restart_interval > 0 emits a DRI segment and
+    RSTn markers every that-many MCUs (byte-aligned, DC predictors reset
+    — the error-resilience feature real encoders emit)."""
     comps, q = _prep_components(width, height, pixels, channels, quant, subsampling)
     hmax = max(hs for _, hs, _ in comps)
     vmax = max(vs for _, _, vs in comps)
@@ -305,8 +308,14 @@ def encode_jpeg(
     pred = [0] * channels
     n_my = comps[0][0].shape[0] // (8 * vmax)
     n_mx = comps[0][0].shape[1] // (8 * hmax)
+    mcu = rst = 0
     for my in range(n_my):
         for mx in range(n_mx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                pred = [0] * channels
             for ci, (plane, hs, vs) in enumerate(comps):
                 for v in range(vs):
                     for u in range(hs):
@@ -315,6 +324,7 @@ def encode_jpeg(
                         pred[ci] = _encode_block(
                             bw, plane[py : py + 8, px : px + 8], qtab, pred[ci]
                         )
+            mcu += 1
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
