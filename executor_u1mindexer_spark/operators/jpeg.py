@@ -170,8 +170,11 @@ class _BitReader:
         """Drop pad bits, expect a marker, return its second byte."""
         self._acc = 0
         self._n = 0
-        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xFF:
-            self.pos += 1  # fill bytes before a marker are legal
+        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] in (0xFF, 0x00):
+            # FF FF = legal fill byte; FF 00 = a stuffed pad byte whose bits
+            # were never consumed (an all-ones pad byte gets stuffed like
+            # any other 0xFF) — both are pre-marker padding here
+            self.pos += 1 if self.data[self.pos + 1] == 0xFF else 2
         if self.data[self.pos] != 0xFF:
             raise ValueError("expected a marker in entropy data")
         m = self.data[self.pos + 1]
@@ -342,9 +345,10 @@ def encode_jpeg(
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS),
     )
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos_comps = b"".join(struct.pack(">BB", cid + 1, 0x00) for cid in range(channels))
     sos = seg(0xFFDA, bytes([channels]) + sos_comps + bytes([0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof0 + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 # --- progressive (SOF2) encode ---------------------------------------------
@@ -472,13 +476,18 @@ def encode_jpeg_progressive(
     channels: int = 1,
     quant: list[int] | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG (SOF2) from the same raster contract as
     encode_jpeg. The quantized coefficients are IDENTICAL to the baseline
     encoder's (same DCT, same quant, same rounding) — only their
     arrangement into scans differs — so for any input,
     decode_jpeg(encode_jpeg_progressive(x)) == decode_jpeg(encode_jpeg(x))
-    bit-for-bit; the tests pin exactly that differential."""
+    bit-for-bit; the tests pin exactly that differential.
+    restart_interval > 0 emits RSTn markers every that-many restart units
+    (MCUs in the interleaved DC scans, blocks in the per-component AC
+    scans) with predictors/EOB runs flushed — per T.81 the RST counter
+    restarts at D0 in every scan."""
     comps, q = _prep_components(width, height, pixels, channels, quant, subsampling)
     hmax = max(hs for _, hs, _ in comps)
     vmax = max(vs for _, _, vs in comps)
@@ -529,62 +538,87 @@ def encode_jpeg_progressive(
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS),
     )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
 
-    def mcu_blocks():
-        """(ci, block_row, block_col) in MCU interleave order."""
+    def dc_scan(emit_mcu, reset_pred) -> bytearray:
+        """Interleaved MCU walk with restart handling shared by both DC
+        scans; emit_mcu(bw, my, mx) encodes one MCU's blocks."""
+        bw = _BitWriter()
+        mcu = rst = 0
         for my in range(n_my):
             for mx in range(n_mx):
-                for ci, (_, hs, vs) in enumerate(comps):
-                    for v in range(vs):
-                        for u in range(hs):
-                            yield ci, my * vs + v, mx * hs + u
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                    rst += 1
+                    reset_pred()
+                emit_mcu(bw, my, mx)
+                mcu += 1
+        bw.flush()
+        return bw.out
 
     # scan 1: DC first, interleaved, Al=1
-    bw = _BitWriter()
     pred = [0] * channels
-    for ci, by, bx in mcu_blocks():
-        t = int(zblocks[ci][by, bx, 0]) >> 1  # arithmetic shift per G.1.2.1
-        size, extra = _magnitude(t - pred[ci])
-        pred[ci] = t
-        code, length = _DC_CODES[size]
-        bw.write(code, length)
-        if size:
-            bw.write(extra, size)
-    bw.flush()
-    out += sos(list(range(channels)), 0, 0, 0, 1) + bw.out
+
+    def dc_first_mcu(bw, my, mx):
+        for ci, (_, hs, vs) in enumerate(comps):
+            for v in range(vs):
+                for u in range(hs):
+                    t = int(zblocks[ci][my * vs + v, mx * hs + u, 0]) >> 1
+                    size, extra = _magnitude(t - pred[ci])  # G.1.2.1
+                    pred[ci] = t
+                    code, length = _DC_CODES[size]
+                    bw.write(code, length)
+                    if size:
+                        bw.write(extra, size)
+
+    def _reset_pred():
+        for ci in range(channels):
+            pred[ci] = 0
+
+    out += sos(list(range(channels)), 0, 0, 0, 1)
+    out += dc_scan(dc_first_mcu, _reset_pred)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytearray:
+        bw = _BitWriter()
+        st = _ProgACState(bw)
+        bh, bwid = comp_grid(ci)
+        enc = _encode_ac_first_block if ah == 0 else _encode_ac_refine_block
+        unit = rst = 0
+        for by in range(bh):
+            for bx in range(bwid):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    st.flush_eobrun()
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                    rst += 1
+                enc(st, zblocks[ci][by, bx], ss, se, al)
+                unit += 1
+        st.flush_eobrun()
+        bw.flush()
+        return bw.out
 
     # scans 2-4: AC first scans at Al=2, then refinement Ah=2 -> Al=1
     for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1)):
         for ci in range(channels):
-            bw = _BitWriter()
-            st = _ProgACState(bw)
-            bh, bwid = comp_grid(ci)
-            enc = _encode_ac_first_block if ah == 0 else _encode_ac_refine_block
-            for by in range(bh):
-                for bx in range(bwid):
-                    enc(st, zblocks[ci][by, bx], ss, se, al)
-            st.flush_eobrun()
-            bw.flush()
-            out += sos([ci], ss, se, ah, al) + bw.out
+            out += sos([ci], ss, se, ah, al)
+            out += ac_scan(ci, ss, se, ah, al)
 
     # scan 5: DC refinement — one raw bit per block, interleaved
-    bw = _BitWriter()
-    for ci, by, bx in mcu_blocks():
-        bw.write(int(zblocks[ci][by, bx, 0]) & 1, 1)
-    bw.flush()
-    out += sos(list(range(channels)), 0, 0, 1, 0) + bw.out
+    def dc_refine_mcu(bw, my, mx):
+        for ci, (_, hs, vs) in enumerate(comps):
+            for v in range(vs):
+                for u in range(hs):
+                    bw.write(int(zblocks[ci][my * vs + v, mx * hs + u, 0]) & 1, 1)
+
+    out += sos(list(range(channels)), 0, 0, 1, 0)
+    out += dc_scan(dc_refine_mcu, lambda: None)
 
     # scan 6: final AC refinement Ah=1 -> Al=0
     for ci in range(channels):
-        bw = _BitWriter()
-        st = _ProgACState(bw)
-        bh, bwid = comp_grid(ci)
-        for by in range(bh):
-            for bx in range(bwid):
-                _encode_ac_refine_block(st, zblocks[ci][by, bx], 1, 63, 0)
-        st.flush_eobrun()
-        bw.flush()
-        out += sos([ci], 1, 63, 1, 0) + bw.out
+        out += sos([ci], 1, 63, 1, 0)
+        out += ac_scan(ci, 1, 63, 1, 0)
 
     out += b"\xff\xd9"
     return bytes(out)

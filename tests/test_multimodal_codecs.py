@@ -390,6 +390,31 @@ def test_jpeg_progressive_constant_color_420_exact_and_dispatches():
     assert meta == {"format": "jpeg", "width": w, "height": h, "pixel_sum": w * h * sum(color)}
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(9, 40),
+    h=st.integers(9, 40),
+    seed=st.integers(0, 2**31),
+    dri=st.integers(1, 4),
+    color=st.booleans(),
+)
+def test_jpeg_restart_intervals_roundtrip(w, h, seed, dri, color):
+    # DRI + RSTn markers (byte-aligned, predictors/EOB runs reset) must not
+    # change decoded pixels, in either framing — previously the decoder's
+    # restart path was dead code because no encoder emitted it
+    kw = {"channels": 3, "subsampling": "420"} if color else {"channels": 1}
+    n = w * h * (3 if color else 1)
+    px = bytes(((seed >> (i % 16)) + i * 31) % 256 for i in range(n))
+    plain = J.decode_jpeg(J.encode_jpeg(w, h, px, **kw))
+    rst = J.encode_jpeg(w, h, px, restart_interval=dri, **kw)
+    assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
+    assert J.decode_jpeg(rst) == plain
+    assert (
+        J.decode_jpeg(J.encode_jpeg_progressive(w, h, px, restart_interval=dri, **kw))
+        == plain
+    )
+
+
 def test_jpeg_multiscan_and_undeclared_tables_raise_loudly():
     import struct
 
