@@ -392,8 +392,10 @@ def test_jpeg_progressive_constant_color_420_exact_and_dispatches():
 
 @settings(max_examples=15, deadline=None)
 @given(
-    w=st.integers(9, 40),
-    h=st.integers(9, 40),
+    # >= 17 so even the 4:2:0 16x16-MCU grid has >= 2 MCUs (a single-MCU
+    # image has no restart boundary to mark)
+    w=st.integers(17, 48),
+    h=st.integers(17, 48),
     seed=st.integers(0, 2**31),
     dri=st.integers(1, 4),
     color=st.booleans(),
