@@ -114,6 +114,8 @@ DRIVER_PRIORITY = (
     "text_benchmark_contamination",
     # --- 50-slot window boundary: rows below lead the r06 rotation ---
     "ann_hnsw_partitioned_topk",
+    "text_bpe_learn_merges",
+    "text_bpe_tokenize",
     "text_bm25_topk_joins",
     "hybrid_search_rrf_batch",
     "events_range_join_amplified",

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark import cache, tables
 from executor_u1mindexer_spark.functions import text as T
 
 
@@ -297,6 +297,142 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distributed BPE (byte-pair-encoding style) merge learning --------------
+#
+# The tokenizer-training operator every LLM data pipeline runs: learn the
+# N most frequent adjacent-token merges over the corpus, then tokenize with
+# them. Spark shape per merge: one pair-count aggregate (map-side partial,
+# one shuffle) + a 1-row argmax collect + a map-only regexp pass — the
+# iterative-trainer pattern (compare dedup_clusters' fixpoint loop); N
+# merges = N bounded passes. At 100 TB you learn merges on a bounded
+# deterministic sample (fit_sample) and APPLY map-only; the fixture fits on
+# the full corpus so the oracle can replay learning exactly.
+#
+# DETERMINISTIC MERGE SEMANTICS (identical in Spark/Java regex and
+# DuckDB/RE2, neither of which shares canonical BPE's leftmost-pair loop):
+# - pair frequency := adjacent pairs of the CURRENT token list (overlap
+#   allowed: "a a a" counts (a,a) twice); argmax ties break on (a, b);
+# - merge application := ONE left-to-right non-overlapping pass of the
+#   boundary-consuming pattern " a b " -> " a~b " over the
+#   space-sentineled token string (both engines' regexp_replace resume
+#   after the match end, so an odd chain "a b a b" merges only its first
+#   occurrence per pass — a documented, engine-identical simplification);
+# - '~' glues merged tokens (fixture vocabulary is alphanumeric, enforced).
+BPE_MERGES = 8
+BPE_GLUE = "~"
+
+
+def _bpe_corpus(d: DataFrame) -> DataFrame:
+    # space-sentineled token string: ' t1 t2 ... tn ' (empty text -> '  ')
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", T.words(F.coalesce(F.col("text"), F.lit("")))),
+            F.lit(" "),
+        ).alias("s"),
+    )
+
+
+def _bpe_pair_counts(c: DataFrame) -> DataFrame:
+    # index-explode instead of arrays_zip+filter: this Spark build returns
+    # null for the SECOND zipped field inside a filter() lambda (verified
+    # minimal repro: filter(arrays_zip(a, b), p -> p['b'].isNotNull())
+    # sees b=None for every element while plain collect shows real
+    # values), so pairs are built by position with element_at
+    toks = F.split(F.trim(F.col("s")), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = c.select(toks.alias("t"), F.explode(idx).alias("j"))
+    return (
+        ex.select(
+            F.element_at("t", F.col("j")).alias("a"),
+            F.element_at("t", F.col("j") + 1).alias("b"),
+        )
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bpe_learn_merges(d: DataFrame, n_merges: int = BPE_MERGES):
+    """Returns (merges list[(rank, a, b, count)], final corpus DataFrame).
+    Each iteration collects ONE argmax row; the corpus string is rewritten
+    map-only. Raises if the vocabulary ever contains regex metacharacters
+    (the deterministic-semantics contract needs literal patterns)."""
+    import re as _re
+
+    cur = _bpe_corpus(d)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _bpe_pair_counts(cur)
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        if not _re.fullmatch(r"[\w~]+", a + b):
+            raise ValueError(f"BPE merge pair contains regex metacharacters: {a!r} {b!r}")
+        merges.append((rank, a, b, c))
+        cur = cur.select(
+            "doc_id",
+            F.regexp_replace(
+                F.col("s"), f" {a} {b} ", f" {a}{BPE_GLUE}{b} "
+            ).alias("s"),
+        )
+        # each iteration stacks one aggregate + one regexp on the lineage;
+        # truncate so N merges cost N linear passes, not a 2^N plan
+        cur = cur.localCheckpoint(eager=True)
+    return merges, cur
+
+
+_BPE_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+cache.on_release(lambda: _BPE_CACHE.clear())
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = bpe_learn_merges(_docs(spark, sf_dir))
+    return _BPE_CACHE[key]
+
+
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table itself — rank, both sides, and the pair
+    frequency at learn time. The oracle REPLAYS the whole training loop as
+    n_merges chained CTE stages (count -> argmax -> rewrite), so any
+    divergence in counting, tie-breaking, or merge application flips a
+    row."""
+    merges, _ = _bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair_a string, pair_b string, n_count bigint"
+    ).orderBy("merge_rank")
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges to the corpus (map-only once fit): per doc,
+    tokens before/after and how many carry at least one merge glue."""
+    _, final = _bpe_fit(spark, sf_dir)
+    toks = F.filter(F.split(F.trim(F.col("s")), " "), lambda t: t != "")
+    base = _bpe_corpus(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim(F.col("s")), " "), lambda t: t != "")).alias(
+            "n_tokens_before"
+        ),
+    )
+    after = final.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens_after"),
+        F.size(F.filter(toks, lambda t: t.contains(BPE_GLUE))).alias("n_merged_tokens"),
+    )
+    return base.join(after, "doc_id")
+
+
 BM25_TERMS = ("query", "table", "spark")  # fixture vocabulary, any SF
 BM25_TERMS_JOINS = ("join", "hash", "merge", "sort")  # 2nd set, different arity
 BM25_K1, BM25_B, BM25_K = 1.2, 0.75, 20
@@ -481,6 +617,8 @@ QUERIES = {
     "text_bigram_lm_scores": text_bigram_lm_scores,
     "text_bm25_topk": text_bm25_topk,
     "text_bm25_topk_joins": text_bm25_topk_joins,
+    "text_bpe_learn_merges": text_bpe_learn_merges,
+    "text_bpe_tokenize": text_bpe_tokenize,
     "text_pii_redaction": text_pii_redaction,
     "text_url_domains": text_url_domains,
     "text_length_histogram": text_length_histogram,
@@ -604,7 +742,82 @@ LIMIT {k}
 """
 
 
+def _bpe_sql_stages(n: int = BPE_MERGES) -> str:
+    """The BPE training loop replayed as chained CTE stages: per merge i,
+    p{i} counts adjacent pairs of the current tokenization, m{i} takes the
+    deterministic argmax, c{i} rewrites the corpus with the boundary-
+    consuming non-overlapping pass — the exact semantics the Spark loop
+    uses (see the BPE block comment)."""
+    # every stage is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # stage references its predecessor twice (pair counts + rewrite), so
+    # un-materialized chaining re-expands c0 2^n times — the observed
+    # "too many open files" fd explosion at n=8
+    parts = [
+        r"""c0 AS MATERIALIZED (
+  SELECT doc_id,
+         ' ' || array_to_string(str_split_regex(coalesce(text, ''), '\s+'), ' ') || ' ' AS s
+  FROM documents)"""
+    ]
+    for i in range(1, n + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT t[j] AS a, t[j + 1] AS b, count(*) AS c
+  FROM (SELECT str_split(trim(s), ' ') AS t FROM {prev}) x,
+       unnest(range(1, len(t))) AS u(j)
+  WHERE t[j] <> '' AND t[j + 1] <> ''
+  GROUP BY t[j], t[j + 1])"""
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT a, b, c FROM p{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(s,
+           ' ' || (SELECT a FROM m{i}) || ' ' || (SELECT b FROM m{i}) || ' ',
+           ' ' || (SELECT a FROM m{i}) || '{BPE_GLUE}' || (SELECT b FROM m{i}) || ' ',
+           'g') AS s
+  FROM {prev})"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+_BPE_LEARN_SQL = (
+    _bpe_sql_stages()
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS pair_a, b AS pair_b, CAST(c AS BIGINT) AS n_count FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    + "\nORDER BY merge_rank"
+)
+
+_BPE_TOKENIZE_SQL = (
+    _bpe_sql_stages()
+    + f"""
+SELECT b.doc_id,
+       b.n_tokens_before,
+       a.n_tokens_after,
+       a.n_merged_tokens
+FROM (SELECT doc_id,
+             CAST(len(list_filter(str_split(trim(s), ' '), t -> t <> '')) AS INT)
+               AS n_tokens_before
+      FROM c0) b
+JOIN (SELECT doc_id,
+             CAST(len(list_filter(str_split(trim(s), ' '), t -> t <> '')) AS INT)
+               AS n_tokens_after,
+             CAST(len(list_filter(str_split(trim(s), ' '),
+                                  t -> contains(t, '{BPE_GLUE}'))) AS INT)
+               AS n_merged_tokens
+      FROM c{BPE_MERGES}) a
+  ON b.doc_id = a.doc_id
+"""
+)
+
 ORACLES = {
+    "text_bpe_learn_merges": _BPE_LEARN_SQL,
+    "text_bpe_tokenize": _BPE_TOKENIZE_SQL,
     "text_bm25_topk": _bm25_sql(BM25_TERMS),
     "text_bm25_topk_joins": _bm25_sql(BM25_TERMS_JOINS),
     "text_bigram_lm_scores": f"""

@@ -74,6 +74,37 @@ def test_bm25_scores_keep_null_text_docs_in_corpus_stats(spark):
     assert rows[0].score_micro > rows[2].score_micro > rows[1].score_micro == 0
 
 
+def test_bpe_learn_merges_semantics(spark):
+    """Pins the documented deterministic BPE variant on a corpus chosen to
+    exercise every rule: overlap-counted pair frequencies, (a, b)
+    alphabetical tie-break, single-pass boundary-consuming merge (the odd
+    'cat cat cat cat' chain merges once per pass, finishing in a later
+    round), and merged tokens re-entering the pair pool."""
+    from executor_u1mindexer_spark.suites.text_suite import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the cat mat"),
+            (1, "the cat sat"),
+            (2, None),
+            (3, "cat cat cat cat"),
+            (4, "on the mat the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+    merges, final = bpe_learn_merges(docs, n_merges=4)
+    assert merges == [
+        (1, "the", "cat", 4),
+        (2, "cat", "cat", 3),       # overlap counting: 3 adjacent pairs
+        (3, "the~cat", "sat", 3),   # merged token re-enters the pool
+        (4, "cat", "cat", 1),       # the pair the single pass left behind
+    ]
+    got = {r.doc_id: r.s for r in final.collect()}
+    assert got[0] == " the~cat~sat on the~cat mat "
+    assert got[3] == " cat~cat cat~cat "
+    assert got[2] == "  "  # NULL text flows through untouched
+
+
 def test_bm25_query_table_matches_literal_term_sets(spark):
     """The query-TABLE form must produce exactly the per-query scores of
     the literal-terms form — it is the same operator with the term sets
