@@ -41,6 +41,40 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the classic TSDB/market-data resample: per
+    (hour, event_type) bar, the first and last tick's value (open/close),
+    the extremes (high/low), tick count, and the decimal-summed volume
+    proxy. open/close pick by a (ts, event_id) composite via
+    min_by/max_by (one aggregate pass, no window), so duplicate
+    timestamps stay deterministic; the composite rides as a
+    zero-padded lexicographic string because this DuckDB's
+    arg_min/arg_max accepts only scalar keys (no struct ordering). Same
+    single-shuffle grouped-agg shape as events_tumbling_hourly."""
+    ev = tables.load(spark, sf_dir, "events")
+    # fixed-width render (microsecond precision, zero-padded) — NTZ
+    # timestamps have no unix_micros in Spark, and a plain string cast
+    # trims trailing zeros, so both engines format explicitly
+    ordk = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return E.tumbling_window(
+        ev,
+        "1 hour",
+        keys=("event_type",),
+        aggs=[
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        ],
+    )
+
+
 def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return E.sliding_window(ev, "1 hour", "30 minutes", aggs=[F.count(F.lit(1)).alias("n_events")])
@@ -136,6 +170,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
+    "events_resample_ohlc": events_resample_ohlc,
     "events_gapfill_hourly": events_gapfill_hourly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
     "events_sessionize": events_sessionize,
@@ -180,6 +215,20 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
        event_type,
        count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+    "events_resample_ohlc": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       arg_min(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '-'
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS "open",
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '-'
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS "close",
+       count(*) AS n_ticks,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2, 3
 """,
