@@ -116,6 +116,7 @@ DRIVER_PRIORITY = (
     "ann_hnsw_partitioned_topk",
     "text_bpe_learn_merges",
     "text_bpe_tokenize",
+    "events_resample_ohlc",
     "text_bm25_topk_joins",
     "hybrid_search_rrf_batch",
     "events_range_join_amplified",
