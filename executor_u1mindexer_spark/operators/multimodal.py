@@ -66,7 +66,18 @@ def decode_image(payload: bytes):  # pragma: no cover - stub by design
     r04) and progressive + 4:2:0 JPEG (since r05, operators/jpeg.py) are
     decoded for real by decode_image_meta — no library needed; arithmetic
     / lossless / 12-bit JPEG variants raise their own loud
-    NotImplementedError inside decode_jpeg."""
+    NotImplementedError inside decode_jpeg.
+
+    Why WebP stays a stub when progressive JPEG was closeable: a VP8L
+    (WebP-lossless) decoder needs three exact constant tables this
+    offline container cannot verify — the 120-entry 2D distance map, the
+    kCodeLengthCodeOrder permutation, and the 14 spatial-predictor mode
+    assignments. Writing both encoder and decoder from half-remembered
+    constants would make roundtrip tests pass while real-world files
+    decode WRONG (the errors self-cancel) — a silently-incorrect decoder
+    is worse than a loud gate. JPEG's T.81 tables (zigzag, default
+    huffman construction) are derivable from first principles, which is
+    why that codec could be built honestly."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
