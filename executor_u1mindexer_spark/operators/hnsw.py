@@ -73,6 +73,10 @@ class HNSW:
     ) -> None:
         if metric not in ("l2", "cosine", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
+        if m < 2:
+            # m=1 would make mult = 1/log(1) a ZeroDivisionError and m=0
+            # an unnavigable graph; fail with the module's loud-gate style
+            raise ValueError(f"m must be >= 2, got {m}")
         self.dim = dim
         self.metric = metric
         self.m = m

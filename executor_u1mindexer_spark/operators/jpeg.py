@@ -771,6 +771,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns == 0:
+                # T.81 requires 1 <= Ns <= 4; a zero-component scan is a
+                # corrupt stream — reject loudly rather than IndexError on
+                # scan_order[0] deeper in the DC/AC unit loops
+                raise ValueError("SOS declares zero scan components")
             scan_tabs = {}
             scan_order = []
             for si in range(ns):

@@ -229,7 +229,11 @@ def knn_search(
             hnsw_partitioned_topk,
         )
 
-        scored = hnsw_partitioned_topk(
+        # hnsw_partitioned_topk's gather window already produced the exact
+        # (rank, dist) this tail would compute — re-running the shared
+        # row_number window below would add a second exchange+sort over the
+        # same partition key for a column we just dropped. Reuse it.
+        topk = hnsw_partitioned_topk(
             stored,
             queries,
             k=k,
@@ -238,8 +242,14 @@ def knn_search(
             vec_col=vec_col,
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
-        ).select(query_id_col, id_col, F.col("dist").alias("__dist"))
-    elif impl == "arrow":
+        ).select(
+            query_id_col,
+            id_col,
+            "rank",
+            V.score_transform(metric, F.col("dist"), is_distance).alias("score"),
+        )
+        return _with_payload(topk, payload, id_col, payload_key)
+    if impl == "arrow":
         scored = _arrow_scored(
             stored,
             queries,
@@ -292,7 +302,12 @@ def knn_search(
             V.score_transform(metric, F.col("__dist"), is_distance).alias("score"),
         )
     )
+    return _with_payload(topk, payload, id_col, payload_key)
 
+
+def _with_payload(
+    topk: DataFrame, payload: DataFrame | None, id_col: str, payload_key: str
+) -> DataFrame:
     if payload is not None:
         # executor.py:116 — every match carries the full stored row.
         topk = topk.join(payload, on=topk[id_col] == payload[payload_key], how="inner").drop(

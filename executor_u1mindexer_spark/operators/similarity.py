@@ -375,27 +375,7 @@ def partitioned_topk_merge(
     table (q × n_partitions small rows — the standard scatter cost of
     scatter-gather search), then cogrouped with the stored bucket.
     """
-    spark = stored.sparkSession
-    s = stored.select(
-        F.col(id_col),
-        V.as_double_array(vec_col).alias("__svec"),
-        (F.abs(F.hash(F.col(id_col))) % n_partitions).alias("__pid"),
-    )
-    pids = spark.range(n_partitions).select(F.col("id").cast("int").alias("__pid"))
-    q_rep = pids.crossJoin(
-        F.broadcast(
-            queries.select(
-                F.col(query_id_col), V.as_double_array(query_vec_col).alias("__qvec")
-            )
-        )
-    )
-
-    out_schema = f"{query_id_col} long, {id_col} long, dist double"
-    empty = pd.DataFrame({query_id_col: [], id_col: [], "dist": []})
-
     def local_topk(spdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(spdf) == 0 or len(qpdf) == 0:
-            return empty
         qids = qpdf[query_id_col].to_numpy()
         qmat = np.stack(qpdf["__qvec"].to_numpy()).astype(np.float64)
         ids = spdf[id_col].to_numpy()
@@ -422,10 +402,71 @@ def partitioned_topk_merge(
             }
         )
 
+    return _scatter_gather_topk(
+        stored,
+        queries,
+        k=k,
+        kernel=local_topk,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        n_partitions=n_partitions,
+    )
+
+
+def _scatter_gather_topk(
+    stored: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    kernel,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    n_partitions: int,
+) -> DataFrame:
+    """Shared scatter-gather scaffolding for per-partition top-k search.
+
+    Buckets the corpus into n_partitions deterministic hash buckets
+    (F.pmod, NOT abs(hash) % n: abs(Integer.MIN_VALUE) overflows back to
+    negative in non-ANSI mode, which with a non-power-of-two n_partitions
+    would yield a pid outside 0..n-1 and silently make that vector
+    unsearchable — pmod is non-negative for the full int domain),
+    broadcast-replicates the query set to every bucket, cogroups, runs
+    `kernel(stored_pdf, query_pdf) -> DataFrame[query_id, id, dist]` per
+    bucket (never called on an empty side), and keeps the global top-k per
+    query with a rank window.  partitioned_topk_merge (exact numpy kernel)
+    and hnsw_partitioned_topk (graph kernel) both delegate here so the
+    bucketing key, empty-side guard, and merge window can never drift
+    apart."""
+    spark = stored.sparkSession
+    s = stored.select(
+        F.col(id_col),
+        V.as_double_array(vec_col).alias("__svec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_partitions)).alias("__pid"),
+    )
+    pids = spark.range(n_partitions).select(F.col("id").cast("int").alias("__pid"))
+    q_rep = pids.crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col), V.as_double_array(query_vec_col).alias("__qvec")
+            )
+        )
+    )
+    out_schema = f"{query_id_col} long, {id_col} long, dist double"
+    empty = pd.DataFrame({query_id_col: [], id_col: [], "dist": []})
+
+    def guarded(spdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(spdf) == 0 or len(qpdf) == 0:
+            return empty
+        return kernel(spdf, qpdf)
+
     local = (
         s.groupBy("__pid")
         .cogroup(q_rep.groupBy("__pid"))
-        .applyInPandas(local_topk, schema=out_schema)
+        .applyInPandas(guarded, schema=out_schema)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
     return (
@@ -469,27 +510,9 @@ def hnsw_partitioned_topk(
     exact path accepts-and-ignores become REAL here."""
     from executor_u1mindexer_spark.operators.hnsw import HNSW
 
-    spark = stored.sparkSession
-    s = stored.select(
-        F.col(id_col),
-        V.as_double_array(vec_col).alias("__svec"),
-        (F.abs(F.hash(F.col(id_col))) % n_partitions).alias("__pid"),
-    )
-    pids = spark.range(n_partitions).select(F.col("id").cast("int").alias("__pid"))
-    q_rep = pids.crossJoin(
-        F.broadcast(
-            queries.select(
-                F.col(query_id_col), V.as_double_array(query_vec_col).alias("__qvec")
-            )
-        )
-    )
-    out_schema = f"{query_id_col} long, {id_col} long, dist double"
-    empty = pd.DataFrame({query_id_col: [], id_col: [], "dist": []})
     hnsw_metric = {"cosine": "cosine", "euclidean": "l2", "inner_product": "ip"}[metric]
 
     def local_hnsw_topk(spdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(spdf) == 0 or len(qpdf) == 0:
-            return empty
         ids = spdf[id_col].to_numpy()
         mat = np.stack(spdf["__svec"].to_numpy()).astype(np.float64)
         index = HNSW(
@@ -502,16 +525,16 @@ def hnsw_partitioned_topk(
             {query_id_col: qids[rows], id_col: out_ids, "dist": out_d}
         )
 
-    local = (
-        s.groupBy("__pid")
-        .cogroup(q_rep.groupBy("__pid"))
-        .applyInPandas(local_hnsw_topk, schema=out_schema)
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank", "dist")
+    return _scatter_gather_topk(
+        stored,
+        queries,
+        k=k,
+        kernel=local_hnsw_topk,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        n_partitions=n_partitions,
     )
 
 

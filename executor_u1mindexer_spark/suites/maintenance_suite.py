@@ -272,6 +272,11 @@ def _scd2_base_from(spark: SparkSession, sf_dir: str) -> str:
             .agg(F.min("o_orderdate").alias("d"))
             .first()
         )
+        if row["d"] is None:
+            raise ValueError(
+                f"orders table at {sf_dir} is empty; cannot derive the SCD2 "
+                "base_from date"
+            )
         _BASE_FROM_CACHE[key] = row["d"].isoformat()
     return _BASE_FROM_CACHE[key]
 

@@ -25,7 +25,8 @@ import re
 import sys
 from collections import Counter
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 WINDOW = 50
 
@@ -33,7 +34,9 @@ WINDOW = 50
 def main() -> int:
     latest: dict[str, int] = {}
     rounds = []
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    # anchored to the repo root, not cwd — from any other directory the
+    # glob would match nothing and the audit would exit 0 without looking
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
             continue
