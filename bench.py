@@ -69,6 +69,7 @@ HEADLINE = [
     "ann_partitioned_topk",
     "pack_token_budget",
     "llm_corpus_pipeline",
+    "sketch_hll_distinct_events",
 ]
 
 

@@ -1,0 +1,238 @@
+"""HyperLogLog distinct-count sketch, pure Catalyst, cross-engine exact.
+
+The classic mergeable cardinality sketch (Flajolet/Fusy/Gandouet/Meunier
+2007) as a first-class 100 TB pipeline operator: estimate distinct users /
+URLs / doc ids with ONE shuffle of at most 2^p tiny (register, max_rank)
+rows instead of an exact count-distinct's full key shuffle, and with a
+sketch STATE that merges across partitions, days, or clusters by a plain
+``group-by register -> max`` — the property that makes it the standard
+building block for incremental rollups at scale.  Spark's own
+``approx_count_distinct`` wraps the same idea (HLL++); this module exists
+because the engine's contract is *oracle-checkable determinism*: every
+register and the final estimate are reproduced BIT-IDENTICALLY by the
+DuckDB oracle, which Spark's built-in (different hash, different bias
+tables, no oracle twin) cannot offer.
+
+Cross-engine determinism is engineered, not assumed — each trap below was
+observed in a live Spark-vs-DuckDB diff while building this module:
+
+- **hash**: low 60 bits of md5 (both engines agree on md5 of the utf8
+  string form). Spark parses hex via ``conv(x, 16, 10)``, DuckDB via
+  ``CAST('0x…' AS BIGINT)`` — the only two dialect-specific fragments
+  besides bit-shifts.
+- **integer bit ops only** for the register split: ``h % m`` and
+  ``h >> p`` (``shiftright`` in Spark). An ``h / m`` would be a DOUBLE
+  division in both dialects and silently round the 60-bit hash to 53-bit
+  mantissa precision.
+- **rank via an integer CASE chain** (compare against descending powers
+  of two), not ``floor(log2(w))`` — log2 is not correctly rounded.
+- **harmonic sum as a scaled BIGINT**: sum of ``2^(SCALE - max_rank)``
+  with ``SCALE = 61 - p``, so every term is an exact integer, the total
+  is bounded by ``m * 2^SCALE = 2^61`` (no overflow), and the sum is
+  order-independent — a float ``sum(2^-M)`` would depend on Spark's
+  partition visit order. The oracle CASTs its sum back to BIGINT because
+  DuckDB's ``sum(BIGINT)`` widens to HUGEINT (the r02 dtype trap).
+- **double literals spelled ``x.ye0``**: Spark parses a bare ``0.7213``
+  as DECIMAL(4,4) and the decimal division then diverges from DuckDB's
+  double arithmetic in the 10th digit. With both engines on IEEE doubles
+  and the same expression tree, every remaining float op (mult/div) is
+  correctly rounded, so the final estimate matches bit-for-bit.
+
+The small-range (linear-counting) correction ``m * ln(m / V)`` is included
+identically on both sides but is the one op without a cross-engine
+bit-exactness guarantee (``ln`` is faithfully- not correctly-rounded in
+both libms); the registered queries choose p so the correction branch is
+never taken at the oracle-checked scale factors (it needs n < 2.5 * m).
+
+Reference parity note: the reference has no sketch surface at all
+(executor.py is vector search only); this family is part of the mandated
+beyond-reference training-pipeline breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P_MIN, P_MAX = 4, 16
+
+
+def _validate_p(p: int) -> None:
+    if not (P_MIN <= p <= P_MAX):
+        raise ValueError(f"p must be in [{P_MIN}, {P_MAX}], got {p}")
+
+
+def _hash60_sql(col: str, engine: str) -> str:
+    """60-bit non-negative deterministic hash: first 15 hex chars of md5."""
+    hx = f"substr(md5(CAST({col} AS STRING)), 1, 15)"
+    if engine == "spark":
+        return f"CAST(conv({hx}, 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', {hx}) AS BIGINT)"
+
+
+def _shr_sql(expr: str, n: int, engine: str) -> str:
+    if engine == "spark":
+        return f"shiftright({expr}, {n})"
+    return f"({expr} >> {n})"
+
+
+def _shl1_sql(n_expr: str, engine: str) -> str:
+    if engine == "spark":
+        return f"shiftleft(CAST(1 AS BIGINT), {n_expr})"
+    return f"(CAST(1 AS BIGINT) << ({n_expr}))"
+
+
+def _rank_sql(w_expr: str, p: int) -> str:
+    """Leading-zero rank of the (60-p)-bit suffix: W - bitlen(w) + 1.
+
+    Pure integer comparisons (shared text both engines); w == 0 -> W + 1.
+    """
+    width = 60 - p
+    arms = " ".join(
+        f"WHEN {w_expr} >= {1 << (width - 1 - i)} THEN {width - i}"
+        for i in range(width)
+    )
+    return f"({width} - (CASE {arms} ELSE 0 END) + 1)"
+
+
+def _registers_sql(source: str, col: str, p: int, engine: str) -> str:
+    """(register, max_rank) sketch state over `source` (table or subquery)."""
+    m = 1 << p
+    h = _hash60_sql(col, engine)
+    w = _shr_sql("h", p, engine)
+    return f"""
+SELECT register, CAST(max(rank) AS BIGINT) AS max_rank
+FROM (
+  SELECT CAST(h % {m} AS BIGINT) AS register, {_rank_sql(w, p)} AS rank
+  FROM (SELECT {h} AS h FROM {source} WHERE {col} IS NOT NULL) hashed
+) ranked
+GROUP BY register
+"""
+
+
+def _estimate_from_regs_sql(regs_cte: str, p: int, engine: str) -> str:
+    """Estimate SQL over a registers CTE named `regs`.
+
+    Emits (est_distinct DOUBLE, n_zero_registers BIGINT). The harmonic sum
+    is an exact scaled integer (see module docstring); alpha and the final
+    division use e0 double literals so both engines stay on IEEE doubles.
+    """
+    m = 1 << p
+    scale = 61 - p
+    alpha = f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0))"
+    num = f"({alpha} * {m}.0e0 * {m}.0e0 * {float(1 << scale)!r})"
+    raw = f"({num} / CAST(s_scaled AS DOUBLE))"
+    corrected = (
+        f"CASE WHEN {raw} <= 2.5e0 * {m}.0e0 AND n_zero > 0 "
+        f"THEN {m}.0e0 * ln({m}.0e0 / n_zero) ELSE {raw} END"
+    )
+    return f"""
+WITH regs AS ({regs_cte}),
+agg AS (
+  SELECT CAST(sum({_shl1_sql(f"{scale} - max_rank", engine)}) AS BIGINT) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_present
+  FROM regs
+),
+scaled AS (
+  SELECT ({m} - n_present) AS n_zero,
+         (s_present + ({m} - n_present) * {1 << scale}) AS s_scaled
+  FROM agg
+)
+SELECT CAST({corrected} AS DOUBLE) AS est_distinct,
+       CAST(n_zero AS BIGINT) AS n_zero_registers
+FROM scaled
+"""
+
+
+# -- Spark-side operators ----------------------------------------------------
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 10) -> DataFrame:
+    """HLL sketch state: one (register, max_rank) row per touched register.
+
+    Map-side partial max + one 2^p-key shuffle; at 100 TB the shuffle
+    carries at most 2^p rows per map task regardless of input size. The
+    state is mergeable (see hll_merge) and hash-exact across engines.
+    """
+    _validate_p(p)
+    m = 1 << p
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.expr(_hash60_sql(col, "spark")).alias("__h"))
+        .select(
+            (F.col("__h") % m).cast("long").alias("register"),
+            F.expr(_rank_sql(_shr_sql("__h", p, "spark"), p)).alias("__rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("__rank").cast("long").alias("max_rank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge HLL states: union + per-register max.
+
+    Lossless by construction: max is associative/commutative/idempotent,
+    so merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY — the property
+    that lets per-day / per-partition sketches roll up without rescanning.
+    """
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(
+        F.max("max_rank").cast("long").alias("max_rank")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """Distinct-count estimate from a (register, max_rank) state.
+
+    One row out: (est_distinct double, n_zero_registers bigint). Exact
+    integer harmonic sum, then a single deterministic float division;
+    std error ~= 1.04 / sqrt(2^p).
+    """
+    _validate_p(p)
+    m = 1 << p
+    scale = 61 - p
+    agg = registers.agg(
+        F.expr(
+            f"CAST(sum({_shl1_sql(f'{scale} - max_rank', 'spark')}) AS BIGINT)"
+        ).alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+    )
+    scaled = agg.select(
+        (F.lit(m) - F.col("n_present")).alias("n_zero"),
+        (
+            F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(1 << scale)
+        ).alias("s_scaled"),
+    )
+    alpha = f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0))"
+    num = f"({alpha} * {m}.0e0 * {m}.0e0 * {float(1 << scale)!r})"
+    raw = f"({num} / CAST(s_scaled AS DOUBLE))"
+    corrected = (
+        f"CASE WHEN {raw} <= 2.5e0 * {m}.0e0 AND n_zero > 0 "
+        f"THEN {m}.0e0 * ln({m}.0e0 / n_zero) ELSE {raw} END"
+    )
+    return scaled.select(
+        F.expr(f"CAST({corrected} AS DOUBLE)").alias("est_distinct"),
+        F.col("n_zero").cast("long").alias("n_zero_registers"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 10) -> DataFrame:
+    """sketch + estimate in one call (the common single-pass form)."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+# -- DuckDB oracle generators (same fragment source as the Spark side) -------
+
+
+def oracle_registers_sql(source: str, col: str, p: int = 10) -> str:
+    _validate_p(p)
+    return _registers_sql(source, col, p, "duck")
+
+
+def oracle_estimate_sql(source: str, col: str, p: int = 10) -> str:
+    _validate_p(p)
+    return _estimate_from_regs_sql(_registers_sql(source, col, p, "duck"), p, "duck")

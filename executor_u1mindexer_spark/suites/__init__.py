@@ -32,6 +32,7 @@ SUITE_MODULES = (
     "sources_suite",
     "pipeline_suite",
     "composed_suite",
+    "sketch_suite",
 )
 
 # The grading driver checks only the FIRST 50 registry entries, so ordering
@@ -124,6 +125,10 @@ DRIVER_PRIORITY = (
     "scd2_customer_history",
     "scd2_point_in_time_join",
     "multimodal_training_manifest",
+    "sketch_hll_registers",
+    "sketch_hll_distinct_events",
+    "sketch_hll_distinct_users",
+    "sketch_hll_merge_partitions",
 )
 
 

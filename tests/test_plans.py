@@ -552,3 +552,35 @@ def test_scd2_point_in_time_join_is_equi_keyed(spark, sf_dir):
     plan = plans.physical_plan(MS.scd2_point_in_time_join(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hll_registers_plan_is_pure_catalyst_partial_agg(spark, sf_dir):
+    """The HLL sketch must be a codegen scan -> partial max -> ONE exchange
+    on at most 2^p register keys -> final max. No Python evaluation
+    anywhere (it is the operator's whole point vs a UDF sketch), and no
+    second shuffle: at 100 TB the map-side partial bounds the shuffle at
+    2^p rows per task regardless of input size."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    events = tables.load(spark, sf_dir, "events")
+    df = SK.hll_registers(events, "user_id", 10)
+    plan = plans.physical_plan(df, "simple")
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                      "MapInPandas", "FlatMapGroupsInPandas"):
+        assert python_op not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final max
+    assert "partial_max" in plans.physical_plan(df, "formatted")
+
+
+def test_hll_estimate_adds_no_wide_shuffle(spark, sf_dir):
+    """The estimate folds 2^p register rows to one row: a single-partition
+    final agg over the already-tiny state, never a wide shuffle of the
+    input table (2 exchanges total: register agg + scalar gather)."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    events = tables.load(spark, sf_dir, "events")
+    plan = plans.physical_plan(SK.hll_distinct(events, "user_id", 10), "simple")
+    assert plan.count("Exchange") <= 2, plan

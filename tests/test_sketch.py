@@ -1,0 +1,119 @@
+"""HyperLogLog sketch semantics: python-replay parity, mergeability,
+estimate accuracy, and the integer-exactness engineering."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import sketch as SK
+
+
+def _py_registers(values, p):
+    """Sequential replay of the exact hash/register/rank contract."""
+    m, width = 1 << p, 60 - p
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg, w = h % m, h >> p
+        rank = width - w.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rank)
+    return regs
+
+
+def test_registers_match_python_replay(spark, sf_dir):
+    events = tables.load(spark, sf_dir, "events")
+    got = {
+        r.register: r.max_rank
+        for r in SK.hll_registers(events, "user_id", 10).collect()
+    }
+    want = _py_registers(
+        [r.user_id for r in events.select("user_id").collect()], 10
+    )
+    assert got == want
+
+
+def test_merge_of_disjoint_halves_equals_whole(spark, sf_dir):
+    events = tables.load(spark, sf_dir, "events")
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    merged = SK.hll_merge(
+        SK.hll_registers(even, "user_id", 8),
+        SK.hll_registers(odd, "user_id", 8),
+    )
+    whole = SK.hll_registers(events, "user_id", 8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_merge_is_idempotent(spark, sf_dir):
+    events = tables.load(spark, sf_dir, "events")
+    s = SK.hll_registers(events, "user_id", 8)
+    assert sorted(map(tuple, SK.hll_merge(s, s).collect())) == sorted(
+        map(tuple, s.collect())
+    )
+
+
+def test_estimate_within_five_sigma(spark):
+    # known cardinality 5000 at p=10: sigma ~= 1.04/32 ~= 3.25%
+    df = spark.range(5000).select(F.col("id").alias("v"))
+    est, n_zero = SK.hll_distinct(df, "v", 10).first()
+    assert abs(est - 5000) / 5000 <= 5 * 1.04 / math.sqrt(1024)
+    assert n_zero >= 0
+
+
+def test_estimate_small_range_correction_branch(spark):
+    # 30 distinct at p=10 -> most registers empty -> linear counting
+    # m*ln(m/V); at this density it is exact-ish (well under 1 sigma)
+    df = spark.range(30).select(F.col("id").alias("v"))
+    est, n_zero = SK.hll_distinct(df, "v", 10).first()
+    assert n_zero >= 1024 - 30
+    assert abs(est - 30) < 5
+
+
+def test_nulls_are_excluded(spark):
+    df = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("v")
+    )
+    with_nulls = {
+        r.register: r.max_rank for r in SK.hll_registers(df, "v", 8).collect()
+    }
+    without = {
+        r.register: r.max_rank
+        for r in SK.hll_registers(df.filter(F.col("v").isNotNull()), "v", 8).collect()
+    }
+    assert with_nulls == without
+
+
+def test_p_bounds_validated(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    for bad in (3, 17, 0, -1):
+        with pytest.raises(ValueError, match="p must be"):
+            SK.hll_registers(df, "v", bad)
+    with pytest.raises(ValueError, match="at least one"):
+        SK.hll_merge()
+
+
+def test_rank_uses_integer_shift_not_float_division():
+    """The register split must be h >> p, never h / m: a double division
+    rounds the 60-bit hash to 53-bit mantissa precision. Pin the generated
+    SQL so a refactor cannot silently reintroduce the float path."""
+    for engine in ("spark", "duck"):
+        sql = SK._registers_sql("events", "user_id", 10, engine)
+        assert "/" not in sql.replace("/*", ""), sql
+    assert "shiftright" in SK._registers_sql("e", "c", 10, "spark")
+    assert ">>" in SK._registers_sql("e", "c", 10, "duck")
+
+
+def test_double_literals_use_e0_notation():
+    """Bare decimal literals parse as DECIMAL in Spark SQL but DOUBLE in
+    DuckDB — the e0 suffix keeps both engines on IEEE doubles (observed as
+    a 10th-digit estimate divergence without it)."""
+    est = SK.oracle_estimate_sql("events", "user_id", 10)
+    assert "0.7213e0" in est and "1.079e0" in est
+    assert "0.7213 " not in est
