@@ -236,3 +236,113 @@ def oracle_registers_sql(source: str, col: str, p: int = 10) -> str:
 def oracle_estimate_sql(source: str, col: str, p: int = 10) -> str:
     _validate_p(p)
     return _estimate_from_regs_sql(_registers_sql(source, col, p, "duck"), p, "duck")
+
+
+# -- Count-min sketch --------------------------------------------------------
+#
+# The frequency twin of HLL (Cormode/Muthukrishnan 2005): d independent
+# hash rows x w counters; an item's estimate is the MIN of its d counters,
+# which NEVER underestimates and overestimates by at most eps*N
+# (eps = e/w) with probability 1 - (1/2)^d per query. The state is
+# d*w small integer rows, mergeable across partitions/days by plain SUM —
+# the heavy-hitter / frequency-cap primitive (dedup rate limiting, vocab
+# pruning, spam-source capping) a 100 TB pipeline wants without a full
+# key shuffle. Everything here is integer arithmetic on the same md5
+# fragments as HLL, so the state and every estimate are hash-exact
+# against the oracle with no float engineering needed at all.
+
+D_DEFAULT = 4
+W_MIN = 2
+
+
+def _validate_dw(d: int, w: int) -> None:
+    if d < 1 or d > 16:
+        raise ValueError(f"d must be in [1, 16], got {d}")
+    if w < W_MIN or (w & (w - 1)) != 0:
+        raise ValueError(f"w must be a power of two >= {W_MIN}, got {w}")
+
+
+def _salted_hash_sql(col: str, salt: int, engine: str) -> str:
+    """Row-i hash: same 60-bit md5 scheme over value + '#i' salt."""
+    return _hash60_sql(f"concat(CAST({col} AS STRING), '#{salt}')", engine)
+
+
+def cms_state(df: DataFrame, col: str, d: int = D_DEFAULT, w: int = 256) -> DataFrame:
+    """CMS state: one (hash_row, bucket, cnt) row per touched counter.
+
+    One pass: each input row expands to its d (row, bucket) coordinates via
+    a codegen stack() (no join, no Python), then a single d*w-key shuffle
+    with map-side partial counts — the same bounded-shuffle shape as
+    hll_registers.
+    """
+    _validate_dw(d, w)
+    pairs = ", ".join(
+        f"{i}, CAST(({_salted_hash_sql(col, i, 'spark')} % {w}) AS BIGINT)"
+        for i in range(d)
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .selectExpr(f"stack({d}, {pairs}) AS (hash_row, bucket)")
+        .groupBy("hash_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Merge CMS states: union + per-counter SUM (exact, lossless —
+    counters are linear, so merge(state(A), state(B)) == state(A ∪ B))."""
+    if not states:
+        raise ValueError("cms_merge needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("hash_row", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_lookup(
+    state: DataFrame,
+    items: DataFrame,
+    col: str,
+    d: int = D_DEFAULT,
+    w: int = 256,
+) -> DataFrame:
+    """Point-query estimates: min over the d counters of each item.
+
+    Items expand to their d coordinates (same codegen stack), equi-join
+    the (tiny, <= d*w rows) state, and take the per-item MIN. Inner join
+    is sound for any item that was ever inserted (its own insert touched
+    all d counters); items never inserted would vanish — callers probing
+    arbitrary items should left-join a 0 default, but the registered
+    heavy-hitter flow only probes observed items.
+    """
+    _validate_dw(d, w)
+    pairs = ", ".join(
+        f"{i}, CAST(({_salted_hash_sql(col, i, 'spark')} % {w}) AS BIGINT)"
+        for i in range(d)
+    )
+    coords = items.selectExpr("*", f"stack({d}, {pairs}) AS (hash_row, bucket)")
+    keep = [c for c in items.columns]
+    return (
+        coords.join(F.broadcast(state), ["hash_row", "bucket"])
+        .groupBy(*keep)
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+
+
+def oracle_cms_state_sql(source: str, col: str, d: int = D_DEFAULT, w: int = 256) -> str:
+    """DuckDB twin of cms_state (UNION ALL over the d rows — DuckDB has no
+    stack(); the aggregate result is identical)."""
+    _validate_dw(d, w)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {i} AS hash_row, "
+        f"CAST(({_salted_hash_sql(col, i, 'duck')} % {w}) AS BIGINT) AS bucket "
+        f"FROM {source} WHERE {col} IS NOT NULL"
+        for i in range(d)
+    )
+    return f"""
+SELECT hash_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM ({arms}) coords
+GROUP BY hash_row, bucket
+"""

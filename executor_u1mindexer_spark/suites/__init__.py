@@ -129,6 +129,9 @@ DRIVER_PRIORITY = (
     "sketch_hll_distinct_events",
     "sketch_hll_distinct_users",
     "sketch_hll_merge_partitions",
+    "sketch_cms_state",
+    "sketch_cms_heavy_hitters",
+    "sketch_cms_merge_partitions",
 )
 
 

@@ -85,11 +85,91 @@ def sketch_hll_merge_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D, CMS_W = 4, 256
+_E = "2.718281828459045e0"
+# tokens: same whitespace tokenization contract as text_vocab_topk
+_TOKS_SQL = (
+    "(SELECT unnest(str_split_regex(lower(text), '\\s+')) AS token "
+    "FROM documents)"
+)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from executor_u1mindexer_spark.functions import text as T
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(F.explode(T.words(F.lower(F.col("text")))).alias("token"))
+
+
+def sketch_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw count-min state over document tokens: <= d*w integer rows
+    out of an arbitrarily large corpus, mergeable by SUM, hash-exact."""
+    return SK.cms_state(_tokens(spark, sf_dir), "token", CMS_D, CMS_W)
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the exact top-10 tokens, with the two
+    theoretical guarantees surfaced as booleans: the estimate never
+    underestimates, and overestimates by at most ceil(e*N/w)."""
+    toks = _tokens(spark, sf_dir)
+    state = SK.cms_state(toks, "token", CMS_D, CMS_W)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(10)
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    est = SK.cms_lookup(state, top, "token", CMS_D, CMS_W)
+    return est.crossJoin(total).select(
+        "token",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("overestimate_ok"),
+        F.expr(
+            f"est_count <= exact_count + ceil({_E} * n_total / {CMS_W})"
+        ).alias("within_eps_ok"),
+    )
+
+
+def sketch_cms_merge_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS mergeability: counter-wise SUM of two disjoint half-states must
+    equal the whole-corpus state exactly (counters are linear)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from executor_u1mindexer_spark.functions import text as T
+
+    def toks(side):
+        return side.select(
+            F.explode(T.words(F.lower(F.col("text")))).alias("token")
+        )
+
+    even = toks(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = toks(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = SK.cms_merge(
+        SK.cms_state(even, "token", CMS_D, CMS_W),
+        SK.cms_state(odd, "token", CMS_D, CMS_W),
+    )
+    whole = SK.cms_state(_tokens(spark, sf_dir), "token", CMS_D, CMS_W)
+    j = merged.alias("m").join(whole.alias("w"), ["hash_row", "bucket"], "full_outer")
+    mismatch = (
+        F.col("m.cnt").isNull()
+        | F.col("w.cnt").isNull()
+        | (F.col("m.cnt") != F.col("w.cnt"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_counters"),
+        (F.sum(mismatch.cast("long")) == 0).alias("merged_equals_whole"),
+    )
+
+
 QUERIES = {
     "sketch_hll_registers": sketch_hll_registers,
     "sketch_hll_distinct_events": sketch_hll_distinct_events,
     "sketch_hll_distinct_users": sketch_hll_distinct_users,
     "sketch_hll_merge_partitions": sketch_hll_merge_partitions,
+    "sketch_cms_state": sketch_cms_state,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_cms_merge_partitions": sketch_cms_merge_partitions,
 }
 
 
@@ -125,9 +205,70 @@ FROM merged m FULL OUTER JOIN whole w USING (register)
 """
 
 
+def _cms_probe_arms(item_source: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT token, exact_count, {i} AS hash_row, "
+        f"CAST(({SK._salted_hash_sql('token', i, 'duck')} % {CMS_W}) AS BIGINT)"
+        f" AS bucket FROM {item_source}"
+        for i in range(CMS_D)
+    )
+
+
+_CMS_HH_ORACLE = f"""
+WITH toks AS {_TOKS_SQL},
+state AS ({SK.oracle_cms_state_sql("toks", "token", CMS_D, CMS_W)}),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks
+          WHERE token IS NOT NULL),
+top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY token
+  ORDER BY exact_count DESC, token ASC LIMIT 10
+),
+probes AS ({_cms_probe_arms("top")}),
+est AS (
+  SELECT p.token, p.exact_count, CAST(min(s.cnt) AS BIGINT) AS est_count
+  FROM probes p JOIN state s USING (hash_row, bucket)
+  GROUP BY p.token, p.exact_count
+)
+SELECT token, est_count, exact_count,
+       (est_count >= exact_count) AS overestimate_ok,
+       (est_count <= exact_count + ceil({_E} * n_total / {CMS_W}))
+         AS within_eps_ok
+FROM est CROSS JOIN total
+"""
+
+
+_TOKS_EVEN = (
+    "(SELECT unnest(str_split_regex(lower(text), '\\s+')) AS token "
+    "FROM documents WHERE doc_id % 2 = 0)"
+)
+_TOKS_ODD = (
+    "(SELECT unnest(str_split_regex(lower(text), '\\s+')) AS token "
+    "FROM documents WHERE doc_id % 2 = 1)"
+)
+
+_CMS_MERGE_ORACLE = f"""
+WITH even_state AS ({SK.oracle_cms_state_sql(_TOKS_EVEN, "token", CMS_D, CMS_W)}),
+odd_state AS ({SK.oracle_cms_state_sql(_TOKS_ODD, "token", CMS_D, CMS_W)}),
+merged AS (
+  SELECT hash_row, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (SELECT * FROM even_state UNION ALL SELECT * FROM odd_state) u
+  GROUP BY hash_row, bucket
+),
+whole AS ({SK.oracle_cms_state_sql(_TOKS_SQL, "token", CMS_D, CMS_W)})
+SELECT CAST(count(*) AS BIGINT) AS n_counters,
+       (CAST(sum(CASE WHEN m.cnt IS NULL OR w.cnt IS NULL OR m.cnt <> w.cnt
+                      THEN 1 ELSE 0 END) AS BIGINT) = 0) AS merged_equals_whole
+FROM merged m FULL OUTER JOIN whole w USING (hash_row, bucket)
+"""
+
+
 ORACLES = {
     "sketch_hll_registers": SK.oracle_registers_sql("events", "user_id", P_REGISTERS),
     "sketch_hll_distinct_events": _estimate_oracle("event_id", P_EVENTS),
     "sketch_hll_distinct_users": _estimate_oracle("user_id", P_USERS),
     "sketch_hll_merge_partitions": _MERGE_ORACLE,
+    "sketch_cms_state": SK.oracle_cms_state_sql(_TOKS_SQL, "token", CMS_D, CMS_W),
+    "sketch_cms_heavy_hitters": _CMS_HH_ORACLE,
+    "sketch_cms_merge_partitions": _CMS_MERGE_ORACLE,
 }

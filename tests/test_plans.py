@@ -584,3 +584,18 @@ def test_hll_estimate_adds_no_wide_shuffle(spark, sf_dir):
     events = tables.load(spark, sf_dir, "events")
     plan = plans.physical_plan(SK.hll_distinct(events, "user_id", 10), "simple")
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_cms_state_plan_is_pure_catalyst_single_exchange(spark, sf_dir):
+    """Same scale contract as the HLL registers: codegen stack expansion ->
+    partial count -> ONE exchange on at most d*w counter keys -> final
+    count. No Python, no second shuffle."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    events = tables.load(spark, sf_dir, "events")
+    plan = plans.physical_plan(SK.cms_state(events, "event_type", 4, 256), "simple")
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                      "FlatMapGroupsInPandas"):
+        assert python_op not in plan, plan
+    assert plan.count("Exchange") == 1, plan

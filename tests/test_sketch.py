@@ -117,3 +117,72 @@ def test_double_literals_use_e0_notation():
     est = SK.oracle_estimate_sql("events", "user_id", 10)
     assert "0.7213e0" in est and "1.079e0" in est
     assert "0.7213 " not in est
+
+
+# -- count-min sketch --------------------------------------------------------
+
+
+def _py_cms(values, d, w):
+    state = {}
+    for v in values:
+        for i in range(d):
+            h = int(
+                hashlib.md5(f"{v}#{i}".encode()).hexdigest()[:15], 16
+            )
+            key = (i, h % w)
+            state[key] = state.get(key, 0) + 1
+    return state
+
+
+def test_cms_state_matches_python_replay(spark, sf_dir):
+    events = tables.load(spark, sf_dir, "events")
+    got = {
+        (r.hash_row, r.bucket): r.cnt
+        for r in SK.cms_state(events, "event_type", 4, 64).collect()
+    }
+    want = _py_cms(
+        [r.event_type for r in events.select("event_type").collect()], 4, 64
+    )
+    assert got == want
+
+
+def test_cms_never_underestimates_even_with_heavy_collisions(spark, sf_dir):
+    # w=4 forces collisions: estimates must still bound exact from above
+    events = tables.load(spark, sf_dir, "events")
+    state = SK.cms_state(events, "event_type", 3, 4)
+    exact = events.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    est = SK.cms_lookup(
+        state, exact.withColumnRenamed("item", "event_type"), "event_type", 3, 4
+    )
+    rows = est.collect()
+    assert rows
+    total = events.count()
+    for r in rows:
+        assert r.est_count >= r.exact_count, r
+        assert r.est_count <= total, r
+
+
+def test_cms_merge_of_halves_equals_whole(spark, sf_dir):
+    events = tables.load(spark, sf_dir, "events")
+    even = events.filter(F.col("event_id") % 2 == 0)
+    odd = events.filter(F.col("event_id") % 2 == 1)
+    merged = SK.cms_merge(
+        SK.cms_state(even, "event_type", 4, 64),
+        SK.cms_state(odd, "event_type", 4, 64),
+    )
+    whole = SK.cms_state(events, "event_type", 4, 64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_params_validated(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="power of two"):
+        SK.cms_state(df, "v", 4, 100)
+    with pytest.raises(ValueError, match="d must be"):
+        SK.cms_state(df, "v", 0, 64)
+    with pytest.raises(ValueError, match="at least one"):
+        SK.cms_merge()
