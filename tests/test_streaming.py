@@ -192,3 +192,48 @@ def test_streaming_dedup_ledger_matches_batch(spark, sf_dir):
         for r in D.exact_dedup(docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir):
+    """The streaming HLL sketch over the drained documents backlog must be
+    bit-identical to the batch sketch — and its state is bounded at 2^p
+    rows no matter how long the stream runs."""
+    from executor_u1mindexer_spark.operators import sketch as SK
+    from executor_u1mindexer_spark.streaming import dedup_stream as DS
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+
+    stream = DS.read_documents_stream(spark, sf_dir)
+    assert stream.isStreaming
+    S.run_available_now(
+        SS.streaming_hll_registers(stream, "doc_id", 10), "stream_hll_regs"
+    )
+    got = {
+        (r.register, r.max_rank) for r in spark.table("stream_hll_regs").collect()
+    }
+    docs = tables.load(spark, sf_dir, "documents")
+    want = {
+        (r.register, r.max_rank)
+        for r in SK.hll_registers(docs, "doc_id", 10).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_cms_state_matches_batch(spark, sf_dir):
+    from executor_u1mindexer_spark.operators import sketch as SK
+    from executor_u1mindexer_spark.streaming import dedup_stream as DS
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+
+    stream = DS.read_documents_stream(spark, sf_dir)
+    S.run_available_now(
+        SS.streaming_cms_state(stream, "lang", 4, 64), "stream_cms_state"
+    )
+    got = {
+        (r.hash_row, r.bucket, r.cnt)
+        for r in spark.table("stream_cms_state").collect()
+    }
+    docs = tables.load(spark, sf_dir, "documents")
+    want = {
+        (r.hash_row, r.bucket, r.cnt)
+        for r in SK.cms_state(docs, "lang", 4, 64).collect()
+    }
+    assert got == want and len(got) > 0
