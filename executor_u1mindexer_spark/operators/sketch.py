@@ -331,6 +331,89 @@ def cms_lookup(
     )
 
 
+# -- Bloom filter ------------------------------------------------------------
+#
+# The membership member of the sketch trio (HLL cardinality, CMS
+# frequency, Bloom membership): k salted hash positions per item over an
+# m-bit array. Set-bit state is stored as DISTINCT position rows (<= m
+# rows, one shuffle), merges by plain set union (bitwise OR), and lookup
+# gives NO false negatives ever, false positives at a rate ~= (1 -
+# e^(-k*n/m))^k. Same md5 fragments, all-integer, hash-exact oracle.
+
+BLOOM_K_MAX = 16
+
+
+def _validate_bloom(k: int, mbits: int) -> None:
+    if k < 1 or k > BLOOM_K_MAX:
+        raise ValueError(f"k must be in [1, {BLOOM_K_MAX}], got {k}")
+    if mbits < 2 or (mbits & (mbits - 1)) != 0:
+        raise ValueError(f"mbits must be a power of two >= 2, got {mbits}")
+
+
+def bloom_state(df: DataFrame, col: str, k: int = 4, mbits: int = 4096) -> DataFrame:
+    """Set-bit positions of the Bloom filter: DISTINCT (bit) rows.
+
+    One codegen stack expansion to the k positions per row, then a single
+    distinct shuffle bounded by mbits keys — same bounded-shuffle contract
+    as the other sketch states.
+    """
+    _validate_bloom(k, mbits)
+    pairs = ", ".join(
+        f"CAST(({_salted_hash_sql(col, i, 'spark')} % {mbits}) AS BIGINT)"
+        for i in range(k)
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .selectExpr(f"stack({k}, {pairs}) AS (bit)")
+        .distinct()
+    )
+
+
+def bloom_merge(*states: DataFrame) -> DataFrame:
+    """Merge Bloom states: set union of bit positions (bitwise OR)."""
+    if not states:
+        raise ValueError("bloom_merge needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_contains(
+    state: DataFrame, items: DataFrame, col: str, k: int = 4, mbits: int = 4096
+) -> DataFrame:
+    """Membership probe: an item reads present iff ALL k of its bits are
+    set. Guaranteed true for every inserted item (no false negatives);
+    spuriously true for others at the (1 - e^(-kn/m))^k rate.
+    """
+    _validate_bloom(k, mbits)
+    pairs = ", ".join(
+        f"CAST(({_salted_hash_sql(col, i, 'spark')} % {mbits}) AS BIGINT)"
+        for i in range(k)
+    )
+    coords = items.selectExpr("*", f"stack({k}, {pairs}) AS (bit)")
+    keep = list(items.columns)
+    st = state.withColumnRenamed("bit", "__set_bit")
+    return (
+        coords.join(F.broadcast(st), coords["bit"] == st["__set_bit"], "left")
+        .withColumn("__hit", F.when(F.col("__set_bit").isNotNull(), 1).otherwise(0))
+        .groupBy(*keep)
+        .agg((F.sum("__hit") == F.lit(k)).alias("maybe_present"))
+    )
+
+
+def oracle_bloom_state_sql(source: str, col: str, k: int = 4, mbits: int = 4096) -> str:
+    """DuckDB twin of bloom_state (UNION of the k position selects; UNION
+    deduplicates, matching the DataFrame .distinct())."""
+    _validate_bloom(k, mbits)
+    arms = "\nUNION\n".join(
+        f"SELECT CAST(({_salted_hash_sql(col, i, 'duck')} % {mbits}) AS BIGINT)"
+        f" AS bit FROM {source} WHERE {col} IS NOT NULL"
+        for i in range(k)
+    )
+    return f"\nSELECT DISTINCT bit FROM ({arms}) bits\n"
+
+
 def oracle_cms_state_sql(source: str, col: str, d: int = D_DEFAULT, w: int = 256) -> str:
     """DuckDB twin of cms_state (UNION ALL over the d rows — DuckDB has no
     stack(); the aggregate result is identical)."""

@@ -132,6 +132,8 @@ DRIVER_PRIORITY = (
     "sketch_cms_state",
     "sketch_cms_heavy_hitters",
     "sketch_cms_merge_partitions",
+    "sketch_bloom_state",
+    "sketch_bloom_membership",
 )
 
 

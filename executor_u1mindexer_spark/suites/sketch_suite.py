@@ -162,6 +162,40 @@ def sketch_cms_merge_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_K, BLOOM_M = 4, 4096
+
+
+def sketch_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom set-bit positions over documents.doc_id — the membership
+    member of the sketch trio; <= mbits integer rows, OR-mergeable."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return SK.bloom_state(docs, "doc_id", BLOOM_K, BLOOM_M)
+
+
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 10 inserted ids and 10 never-inserted ids: every inserted id
+    MUST read present (no false negatives — fn_ok pins the guarantee);
+    absent ids may read present only at the engineered fp rate, and both
+    engines compute the identical verdicts."""
+    docs = tables.load(spark, sf_dir, "documents")
+    state = SK.bloom_state(docs, "doc_id", BLOOM_K, BLOOM_M)
+    present = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("probe_id"), F.lit(True).alias("expected")
+    )
+    absent = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000_000).alias("probe_id"),
+        F.lit(False).alias("expected"),
+    )
+    probes = present.unionByName(absent)
+    got = SK.bloom_contains(state, probes, "probe_id", BLOOM_K, BLOOM_M)
+    return got.select(
+        "probe_id",
+        "expected",
+        "maybe_present",
+        (~F.col("expected") | F.col("maybe_present")).alias("fn_ok"),
+    )
+
+
 QUERIES = {
     "sketch_hll_registers": sketch_hll_registers,
     "sketch_hll_distinct_events": sketch_hll_distinct_events,
@@ -170,6 +204,8 @@ QUERIES = {
     "sketch_cms_state": sketch_cms_state,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "sketch_cms_merge_partitions": sketch_cms_merge_partitions,
+    "sketch_bloom_state": sketch_bloom_state,
+    "sketch_bloom_membership": sketch_bloom_membership,
 }
 
 
@@ -263,6 +299,38 @@ FROM merged m FULL OUTER JOIN whole w USING (hash_row, bucket)
 """
 
 
+def _bloom_probe_arms() -> str:
+    probes = (
+        "(SELECT doc_id AS probe_id, true AS expected FROM documents "
+        "WHERE doc_id < 10 "
+        "UNION ALL "
+        "SELECT doc_id + 1000000000 AS probe_id, false AS expected "
+        "FROM documents WHERE doc_id < 10)"
+    )
+    return "\nUNION ALL\n".join(
+        f"SELECT probe_id, expected, "
+        f"CAST(({SK._salted_hash_sql('probe_id', i, 'duck')} % {BLOOM_M}) AS BIGINT)"
+        f" AS bit FROM {probes} probes{i}"
+        for i in range(BLOOM_K)
+    )
+
+
+_BLOOM_MEMBERSHIP_ORACLE = f"""
+WITH state AS ({SK.oracle_bloom_state_sql("documents", "doc_id", BLOOM_K, BLOOM_M)}),
+coords AS ({_bloom_probe_arms()}),
+verdicts AS (
+  SELECT c.probe_id, c.expected,
+         (CAST(sum(CASE WHEN s.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+            = {BLOOM_K}) AS maybe_present
+  FROM coords c LEFT JOIN state s USING (bit)
+  GROUP BY c.probe_id, c.expected
+)
+SELECT probe_id, expected, maybe_present,
+       ((NOT expected) OR maybe_present) AS fn_ok
+FROM verdicts
+"""
+
+
 ORACLES = {
     "sketch_hll_registers": SK.oracle_registers_sql("events", "user_id", P_REGISTERS),
     "sketch_hll_distinct_events": _estimate_oracle("event_id", P_EVENTS),
@@ -271,4 +339,8 @@ ORACLES = {
     "sketch_cms_state": SK.oracle_cms_state_sql(_TOKS_SQL, "token", CMS_D, CMS_W),
     "sketch_cms_heavy_hitters": _CMS_HH_ORACLE,
     "sketch_cms_merge_partitions": _CMS_MERGE_ORACLE,
+    "sketch_bloom_state": SK.oracle_bloom_state_sql(
+        "documents", "doc_id", BLOOM_K, BLOOM_M
+    ),
+    "sketch_bloom_membership": _BLOOM_MEMBERSHIP_ORACLE,
 }

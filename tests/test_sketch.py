@@ -186,3 +186,52 @@ def test_cms_params_validated(spark):
         SK.cms_state(df, "v", 0, 64)
     with pytest.raises(ValueError, match="at least one"):
         SK.cms_merge()
+
+
+# -- bloom filter ------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    state = SK.bloom_state(docs, "doc_id", 4, 4096)
+    probes = docs.select(F.col("doc_id").alias("probe_id"))
+    got = SK.bloom_contains(state, probes, "probe_id", 4, 4096).collect()
+    assert got and all(r.maybe_present for r in got)
+
+
+def test_bloom_fp_rate_within_theory(spark, sf_dir):
+    # 500 inserted ids, m=4096, k=4: fp ~= (1 - e^(-k*n/m))^k ~= 2.4%;
+    # probe 500 never-inserted ids and allow 5x slack on fixed data
+    docs = tables.load(spark, sf_dir, "documents")
+    n = docs.count()
+    k, m = 4, 4096
+    state = SK.bloom_state(docs, "doc_id", k, m)
+    absent = docs.select((F.col("doc_id") + 1_000_000_000).alias("probe_id"))
+    got = SK.bloom_contains(state, absent, "probe_id", k, m).collect()
+    fp = sum(1 for r in got if r.maybe_present)
+    theory = (1.0 - math.exp(-k * n / m)) ** k
+    assert fp / len(got) <= 5 * theory + 0.01, (fp, len(got), theory)
+
+
+def test_bloom_merge_is_bitwise_or(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = SK.bloom_merge(
+        SK.bloom_state(even, "doc_id", 4, 1024),
+        SK.bloom_state(odd, "doc_id", 4, 1024),
+    )
+    whole = SK.bloom_state(docs, "doc_id", 4, 1024)
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in whole.collect()
+    )
+
+
+def test_bloom_params_validated(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="power of two"):
+        SK.bloom_state(df, "v", 4, 1000)
+    with pytest.raises(ValueError, match="k must be"):
+        SK.bloom_state(df, "v", 0, 1024)
+    with pytest.raises(ValueError, match="at least one"):
+        SK.bloom_merge()
