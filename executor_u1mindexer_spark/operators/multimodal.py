@@ -337,6 +337,8 @@ def decode_image_meta(payload: bytes) -> dict:
     images under the default all-ones quant table, see operators/jpeg.py)."""
     from executor_u1mindexer_spark.operators.jpeg import decode_jpeg
 
+    from executor_u1mindexer_spark.operators.gif import decode_gif
+
     if payload.startswith(b"P6"):
         fmt, (w, h, px) = "ppm", decode_ppm(payload)
     elif payload.startswith(b"BM"):
@@ -345,16 +347,21 @@ def decode_image_meta(payload: bytes) -> dict:
         fmt, (w, h, _ch, px) = "png", decode_png(payload)
     elif payload.startswith(b"\xff\xd8"):
         fmt, (w, h, _ch, px) = "jpeg", decode_jpeg(payload)
+    elif payload.startswith(b"GIF8"):
+        fmt, (w, h, _ch, px) = "gif", decode_gif(payload)
     else:
         raise ValueError(
-            "unrecognized image payload (expected P6 PPM, BMP, PNG, or JPEG)"
+            "unrecognized image payload (expected P6 PPM, BMP, PNG, GIF, or JPEG)"
         )
     return {"format": fmt, "width": w, "height": h, "pixel_sum": sum(px)}
 
 
 def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic test images derived ONLY from the id: width = id%5+2,
-    height = id%3+2; container cycles id%4 → PPM / BMP / PNG / JPEG.
+    height = id%3+2; container cycles id%4 → PPM / BMP / PNG / JPEG, with
+    the PPM lane further split on id%8 == 4 → GIF (palette+LZW; lossless,
+    so it carries the same RGB bytes and the same pixel_sum; id%16 == 12
+    additionally exercises 4-pass interlace).
     Lossless containers carry RGB channel byte i = (id*7 + i) % 256
     (top-down raster; the PNG scanline filter cycles id%5 so every
     unfilter path decodes under the oracle). JPEG — lossy in general — is
@@ -371,6 +378,7 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
     approximation; decodes to the identical pixels, so the oracle formula
     is untouched). So an oracle can state the decoded metadata for every
     container in closed form without itself decoding anything."""
+    from executor_u1mindexer_spark.operators.gif import encode_gif
     from executor_u1mindexer_spark.operators.jpeg import (
         encode_jpeg,
         encode_jpeg_progressive,
@@ -385,7 +393,15 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 px = bytes((did * 7 + i) % 256 for i in range(w * h * 3))
                 kind = did % 4
                 if kind == 0:
-                    payloads.append(encode_ppm(w, h, px))
+                    # the PPM lane splits on id%8: 4 -> GIF (palette+LZW,
+                    # lossless, same RGB bytes so the closed-form pixel_sum
+                    # is untouched; interlace cycles on id%16 == 12)
+                    if did % 8 == 4:
+                        payloads.append(
+                            encode_gif(w, h, px, interlace=(did % 16 == 12))
+                        )
+                    else:
+                        payloads.append(encode_ppm(w, h, px))
                 elif kind == 1:
                     payloads.append(encode_bmp(w, h, px))
                 elif kind == 2:

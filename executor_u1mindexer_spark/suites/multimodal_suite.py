@@ -105,8 +105,9 @@ FROM documents
     # in the oracle)
     "multimodal_decode_image": """
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-            WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
+       CASE WHEN doc_id % 8 = 4 THEN 'gif'
+            WHEN doc_id % 4 = 0 THEN 'ppm' WHEN doc_id % 4 = 1 THEN 'bmp'
+            WHEN doc_id % 4 = 2 THEN 'png' ELSE 'jpeg' END AS format,
        CAST(doc_id % 5 + 2 AS INT) AS width,
        CAST(doc_id % 3 + 2 AS INT) AS height,
        CAST(CASE WHEN doc_id % 8 = 3

@@ -444,3 +444,72 @@ def test_jpeg_multiscan_and_undeclared_tables_raise_loudly():
     bad = gray[:tt_off] + bytes([0x11]) + gray[tt_off + 1 :]
     with pytest.raises(ValueError, match="undeclared huffman"):
         J.decode_jpeg(bad)
+
+
+# -- GIF (operators/gif.py) --------------------------------------------------
+
+from executor_u1mindexer_spark.operators import gif as G
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31),
+    ncolors=st.integers(1, 256),
+    interlace=st.booleans(),
+)
+def test_gif_roundtrip(w, h, seed, ncolors, interlace):
+    # palette-bounded pixels: exactly <= ncolors unique RGB triples
+    px = bytearray()
+    for i in range(w * h):
+        c = ((seed >> (i % 13)) + i * 37) % ncolors
+        px += bytes(((c * 7) % 256, (c * 11) % 256, (c * 13) % 256))
+    ww, hh, ch, out = G.decode_gif(G.encode_gif(w, h, bytes(px), interlace=interlace))
+    assert (ww, hh, ch) == (w, h, 3)
+    assert out == bytes(px)
+
+
+@settings(max_examples=10, deadline=None)
+@given(n=st.integers(1, 30000), alpha=st.integers(1, 256), seed=st.integers(0, 2**31))
+def test_gif_lzw_roundtrip_crosses_width_boundaries(n, alpha, seed):
+    # long low-entropy streams push the dictionary through every code
+    # width and (at the high end) the 4096-entry CLEAR/reset
+    data = bytes(((seed >> (i % 17)) + i * 31) % alpha for i in range(n))
+    mcs = max(2, (alpha - 1).bit_length())
+    assert G.lzw_decode(G.lzw_encode(data, mcs), mcs) == data
+
+
+def test_gif_dispatches_through_decode_image_meta():
+    px = bytes((i * 3) % 256 for i in range(4 * 3 * 3))
+    meta = MM.decode_image_meta(G.encode_gif(4, 3, px))
+    assert meta == {
+        "format": "gif", "width": 4, "height": 3, "pixel_sum": sum(px)
+    }
+
+
+def test_gif_rejects_too_many_colors():
+    # 257 unique colors cannot fit a GIF palette
+    px = b"".join(bytes((i % 256, i // 256, 0)) for i in range(257))
+    with pytest.raises(ValueError, match="256 unique colors"):
+        G.encode_gif(257, 1, px)
+
+
+def test_gif_loud_on_corrupt_payloads():
+    good = G.encode_gif(3, 2, bytes(range(18)))
+    with pytest.raises(ValueError, match="not a GIF"):
+        G.decode_gif(b"NOTGIF" + good[6:])
+    with pytest.raises(ValueError, match="no image data"):
+        G.decode_gif(good[:13] + b"\x3b")
+    # truncated LZW data: cut the stream inside the data sub-blocks
+    with pytest.raises(ValueError):
+        G.decode_gif(good[:-10] + b"\x00\x3b")
+
+
+def test_gif_skips_extension_blocks():
+    # splice a graphic-control extension before the image descriptor
+    good = G.encode_gif(2, 2, bytes(range(12)))
+    idx = good.index(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = good[:idx] + gce + good[idx:]
+    assert G.decode_gif(spliced) == G.decode_gif(good)
