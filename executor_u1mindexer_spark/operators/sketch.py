@@ -110,26 +110,37 @@ GROUP BY register
 """
 
 
-def _estimate_from_regs_sql(regs_cte: str, p: int, engine: str) -> str:
-    """Estimate SQL over a registers CTE named `regs`.
-
-    Emits (est_distinct DOUBLE, n_zero_registers BIGINT). The harmonic sum
-    is an exact scaled integer (see module docstring); alpha and the final
-    division use e0 double literals so both engines stay on IEEE doubles.
-    """
+def _corrected_estimate_sql(p: int) -> str:
+    """The SHARED estimate expression over columns (s_scaled, n_zero) —
+    the single source both hll_estimate (Spark F.expr) and the oracle SQL
+    evaluate, so the two engines can never drift. e0 double literals keep
+    both on IEEE doubles (a bare 0.7213 parses as DECIMAL in Spark)."""
     m = 1 << p
     scale = 61 - p
     alpha = f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0))"
     num = f"({alpha} * {m}.0e0 * {m}.0e0 * {float(1 << scale)!r})"
     raw = f"({num} / CAST(s_scaled AS DOUBLE))"
-    corrected = (
+    return (
         f"CASE WHEN {raw} <= 2.5e0 * {m}.0e0 AND n_zero > 0 "
         f"THEN {m}.0e0 * ln({m}.0e0 / n_zero) ELSE {raw} END"
     )
+
+
+def _estimate_from_regs_sql(regs_cte: str, p: int, engine: str) -> str:
+    """Estimate SQL over a registers CTE named `regs`.
+
+    Emits (est_distinct DOUBLE, n_zero_registers BIGINT). The harmonic sum
+    is an exact scaled integer (see module docstring); sum() is coalesced
+    to 0 so an EMPTY register state estimates 0 distinct (the linear-
+    counting branch with n_zero == m) instead of propagating NULL.
+    """
+    m = 1 << p
+    scale = 61 - p
     return f"""
 WITH regs AS ({regs_cte}),
 agg AS (
-  SELECT CAST(sum({_shl1_sql(f"{scale} - max_rank", engine)}) AS BIGINT) AS s_present,
+  SELECT CAST(coalesce(sum({_shl1_sql(f"{scale} - max_rank", engine)}), 0) AS BIGINT)
+           AS s_present,
          CAST(count(*) AS BIGINT) AS n_present
   FROM regs
 ),
@@ -138,7 +149,7 @@ scaled AS (
          (s_present + ({m} - n_present) * {1 << scale}) AS s_scaled
   FROM agg
 )
-SELECT CAST({corrected} AS DOUBLE) AS est_distinct,
+SELECT CAST({_corrected_estimate_sql(p)} AS DOUBLE) AS est_distinct,
        CAST(n_zero AS BIGINT) AS n_zero_registers
 FROM scaled
 """
@@ -197,7 +208,8 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
     scale = 61 - p
     agg = registers.agg(
         F.expr(
-            f"CAST(sum({_shl1_sql(f'{scale} - max_rank', 'spark')}) AS BIGINT)"
+            f"CAST(coalesce(sum({_shl1_sql(f'{scale} - max_rank', 'spark')}), 0)"
+            " AS BIGINT)"
         ).alias("s_present"),
         F.count(F.lit(1)).cast("long").alias("n_present"),
     )
@@ -207,15 +219,8 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
             F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(1 << scale)
         ).alias("s_scaled"),
     )
-    alpha = f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0))"
-    num = f"({alpha} * {m}.0e0 * {m}.0e0 * {float(1 << scale)!r})"
-    raw = f"({num} / CAST(s_scaled AS DOUBLE))"
-    corrected = (
-        f"CASE WHEN {raw} <= 2.5e0 * {m}.0e0 AND n_zero > 0 "
-        f"THEN {m}.0e0 * ln({m}.0e0 / n_zero) ELSE {raw} END"
-    )
     return scaled.select(
-        F.expr(f"CAST({corrected} AS DOUBLE)").alias("est_distinct"),
+        F.expr(f"CAST({_corrected_estimate_sql(p)} AS DOUBLE)").alias("est_distinct"),
         F.col("n_zero").cast("long").alias("n_zero_registers"),
     )
 
@@ -315,7 +320,10 @@ def cms_lookup(
     is sound for any item that was ever inserted (its own insert touched
     all d counters); items never inserted would vanish — callers probing
     arbitrary items should left-join a 0 default, but the registered
-    heavy-hitter flow only probes observed items.
+    heavy-hitter flow only probes observed items. Output is one row per
+    DISTINCT item-row value: the groupBy over the item columns collapses
+    duplicate probe rows (min is idempotent, so the estimate is
+    unchanged; pass a unique row id column to keep 1:1 with the input).
     """
     _validate_dw(d, w)
     pairs = ", ".join(
@@ -385,6 +393,13 @@ def bloom_contains(
     """Membership probe: an item reads present iff ALL k of its bits are
     set. Guaranteed true for every inserted item (no false negatives);
     spuriously true for others at the (1 - e^(-kn/m))^k rate.
+
+    Output is one row per DISTINCT item value (the groupBy collapses
+    duplicate probe rows — min is idempotent, so the verdict is
+    unchanged). The all-bits-set test is min(hit) == 1, NOT
+    sum(hit) == k: the sum form breaks exactly on duplicate probes (2k
+    hits != k), which would turn a duplicated INSERTED id into a false
+    negative and void the guarantee.
     """
     _validate_bloom(k, mbits)
     pairs = ", ".join(
@@ -398,7 +413,7 @@ def bloom_contains(
         coords.join(F.broadcast(st), coords["bit"] == st["__set_bit"], "left")
         .withColumn("__hit", F.when(F.col("__set_bit").isNotNull(), 1).otherwise(0))
         .groupBy(*keep)
-        .agg((F.sum("__hit") == F.lit(k)).alias("maybe_present"))
+        .agg((F.min("__hit") == F.lit(1)).alias("maybe_present"))
     )
 
 

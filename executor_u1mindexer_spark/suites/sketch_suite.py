@@ -19,8 +19,14 @@ from executor_u1mindexer_spark.operators import sketch as SK
 P_REGISTERS = 10  # user_id register state: <= 1024 rows, hash-exact
 P_EVENTS = 10  # event_id estimate: n ~ 10k/100k >> 2.5 * 1024, no correction
 P_USERS = 5  # user_id estimate: n = 150/1500 > 2.5 * 32, no correction
-# pass/fail band for the estimate: 5 sigma with sigma ~= 1.04 / sqrt(m)
-_BOUND = {p: repr(5.0 * 1.04 / (1 << p) ** 0.5) for p in (P_EVENTS, P_USERS)}
+# pass/fail band for the estimate: 5 sigma with sigma ~= 1.04 / sqrt(m).
+# The literal gets an explicit e0 exponent — a bare decimal would parse as
+# DECIMAL in Spark but DOUBLE in DuckDB (the trap operators/sketch.py pins)
+_BOUND = {}
+for _p in (P_EVENTS, P_USERS):
+    _r = repr(5.0 * 1.04 / (1 << _p) ** 0.5)
+    assert "e" not in _r and "E" not in _r, _r
+    _BOUND[_p] = _r + "e0"
 
 
 def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,9 +325,11 @@ _BLOOM_MEMBERSHIP_ORACLE = f"""
 WITH state AS ({SK.oracle_bloom_state_sql("documents", "doc_id", BLOOM_K, BLOOM_M)}),
 coords AS ({_bloom_probe_arms()}),
 verdicts AS (
+  -- all-bits-set as "no missing bit" (mirrors the operator's min(hit)==1;
+  -- a sum(hit)==k form would false-negative on duplicated probe rows)
   SELECT c.probe_id, c.expected,
-         (CAST(sum(CASE WHEN s.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-            = {BLOOM_K}) AS maybe_present
+         (CAST(sum(CASE WHEN s.bit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            = 0) AS maybe_present
   FROM coords c LEFT JOIN state s USING (bit)
   GROUP BY c.probe_id, c.expected
 )

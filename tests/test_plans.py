@@ -566,8 +566,9 @@ def test_hll_registers_plan_is_pure_catalyst_partial_agg(spark, sf_dir):
     events = tables.load(spark, sf_dir, "events")
     df = SK.hll_registers(events, "user_id", 10)
     plan = plans.physical_plan(df, "simple")
-    for python_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
-                      "MapInPandas", "FlatMapGroupsInPandas"):
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapInPandas",
+                      "MapInPandas", "FlatMapGroupsInPandas",
+                      "FlatMapCoGroupsInPandas"):
         assert python_op not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert plan.count("HashAggregate") == 2, plan  # partial + final max

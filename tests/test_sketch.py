@@ -235,3 +235,24 @@ def test_bloom_params_validated(spark):
         SK.bloom_state(df, "v", 0, 1024)
     with pytest.raises(ValueError, match="at least one"):
         SK.bloom_merge()
+
+
+def test_hll_estimate_of_empty_input_is_zero_not_null(spark):
+    # sum() over an empty register state is NULL in SQL; the estimate must
+    # coalesce it and land in the linear-counting branch: m*ln(m/m) = 0
+    df = spark.range(0).select(F.col("id").alias("v"))
+    est, n_zero = SK.hll_distinct(df, "v", 10).first()
+    assert est == 0.0 and n_zero == 1024
+
+
+def test_bloom_duplicate_probes_keep_the_no_false_negative_guarantee(spark):
+    # a duplicated INSERTED probe id must still read present: the verdict
+    # is min(hit)==1 (all bits set), not sum(hit)==k which double-counts
+    df = spark.range(100).select(F.col("id").alias("v"))
+    state = SK.bloom_state(df, "v", 4, 1024)
+    dup = spark.createDataFrame([(5,), (5,), (7,)], "probe_id long")
+    got = {
+        r.probe_id: r.maybe_present
+        for r in SK.bloom_contains(state, dup, "probe_id", 4, 1024).collect()
+    }
+    assert got == {5: True, 7: True}
