@@ -230,6 +230,112 @@ def hll_distinct(df: DataFrame, col: str, p: int = 10) -> DataFrame:
     return hll_estimate(hll_registers(df, col, p), p)
 
 
+def hll_registers_grouped(
+    df: DataFrame, col: str, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group HLL states: one (group..., register, max_rank) row per
+    group x touched register — the shape a rollup pipeline persists
+    ("distinct users per country per day"). Still ONE shuffle, now on
+    (group, register) keys; per-group state stays <= 2^p rows and merges
+    across days by the same group-by-max."""
+    _validate_p(p)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use hll_registers")
+    m = 1 << p
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, F.expr(_hash60_sql(col, "spark")).alias("__h"))
+        .select(
+            *group_cols,
+            (F.col("__h") % m).cast("long").alias("register"),
+            F.expr(_rank_sql(_shr_sql("__h", p, "spark"), p)).alias("__rank"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("__rank").cast("long").alias("max_rank"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group estimates from a grouped register state: same shared
+    corrected-estimate expression, with (s_scaled, n_zero) computed per
+    group. One tiny-state aggregation; output one row per group."""
+    _validate_p(p)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use hll_estimate")
+    m = 1 << p
+    scale = 61 - p
+    agg = registers.groupBy(*group_cols).agg(
+        F.expr(
+            f"CAST(coalesce(sum({_shl1_sql(f'{scale} - max_rank', 'spark')}), 0)"
+            " AS BIGINT)"
+        ).alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+    )
+    scaled = agg.select(
+        *group_cols,
+        (F.lit(m) - F.col("n_present")).alias("n_zero"),
+        (
+            F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(1 << scale)
+        ).alias("s_scaled"),
+    )
+    return scaled.select(
+        *group_cols,
+        F.expr(f"CAST({_corrected_estimate_sql(p)} AS DOUBLE)").alias("est_distinct"),
+        F.col("n_zero").cast("long").alias("n_zero_registers"),
+    )
+
+
+def hll_distinct_grouped(
+    df: DataFrame, col: str, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group sketch + estimate in one call."""
+    return hll_estimate_grouped(
+        hll_registers_grouped(df, col, group_cols, p), group_cols, p
+    )
+
+
+def oracle_estimate_grouped_sql(
+    source: str, col: str, group_cols: list[str], p: int = 10
+) -> str:
+    """DuckDB twin of hll_distinct_grouped (same fragment source)."""
+    _validate_p(p)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    m = 1 << p
+    scale = 61 - p
+    g = ", ".join(group_cols)
+    h = _hash60_sql(col, "duck")
+    w = _shr_sql("h", p, "duck")
+    return f"""
+WITH regs AS (
+  SELECT {g}, register, CAST(max(rank) AS BIGINT) AS max_rank
+  FROM (
+    SELECT {g}, CAST(h % {m} AS BIGINT) AS register, {_rank_sql(w, p)} AS rank
+    FROM (SELECT {g}, {h} AS h FROM {source} WHERE {col} IS NOT NULL) hashed
+  ) ranked
+  GROUP BY {g}, register
+),
+agg AS (
+  SELECT {g},
+         CAST(coalesce(sum({_shl1_sql(f"{scale} - max_rank", "duck")}), 0) AS BIGINT)
+           AS s_present,
+         CAST(count(*) AS BIGINT) AS n_present
+  FROM regs GROUP BY {g}
+),
+scaled AS (
+  SELECT {g}, ({m} - n_present) AS n_zero,
+         (s_present + ({m} - n_present) * {1 << scale}) AS s_scaled
+  FROM agg
+)
+SELECT {g},
+       CAST({_corrected_estimate_sql(p)} AS DOUBLE) AS est_distinct,
+       CAST(n_zero AS BIGINT) AS n_zero_registers
+FROM scaled
+"""
+
+
 # -- DuckDB oracle generators (same fragment source as the Spark side) -------
 
 

@@ -134,6 +134,7 @@ DRIVER_PRIORITY = (
     "sketch_cms_merge_partitions",
     "sketch_bloom_state",
     "sketch_bloom_membership",
+    "sketch_hll_grouped_by_type",
 )
 
 

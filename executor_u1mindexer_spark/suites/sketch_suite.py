@@ -168,6 +168,14 @@ def sketch_cms_merge_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_grouped_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rollup form — distinct users per event_type, each group
+    carrying its own p=5 sketch; one (group, register) shuffle for the
+    whole table, the shape of 'distinct users per country per day'."""
+    events = tables.load(spark, sf_dir, "events")
+    return SK.hll_distinct_grouped(events, "user_id", ["event_type"], P_USERS)
+
+
 BLOOM_K, BLOOM_M = 4, 4096
 
 
@@ -212,6 +220,7 @@ QUERIES = {
     "sketch_cms_merge_partitions": sketch_cms_merge_partitions,
     "sketch_bloom_state": sketch_bloom_state,
     "sketch_bloom_membership": sketch_bloom_membership,
+    "sketch_hll_grouped_by_type": sketch_hll_grouped_by_type,
 }
 
 
@@ -351,4 +360,7 @@ ORACLES = {
         "documents", "doc_id", BLOOM_K, BLOOM_M
     ),
     "sketch_bloom_membership": _BLOOM_MEMBERSHIP_ORACLE,
+    "sketch_hll_grouped_by_type": SK.oracle_estimate_grouped_sql(
+        "events", "user_id", ["event_type"], P_USERS
+    ),
 }

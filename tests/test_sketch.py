@@ -256,3 +256,48 @@ def test_bloom_duplicate_probes_keep_the_no_false_negative_guarantee(spark):
         for r in SK.bloom_contains(state, dup, "probe_id", 4, 1024).collect()
     }
     assert got == {5: True, 7: True}
+
+
+def test_grouped_registers_equal_per_group_plain_registers(spark, sf_dir):
+    # the grouped state is definitionally the plain sketch of each slice
+    events = tables.load(spark, sf_dir, "events")
+    grouped = SK.hll_registers_grouped(events, "user_id", ["event_type"], 6)
+    types = [r.event_type for r in events.select("event_type").distinct().collect()]
+    for t in sorted(types)[:2]:  # two slices suffice; full equality is O(groups)
+        want = sorted(
+            map(tuple, SK.hll_registers(
+                events.filter(F.col("event_type") == t), "user_id", 6
+            ).collect())
+        )
+        got = sorted(
+            (r.register, r.max_rank)
+            for r in grouped.filter(F.col("event_type") == t)
+            .select("register", "max_rank").collect()
+        )
+        assert got == want
+
+
+def test_grouped_estimate_accuracy_per_group(spark, sf_dir):
+    events = tables.load(spark, sf_dir, "events")
+    est = {
+        r.event_type: r.est_distinct
+        for r in SK.hll_distinct_grouped(
+            events, "user_id", ["event_type"], 5
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n <= 5 * 1.04 / math.sqrt(32), (t, est[t], n)
+
+
+def test_grouped_requires_group_cols(spark):
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="non-empty"):
+        SK.hll_registers_grouped(df, "v", [], 10)
+    with pytest.raises(ValueError, match="non-empty"):
+        SK.oracle_estimate_grouped_sql("t", "v", [], 10)
