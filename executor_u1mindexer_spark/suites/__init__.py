@@ -135,6 +135,7 @@ DRIVER_PRIORITY = (
     "sketch_bloom_state",
     "sketch_bloom_membership",
     "sketch_hll_grouped_by_type",
+    "sketch_hll_intersection",
 )
 
 

@@ -176,6 +176,81 @@ def sketch_hll_grouped_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_distinct_grouped(events, "user_id", ["event_type"], P_USERS)
 
 
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on sketches: |viewers ∩ purchasers| estimated by
+    inclusion-exclusion over three HLL estimates (A + B − A∪B) — the
+    audience-overlap question sketches answer without ever co-shuffling
+    the two sides. The union sketch is hll_merge of the two branch states
+    (NOT a rescan), so this also exercises merge in an estimate path;
+    accuracy is checked against the exact intersection with the standard
+    caveat that inclusion-exclusion error scales with the UNION size
+    (bound: 5 sigma x est_union)."""
+    events = tables.load(spark, sf_dir, "events")
+    viewers = events.filter(F.col("event_type") == "view")
+    buyers = events.filter(F.col("event_type") == "purchase")
+    reg_a = SK.hll_registers(viewers, "user_id", P_USERS)
+    reg_b = SK.hll_registers(buyers, "user_id", P_USERS)
+    est_a = SK.hll_estimate(reg_a, P_USERS).select(
+        F.col("est_distinct").alias("est_viewers")
+    )
+    est_b = SK.hll_estimate(reg_b, P_USERS).select(
+        F.col("est_distinct").alias("est_buyers")
+    )
+    est_u = SK.hll_estimate(SK.hll_merge(reg_a, reg_b), P_USERS).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    exact = (
+        viewers.select("user_id")
+        .distinct()
+        .join(buyers.select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    sigma5 = _BOUND[P_USERS]
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .select(
+            "est_viewers",
+            "est_buyers",
+            "est_union",
+            F.expr("est_viewers + est_buyers - est_union").alias(
+                "est_intersection"
+            ),
+            "exact_intersection",
+            F.expr(
+                "abs((est_viewers + est_buyers - est_union) - "
+                f"exact_intersection) <= {sigma5} * est_union"
+            ).alias("err_ok"),
+        )
+    )
+
+
+_INTERSECTION_ORACLE = f"""
+WITH a AS ({SK.oracle_estimate_sql(
+    "(SELECT * FROM events WHERE event_type = 'view')", "user_id", P_USERS)}),
+b AS ({SK.oracle_estimate_sql(
+    "(SELECT * FROM events WHERE event_type = 'purchase')", "user_id", P_USERS)}),
+u AS ({SK.oracle_estimate_sql(
+    "(SELECT * FROM events WHERE event_type IN ('view', 'purchase'))",
+    "user_id", P_USERS)}),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM ((SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+        INTERSECT
+        (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) i
+)
+SELECT a.est_distinct AS est_viewers,
+       b.est_distinct AS est_buyers,
+       u.est_distinct AS est_union,
+       (a.est_distinct + b.est_distinct - u.est_distinct) AS est_intersection,
+       exact_intersection,
+       (abs((a.est_distinct + b.est_distinct - u.est_distinct)
+            - exact_intersection) <= {{bound}} * u.est_distinct) AS err_ok
+FROM a CROSS JOIN b CROSS JOIN u CROSS JOIN exact
+""".replace("{bound}", _BOUND[P_USERS])
+
+
 BLOOM_K, BLOOM_M = 4, 4096
 
 
@@ -221,6 +296,7 @@ QUERIES = {
     "sketch_bloom_state": sketch_bloom_state,
     "sketch_bloom_membership": sketch_bloom_membership,
     "sketch_hll_grouped_by_type": sketch_hll_grouped_by_type,
+    "sketch_hll_intersection": sketch_hll_intersection,
 }
 
 
@@ -363,4 +439,5 @@ ORACLES = {
     "sketch_hll_grouped_by_type": SK.oracle_estimate_grouped_sql(
         "events", "user_id", ["event_type"], P_USERS
     ),
+    "sketch_hll_intersection": _INTERSECTION_ORACLE,
 }

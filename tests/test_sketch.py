@@ -301,3 +301,24 @@ def test_grouped_requires_group_cols(spark):
         SK.hll_registers_grouped(df, "v", [], 10)
     with pytest.raises(ValueError, match="non-empty"):
         SK.oracle_estimate_grouped_sql("t", "v", [], 10)
+
+
+def test_intersection_estimate_via_inclusion_exclusion(spark, sf_dir):
+    # merge-based union estimate == direct union sketch estimate, and the
+    # inclusion-exclusion intersection lands within 5 sigma x union
+    events = tables.load(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "view")
+    b = events.filter(F.col("event_type") == "purchase")
+    ra, rb = SK.hll_registers(a, "user_id", 5), SK.hll_registers(b, "user_id", 5)
+    merged_est = SK.hll_estimate(SK.hll_merge(ra, rb), 5).first().est_distinct
+    union_df = events.filter(F.col("event_type").isin("view", "purchase"))
+    direct_est = SK.hll_distinct(union_df, "user_id", 5).first().est_distinct
+    assert merged_est == direct_est  # merge == union sketch, bit-exact
+    ea = SK.hll_estimate(ra, 5).first().est_distinct
+    eb = SK.hll_estimate(rb, 5).first().est_distinct
+    exact = (
+        a.select("user_id").distinct()
+        .join(b.select("user_id").distinct(), "user_id").count()
+    )
+    est_int = ea + eb - merged_est
+    assert abs(est_int - exact) <= 5 * 1.04 / math.sqrt(32) * merged_est
