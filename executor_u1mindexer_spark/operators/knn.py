@@ -199,6 +199,9 @@ def knn_search(
     payload: DataFrame | None = None,
     payload_key: str = "doc_id",
     impl: str = "catalyst",
+    hnsw_m: int = 16,
+    hnsw_ef_construction: int = 100,
+    hnsw_ef_search: int = 50,
 ) -> DataFrame:
     """Top-k exact KNN of each query against the stored vector table.
 
@@ -222,7 +225,10 @@ def knn_search(
     per-partition HNSW graph (operators/hnsw.py + similarity.
     hnsw_partitioned_topk) — the reference's actual index structure
     (executor.py:49, 112); sub-linear per-partition search, recall < 1.0
-    possible by construction, same output contract.
+    possible by construction, same output contract. The hnsw_m /
+    hnsw_ef_construction / hnsw_ef_search knobs forward to the graph
+    (executor.py:22-24's ef/M surface); the exact impls accept-and-ignore
+    them like the reference's exact fallback would.
     """
     if impl == "hnsw":
         from executor_u1mindexer_spark.operators.similarity import (
@@ -238,6 +244,9 @@ def knn_search(
             queries,
             k=k,
             metric=metric,
+            m=hnsw_m,
+            ef_construction=hnsw_ef_construction,
+            ef_search=hnsw_ef_search,
             id_col=id_col,
             vec_col=vec_col,
             query_id_col=query_id_col,

@@ -510,7 +510,12 @@ def hnsw_partitioned_topk(
     exact path accepts-and-ignores become REAL here."""
     from executor_u1mindexer_spark.operators.hnsw import HNSW
 
-    hnsw_metric = {"cosine": "cosine", "euclidean": "l2", "inner_product": "ip"}[metric]
+    metric_map = {"cosine": "cosine", "euclidean": "l2", "inner_product": "ip"}
+    if metric not in metric_map:
+        raise ValueError(
+            f"unknown metric {metric!r}; expected one of {sorted(metric_map)}"
+        )
+    hnsw_metric = metric_map[metric]
 
     def local_hnsw_topk(spdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
         ids = spdf[id_col].to_numpy()

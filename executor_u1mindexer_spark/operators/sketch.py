@@ -117,7 +117,19 @@ def _corrected_estimate_sql(p: int) -> str:
     both on IEEE doubles (a bare 0.7213 parses as DECIMAL in Spark)."""
     m = 1 << p
     scale = 61 - p
-    alpha = f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0))"
+    # Flajolet/Fusy/Gandouet/Meunier 2007 fig. 3: fixed bias constants for
+    # small m (0.673 @ m=16, 0.697 @ m=32, 0.709 @ m=64); the asymptotic
+    # formula only from m >= 128 (ADVICE r05 — the asymptotic value at m=32
+    # carried a ~0.25% systematic bias). Shared fragment, so both engines
+    # stay bit-identical through the change.
+    if p == 4:
+        alpha = "0.673e0"
+    elif p == 5:
+        alpha = "0.697e0"
+    elif p == 6:
+        alpha = "0.709e0"
+    else:
+        alpha = f"(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0))"
     num = f"({alpha} * {m}.0e0 * {m}.0e0 * {float(1 << scale)!r})"
     raw = f"({num} / CAST(s_scaled AS DOUBLE))"
     return (
@@ -421,13 +433,13 @@ def cms_lookup(
 ) -> DataFrame:
     """Point-query estimates: min over the d counters of each item.
 
-    Items expand to their d coordinates (same codegen stack), equi-join
-    the (tiny, <= d*w rows) state, and take the per-item MIN. Inner join
-    is sound for any item that was ever inserted (its own insert touched
-    all d counters); items never inserted would vanish — callers probing
-    arbitrary items should left-join a 0 default, but the registered
-    heavy-hitter flow only probes observed items. Output is one row per
-    DISTINCT item-row value: the groupBy over the item columns collapses
+    Items expand to their d coordinates (same codegen stack), LEFT-join
+    the (tiny, <= d*w rows) broadcast state, and take the per-item MIN
+    with missing counters coalesced to 0 — a counter no insert ever
+    touched holds 0, so an item probing it estimates 0, the mathematically
+    correct CMS answer for a never-inserted item (ADVICE r05: the earlier
+    inner join silently dropped such probes). Output stays 1:1 with
+    distinct probe values: the groupBy over the item columns collapses
     duplicate probe rows (min is idempotent, so the estimate is
     unchanged; pass a unique row id column to keep 1:1 with the input).
     """
@@ -439,9 +451,13 @@ def cms_lookup(
     coords = items.selectExpr("*", f"stack({d}, {pairs}) AS (hash_row, bucket)")
     keep = [c for c in items.columns]
     return (
-        coords.join(F.broadcast(state), ["hash_row", "bucket"])
+        coords.join(F.broadcast(state), ["hash_row", "bucket"], "left")
         .groupBy(*keep)
-        .agg(F.min("cnt").cast("long").alias("est_count"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
     )
 
 

@@ -169,6 +169,10 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # difference dominates the fixed overhead and the driver's bench can
 # finally see it.
 RANGE_AMPLIFY = 32
+# Replica shift must clear any plausible user_id domain: 1e9 (matching
+# maintenance.SCD2_NEW_KEY_OFFSET's rationale) — a 1e6 shift would collide
+# replicas with real ids at larger SFs and silently merge users, distorting
+# the per-user density this pair is built to measure (ADVICE r05).
 
 
 def _amplified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +181,11 @@ def _amplified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(RANGE_AMPLIFY - 1)))
         )
-        .withColumn("user_id", F.col("user_id") + F.col("__r") * 1_000_000)
+        .withColumn(
+            "user_id",
+            F.col("user_id").cast("long")
+            + F.col("__r").cast("long") * F.lit(1_000_000_000),
+        )
         .drop("__r")
     )
 
@@ -562,7 +570,7 @@ QUERIES = {
 # construction (only the join geometry differs), like the per-purchase pair
 _RANGE_AMPLIFIED_SQL = f"""
 WITH e AS (
-  SELECT event_id, user_id + r * 1000000 AS user_id, ts, event_type
+  SELECT event_id, user_id + r * 1000000000 AS user_id, ts, event_type
   FROM events CROSS JOIN range({RANGE_AMPLIFY}) AS t(r)
 ), p AS (
   SELECT event_id AS purchase_id, user_id, ts AS purchase_ts

@@ -353,8 +353,10 @@ top AS (
 ),
 probes AS ({_cms_probe_arms("top")}),
 est AS (
-  SELECT p.token, p.exact_count, CAST(min(s.cnt) AS BIGINT) AS est_count
-  FROM probes p JOIN state s USING (hash_row, bucket)
+  -- left join + coalesce(0) mirrors cms_lookup's unseen-item default
+  SELECT p.token, p.exact_count,
+         CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+  FROM probes p LEFT JOIN state s USING (hash_row, bucket)
   GROUP BY p.token, p.exact_count
 )
 SELECT token, est_count, exact_count,
