@@ -44,87 +44,20 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 5 window — the rotation-debt round VERDICT r04 #1 mandated: ALL 47
-# queries whose newest driver row was r01 (10) or r02 (37) come first, so
-# after this round no query's newest driver row is older than r03. That
-# leaves 3 slots for the riskiest r05 changes: ann_ivf_pq_topk (residual
-# PQ encoding + a new self_match_ok column — its r04 row no longer
-# describes the current schema), multimodal_decode_image (the JPEG slot
-# now alternates 4:4:4 gray / 4:2:0 constant color — new pixel_sum
-# values), and scd2_two_batch_history (brand new — scd2_apply
-# composition). The OTHER r05 new/changed rows (text_bm25_topk_joins,
-# hybrid_search_rrf_batch, the amplified range-join pair,
-# scd2_customer_history / scd2_point_in_time_join with the 1e9 offset +
-# derived base_from, multimodal_training_manifest) are placed immediately
-# after the window so they lead the r06 rotation; ALL of them are green
-# in the committed r05 local dtype-faithful sweeps at sf0.01 AND sf0.1
-# meanwhile.
+# Round 6 window — VERDICT r05 #1: the 19 rows that have NEVER had a
+# driver row come first (the r05 additions staged below last round's
+# boundary: the 11-row sketch family, HNSW, both BPE rows, OHLC, batched
+# BM25/RRF, and the amplified range-join pair — several of which ALSO
+# changed this round via the ADVICE fixes: small-m HLL alpha constants,
+# cms_lookup's left-join default, the 1e9 amplified-events offset), then
+# the brand-new r06 operators (rotation policy (a)), then fill to 50 from
+# the 44 queries whose newest driver row is r03 (all equally stale —
+# alphabetical for auditability). r03 rows below the boundary lead the
+# r07 rotation; every one of them is green in the committed local
+# dtype-faithful sweeps at sf0.01 AND sf0.1 meanwhile. After this round
+# `tools/rotation_check.py` must report never-checked: 0.
 DRIVER_PRIORITY = (
-    # r05 changes too risky to leave without a fresh driver row
-    "ann_ivf_pq_topk",
-    "multimodal_decode_image",
-    "scd2_two_batch_history",
-    # newest driver row r01 — the 10 stragglers deferred from the r04 window
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "null_handling_funcs",
-    "map_column_ops",
-    "set_ops_customer_segments",
-    "topk_orders_by_price",
-    "window_ntile_first_last",
-    "window_rank_lag_lead",
-    "join_semi_customers_with_orders",
-    # newest driver row r02 — all 37
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "join_broadcast_dim",
-    "rollup_returnflag_linestatus",
-    "cube_orderstatus_priority",
-    "window_running_sum",
-    "agg_approx_distinct",
-    "window_range_frame",
-    "bucketed_colocated_join",
-    "skew_salted_join",
-    "grouping_sets_orders",
-    "events_tumbling_hourly",
-    "events_sessionize",
-    "exact_dedup_text",
-    "near_dedup_minhash_lsh",
-    "near_dedup_ngram_jaccard",
-    "near_dedup_embedding_cosine",
-    "text_token_counts",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprints",
-    "multimodal_join",
-    "multimodal_binary_metadata",
-    "ann_cosine_topk_join",
-    "ann_ivf_label_topk",
-    "ann_lsh_hyperplane_topk",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "traverse_chunks",
-    "sample_hash_fraction",
-    "sample_stratified_by_lang",
-    "mixture_weighted_sources",
-    "chunk_sliding_window",
-    "embedding_quantize_int8",
-    "text_vocab_topk",
-    "text_benchmark_contamination",
-    # --- 50-slot window boundary: rows below lead the r06 rotation ---
-    "ann_hnsw_partitioned_topk",
-    "text_bpe_learn_merges",
-    "text_bpe_tokenize",
-    "events_resample_ohlc",
-    "text_bm25_topk_joins",
-    "hybrid_search_rrf_batch",
-    "events_range_join_amplified",
-    "events_range_join_banded_amplified",
-    "scd2_customer_history",
-    "scd2_point_in_time_join",
-    "multimodal_training_manifest",
+    # never driver-checked (r05 additions) — several also changed in r06
     "sketch_hll_registers",
     "sketch_hll_distinct_events",
     "sketch_hll_distinct_users",
@@ -136,6 +69,61 @@ DRIVER_PRIORITY = (
     "sketch_bloom_membership",
     "sketch_hll_grouped_by_type",
     "sketch_hll_intersection",
+    "ann_hnsw_partitioned_topk",
+    "text_bpe_learn_merges",
+    "text_bpe_tokenize",
+    "events_resample_ohlc",
+    "text_bm25_topk_joins",
+    "hybrid_search_rrf_batch",
+    "events_range_join_amplified",
+    "events_range_join_banded_amplified",
+    # brand-new r06 operators get inserted here as they land
+    # fill: newest driver row r03, alphabetical
+    "agg_approx_quantiles",
+    "agg_listagg_names",
+    "agg_percentiles",
+    "ann_partitioned_topk",
+    "ann_range_search",
+    "decontaminated_training_mix",
+    "delete_by_ids",
+    "dump_load_roundtrip",
+    "embedding_centroids_by_label",
+    "embedding_matryoshka_stats",
+    "events_funnel_view_click_purchase",
+    "events_gapfill_hourly",
+    "events_range_join_bucketed",
+    "events_retention_cohorts",
+    "index_upsert",
+    "llm_corpus_pipeline",
+    "multimodal_decode_audio",
+    "multimodal_sample_video_frames",
+    "near_dedup_clusters",
+    "near_dedup_simhash",
+    "pack_token_budget",
+    "scalar_array_funcs",
+    "shuffle_epoch_order",
+    "simhash_fingerprints",
+    "source_compact_small_files",
+    "source_orc_roundtrip",
+    "source_partitioned_parquet",
+    "split_train_val_test",
+    "status_counts",
+    "text_char_ngram_stats",
+    "text_corpus_stats",
+    # --- 50-slot window boundary: rows below lead the r07 rotation ---
+    "text_length_histogram",
+    "text_pii_redaction",
+    "text_repetition_scores",
+    "text_url_domains",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q6_forecast_revenue",
+    "unpivot_lineitem_metrics",
+    "update_existing",
+    "update_skipped",
+    "vector_dedup_quantize",
+    "window_cume_dist_percent_rank",
 )
 
 
