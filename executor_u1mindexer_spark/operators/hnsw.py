@@ -8,7 +8,7 @@ ef_construction, M)`, :112 `knn_query(embs, k)`); hnswlib is not in this
 container, so r01-r04 used an exact numpy argpartition kernel with the
 identical pack/merge topology (similarity.partitioned_topk_merge) and
 documented the plug-in point. This module closes that divergence with a
-pure-numpy Hierarchical Navigable Small World graph (Malkov & Yashunin,
+from-scratch Hierarchical Navigable Small World graph (Malkov & Yashunin,
 arXiv:1603.09320 — the public paper hnswlib implements):
 
 - layered graph, geometric level assignment with multiplier 1/ln(M)
@@ -29,19 +29,48 @@ same rows produce the same graph and the same query results on any
 partitioning, any engine, any run. That is what lets a driver query
 carry an invariant oracle.
 
+KERNEL THROUGHPUT (r06, VERDICT r05 #2): two kernels share one flat
+graph layout and one algorithm:
+
+- a C kernel (_hnsw_kernel.c, compiled on first use with the system
+  gcc, cached under _ckernel_cache/) that runs the whole insert loop in
+  C but routes EVERY float op through the numpy-bundled OpenBLAS with
+  exactly the Python kernel's batch shapes — cblas_ddot64_ for 1-row
+  batches (numpy dispatches those to ddot; measured), cblas_dgemv64_ on
+  a 64-byte-aligned contiguous gather otherwise (dgemv kernel selection
+  is A-alignment-sensitive; measured). Same library, same shapes, same
+  alignment => the same bits, at C loop cost. Used for cosine/ip.
+- the pure-Python/numpy kernel below — the fallback when no C compiler
+  is available, and the only path for metric='l2' (numpy's einsum
+  reduction order has no public contract to replicate in C; probed —
+  neither sequential nor any simple SIMD-accumulator pattern matches
+  it bit-for-bit across sizes).
+
+Builds and searches are verified bit-identical across the two kernels
+and vs the r05 kernel (tests/test_dedup_similarity.py; BENCH_NOTES
+records the measured speedup — the point of the C path is that a 50k-row
+bucket builds in seconds, not minutes).
+
 Scale role: ONE HNSW never spans 100 TB — the production shape is an
 index per partition + k-per-partition merge, exactly
 similarity.partitioned_topk_merge's topology with this kernel slotted in
-(similarity.hnsw_partitioned_topk). Build is O(n log n) distance evals
-per partition and stays in one executor's memory; queries scatter to
+(similarity.hnsw_partitioned_topk, which also auto-scales n_partitions
+to a per-bucket row ceiling). Build is O(n log n) distance evals per
+partition and stays in one executor's memory; queries scatter to
 partitions and gather k rows each.
 """
 
 from __future__ import annotations
 
+import ctypes
+import glob
 import hashlib
 import heapq
 import math
+import os
+import subprocess
+import sys
+import threading
 
 import numpy as np
 
@@ -54,12 +83,97 @@ def _unit_from_id(ext_id: int, seed: int) -> float:
     return (v + 1) / float(1 << 64)
 
 
+# -- C kernel loader ---------------------------------------------------------
+
+_CKERNEL_LOCK = threading.Lock()
+_CKERNEL: ctypes.CDLL | None = None
+_CKERNEL_TRIED = False
+_BLAS_PTRS: tuple[int, int] | None = None  # (dgemv, ddot) addresses
+
+
+def _find_openblas() -> str | None:
+    """Locate the OpenBLAS shared object numpy itself links against, so
+    the C kernel calls the IDENTICAL BLAS build (bit-identity depends on
+    it). numpy wheels bundle it under numpy.libs/."""
+    base = os.path.dirname(np.__file__)
+    for pat in ("../numpy.libs/libopenblas*.so*", ".libs/libopenblas*.so*"):
+        hits = sorted(glob.glob(os.path.join(base, pat)))
+        if hits:
+            return hits[0]
+    return None
+
+
+def _load_ckernel() -> ctypes.CDLL | None:
+    """Compile (once, cached by source hash) and load the C kernel.
+    Returns None — and the class silently uses the Python kernel — when
+    no compiler or no bundled OpenBLAS with ILP64 cblas symbols exists."""
+    global _CKERNEL, _CKERNEL_TRIED, _BLAS_PTRS
+    with _CKERNEL_LOCK:
+        if _CKERNEL_TRIED:
+            return _CKERNEL
+        _CKERNEL_TRIED = True
+        try:
+            blas_path = _find_openblas()
+            if blas_path is None:
+                return None
+            blas = ctypes.CDLL(blas_path)
+            dgemv = ctypes.cast(blas.cblas_dgemv64_, ctypes.c_void_p).value
+            ddot = ctypes.cast(blas.cblas_ddot64_, ctypes.c_void_p).value
+            src = os.path.join(os.path.dirname(__file__), "_hnsw_kernel.c")
+            with open(src, "rb") as f:
+                tag = hashlib.md5(f.read()).hexdigest()[:12]
+            cache_dir = os.path.join(os.path.dirname(__file__), "_ckernel_cache")
+            os.makedirs(cache_dir, exist_ok=True)
+            so = os.path.join(cache_dir, f"_hnsw_kernel_{tag}.so")
+            if not os.path.exists(so):
+                tmp = f"{so}.tmp.{os.getpid()}"
+                subprocess.run(
+                    ["gcc", "-O2", "-fPIC", "-shared", "-o", tmp, src],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, so)  # atomic: concurrent workers race safely
+            lib = ctypes.CDLL(so)
+            I64 = ctypes.c_int64
+            PD = ctypes.POINTER(ctypes.c_double)
+            PI = ctypes.POINTER(I64)
+            VP = ctypes.c_void_p
+            lib.hnsw_build.restype = ctypes.c_int
+            lib.hnsw_build.argtypes = [
+                I64, I64, PD, PI, I64, I64, I64, PI, PI, PI, PI, PI, VP, VP,
+            ]
+            lib.hnsw_search_batch.restype = I64
+            lib.hnsw_search_batch.argtypes = [
+                I64, I64, PD, I64, I64, PI, PI, PI, PI, I64, I64,
+                PD, I64, I64, I64, PI, PI, PD, VP, VP,
+            ]
+            _BLAS_PTRS = (dgemv, ddot)
+            _CKERNEL = lib
+        except Exception:
+            _CKERNEL = None
+        return _CKERNEL
+
+
+def _as_i64_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _as_f64_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
 class HNSW:
     """Deterministic in-memory HNSW over a fixed batch of vectors.
 
     Metrics follow the reference's hnswlib semantics (executor.py:259-275):
     'l2' = SQUARED euclidean, 'cosine' = 1 - cos (vectors normalized at
     add time, like hnswlib), 'ip' = 1 - <a, b>.
+
+    The graph lives in flat numpy arrays shared by both kernels:
+    `_nbr_flat` holds per-node blocks — a (m0+1)-slot level-0 block then
+    (m+1)-slot blocks per upper level (the +1 absorbs the transient
+    overflow before a re-prune); `_cnt_flat` holds the per-(node, level)
+    fill counts; `_noff`/`_coff` are the per-node offsets into each.
     """
 
     def __init__(
@@ -70,6 +184,7 @@ class HNSW:
         m: int = 16,
         ef_construction: int = 200,
         seed: int = 42,
+        use_ckernel: bool | None = None,
     ) -> None:
         if metric not in ("l2", "cosine", "ip"):
             raise ValueError(f"unknown metric {metric!r}")
@@ -84,13 +199,60 @@ class HNSW:
         self.ef_construction = ef_construction
         self.seed = seed
         self.mult = 1.0 / math.log(m)
+        # None = auto (C when compilable and metric != l2); True forces C
+        # (raises if unavailable); False forces the Python kernel
+        self.use_ckernel = use_ckernel
         self.ids: np.ndarray | None = None  # external ids, ascending
         self.vecs: np.ndarray | None = None  # (n, dim) float64 (normalized for cosine)
         self.levels: list[int] = []
-        # neighbors[node] = list over levels 0..levels[node] of int lists
-        self.neighbors: list[list[list[int]]] = []
+        self._nbr_flat: np.ndarray | None = None
+        self._cnt_flat: np.ndarray | None = None
+        self._noff: list[int] = []
+        self._coff: list[int] = []
+        self._stamp: np.ndarray | None = None  # Python-kernel visited stamps
+        self._gen: int = 0
+        self._kept_buf: np.ndarray | None = None
+        self._built_with_c = False
         self.entry: int = -1
         self.max_level: int = -1
+
+    # -- graph layout --------------------------------------------------------
+
+    def _block_bounds(self, node: int, lev: int) -> tuple[int, int]:
+        off = self._noff[node]
+        if lev == 0:
+            return off, off + self.m0 + 1
+        off += (self.m0 + 1) + (lev - 1) * (self.m + 1)
+        return off, off + self.m + 1
+
+    @property
+    def neighbors(self) -> list[list[list[int]]]:
+        """Nested-list adjacency view (node -> level -> ids) for tests."""
+        out = []
+        for i in range(len(self.levels)):
+            per = []
+            for lev in range(self.levels[i] + 1):
+                lo, _ = self._block_bounds(i, lev)
+                c = int(self._cnt_flat[self._coff[i] + lev])
+                per.append(self._nbr_flat[lo : lo + c].tolist())
+            out.append(per)
+        return out
+
+    def _use_c(self) -> bool:
+        if self.use_ckernel is False:
+            return False
+        if self.metric == "l2":
+            # the l2 distance is an einsum whose reduction order has no
+            # public contract to replicate bit-exactly in C — Python only
+            if self.use_ckernel is True:
+                raise ValueError("the C kernel does not support metric='l2'")
+            return False
+        lib = _load_ckernel()
+        if lib is None:
+            if self.use_ckernel is True:
+                raise RuntimeError("C kernel unavailable (no gcc/OpenBLAS?)")
+            return False
+        return True
 
     # -- distances (vectorized over node index arrays) ----------------------
 
@@ -107,65 +269,161 @@ class HNSW:
     def build(self, ids: np.ndarray, vecs: np.ndarray) -> "HNSW":
         order = np.argsort(ids, kind="stable")  # insertion order := id order
         self.ids = ids[order].astype(np.int64)
-        v = vecs[order].astype(np.float64)
+        v = np.ascontiguousarray(vecs[order], dtype=np.float64)
         if self.metric == "cosine":
             norms = np.linalg.norm(v, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
             v = v / norms
-        self.vecs = v
+        self.vecs = np.ascontiguousarray(v)
         n = len(self.ids)
         self.levels = [
             int(-math.log(_unit_from_id(int(e), self.seed)) * self.mult)
             for e in self.ids
         ]
-        self.neighbors = [
-            [[] for _ in range(lvl + 1)] for lvl in self.levels
-        ]
+        noff, coff = [], []
+        nsz = csz = 0
+        for lvl in self.levels:
+            noff.append(nsz)
+            coff.append(csz)
+            nsz += (self.m0 + 1) + lvl * (self.m + 1)
+            csz += lvl + 1
+        self._noff, self._coff = noff, coff
+        self._nbr_flat = np.zeros(nsz, np.int64)
+        self._cnt_flat = np.zeros(csz, np.int64)
+        self.entry = -1
+        self.max_level = -1
+        if n == 0:
+            return self
+        if self._use_c():
+            lib = _load_ckernel()
+            dgemv, ddot = _BLAS_PTRS
+            levels_arr = np.asarray(self.levels, np.int64)
+            noff_arr = np.asarray(noff, np.int64)
+            coff_arr = np.asarray(coff, np.int64)
+            em = np.zeros(2, np.int64)
+            rc = lib.hnsw_build(
+                n,
+                self.dim,
+                _as_f64_ptr(self.vecs),
+                _as_i64_ptr(levels_arr),
+                self.m,
+                self.m0,
+                self.ef_construction,
+                _as_i64_ptr(self._nbr_flat),
+                _as_i64_ptr(noff_arr),
+                _as_i64_ptr(self._cnt_flat),
+                _as_i64_ptr(coff_arr),
+                _as_i64_ptr(em),
+                ctypes.c_void_p(dgemv),
+                ctypes.c_void_p(ddot),
+            )
+            if rc != 0:
+                raise MemoryError("hnsw_build C kernel allocation failed")
+            self.entry = int(em[0])
+            self.max_level = int(em[1])
+            self._built_with_c = True
+            self._noff_arr, self._coff_arr = noff_arr, coff_arr
+            return self
+        self._stamp = np.zeros(n, np.int64)
+        self._gen = 0
+        self._kept_buf = np.empty((self.m0, self.dim), np.float64)
         for i in range(n):
             self._insert(i)
         return self
 
     def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, lev: int):
         """Paper Alg. 2: best-first beam, bounded result heap. Returns
-        [(dist, idx)] sorted ascending; ties break on idx (determinism)."""
-        dists = self._dist_many(q, eps)
-        visited = set(eps)
+        [(dist, idx)] sorted ascending; ties break on idx (determinism).
+
+        Distance batches keep fixed shapes (entry points in one batch,
+        each node's full unvisited adjacency in one batch) — the C kernel
+        mirrors these shapes exactly, which is what makes the two kernels
+        bit-identical."""
+        if self._stamp is None:
+            self._stamp = np.zeros(len(self.levels), np.int64)
+            self._gen = 0
+        self._gen += 1
+        gen = self._gen
+        stamp = self._stamp
+        nbr = self._nbr_flat
+        cnt = self._cnt_flat
+        coff = self._coff
+        noff = self._noff
+        # inlined _block_bounds: level-0 block then (lev-1) upper blocks
+        lev_off = 0 if lev == 0 else (self.m0 + 1) + (lev - 1) * (self.m + 1)
+        eps_arr = np.asarray(eps, dtype=np.int64)
+        stamp[eps_arr] = gen
+        dists = self._dist_many(q, eps_arr)
         cand = [(float(d), int(e)) for d, e in zip(dists, eps)]
         heapq.heapify(cand)
         result = [(-d, e) for d, e in cand]
         heapq.heapify(result)
         while len(result) > ef:
             heapq.heappop(result)
+        nres = len(result)
         while cand:
             d, c = heapq.heappop(cand)
-            if d > -result[0][0] and len(result) >= ef:
+            if d > -result[0][0] and nres >= ef:
                 break
-            fresh = [e for e in self.neighbors[c][lev] if e not in visited]
-            if not fresh:
+            k = cnt[coff[c] + lev]
+            if k == 0:
                 continue
-            visited.update(fresh)
-            for dn, e in zip(self._dist_many(q, fresh), fresh):
-                dn = float(dn)
-                if len(result) < ef or dn < -result[0][0]:
+            lo = noff[c] + lev_off
+            arr = nbr[lo : lo + k]
+            fresh = arr[stamp[arr] != gen]
+            if fresh.size == 0:
+                continue
+            stamp[fresh] = gen
+            dn_all = self._dist_many(q, fresh)
+            if nres >= ef:
+                # prefilter: the admission threshold only tightens as
+                # better results land, so dn >= current worst can never
+                # be admitted downstream — drop in one vectorized compare
+                keep = dn_all < -result[0][0]
+                if not keep.any():
+                    continue
+                dl = dn_all[keep].tolist()
+                fl = fresh[keep].tolist()
+            else:
+                dl = dn_all.tolist()
+                fl = fresh.tolist()
+            for dn, e in zip(dl, fl):
+                if nres < ef or dn < -result[0][0]:
                     heapq.heappush(cand, (dn, e))
                     heapq.heappush(result, (-dn, e))
-                    if len(result) > ef:
+                    if nres >= ef:
                         heapq.heappop(result)
+                    else:
+                        nres += 1
         return sorted((-nd, e) for nd, e in result)
 
     def _select_heuristic(self, cands, m: int) -> list[int]:
         """Paper Alg. 4 / hnswlib getNeighborsByHeuristic2: keep a
         candidate only if it is closer to the query than to every
-        already-kept neighbor."""
+        already-kept neighbor. Kept rows accumulate in a preallocated
+        buffer; each check is one (n_kept x dim) contiguous product."""
         kept: list[int] = []
+        if self._kept_buf is None:
+            self._kept_buf = np.empty((self.m0, self.dim), np.float64)
+        K = self._kept_buf
+        vecs = self.vecs
+        is_l2 = self.metric == "l2"
         for d, e in cands:  # ascending distance
             if len(kept) >= m:
                 break
             if not kept:
                 kept.append(e)
+                K[0] = vecs[e]
                 continue
-            d_to_kept = self._dist_many(self.vecs[e], kept)
+            nk = len(kept)
+            row = vecs[e]
+            if is_l2:
+                diff = K[:nk] - row
+                d_to_kept = np.einsum("ij,ij->i", diff, diff)
+            else:
+                d_to_kept = 1.0 - K[:nk] @ row
             if (d_to_kept > d).all():
+                K[nk] = row
                 kept.append(e)
         return kept
 
@@ -176,6 +434,9 @@ class HNSW:
             self.max_level = level
             return
         q = self.vecs[i]
+        nbr = self._nbr_flat
+        cnt = self._cnt_flat
+        coff = self._coff
         ep = [self.entry]
         for lev in range(self.max_level, level, -1):
             ep = [self._search_layer(q, ep, 1, lev)[0][1]]
@@ -183,14 +444,25 @@ class HNSW:
             found = self._search_layer(q, ep, self.ef_construction, lev)
             mmax = self.m0 if lev == 0 else self.m
             sel = self._select_heuristic(found, self.m)
-            self.neighbors[i][lev] = list(sel)
+            lo, _ = self._block_bounds(i, lev)
+            nbr[lo : lo + len(sel)] = sel
+            cnt[coff[i] + lev] = len(sel)
             for e in sel:
-                nb = self.neighbors[e][lev]
-                nb.append(i)
-                if len(nb) > mmax:  # overflow: re-prune with the heuristic
-                    d_nb = self._dist_many(self.vecs[e], nb)
-                    ranked = sorted(zip(d_nb, nb), key=lambda t: (t[0], t[1]))
-                    self.neighbors[e][lev] = self._select_heuristic(ranked, mmax)
+                elo, _ = self._block_bounds(e, lev)
+                ke = int(cnt[coff[e] + lev])
+                nbr[elo + ke] = i
+                ke += 1
+                if ke > mmax:  # overflow: re-prune with the heuristic
+                    cur = nbr[elo : elo + ke]
+                    d_nb = self._dist_many(self.vecs[e], cur)
+                    ranked = sorted(
+                        zip(d_nb.tolist(), cur.tolist()), key=lambda t: (t[0], t[1])
+                    )
+                    pruned = self._select_heuristic(ranked, mmax)
+                    nbr[elo : elo + len(pruned)] = pruned
+                    cnt[coff[e] + lev] = len(pruned)
+                else:
+                    cnt[coff[e] + lev] = ke
             ep = [e for _, e in found]
         if level > self.max_level:
             self.max_level = level
@@ -198,16 +470,24 @@ class HNSW:
 
     # -- query ---------------------------------------------------------------
 
-    def search(self, q: np.ndarray, k: int, ef: int = 50):
-        """(ids, dists) of the approximate k nearest, ascending distance,
-        ties on id — the knn_query contract (executor.py:112)."""
-        if self.entry < 0:
-            return np.array([], np.int64), np.array([], np.float64)
+    def _normalize_q(self, q: np.ndarray) -> np.ndarray:
         q = np.asarray(q, np.float64)
         if self.metric == "cosine":
             n = np.linalg.norm(q)
             if n > 0:
                 q = q / n
+        return q
+
+    def search(self, q: np.ndarray, k: int, ef: int = 50):
+        """(ids, dists) of the approximate k nearest, ascending distance,
+        ties on id — the knn_query contract (executor.py:112)."""
+        if self.entry < 0:
+            return np.array([], np.int64), np.array([], np.float64)
+        if self._use_c():
+            qmat = np.ascontiguousarray(self._normalize_q(q).reshape(1, -1))
+            _, ids, ds = self._search_batch_c(qmat, k, ef)
+            return ids, ds
+        q = self._normalize_q(q)
         ep = [self.entry]
         for lev in range(self.max_level, 0, -1):
             ep = [self._search_layer(q, ep, 1, lev)[0][1]]
@@ -215,8 +495,61 @@ class HNSW:
         idx = [e for _, e in found]
         return self.ids[idx], np.array([d for d, _ in found], np.float64)
 
+    def _search_batch_c(self, qmat: np.ndarray, k: int, ef: int):
+        lib = _load_ckernel()
+        dgemv, ddot = _BLAS_PTRS
+        n = len(self.ids)
+        nq = len(qmat)
+        noff_arr = getattr(self, "_noff_arr", None)
+        if noff_arr is None:
+            noff_arr = np.asarray(self._noff, np.int64)
+            self._noff_arr = noff_arr
+        coff_arr = getattr(self, "_coff_arr", None)
+        if coff_arr is None:
+            coff_arr = np.asarray(self._coff, np.int64)
+            self._coff_arr = coff_arr
+        out_rows = np.empty(nq * max(k, 1), np.int64)
+        out_idx = np.empty(nq * max(k, 1), np.int64)
+        out_dist = np.empty(nq * max(k, 1), np.float64)
+        t = lib.hnsw_search_batch(
+            n,
+            self.dim,
+            _as_f64_ptr(self.vecs),
+            self.m,
+            self.m0,
+            _as_i64_ptr(self._nbr_flat),
+            _as_i64_ptr(noff_arr),
+            _as_i64_ptr(self._cnt_flat),
+            _as_i64_ptr(coff_arr),
+            self.entry,
+            self.max_level,
+            _as_f64_ptr(np.ascontiguousarray(qmat, np.float64)),
+            nq,
+            k,
+            ef,
+            _as_i64_ptr(out_rows),
+            _as_i64_ptr(out_idx),
+            _as_f64_ptr(out_dist),
+            ctypes.c_void_p(dgemv),
+            ctypes.c_void_p(ddot),
+        )
+        if t < 0:
+            raise MemoryError("hnsw_search_batch C kernel allocation failed")
+        return out_rows[:t], self.ids[out_idx[:t]], out_dist[:t]
+
     def search_batch(self, qmat: np.ndarray, k: int, ef: int = 50):
         """Batch form of search: returns (query_row, id, dist) arrays."""
+        if self.entry < 0:
+            return (
+                np.array([], np.int64),
+                np.array([], np.int64),
+                np.array([], np.float64),
+            )
+        if self._use_c():
+            qn = np.ascontiguousarray(
+                np.stack([self._normalize_q(qmat[r]) for r in range(len(qmat))])
+            )
+            return self._search_batch_c(qn, k, ef)
         rows, out_ids, out_d = [], [], []
         for r in range(len(qmat)):
             ids, ds = self.search(qmat[r], k, ef)

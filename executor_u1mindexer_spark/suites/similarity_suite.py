@@ -227,7 +227,10 @@ def ann_hnsw_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — hnswlib itself would give a different graph every build."""
     emb = _emb(spark, sf_dir)
     q = _queries(emb).select("query_id", "query_embedding")
-    res = S.hnsw_partitioned_topk(emb, q, k=K)
+    # max_bucket_rows: the r06 per-bucket build ceiling — inert at fixture
+    # scale (buckets stay far below 200k) so results are unchanged, but
+    # the registered query exercises the 100 TB guard path
+    res = S.hnsw_partitioned_topk(emb, q, k=K, max_bucket_rows=200_000)
     exact = knn.knn_search(emb, q, k=K, metric="cosine").select("query_id", "vec_id")
     hits = res.join(exact, ["query_id", "vec_id"], "leftsemi")
     per_q = (

@@ -328,6 +328,76 @@ def test_hnsw_partitioned_topk_contract(spark, sf_dir):
         assert ranked[0].vec_id == qid and ranked[0].dist <= 1e-12  # self-match
 
 
+def test_hnsw_c_and_python_kernels_bit_identical():
+    """The r06 C kernel (same OpenBLAS, same batch shapes, same
+    alignment) must produce EXACTLY the Python kernel's graph and search
+    results — the bit-identity contract hnsw.py documents. dim=24 keeps
+    vector rows at varying 64-byte alignment (the measured dgemv
+    sensitivity), so this also pins the aligned-gather engineering."""
+    import numpy as np
+
+    from executor_u1mindexer_spark.operators.hnsw import HNSW, _load_ckernel
+
+    if _load_ckernel() is None:
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.RandomState(21)
+    n, d = 1200, 24
+    vecs = rng.randn(n, d)
+    ids = np.arange(n, dtype=np.int64) * 5 + 3
+    for metric in ("cosine", "ip"):
+        hc = HNSW(d, metric=metric, m=12, ef_construction=80).build(ids, vecs)
+        hp = HNSW(d, metric=metric, m=12, ef_construction=80, use_ckernel=False).build(
+            ids, vecs
+        )
+        assert hc._built_with_c and not hp._built_with_c
+        assert hc.levels == hp.levels
+        assert hc.entry == hp.entry and hc.max_level == hp.max_level
+        assert hc.neighbors == hp.neighbors
+        q = rng.randn(25, d)
+        rc = hc.search_batch(q, 7, ef=40)
+        rp = hp.search_batch(q, 7, ef=40)
+        for a, b in zip(rc, rp):
+            assert np.array_equal(a, b)  # dists exactly equal too
+
+
+def test_hnsw_l2_gates_c_kernel():
+    """metric='l2' has no bit-replicable C distance (einsum reduction
+    order) — forcing the C kernel must fail loudly, auto must fall back."""
+    import numpy as np
+
+    from executor_u1mindexer_spark.operators.hnsw import HNSW
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(60, 8)
+    ids = np.arange(60)
+    with pytest.raises(ValueError, match="l2"):
+        HNSW(8, metric="l2", use_ckernel=True).build(ids, vecs)
+    h = HNSW(8, metric="l2", m=4, ef_construction=30).build(ids, vecs)
+    assert not h._built_with_c  # silent fallback
+    got, _ = h.search(vecs[7], 3)
+    assert got[0] == 7
+
+
+def test_hnsw_partitioned_topk_bucket_ceiling(spark, sf_dir):
+    """max_bucket_rows raises n_partitions so no bucket exceeds the
+    per-executor build budget; a ceiling above the corpus is inert."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    # ceiling of 10 rows/bucket -> >= ceil(n/10) buckets; results still
+    # exactly k rows per query with self-match (merge is partition-proof)
+    rows = S.hnsw_partitioned_topk(
+        emb, q, k=3, max_bucket_rows=10, n_partitions=2
+    ).collect()
+    assert len(rows) == 2 * 3
+    with pytest.raises(ValueError, match="max_bucket_rows"):
+        S.hnsw_partitioned_topk(emb, q, k=3, max_bucket_rows=0)
+    assert n > 10  # the ceiling above actually triggered
+
+
 def test_ivf_pq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
