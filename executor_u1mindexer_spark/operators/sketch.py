@@ -539,6 +539,151 @@ def bloom_contains(
     )
 
 
+def bloom_bits_collect(
+    df: DataFrame, col: str, k: int = 4, mbits: int = 4096
+) -> list[int]:
+    """Materialize a Bloom state as a sorted list of set-bit positions.
+
+    Bounded by mbits rows regardless of input size — the same contract
+    that makes the state shippable as a literal: this is the collect a
+    100 TB bloom-pruned join performs ONCE on the small/dim side before
+    stamping the filter into the fact scan (cf. the literal-centroids
+    pattern in similarity.ivf_pq_topk)."""
+    state = bloom_state(df, col, k, mbits)
+    return sorted(int(r["bit"]) for r in state.collect())
+
+
+def bloom_member_expr(bits: list[int], col: str, k: int = 4, mbits: int = 4096):
+    """Pure-Catalyst membership predicate over a literal bit array: TRUE
+    iff all k salted positions of `col` are set.
+
+    The mbits bits pack into mbits/64 signed longs inlined as an array
+    literal; each probe is element_at + shiftright + mask — integer
+    codegen, NO join, NO shuffle, NO Python. Stamped under a fact scan
+    it prunes rows map-side BEFORE the join exchange, which is the
+    entire 100 TB point of a Bloom filter (no false negatives, so the
+    subsequent join result is EXACTLY the unpruned result)."""
+    _validate_bloom(k, mbits)
+    if mbits % 64 != 0:
+        raise ValueError(f"mbits must be a multiple of 64, got {mbits}")
+    words = [0] * (mbits // 64)
+    for b in bits:
+        if not (0 <= b < mbits):
+            raise ValueError(f"bit position {b} outside [0, {mbits})")
+        words[b >> 6] |= 1 << (b & 63)
+    # wrap to signed 64-bit: bit 63 set would overflow a Spark LONG literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    conds = []
+    for i in range(k):
+        pos = f"CAST(({_salted_hash_sql(col, i, 'spark')} % {mbits}) AS BIGINT)"
+        word = f"element_at({arr}, CAST(shiftright({pos}, 6) AS INT) + 1)"
+        conds.append(f"((shiftright({word}, CAST(({pos} & 63) AS INT)) & 1) = 1)")
+    return F.expr("(" + " AND ".join(conds) + ")")
+
+
+def bloom_prune_scan(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    k: int = 4,
+    mbits: int = 4096,
+) -> DataFrame:
+    """The composed bloom-pruned scan: build the state on the (small) dim
+    side, collect its <= mbits set bits, and return the fact filtered by
+    the literal membership predicate. Joining the result to `dim` gives
+    EXACTLY fact JOIN dim (no false negatives); the filter discards the
+    non-matching bulk of the fact scan before any exchange — the
+    executor.py:221-style membership semantics as a scan pruner."""
+    bits = bloom_bits_collect(dim, dim_key, k, mbits)
+    return fact.filter(bloom_member_expr(bits, fact_key, k, mbits))
+
+
+# -- grouped count-min ------------------------------------------------------
+
+
+def cms_state_grouped(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    d: int = D_DEFAULT,
+    w: int = 256,
+) -> DataFrame:
+    """Per-group CMS states: one (group..., hash_row, bucket, cnt) row per
+    group x touched counter — 'top URLs per day' shape. Still ONE shuffle,
+    now on (group, row, bucket) keys; per-group state stays <= d*w rows
+    and merges across days by the same group-by-SUM."""
+    _validate_dw(d, w)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use cms_state")
+    pairs = ", ".join(
+        f"{i}, CAST(({_salted_hash_sql(col, i, 'spark')} % {w}) AS BIGINT)"
+        for i in range(d)
+    )
+    g = ", ".join(group_cols)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .selectExpr(g, f"stack({d}, {pairs}) AS (hash_row, bucket)")
+        .groupBy(*group_cols, "hash_row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup_grouped(
+    state: DataFrame,
+    items: DataFrame,
+    col: str,
+    group_cols: list[str],
+    d: int = D_DEFAULT,
+    w: int = 256,
+) -> DataFrame:
+    """Per-group point queries: items carry their group columns; the join
+    key is (group..., hash_row, bucket), missing counters coalesce to 0
+    (the unseen-item default), min over the d counters per item."""
+    _validate_dw(d, w)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use cms_lookup")
+    pairs = ", ".join(
+        f"{i}, CAST(({_salted_hash_sql(col, i, 'spark')} % {w}) AS BIGINT)"
+        for i in range(d)
+    )
+    coords = items.selectExpr("*", f"stack({d}, {pairs}) AS (hash_row, bucket)")
+    keep = list(items.columns)
+    return (
+        coords.join(
+            F.broadcast(state), [*group_cols, "hash_row", "bucket"], "left"
+        )
+        .groupBy(*keep)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
+    )
+
+
+def oracle_cms_state_grouped_sql(
+    source: str, col: str, group_cols: list[str], d: int = D_DEFAULT, w: int = 256
+) -> str:
+    """DuckDB twin of cms_state_grouped (UNION ALL over the d rows)."""
+    _validate_dw(d, w)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    g = ", ".join(group_cols)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {g}, {i} AS hash_row, "
+        f"CAST(({_salted_hash_sql(col, i, 'duck')} % {w}) AS BIGINT) AS bucket "
+        f"FROM {source} WHERE {col} IS NOT NULL"
+        for i in range(d)
+    )
+    return f"""
+SELECT {g}, hash_row, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM ({arms}) coords
+GROUP BY {g}, hash_row, bucket
+"""
+
+
 def oracle_bloom_state_sql(source: str, col: str, k: int = 4, mbits: int = 4096) -> str:
     """DuckDB twin of bloom_state (UNION of the k position selects; UNION
     deduplicates, matching the DataFrame .distinct())."""

@@ -77,7 +77,14 @@ DRIVER_PRIORITY = (
     "hybrid_search_rrf_batch",
     "events_range_join_amplified",
     "events_range_join_banded_amplified",
-    # brand-new r06 operators get inserted here as they land
+    # brand-new r06 operators (rotation policy (a))
+    "sketch_bloom_join_prune",
+    "sketch_cms_lookup_unseen",
+    "sketch_cms_grouped_state",
+    "sketch_cms_grouped_heavy_hitters",
+    "sketch_quantile_state",
+    "sketch_quantile_estimate",
+    "sketch_quantile_merge",
     # fill: newest driver row r03, alphabetical
     "agg_approx_quantiles",
     "agg_listagg_names",
@@ -103,6 +110,7 @@ DRIVER_PRIORITY = (
     "scalar_array_funcs",
     "shuffle_epoch_order",
     "simhash_fingerprints",
+    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "source_compact_small_files",
     "source_orc_roundtrip",
     "source_partitioned_parquet",
@@ -110,7 +118,6 @@ DRIVER_PRIORITY = (
     "status_counts",
     "text_char_ngram_stats",
     "text_corpus_stats",
-    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "text_length_histogram",
     "text_pii_redaction",
     "text_repetition_scores",

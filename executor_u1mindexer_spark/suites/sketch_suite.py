@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import quantile as QT
 from executor_u1mindexer_spark.operators import sketch as SK
 
 P_REGISTERS = 10  # user_id register state: <= 1024 rows, hash-exact
@@ -285,6 +286,255 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_JOIN_K, BLOOM_JOIN_M = 4, 65536  # sized so sf0.1's ~3k dim keys stay sparse
+
+
+def sketch_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family's actual 100 TB use (VERDICT r05 #3): build a
+    Bloom state on the small dim side (one customer segment), stamp its
+    <= mbits bits into the orders scan as a literal integer predicate
+    (sketch.bloom_member_expr — no join, no shuffle, no Python), and
+    verify the two guarantees as data: the pruned join equals the direct
+    join EXACTLY (no false negatives), and the scan kept strictly fewer
+    rows (the measured reduction). All-integer output, hash-exact."""
+    cust = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.load(spark, sf_dir, "orders")
+    pruned = SK.bloom_prune_scan(
+        orders, cust, "o_custkey", "c_custkey", BLOOM_JOIN_K, BLOOM_JOIN_M
+    )
+    dim = cust.select("c_custkey")
+    direct = orders.join(
+        F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"]
+    )
+    pjoin = pruned.join(
+        F.broadcast(dim), pruned["o_custkey"] == dim["c_custkey"]
+    )
+    a = orders.agg(F.count(F.lit(1)).cast("long").alias("n_fact_total"))
+    b = pruned.agg(F.count(F.lit(1)).cast("long").alias("n_fact_pruned"))
+    c = direct.agg(
+        F.count(F.lit(1)).cast("long").alias("n_join_direct"),
+        F.sum("o_orderkey").cast("long").alias("cs_direct"),
+    )
+    d = pjoin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_join_pruned"),
+        F.sum("o_orderkey").cast("long").alias("cs_pruned"),
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .crossJoin(d)
+        .select(
+            "n_fact_total",
+            "n_fact_pruned",
+            "n_join_direct",
+            "n_join_pruned",
+            (
+                (F.col("n_join_direct") == F.col("n_join_pruned"))
+                & (F.col("cs_direct") == F.col("cs_pruned"))
+            ).alias("results_equal"),
+            (F.col("n_fact_pruned") < F.col("n_fact_total")).alias("scan_reduced"),
+        )
+    )
+
+
+def sketch_cms_lookup_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the CMS with 5 observed tokens AND 5 synthetic never-inserted
+    tokens — the regression row for the r06 left-join default: unseen
+    probes must come back (10 rows always) with their min-counter
+    estimate, which still obeys both CMS guarantees (never below the true
+    count — 0 for unseen — and within eps*N above it)."""
+    toks = _tokens(spark, sf_dir)
+    state = SK.cms_state(toks, "token", CMS_D, CMS_W)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(5)
+    )
+    unseen = spark.range(5).select(
+        F.concat(F.lit("__never_inserted_"), F.col("id")).alias("token"),
+        F.lit(0).cast("long").alias("exact_count"),
+    )
+    probes = top.unionByName(unseen)
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    est = SK.cms_lookup(state, probes, "token", CMS_D, CMS_W)
+    return est.crossJoin(total).select(
+        "token",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("overestimate_ok"),
+        F.expr(
+            f"est_count <= exact_count + ceil({_E} * n_total / {CMS_W})"
+        ).alias("within_eps_ok"),
+    )
+
+
+def _lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from executor_u1mindexer_spark.functions import text as T
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "lang", F.explode(T.words(F.lower(F.col("text")))).alias("token")
+    )
+
+
+_LANG_TOKS_SQL = (
+    "(SELECT lang, unnest(str_split_regex(lower(text), '\\s+')) AS token "
+    "FROM documents)"
+)
+
+
+def sketch_cms_grouped_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group CMS states — token frequencies per language, the 'top
+    URLs per day' rollup shape (VERDICT r05 #7): ONE (group, row, bucket)
+    shuffle, <= n_langs * d * w integer rows out, SUM-mergeable per
+    group, hash-exact vs the oracle."""
+    return SK.cms_state_grouped(
+        _lang_tokens(spark, sf_dir), "token", ["lang"], CMS_D, CMS_W
+    )
+
+
+def sketch_cms_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per language with both CMS guarantees checked against
+    each group's OWN eps budget (eps = e/w of that language's token
+    count) — per-group frequency estimates out of one shared shuffle."""
+    from pyspark.sql import Window
+
+    toks = _lang_tokens(spark, sf_dir)
+    state = SK.cms_state_grouped(toks, "token", ["lang"], CMS_D, CMS_W)
+    counts = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    wspec = Window.partitionBy("lang").orderBy(
+        F.col("exact_count").desc(), F.col("token").asc()
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(wspec))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+    totals = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total_lang")
+    )
+    est = SK.cms_lookup_grouped(state, top, "token", ["lang"], CMS_D, CMS_W)
+    return est.join(totals, "lang").select(
+        "lang",
+        "token",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("overestimate_ok"),
+        F.expr(
+            f"est_count <= exact_count + ceil({_E} * n_total_lang / {CMS_W})"
+        ).alias("within_eps_ok"),
+    )
+
+
+QP, QS_TILES = 8, 64  # <= 512 state rows; err_budget ~ N/64 + 8
+
+
+def sketch_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable equi-depth quantile state (operators/quantile.py —
+    Munro-Paterson/MRL-style, the family's quantile member, VERDICT r05
+    #4) over orders.o_totalprice: <= p*s (bucket, tile, rep_value,
+    weight) rows out of any input size, bit-exact vs the oracle (rep
+    values are comparisons-only — no float arithmetic anywhere)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    return QT.quantile_state(orders, "o_totalprice", "o_orderkey", QP, QS_TILES)
+
+
+def sketch_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank queries (p50/p90/p99) from the state, with the sketch's two
+    rank guarantees verified as booleans against the exact data ranks:
+    count(v <= est) >= target, and count(v < est) <= target + max_tile +
+    err_budget — every bound computed EXACTLY from the state itself. The
+    estimate is a raw data value, so it matches the oracle bit-for-bit."""
+    orders = tables.load(spark, sf_dir, "orders")
+    st = QT.quantile_state(orders, "o_totalprice", "o_orderkey", QP, QS_TILES)
+    est = QT.quantile_estimate(st, [0.5, 0.9, 0.99])
+    vals = orders.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(F.col("o_totalprice").cast("double").alias("v"))
+    ranks = (
+        vals.crossJoin(F.broadcast(est))
+        .groupBy("q", "n_total", "target", "err_budget", "max_tile", "est_value")
+        .agg(
+            F.sum((F.col("v") <= F.col("est_value")).cast("long"))
+            .cast("long")
+            .alias("rank_le"),
+            F.sum((F.col("v") < F.col("est_value")).cast("long"))
+            .cast("long")
+            .alias("rank_lt"),
+        )
+    )
+    return ranks.select(
+        "q",
+        "est_value",
+        "n_total",
+        "target",
+        "err_budget",
+        "max_tile",
+        "rank_le",
+        "rank_lt",
+        (F.col("rank_le") >= F.col("target")).alias("lo_ok"),
+        (
+            F.col("rank_lt")
+            <= F.col("target") + F.col("max_tile") + F.col("err_budget")
+        ).alias("hi_ok"),
+    )
+
+
+def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability: states built on two disjoint halves, UNIONED (never
+    rescanning raw data), answering p25/p75 over the WHOLE table within
+    the summed error budgets — the per-day rollup property that makes
+    this a 100 TB operator."""
+    orders = tables.load(spark, sf_dir, "orders")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = QT.quantile_merge(
+        QT.quantile_state(even, "o_totalprice", "o_orderkey", QP, QS_TILES),
+        QT.quantile_state(odd, "o_totalprice", "o_orderkey", QP, QS_TILES),
+    )
+    est = QT.quantile_estimate(
+        merged,
+        [0.25, 0.75],
+        bucket_cols=["src", "bucket"],
+        order_cols=["src", "bucket", "tile"],
+    )
+    vals = orders.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(F.col("o_totalprice").cast("double").alias("v"))
+    ranks = (
+        vals.crossJoin(F.broadcast(est))
+        .groupBy("q", "n_total", "target", "err_budget", "max_tile", "est_value")
+        .agg(
+            F.sum((F.col("v") <= F.col("est_value")).cast("long"))
+            .cast("long")
+            .alias("rank_le"),
+            F.sum((F.col("v") < F.col("est_value")).cast("long"))
+            .cast("long")
+            .alias("rank_lt"),
+        )
+    )
+    return ranks.select(
+        "q",
+        "est_value",
+        "n_total",
+        "target",
+        "err_budget",
+        "max_tile",
+        "rank_le",
+        "rank_lt",
+        (F.col("rank_le") >= F.col("target")).alias("lo_ok"),
+        (
+            F.col("rank_lt")
+            <= F.col("target") + F.col("max_tile") + F.col("err_budget")
+        ).alias("hi_ok"),
+    )
+
+
 QUERIES = {
     "sketch_hll_registers": sketch_hll_registers,
     "sketch_hll_distinct_events": sketch_hll_distinct_events,
@@ -297,6 +547,13 @@ QUERIES = {
     "sketch_bloom_membership": sketch_bloom_membership,
     "sketch_hll_grouped_by_type": sketch_hll_grouped_by_type,
     "sketch_hll_intersection": sketch_hll_intersection,
+    "sketch_bloom_join_prune": sketch_bloom_join_prune,
+    "sketch_cms_lookup_unseen": sketch_cms_lookup_unseen,
+    "sketch_cms_grouped_state": sketch_cms_grouped_state,
+    "sketch_cms_grouped_heavy_hitters": sketch_cms_grouped_heavy_hitters,
+    "sketch_quantile_state": sketch_quantile_state,
+    "sketch_quantile_estimate": sketch_quantile_estimate,
+    "sketch_quantile_merge": sketch_quantile_merge,
 }
 
 
@@ -426,6 +683,153 @@ FROM verdicts
 """
 
 
+def _bloom_join_probe_arms() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT o_orderkey, "
+        f"CAST(({SK._salted_hash_sql('o_custkey', i, 'duck')} % {BLOOM_JOIN_M})"
+        f" AS BIGINT) AS bit FROM orders"
+        for i in range(BLOOM_JOIN_K)
+    )
+
+
+_BLOOM_JOIN_ORACLE = f"""
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+state AS ({SK.oracle_bloom_state_sql("dim", "c_custkey", BLOOM_JOIN_K, BLOOM_JOIN_M)}),
+coords AS ({_bloom_join_probe_arms()}),
+kept AS (
+  SELECT o_orderkey
+  FROM coords c LEFT JOIN state s USING (bit)
+  GROUP BY o_orderkey
+  HAVING CAST(sum(CASE WHEN s.bit IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+),
+pruned AS (SELECT o.* FROM orders o JOIN kept USING (o_orderkey)),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_fact_total FROM orders),
+b AS (SELECT CAST(count(*) AS BIGINT) AS n_fact_pruned FROM pruned),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_join_direct,
+             CAST(sum(o_orderkey) AS BIGINT) AS cs_direct
+      FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey),
+d2 AS (SELECT CAST(count(*) AS BIGINT) AS n_join_pruned,
+              CAST(sum(o_orderkey) AS BIGINT) AS cs_pruned
+       FROM pruned p JOIN dim d ON p.o_custkey = d.c_custkey)
+SELECT n_fact_total, n_fact_pruned, n_join_direct, n_join_pruned,
+       (n_join_direct = n_join_pruned AND cs_direct = cs_pruned) AS results_equal,
+       (n_fact_pruned < n_fact_total) AS scan_reduced
+FROM a CROSS JOIN b CROSS JOIN c CROSS JOIN d2
+"""
+
+
+_CMS_UNSEEN_ORACLE = f"""
+WITH toks AS {_TOKS_SQL},
+state AS ({SK.oracle_cms_state_sql("toks", "token", CMS_D, CMS_W)}),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks
+          WHERE token IS NOT NULL),
+top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY token
+  ORDER BY exact_count DESC, token ASC LIMIT 5
+),
+unseen AS (
+  SELECT concat('__never_inserted_', CAST(r AS VARCHAR)) AS token,
+         CAST(0 AS BIGINT) AS exact_count
+  FROM range(5) t(r)
+),
+probes_src AS (SELECT * FROM top UNION ALL SELECT * FROM unseen),
+probes AS ({_cms_probe_arms("probes_src")}),
+est AS (
+  SELECT p.token, p.exact_count,
+         CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+  FROM probes p LEFT JOIN state s USING (hash_row, bucket)
+  GROUP BY p.token, p.exact_count
+)
+SELECT token, est_count, exact_count,
+       (est_count >= exact_count) AS overestimate_ok,
+       (est_count <= exact_count + ceil({_E} * n_total / {CMS_W}))
+         AS within_eps_ok
+FROM est CROSS JOIN total
+"""
+
+
+def _cms_grouped_probe_arms(item_source: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT lang, token, exact_count, {i} AS hash_row, "
+        f"CAST(({SK._salted_hash_sql('token', i, 'duck')} % {CMS_W}) AS BIGINT)"
+        f" AS bucket FROM {item_source}"
+        for i in range(CMS_D)
+    )
+
+
+_CMS_GROUPED_HH_ORACLE = f"""
+WITH toks AS {_LANG_TOKS_SQL},
+state AS ({SK.oracle_cms_state_grouped_sql("toks", "token", ["lang"], CMS_D, CMS_W)}),
+counts AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY lang, token
+),
+top AS (
+  SELECT lang, token, exact_count FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+               ORDER BY exact_count DESC, token ASC) AS rn
+    FROM counts
+  ) r WHERE rn <= 3
+),
+totals AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total_lang
+           FROM toks GROUP BY lang),
+probes AS ({_cms_grouped_probe_arms("top")}),
+est AS (
+  SELECT p.lang, p.token, p.exact_count,
+         CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+  FROM probes p LEFT JOIN state s USING (lang, hash_row, bucket)
+  GROUP BY p.lang, p.token, p.exact_count
+)
+SELECT e.lang, token, est_count, exact_count,
+       (est_count >= exact_count) AS overestimate_ok,
+       (est_count <= exact_count + ceil({_E} * n_total_lang / {CMS_W}))
+         AS within_eps_ok
+FROM est e JOIN totals t ON e.lang = t.lang
+"""
+
+
+_QSTATE_SQL = QT.oracle_state_sql("orders", "o_totalprice", "o_orderkey", QP, QS_TILES)
+
+_QRANK_TAIL = """
+vals AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+         WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+ranks AS (
+  SELECT q, n_total, target, err_budget, max_tile, est_value,
+         CAST(sum(CASE WHEN v <= est_value THEN 1 ELSE 0 END) AS BIGINT)
+           AS rank_le,
+         CAST(sum(CASE WHEN v < est_value THEN 1 ELSE 0 END) AS BIGINT)
+           AS rank_lt
+  FROM vals CROSS JOIN est
+  GROUP BY q, n_total, target, err_budget, max_tile, est_value
+)
+SELECT q, est_value, n_total, target, err_budget, max_tile, rank_le, rank_lt,
+       (rank_le >= target) AS lo_ok,
+       (rank_lt <= target + max_tile + err_budget) AS hi_ok
+FROM ranks
+"""
+
+_QEST_ORACLE = f"""
+WITH state AS ({_QSTATE_SQL}),
+est AS ({QT.oracle_estimate_body_sql("state", [0.5, 0.9, 0.99])}),
+{_QRANK_TAIL}
+"""
+
+_QMERGE_ORACLE = f"""
+WITH se AS ({QT.oracle_state_sql(
+    "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)",
+    "o_totalprice", "o_orderkey", QP, QS_TILES)}),
+so AS ({QT.oracle_state_sql(
+    "(SELECT * FROM orders WHERE o_orderkey % 2 = 1)",
+    "o_totalprice", "o_orderkey", QP, QS_TILES)}),
+merged AS (SELECT CAST(0 AS BIGINT) AS src, * FROM se
+           UNION ALL SELECT CAST(1 AS BIGINT) AS src, * FROM so),
+est AS ({QT.oracle_estimate_body_sql(
+    "merged", [0.25, 0.75], ["src", "bucket"], ["src", "bucket", "tile"])}),
+{_QRANK_TAIL}
+"""
+
+
 ORACLES = {
     "sketch_hll_registers": SK.oracle_registers_sql("events", "user_id", P_REGISTERS),
     "sketch_hll_distinct_events": _estimate_oracle("event_id", P_EVENTS),
@@ -442,4 +846,13 @@ ORACLES = {
         "events", "user_id", ["event_type"], P_USERS
     ),
     "sketch_hll_intersection": _INTERSECTION_ORACLE,
+    "sketch_bloom_join_prune": _BLOOM_JOIN_ORACLE,
+    "sketch_cms_lookup_unseen": _CMS_UNSEEN_ORACLE,
+    "sketch_cms_grouped_state": SK.oracle_cms_state_grouped_sql(
+        _LANG_TOKS_SQL, "token", ["lang"], CMS_D, CMS_W
+    ),
+    "sketch_cms_grouped_heavy_hitters": _CMS_GROUPED_HH_ORACLE,
+    "sketch_quantile_state": _QSTATE_SQL,
+    "sketch_quantile_estimate": _QEST_ORACLE,
+    "sketch_quantile_merge": _QMERGE_ORACLE,
 }

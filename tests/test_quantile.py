@@ -1,0 +1,116 @@
+"""Equi-depth quantile sketch (operators/quantile.py): python-replay
+parity of the state, rank-bound guarantees of estimates, mergeability."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import quantile as QT
+
+
+def _bucket(vid: int, p: int) -> int:
+    return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16) % p
+
+
+def _py_state(pairs, p, s):
+    """Sequential replay of the state contract: md5 bucket, (value, id)
+    sort, standard ntile (first n%s tiles get the extra row), max/count."""
+    buckets = {}
+    for vid, v in pairs:
+        buckets.setdefault(_bucket(vid, p), []).append((float(v), vid))
+    out = {}
+    for b, rows in buckets.items():
+        rows.sort()
+        n = len(rows)
+        ntiles = min(s, n)
+        q, r = divmod(n, ntiles)
+        pos = 0
+        for t in range(1, ntiles + 1):
+            size = q + (1 if t <= r else 0)
+            chunk = rows[pos : pos + size]
+            pos += size
+            if not chunk:
+                continue
+            out[(b, t)] = (max(c[0] for c in chunk), len(chunk))
+    return out
+
+
+def test_state_matches_python_replay(spark, sf_dir):
+    orders = tables.load(spark, sf_dir, "orders")
+    p, s = 4, 16
+    got = {
+        (r.bucket, r.tile): (r.rep_value, r.weight)
+        for r in QT.quantile_state(
+            orders, "o_totalprice", "o_orderkey", p, s
+        ).collect()
+    }
+    pairs = [
+        (r.o_orderkey, r.o_totalprice)
+        for r in orders.select("o_orderkey", "o_totalprice").collect()
+    ]
+    assert got == _py_state(pairs, p, s)
+
+
+def test_estimate_rank_bounds_hold(spark, sf_dir):
+    """The two guarantees the suite row checks, asserted directly: the
+    estimate's exact <= -rank reaches the target, and its <-rank stays
+    within target + max_tile + err_budget."""
+    orders = tables.load(spark, sf_dir, "orders")
+    st = QT.quantile_state(orders, "o_totalprice", "o_orderkey", 8, 32)
+    est_rows = QT.quantile_estimate(st, [0.1, 0.5, 0.9]).collect()
+    vals = sorted(
+        r.o_totalprice for r in orders.select("o_totalprice").collect()
+    )
+    assert len(est_rows) == 3
+    for r in est_rows:
+        rank_le = sum(1 for v in vals if v <= r.est_value)
+        rank_lt = sum(1 for v in vals if v < r.est_value)
+        assert rank_le >= r.target
+        assert rank_lt <= r.target + r.max_tile + r.err_budget
+        assert r.n_total == len(vals)
+
+
+def test_merge_of_halves_answers_whole_table_within_bounds(spark, sf_dir):
+    orders = tables.load(spark, sf_dir, "orders")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = QT.quantile_merge(
+        QT.quantile_state(even, "o_totalprice", "o_orderkey", 8, 32),
+        QT.quantile_state(odd, "o_totalprice", "o_orderkey", 8, 32),
+    )
+    est = QT.quantile_estimate(
+        merged, [0.5], bucket_cols=["src", "bucket"],
+        order_cols=["src", "bucket", "tile"],
+    ).collect()[0]
+    vals = sorted(r.o_totalprice for r in orders.select("o_totalprice").collect())
+    rank_le = sum(1 for v in vals if v <= est.est_value)
+    rank_lt = sum(1 for v in vals if v < est.est_value)
+    assert est.n_total == len(vals)  # merge saw every row exactly once
+    assert rank_le >= est.target
+    assert rank_lt <= est.target + est.max_tile + est.err_budget
+
+
+def test_estimate_is_a_raw_data_value(spark, sf_dir):
+    """No float arithmetic: the returned estimate must literally be one
+    of the input values (bit-exactness across engines rests on this)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    st = QT.quantile_state(orders, "o_totalprice", "o_orderkey", 8, 32)
+    est = QT.quantile_estimate(st, [0.5]).collect()[0].est_value
+    vals = {r.o_totalprice for r in orders.select("o_totalprice").collect()}
+    assert est in vals
+
+
+def test_params_validated(spark):
+    df = None
+    with pytest.raises(ValueError, match="buckets"):
+        QT.quantile_state(df, "v", "id", 0, 16)
+    with pytest.raises(ValueError, match="tiles"):
+        QT.quantile_state(df, "v", "id", 4, 1)
+    with pytest.raises(ValueError, match="quantile q"):
+        QT.oracle_estimate_body_sql("state", [1.5])
+    with pytest.raises(ValueError, match="at least one"):
+        QT.quantile_merge()

@@ -322,3 +322,99 @@ def test_intersection_estimate_via_inclusion_exclusion(spark, sf_dir):
     )
     est_int = ea + eb - merged_est
     assert abs(est_int - exact) <= 5 * 1.04 / math.sqrt(32) * merged_est
+
+
+# -- r06 additions: bloom-pruned scan, grouped CMS, unseen lookup ------------
+
+
+def test_bloom_member_expr_agrees_with_join_probe(spark, sf_dir):
+    """The literal-bitmask predicate must give exactly bloom_contains'
+    verdicts (same hashes, same bits — only the evaluation strategy
+    differs: scan-side codegen vs broadcast join)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    k, mbits = 4, 4096
+    bits = SK.bloom_bits_collect(docs, "doc_id", k, mbits)
+    probes = docs.select(F.col("doc_id").alias("probe_id")).limit(20).unionByName(
+        spark.range(5).select((F.col("id") + 1_000_000_000).alias("probe_id"))
+    )
+    via_expr = probes.select(
+        "probe_id",
+        SK.bloom_member_expr(bits, "probe_id", k, mbits).alias("maybe_present"),
+    )
+    state = SK.bloom_state(docs, "doc_id", k, mbits)
+    via_join = SK.bloom_contains(state, probes, "probe_id", k, mbits)
+    a = {r.probe_id: r.maybe_present for r in via_expr.collect()}
+    b = {r.probe_id: r.maybe_present for r in via_join.collect()}
+    assert a == b and len(a) == 25
+
+
+def test_bloom_prune_scan_keeps_all_matching_fact_rows(spark, sf_dir):
+    """No false negatives: the pruned fact must contain EVERY order whose
+    customer is in the dim side, so the downstream join is exactly the
+    unpruned join; and the filter must actually drop non-matching rows."""
+    cust = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.load(spark, sf_dir, "orders")
+    pruned = SK.bloom_prune_scan(orders, cust, "o_custkey", "c_custkey", 4, 65536)
+    dim = cust.select("c_custkey")
+    direct = orders.join(dim, orders["o_custkey"] == dim["c_custkey"])
+    pjoin = pruned.join(dim, pruned["o_custkey"] == dim["c_custkey"])
+    n_direct, n_pruned_join = direct.count(), pjoin.count()
+    assert n_direct == n_pruned_join > 0
+    assert pruned.count() < orders.count()  # measured scan reduction
+
+
+def test_bloom_member_expr_validates_inputs():
+    with pytest.raises(ValueError, match="multiple of 64"):
+        SK.bloom_member_expr([0], "x", 2, 32)
+    with pytest.raises(ValueError, match="outside"):
+        SK.bloom_member_expr([4096], "x", 2, 4096)
+
+
+def test_cms_lookup_returns_unseen_probes_with_zero_floor(spark):
+    """r06 left-join default: a probe value never inserted must come BACK
+    (not vanish) and its estimate must be >= 0 with the no-underestimate
+    guarantee intact (true count is 0)."""
+    df = spark.createDataFrame([(f"tok{i}",) for i in range(50)], "token string")
+    state = SK.cms_state(df, "token", 4, 256)
+    probes = spark.createDataFrame(
+        [("tok1",), ("definitely_never_inserted",)], "token string"
+    )
+    got = {r.token: r.est_count for r in
+           SK.cms_lookup(state, probes, "token", 4, 256).collect()}
+    assert set(got) == {"tok1", "definitely_never_inserted"}
+    assert got["tok1"] >= 1
+    assert got["definitely_never_inserted"] >= 0
+
+
+def test_cms_grouped_state_equals_per_group_plain_state(spark, sf_dir):
+    """Slicing the grouped state at one group must equal cms_state run on
+    that group's rows alone — the property that makes per-group states a
+    single-shuffle composition, not an approximation."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from executor_u1mindexer_spark.functions import text as T
+
+    toks = docs.select("lang", F.explode(T.words(F.lower(F.col("text")))).alias("token"))
+    grouped = SK.cms_state_grouped(toks, "token", ["lang"], 4, 256)
+    langs = [r.lang for r in toks.select("lang").distinct().collect()]
+    lang = sorted(langs)[0]
+    got = {
+        (r.hash_row, r.bucket): r.cnt
+        for r in grouped.filter(F.col("lang") == lang).collect()
+    }
+    want = {
+        (r.hash_row, r.bucket): r.cnt
+        for r in SK.cms_state(
+            toks.filter(F.col("lang") == lang), "token", 4, 256
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_cms_grouped_requires_group_cols(spark):
+    df = spark.createDataFrame([("a", "x")], "g string, v string")
+    with pytest.raises(ValueError, match="group_cols"):
+        SK.cms_state_grouped(df, "v", [])
+    with pytest.raises(ValueError, match="group_cols"):
+        SK.cms_lookup_grouped(df, df, "v", [])
