@@ -15,10 +15,17 @@ Implemented per the public GIF89a specification:
 - variable-width LZW with CLEAR/EOI, code widths 3..12, dictionary reset
   at 4096 entries, sub-block-chunked data stream.
 
-Decode returns the FIRST frame (animated GIFs: subsequent frames are
-compositing state — out of scope, rejected loudly if requested).
-Transparency is ignored by design: the transparent index still maps
-through the palette, keeping pixel_sum well-defined.
+Animation (r06, VERDICT r05 #8): decode_gif_frames composites EVERY
+frame per the GIF89a graphic-control semantics — sub-rectangle frames
+drawn over the canvas, transparency (transparent-index pixels show what
+is beneath), and all three disposal methods (keep / restore-background /
+restore-previous); encode_gif_animated writes the matching multi-frame
+container (global palette, GCE per frame, Netscape loop extension).
+The restore-to-background fill uses the screen descriptor's background
+color through the global palette — browsers composite it as transparent,
+but an engine computing per-frame features needs DEFINED bytes, and this
+choice keeps pixel_sum closed-form for the oracle. decode_gif stays the
+single-frame view: the first composited canvas.
 
 [NOT IN REFERENCE — executor.py has no image surface; this is part of the
 mandated multimodal breadth.]
@@ -82,7 +89,16 @@ class _BitReader:
 def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     """GIF variable-width LZW. Width grows as soon as a code equal to
     1<<width exists in the dictionary (the GIF "early change" the decoder
-    below mirrors); CLEAR + dictionary reset at 4096 entries."""
+    below mirrors); CLEAR + dictionary reset at 4096 entries.
+
+    The width schedule is driven by the count of DATA CODES WRITTEN since
+    the last CLEAR (r06 fix): mid-stream that is identical to tracking
+    dictionary assignments (each write assigns one entry), but the final
+    pre-EOI flush write assigns nothing while the decoder's lagging
+    append DOES land there — so an assignment-driven encoder skips the
+    widen exactly when the flush falls on a width boundary and then
+    writes EOI one bit narrower than the decoder reads it (observed at
+    mcs=2 with 32 alternating pixels; hypothesis found it)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     bw = _BitWriter()
@@ -91,24 +107,35 @@ def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
 
     table, next_code, width = reset()
+    nwritten = 0  # data codes since last CLEAR — the decoder-visible count
     bw.write(clear, width)
+
+    def write_code(code: int) -> None:
+        nonlocal nwritten, width
+        bw.write(code, width)
+        nwritten += 1
+        # decoder mirror: after its r-th data read it holds clear+2+(r-1)
+        # entries plus the in-flight append, so it widens when
+        # clear+2+r exceeds the current width's capacity
+        if clear + 2 + nwritten > (1 << width) and width < MAX_CODE_WIDTH:
+            width += 1
+
     buf = b""
     for b in indices:
         nxt = buf + bytes([b])
         if nxt in table:
             buf = nxt
             continue
-        bw.write(table[buf], width)
+        write_code(table[buf])
         table[nxt] = next_code
         next_code += 1
-        if next_code > (1 << width) and width < MAX_CODE_WIDTH:
-            width += 1
         if next_code >= DICT_LIMIT:
             bw.write(clear, width)
             table, next_code, width = reset()
+            nwritten = 0
         buf = bytes([b])
     if buf:
-        bw.write(table[buf], width)
+        write_code(table[buf])
     bw.write(eoi, width)
     return bw.flush()
 
@@ -210,22 +237,130 @@ def encode_gif(w: int, h: int, rgb: bytes, *, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+def encode_gif_animated(
+    sw: int,
+    sh: int,
+    frames: list[dict],
+    *,
+    bg_color: tuple[int, int, int] = (0, 0, 0),
+    loop: int = 0,
+) -> bytes:
+    """Encode an animated GIF89a. Each frame dict:
+      left, top, w, h   — sub-rectangle inside the sw x sh logical screen
+      rgb               — w*h*3 bytes for the rectangle
+      disposal          — 0 none / 1 keep / 2 restore-background /
+                          3 restore-previous (GIF89a GCE semantics)
+      delay_cs          — per-frame delay in centiseconds
+      transparent_color — optional (r, g, b): pixels EXACTLY this color
+                          encode as the transparent index (composite
+                          shows what is beneath)
+    One GLOBAL palette is built from bg_color + every frame color (<= 255
+    total; index 0 is the background, declared in the screen descriptor);
+    a Netscape application extension carries the loop count."""
+    palette: dict[bytes, int] = {bytes(bg_color): 0}
+
+    def pal_idx(c: bytes) -> int:
+        if c not in palette:
+            if len(palette) == 256:
+                raise ValueError("animated GIF needs <= 256 unique colors total")
+            palette[c] = len(palette)
+        return palette[c]
+
+    per_frame: list[tuple[dict, bytearray, int | None]] = []
+    for fr in frames:
+        fw, fh = fr["w"], fr["h"]
+        rgb = fr["rgb"]
+        if len(rgb) != fw * fh * 3:
+            raise ValueError(f"frame expects {fw * fh * 3} RGB bytes, got {len(rgb)}")
+        if not (0 <= fr["left"] and 0 <= fr["top"]):
+            raise ValueError("negative frame offset")
+        if fr["left"] + fw > sw or fr["top"] + fh > sh:
+            raise ValueError("frame rectangle outside the logical screen")
+        tcol = fr.get("transparent_color")
+        tidx = pal_idx(bytes(tcol)) if tcol is not None else None
+        idxs = bytearray()
+        for i in range(0, len(rgb), 3):
+            idxs.append(pal_idx(rgb[i : i + 3]))
+        per_frame.append((fr, idxs, tidx))
+
+    exp = max(1, (max(len(palette) - 1, 1)).bit_length())
+    size = 1 << exp
+    mcs = max(2, exp)
+    gct = b"".join(palette) + b"\x00\x00\x00" * (size - len(palette))
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out.append(0x80 | ((exp - 1) & 0x07))
+    out += b"\x00\x00"  # background color index 0, aspect
+    out += gct
+    # Netscape looping extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for fr, idxs, tidx in per_frame:
+        # graphic control extension: disposal + delay + transparency
+        gce_flags = ((fr.get("disposal", 0) & 0x07) << 2) | (
+            0x01 if tidx is not None else 0x00
+        )
+        out += b"\x21\xf9\x04"
+        out.append(gce_flags)
+        out += struct.pack("<H", fr.get("delay_cs", 0))
+        out.append(tidx if tidx is not None else 0)
+        out.append(0)
+        out.append(0x2C)
+        out += struct.pack("<HHHH", fr["left"], fr["top"], fr["w"], fr["h"])
+        out.append(0x00)  # no local table, no interlace
+        out.append(mcs)
+        data = lzw_encode(bytes(idxs), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the first frame of a GIF87a/89a payload -> (w, h, 3, rgb).
+    """Decode the first COMPOSITED frame of a GIF payload -> (w, h, 3,
+    rgb): the first frame's rectangle drawn over the background-color
+    canvas (for the common full-screen first frame this is just the frame
+    itself — r05 rejected sub-rectangle first frames, r06 composites).
 
     Truncated payloads raise ValueError (never a bare IndexError/
     struct.error from running off the buffer)."""
+    sw, sh, frames = decode_gif_frames(payload)
+    if not frames:
+        raise ValueError("GIF payload contains no image data")
+    return sw, sh, 3, frames[0][1]
+
+
+def decode_gif_frames(payload: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Decode ALL frames of an animated GIF with GIF89a disposal
+    compositing -> (w, h, [(delay_cs, rgb_canvas), ...]), one FULL
+    w*h*3 composited canvas per displayed frame:
+
+    - the canvas starts as the background color (the screen descriptor's
+      background index through the global palette — the deterministic
+      pixel_sum choice; browsers render it transparent, but an engine
+      computing features needs defined bytes);
+    - each frame's rectangle is drawn over the canvas, skipping pixels
+      equal to the frame's transparent index;
+    - AFTER display, disposal runs: 0/1 keep, 2 restores the frame's
+      rectangle to the background color, 3 restores the canvas to its
+      state before the frame was drawn.
+
+    Truncated payloads raise ValueError."""
     try:
-        return _decode_gif(payload)
+        return _decode_gif_frames(payload)
     except (IndexError, struct.error) as e:
         raise ValueError(f"truncated GIF payload: {e}") from e
 
 
-def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+def _decode_gif_frames(payload: bytes):
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh = struct.unpack_from("<HH", payload, 6)
     flags = payload[10]
+    bg_index = payload[11]
     pos = 13
     gct = None
     if flags & 0x80:
@@ -233,13 +368,31 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
 
+    bg = (
+        gct[bg_index * 3 : bg_index * 3 + 3]
+        if gct is not None and bg_index * 3 + 3 <= len(gct)
+        else b"\x00\x00\x00"
+    )
+    canvas = bytearray(bg * (sw * sh))
+    out: list[tuple[int, bytes]] = []
+    # pending graphic-control state (applies to the NEXT image block)
+    gce_disposal, gce_delay, gce_tidx = 0, 0, None
+
     while pos < len(payload):
         block = payload[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
+        if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-block chain
+        if block == 0x21:  # extension
+            label = payload[pos]
             pos += 1
+            if label == 0xF9:  # graphic control
+                ln = payload[pos]
+                if ln >= 4:
+                    gflags = payload[pos + 1]
+                    gce_disposal = (gflags >> 2) & 0x07
+                    gce_delay = struct.unpack_from("<H", payload, pos + 2)[0]
+                    gce_tidx = payload[pos + 4] if gflags & 0x01 else None
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
@@ -274,24 +427,30 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
             )
         indices = indices[: w * h]
         if iflags & 0x40:  # interlaced: invert the 4-pass row order
-            rows = [
-                indices[i * w : (i + 1) * w] for i in range(h)
-            ]
+            rows = [indices[i * w : (i + 1) * w] for i in range(h)]
             deinter = [b""] * h
             for src, dst in enumerate(_interlace_order(h)):
                 deinter[dst] = rows[src]
             indices = b"".join(deinter)
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rectangle outside the logical screen")
         npal = len(pal) // 3
-        rgb = bytearray()
-        for idx in indices:
-            if idx >= npal:
-                raise ValueError(f"palette index {idx} out of range ({npal})")
-            rgb += pal[idx * 3 : idx * 3 + 3]
-        # first frame only; its descriptor must cover the logical screen
-        # for the (w, h) contract to hold
-        if (left, top, w, h) != (0, 0, sw, sh):
-            raise NotImplementedError(
-                "GIF sub-rectangle frames (animation compositing) not supported"
-            )
-        return w, h, 3, bytes(rgb)
-    raise ValueError("GIF payload contains no image data")
+        saved = bytes(canvas) if gce_disposal == 3 else None
+        for r in range(h):
+            for c in range(w):
+                idx = indices[r * w + c]
+                if idx == gce_tidx:
+                    continue
+                if idx >= npal:
+                    raise ValueError(f"palette index {idx} out of range ({npal})")
+                o = ((top + r) * sw + (left + c)) * 3
+                canvas[o : o + 3] = pal[idx * 3 : idx * 3 + 3]
+        out.append((gce_delay, bytes(canvas)))
+        if gce_disposal == 2:  # restore rectangle to background
+            for r in range(h):
+                o = ((top + r) * sw + left) * 3
+                canvas[o : o + 3 * w] = bg * w
+        elif gce_disposal == 3 and saved is not None:
+            canvas = bytearray(saved)
+        gce_disposal, gce_delay, gce_tidx = 0, 0, None
+    return sw, sh, out

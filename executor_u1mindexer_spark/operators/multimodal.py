@@ -425,6 +425,97 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
     )
 
 
+def attach_synthetic_animations(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 4-frame animated GIFs derived ONLY from the id —
+    built to exercise every GIF89a compositing rule with a closed-form
+    per-frame pixel_sum (screen w = id%5+4, h = id%3+4; grays c0..c3 =
+    id*3/7/11/13 % 256; c0 is the background color):
+
+    frame 0: full-screen c1, disposal KEEP, delay id%10+1 cs;
+    frame 1: inset patch at (1,1) size (w-2)x(h-2) — even columns c2,
+             odd columns TRANSPARENT (c1 shows through), disposal
+             RESTORE-PREVIOUS, so the patch must vanish afterwards;
+    frame 2: top row c3, disposal RESTORE-BACKGROUND, so row 0 becomes
+             the background color c0 afterwards;
+    frame 3: bottom row c2, disposal none.
+
+    A decoder that mis-handles transparency, either restore mode, or
+    sub-rectangle placement diverges from the oracle's closed form."""
+    from executor_u1mindexer_spark.operators.gif import encode_gif_animated
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 5 + 4, did % 3 + 4
+                c0, c1 = did * 3 % 256, did * 7 % 256
+                c2, c3 = did * 11 % 256, did * 13 % 256
+                pw, ph = w - 2, h - 2
+                tcol = (1, 2, 3)  # never equals an r=g=b gray
+                patch = bytearray()
+                for _r in range(ph):
+                    for c in range(pw):
+                        patch += bytes([c2] * 3) if c % 2 == 0 else bytes(tcol)
+                frames = [
+                    dict(left=0, top=0, w=w, h=h, rgb=bytes([c1] * (3 * w * h)),
+                         disposal=1, delay_cs=did % 10 + 1),
+                    dict(left=1, top=1, w=pw, h=ph, rgb=bytes(patch),
+                         disposal=3, delay_cs=2, transparent_color=tcol),
+                    dict(left=0, top=0, w=w, h=1, rgb=bytes([c3] * (3 * w)),
+                         disposal=2, delay_cs=3),
+                    dict(left=0, top=h - 1, w=w, h=1, rgb=bytes([c2] * (3 * w)),
+                         disposal=0, delay_cs=4),
+                ]
+                payloads.append(
+                    encode_gif_animated(w, h, frames, bg_color=(c0, c0, c0))
+                )
+                ids.append(did)
+            yield pd.DataFrame({id_col: ids, "anim": payloads})
+
+    from executor_u1mindexer_spark.operators.dedup import _spread
+
+    return _spread(docs.select(id_col)).mapInPandas(
+        gen, schema=f"{id_col} long, anim binary"
+    )
+
+
+ANIM_META_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, width int, height int, "
+    "delay_cs int, pixel_sum long"
+)
+
+
+def decode_gif_animation_metadata(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "anim"
+) -> DataFrame:
+    """Arrow-batched REAL multi-frame decode: one typed row per DISPLAYED
+    frame (1->many mapInPandas explosion, like the video sampler) with
+    the fully composited canvas's pixel_sum — the feature-extraction
+    shape for 'decode 100 TB of animations'."""
+    from executor_u1mindexer_spark.operators.gif import decode_gif_frames
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_idx": [], "n_frames": [], "width": [],
+                "height": [], "delay_cs": [], "pixel_sum": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                sw, sh, frames = decode_gif_frames(bytes(payload))
+                for fi, (delay, rgb) in enumerate(frames):
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(fi)
+                    rows["n_frames"].append(len(frames))
+                    rows["width"].append(sw)
+                    rows["height"].append(sh)
+                    rows["delay_cs"].append(delay)
+                    rows["pixel_sum"].append(sum(rgb))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(decode, schema=ANIM_META_SCHEMA)
+
+
 DECODED_META_SCHEMA = "doc_id long, format string, width int, height int, pixel_sum long"
 
 

@@ -85,6 +85,7 @@ DRIVER_PRIORITY = (
     "sketch_quantile_state",
     "sketch_quantile_estimate",
     "sketch_quantile_merge",
+    "multimodal_decode_gif_animation",
     # fill: newest driver row r03, alphabetical
     "agg_approx_quantiles",
     "agg_listagg_names",
@@ -109,8 +110,8 @@ DRIVER_PRIORITY = (
     "pack_token_budget",
     "scalar_array_funcs",
     "shuffle_epoch_order",
-    "simhash_fingerprints",
     # --- 50-slot window boundary: rows below lead the r07 rotation ---
+    "simhash_fingerprints",
     "source_compact_small_files",
     "source_orc_roundtrip",
     "source_partitioned_parquet",

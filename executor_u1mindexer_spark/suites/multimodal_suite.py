@@ -70,13 +70,60 @@ def multimodal_sample_video_frames(spark: SparkSession, sf_dir: str) -> DataFram
     return MM.sample_video_frames(MM.attach_synthetic_video(docs), every=5)
 
 
+def multimodal_decode_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode with GIF89a disposal compositing (r06,
+    closing the r05 'first frame only' gate, gif.py): 4 deterministic
+    frames per doc exercising sub-rectangle placement, transparency,
+    restore-to-previous AND restore-to-background, one row per DISPLAYED
+    frame with the composited canvas's pixel_sum. The oracle states every
+    frame's sum in closed form from the generation rule — a decoder that
+    draws the patch in the wrong place, keeps transparent pixels, or
+    botches either restore mode diverges on some frame."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return MM.decode_gif_animation_metadata(MM.attach_synthetic_animations(docs))
+
+
 QUERIES = {
     "multimodal_join": multimodal_join,
     "multimodal_binary_metadata": multimodal_binary_metadata,
     "multimodal_decode_image": multimodal_decode_image,
     "multimodal_decode_audio": multimodal_decode_audio,
     "multimodal_sample_video_frames": multimodal_sample_video_frames,
+    "multimodal_decode_gif_animation": multimodal_decode_gif_animation,
 }
+
+
+# animation rule (attach_synthetic_animations): w=id%5+4, h=id%3+4, grays
+# c0..c3 = id*3/7/11/13 % 256 (c0 = background); frame sums:
+#   f0: full c1                              -> 3*w*h*c1
+#   f1: patch (w-2)x(h-2), even cols c2, odd cols transparent over c1
+#       -> 3*(w*h*c1 - pw*ph*c1 + ph*(ceil(pw/2)*c2 + floor(pw/2)*c1))
+#   f2: (previous restored) top row c3      -> 3*(w*h*c1 - w*c1 + w*c3)
+#   f3: (row 0 restored to bg c0) bottom row c2
+#       -> 3*(w*h*c1 + w*(c0 + c2 - 2*c1))
+_W, _H = "(d.doc_id % 5 + 4)", "(d.doc_id % 3 + 4)"
+_C0, _C1 = "((d.doc_id * 3) % 256)", "((d.doc_id * 7) % 256)"
+_C2, _C3 = "((d.doc_id * 11) % 256)", "((d.doc_id * 13) % 256)"
+_PW, _PH = f"({_W} - 2)", f"({_H} - 2)"
+
+_GIF_ANIM_ORACLE = f"""
+SELECT d.doc_id,
+       CAST(t.f AS INT) AS frame_idx,
+       CAST(4 AS INT) AS n_frames,
+       CAST({_W} AS INT) AS width,
+       CAST({_H} AS INT) AS height,
+       CAST(CASE t.f WHEN 0 THEN d.doc_id % 10 + 1 WHEN 1 THEN 2
+                     WHEN 2 THEN 3 ELSE 4 END AS INT) AS delay_cs,
+       CAST(3 * (CASE t.f
+         WHEN 0 THEN {_W} * {_H} * {_C1}
+         WHEN 1 THEN {_W} * {_H} * {_C1} - {_PW} * {_PH} * {_C1}
+                     + {_PH} * ((({_PW} + 1) // 2) * {_C2}
+                                + ({_PW} // 2) * {_C1})
+         WHEN 2 THEN {_W} * {_H} * {_C1} - {_W} * {_C1} + {_W} * {_C3}
+         ELSE {_W} * {_H} * {_C1} + {_W} * ({_C0} + {_C2} - 2 * {_C1})
+       END) AS BIGINT) AS pixel_sum
+FROM documents d, unnest(range(4)) AS t(f)
+"""
 
 ORACLES = {
     "multimodal_join": """
@@ -145,4 +192,5 @@ SELECT d.doc_id,
        CAST((d.doc_id * 997 + t.i * 5 * 31) % 2147483647 AS BIGINT) AS checksum
 FROM documents d, unnest(range(0, (d.doc_id % 24 + 8 + 4) // 5)) AS t(i)
 """,
+    "multimodal_decode_gif_animation": _GIF_ANIM_ORACLE,
 }

@@ -513,3 +513,69 @@ def test_gif_skips_extension_blocks():
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     spliced = good[:idx] + gce + good[idx:]
     assert G.decode_gif(spliced) == G.decode_gif(good)
+
+
+# -- animated GIF (r06): disposal compositing --------------------------------
+
+
+def test_gif_animated_full_disposal_matrix():
+    """Hand-computed 4x4 canvas expectations for every disposal mode and
+    transparency — the exhaustive small case the closed-form suite oracle
+    summarizes."""
+    w = h = 4
+    A, B, C, BG = 10, 20, 30, 5
+    frames = [
+        # full screen A, keep
+        dict(left=0, top=0, w=w, h=h, rgb=bytes([A] * 48), disposal=1, delay_cs=7),
+        # 2x2 patch at (1,1): B with one transparent pixel, restore-previous
+        dict(left=1, top=1, w=2, h=2,
+             rgb=bytes([B] * 3 + [1, 2, 3] + [B] * 6),
+             disposal=3, delay_cs=2, transparent_color=(1, 2, 3)),
+        # top row C, restore-background
+        dict(left=0, top=0, w=w, h=1, rgb=bytes([C] * 12), disposal=2, delay_cs=3),
+        # bottom row B, no disposal
+        dict(left=0, top=3, w=w, h=1, rgb=bytes([B] * 12), disposal=0, delay_cs=4),
+    ]
+    payload = G.encode_gif_animated(w, h, frames, bg_color=(BG, BG, BG))
+    sw, sh, out = G.decode_gif_frames(payload)
+    assert (sw, sh) == (w, h) and len(out) == 4
+    assert [d for d, _ in out] == [7, 2, 3, 4]
+
+    def gray_canvas(rows):
+        return bytes(v for row in rows for v in row for _ in range(3))
+
+    f0 = gray_canvas([[A] * 4] * 4)
+    # patch: (1,1)=B, (2,1)=transparent->A, (1,2)=B, (2,2)=B
+    f1 = gray_canvas([[A, A, A, A], [A, B, A, A], [A, B, B, A], [A, A, A, A]])
+    f2 = gray_canvas([[C] * 4, [A] * 4, [A] * 4, [A] * 4])  # previous restored
+    f3 = gray_canvas([[BG] * 4, [A] * 4, [A] * 4, [B] * 4])  # row0 -> background
+    assert out[0][1] == f0
+    assert out[1][1] == f1
+    assert out[2][1] == f2
+    assert out[3][1] == f3
+
+
+def test_gif_animated_rejects_out_of_screen_frames():
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        G.encode_gif_animated(
+            4, 4,
+            [dict(left=3, top=0, w=2, h=1, rgb=bytes(6), disposal=0, delay_cs=1)],
+        )
+
+
+def test_gif_first_frame_view_composites_subrect_over_background():
+    """decode_gif on an animation whose FIRST frame is a sub-rectangle
+    (the case r05 rejected) now composites it over the background."""
+    frames = [dict(left=1, top=1, w=1, h=1, rgb=bytes([200] * 3),
+                   disposal=0, delay_cs=0)]
+    payload = G.encode_gif_animated(3, 3, frames, bg_color=(10, 10, 10))
+    w, h, ch, rgb = G.decode_gif(payload)
+    assert (w, h, ch) == (3, 3, 3)
+    assert sum(rgb) == 3 * (9 * 10 - 10 + 200)
+
+
+def test_gif_single_frame_encoder_still_roundtrips_through_frames_api():
+    px = bytes((i * 5) % 256 for i in range(6 * 2 * 3))
+    sw, sh, out = G.decode_gif_frames(G.encode_gif(6, 2, px))
+    assert (sw, sh, len(out)) == (6, 2, 1)
+    assert out[0][1] == px
