@@ -45,6 +45,13 @@ downstream — merge, rank queries, error budgets — touches only <= P*s
 summary rows. At 100 TB you persist per-partition states and only ever
 re-query the tiny union.
 
+Streaming note: unlike the HLL/CMS/Bloom states (monotone folds with a
+streaming twin in streaming/sketch_stream.py), the equi-depth state needs
+a per-bucket SORT, which Structured Streaming cannot run incrementally —
+the streaming story for quantiles is per-micro-batch/per-day states
+rolled up with quantile_merge, which is exactly what the merge operator
+and its registered row exercise.
+
 Reference parity: the reference has no quantile surface (executor.py is
 vector search only); this is mandated beyond-reference breadth.
 """
@@ -160,6 +167,97 @@ def quantile_estimate(
     )
 
 
+def quantile_state_grouped(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    p: int = 8,
+    s: int = 64,
+) -> DataFrame:
+    """Per-group equi-depth states — 'p99 latency per endpoint per day'
+    shape: ONE shuffle on (group..., bucket), <= p*s rows PER GROUP out,
+    merging across days by the same union."""
+    _validate_ps(p, s)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use quantile_state")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.expr(f"CAST(({_hash60_sql(id_col, 'spark')} % {p}) AS BIGINT)").alias(
+            "bucket"
+        ),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(id_col).alias("id"),
+    )
+    w = Window.partitionBy(*group_cols, "bucket").orderBy(
+        F.col("value").asc(), F.col("id").asc()
+    )
+    return (
+        base.withColumn("tile", F.ntile(s).over(w).cast("long"))
+        .groupBy(*group_cols, "bucket", "tile")
+        .agg(
+            F.max("value").alias("rep_value"),
+            F.count(F.lit(1)).cast("long").alias("weight"),
+        )
+    )
+
+
+def quantile_estimate_grouped(
+    state: DataFrame, qs: list[float], group_cols: list[str]
+) -> DataFrame:
+    """Per-group rank queries: one row per (group..., q) with the same
+    target/err_budget/max_tile bookkeeping as the plain estimate, every
+    window partitioned by the group so groups never mix."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use quantile_estimate")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantile q must be in (0, 1], got {q}")
+    order = [F.col("rep_value").asc(), F.col("bucket").asc(), F.col("tile").asc()]
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pts = state.withColumn("cumw", F.sum("weight").over(w).cast("long"))
+    tot = state.groupBy(*group_cols).agg(
+        F.sum("weight").cast("long").alias("n_total")
+    )
+    errb = (
+        state.groupBy(*group_cols, "bucket")
+        .agg(F.max("weight").alias("__mx"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__mx").cast("long").alias("err_budget"),
+            F.max("__mx").cast("long").alias("max_tile"),
+        )
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    expl = (
+        pts.join(tot, group_cols)
+        .join(errb, group_cols)
+        .withColumn("q", F.explode(qarr))
+        .withColumn("target", F.expr("CAST(ceil(q * n_total) AS BIGINT)"))
+    )
+    hit = expl.filter(F.col("cumw") >= F.col("target"))
+    pick = F.struct(F.col("rep_value"), F.col("bucket"), F.col("tile"))
+    return (
+        hit.groupBy(*group_cols, "q", "n_total", "target", "err_budget", "max_tile")
+        .agg(F.min(pick).alias("__st"))
+        .select(
+            *group_cols,
+            "q",
+            "n_total",
+            "target",
+            "err_budget",
+            "max_tile",
+            F.col("__st.rep_value").alias("est_value"),
+        )
+    )
+
+
 # -- DuckDB oracle generators (same fragment source) -------------------------
 
 
@@ -222,6 +320,84 @@ FROM (
                        CAST(max(__mx) AS BIGINT) AS max_tile
                 FROM (SELECT {bc}, max(weight) AS __mx
                       FROM {state_ref} GROUP BY {bc}) b) errb
+    CROSS JOIN (SELECT unnest([{qvals}]) AS q) qs
+  ) expl
+  WHERE cumw >= target
+) hit
+WHERE rn = 1
+"""
+
+
+def oracle_state_grouped_sql(
+    source: str,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    p: int = 8,
+    s: int = 64,
+) -> str:
+    _validate_ps(p, s)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    g = ", ".join(group_cols)
+    h = _hash60_sql(id_col, "duck")
+    return f"""
+SELECT {g}, bucket, tile, max(value) AS rep_value,
+       CAST(count(*) AS BIGINT) AS weight
+FROM (
+  SELECT {g}, bucket,
+         CAST(ntile({s}) OVER (PARTITION BY {g}, bucket ORDER BY value, id)
+           AS BIGINT) AS tile, value
+  FROM (
+    SELECT {g}, CAST(({h} % {p}) AS BIGINT) AS bucket,
+           CAST({value_col} AS DOUBLE) AS value, {id_col} AS id
+    FROM {source}
+    WHERE {value_col} IS NOT NULL AND {id_col} IS NOT NULL
+  ) keyed
+) tiled
+GROUP BY {g}, bucket, tile
+"""
+
+
+def oracle_estimate_grouped_body_sql(
+    state_ref: str, qs: list[float], group_cols: list[str]
+) -> str:
+    """Per-group twin of oracle_estimate_body_sql (same arithmetic, every
+    window/aggregate partitioned by the group columns)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantile q must be in (0, 1], got {q}")
+    qvals = ", ".join(f"({float(q)!r}e0)" for q in qs)
+    g = ", ".join(group_cols)
+    gp = ", ".join(f"pts.{c}" for c in group_cols)
+    jt = " AND ".join(f"pts.{c} = tot.{c}" for c in group_cols)
+    je = " AND ".join(f"pts.{c} = errb.{c}" for c in group_cols)
+    return f"""
+SELECT {g}, q, n_total, target, err_budget, max_tile, rep_value AS est_value
+FROM (
+  SELECT {g}, q, n_total, target, err_budget, max_tile, rep_value,
+         row_number() OVER (PARTITION BY {g}, q
+                            ORDER BY rep_value, bucket, tile) AS rn
+  FROM (
+    SELECT {gp}, pts.bucket, pts.tile, pts.rep_value, pts.cumw,
+           tot.n_total, errb.err_budget, errb.max_tile, qs.q,
+           CAST(ceil(qs.q * tot.n_total) AS BIGINT) AS target
+    FROM (
+      SELECT *, CAST(sum(weight) OVER (PARTITION BY {g}
+                 ORDER BY rep_value, bucket, tile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumw
+      FROM {state_ref}
+    ) pts
+    JOIN (SELECT {g}, CAST(sum(weight) AS BIGINT) AS n_total
+          FROM {state_ref} GROUP BY {g}) tot ON {jt}
+    JOIN (SELECT {g}, CAST(sum(__mx) AS BIGINT) AS err_budget,
+                 CAST(max(__mx) AS BIGINT) AS max_tile
+          FROM (SELECT {g}, bucket, max(weight) AS __mx
+                FROM {state_ref} GROUP BY {g}, bucket) b
+          GROUP BY {g}) errb ON {je}
     CROSS JOIN (SELECT unnest([{qvals}]) AS q) qs
   ) expl
   WHERE cumw >= target

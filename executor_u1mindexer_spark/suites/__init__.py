@@ -85,6 +85,8 @@ DRIVER_PRIORITY = (
     "sketch_quantile_state",
     "sketch_quantile_estimate",
     "sketch_quantile_merge",
+    "sketch_quantile_grouped_state",
+    "sketch_quantile_grouped_estimate",
     "multimodal_decode_gif_animation",
     # fill: newest driver row r03, alphabetical
     "agg_approx_quantiles",
@@ -108,9 +110,9 @@ DRIVER_PRIORITY = (
     "near_dedup_clusters",
     "near_dedup_simhash",
     "pack_token_budget",
+    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "scalar_array_funcs",
     "shuffle_epoch_order",
-    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "simhash_fingerprints",
     "source_compact_small_files",
     "source_orc_roundtrip",

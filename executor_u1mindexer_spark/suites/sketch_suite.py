@@ -535,6 +535,60 @@ def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_quantile_grouped_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equi-depth states — value quantiles per event_type, the
+    'p99 per endpoint per day' rollup shape: ONE (group, bucket) shuffle,
+    <= p*s rows per group, bit-exact vs the oracle."""
+    events = tables.load(spark, sf_dir, "events")
+    return QT.quantile_state_grouped(
+        events, "value", "event_id", ["event_type"], QP, QS_TILES
+    )
+
+
+def sketch_quantile_grouped_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90 of events.value PER event_type from the grouped state, each
+    group's rank guarantees checked against its own exact ranks."""
+    events = tables.load(spark, sf_dir, "events")
+    st = QT.quantile_state_grouped(
+        events, "value", "event_id", ["event_type"], QP, QS_TILES
+    )
+    est = QT.quantile_estimate_grouped(st, [0.5, 0.9], ["event_type"])
+    vals = events.filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    ).select("event_type", F.col("value").cast("double").alias("v"))
+    ranks = (
+        vals.join(F.broadcast(est), "event_type")
+        .groupBy(
+            "event_type", "q", "n_total", "target", "err_budget", "max_tile",
+            "est_value",
+        )
+        .agg(
+            F.sum((F.col("v") <= F.col("est_value")).cast("long"))
+            .cast("long")
+            .alias("rank_le"),
+            F.sum((F.col("v") < F.col("est_value")).cast("long"))
+            .cast("long")
+            .alias("rank_lt"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        "q",
+        "est_value",
+        "n_total",
+        "target",
+        "err_budget",
+        "max_tile",
+        "rank_le",
+        "rank_lt",
+        (F.col("rank_le") >= F.col("target")).alias("lo_ok"),
+        (
+            F.col("rank_lt")
+            <= F.col("target") + F.col("max_tile") + F.col("err_budget")
+        ).alias("hi_ok"),
+    )
+
+
 QUERIES = {
     "sketch_hll_registers": sketch_hll_registers,
     "sketch_hll_distinct_events": sketch_hll_distinct_events,
@@ -554,6 +608,8 @@ QUERIES = {
     "sketch_quantile_state": sketch_quantile_state,
     "sketch_quantile_estimate": sketch_quantile_estimate,
     "sketch_quantile_merge": sketch_quantile_merge,
+    "sketch_quantile_grouped_state": sketch_quantile_grouped_state,
+    "sketch_quantile_grouped_estimate": sketch_quantile_grouped_estimate,
 }
 
 
@@ -830,6 +886,32 @@ est AS ({QT.oracle_estimate_body_sql(
 """
 
 
+_QGSTATE_SQL = QT.oracle_state_grouped_sql(
+    "events", "value", "event_id", ["event_type"], QP, QS_TILES
+)
+
+_QGEST_ORACLE = f"""
+WITH state AS ({_QGSTATE_SQL}),
+est AS ({QT.oracle_estimate_grouped_body_sql("state", [0.5, 0.9], ["event_type"])}),
+vals AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+         WHERE value IS NOT NULL AND event_id IS NOT NULL),
+ranks AS (
+  SELECT est.event_type, q, n_total, target, err_budget, max_tile, est_value,
+         CAST(sum(CASE WHEN v <= est_value THEN 1 ELSE 0 END) AS BIGINT)
+           AS rank_le,
+         CAST(sum(CASE WHEN v < est_value THEN 1 ELSE 0 END) AS BIGINT)
+           AS rank_lt
+  FROM vals JOIN est ON vals.event_type = est.event_type
+  GROUP BY est.event_type, q, n_total, target, err_budget, max_tile, est_value
+)
+SELECT event_type, q, est_value, n_total, target, err_budget, max_tile,
+       rank_le, rank_lt,
+       (rank_le >= target) AS lo_ok,
+       (rank_lt <= target + max_tile + err_budget) AS hi_ok
+FROM ranks
+"""
+
+
 ORACLES = {
     "sketch_hll_registers": SK.oracle_registers_sql("events", "user_id", P_REGISTERS),
     "sketch_hll_distinct_events": _estimate_oracle("event_id", P_EVENTS),
@@ -855,4 +937,6 @@ ORACLES = {
     "sketch_quantile_state": _QSTATE_SQL,
     "sketch_quantile_estimate": _QEST_ORACLE,
     "sketch_quantile_merge": _QMERGE_ORACLE,
+    "sketch_quantile_grouped_state": _QGSTATE_SQL,
+    "sketch_quantile_grouped_estimate": _QGEST_ORACLE,
 }

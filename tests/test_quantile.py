@@ -114,3 +114,53 @@ def test_params_validated(spark):
         QT.oracle_estimate_body_sql("state", [1.5])
     with pytest.raises(ValueError, match="at least one"):
         QT.quantile_merge()
+
+
+def test_grouped_state_slices_equal_per_group_plain_state(spark, sf_dir):
+    """Slicing the grouped state at one group must equal quantile_state
+    run on that group's rows alone — grouped is a composition, not an
+    approximation."""
+    events = tables.load(spark, sf_dir, "events")
+    grouped = QT.quantile_state_grouped(
+        events, "value", "event_id", ["event_type"], 4, 16
+    )
+    etype = sorted(
+        r.event_type for r in events.select("event_type").distinct().collect()
+    )[0]
+    got = {
+        (r.bucket, r.tile): (r.rep_value, r.weight)
+        for r in grouped.filter(F.col("event_type") == etype).collect()
+    }
+    want = {
+        (r.bucket, r.tile): (r.rep_value, r.weight)
+        for r in QT.quantile_state(
+            events.filter(F.col("event_type") == etype), "value", "event_id", 4, 16
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_grouped_estimate_bounds_hold_per_group(spark, sf_dir):
+    events = tables.load(spark, sf_dir, "events")
+    st = QT.quantile_state_grouped(
+        events, "value", "event_id", ["event_type"], 4, 16
+    )
+    ests = QT.quantile_estimate_grouped(st, [0.5], ["event_type"]).collect()
+    by_type = {}
+    for r in events.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert len(ests) == len(by_type)
+    for r in ests:
+        vals = by_type[r.event_type]
+        rank_le = sum(1 for v in vals if v <= r.est_value)
+        rank_lt = sum(1 for v in vals if v < r.est_value)
+        assert r.n_total == len(vals)
+        assert rank_le >= r.target
+        assert rank_lt <= r.target + r.max_tile + r.err_budget
+
+
+def test_grouped_requires_group_cols(spark):
+    with pytest.raises(ValueError, match="group_cols"):
+        QT.quantile_state_grouped(None, "v", "id", [])
+    with pytest.raises(ValueError, match="group_cols"):
+        QT.quantile_estimate_grouped(None, [0.5], [])
