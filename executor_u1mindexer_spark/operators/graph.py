@@ -1,0 +1,242 @@
+"""Graph analytics on relational co-occurrence graphs — bounded-iteration
+PageRank and triangle counting, engineered for cross-engine bit-exactness.
+
+A training-data pipeline meets graphs constantly (dedup clusters, link
+graphs for quality signals, co-occurrence structure); the engine already
+has connected components (dedup.near_dedup_clusters). This module adds
+the two classic batch-graph workloads:
+
+- **PageRank** (Page/Brin/Motwani/Winograd 1999), N fixed iterations of
+  the damped power method. All arithmetic is SCALED-INTEGER: ranks live
+  as BIGINTs at SCALE = 1e12, per-edge contributions are integer
+  divisions (rank DIV outdeg), and the damping update is
+  ((100-d)*base + d*sum) DIV 100 — so partition order, engine, and fold
+  order cannot move a single bit, and the DuckDB oracle replays the
+  identical iterations as chained CTEs (the BPE-training playbook).
+  Floor divisions shed < 1 ulp of mass per hop; that drift is the SAME
+  in both engines and irrelevant to ranking (documented, not hidden).
+- **Triangle counting** via the canonical-edge join: undirected edges
+  stored once as src < dst, triangles = paths (a<b<c) closed by the
+  (a,c) edge. Pure integer counts.
+
+Graph construction (`consecutive_line_edges`): nodes are parts, with an
+undirected edge when two parts appear on ADJACENT lineitem lines of one
+order. Adjacency (not all-pairs-in-order) bounds the per-order edge
+fan-out at lines-1 — the same bounded-candidate-generation principle as
+the banded range join and LSH dedup: at 100 TB the edge list grows
+linearly with the fact table, never quadratically with basket size.
+
+Scale shape: each PageRank iteration is one (edges JOIN ranks) shuffle on
+the src key + one groupBy dst — the canonical Pregel-style message pass
+expressed as joins; state between iterations is one (node, rank) row per
+node. Triangle counting is two self-joins whose intermediate is bounded
+by sum-of-squared-degrees (the adjacency construction keeps degrees
+small).
+
+[NOT IN REFERENCE — executor.py has no graph surface; beyond-reference
+breadth alongside the iterative-BPE family.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def _idiv(a: str, b: str, engine: str) -> str:
+    """Integer floor division fragment (both operands non-negative here).
+    Spark's `/` is double division and DuckDB's `/` widens to double too —
+    the r03 dtype trap class — so both engines get their native integer
+    operator."""
+    if engine == "spark":
+        return f"({a} DIV {b})"
+    return f"({a} // {b})"
+
+
+def consecutive_line_edges(lineitem: DataFrame) -> DataFrame:
+    """Canonical undirected edges (src < dst) between parts on adjacent
+    lines of the same order — one bounded self-join on (orderkey, line)."""
+    a = lineitem.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("__ln"),
+        F.col("l_partkey").alias("__pa"),
+    )
+    b = lineitem.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("__ln"),
+        F.col("l_partkey").alias("__pb"),
+    )
+    return (
+        a.join(b, ["l_orderkey", "__ln"])
+        .filter(F.col("__pa") != F.col("__pb"))
+        .select(
+            F.least("__pa", "__pb").alias("src"),
+            F.greatest("__pa", "__pb").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame, n_iter: int = 5, damping_pct: int = 85
+) -> DataFrame:
+    """Scaled-integer PageRank over canonical undirected edges.
+
+    Returns (node, rank_scaled) for every node incident to an edge;
+    rank_scaled is the damped-power-method value after n_iter rounds at
+    SCALE = 1e12. Undirected: each canonical edge contributes in both
+    directions. The uniform init and the (1-d)/n base use the SAME floor
+    division the oracle replays."""
+    if not (1 <= n_iter <= 50):
+        raise ValueError(f"n_iter must be in [1, 50], got {n_iter}")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    # materialize the loop-invariant edge structures once (eager
+    # localCheckpoint, the BPE-training lineage pattern) — otherwise each
+    # of the n_iter rounds re-derives the edge list from the base scan
+    directed = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = directed.select(F.col("src").alias("node")).distinct()
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    n = nodes.count()  # bounded driver scalar, like the literal-centroid fits
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    base = SCALE // n
+    r = nodes.select("node", F.lit(base).cast("long").alias("rank_scaled"))
+    for _ in range(n_iter):
+        contrib = (
+            directed.join(r, directed["src"] == r["node"])
+            .join(deg.withColumnRenamed("node", "__dn"), F.col("src") == F.col("__dn"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(_idiv("rank_scaled", "outdeg", "spark")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("long").alias("__contrib"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    _idiv(
+                        f"({100 - damping_pct} * {base}L"
+                        f" + {damping_pct} * coalesce(__contrib, 0L))",
+                        "100",
+                        "spark",
+                    )
+                )
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+            # one (node, rank) row per node — truncating here keeps the
+            # plan depth constant across iterations (Pregel superstep
+            # checkpointing; same rationale as BPE's per-round truncation)
+            .localCheckpoint(eager=True)
+        )
+    return r
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One-row (n_nodes, n_edges, n_triangles) summary over canonical
+    undirected edges: triangles counted once each via a < b < c chains
+    closed by the (a, c) edge."""
+    e = edges.select("src", "dst").distinct()
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = ab.join(bc, "b").join(ac, ["a", "c"])
+    nodes = e.select(F.col("src").alias("n")).unionByName(
+        e.select(F.col("dst").alias("n"))
+    ).distinct()
+    return (
+        nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    )
+
+
+# -- DuckDB oracle generators ------------------------------------------------
+
+_EDGES_SQL = """
+SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+       greatest(a.l_partkey, b.l_partkey) AS dst
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber + 1
+WHERE a.l_partkey <> b.l_partkey
+"""
+
+
+def oracle_edges_sql() -> str:
+    return _EDGES_SQL
+
+
+def oracle_pagerank_sql(n_iter: int = 5, damping_pct: int = 85) -> str:
+    """Chained-CTE replay of pagerank() — identical integer arithmetic."""
+    if not (1 <= n_iter <= 50):
+        raise ValueError(f"n_iter must be in [1, 50], got {n_iter}")
+    idiv = lambda a, b: _idiv(a, b, "duck")  # noqa: E731
+    body = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        """directed AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM directed),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM directed GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST(""" + idiv(str(SCALE), "n") + """ AS BIGINT) AS rank_scaled
+  FROM nodes CROSS JOIN nn
+),""",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"r{i - 1}"
+        body.append(f"""c{i} AS (
+  SELECT d.dst AS node,
+         CAST(sum({idiv("r.rank_scaled", "g.outdeg")}) AS BIGINT) AS contrib
+  FROM directed d
+  JOIN {prev} r ON d.src = r.node
+  JOIN deg g ON d.src = g.node
+  GROUP BY d.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST({idiv(
+             f"({100 - damping_pct} * {idiv(str(SCALE), 'nn.n')}"
+             f" + {damping_pct} * coalesce(c.contrib, 0))",
+             "100",
+         )} AS BIGINT) AS rank_scaled
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON n.node = c.node
+),""")
+    out = "\n".join(body)
+    out = out.rstrip().rstrip(",")
+    return out + f"\nSELECT node, rank_scaled FROM r{n_iter}\n"
+
+
+def oracle_triangles_sql() -> str:
+    return f"""
+WITH e AS ({_EDGES_SQL}),
+nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM e
+                                  UNION ALL SELECT dst AS n FROM e) u),
+tris AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM e ab JOIN e bc ON ab.dst = bc.src
+  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles
+"""

@@ -33,6 +33,7 @@ SUITE_MODULES = (
     "pipeline_suite",
     "composed_suite",
     "sketch_suite",
+    "graph_suite",
 )
 
 # The grading driver checks only the FIRST 50 registry entries, so ordering
@@ -88,6 +89,8 @@ DRIVER_PRIORITY = (
     "sketch_quantile_grouped_state",
     "sketch_quantile_grouped_estimate",
     "multimodal_decode_gif_animation",
+    "graph_pagerank_parts",
+    "graph_triangle_count",
     # fill: newest driver row r03, alphabetical
     "agg_approx_quantiles",
     "agg_listagg_names",
@@ -108,9 +111,9 @@ DRIVER_PRIORITY = (
     "multimodal_decode_audio",
     "multimodal_sample_video_frames",
     "near_dedup_clusters",
+    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "near_dedup_simhash",
     "pack_token_budget",
-    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "scalar_array_funcs",
     "shuffle_epoch_order",
     "simhash_fingerprints",

@@ -1,0 +1,91 @@
+"""Graph operators (operators/graph.py): python-replay parity of the
+scaled-integer PageRank, hand-computed triangle counts, edge semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from executor_u1mindexer_spark.operators import graph as G
+
+
+def _py_pagerank(edges, n_iter, damping_pct):
+    """Sequential replay of the exact integer arithmetic."""
+    directed = []
+    for s, d in edges:
+        directed.append((s, d))
+        directed.append((d, s))
+    nodes = sorted({s for s, _ in directed})
+    deg = {}
+    for s, _ in directed:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    base = G.SCALE // n
+    rank = {u: base for u in nodes}
+    for _ in range(n_iter):
+        contrib = {u: 0 for u in nodes}
+        for s, d in directed:
+            contrib[d] += rank[s] // deg[s]
+        rank = {
+            u: ((100 - damping_pct) * base + damping_pct * contrib[u]) // 100
+            for u in nodes
+        }
+    return rank
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_matches_python_replay(spark):
+    # a small irregular graph: star + chain + triangle
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5), (5, 6), (2, 3), (6, 7), (3, 7)]
+    got = {
+        r.node: r.rank_scaled
+        for r in G.pagerank(_edges_df(spark, edges), 5, 85).collect()
+    }
+    assert got == _py_pagerank(edges, 5, 85)
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    edges = [(1, 2), (1, 3), (1, 4), (1, 5)]
+    got = {
+        r.node: r.rank_scaled
+        for r in G.pagerank(_edges_df(spark, edges), 5, 85).collect()
+    }
+    assert got[1] > got[2] == got[3] == got[4] == got[5]
+
+
+def test_triangle_count_hand_cases(spark):
+    # K4 has 4 triangles; canonical edges
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    row = G.triangle_count(_edges_df(spark, k4)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+    # a square (no diagonal) has none
+    sq = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    row = G.triangle_count(_edges_df(spark, sq)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 4, 0)
+
+
+def test_consecutive_line_edges_are_canonical_and_adjacent_only(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 10),
+            (1, 2, 20),
+            (1, 3, 30),  # order 1: 10-20, 20-30 but NOT 10-30
+            (2, 1, 40),
+            (2, 2, 40),  # same part adjacent: no self edge
+        ],
+        "l_orderkey long, l_linenumber int, l_partkey long",
+    )
+    got = {(r.src, r.dst) for r in G.consecutive_line_edges(li).collect()}
+    assert got == {(10, 20), (20, 30)}
+    assert all(s < d for s, d in got)
+
+
+def test_pagerank_params_validated(spark):
+    e = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="n_iter"):
+        G.pagerank(e, 0)
+    with pytest.raises(ValueError, match="damping_pct"):
+        G.pagerank(e, 5, 101)
