@@ -1,0 +1,213 @@
+"""Z-order (Morton-curve) data layout — the multi-dimensional clustering
+trick behind Delta/Iceberg `OPTIMIZE ZORDER BY` and classic multi-column
+data skipping, as a first-class deterministic operator.
+
+Why a 100 TB engine wants it: parquet pruning works off per-file min/max
+ranges. Sorting by ONE column gives perfect ranges on that column and
+useless ranges on every other; interleaving the bits of two (or more)
+columns gives every file a small range in BOTH dimensions, so predicates
+on either column prune files. The measurable artifact is exactly that:
+per-bucket (simulated file) min/max spans under the z-order layout vs a
+single-column sort layout.
+
+Determinism engineering (same rules as operators/sketch.py):
+- values map to RANK SPACE first — a16 = ((dense_rank - 1) * 2^bits) DIV
+  n_distinct over the DISTINCT values of the column — because raw domains
+  rarely fill a power-of-two space (interleaving raw small ints puts all
+  entropy in the low bits and every row in bucket 0). The rank map is a
+  tiny window over distinct values (broadcast-joined back), and integer
+  floor division keeps it bit-exact in both engines.
+- the Morton interleave is a sum of shift/mask terms — pure integer
+  codegen, generated from ONE fragment source for both engines.
+
+[NOT IN REFERENCE — executor.py has no storage-layout surface; this is
+beyond-reference 100 TB breadth alongside compaction/bucketing.]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BITS_DEFAULT = 16
+
+
+def _shl(expr: str, n: int, engine: str) -> str:
+    if engine == "spark":
+        return f"shiftleft({expr}, {n})" if n else f"({expr})"
+    return f"(({expr}) << {n})" if n else f"({expr})"
+
+
+def _shr(expr: str, n: int, engine: str) -> str:
+    if engine == "spark":
+        return f"shiftright({expr}, {n})" if n else f"({expr})"
+    return f"(({expr}) >> {n})" if n else f"({expr})"
+
+
+def morton_interleave_sql(a: str, b: str, bits: int, engine: str) -> str:
+    """2-D Morton code: bit i of `a` lands at position 2i, bit i of `b`
+    at 2i+1. `a`/`b` must already be BIGINT expressions in [0, 2^bits)."""
+    if not (1 <= bits <= 31):
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    terms = []
+    for i in range(bits):
+        terms.append(_shl(f"({_shr(a, i, engine)} & 1)", 2 * i, engine))
+        terms.append(_shl(f"({_shr(b, i, engine)} & 1)", 2 * i + 1, engine))
+    return "(" + " + ".join(terms) + ")"
+
+
+def rank_space_map(df: DataFrame, col: str, bits: int = BITS_DEFAULT) -> DataFrame:
+    """(value, mapped) for each DISTINCT value of `col`: mapped =
+    ((dense_rank - 1) * 2^bits) DIV n_distinct — a uniform integer spread
+    over [0, 2^bits) whatever the raw domain. The window runs over the
+    distinct-value set only (small), never the fact table."""
+    from pyspark.sql import Window
+
+    dv = df.select(F.col(col).alias("value")).filter(
+        F.col("value").isNotNull()
+    ).distinct()
+    w = Window.orderBy(F.col("value").asc())
+    n = dv.count()  # bounded driver scalar (distinct-value count)
+    if n == 0:
+        return dv.withColumn("mapped", F.lit(0).cast("long"))
+    return dv.select(
+        "value",
+        F.expr(
+            f"CAST(((dense_rank() OVER (ORDER BY value ASC) - 1)"
+            f" * {1 << bits}L) DIV {n} AS BIGINT)"
+        ).alias("mapped"),
+    )
+
+
+def zorder_layout_stats(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = BITS_DEFAULT,
+    n_bucket_bits: int = 5,
+) -> DataFrame:
+    """One summary row comparing two simulated file layouts of `df`:
+
+    - `zorder`: bucket = top n_bucket_bits of the Morton code of the two
+      rank-mapped columns;
+    - `by_a`:   bucket = top n_bucket_bits of the rank-mapped first
+      column alone (the single-column ORDER BY layout).
+
+    Per bucket the min/max span of each dimension is taken (the parquet
+    footer stats pruning reads), summed per layout. Output columns:
+    (z_n_buckets, z_sum_a_span, z_sum_b_span, a_n_buckets, a_sum_a_span,
+    a_sum_b_span, zorder_clusters_b, single_dim_wins_own_dim) — the two
+    booleans state the layout theorem on this data: z-order must beat the
+    single-column sort on the SECOND dimension, and the single-column
+    sort stays at-least-as-good on its OWN dimension."""
+    amap = rank_space_map(df, col_a, bits).withColumnRenamed("mapped", "__a16")
+    bmap = rank_space_map(df, col_b, bits).withColumnRenamed("mapped", "__b16")
+    rows = (
+        df.select(F.col(col_a).alias("__va"), F.col(col_b).alias("__vb"))
+        .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
+        .join(F.broadcast(amap), F.col("__va") == amap["value"])
+        .drop("value")
+        .join(F.broadcast(bmap), F.col("__vb") == bmap["value"])
+        .drop("value")
+    )
+    z = morton_interleave_sql("__a16", "__b16", bits, "spark")
+    zshift = 2 * bits - n_bucket_bits
+    ashift = bits - n_bucket_bits
+    keyed = rows.select(
+        "__a16",
+        "__b16",
+        F.expr(_shr(z, zshift, "spark")).cast("long").alias("__zb"),
+        F.expr(_shr("__a16", ashift, "spark")).cast("long").alias("__ab"),
+    )
+
+    def layout(bucket_col: str, prefix: str) -> DataFrame:
+        per = keyed.groupBy(bucket_col).agg(
+            (F.max("__a16") - F.min("__a16")).alias("__aspan"),
+            (F.max("__b16") - F.min("__b16")).alias("__bspan"),
+        )
+        return per.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}_n_buckets"),
+            F.sum("__aspan").cast("long").alias(f"{prefix}_sum_a_span"),
+            F.sum("__bspan").cast("long").alias(f"{prefix}_sum_b_span"),
+        )
+
+    zstats = layout("__zb", "z")
+    astats = layout("__ab", "a")
+    return zstats.crossJoin(astats).select(
+        "z_n_buckets",
+        "z_sum_a_span",
+        "z_sum_b_span",
+        "a_n_buckets",
+        "a_sum_a_span",
+        "a_sum_b_span",
+        (F.col("z_sum_b_span") < F.col("a_sum_b_span")).alias(
+            "zorder_clusters_b"
+        ),
+        (F.col("a_sum_a_span") <= F.col("z_sum_a_span")).alias(
+            "single_dim_wins_own_dim"
+        ),
+    )
+
+
+# -- DuckDB oracle -----------------------------------------------------------
+
+
+def oracle_zorder_stats_sql(
+    source: str,
+    col_a: str,
+    col_b: str,
+    bits: int = BITS_DEFAULT,
+    n_bucket_bits: int = 5,
+) -> str:
+    z = morton_interleave_sql("__a16", "__b16", bits, "duck")
+    zshift = 2 * bits - n_bucket_bits
+    ashift = bits - n_bucket_bits
+
+    def rankmap(col: str) -> str:
+        return f"""
+  SELECT value,
+         CAST(((dense_rank() OVER (ORDER BY value ASC) - 1) * {1 << bits})
+              // (SELECT count(DISTINCT {col}) FROM {source}
+                  WHERE {col} IS NOT NULL) AS BIGINT) AS mapped
+  FROM (SELECT DISTINCT {col} AS value FROM {source}
+        WHERE {col} IS NOT NULL) dv
+"""
+
+    return f"""
+WITH amap AS ({rankmap(col_a)}),
+bmap AS ({rankmap(col_b)}),
+rows_m AS (
+  SELECT a.mapped AS __a16, b.mapped AS __b16
+  FROM {source} t
+  JOIN amap a ON t.{col_a} = a.value
+  JOIN bmap b ON t.{col_b} = b.value
+  WHERE t.{col_a} IS NOT NULL AND t.{col_b} IS NOT NULL
+),
+keyed AS (
+  SELECT __a16, __b16,
+         CAST({_shr(z, zshift, "duck")} AS BIGINT) AS __zb,
+         CAST({_shr("__a16", ashift, "duck")} AS BIGINT) AS __ab
+  FROM rows_m
+),
+zper AS (
+  SELECT __zb, max(__a16) - min(__a16) AS aspan,
+         max(__b16) - min(__b16) AS bspan
+  FROM keyed GROUP BY __zb
+),
+aper AS (
+  SELECT __ab, max(__a16) - min(__a16) AS aspan,
+         max(__b16) - min(__b16) AS bspan
+  FROM keyed GROUP BY __ab
+),
+zs AS (SELECT CAST(count(*) AS BIGINT) AS z_n_buckets,
+              CAST(sum(aspan) AS BIGINT) AS z_sum_a_span,
+              CAST(sum(bspan) AS BIGINT) AS z_sum_b_span FROM zper),
+asx AS (SELECT CAST(count(*) AS BIGINT) AS a_n_buckets,
+               CAST(sum(aspan) AS BIGINT) AS a_sum_a_span,
+               CAST(sum(bspan) AS BIGINT) AS a_sum_b_span FROM aper)
+SELECT z_n_buckets, z_sum_a_span, z_sum_b_span,
+       a_n_buckets, a_sum_a_span, a_sum_b_span,
+       (z_sum_b_span < a_sum_b_span) AS zorder_clusters_b,
+       (a_sum_a_span <= z_sum_a_span) AS single_dim_wins_own_dim
+FROM zs CROSS JOIN asx
+"""

@@ -91,6 +91,8 @@ DRIVER_PRIORITY = (
     "multimodal_decode_gif_animation",
     "graph_pagerank_parts",
     "graph_triangle_count",
+    "eval_retrieval_label_metrics",
+    "layout_zorder_clustering",
     # fill: newest driver row r03, alphabetical
     "agg_approx_quantiles",
     "agg_listagg_names",
@@ -109,9 +111,9 @@ DRIVER_PRIORITY = (
     "index_upsert",
     "llm_corpus_pipeline",
     "multimodal_decode_audio",
+    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "multimodal_sample_video_frames",
     "near_dedup_clusters",
-    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "near_dedup_simhash",
     "pack_token_budget",
     "scalar_array_funcs",

@@ -272,6 +272,88 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(_emb(spark, sf_dir))
 
 
+EVAL_SCALE = 1_000_000
+
+
+def eval_retrieval_label_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — the IR metrics a search/training
+    pipeline reports (r06): run = exact cosine top-K per query with the
+    query's own stored copy excluded, relevance = shared label, metrics =
+    MRR, precision@K, and capped recall@K as MICRO-SCALED INTEGERS
+    (rr = 1e6 DIV first_relevant_rank etc.), so every aggregate is exact
+    integer arithmetic and the oracle matches bit-for-bit — no float
+    averaging anywhere. One summary row out."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    run = knn.knn_search(
+        emb, q.select("query_id", "query_embedding"), k=K + 1, metric="cosine"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    run = run.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= K)
+    labeled = run.join(emb.select("vec_id", "label"), "vec_id").join(
+        q.select("query_id", "query_label"), "query_id"
+    )
+    per_q = labeled.groupBy("query_id", "query_label").agg(
+        F.min(
+            F.when(F.col("label") == F.col("query_label"), F.col("r"))
+        ).alias("first_rel"),
+        F.sum((F.col("label") == F.col("query_label")).cast("long"))
+        .cast("long")
+        .alias("hits"),
+    )
+    label_counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    per_q = (
+        per_q.join(label_counts, per_q["query_label"] == label_counts["label"])
+        .select(
+            "query_id",
+            "first_rel",
+            "hits",
+            (F.col("n_label") - 1).alias("n_rel"),
+        )
+        .select(
+            "query_id",
+            F.expr(
+                f"CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT) "
+                f"ELSE CAST({EVAL_SCALE} AS BIGINT) DIV first_rel END"
+            ).alias("rr_micro"),
+            "hits",
+            F.expr(
+                f"CASE WHEN n_rel <= 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE (CAST({EVAL_SCALE} AS BIGINT) * hits)"
+                f" DIV least(n_rel, CAST({K} AS BIGINT)) END"
+            ).alias("recall_micro"),
+        )
+    )
+    agg = per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("rr_micro").cast("long").alias("__sum_rr"),
+        F.sum("hits").cast("long").alias("sum_hits"),
+        F.sum("recall_micro").cast("long").alias("__sum_recall"),
+        F.sum((F.col("rr_micro") > 0).cast("long"))
+        .cast("long")
+        .alias("n_queries_with_hit"),
+    )
+    return agg.select(
+        "n_queries",
+        F.expr("__sum_rr DIV n_queries").cast("long").alias("mrr_micro"),
+        "sum_hits",
+        F.expr(
+            f"(CAST({EVAL_SCALE} AS BIGINT) * sum_hits)"
+            f" DIV (n_queries * CAST({K} AS BIGINT))"
+        )
+        .cast("long")
+        .alias("p_at_k_micro"),
+        F.expr("__sum_recall DIV n_queries")
+        .cast("long")
+        .alias("macro_recall_micro"),
+        "n_queries_with_hit",
+    )
+
+
 QUERIES = {
     "ann_cosine_topk_join": ann_cosine_topk_join,
     "ann_range_search": ann_range_search,
@@ -283,6 +365,7 @@ QUERIES = {
     "ann_partitioned_topk": ann_partitioned_topk,
     "ann_hnsw_partitioned_topk": ann_hnsw_partitioned_topk,
     "vector_pq_codes": vector_pq_codes,
+    "eval_retrieval_label_metrics": eval_retrieval_label_metrics,
 }
 
 _DOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]), (s,y) -> s+y)"
@@ -335,6 +418,56 @@ SELECT label, CAST(t.i AS INT) AS dim,
        count(*) AS n_vectors
 FROM e, unnest(range(1, len(v) + 1)) AS t(i)
 GROUP BY label, t.i
+""",
+    "eval_retrieval_label_metrics": _BASE
+    + f"""
+, scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label, {_COS} AS dist
+  FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, qlabel, vec_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rk
+  FROM scored
+), run AS (
+  SELECT query_id, qlabel, vec_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY rk) AS r
+  FROM ranked WHERE rk <= {K + 1} AND vec_id <> query_id
+), topk AS (SELECT * FROM run WHERE r <= {K}),
+per_q AS (
+  SELECT query_id, qlabel,
+         min(CASE WHEN label = qlabel THEN r END) AS first_rel,
+         CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM topk GROUP BY query_id, qlabel
+),
+lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM e GROUP BY label),
+pq AS (
+  SELECT query_id,
+         CASE WHEN first_rel IS NULL THEN CAST(0 AS BIGINT)
+              ELSE CAST({EVAL_SCALE} AS BIGINT) // first_rel END AS rr_micro,
+         hits,
+         CASE WHEN (n_label - 1) <= 0 THEN CAST(0 AS BIGINT)
+              ELSE (CAST({EVAL_SCALE} AS BIGINT) * hits)
+                   // least(n_label - 1, CAST({K} AS BIGINT)) END AS recall_micro
+  FROM per_q JOIN lc ON per_q.qlabel = lc.label
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(rr_micro) AS BIGINT) AS sum_rr,
+         CAST(sum(hits) AS BIGINT) AS sum_hits,
+         CAST(sum(recall_micro) AS BIGINT) AS sum_recall,
+         CAST(sum(CASE WHEN rr_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_queries_with_hit
+  FROM pq
+)
+SELECT n_queries,
+       CAST(sum_rr // n_queries AS BIGINT) AS mrr_micro,
+       sum_hits,
+       CAST((CAST({EVAL_SCALE} AS BIGINT) * sum_hits)
+            // (n_queries * {K}) AS BIGINT) AS p_at_k_micro,
+       CAST(sum_recall // n_queries AS BIGINT) AS macro_recall_micro,
+       n_queries_with_hit
+FROM agg
 """,
     "ann_cosine_topk_join": _BASE
     + f"""

@@ -99,6 +99,21 @@ def traverse_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_zorder_clustering(spark, sf_dir):
+    """Z-order data layout (r06, operators/layout.py — the Delta/Iceberg
+    OPTIMIZE ZORDER story): rank-space-map (l_partkey, l_suppkey), Morton-
+    interleave the bits, simulate 32 files per layout, and compare the
+    per-file min/max spans that parquet pruning would read against the
+    single-column sort layout. Pure integer output with the two layout-
+    theorem booleans oracle-checked: z-order clusters the SECOND dimension
+    (b-span strictly smaller than the by-a layout's), while the by-a sort
+    keeps its own dimension at least as tight."""
+    from executor_u1mindexer_spark.operators import layout as L
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return L.zorder_layout_stats(li, "l_partkey", "l_suppkey")
+
+
 QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_json_roundtrip": source_json_roundtrip,
@@ -106,7 +121,10 @@ QUERIES = {
     "source_orc_roundtrip": source_orc_roundtrip,
     "source_compact_small_files": source_compact_small_files,
     "traverse_chunks": traverse_chunks,
+    "layout_zorder_clustering": layout_zorder_clustering,
 }
+
+from executor_u1mindexer_spark.operators import layout as _L  # noqa: E402
 
 ORACLES = {
     "source_csv_roundtrip": "SELECT * FROM nation ORDER BY n_nationkey",
@@ -143,4 +161,7 @@ SELECT doc_id, chunk_seq,
        length(chunk_text) AS chunk_chars
 FROM c
 """,
+    "layout_zorder_clustering": _L.oracle_zorder_stats_sql(
+        "lineitem", "l_partkey", "l_suppkey"
+    ),
 }
