@@ -93,6 +93,7 @@ DRIVER_PRIORITY = (
     "graph_triangle_count",
     "eval_retrieval_label_metrics",
     "layout_zorder_clustering",
+    "text_inverted_index",
     # fill: newest driver row r03, alphabetical
     "agg_approx_quantiles",
     "agg_listagg_names",
@@ -110,8 +111,8 @@ DRIVER_PRIORITY = (
     "events_retention_cohorts",
     "index_upsert",
     "llm_corpus_pipeline",
-    "multimodal_decode_audio",
     # --- 50-slot window boundary: rows below lead the r07 rotation ---
+    "multimodal_decode_audio",
     "multimodal_sample_video_frames",
     "near_dedup_clusters",
     "near_dedup_simhash",

@@ -90,6 +90,29 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-index BUILD artifact (r06) — the storage structure the
+    BM25/RRF scoring rows consume implicitly, materialized: one row per
+    token with its document frequency and the SORTED posting list of
+    doc_ids. One explode -> distinct -> grouped collect; posting lists are
+    array_sort'd so the artifact is deterministic under any partitioning
+    (the same reason hash-exact oracles are possible at all). At 100 TB
+    the posting lists for stopword-class tokens are the skew hazard — the
+    df column IS the signal a real indexer uses to route those terms to a
+    block-max/skip-list representation."""
+    d = _docs(spark, sf_dir)
+    postings = (
+        d.select("doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+    )
+    return postings
+
+
 def text_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct character 4-gram counts per doc (functions/text.char_ngrams
     — the language-ID / fuzzy-similarity primitive) plus the uniqueness
@@ -628,6 +651,7 @@ QUERIES = {
     "text_fingerprints": text_fingerprints,
     "text_corpus_stats": text_corpus_stats,
     "text_vocab_topk": text_vocab_topk,
+    "text_inverted_index": text_inverted_index,
     "text_benchmark_contamination": text_benchmark_contamination,
     "text_char_ngram_stats": text_char_ngram_stats,
 }
@@ -956,6 +980,14 @@ SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_cha
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
        round(sum(n_chars)::DOUBLE / count(*), 9) AS avg_chars
 FROM documents GROUP BY lang, source
+""",
+    "text_inverted_index": """
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       list_sort(list(doc_id)) AS postings
+FROM (SELECT DISTINCT doc_id,
+             unnest(str_split_regex(lower(text), '\\s+')) AS token
+      FROM documents) t
+GROUP BY token
 """,
     "text_vocab_topk": f"""
 SELECT token, count(*) AS n
