@@ -360,6 +360,31 @@ def test_hnsw_c_and_python_kernels_bit_identical():
             assert np.array_equal(a, b)  # dists exactly equal too
 
 
+def test_hnsw_kernels_bit_identical_under_duplicate_vectors():
+    """Duplicate vectors create EXACT distance ties — the regime where a
+    single ulp of divergence between kernels would flip the id tie-break
+    and change the graph. 4x-duplicated corpus, duplicated queries."""
+    import numpy as np
+
+    from executor_u1mindexer_spark.operators.hnsw import HNSW, _load_ckernel
+
+    if _load_ckernel() is None:
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.RandomState(77)
+    base = rng.randn(150, 16)
+    vecs = np.repeat(base, 4, axis=0)
+    ids = rng.permutation(600).astype(np.int64)
+    for metric in ("cosine", "ip"):
+        hc = HNSW(16, metric=metric, m=8, ef_construction=60).build(ids, vecs)
+        hp = HNSW(16, metric=metric, m=8, ef_construction=60, use_ckernel=False).build(
+            ids, vecs
+        )
+        assert hc.neighbors == hp.neighbors and hc.entry == hp.entry
+        q = np.repeat(rng.randn(4, 16), 2, axis=0)
+        for a, b in zip(hc.search_batch(q, 9, ef=40), hp.search_batch(q, 9, ef=40)):
+            assert np.array_equal(a, b)
+
+
 def test_hnsw_l2_gates_c_kernel():
     """metric='l2' has no bit-replicable C distance (einsum reduction
     order) — forcing the C kernel must fail loudly, auto must fall back."""
