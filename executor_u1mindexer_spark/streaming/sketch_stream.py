@@ -40,3 +40,36 @@ def streaming_cms_state(
     """Streaming CMS counter maintenance (complete-mode grouped count);
     delegates like streaming_hll_registers."""
     return SK.cms_state(stream, col, d, w)
+
+
+def streaming_quantile_state_fold(
+    stream: DataFrame,
+    value_col: str,
+    id_col: str,
+    p: int = 8,
+    s: int = 64,
+):
+    """Streaming form of the equi-depth quantile sketch (r06).
+
+    Unlike HLL/CMS (monotone folds that stream as incremental grouped
+    aggregates), the equi-depth state needs a per-bucket SORT, which
+    Structured Streaming cannot run incrementally — so the streaming
+    shape is the one operators/quantile.py documents: ONE bounded state
+    PER MICRO-BATCH (tagged by batch id, exactly quantile_merge's `src`
+    column), accumulated driver-side; rank queries run over the merged
+    tiny states. Returns (writer, states) where `states` is the
+    driver-side accumulator list of collected state rows — each entry is
+    <= p*s rows regardless of batch size, which is what makes the
+    driver-side fold legitimate."""
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    states: list[list] = []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        st = QT.quantile_state(batch_df, value_col, id_col, p, s)
+        rows = st.collect()
+        states.append([(int(batch_id), r.bucket, r.tile, r.rep_value, r.weight)
+                       for r in rows])
+
+    writer = stream.writeStream.foreachBatch(fold)
+    return writer, states

@@ -94,6 +94,7 @@ DRIVER_PRIORITY = (
     "eval_retrieval_label_metrics",
     "layout_zorder_clustering",
     "text_inverted_index",
+    "sketch_quantile_clip_outliers",
     # fill: newest driver row r03, alphabetical
     "agg_approx_quantiles",
     "agg_listagg_names",
@@ -110,8 +111,8 @@ DRIVER_PRIORITY = (
     "events_range_join_bucketed",
     "events_retention_cohorts",
     "index_upsert",
-    "llm_corpus_pipeline",
     # --- 50-slot window boundary: rows below lead the r07 rotation ---
+    "llm_corpus_pipeline",
     "multimodal_decode_audio",
     "multimodal_sample_video_frames",
     "near_dedup_clusters",

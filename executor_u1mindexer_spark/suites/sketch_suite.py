@@ -589,6 +589,42 @@ def sketch_quantile_grouped_estimate(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def sketch_quantile_clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch USED by a pipeline (r06): winsorization bounds.
+    p1/p99 cut points come from the sketch (raw data values — bit-exact),
+    then one scan partitions orders into below/kept/above. The 100 TB
+    shape of robust-scaling / outlier-capping a feature pipeline runs:
+    sketch pass + map-only filter, never a global sort."""
+    orders = tables.load(spark, sf_dir, "orders")
+    st = QT.quantile_state(orders, "o_totalprice", "o_orderkey", QP, QS_TILES)
+    est = QT.quantile_estimate(st, [0.01, 0.99])
+    bounds = est.agg(
+        F.min(F.when(F.col("q") == 0.01, F.col("est_value"))).alias("lo_cut"),
+        F.min(F.when(F.col("q") == 0.99, F.col("est_value"))).alias("hi_cut"),
+    )
+    vals = orders.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(F.col("o_totalprice").cast("double").alias("v"))
+    return vals.crossJoin(F.broadcast(bounds)).agg(
+        F.min("lo_cut").alias("lo_cut"),
+        F.min("hi_cut").alias("hi_cut"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum((F.col("v") < F.col("lo_cut")).cast("long"))
+        .cast("long")
+        .alias("n_below"),
+        F.sum(
+            ((F.col("v") >= F.col("lo_cut")) & (F.col("v") <= F.col("hi_cut"))).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_kept"),
+        F.sum((F.col("v") > F.col("hi_cut")).cast("long"))
+        .cast("long")
+        .alias("n_above"),
+    )
+
+
 QUERIES = {
     "sketch_hll_registers": sketch_hll_registers,
     "sketch_hll_distinct_events": sketch_hll_distinct_events,
@@ -610,6 +646,7 @@ QUERIES = {
     "sketch_quantile_merge": sketch_quantile_merge,
     "sketch_quantile_grouped_state": sketch_quantile_grouped_state,
     "sketch_quantile_grouped_estimate": sketch_quantile_grouped_estimate,
+    "sketch_quantile_clip_outliers": sketch_quantile_clip_outliers,
 }
 
 
@@ -939,4 +976,22 @@ ORACLES = {
     "sketch_quantile_merge": _QMERGE_ORACLE,
     "sketch_quantile_grouped_state": _QGSTATE_SQL,
     "sketch_quantile_grouped_estimate": _QGEST_ORACLE,
+    "sketch_quantile_clip_outliers": f"""
+WITH state AS ({_QSTATE_SQL}),
+est AS ({QT.oracle_estimate_body_sql("state", [0.01, 0.99])}),
+bounds AS (
+  SELECT min(CASE WHEN q = 0.01e0 THEN est_value END) AS lo_cut,
+         min(CASE WHEN q = 0.99e0 THEN est_value END) AS hi_cut
+  FROM est
+),
+vals AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+         WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL)
+SELECT min(lo_cut) AS lo_cut, min(hi_cut) AS hi_cut,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN v >= lo_cut AND v <= hi_cut THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM vals CROSS JOIN bounds
+""",
 }

@@ -237,3 +237,44 @@ def test_streaming_cms_state_matches_batch(spark, sf_dir):
         for r in SK.cms_state(docs, "lang", 4, 64).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_quantile_rollup_matches_batch(spark, sf_dir):
+    """The streaming quantile fold (one bounded state per micro-batch,
+    merged via the src tag) must answer whole-backlog rank queries within
+    the sketch's bounds — and with a single micro-batch the state must be
+    BIT-IDENTICAL to the batch state."""
+    from executor_u1mindexer_spark.operators import quantile as QT
+    from executor_u1mindexer_spark.streaming import events_stream as ES
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+
+    stream = ES.read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    writer, states = SS.streaming_quantile_state_fold(
+        stream, "value", "event_id", 4, 16
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(states) >= 1
+    flat = [row for batch in states for row in batch]
+    merged = spark.createDataFrame(
+        flat, "src long, bucket long, tile long, rep_value double, weight long"
+    )
+    est = QT.quantile_estimate(
+        merged, [0.5], bucket_cols=["src", "bucket"],
+        order_cols=["src", "bucket", "tile"],
+    ).collect()[0]
+    events = tables.load(spark, sf_dir, "events")
+    vals = [r.value for r in events.select("value").collect()]
+    assert est.n_total == len(vals)
+    rank_le = sum(1 for v in vals if v <= est.est_value)
+    rank_lt = sum(1 for v in vals if v < est.est_value)
+    assert rank_le >= est.target
+    assert rank_lt <= est.target + est.max_tile + est.err_budget
+    if len(states) == 1:  # single micro-batch: state == batch state exactly
+        batch_state = {
+            (r.bucket, r.tile): (r.rep_value, r.weight)
+            for r in QT.quantile_state(events, "value", "event_id", 4, 16).collect()
+        }
+        got = {(b, t): (rv, w) for _, b, t, rv, w in states[0]}
+        assert got == batch_state
