@@ -517,3 +517,26 @@ def test_span_dedup_properties(spark):
                 assert r["clean_text"] == text
 
     check()
+
+
+def test_hnsw_state_roundtrip_searches_bit_identical():
+    """hnsw_to_state/hnsw_from_state (the executor.py:227-236 dump/load
+    parity for the BUILT graph): the reloaded index must search exactly
+    like the original — no rebuild, same arrays, same kernels."""
+    import numpy as np
+
+    from executor_u1mindexer_spark.operators import hnsw as H
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(400, 24)
+    ids = np.arange(400, dtype=np.int64) * 3
+    for metric in ("cosine", "l2"):
+        idx = H.HNSW(24, metric=metric, m=8, ef_construction=60).build(ids, vecs)
+        back = H.hnsw_from_state(H.hnsw_to_state(idx))
+        assert back.neighbors == idx.neighbors
+        assert (back.entry, back.max_level) == (idx.entry, idx.max_level)
+        q = rng.randn(8, 24)
+        for a, b in zip(idx.search_batch(q, 5, ef=30), back.search_batch(q, 5, ef=30)):
+            assert np.array_equal(a, b)
+    with pytest.raises(ValueError, match="unbuilt"):
+        H.hnsw_to_state(H.HNSW(4))

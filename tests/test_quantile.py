@@ -164,3 +164,28 @@ def test_grouped_requires_group_cols(spark):
         QT.quantile_state_grouped(None, "v", "id", [])
     with pytest.raises(ValueError, match="group_cols"):
         QT.quantile_estimate_grouped(None, [0.5], [])
+
+
+def test_state_replay_property(spark):
+    """Hypothesis-style randomized replay: arbitrary (id, value) multisets
+    with duplicates/negatives must produce exactly the python-replayed
+    state for several (p, s) shapes."""
+    import random
+
+    rng = random.Random(9)
+    for trial in range(4):
+        n = rng.randrange(5, 300)
+        pairs = [
+            (rng.randrange(0, 10_000_000), rng.choice([-1.5, 0.0, 2.25, 7.0,
+                                                       rng.random() * 100]))
+            for _ in range(n)
+        ]
+        # unique ids required (id is the deterministic tiebreak)
+        pairs = list({vid: v for vid, v in pairs}.items())
+        df = spark.createDataFrame(pairs, "id long, v double")
+        p, s = rng.choice([(1, 4), (4, 8), (8, 16)])
+        got = {
+            (r.bucket, r.tile): (r.rep_value, r.weight)
+            for r in QT.quantile_state(df, "v", "id", p, s).collect()
+        }
+        assert got == _py_state(pairs, p, s), (trial, p, s)
