@@ -69,6 +69,8 @@ HEADLINE = [
     "llm_corpus_pipeline",
     "sketch_hll_distinct_events",
     "sketch_quantile_estimate",
+    "ann_hnsw_partitioned_topk",  # r06: tracks the C-kernel build path
+    "sketch_bloom_join_prune",  # r06: tracks the scan-prune + join-equality pass
     # The deliberately-heavy x32 stress pair runs LAST (r06, VERDICT r05
     # #5): r05's sweep showed queries scheduled right after these two read
     # ~2x inflated (executor GC pressure), contaminating both their own
