@@ -51,12 +51,16 @@ SUITE_MODULES = (
 # BM25/RRF, and the amplified range-join pair — several of which ALSO
 # changed this round via the ADVICE fixes: small-m HLL alpha constants,
 # cms_lookup's left-join default, the 1e9 amplified-events offset), then
-# the brand-new r06 operators (rotation policy (a)), then fill to 50 from
-# the 44 queries whose newest driver row is r03 (all equally stale —
-# alphabetical for auditability). r03 rows below the boundary lead the
-# r07 rotation; every one of them is green in the committed local
-# dtype-faithful sweeps at sf0.01 AND sf0.1 meanwhile. After this round
-# `tools/rotation_check.py` must report never-checked: 0.
+# the 16 brand-new r06 operators (rotation policy (a): bloom-pruned
+# join, CMS grouped/unseen rows, the quantile-sketch family incl.
+# grouped + winsorization, animated GIF, graph PageRank/triangles,
+# retrieval eval, z-order layout, inverted index), then fill the
+# remaining 15 slots from the 44 queries whose newest driver row is r03
+# (all equally stale — alphabetical for auditability). The ~32 r03 rows
+# below the boundary lead the r07 rotation; every one of them is green
+# in the committed local dtype-faithful sweeps at sf0.01 AND sf0.1
+# meanwhile. After this round `tools/rotation_check.py` must report
+# never-checked: 0.
 DRIVER_PRIORITY = (
     # never driver-checked (r05 additions) — several also changed in r06
     "sketch_hll_registers",
