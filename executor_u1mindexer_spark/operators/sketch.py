@@ -711,3 +711,114 @@ SELECT hash_row, bucket, CAST(count(*) AS BIGINT) AS cnt
 FROM ({arms}) coords
 GROUP BY hash_row, bucket
 """
+
+
+# -- AMS (Alon-Matias-Szegedy) F2 / join-size sketch -------------------------
+#
+# The frequency-MOMENT member of the family (AMS, STOC'96): d counters
+# z_j = sum_i s_j(i) * f_i with deterministic +/-1 signs s_j(i) from the
+# same salted md5 fragments. E[z_j^2] = F2 = sum f_i^2 (the self-join
+# size / repeat rate), and for two relations sketched with the SAME sign
+# hashes, E[z_Aj * z_Bj] = sum_k f_A(k) f_B(k) = |A JOIN B on k| — the
+# classic join-CARDINALITY estimator a 100 TB query planner wants
+# WITHOUT executing the join or shuffling either side by the key. State
+# is d integer rows, built map-side with one d-key shuffle (the
+# cms_state shape), merged across partitions/days by plain SUM
+# (counters are linear). Everything up to the final estimate is exact
+# integer arithmetic; the 5-sigma accuracy verdicts use the HLL rows'
+# shared-double-expression pattern (identical trees in both engines).
+
+AMS_D_DEFAULT = 64
+
+
+def _validate_ams_d(d: int) -> None:
+    if not (1 <= d <= 4096):
+        raise ValueError(f"d must be in [1, 4096], got {d}")
+
+
+def _ams_sign_sql(col: str, j: int, engine: str) -> str:
+    """Deterministic +/-1: low bit of the j-salted 60-bit hash."""
+    h = _salted_hash_sql(col, j, engine)
+    return f"(CASE WHEN ({h} & 1) = 1 THEN 1 ELSE -1 END)"
+
+
+def ams_state(df: DataFrame, col: str, d: int = AMS_D_DEFAULT) -> DataFrame:
+    """AMS state: one (hash_row, z) row per counter — each input row adds
+    its +/-1 sign to each of the d counters (codegen stack expansion,
+    map-side partial sums, ONE d-key shuffle)."""
+    _validate_ams_d(d)
+    pairs = ", ".join(
+        f"{j}, CAST({_ams_sign_sql(col, j, 'spark')} AS BIGINT)" for j in range(d)
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .selectExpr(f"stack({d}, {pairs}) AS (hash_row, z)")
+        .groupBy("hash_row")
+        .agg(F.sum("z").cast("long").alias("z"))
+    )
+
+
+def ams_merge(*states: DataFrame) -> DataFrame:
+    """Merge AMS states: counter-wise SUM (linear, exact — the sketch of
+    a union is the sum of the sketches)."""
+    if not states:
+        raise ValueError("ams_merge needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("hash_row").agg(F.sum("z").cast("long").alias("z"))
+
+
+def ams_f2_estimate(state: DataFrame, d: int = AMS_D_DEFAULT) -> DataFrame:
+    """F2 (second frequency moment / self-join size) estimate: the mean
+    of the d squared counters, floor-divided — exact integer arithmetic
+    end to end."""
+    _validate_ams_d(d)
+    return state.agg(
+        F.expr(f"CAST(sum(z * z) DIV {d} AS BIGINT)").alias("est_f2"),
+        F.count(F.lit(1)).cast("long").alias("n_counters"),
+    )
+
+
+def ams_inner_product(
+    state_a: DataFrame, state_b: DataFrame, d: int = AMS_D_DEFAULT
+) -> DataFrame:
+    """Join-size estimate of two key columns sketched with the same sign
+    hashes: mean of the counter products. A missing counter on either
+    side is an exact 0 (no rows ever touched it), hence the full-outer
+    join + coalesce."""
+    _validate_ams_d(d)
+    a = state_a.select("hash_row", F.col("z").alias("__za"))
+    b = state_b.select("hash_row", F.col("z").alias("__zb"))
+    j = a.join(b, "hash_row", "full_outer").select(
+        (
+            F.coalesce(F.col("__za"), F.lit(0))
+            * F.coalesce(F.col("__zb"), F.lit(0))
+        ).alias("__p")
+    )
+    # sum_products can be NEGATIVE; Spark's DIV truncates toward zero
+    # while DuckDB's // floors, so the scalar estimate is emitted as the
+    # (correctly-rounded, engine-identical) double sum/d next to the
+    # exact integer sum
+    return j.agg(
+        F.sum("__p").cast("long").alias("sum_products"),
+    ).select(
+        "sum_products",
+        F.expr(f"CAST(sum_products AS DOUBLE) / {d}.0e0").alias("est_join_size"),
+    )
+
+
+def oracle_ams_state_sql(source: str, col: str, d: int = AMS_D_DEFAULT) -> str:
+    """DuckDB twin of ams_state (UNION ALL over the d rows)."""
+    _validate_ams_d(d)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {j} AS hash_row, "
+        f"CAST({_ams_sign_sql(col, j, 'duck')} AS BIGINT) AS z "
+        f"FROM {source} WHERE {col} IS NOT NULL"
+        for j in range(d)
+    )
+    return f"""
+SELECT hash_row, CAST(sum(z) AS BIGINT) AS z
+FROM ({arms}) signs
+GROUP BY hash_row
+"""

@@ -51,11 +51,12 @@ SUITE_MODULES = (
 # BM25/RRF, and the amplified range-join pair — several of which ALSO
 # changed this round via the ADVICE fixes: small-m HLL alpha constants,
 # cms_lookup's left-join default, the 1e9 amplified-events offset), then
-# the 16 brand-new r06 operators (rotation policy (a): bloom-pruned
+# the 18 brand-new r06 operators (rotation policy (a): bloom-pruned
 # join, CMS grouped/unseen rows, the quantile-sketch family incl.
-# grouped + winsorization, animated GIF, graph PageRank/triangles,
-# retrieval eval, z-order layout, inverted index), then fill the
-# remaining 15 slots from the 44 queries whose newest driver row is r03
+# grouped + winsorization, AMS F2/join-size, animated GIF, graph
+# PageRank/triangles, retrieval eval, z-order layout, inverted index),
+# then fill the remaining 13 slots from the queries whose newest driver
+# row is r03
 # (all equally stale — alphabetical for auditability). The ~32 r03 rows
 # below the boundary lead the r07 rotation; every one of them is green
 # in the committed local dtype-faithful sweeps at sf0.01 AND sf0.1
@@ -99,6 +100,8 @@ DRIVER_PRIORITY = (
     "layout_zorder_clustering",
     "text_inverted_index",
     "sketch_quantile_clip_outliers",
+    "sketch_ams_f2_tokens",
+    "sketch_ams_join_size",
     # fill: newest driver row r03, alphabetical
     "agg_approx_quantiles",
     "agg_listagg_names",
@@ -113,9 +116,9 @@ DRIVER_PRIORITY = (
     "events_funnel_view_click_purchase",
     "events_gapfill_hourly",
     "events_range_join_bucketed",
+    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "events_retention_cohorts",
     "index_upsert",
-    # --- 50-slot window boundary: rows below lead the r07 rotation ---
     "llm_corpus_pipeline",
     "multimodal_decode_audio",
     "multimodal_sample_video_frames",

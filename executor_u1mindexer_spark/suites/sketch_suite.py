@@ -625,6 +625,85 @@ def sketch_quantile_clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+AMS_D = 64
+# 5 sigma with sigma_rel = sqrt(2/d) for the F2 estimator
+_AMS_R = repr(5.0 * (2.0 / AMS_D) ** 0.5)
+assert "e" not in _AMS_R and "E" not in _AMS_R, _AMS_R
+_AMS_BOUND = _AMS_R + "e0"
+
+
+def sketch_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second frequency moment (r06, the frequency-MOMENT member of
+    the sketch family — Alon-Matias-Szegedy): F2 = sum f(token)^2 (the
+    token repeat rate / self-join size) estimated from d=64 signed
+    counters next to the exact value and a 5-sigma verdict. Counters are
+    exact integers, bit-identical to the oracle; only the final relative-
+    error compare is the HLL rows' shared-double pattern."""
+    toks = _tokens(spark, sf_dir).filter(F.col("token").isNotNull())
+    st = SK.ams_state(toks, "token", AMS_D)
+    est = SK.ams_f2_estimate(st, AMS_D)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .agg(F.sum(F.col("__n") * F.col("__n")).cast("long").alias("exact_f2"))
+    )
+    return est.crossJoin(exact).select(
+        "est_f2",
+        "n_counters",
+        "exact_f2",
+        F.expr(
+            "abs(CAST(est_f2 AS DOUBLE) - CAST(exact_f2 AS DOUBLE))"
+            f" / CAST(exact_f2 AS DOUBLE) <= {_AMS_BOUND}"
+        ).alias("rel_err_ok"),
+    )
+
+
+def sketch_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-CARDINALITY estimation without the join (r06) — the query-
+    planner primitive: orders and lineitem key columns sketched with the
+    SAME sign hashes, |orders JOIN lineitem| estimated as the counter
+    inner product. Verified against the executed join with the standard
+    5*sqrt(2*F2a*F2b/d) bound; sum_products is the bit-exact integer
+    artifact, the scalar estimate its engine-identical double."""
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    sa = SK.ams_state(orders, "o_orderkey", AMS_D)
+    sb = SK.ams_state(li, "l_orderkey", AMS_D)
+    est = SK.ams_inner_product(sa, sb, AMS_D)
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    )
+
+    def _f2(df, key):
+        return (
+            df.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+            .agg(F.sum(F.col("__n") * F.col("__n")).cast("long").alias("f2"))
+        )
+
+    f2a = _f2(orders, "o_orderkey").withColumnRenamed("f2", "f2_a")
+    f2b = _f2(li, "l_orderkey").withColumnRenamed("f2", "f2_b")
+    return (
+        est.crossJoin(exact)
+        .crossJoin(f2a)
+        .crossJoin(f2b)
+        .select(
+            "sum_products",
+            "est_join_size",
+            "exact_join_size",
+            "f2_a",
+            "f2_b",
+            F.expr(
+                "abs(est_join_size - CAST(exact_join_size AS DOUBLE)) <= "
+                "5.0e0 * sqrt(2.0e0 * CAST(f2_a AS DOUBLE)"
+                f" * CAST(f2_b AS DOUBLE) / {AMS_D}.0e0)"
+            ).alias("err_ok"),
+        )
+    )
+
+
 QUERIES = {
     "sketch_hll_registers": sketch_hll_registers,
     "sketch_hll_distinct_events": sketch_hll_distinct_events,
@@ -647,6 +726,8 @@ QUERIES = {
     "sketch_quantile_grouped_state": sketch_quantile_grouped_state,
     "sketch_quantile_grouped_estimate": sketch_quantile_grouped_estimate,
     "sketch_quantile_clip_outliers": sketch_quantile_clip_outliers,
+    "sketch_ams_f2_tokens": sketch_ams_f2_tokens,
+    "sketch_ams_join_size": sketch_ams_join_size,
 }
 
 
@@ -976,6 +1057,55 @@ ORACLES = {
     "sketch_quantile_merge": _QMERGE_ORACLE,
     "sketch_quantile_grouped_state": _QGSTATE_SQL,
     "sketch_quantile_grouped_estimate": _QGEST_ORACLE,
+    "sketch_ams_f2_tokens": f"""
+WITH toks AS {_TOKS_SQL},
+state AS ({SK.oracle_ams_state_sql("toks", "token", AMS_D)}),
+est AS (
+  SELECT CAST(sum(z * z) // {AMS_D} AS BIGINT) AS est_f2,
+         CAST(count(*) AS BIGINT) AS n_counters
+  FROM state
+),
+exact AS (
+  SELECT CAST(sum(__n * __n) AS BIGINT) AS exact_f2
+  FROM (SELECT CAST(count(*) AS BIGINT) AS __n
+        FROM toks WHERE token IS NOT NULL GROUP BY token) c
+)
+SELECT est_f2, n_counters, exact_f2,
+       (abs(CAST(est_f2 AS DOUBLE) - CAST(exact_f2 AS DOUBLE))
+          / CAST(exact_f2 AS DOUBLE) <= {_AMS_BOUND}) AS rel_err_ok
+FROM est CROSS JOIN exact
+""",
+    "sketch_ams_join_size": f"""
+WITH sa AS ({SK.oracle_ams_state_sql("orders", "o_orderkey", AMS_D)}),
+sb AS ({SK.oracle_ams_state_sql("lineitem", "l_orderkey", AMS_D)}),
+est AS (
+  SELECT CAST(sum(coalesce(a.z, 0) * coalesce(b.z, 0)) AS BIGINT)
+           AS sum_products
+  FROM sa a FULL OUTER JOIN sb b USING (hash_row)
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+f2a AS (
+  SELECT CAST(sum(__n * __n) AS BIGINT) AS f2_a
+  FROM (SELECT CAST(count(*) AS BIGINT) AS __n
+        FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey) x
+),
+f2b AS (
+  SELECT CAST(sum(__n * __n) AS BIGINT) AS f2_b
+  FROM (SELECT CAST(count(*) AS BIGINT) AS __n
+        FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) x
+)
+SELECT sum_products,
+       (CAST(sum_products AS DOUBLE) / {AMS_D}.0e0) AS est_join_size,
+       exact_join_size, f2_a, f2_b,
+       (abs((CAST(sum_products AS DOUBLE) / {AMS_D}.0e0)
+            - CAST(exact_join_size AS DOUBLE)) <=
+        5.0e0 * sqrt(2.0e0 * CAST(f2_a AS DOUBLE) * CAST(f2_b AS DOUBLE)
+                     / {AMS_D}.0e0)) AS err_ok
+FROM est CROSS JOIN exact CROSS JOIN f2a CROSS JOIN f2b
+""",
     "sketch_quantile_clip_outliers": f"""
 WITH state AS ({_QSTATE_SQL}),
 est AS ({QT.oracle_estimate_body_sql("state", [0.01, 0.99])}),

@@ -650,3 +650,18 @@ def test_quantile_state_is_one_shuffle_no_python(spark, sf_dir):
     assert "hashpartitioning(bucket" in plan.replace(" ", "").lower() or True
     for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert python_op not in eplan, eplan
+
+
+def test_ams_state_plan_is_pure_catalyst_single_exchange(spark, sf_dir):
+    """AMS counters keep the family's scale contract: codegen stack
+    expansion -> partial sum -> ONE exchange on at most d counter keys ->
+    final sum. No Python, no second shuffle."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    events = tables.load(spark, sf_dir, "events")
+    plan = plans.physical_plan(SK.ams_state(events, "event_type", 16), "simple")
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                      "FlatMapGroupsInPandas"):
+        assert python_op not in plan, plan
+    assert plan.count("Exchange") == 1, plan

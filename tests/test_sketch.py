@@ -418,3 +418,63 @@ def test_cms_grouped_requires_group_cols(spark):
         SK.cms_state_grouped(df, "v", [])
     with pytest.raises(ValueError, match="group_cols"):
         SK.cms_lookup_grouped(df, df, "v", [])
+
+
+# -- AMS F2 / join-size (r06) ------------------------------------------------
+
+
+def _ams_sign(v, j):
+    h = int(hashlib.md5(f"{v}#{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h & 1 else -1
+
+
+def test_ams_state_matches_python_replay(spark):
+    vals = ["a", "b", "a", "c", "a", "b"]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    d = 8
+    got = {r.hash_row: r.z for r in SK.ams_state(df, "t", d).collect()}
+    want = {j: sum(_ams_sign(v, j) for v in vals) for j in range(d)}
+    assert got == want
+
+
+def test_ams_merge_is_linear(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = {
+        r.hash_row: r.z
+        for r in SK.ams_merge(
+            SK.ams_state(even, "lang", 16), SK.ams_state(odd, "lang", 16)
+        ).collect()
+    }
+    whole = {r.hash_row: r.z for r in SK.ams_state(docs, "lang", 16).collect()}
+    assert merged == whole
+
+
+def test_ams_f2_exact_on_known_multiset(spark):
+    # f = {a: 3, b: 2, c: 1} -> F2 = 9 + 4 + 1 = 14; with many counters
+    # the mean-of-squares estimate must land within the 5-sigma band
+    vals = ["a"] * 3 + ["b"] * 2 + ["c"]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    d = 256
+    est = SK.ams_f2_estimate(SK.ams_state(df, "t", d), d).collect()[0]
+    assert est.n_counters == d
+    assert abs(est.est_f2 - 14) <= 5 * (2.0 / d) ** 0.5 * 14 + 1
+
+
+def test_ams_inner_product_estimates_join_size(spark):
+    # A = {k1 x2, k2}, B = {k1 x3, k3} -> join size = 2*3 = 6
+    a = spark.createDataFrame([("k1",), ("k1",), ("k2",)], "k string")
+    b = spark.createDataFrame([("k1",)] * 3 + [("k3",)], "k string")
+    d = 512
+    est = SK.ams_inner_product(
+        SK.ams_state(a, "k", d), SK.ams_state(b, "k", d), d
+    ).collect()[0]
+    assert est.sum_products == est.est_join_size * d
+    assert abs(est.est_join_size - 6.0) <= 5.0 * (2.0 * 6 * 10 / d) ** 0.5 + 1
+
+
+def test_ams_d_validated(spark):
+    df = spark.createDataFrame([("x",)], "t string")
+    with pytest.raises(ValueError, match="d must be"):
+        SK.ams_state(df, "t", 0)
