@@ -235,3 +235,90 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: str = "42") -> DataF
     )
     ranked = dense_rank_by(keyed, "__shuffle_key", "shuffle_pos")
     return ranked.drop("__shuffle_key")
+
+
+DRIFT_NANO = 10**9
+
+
+def drift_chi2_buckets(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Two-sample distribution-drift profile (r06) — the ML-ops monitor a
+    training pipeline runs between data periods: equi-width bucket both
+    samples, emit per-bucket counts and the chi-square contribution
+    (a-b)^2/(a+b) as a NANO-SCALED INTEGER, so the total statistic is an
+    order-free integer SUM (a plain double sum would depend on Spark's
+    partition visit order; the floor-to-int happens on an identical
+    expression tree in both engines, so every contribution is bit-exact).
+
+    Output: one row per touched bucket — (bucket, n_a, n_b,
+    contrib_nano). Sum contrib_nano and compare against the chi-square
+    critical value for the bucket count to call drift. One grouped count
+    per side; at 100 TB both are map-side partial aggregates over
+    scan-side bucket expressions."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not (bucket_width > 0):
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    bexpr = (
+        f"least(greatest(CAST(floor({value_col} / {float(bucket_width)!r})"
+        f" AS INT), 0), {n_buckets - 1})"
+    )
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .selectExpr(f"{bexpr} AS bucket")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    j = counts(a, "n_a").join(counts(b, "n_b"), "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    return j.withColumn(
+        "contrib_nano",
+        F.expr(
+            f"CASE WHEN n_a + n_b > 0 THEN CAST(floor({DRIFT_NANO}.0e0 * "
+            "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)"
+            " / CAST(n_a + n_b AS DOUBLE)) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+
+
+def oracle_drift_chi2_sql(
+    source_a: str,
+    source_b: str,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int,
+) -> str:
+    """DuckDB twin of drift_chi2_buckets (same fragments)."""
+    bexpr = (
+        f"least(greatest(CAST(floor({value_col} / {float(bucket_width)!r})"
+        f" AS INT), 0), {n_buckets - 1})"
+    )
+    return f"""
+SELECT bucket,
+       CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b,
+       CASE WHEN coalesce(ca.n_a, 0) + coalesce(cb.n_b, 0) > 0
+            THEN CAST(floor({DRIFT_NANO}.0e0 *
+                 CAST((coalesce(ca.n_a, 0) - coalesce(cb.n_b, 0))
+                      * (coalesce(ca.n_a, 0) - coalesce(cb.n_b, 0)) AS DOUBLE)
+                 / CAST(coalesce(ca.n_a, 0) + coalesce(cb.n_b, 0) AS DOUBLE))
+                 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS contrib_nano
+FROM (SELECT {bexpr} AS bucket, CAST(count(*) AS BIGINT) AS n_a
+      FROM {source_a} WHERE {value_col} IS NOT NULL GROUP BY 1) ca
+FULL OUTER JOIN
+     (SELECT {bexpr} AS bucket, CAST(count(*) AS BIGINT) AS n_b
+      FROM {source_b} WHERE {value_col} IS NOT NULL GROUP BY 1) cb
+USING (bucket)
+"""

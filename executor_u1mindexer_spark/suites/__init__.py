@@ -51,12 +51,12 @@ SUITE_MODULES = (
 # BM25/RRF, and the amplified range-join pair — several of which ALSO
 # changed this round via the ADVICE fixes: small-m HLL alpha constants,
 # cms_lookup's left-join default, the 1e9 amplified-events offset), then
-# the 18 brand-new r06 operators (rotation policy (a): bloom-pruned
+# the 19 brand-new r06 operators (rotation policy (a): bloom-pruned
 # join, CMS grouped/unseen rows, the quantile-sketch family incl.
 # grouped + winsorization, AMS F2/join-size, animated GIF, graph
-# PageRank/triangles, retrieval eval, z-order layout, inverted index),
-# then fill the remaining 13 slots from the queries whose newest driver
-# row is r03
+# PageRank/triangles, retrieval eval, z-order layout, inverted index,
+# drift monitoring), then fill the remaining 12 slots from the queries
+# whose newest driver row is r03
 # (all equally stale — alphabetical for auditability). The ~32 r03 rows
 # below the boundary lead the r07 rotation; every one of them is green
 # in the committed local dtype-faithful sweeps at sf0.01 AND sf0.1
@@ -102,6 +102,7 @@ DRIVER_PRIORITY = (
     "sketch_quantile_clip_outliers",
     "sketch_ams_f2_tokens",
     "sketch_ams_join_size",
+    "drift_chi2_value_periods",
     # fill: newest driver row r03, alphabetical
     "agg_approx_quantiles",
     "agg_listagg_names",
@@ -115,8 +116,8 @@ DRIVER_PRIORITY = (
     "embedding_matryoshka_stats",
     "events_funnel_view_click_purchase",
     "events_gapfill_hourly",
-    "events_range_join_bucketed",
     # --- 50-slot window boundary: rows below lead the r07 rotation ---
+    "events_range_join_bucketed",
     "events_retention_cohorts",
     "index_upsert",
     "llm_corpus_pipeline",

@@ -68,6 +68,38 @@ def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "shuffle_pos")
 
 
+def drift_chi2_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (r06, operators/pipeline.py
+    drift_chi2_buckets) — the check an ML-ops pipeline runs between data
+    periods: chi-square profile of events.value between the month's two
+    halves (scenario 'same_month' — must NOT flag) and against a +150-
+    shifted copy (scenario 'shifted' — MUST flag). Per-bucket counts are
+    bit-exact integers; contributions are nano-scaled ints so the total
+    statistic is an order-free integer sum; the drift verdicts are
+    oracle-checked booleans against a 60-sigma-ish critical value."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.filter(F.dayofmonth("ts") <= 15)
+    b = ev.filter(F.dayofmonth("ts") > 15)
+    same = P.drift_chi2_buckets(a, b, "value", 25.0, 20).withColumn(
+        "scenario", F.lit("same_month")
+    )
+    shifted = P.drift_chi2_buckets(
+        a, b.withColumn("value", F.col("value") + 150.0), "value", 25.0, 20
+    ).withColumn("scenario", F.lit("shifted"))
+    u = same.unionByName(shifted)
+    w = Window.partitionBy("scenario")
+    return (
+        u.withColumn("chi2_nano", F.sum("contrib_nano").over(w).cast("long"))
+        .withColumn("drift_flag", F.col("chi2_nano") > F.lit(60 * 10**9))
+        .select(
+            "scenario", "bucket", "n_a", "n_b", "contrib_nano",
+            "chi2_nano", "drift_flag",
+        )
+    )
+
+
 QUERIES = {
     "sample_hash_fraction": sample_hash_fraction,
     "shuffle_epoch_order": shuffle_epoch_order,
@@ -77,6 +109,7 @@ QUERIES = {
     "chunk_sliding_window": chunk_sliding_window,
     "embedding_quantize_int8": embedding_quantize_int8,
     "split_train_val_test": split_train_val_test,
+    "drift_chi2_value_periods": drift_chi2_value_periods,
 }
 
 _BUCKET = (
@@ -102,6 +135,34 @@ _SPLIT_BUCKET = (
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT)"
     " % 1000000"
 )
+
+
+_DRIFT_SAME = P.oracle_drift_chi2_sql(
+    "(SELECT * FROM events WHERE day(ts) <= 15)",
+    "(SELECT * FROM events WHERE day(ts) > 15)",
+    "value", 25.0, 20,
+)
+_DRIFT_SHIFT = P.oracle_drift_chi2_sql(
+    "(SELECT * FROM events WHERE day(ts) <= 15)",
+    "(SELECT event_id, ts, user_id, event_type, value + 150.0e0 AS value, props"
+    " FROM events WHERE day(ts) > 15)",
+    "value", 25.0, 20,
+)
+_DRIFT_ORACLE = f"""
+WITH same AS ({_DRIFT_SAME}),
+shift AS ({_DRIFT_SHIFT}),
+u AS (
+  SELECT 'same_month' AS scenario, * FROM same
+  UNION ALL
+  SELECT 'shifted' AS scenario, * FROM shift
+)
+SELECT scenario, bucket, n_a, n_b, contrib_nano,
+       CAST(sum(contrib_nano) OVER (PARTITION BY scenario) AS BIGINT)
+         AS chi2_nano,
+       (CAST(sum(contrib_nano) OVER (PARTITION BY scenario) AS BIGINT)
+          > 60000000000) AS drift_flag
+FROM u
+"""
 
 ORACLES = {
     "sample_hash_fraction": f"""
@@ -175,4 +236,5 @@ SELECT vec_id, scale,
              p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 9) AS max_abs_err
 FROM q
 """,
+    "drift_chi2_value_periods": _DRIFT_ORACLE,
 }
