@@ -49,3 +49,46 @@ def test_zorder_theorem_on_uniform_grid(spark):
 def test_morton_validates_bits():
     with pytest.raises(ValueError, match="bits"):
         L.morton_interleave_sql("a", "b", 0, "spark")
+
+
+def test_rank_space_map_no_single_partition_window(spark, sf_dir):
+    """VERDICT r06 #2 pin: the zorder path must never feed a Window from a
+    SinglePartition exchange — ranks run in per-coarse-bucket partitions."""
+    from executor_u1mindexer_spark import plans
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert not plans.window_over_single_partition(
+        L.rank_space_map(li, "l_partkey")
+    )
+    assert not plans.window_over_single_partition(
+        L.zorder_layout_stats(li, "l_partkey", "l_suppkey")
+    )
+
+
+def test_rank_space_map_matches_single_window_reference(spark):
+    """Distributed rank == the plain dense_rank formula, across types
+    (int, double, date, string) including values colliding into one
+    coarse bucket and heavy duplication."""
+    import datetime as dt
+
+    cases = [
+        ([(v,) for v in (5, 5, 2, 9, 2, 7, 100000, -3)], "x long"),
+        ([(float(v) / 7,) for v in range(40)] * 2, "x double"),
+        ([(dt.date(2024, 1, 1 + i % 9),) for i in range(30)], "x date"),
+        ([(s,) for s in ("pear", "apple", "  ", "zz", "apple", "Banana")], "x string"),
+    ]
+    for rows, schema in cases:
+        df = spark.createDataFrame(rows, schema)
+        got = {r.value: r.mapped for r in L.rank_space_map(df, "x", 8).collect()}
+        ref = {
+            r.value: r.m
+            for r in df.selectExpr("x AS value")
+            .distinct()
+            .selectExpr(
+                "value",
+                f"CAST(((dense_rank() OVER (ORDER BY value ASC) - 1) * 256)"
+                f" DIV {len(got)} AS BIGINT) AS m",
+            )
+            .collect()
+        }
+        assert got == ref, schema
