@@ -623,4 +623,46 @@ def hnsw_from_state(state: dict) -> "HNSW":
         raise ValueError("HNSW state arrays inconsistent with levels/m")
     h.entry = int(state["entry"])
     h.max_level = int(state["max_level"])
+    _validate_graph_refs(h)
     return h
+
+
+def _validate_graph_refs(h: "HNSW") -> None:
+    """Reject corrupted/stale state at the Python level (ADVICE r06):
+    without this, a nbr_flat value >= n or a bad entry flows straight into
+    the C kernel where `vecs + idx*dim` dereferences it unchecked — an
+    out-of-bounds read (or segfault) instead of a ValueError. Fully
+    vectorized: counts bounds first (so slot gathers cannot overrun),
+    then every counted neighbor slot checked in one masked gather."""
+    n = len(h.levels)
+    if not (0 <= h.entry < n):
+        raise ValueError(f"HNSW state entry {h.entry} out of range [0, {n})")
+    lv = np.asarray(h.levels, np.int64)
+    if lv.size == 0:
+        return
+    if lv.min() < 0:
+        raise ValueError("HNSW state has a negative level")
+    nb = lv + 1  # blocks per node
+    node_idx = np.repeat(np.arange(n, dtype=np.int64), nb)
+    excl = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    within = np.arange(nb.sum(), dtype=np.int64) - np.repeat(excl, nb)
+    noff_arr = np.asarray(h._noff, np.int64)
+    starts = noff_arr[node_idx] + np.where(
+        within == 0, 0, (h.m0 + 1) + (within - 1) * (h.m + 1)
+    )
+    cap = np.where(within == 0, h.m0 + 1, h.m + 1)
+    cnt = h._cnt_flat  # cnt_flat IS the block-count concatenation in order
+    if cnt.min(initial=0) < 0 or np.any(cnt > cap):
+        raise ValueError("HNSW state neighbor counts out of block capacity")
+    total = int(cnt.sum())
+    if total:
+        cexcl = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        slot = np.repeat(starts, cnt) + (
+            np.arange(total, dtype=np.int64) - np.repeat(cexcl, cnt)
+        )
+        vals = h._nbr_flat[slot]
+        if vals.min() < 0 or vals.max() >= n:
+            raise ValueError(
+                "HNSW state neighbor index out of range "
+                f"[0, {n}) (min={vals.min()}, max={vals.max()})"
+            )

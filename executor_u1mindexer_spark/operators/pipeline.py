@@ -240,6 +240,19 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: str = "42") -> DataF
 DRIFT_NANO = 10**9
 
 
+def _drift_bucket_sql(value_col: str, bucket_width: float, n_buckets: int) -> str:
+    """Shared bucket-id fragment (both engines). BIGINT, not INT: the two
+    engines disagree on out-of-int32-range double->int casts (Spark
+    saturates, DuckDB raises); in BIGINT the floor result is exact for
+    any |value/width| < 2^53 and the clamp sees identical inputs.
+    Negatives clamp to 0, overflow to n_buckets-1 (edge = overflow
+    buckets by contract, see drift_chi2_buckets)."""
+    return (
+        f"least(greatest(CAST(floor({value_col} / {float(bucket_width)!r})"
+        f" AS BIGINT), 0), {n_buckets - 1})"
+    )
+
+
 def drift_chi2_buckets(
     a: DataFrame,
     b: DataFrame,
@@ -259,15 +272,22 @@ def drift_chi2_buckets(
     contrib_nano). Sum contrib_nano and compare against the chi-square
     critical value for the bucket count to call drift. One grouped count
     per side; at 100 TB both are map-side partial aggregates over
-    scan-side bucket expressions."""
+    scan-side bucket expressions.
+
+    Boundary semantics (ADVICE r06): bucket ids are computed in BIGINT —
+    an INT cast would diverge for |value/width| > 2^31 (Spark's non-ANSI
+    double->int saturates, DuckDB raises). Values below 0 clamp into
+    bucket 0 and values above the range clamp into bucket n_buckets-1;
+    the two edge buckets are therefore OVERFLOW buckets (standard
+    histogram-monitoring practice), documented rather than rejected so a
+    period whose distribution walks off the profiled range still
+    registers as mass piling into an edge bucket — which reads as drift,
+    the correct verdict."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if not (bucket_width > 0):
         raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
-    bexpr = (
-        f"least(greatest(CAST(floor({value_col} / {float(bucket_width)!r})"
-        f" AS INT), 0), {n_buckets - 1})"
-    )
+    bexpr = _drift_bucket_sql(value_col, bucket_width, n_buckets)
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         return (
@@ -300,10 +320,7 @@ def oracle_drift_chi2_sql(
     n_buckets: int,
 ) -> str:
     """DuckDB twin of drift_chi2_buckets (same fragments)."""
-    bexpr = (
-        f"least(greatest(CAST(floor({value_col} / {float(bucket_width)!r})"
-        f" AS INT), 0), {n_buckets - 1})"
-    )
+    bexpr = _drift_bucket_sql(value_col, bucket_width, n_buckets)
     return f"""
 SELECT bucket,
        CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,

@@ -124,9 +124,32 @@ def quantile_estimate(
     rep_value then the deterministic tiebreak) whose cumulative weight
     reaches target = ceil(q * n_total). All window/cum work runs over the
     <= p*s summary rows — the SinglePartition window is over the SKETCH,
-    never the data."""
-    bucket_cols = bucket_cols or ["bucket"]
-    order_cols = order_cols or ["bucket", "tile"]
+    never the data.
+
+    Merged states (r07, ADVICE r06): a quantile_merge output carries a
+    'src' tag, and (bucket, tile) is NO LONGER unique across sources —
+    without 'src' the cumulative sum is tie-order-dependent (cross-engine
+    divergence) and err_budget groups buckets ACROSS sources (max instead
+    of per-source sum), understating the documented hi bound. So 'src' is
+    auto-included in the defaults when present, and explicitly passed
+    column lists that omit it are rejected loudly."""
+    has_src = "src" in state.columns
+    if bucket_cols is not None and has_src and "src" not in bucket_cols:
+        raise ValueError(
+            "state has a 'src' column (quantile_merge output) but "
+            f"bucket_cols={bucket_cols} omits it — err_budget would mix "
+            "sources; include 'src'"
+        )
+    if order_cols is not None and has_src and "src" not in order_cols:
+        raise ValueError(
+            "state has a 'src' column (quantile_merge output) but "
+            f"order_cols={order_cols} omits it — the cumulative-weight "
+            "ordering would be tie-order-dependent; include 'src'"
+        )
+    bucket_cols = bucket_cols or (["src", "bucket"] if has_src else ["bucket"])
+    order_cols = order_cols or (
+        ["src", "bucket", "tile"] if has_src else ["bucket", "tile"]
+    )
     for q in qs:
         if not (0.0 < q <= 1.0):
             raise ValueError(f"quantile q must be in (0, 1], got {q}")

@@ -58,18 +58,27 @@ def streaming_quantile_state_fold(
     PER MICRO-BATCH (tagged by batch id, exactly quantile_merge's `src`
     column), accumulated driver-side; rank queries run over the merged
     tiny states. Returns (writer, states) where `states` is the
-    driver-side accumulator list of collected state rows — each entry is
-    <= p*s rows regardless of batch size, which is what makes the
-    driver-side fold legitimate."""
+    driver-side accumulator — a dict KEYED BY batch_id (ADVICE r06):
+    foreachBatch can RE-DELIVER a batch id after failure/restart, and an
+    append-only list would double-count that batch's rows in merged rank
+    queries (n_total and targets inflate); overwriting the key makes the
+    fold idempotent under redelivery. Each entry is <= p*s rows
+    regardless of batch size, which is what makes the driver-side fold
+    legitimate. Restart semantics: the dict lives in THIS process — a new
+    driver process starts empty and (with a checkpoint) only sees batches
+    not yet committed, so persist entries externally keyed by batch_id if
+    states must survive the driver."""
     from executor_u1mindexer_spark.operators import quantile as QT
 
-    states: list[list] = []
+    states: dict[int, list] = {}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         st = QT.quantile_state(batch_df, value_col, id_col, p, s)
         rows = st.collect()
-        states.append([(int(batch_id), r.bucket, r.tile, r.rep_value, r.weight)
-                       for r in rows])
+        states[int(batch_id)] = [
+            (int(batch_id), r.bucket, r.tile, r.rep_value, r.weight)
+            for r in rows
+        ]
 
     writer = stream.writeStream.foreachBatch(fold)
     return writer, states

@@ -540,3 +540,36 @@ def test_hnsw_state_roundtrip_searches_bit_identical():
             assert np.array_equal(a, b)
     with pytest.raises(ValueError, match="unbuilt"):
         H.hnsw_to_state(H.HNSW(4))
+
+
+def test_hnsw_from_state_rejects_corrupted_graph():
+    """ADVICE r06: a stale/corrupted state must fail at the Python level,
+    not as an out-of-bounds read inside the C kernel."""
+    import numpy as np
+    import pytest
+
+    from executor_u1mindexer_spark.operators import hnsw as H
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    ids = np.arange(40, dtype=np.int64)
+    idx = H.HNSW(8, metric="cosine", m=4, seed=3)
+    idx.build(ids, vecs)
+    good = H.hnsw_to_state(idx)
+    H.hnsw_from_state(good)  # sanity: valid state loads
+
+    bad_entry = dict(good, entry=len(good["levels"]))
+    with pytest.raises(ValueError, match="entry"):
+        H.hnsw_from_state(bad_entry)
+
+    bad_nbr = dict(good, nbr_flat=good["nbr_flat"].copy())
+    # poison the first COUNTED slot of node 0's level-0 block
+    assert good["cnt_flat"][0] > 0
+    bad_nbr["nbr_flat"][0] = len(good["levels"]) + 5
+    with pytest.raises(ValueError, match="neighbor index"):
+        H.hnsw_from_state(bad_nbr)
+
+    bad_cnt = dict(good, cnt_flat=good["cnt_flat"].copy())
+    bad_cnt["cnt_flat"][0] = 10_000
+    with pytest.raises(ValueError, match="capacity"):
+        H.hnsw_from_state(bad_cnt)

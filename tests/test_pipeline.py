@@ -134,3 +134,18 @@ def test_bm25_query_table_matches_literal_term_sets(spark):
     }
     assert via_table == via_literals
     assert len(via_table) == 6  # 2 queries x 3 docs
+
+
+def test_drift_bucket_ids_are_bigint_safe(spark):
+    """ADVICE r06: bucket ids compute in BIGINT (an INT cast saturates in
+    Spark / raises in DuckDB beyond 2^31) and edge buckets are overflow
+    buckets: negatives clamp to 0, huge values clamp to n-1."""
+    a = spark.createDataFrame(
+        [(-5.0,), (0.1,), (1e15,), (6.2,)], "value double"
+    )
+    b = spark.createDataFrame([(3.9,), (1e18,)], "value double")
+    rows = {r.bucket: (r.n_a, r.n_b)
+            for r in P.drift_chi2_buckets(a, b, "value", 1.0, 8).collect()}
+    assert rows[0] == (2, 0)   # -5.0 and 0.1 both land in bucket 0
+    assert rows[7] == (1, 1)   # 1e15 and 1e18 clamp to the top bucket
+    assert rows[3] == (0, 1) and rows[6] == (1, 0)

@@ -189,3 +189,31 @@ def test_state_replay_property(spark):
             for r in QT.quantile_state(df, "v", "id", p, s).collect()
         }
         assert got == _py_state(pairs, p, s), (trial, p, s)
+
+
+def test_estimate_auto_includes_src_on_merged_state(spark, sf_dir):
+    """ADVICE r06: defaults must detect a quantile_merge output — without
+    'src' the cumulative ordering is tie-dependent and err_budget groups
+    buckets across sources. Auto defaults == the explicit src columns."""
+    orders = tables.load(spark, sf_dir, "orders")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = QT.quantile_merge(
+        QT.quantile_state(even, "o_totalprice", "o_orderkey", 4, 16),
+        QT.quantile_state(odd, "o_totalprice", "o_orderkey", 4, 16),
+    )
+    auto = QT.quantile_estimate(merged, [0.25, 0.75]).collect()
+    explicit = QT.quantile_estimate(
+        merged, [0.25, 0.75], bucket_cols=["src", "bucket"],
+        order_cols=["src", "bucket", "tile"],
+    ).collect()
+    key = lambda r: r.q  # noqa: E731
+    assert sorted(auto, key=key) == sorted(explicit, key=key)
+    # explicit lists that omit src on a merged state are rejected loudly
+    with pytest.raises(ValueError, match="src"):
+        QT.quantile_estimate(merged, [0.5], bucket_cols=["bucket"])
+    with pytest.raises(ValueError, match="src"):
+        QT.quantile_estimate(
+            merged, [0.5], bucket_cols=["src", "bucket"],
+            order_cols=["bucket", "tile"],
+        )

@@ -256,7 +256,7 @@ def test_streaming_quantile_rollup_matches_batch(spark, sf_dir):
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     assert len(states) >= 1
-    flat = [row for batch in states for row in batch]
+    flat = [row for batch in states.values() for row in batch]
     merged = spark.createDataFrame(
         flat, "src long, bucket long, tile long, rep_value double, weight long"
     )
@@ -276,5 +276,8 @@ def test_streaming_quantile_rollup_matches_batch(spark, sf_dir):
             (r.bucket, r.tile): (r.rep_value, r.weight)
             for r in QT.quantile_state(events, "value", "event_id", 4, 16).collect()
         }
-        got = {(b, t): (rv, w) for _, b, t, rv, w in states[0]}
+        got = {
+            (b, t): (rv, w)
+            for _, b, t, rv, w in next(iter(states.values()))
+        }
         assert got == batch_state
