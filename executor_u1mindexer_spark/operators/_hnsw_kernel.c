@@ -14,9 +14,18 @@
  * selection is A-alignment-sensitive; measured). The subsequent
  * `1.0 - y` is a single IEEE op. Heap pop order is fully determined
  * by the (dist, id) comparator because entries are unique, so any
- * correct binary heap reproduces Python heapq's sequence. The l2
- * metric's einsum reduction has no replicable public contract, so l2
- * stays on the Python kernel (hnsw.py gates this).
+ * correct binary heap reproduces Python heapq's sequence.
+ *
+ * l2 (r07, closing the r06 gate): the squared-euclidean distance is
+ * computed by the EXPLICITLY ORDERED expansion
+ *     d = (sq[x] - 2.0*dot(x, q)) + sq[q]
+ * where sq[] are per-node squared norms PRECOMPUTED ONCE in Python and
+ * passed in (both kernels consume the same bits, so how they were
+ * produced is irrelevant to bit-identity), dot() is the same
+ * dgemv/ddot call the cosine path makes, 2.0*dot is an exact power-of-
+ * two scaling, and the two remaining ops are single IEEE add/subs in a
+ * pinned order. The Python kernel computes the identical elementwise
+ * expression — no einsum reduction anywhere in the distance path.
  *
  * The function pointers for cblas_dgemv64_/cblas_ddot64_ (the ILP64
  * symbols of numpy's bundled OpenBLAS) are resolved in Python via
@@ -130,6 +139,8 @@ static int cmp_asc(const void *pa, const void *pb) {
 typedef struct {
     int64_t n, dim, m, m0;
     const double *vecs;
+    const double *sq; /* per-node squared norms (l2 only) */
+    int64_t is_l2;
     int64_t *nbr;
     const int64_t *noff;
     int64_t *cnt;
@@ -162,12 +173,14 @@ static inline int64_t *cnt_at(Ctx *c, int64_t node, int64_t lev) {
     return c->cnt + c->coff[node] + lev;
 }
 
-/* distances 1 - <vecs[idxs[i]], q> with numpy's exact dispatch: ddot for
- * a single row, dgemv on a 64B-aligned contiguous gather otherwise */
-static void dist_batch(Ctx *c, const double *q, const int64_t *idxs,
-                       int64_t k, double *out) {
+/* distances against q with numpy's exact dispatch: ddot for a single
+ * row, dgemv on a 64B-aligned contiguous gather otherwise. cosine/ip:
+ * 1 - dot; l2: (sq[x] - 2.0*dot) + qq, the pinned-order expansion. */
+static void dist_batch(Ctx *c, const double *q, double qq,
+                       const int64_t *idxs, int64_t k, double *out) {
     if (k == 1) {
-        out[0] = 1.0 - c->ddot(c->dim, c->vecs + idxs[0] * c->dim, 1, q, 1);
+        double y = c->ddot(c->dim, c->vecs + idxs[0] * c->dim, 1, q, 1);
+        out[0] = c->is_l2 ? (c->sq[idxs[0]] - 2.0 * y) + qq : 1.0 - y;
         return;
     }
     for (int64_t i = 0; i < k; i++)
@@ -175,18 +188,23 @@ static void dist_batch(Ctx *c, const double *q, const int64_t *idxs,
                c->dim * sizeof(double));
     c->dgemv(CBLAS_ROW_MAJOR, CBLAS_NO_TRANS, k, c->dim, 1.0, c->gbuf,
              c->dim, q, 1, 0.0, c->ybuf, 1);
-    for (int64_t i = 0; i < k; i++) out[i] = 1.0 - c->ybuf[i];
+    if (c->is_l2)
+        for (int64_t i = 0; i < k; i++)
+            out[i] = (c->sq[idxs[i]] - 2.0 * c->ybuf[i]) + qq;
+    else
+        for (int64_t i = 0; i < k; i++) out[i] = 1.0 - c->ybuf[i];
 }
 
 /* Paper Alg. 2 — mirrors hnsw.py _search_layer: same entry batch, same
  * full-unvisited-adjacency distance batches, same admission checks.
  * Returns results sorted ascending (d, e) in `out`. */
-static int64_t search_layer(Ctx *c, const double *q, const int64_t *eps,
-                            int64_t neps, int64_t ef, int64_t lev, Ent *out) {
+static int64_t search_layer(Ctx *c, const double *q, double qq,
+                            const int64_t *eps, int64_t neps, int64_t ef,
+                            int64_t lev, Ent *out) {
     c->gen++;
     int64_t gen = c->gen;
     for (int64_t i = 0; i < neps; i++) c->stamp[eps[i]] = gen;
-    dist_batch(c, q, eps, neps, c->dbuf);
+    dist_batch(c, q, qq, eps, neps, c->dbuf);
     int64_t ncand = 0, nres = 0;
     for (int64_t i = 0; i < neps; i++) {
         Ent v = {c->dbuf[i], eps[i]};
@@ -209,7 +227,7 @@ static int64_t search_layer(Ctx *c, const double *q, const int64_t *eps,
             }
         }
         if (!nf) continue;
-        dist_batch(c, q, c->fresh, nf, c->dbuf);
+        dist_batch(c, q, qq, c->fresh, nf, c->dbuf);
         for (int64_t j = 0; j < nf; j++) {
             double dn = c->dbuf[j];
             if (nres < ef || dn < c->res[0].d) {
@@ -242,16 +260,22 @@ static int64_t select_heuristic(Ctx *c, const Ent *cands, int64_t ncand,
         }
         int ok = 1;
         if (nk == 1) {
-            double dd = 1.0 - c->ddot(c->dim, c->kbuf, 1, row, 1);
+            double y = c->ddot(c->dim, c->kbuf, 1, row, 1);
+            double dd = c->is_l2 ? (c->sq[kept[0]] - 2.0 * y) + c->sq[e]
+                                 : 1.0 - y;
             if (!(dd > d)) ok = 0;
         } else {
             c->dgemv(CBLAS_ROW_MAJOR, CBLAS_NO_TRANS, nk, c->dim, 1.0,
                      c->kbuf, c->dim, row, 1, 0.0, c->ybuf, 1);
-            for (int64_t i = 0; i < nk; i++)
-                if (!(1.0 - c->ybuf[i] > d)) {
+            for (int64_t i = 0; i < nk; i++) {
+                double dd = c->is_l2
+                                ? (c->sq[kept[i]] - 2.0 * c->ybuf[i]) + c->sq[e]
+                                : 1.0 - c->ybuf[i];
+                if (!(dd > d)) {
                     ok = 0;
                     break;
                 }
+            }
         }
         if (ok) {
             memcpy(c->kbuf + nk * c->dim, row, c->dim * sizeof(double));
@@ -270,16 +294,18 @@ static void insert_node(Ctx *c, int64_t i, const int64_t *levels,
         return;
     }
     const double *q = c->vecs + i * c->dim;
+    double qq = c->is_l2 ? c->sq[i] : 0.0;
     c->eplist[0] = *entry;
     int64_t nep = 1;
     for (int64_t lev = *max_level; lev > level; lev--) {
-        search_layer(c, q, c->eplist, nep, 1, lev, c->found);
+        search_layer(c, q, qq, c->eplist, nep, 1, lev, c->found);
         c->eplist[0] = c->found[0].e;
         nep = 1;
     }
     int64_t start = level < *max_level ? level : *max_level;
     for (int64_t lev = start; lev >= 0; lev--) {
-        int64_t nfound = search_layer(c, q, c->eplist, nep, efc, lev, c->found);
+        int64_t nfound =
+            search_layer(c, q, qq, c->eplist, nep, efc, lev, c->found);
         int64_t mmax = lev == 0 ? c->m0 : c->m;
         int64_t nsel = select_heuristic(c, c->found, nfound, c->m, c->selbuf);
         int64_t *mine = nbr_block(c, i, lev);
@@ -291,7 +317,8 @@ static void insert_node(Ctx *c, int64_t i, const int64_t *levels,
             int64_t ke = *cnt_at(c, e, lev);
             blk[ke++] = i;
             if (ke > mmax) { /* overflow: re-prune with the heuristic */
-                dist_batch(c, c->vecs + e * c->dim, blk, ke, c->dbuf);
+                dist_batch(c, c->vecs + e * c->dim,
+                           c->is_l2 ? c->sq[e] : 0.0, blk, ke, c->dbuf);
                 for (int64_t j = 0; j < ke; j++) {
                     c->rank[j].d = c->dbuf[j];
                     c->rank[j].e = blk[j];
@@ -314,15 +341,18 @@ static void insert_node(Ctx *c, int64_t i, const int64_t *levels,
 }
 
 static int ctx_init(Ctx *c, int64_t n, int64_t dim, int64_t m, int64_t m0,
-                    int64_t maxrows, const double *vecs, int64_t *nbr,
-                    const int64_t *noff, int64_t *cnt, const int64_t *coff,
-                    void *dgemv_f, void *ddot_f) {
+                    int64_t maxrows, const double *vecs, const double *sq,
+                    int64_t is_l2, int64_t *nbr, const int64_t *noff,
+                    int64_t *cnt, const int64_t *coff, void *dgemv_f,
+                    void *ddot_f) {
     memset(c, 0, sizeof(*c));
     c->n = n;
     c->dim = dim;
     c->m = m;
     c->m0 = m0;
     c->vecs = vecs;
+    c->sq = sq;
+    c->is_l2 = is_l2;
     c->nbr = nbr;
     c->noff = noff;
     c->cnt = cnt;
@@ -370,15 +400,15 @@ static void ctx_free(Ctx *c) {
  * wrapper; adjacency + counts are written into the numpy-owned flat
  * arrays. entry_maxlev receives [entry, max_level]. Returns 0 on
  * success, -1 on allocation failure. */
-int hnsw_build(int64_t n, int64_t dim, const double *vecs,
-               const int64_t *levels, int64_t m, int64_t m0, int64_t efc,
-               int64_t *nbr, const int64_t *noff, int64_t *cnt,
+int hnsw_build(int64_t n, int64_t dim, const double *vecs, const double *sq,
+               int64_t is_l2, const int64_t *levels, int64_t m, int64_t m0,
+               int64_t efc, int64_t *nbr, const int64_t *noff, int64_t *cnt,
                const int64_t *coff, int64_t *entry_maxlev, void *dgemv_f,
                void *ddot_f) {
     Ctx c;
     int64_t maxrows = efc + m0 + 8;
-    if (ctx_init(&c, n, dim, m, m0, maxrows, vecs, nbr, noff, cnt, coff,
-                 dgemv_f, ddot_f))
+    if (ctx_init(&c, n, dim, m, m0, maxrows, vecs, sq, is_l2, nbr, noff, cnt,
+                 coff, dgemv_f, ddot_f))
         return -1;
     int64_t entry = -1, max_level = -1;
     for (int64_t i = 0; i < n; i++)
@@ -393,9 +423,9 @@ int hnsw_build(int64_t n, int64_t dim, const double *vecs,
  * wrapper. Writes up to nq*k (row, internal-idx, dist) triples; returns
  * the number written, or -1 on allocation failure. */
 int64_t hnsw_search_batch(int64_t n, int64_t dim, const double *vecs,
-                          int64_t m, int64_t m0, int64_t *nbr,
-                          const int64_t *noff, int64_t *cnt,
-                          const int64_t *coff, int64_t entry,
+                          const double *sq, int64_t is_l2, int64_t m,
+                          int64_t m0, int64_t *nbr, const int64_t *noff,
+                          int64_t *cnt, const int64_t *coff, int64_t entry,
                           int64_t max_level, const double *qmat, int64_t nq,
                           int64_t k, int64_t ef, int64_t *out_rows,
                           int64_t *out_idx, double *out_dist, void *dgemv_f,
@@ -404,18 +434,20 @@ int64_t hnsw_search_batch(int64_t n, int64_t dim, const double *vecs,
     Ctx c;
     int64_t efq = ef > k ? ef : k;
     int64_t maxrows = efq + m0 + 8;
-    if (ctx_init(&c, n, dim, m, m0, maxrows, vecs, nbr, noff, cnt, coff,
-                 dgemv_f, ddot_f))
+    if (ctx_init(&c, n, dim, m, m0, maxrows, vecs, sq, is_l2, nbr, noff, cnt,
+                 coff, dgemv_f, ddot_f))
         return -1;
     int64_t t = 0;
     for (int64_t r = 0; r < nq; r++) {
         const double *q = qmat + r * dim;
+        /* numpy's np.dot(q, q) on the Python side is the same ddot */
+        double qq = is_l2 ? c.ddot(dim, q, 1, q, 1) : 0.0;
         c.eplist[0] = entry;
         for (int64_t lev = max_level; lev > 0; lev--) {
-            search_layer(&c, q, c.eplist, 1, 1, lev, c.found);
+            search_layer(&c, q, qq, c.eplist, 1, 1, lev, c.found);
             c.eplist[0] = c.found[0].e;
         }
-        int64_t nf = search_layer(&c, q, c.eplist, 1, efq, 0, c.found);
+        int64_t nf = search_layer(&c, q, qq, c.eplist, 1, efq, 0, c.found);
         int64_t kk = nf < k ? nf : k;
         for (int64_t j = 0; j < kk; j++) {
             out_rows[t] = r;

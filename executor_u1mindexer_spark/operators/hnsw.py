@@ -39,12 +39,17 @@ graph layout and one algorithm:
   batches (numpy dispatches those to ddot; measured), cblas_dgemv64_ on
   a 64-byte-aligned contiguous gather otherwise (dgemv kernel selection
   is A-alignment-sensitive; measured). Same library, same shapes, same
-  alignment => the same bits, at C loop cost. Used for cosine/ip.
+  alignment => the same bits, at C loop cost. All three metrics: l2
+  (r07, closing the r06 gate) runs on the pinned-order squared-norm
+  expansion d = (sq[x] - 2.0*dot(x, q)) + sq[q] — the dot is the SAME
+  dgemv/ddot call the cosine path makes, 2.0*dot is an exact power-of-
+  two scaling, the remaining add/sub are single IEEE ops in a pinned
+  order, and the per-node squared norms are computed ONCE in Python and
+  shared with the C kernel (both consume the same bits, so no reduction
+  order ever needs replicating — the einsum that made l2 unreplicable
+  is gone from the distance path).
 - the pure-Python/numpy kernel below — the fallback when no C compiler
-  is available, and the only path for metric='l2' (numpy's einsum
-  reduction order has no public contract to replicate in C; probed —
-  neither sequential nor any simple SIMD-accumulator pattern matches
-  it bit-for-bit across sizes).
+  is available.
 
 Builds and searches are verified bit-identical across the two kernels
 and vs the r05 kernel (tests/test_dedup_similarity.py; BENCH_NOTES
@@ -140,11 +145,12 @@ def _load_ckernel() -> ctypes.CDLL | None:
             VP = ctypes.c_void_p
             lib.hnsw_build.restype = ctypes.c_int
             lib.hnsw_build.argtypes = [
-                I64, I64, PD, PI, I64, I64, I64, PI, PI, PI, PI, PI, VP, VP,
+                I64, I64, PD, PD, I64, PI, I64, I64, I64, PI, PI, PI, PI,
+                PI, VP, VP,
             ]
             lib.hnsw_search_batch.restype = I64
             lib.hnsw_search_batch.argtypes = [
-                I64, I64, PD, I64, I64, PI, PI, PI, PI, I64, I64,
+                I64, I64, PD, PD, I64, I64, I64, PI, PI, PI, PI, I64, I64,
                 PD, I64, I64, I64, PI, PI, PD, VP, VP,
             ]
             _BLAS_PTRS = (dgemv, ddot)
@@ -204,6 +210,7 @@ class HNSW:
         self.use_ckernel = use_ckernel
         self.ids: np.ndarray | None = None  # external ids, ascending
         self.vecs: np.ndarray | None = None  # (n, dim) float64 (normalized for cosine)
+        self._sqnorms: np.ndarray | None = None  # per-node ||v||^2 (l2 only)
         self.levels: list[int] = []
         self._nbr_flat: np.ndarray | None = None
         self._cnt_flat: np.ndarray | None = None
@@ -241,12 +248,6 @@ class HNSW:
     def _use_c(self) -> bool:
         if self.use_ckernel is False:
             return False
-        if self.metric == "l2":
-            # the l2 distance is an einsum whose reduction order has no
-            # public contract to replicate bit-exactly in C — Python only
-            if self.use_ckernel is True:
-                raise ValueError("the C kernel does not support metric='l2'")
-            return False
         lib = _load_ckernel()
         if lib is None:
             if self.use_ckernel is True:
@@ -256,13 +257,24 @@ class HNSW:
 
     # -- distances (vectorized over node index arrays) ----------------------
 
-    def _dist_many(self, q: np.ndarray, idxs) -> np.ndarray:
+    def _dist_many(self, q: np.ndarray, idxs, qq: float = 0.0) -> np.ndarray:
         rows = self.vecs[idxs]
+        dots = rows @ q  # the SAME gather + dgemv/ddot shapes for all metrics
         if self.metric == "l2":
-            diff = rows - q
-            return np.einsum("ij,ij->i", diff, diff)
+            # pinned-order expansion, elementwise IEEE ops mirrored 1:1 in C:
+            # 2.0*dot is exact; (sq - t) + qq is two single roundings
+            return (self._sqnorms[idxs] - 2.0 * dots) + qq
         # cosine (pre-normalized) and ip share the 1 - dot form
-        return 1.0 - rows @ q
+        return 1.0 - dots
+
+    def _set_sqnorms(self) -> None:
+        """Per-node squared norms, the l2 expansion's shared input —
+        computed ONCE here and handed to BOTH kernels, so bit-identity
+        never depends on how a reduction orders its sum."""
+        if self.metric == "l2" and self.vecs is not None:
+            self._sqnorms = np.einsum("ij,ij->i", self.vecs, self.vecs)
+        else:
+            self._sqnorms = None
 
     # -- build ---------------------------------------------------------------
 
@@ -275,6 +287,7 @@ class HNSW:
             norms[norms == 0.0] = 1.0
             v = v / norms
         self.vecs = np.ascontiguousarray(v)
+        self._set_sqnorms()
         n = len(self.ids)
         self.levels = [
             int(-math.log(_unit_from_id(int(e), self.seed)) * self.mult)
@@ -301,10 +314,13 @@ class HNSW:
             noff_arr = np.asarray(noff, np.int64)
             coff_arr = np.asarray(coff, np.int64)
             em = np.zeros(2, np.int64)
+            sq = self._sqnorms if self._sqnorms is not None else np.zeros(1)
             rc = lib.hnsw_build(
                 n,
                 self.dim,
                 _as_f64_ptr(self.vecs),
+                _as_f64_ptr(np.ascontiguousarray(sq)),
+                1 if self.metric == "l2" else 0,
                 _as_i64_ptr(levels_arr),
                 self.m,
                 self.m0,
@@ -331,7 +347,9 @@ class HNSW:
             self._insert(i)
         return self
 
-    def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, lev: int):
+    def _search_layer(
+        self, q: np.ndarray, eps: list[int], ef: int, lev: int, qq: float = 0.0
+    ):
         """Paper Alg. 2: best-first beam, bounded result heap. Returns
         [(dist, idx)] sorted ascending; ties break on idx (determinism).
 
@@ -353,7 +371,7 @@ class HNSW:
         lev_off = 0 if lev == 0 else (self.m0 + 1) + (lev - 1) * (self.m + 1)
         eps_arr = np.asarray(eps, dtype=np.int64)
         stamp[eps_arr] = gen
-        dists = self._dist_many(q, eps_arr)
+        dists = self._dist_many(q, eps_arr, qq)
         cand = [(float(d), int(e)) for d, e in zip(dists, eps)]
         heapq.heapify(cand)
         result = [(-d, e) for d, e in cand]
@@ -374,7 +392,7 @@ class HNSW:
             if fresh.size == 0:
                 continue
             stamp[fresh] = gen
-            dn_all = self._dist_many(q, fresh)
+            dn_all = self._dist_many(q, fresh, qq)
             if nres >= ef:
                 # prefilter: the admission threshold only tightens as
                 # better results land, so dn >= current worst can never
@@ -417,11 +435,12 @@ class HNSW:
                 continue
             nk = len(kept)
             row = vecs[e]
+            dots = K[:nk] @ row  # same dgemv/ddot shapes for all metrics
             if is_l2:
-                diff = K[:nk] - row
-                d_to_kept = np.einsum("ij,ij->i", diff, diff)
+                kept_sq = self._sqnorms[np.asarray(kept, np.int64)]
+                d_to_kept = (kept_sq - 2.0 * dots) + self._sqnorms[e]
             else:
-                d_to_kept = 1.0 - K[:nk] @ row
+                d_to_kept = 1.0 - dots
             if (d_to_kept > d).all():
                 K[nk] = row
                 kept.append(e)
@@ -434,14 +453,15 @@ class HNSW:
             self.max_level = level
             return
         q = self.vecs[i]
+        qq = float(self._sqnorms[i]) if self.metric == "l2" else 0.0
         nbr = self._nbr_flat
         cnt = self._cnt_flat
         coff = self._coff
         ep = [self.entry]
         for lev in range(self.max_level, level, -1):
-            ep = [self._search_layer(q, ep, 1, lev)[0][1]]
+            ep = [self._search_layer(q, ep, 1, lev, qq)[0][1]]
         for lev in range(min(level, self.max_level), -1, -1):
-            found = self._search_layer(q, ep, self.ef_construction, lev)
+            found = self._search_layer(q, ep, self.ef_construction, lev, qq)
             mmax = self.m0 if lev == 0 else self.m
             sel = self._select_heuristic(found, self.m)
             lo, _ = self._block_bounds(i, lev)
@@ -454,7 +474,10 @@ class HNSW:
                 ke += 1
                 if ke > mmax:  # overflow: re-prune with the heuristic
                     cur = nbr[elo : elo + ke]
-                    d_nb = self._dist_many(self.vecs[e], cur)
+                    d_nb = self._dist_many(
+                        self.vecs[e], cur,
+                        float(self._sqnorms[e]) if self.metric == "l2" else 0.0,
+                    )
                     ranked = sorted(
                         zip(d_nb.tolist(), cur.tolist()), key=lambda t: (t[0], t[1])
                     )
@@ -488,10 +511,11 @@ class HNSW:
             _, ids, ds = self._search_batch_c(qmat, k, ef)
             return ids, ds
         q = self._normalize_q(q)
+        qq = float(np.dot(q, q)) if self.metric == "l2" else 0.0
         ep = [self.entry]
         for lev in range(self.max_level, 0, -1):
-            ep = [self._search_layer(q, ep, 1, lev)[0][1]]
-        found = self._search_layer(q, ep, max(ef, k), 0)[:k]
+            ep = [self._search_layer(q, ep, 1, lev, qq)[0][1]]
+        found = self._search_layer(q, ep, max(ef, k), 0, qq)[:k]
         idx = [e for _, e in found]
         return self.ids[idx], np.array([d for d, _ in found], np.float64)
 
@@ -511,10 +535,13 @@ class HNSW:
         out_rows = np.empty(nq * max(k, 1), np.int64)
         out_idx = np.empty(nq * max(k, 1), np.int64)
         out_dist = np.empty(nq * max(k, 1), np.float64)
+        sq = self._sqnorms if self._sqnorms is not None else np.zeros(1)
         t = lib.hnsw_search_batch(
             n,
             self.dim,
             _as_f64_ptr(self.vecs),
+            _as_f64_ptr(np.ascontiguousarray(sq)),
+            1 if self.metric == "l2" else 0,
             self.m,
             self.m0,
             _as_i64_ptr(self._nbr_flat),
@@ -608,6 +635,7 @@ def hnsw_from_state(state: dict) -> "HNSW":
     )
     h.ids = np.ascontiguousarray(state["ids"], dtype=np.int64)
     h.vecs = np.ascontiguousarray(state["vecs"], dtype=np.float64)
+    h._set_sqnorms()  # same einsum over the same contiguous array => same bits
     h.levels = [int(x) for x in state["levels"]]
     noff, coff = [], []
     nsz = csz = 0

@@ -374,7 +374,7 @@ def test_hnsw_kernels_bit_identical_under_duplicate_vectors():
     base = rng.randn(150, 16)
     vecs = np.repeat(base, 4, axis=0)
     ids = rng.permutation(600).astype(np.int64)
-    for metric in ("cosine", "ip"):
+    for metric in ("cosine", "ip", "l2"):
         hc = HNSW(16, metric=metric, m=8, ef_construction=60).build(ids, vecs)
         hp = HNSW(16, metric=metric, m=8, ef_construction=60, use_ckernel=False).build(
             ids, vecs
@@ -385,22 +385,37 @@ def test_hnsw_kernels_bit_identical_under_duplicate_vectors():
             assert np.array_equal(a, b)
 
 
-def test_hnsw_l2_gates_c_kernel():
-    """metric='l2' has no bit-replicable C distance (einsum reduction
-    order) — forcing the C kernel must fail loudly, auto must fall back."""
+def test_hnsw_l2_runs_on_c_kernel():
+    """r07 (VERDICT r06 #6): l2 moved onto the C path via the pinned-order
+    squared-norm expansion with shared precomputed norms — forcing the C
+    kernel must now WORK, build bit-identically to the Python kernel, and
+    return true squared-euclidean distances."""
     import numpy as np
 
-    from executor_u1mindexer_spark.operators.hnsw import HNSW
+    from executor_u1mindexer_spark.operators.hnsw import HNSW, _load_ckernel
 
     rng = np.random.RandomState(4)
     vecs = rng.randn(60, 8)
     ids = np.arange(60)
-    with pytest.raises(ValueError, match="l2"):
-        HNSW(8, metric="l2", use_ckernel=True).build(ids, vecs)
-    h = HNSW(8, metric="l2", m=4, ef_construction=30).build(ids, vecs)
-    assert not h._built_with_c  # silent fallback
-    got, _ = h.search(vecs[7], 3)
-    assert got[0] == 7
+    hp = HNSW(8, metric="l2", m=4, ef_construction=30, use_ckernel=False).build(
+        ids, vecs
+    )
+    got, dists = hp.search(vecs[7], 3)
+    assert got[0] == 7 and dists[0] == 0.0
+    if _load_ckernel() is None:
+        pytest.skip("no C compiler in this environment")
+    hc = HNSW(8, metric="l2", m=4, ef_construction=30, use_ckernel=True).build(
+        ids, vecs
+    )
+    assert hc._built_with_c
+    assert hc.neighbors == hp.neighbors and hc.entry == hp.entry
+    q = rng.randn(10, 8)
+    for a, b in zip(hc.search_batch(q, 5, ef=30), hp.search_batch(q, 5, ef=30)):
+        assert np.array_equal(a, b)
+    # distances are the real squared L2 (within expansion rounding)
+    ids1, ds1 = hc.search(q[0], 1, ef=30)
+    brute = ((vecs - q[0]) ** 2).sum(axis=1)
+    assert abs(ds1[0] - brute[ids1[0]]) < 1e-9 * max(1.0, brute[ids1[0]])
 
 
 def test_hnsw_partitioned_topk_bucket_ceiling(spark, sf_dir):
