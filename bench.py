@@ -71,6 +71,11 @@ HEADLINE = [
     "sketch_quantile_estimate",
     "ann_hnsw_partitioned_topk",  # r06: tracks the C-kernel build path
     "sketch_bloom_join_prune",  # r06: tracks the scan-prune + join-equality pass
+    # r07 (VERDICT r06 #7): the most expensive registered query — 5
+    # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
+    # lost checkpoint (=> exponential plan growth) shows up as a number,
+    # not a mystery; the constant-plan-depth pin lives in tests/test_graph.py.
+    "graph_pagerank_parts",
     # The deliberately-heavy x32 stress pair runs LAST (r06, VERDICT r05
     # #5): r05's sweep showed queries scheduled right after these two read
     # ~2x inflated (executor GC pressure), contaminating both their own

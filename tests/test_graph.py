@@ -89,3 +89,21 @@ def test_pagerank_params_validated(spark):
         G.pagerank(e, 0)
     with pytest.raises(ValueError, match="damping_pct"):
         G.pagerank(e, 5, 101)
+
+
+def test_pagerank_plan_depth_constant_across_iterations(spark):
+    """VERDICT r06 #7 pin: each superstep ends in an eager localCheckpoint,
+    so the RESULT plan must not grow with n_iter — a lost checkpoint turns
+    the per-round join+agg into exponentially nested plans and this test
+    is the tripwire (the bench entry is the other half)."""
+    edges = [(i, i + 1) for i in range(40)] + [(0, j) for j in range(2, 12)]
+    e = _edges_df(spark, edges)
+    depths = []
+    for n_iter in (1, 3, 6):
+        plan = (
+            G.pagerank(e, n_iter)
+            ._jdf.queryExecution().executedPlan().treeString()
+        )
+        depths.append(len(plan.splitlines()))
+    assert max(depths) - min(depths) <= 2, depths
+
