@@ -11,7 +11,8 @@ quadratically with basket size; see operators/graph.py docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from executor_u1mindexer_spark import tables
 from executor_u1mindexer_spark.operators import graph as G
@@ -39,12 +40,56 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count(G.consecutive_line_edges(li))
 
 
+def graph_cc_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the per-user event chain graph: each
+    user's events, ordered by (ts, event_id), form a path (edge between
+    consecutive events). Components here coincide with users BY
+    CONSTRUCTION — which is the point of the oracle: DuckDB labels each
+    event with min(event_id) OVER (PARTITION BY user_id), an exact,
+    formulation-independent answer, while the Spark side must EARN it by
+    running general star-contraction CC over a path forest of diameter
+    up to ~99 — the graph shape where O(diameter) min-label propagation
+    (dedup_clusters' loop) would need ~99 rounds and large-star/
+    small-star needs ~10. Any contraction bug (dropped connectivity,
+    wrong star roots, premature convergence) diverges on some of the
+    10k per-node labels."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chain = ev.select(
+        F.col("event_id"), F.lag("event_id").over(w).alias("prev_id")
+    )
+    edges = chain.filter(F.col("prev_id").isNotNull()).select(
+        F.col("prev_id").alias("src"), F.col("event_id").alias("dst")
+    )
+    labels = G.connected_components(edges)
+    return (
+        ev.select(F.col("event_id").alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+        .orderBy("node")
+    )
+
+
 QUERIES = {
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_count": graph_triangle_count,
+    "graph_cc_event_chains": graph_cc_event_chains,
 }
 
 ORACLES = {
     "graph_pagerank_parts": G.oracle_pagerank_sql(PR_ITER, PR_DAMPING),
     "graph_triangle_count": G.oracle_triangles_sql(),
+    # exact independent formulation: the chain graph's components are the
+    # users, so the component label (= component-min node id) is simply
+    # the user's minimum event_id — no recursion, no closure, exact at
+    # any SF. The Spark side cannot "see" this shortcut: it runs the
+    # general contraction algorithm on the edge list alone.
+    "graph_cc_event_chains": """
+SELECT event_id AS node,
+       min(event_id) OVER (PARTITION BY user_id) AS component
+FROM events
+ORDER BY node
+""",
 }

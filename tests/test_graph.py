@@ -91,6 +91,72 @@ def test_pagerank_params_validated(spark):
         G.pagerank(e, 5, 101)
 
 
+def _py_components(edges):
+    """Union-find ground truth: node -> component-min label."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # union by min keeps the root the smallest id
+            lo, hi = min(rs, rd), max(rs, rd)
+            parent[hi] = lo
+    return {u: find(u) for u in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.randrange(10, 120)
+        m = rng.randrange(5, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(s, d) for s, d in edges if s != d]
+        if not edges:
+            continue
+        got = {
+            r.node: r.component
+            for r in G.connected_components(_edges_df(spark, edges)).collect()
+        }
+        assert got == _py_components(edges), f"trial {trial}"
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """The reason this algorithm exists next to dedup_clusters: a 200-hop
+    path must converge in O(log^2 n) star rounds, not O(diameter). The
+    round budget (12) would be exceeded ~17x over by per-hop propagation."""
+    chain = [(i, i + 1) for i in range(200)]
+    got = {
+        r.node: r.component
+        for r in G.connected_components(
+            _edges_df(spark, chain), max_rounds=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_connected_components_edge_cases(spark):
+    # two disjoint pairs + reversed/duplicate/self edges normalize away
+    edges = [(2, 1), (1, 2), (3, 3), (5, 4)]
+    got = {
+        r.node: r.component
+        for r in G.connected_components(_edges_df(spark, edges)).collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 4, 5: 4}
+    with pytest.raises(ValueError, match="max_rounds"):
+        G.connected_components(_edges_df(spark, [(1, 2)]), max_rounds=0)
+
+
 def test_pagerank_plan_depth_constant_across_iterations(spark):
     """VERDICT r06 #7 pin: each superstep ends in an eager localCheckpoint,
     so the RESULT plan must not grow with n_iter — a lost checkpoint turns
