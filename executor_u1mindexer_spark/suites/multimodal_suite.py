@@ -83,6 +83,22 @@ def multimodal_decode_gif_animation(spark: SparkSession, sf_dir: str) -> DataFra
     return MM.decode_gif_animation_metadata(MM.attach_synthetic_animations(docs))
 
 
+def multimodal_decode_webp_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode end-to-end (r07, closing VERDICT
+    r06 #5): synthesize deterministic RIFF/WEBP-wrapped VP8L bytes per
+    doc — the encode lane cycles over color cache + LZ77, subtract-green,
+    cross-channel color transform, the 14-mode spatial predictor, meta
+    prefix codes, and color-indexing with bit-bundling (see
+    operators/multimodal.py attach_synthetic_webp) — then decode the
+    prefix-coded, transformed bitstream with the pure-Python VP8L
+    decoder (operators/webp.py). Every lane is lossless with the SAME
+    pixel formula as the other lossless containers, so the oracle states
+    width/height/pixel_sum in closed form; any decode divergence in any
+    lane breaks it."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return MM.decode_images_metadata(MM.attach_synthetic_webp(docs))
+
+
 QUERIES = {
     "multimodal_join": multimodal_join,
     "multimodal_binary_metadata": multimodal_binary_metadata,
@@ -90,6 +106,7 @@ QUERIES = {
     "multimodal_decode_audio": multimodal_decode_audio,
     "multimodal_sample_video_frames": multimodal_sample_video_frames,
     "multimodal_decode_gif_animation": multimodal_decode_gif_animation,
+    "multimodal_decode_webp_lossless": multimodal_decode_webp_lossless,
 }
 
 
@@ -193,4 +210,17 @@ SELECT d.doc_id,
 FROM documents d, unnest(range(0, (d.doc_id % 24 + 8 + 4) // 5)) AS t(i)
 """,
     "multimodal_decode_gif_animation": _GIF_ANIM_ORACLE,
+    # VP8L generation rule (attach_synthetic_webp): w = id%6+3, h = id%4+3,
+    # RGB byte i = (id*7 + i) % 256, always lossless regardless of the
+    # per-id encode lane — closed form, no decoding in the oracle
+    "multimodal_decode_webp_lossless": """
+SELECT doc_id,
+       'webp' AS format,
+       CAST(doc_id % 6 + 3 AS INT) AS width,
+       CAST(doc_id % 4 + 3 AS INT) AS height,
+       CAST(list_sum(list_transform(
+              range(0, (doc_id % 6 + 3) * (doc_id % 4 + 3) * 3),
+              i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum
+FROM documents
+""",
 }

@@ -1,0 +1,154 @@
+"""VP8L (lossless WebP) codec: constant-table pinning, roundtrip
+property tests across every encode lane, and loud-gate behavior.
+
+The distance-map test is the module's verification keystone: the table
+is generated from its ordering rule in webp.py and pinned here against
+the literal table as printed in the spec — two independent recollections
+that must agree entry-for-entry (see webp.py's provenance note)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from executor_u1mindexer_spark.operators import webp as W
+
+# the 120-entry (dx, dy) table as printed in RFC 9649 §4.2.2
+_SPEC_DIST_TABLE = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+_LANES = [
+    dict(),
+    dict(cache_bits=4),
+    dict(cache_bits=6),
+    dict(use_lz77=False),
+    dict(transforms=("subtract_green",)),
+    dict(transforms=("predictor",)),
+    dict(transforms=("color",)),
+    dict(transforms=("palette",)),
+    dict(transforms=("subtract_green", "predictor"), meta_split=True),
+    dict(meta_split=True, cache_bits=3),
+]
+
+
+def test_distance_map_matches_spec_table():
+    assert len(W._DIST_MAP) == 120
+    assert list(W._DIST_MAP) == _SPEC_DIST_TABLE
+
+
+def test_distance_map_roundtrips_through_codes():
+    for width in (1, 3, 8, 17, 300):
+        for dist in (1, 2, width, width + 3, 500):
+            code = W._dist_code_for(dist, width)
+            assert W._map_distance(code, width) == dist
+
+
+def _images(rng: random.Random, n: int):
+    for trial in range(n):
+        w, h = rng.randrange(1, 17), rng.randrange(1, 13)
+        style = trial % 4
+        if style == 0:  # noise
+            rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        elif style == 1:  # constant (cache/LZ77 heavy)
+            rgb = bytes(rng.randrange(256) for _ in range(3)) * (w * h)
+        elif style == 2:  # few colors (palette bundling paths)
+            pal = [
+                bytes(rng.randrange(256) for _ in range(3))
+                for _ in range(rng.choice([1, 2, 3, 4, 9, 17]))
+            ]
+            rgb = b"".join(rng.choice(pal) for _ in range(w * h))
+        else:  # striped rows (2D distance codes)
+            rgb = bytes(rng.randrange(256) for _ in range(w * 3)) * h
+        yield w, h, rgb
+
+
+def test_roundtrip_all_lanes_all_styles():
+    rng = random.Random(20260814)
+    for w, h, rgb in _images(rng, 24):
+        for lane in _LANES:
+            enc = W.encode_webp(w, h, rgb, **lane)
+            dw, dh, drgb = W.decode_webp_rgb(enc)
+            assert (dw, dh) == (w, h), lane
+            assert drgb == rgb, (w, h, lane)
+
+
+def test_roundtrip_exercises_all_predictor_modes():
+    # 32x16 at block bits 2 -> 8x4 = 32 blocks; the encoder's (bx+by)%14
+    # sweep covers every mode at least once
+    rng = random.Random(7)
+    w, h = 32, 16
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    enc = W.encode_webp(w, h, rgb, transforms=("predictor",))
+    assert W.decode_webp_rgb(enc) == (w, h, rgb)
+
+
+def test_palette_bundling_widths():
+    # palettes of 2/4/16/17 colors hit width_bits 3/2/1/0
+    for n_colors, wb in ((2, 3), (4, 2), (16, 1), (17, 0)):
+        assert W._width_bits(n_colors) == wb
+        rng = random.Random(n_colors)
+        pal = [bytes((i * 37 % 256, i * 59 % 256, i * 83 % 256)) for i in range(n_colors)]
+        w, h = 13, 5
+        rgb = b"".join(pal[rng.randrange(n_colors)] for _ in range(w * h))
+        # force every palette entry to appear so the palette is full-size
+        rgb = b"".join(pal) + rgb[n_colors * 3 :]
+        enc = W.encode_webp(w, h, rgb, transforms=("palette",))
+        assert W.decode_webp_rgb(enc) == (w, h, rgb)
+
+
+def test_color_cache_tokens_actually_used():
+    # a two-color checkerboard with LZ77 off must produce cache hits
+    w, h = 8, 8
+    pix = [
+        W._argb(0xFF, 200, 10, 30) if (x + y) % 2 else W._argb(0xFF, 5, 250, 99)
+        for y in range(h)
+        for x in range(w)
+    ]
+    tokens = W._tokenize(pix, w, cache_bits=4, use_lz77=False)
+    kinds = {t[0] for t in tokens}
+    assert "cache" in kinds and "lit" in kinds
+
+
+def test_lossy_vp8_raises_loudly():
+    fake = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        W.decode_webp(fake)
+
+
+def test_malformed_payloads_raise_value_error():
+    with pytest.raises(ValueError, match="RIFF"):
+        W.decode_webp(b"NOPE")
+    enc = W.encode_webp(3, 3, bytes(27))
+    with pytest.raises(ValueError):
+        W.decode_webp(enc[:20])  # truncated mid-bitstream
+    bad_sig = bytearray(enc)
+    bad_sig[20] ^= 0xFF  # first VP8L payload byte (the 0x2f signature)
+    with pytest.raises(ValueError):
+        W.decode_webp(bytes(bad_sig))
+
+
+def test_one_by_one_image():
+    for lane in (dict(), dict(cache_bits=2), dict(transforms=("palette",))):
+        enc = W.encode_webp(1, 1, b"\x07\x83\xc1", **lane)
+        assert W.decode_webp_rgb(enc) == (1, 1, b"\x07\x83\xc1")
+
+
+def test_palette_must_be_alone():
+    with pytest.raises(ValueError, match="alone"):
+        W.encode_vp8l(2, 2, bytes(12), transforms=("palette", "subtract_green"))
