@@ -45,78 +45,32 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 6 window — VERDICT r05 #1: the 19 rows that have NEVER had a
-# driver row come first (the r05 additions staged below last round's
-# boundary: the 11-row sketch family, HNSW, both BPE rows, OHLC, batched
-# BM25/RRF, and the amplified range-join pair — several of which ALSO
-# changed this round via the ADVICE fixes: small-m HLL alpha constants,
-# cms_lookup's left-join default, the 1e9 amplified-events offset), then
-# the 19 brand-new r06 operators (rotation policy (a): bloom-pruned
-# join, CMS grouped/unseen rows, the quantile-sketch family incl.
-# grouped + winsorization, AMS F2/join-size, animated GIF, graph
-# PageRank/triangles, retrieval eval, z-order layout, inverted index,
-# drift monitoring), then fill the remaining 12 slots from the queries
-# whose newest driver row is r03
-# (all equally stale — alphabetical for auditability). The ~32 r03 rows
-# below the boundary lead the r07 rotation; every one of them is green
-# in the committed local dtype-faithful sweeps at sf0.01 AND sf0.1
-# meanwhile. After this round `tools/rotation_check.py` must report
-# never-checked: 0.
+# Round 7 window — VERDICT r06 #3: rotation policy (a) first — the 2
+# brand-new r07 operators (star-contraction connected components, VP8L
+# lossless-WebP decode) and the 7 rows whose implementation or oracle
+# changed since the r06 freeze (text_inverted_index's driver-safe
+# string postings — r06's only red — plus the scale-safe zorder rank
+# map, the three quantile rows touched by the merged-state ordering
+# fix, drift's BIGINT buckets, and HNSW's l2-on-C + state validation);
+# then ALL 32 rows whose newest driver row is r03 (named by
+# tools/rotation_check.py — policy (b), alphabetical); then fill the
+# remaining 9 slots from the r04-stale rows (alphabetical). After this
+# round the staleness floor rises to r04 (histogram min >= 4). Every
+# below-boundary row stays green in the committed local dtype-faithful
+# sweeps at sf0.01 AND sf0.1 meanwhile; the remaining r04 rows lead r08.
 DRIVER_PRIORITY = (
-    # never driver-checked (r05 additions) — several also changed in r06
-    "sketch_hll_registers",
-    "sketch_hll_distinct_events",
-    "sketch_hll_distinct_users",
-    "sketch_hll_merge_partitions",
-    "sketch_cms_state",
-    "sketch_cms_heavy_hitters",
-    "sketch_cms_merge_partitions",
-    "sketch_bloom_state",
-    "sketch_bloom_membership",
-    "sketch_hll_grouped_by_type",
-    "sketch_hll_intersection",
-    "ann_hnsw_partitioned_topk",
-    "text_bpe_learn_merges",
-    "text_bpe_tokenize",
-    "events_resample_ohlc",
-    "text_bm25_topk_joins",
-    "hybrid_search_rrf_batch",
-    "events_range_join_amplified",
-    "events_range_join_banded_amplified",
-    # brand-new r06 operators (rotation policy (a))
-    "sketch_bloom_join_prune",
-    "sketch_cms_lookup_unseen",
-    "sketch_cms_grouped_state",
-    "sketch_cms_grouped_heavy_hitters",
-    "sketch_quantile_state",
+    # new in r07 (rotation policy (a))
+    "graph_cc_event_chains",
+    "multimodal_decode_webp_lossless",
+    # changed since the r06 freeze (rotation policy (a))
+    "text_inverted_index",
+    "layout_zorder_clustering",
     "sketch_quantile_estimate",
     "sketch_quantile_merge",
-    "sketch_quantile_grouped_state",
     "sketch_quantile_grouped_estimate",
-    "multimodal_decode_gif_animation",
-    "graph_pagerank_parts",
-    "graph_triangle_count",
-    "eval_retrieval_label_metrics",
-    "layout_zorder_clustering",
-    "text_inverted_index",
-    "sketch_quantile_clip_outliers",
-    "sketch_ams_f2_tokens",
-    "sketch_ams_join_size",
     "drift_chi2_value_periods",
-    # fill: newest driver row r03, alphabetical
-    "agg_approx_quantiles",
-    "agg_listagg_names",
-    "agg_percentiles",
-    "ann_partitioned_topk",
-    "ann_range_search",
-    "decontaminated_training_mix",
-    "delete_by_ids",
-    "dump_load_roundtrip",
-    "embedding_centroids_by_label",
-    "embedding_matryoshka_stats",
-    "events_funnel_view_click_purchase",
-    "events_gapfill_hourly",
-    # --- 50-slot window boundary: rows below lead the r07 rotation ---
+    "ann_hnsw_partitioned_topk",
+    # newest driver row r03 (rotation policy (b), alphabetical)
     "events_range_join_bucketed",
     "events_retention_cohorts",
     "index_upsert",
@@ -149,6 +103,57 @@ DRIVER_PRIORITY = (
     "update_skipped",
     "vector_dedup_quantize",
     "window_cume_dist_percent_rank",
+    # fill: newest driver row r04, alphabetical
+    "agg_stats_funcs",
+    "ann_kmeans_ivf_topk",
+    "clean_corpus_pipeline",
+    "clear",
+    "correlated_scalar_subquery",
+    "dedup_repeated_spans",
+    "dim_validate",
+    "events_asof_purchase_last_view",
+    "events_json_extract",
+    # --- 50-slot window boundary: rows below lead the r08 rotation ---
+    # (the remaining r04-stale rows, alphabetical)
+    "events_pivot_daily_types",
+    "events_range_join",
+    "events_sliding_1h_30m",
+    "fuzzy_join_part_names",
+    "hybrid_search_rrf",
+    "index_state_diff",
+    "join_anti_customers_without_orders",
+    "join_full_outer_segments",
+    "knn_search_batch1",
+    "knn_search_batch512",
+    "knn_search_batch64",
+    "knn_search_batch8",
+    "knn_search_cosine",
+    "knn_search_euclidean",
+    "knn_search_inner_product",
+    "limit_clamp",
+    "multimodal_training_manifest",
+    "payload_fetch",
+    "scd2_customer_history",
+    "scd2_point_in_time_join",
+    "score_transform_similarity",
+    "text_bigram_lm_scores",
+    "text_bm25_topk",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "vector_pq_codes",
 )
 
 
