@@ -157,6 +157,22 @@ def test_connected_components_edge_cases(spark):
         G.connected_components(_edges_df(spark, [(1, 2)]), max_rounds=0)
 
 
+def test_connected_components_plan_depth_constant_across_sizes(spark):
+    """Like the pagerank pin: every contraction round ends in an eager
+    localCheckpoint, so the RESULT plan must not grow with the number of
+    rounds the input needs (chains of 8 vs 120 hops need ~2x the rounds;
+    a lost checkpoint would nest the per-round join+agg plans)."""
+    depths = []
+    for n in (8, 120):
+        chain = [(i, i + 1) for i in range(n)]
+        plan = (
+            G.connected_components(_edges_df(spark, chain))
+            ._jdf.queryExecution().executedPlan().treeString()
+        )
+        depths.append(len(plan.splitlines()))
+    assert max(depths) - min(depths) <= 2, depths
+
+
 def test_pagerank_plan_depth_constant_across_iterations(spark):
     """VERDICT r06 #7 pin: each superstep ends in an eager localCheckpoint,
     so the RESULT plan must not grow with n_iter — a lost checkpoint turns
