@@ -62,6 +62,87 @@ def mixture_weights(df: DataFrame, key: str, stratum: str, weights: dict[str, fl
     return sample_stratified(df, key, stratum, fractions)
 
 
+def pps_systematic(
+    df: DataFrame,
+    *,
+    key: str,
+    weight_col: str,
+    k: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling without
+    replacement — the weighted companion to sample_fraction: row i is
+    selected iff the running weight total crosses a multiple of
+    total/k, so inclusion probability is ~k*w_i/total and exactly ~k
+    rows come back in one pass. Classic survey-sampling PPS (systematic
+    selection over a cumulated size measure), with the random start
+    pinned to 0 for hash-style determinism — like every sampler here,
+    the selection is a pure function of the data.
+
+    ALL arithmetic is BIGINT (cum * k vs total cross-multiplication, no
+    division into floats), so the pick set is bit-identical across
+    engines. Rows heavier than the stride get n_hits > 1 (reported, the
+    row still appears once).
+
+    Scale shape: the global cumulative sum uses the same partitioned
+    two-pass pattern as layout.rank_space_map — affine key-range coarse
+    buckets (pure function of the data; bucket id monotone in key, so
+    cross-bucket order is the key order), per-bucket PARTITIONED window
+    sums, and the <= n_buckets bucket totals joined back broadcast as
+    offsets. No SinglePartition window at any cardinality; the total is
+    a 1-row aggregate crossJoined in-plan (no driver scalar).
+
+    Returns (key, weight, cum, pick_idx, n_hits) for selected rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.select(
+        F.col(key).cast("long").alias("__k"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).filter(F.col("__w") > 0)
+    rng = base.agg(F.min("__k").alias("__mn"), F.max("__k").alias("__mx"))
+    b = base.crossJoin(F.broadcast(rng)).withColumn(
+        "__b",
+        F.expr(f"((__k - __mn) * {n_buckets}) DIV (__mx - __mn + 1)"),
+    )
+    from pyspark.sql import Window
+
+    local_w = (
+        Window.partitionBy("__b")
+        .orderBy("__k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = b.withColumn("__local_cum", F.sum("__w").over(local_w))
+    totals = b.groupBy("__b").agg(F.sum("__w").alias("__bt"))
+    # <= n_buckets rows: the bounded-window exception (quantile-estimate
+    # pattern); offset(b) = sum of totals of strictly-smaller buckets
+    off_w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.withColumn(
+        "__off", F.sum("__bt").over(off_w) - F.col("__bt")
+    ).select("__b", "__off")
+    grand = base.agg(F.sum("__w").alias("__total"))
+    out = (
+        b.join(F.broadcast(offsets), "__b")
+        .withColumn("__cum", F.col("__off") + F.col("__local_cum"))
+        .crossJoin(F.broadcast(grand))
+    )
+    lo = F.expr(f"((__cum - __w) * {k}) DIV __total")
+    hi = F.expr(f"(__cum * {k}) DIV __total")
+    return (
+        out.filter(hi > lo)
+        .select(
+            F.col("__k").alias(key),
+            F.col("__w").alias("weight"),
+            F.col("__cum").alias("cum"),
+            (lo + F.lit(1)).cast("long").alias("pick_idx"),
+            (hi - lo).cast("long").alias("n_hits"),
+        )
+        .orderBy(key)
+    )
+
+
 def pack_token_budget(
     df: DataFrame,
     budget: int,

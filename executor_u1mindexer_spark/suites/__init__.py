@@ -62,6 +62,8 @@ DRIVER_PRIORITY = (
     # new in r07 (rotation policy (a))
     "graph_cc_event_chains",
     "multimodal_decode_webp_lossless",
+    "sample_pps_systematic",
+    "embedding_gram_moments",
     # changed since the r06 freeze (rotation policy (a))
     "text_inverted_index",
     "layout_zorder_clustering",
@@ -111,10 +113,10 @@ DRIVER_PRIORITY = (
     "correlated_scalar_subquery",
     "dedup_repeated_spans",
     "dim_validate",
-    "events_asof_purchase_last_view",
-    "events_json_extract",
     # --- 50-slot window boundary: rows below lead the r08 rotation ---
     # (the remaining r04-stale rows, alphabetical)
+    "events_asof_purchase_last_view",
+    "events_json_extract",
     "events_pivot_daily_types",
     "events_range_join",
     "events_sliding_1h_30m",

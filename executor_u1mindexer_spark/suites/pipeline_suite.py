@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import linalg as L
 from executor_u1mindexer_spark.operators import pipeline as P
 
 FRACTION = 0.1
@@ -100,8 +101,35 @@ def drift_chi2_value_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) systematic sampling
+    without replacement over documents, weight = n_chars, target k = 40
+    (r07, operators/pipeline.py pps_systematic). All BIGINT cross-
+    multiplication — the pick set is bit-identical across engines; the
+    oracle replays the rule with a single plain window cumsum, so any
+    error in the Spark side's partitioned two-pass cumulative sum
+    (bucket boundaries, offsets, totals) diverges."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return P.pps_systematic(docs, key="doc_id", weight_col="n_chars", k=40)
+
+
+def embedding_gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact scaled-integer second moments of the embedding cloud — one
+    row per dimension pair (i <= j) with (n, sum_qi, sum_qj, sum_qq)
+    over q = round(x*1000) (r07, operators/linalg.py gram_moments): the
+    covariance/whitening/PCA primitive computed the 100 TB way (one
+    numpy int64 Gram per partition, one bounded groupBy-sum — shuffled
+    bytes O(partitions * d^2), never O(n * d^2)). The oracle computes
+    the same 2080 moments relationally (explode dims x dims); every
+    value is an order-free BIGINT so the match is bit-exact."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return L.gram_moments(emb)
+
+
 QUERIES = {
     "sample_hash_fraction": sample_hash_fraction,
+    "sample_pps_systematic": sample_pps_systematic,
+    "embedding_gram_moments": embedding_gram_moments,
     "shuffle_epoch_order": shuffle_epoch_order,
     "sample_stratified_by_lang": sample_stratified_by_lang,
     "mixture_weighted_sources": mixture_weighted_sources,
@@ -167,6 +195,44 @@ FROM u
 ORACLES = {
     "sample_hash_fraction": f"""
 SELECT doc_id, lang FROM documents WHERE {_BUCKET} < 100000
+""",
+    # PPS systematic rule replayed with ONE plain window cumsum (a
+    # deliberately different formulation from Spark's partitioned
+    # two-pass): select where floor(cum*k/total) crosses
+    "sample_pps_systematic": """
+WITH b AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents WHERE n_chars > 0
+), c AS (
+  SELECT doc_id, w,
+         CAST(sum(w) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM b
+), t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM b)
+SELECT doc_id, w AS weight, cum,
+       CAST(((cum - w) * 40) // total + 1 AS BIGINT) AS pick_idx,
+       CAST((cum * 40) // total - ((cum - w) * 40) // total AS BIGINT) AS n_hits
+FROM c, t
+WHERE (cum * 40) // total > ((cum - w) * 40) // total
+ORDER BY doc_id
+""",
+    # q = round(x*1000) BIGINT; moments per dim pair via dims x dims
+    # explode — relational, vs Spark's per-partition numpy Gram kernel
+    "embedding_gram_moments": """
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+       count(*) AS n,
+       CAST(sum(qv[ti.i + 1]) AS BIGINT) AS sum_qi,
+       CAST(sum(qv[tj.j + 1]) AS BIGINT) AS sum_qj,
+       CAST(sum(qv[ti.i + 1] * qv[tj.j + 1]) AS BIGINT) AS sum_qq
+FROM q, range(64) AS ti(i), range(64) AS tj(j)
+WHERE ti.i <= tj.j
+GROUP BY ti.i, tj.j
+ORDER BY i, j
 """,
     "shuffle_epoch_order": """
 SELECT doc_id, lang,

@@ -149,3 +149,80 @@ def test_drift_bucket_ids_are_bigint_safe(spark):
     assert rows[0] == (2, 0)   # -5.0 and 0.1 both land in bucket 0
     assert rows[7] == (1, 1)   # 1e15 and 1e18 clamp to the top bucket
     assert rows[3] == (0, 1) and rows[6] == (1, 0)
+
+
+def test_pps_systematic_matches_python_replay(spark):
+    """Exact pick-set parity with a sequential replay of the rule, on
+    sparse ids (exercises the affine bucket boundaries: empty buckets,
+    uneven fill)."""
+    import random
+
+    from executor_u1mindexer_spark.operators.pipeline import pps_systematic
+
+    rng = random.Random(99)
+    rows = [(rng.randrange(10**9), rng.randrange(1, 500)) for _ in range(300)]
+    rows = list({k: w for k, w in rows}.items())  # unique keys
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    k = 17
+    got = {
+        r.doc_id: (r.weight, r.cum, r.pick_idx, r.n_hits)
+        for r in pps_systematic(df, key="doc_id", weight_col="n_chars", k=k).collect()
+    }
+    total = sum(w for _, w in rows)
+    cum = 0
+    expect = {}
+    for key, w in sorted(rows):
+        lo = cum * k // total
+        cum += w
+        hi = cum * k // total
+        if hi > lo:
+            expect[key] = (w, cum, lo + 1, hi - lo)
+    assert got == expect
+    assert abs(len(got) - k) <= 1  # ~k picks by construction
+
+
+def test_pps_systematic_heavy_row_multi_hit(spark):
+    from executor_u1mindexer_spark.operators.pipeline import pps_systematic
+
+    # one row carries half the mass -> it must land multiple stride hits
+    rows = [(1, 1000)] + [(i, 10) for i in range(2, 102)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    out = {r.doc_id: r.n_hits for r in
+           pps_systematic(df, key="doc_id", weight_col="n_chars", k=10).collect()}
+    assert out[1] >= 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        pps_systematic(df, key="doc_id", weight_col="n_chars", k=0)
+
+
+def test_pps_systematic_no_single_partition_window(spark):
+    from executor_u1mindexer_spark.operators.pipeline import pps_systematic
+
+    df = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(500)], "doc_id long, n_chars int"
+    )
+    plan = (
+        pps_systematic(df, key="doc_id", weight_col="n_chars", k=20)
+        ._jdf.queryExecution().executedPlan().treeString()
+    )
+    # the only unpartitioned window is over the <= n_buckets totals
+    # (sum(__bt)); the per-row cumsum must be partitioned by bucket:
+    # windowspecdefinition(__b#.., __k#.. ASC, ...) carries the
+    # partition key as its first argument
+    import re
+
+    cum_lines = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "__local_cum" in ln
+    ]
+    assert cum_lines and all(
+        re.search(r"windowspecdefinition\(__b#\d+L, __k#", ln)
+        for ln in cum_lines
+    ), cum_lines
+    unpartitioned = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln
+        and not re.search(r"windowspecdefinition\(__b#\d+L, ", ln)
+    ]
+    assert all("__bt" in ln for ln in unpartitioned), unpartitioned
