@@ -267,11 +267,18 @@ def connected_components(
     prev = _sig(e)
     converged = False
     for _ in range(max_rounds):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _sig(e)
         if cur == prev:
-            converged = True
-            break
+            # the signature (count + bounded-hash sum) could in principle
+            # collide; confirm set equality EXACTLY once, at the candidate
+            # fixpoint (both sides are distinct sets with equal counts, so
+            # one empty exceptAll suffices) — cost is a single anti-join
+            # at convergence, never per round
+            if e.exceptAll(prev_e).limit(1).count() == 0:
+                converged = True
+                break
         prev = cur
     if not converged:
         raise RuntimeError(

@@ -127,6 +127,8 @@ def covariance_from_moments(moments: list) -> "object":
 
     d = max(r["j"] for r in moments) + 1
     n = moments[0]["n"]
+    if n < 2:
+        raise ValueError(f"covariance needs n >= 2 vectors, got {n}")
     cov = np.zeros((d, d))
     for r in moments:
         c = (r["sum_qq"] - r["sum_qi"] * r["sum_qj"] / n) / (n - 1)

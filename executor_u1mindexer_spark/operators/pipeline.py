@@ -93,6 +93,10 @@ def pps_systematic(
     a 1-row aggregate crossJoined in-plan (no driver scalar).
 
     Returns (key, weight, cum, pick_idx, n_hits) for selected rows.
+
+    `key` values must be UNIQUE (they are the total order; duplicate
+    keys would make the cumulative sum tie-order-dependent across
+    engines). Rows with weight <= 0 are excluded.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

@@ -54,6 +54,7 @@ _NUM_DISTANCE_CODES = 40
 _MAX_CODE_LENGTH = 15
 _MAX_CL_CODE_LENGTH = 7
 _CACHE_MULT = 0x1E35A7BD  # color-cache hash multiplier, §4.3
+_MAX_PIXELS = 1 << 26  # decoder allocation budget (~64 MP)
 
 
 def _gen_dist_map() -> tuple[tuple[int, int], ...]:
@@ -623,6 +624,11 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, list[int]]:
     br.read(1)  # alpha-is-used hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
+    if w * h > _MAX_PIXELS:
+        # a corrupt/hostile 14+14-bit header can claim 2^28 pixels and
+        # make the pure-Python decoder allocate gigabytes before the
+        # entropy decode ever hits the truncated stream — bound it
+        raise ValueError(f"image {w}x{h} exceeds decoder pixel budget")
     transforms: list[tuple] = []
     seen: set[int] = set()
     cur_w = w

@@ -82,3 +82,41 @@ def streaming_quantile_state_fold(
 
     writer = stream.writeStream.foreachBatch(fold)
     return writer, states
+
+
+def streaming_gram_fold(stream: DataFrame, vec_col: str = "embedding"):
+    """Streaming form of the exact Gram-moment accumulation (r07,
+    operators/linalg.py): second moments are ORDER-FREE BIGINT sums, so
+    the stream fold is the same d(d+1)/2-entry state summed across
+    micro-batches — bounded state regardless of stream length, like the
+    HLL/CMS twins. Per batch: the distributed partial-Gram kernel
+    reduces the batch to <= d(d+1)/2 rows, collected and summed
+    driver-side. The accumulator is KEYED BY batch_id (the
+    streaming_quantile_state_fold idempotence contract): foreachBatch
+    redelivery overwrites rather than double-counts. merged_moments()
+    returns rows shaped like gram_moments' output, bit-equal to the
+    batch operator over the drained backlog (pinned in
+    tests/test_streaming.py)."""
+    from executor_u1mindexer_spark.operators import linalg as L
+
+    states: dict[int, dict] = {}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = L.gram_moments(batch_df, vec_col=vec_col).collect()
+        states[int(batch_id)] = {
+            (r.i, r.j): (r.n, r.sum_qi, r.sum_qj, r.sum_qq) for r in rows
+        }
+
+    def merged_moments() -> dict:
+        acc: dict = {}
+        for st in states.values():
+            for key, (n, si, sj, sqq) in st.items():
+                if key in acc:
+                    a = acc[key]
+                    acc[key] = (a[0] + n, a[1] + si, a[2] + sj, a[3] + sqq)
+                else:
+                    acc[key] = (n, si, sj, sqq)
+        return acc
+
+    writer = stream.writeStream.foreachBatch(fold)
+    return writer, states, merged_moments

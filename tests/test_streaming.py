@@ -281,3 +281,30 @@ def test_streaming_quantile_rollup_matches_batch(spark, sf_dir):
             for _, b, t, rv, w in next(iter(states.values()))
         }
         assert got == batch_state
+
+
+def test_streaming_gram_fold_matches_batch(spark, sf_dir):
+    """The streaming Gram fold's merged moments must BIT-EQUAL the batch
+    gram_moments over the drained backlog — integer sums are order-free,
+    so batch/stream equality is exact, not approximate. Also pins the
+    batch-id idempotence contract: re-folding a batch id overwrites."""
+    from executor_u1mindexer_spark.operators import linalg as L
+    from executor_u1mindexer_spark.streaming import events_stream as ES
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+
+    stream = ES.read_fixture_stream(spark, sf_dir, "embeddings")
+    assert stream.isStreaming
+    writer, states, merged_moments = SS.streaming_gram_fold(stream)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(states) >= 1
+    emb = tables.load(spark, sf_dir, "embeddings")
+    batch = {
+        (r.i, r.j): (r.n, r.sum_qi, r.sum_qj, r.sum_qq)
+        for r in L.gram_moments(emb).collect()
+    }
+    assert merged_moments() == batch
+    # idempotence: redelivering a batch id must not change the merge
+    bid = next(iter(states))
+    states[bid] = dict(states[bid])
+    assert merged_moments() == batch

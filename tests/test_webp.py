@@ -152,3 +152,14 @@ def test_one_by_one_image():
 def test_palette_must_be_alone():
     with pytest.raises(ValueError, match="alone"):
         W.encode_vp8l(2, 2, bytes(12), transforms=("palette", "subtract_green"))
+
+
+def test_oversized_header_rejected_before_allocation():
+    bw = W._BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(16383, 14)  # width 16384
+    bw.write(16383, 14)  # height 16384 -> 2^28 pixels
+    bw.write(0, 1)
+    bw.write(0, 3)
+    with pytest.raises(ValueError, match="pixel budget"):
+        W.decode_vp8l(bw.getvalue())
