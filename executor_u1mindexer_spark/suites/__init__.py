@@ -64,6 +64,7 @@ DRIVER_PRIORITY = (
     "multimodal_decode_webp_lossless",
     "sample_pps_systematic",
     "embedding_gram_moments",
+    "near_dedup_cc_clusters",
     # changed since the r06 freeze (rotation policy (a))
     "text_inverted_index",
     "layout_zorder_clustering",
@@ -112,9 +113,9 @@ DRIVER_PRIORITY = (
     "clear",
     "correlated_scalar_subquery",
     "dedup_repeated_spans",
-    "dim_validate",
     # --- 50-slot window boundary: rows below lead the r08 rotation ---
     # (the remaining r04-stale rows, alphabetical)
+    "dim_validate",
     "events_asof_purchase_last_view",
     "events_json_extract",
     "events_pivot_daily_types",

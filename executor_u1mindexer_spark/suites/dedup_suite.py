@@ -75,6 +75,44 @@ def near_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def near_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME dedup keep-list as near_dedup_clusters, but components
+    come from graph.connected_components (large-star/small-star
+    contraction, r07) instead of dedup_clusters' min-label propagation —
+    checked against the IDENTICAL transitive-closure oracle. Two
+    independent CC algorithms, one recursive-CTE ground truth: a bug in
+    either algorithm (or a divergence between them) breaks exactly one
+    of the two rows, which localizes it immediately."""
+    from pyspark.sql import Window
+
+    from executor_u1mindexer_spark.operators import graph as G
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = G.connected_components(pairs)
+    out = (
+        docs.select("doc_id", "n_chars")
+        .join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style span dedup: drop every 5-word span whose exact text
     occurred earlier in the corpus, reassemble each doc. First occurrence
@@ -93,6 +131,7 @@ QUERIES = {
     "near_dedup_simhash": near_dedup_simhash,
     "near_dedup_embedding_cosine": near_dedup_embedding_cosine,
     "near_dedup_clusters": near_dedup_clusters,
+    "near_dedup_cc_clusters": near_dedup_cc_clusters,
     "dedup_repeated_spans": dedup_repeated_spans,
 }
 
@@ -316,3 +355,7 @@ GROUP BY s.doc_id
 ORDER BY s.doc_id
 """,
 }
+
+# near_dedup_cc_clusters is star-contraction CC against the SAME
+# recursive-CTE ground truth — two algorithms, one oracle
+ORACLES["near_dedup_cc_clusters"] = ORACLES["near_dedup_clusters"]
