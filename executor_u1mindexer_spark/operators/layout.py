@@ -230,7 +230,201 @@ def zorder_layout_stats(
     )
 
 
+PRED_PCTS = ((0, 10), (45, 55), (80, 90))
+
+
+def file_skipping_stats(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = BITS_DEFAULT,
+    n_bucket_bits: int = 5,
+    pred_pcts: tuple = PRED_PCTS,
+) -> DataFrame:
+    """The OTHER half of the z-order story (r07): zorder_layout_stats
+    measures min/max SPANS; this measures what those spans BUY — how many
+    simulated files a range predicate on the second dimension actually
+    has to read under each layout, exactly the parquet-footer pruning
+    decision a 100 TB scan makes.
+
+    Per range predicate on `col_b` (bounds = integer percent splits of
+    the column's min/max range, computed IN-PLAN from a broadcast 1-row
+    aggregate — no driver scalar): a file must be read iff its
+    [min, max] of `col_b` intersects [lo, hi]. Output one row per
+    predicate: (p_lo, p_hi, lo, hi, rows_matched, z_files_total,
+    z_files_read, a_files_total, a_files_read, z_not_worse_on_b) — all
+    integer/boolean, bit-exact cross-engine. The boolean states the
+    skipping theorem weakly (<=: at coarse file granularity ties are
+    legitimate); the strict span inequality lives in
+    layout_zorder_clustering.
+
+    Scale shape: per-file stats are one grouped agg to <= 2^n_bucket_bits
+    rows; predicate evaluation is a broadcast join of those tiny stats
+    against the <= |pred_pcts|-row bounds table; rows_matched is one
+    broadcast-range filter + grouped count over the fact rows."""
+    amap = rank_space_map(df, col_a, bits).withColumnRenamed("mapped", "__a16")
+    bmap = rank_space_map(df, col_b, bits).withColumnRenamed("mapped", "__b16")
+    rows = (
+        df.select(
+            F.col(col_a).alias("__va"), F.col(col_b).cast("long").alias("__vb")
+        )
+        .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
+        .join(F.broadcast(amap), F.col("__va") == amap["value"])
+        .drop("value")
+        .join(F.broadcast(bmap), F.col("__vb") == bmap["value"])
+        .drop("value")
+    )
+    z = morton_interleave_sql("__a16", "__b16", bits, "spark")
+    zshift = 2 * bits - n_bucket_bits
+    ashift = bits - n_bucket_bits
+    keyed = rows.select(
+        "__vb",
+        F.expr(_shr(z, zshift, "spark")).cast("long").alias("__zb"),
+        F.expr(_shr("__a16", ashift, "spark")).cast("long").alias("__ab"),
+    )
+    spark = df.sparkSession
+    preds = spark.createDataFrame(list(pred_pcts), "p_lo int, p_hi int")
+    mm = rows.agg(
+        F.min("__vb").cast("long").alias("__mn"),
+        F.max("__vb").cast("long").alias("__mx"),
+    )
+    bounds = preds.crossJoin(F.broadcast(mm)).select(
+        "p_lo",
+        "p_hi",
+        F.expr("__mn + ((__mx - __mn) * p_lo) DIV 100").cast("long").alias("lo"),
+        F.expr("__mn + ((__mx - __mn) * p_hi) DIV 100").cast("long").alias("hi"),
+    )
+
+    def files_read(bucket_col: str, prefix: str) -> DataFrame:
+        stats = keyed.groupBy(bucket_col).agg(
+            F.min("__vb").alias("__fmin"), F.max("__vb").alias("__fmax")
+        )
+        joined = bounds.join(
+            F.broadcast(stats),
+            (F.col("__fmax") >= F.col("lo")) & (F.col("__fmin") <= F.col("hi")),
+            "left",
+        )
+        return joined.groupBy("p_lo", "p_hi").agg(
+            F.count(bucket_col).cast("long").alias(f"{prefix}_files_read")
+        )
+
+    ztotal = keyed.agg(
+        F.countDistinct("__zb").cast("long").alias("z_files_total")
+    )
+    atotal = keyed.agg(
+        F.countDistinct("__ab").cast("long").alias("a_files_total")
+    )
+    matched = (
+        keyed.crossJoin(F.broadcast(bounds))
+        .filter(F.col("__vb").between(F.col("lo"), F.col("hi")))
+        .groupBy("p_lo", "p_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
+    )
+    return (
+        bounds.join(matched, ["p_lo", "p_hi"], "left")
+        .join(files_read("__zb", "z"), ["p_lo", "p_hi"], "left")
+        .join(files_read("__ab", "a"), ["p_lo", "p_hi"], "left")
+        .crossJoin(F.broadcast(ztotal))
+        .crossJoin(F.broadcast(atotal))
+        .select(
+            "p_lo",
+            "p_hi",
+            "lo",
+            "hi",
+            F.coalesce("rows_matched", F.lit(0)).cast("long").alias("rows_matched"),
+            "z_files_total",
+            F.coalesce("z_files_read", F.lit(0)).cast("long").alias("z_files_read"),
+            "a_files_total",
+            F.coalesce("a_files_read", F.lit(0)).cast("long").alias("a_files_read"),
+            (F.coalesce("z_files_read", F.lit(0)) <= F.coalesce("a_files_read", F.lit(0))).alias(
+                "z_not_worse_on_b"
+            ),
+        )
+        .orderBy("p_lo")
+    )
+
+
 # -- DuckDB oracle -----------------------------------------------------------
+
+
+def oracle_file_skipping_sql(
+    source: str,
+    col_a: str,
+    col_b: str,
+    bits: int = BITS_DEFAULT,
+    n_bucket_bits: int = 5,
+    pred_pcts: tuple = PRED_PCTS,
+) -> str:
+    z = morton_interleave_sql("__a16", "__b16", bits, "duck")
+    zshift = 2 * bits - n_bucket_bits
+    ashift = bits - n_bucket_bits
+
+    def rankmap(col: str) -> str:
+        return f"""
+  SELECT value,
+         CAST(((dense_rank() OVER (ORDER BY value ASC) - 1) * {1 << bits})
+              // (SELECT count(DISTINCT {col}) FROM {source}
+                  WHERE {col} IS NOT NULL) AS BIGINT) AS mapped
+  FROM (SELECT DISTINCT {col} AS value FROM {source}
+        WHERE {col} IS NOT NULL) dv
+"""
+
+    values = ", ".join(f"({lo}, {hi})" for lo, hi in pred_pcts)
+    return f"""
+WITH amap AS ({rankmap(col_a)}),
+bmap AS ({rankmap(col_b)}),
+keyed AS (
+  SELECT CAST(t.{col_b} AS BIGINT) AS __vb,
+         CAST({_shr(z, zshift, "duck")} AS BIGINT) AS __zb,
+         CAST({_shr("__a16", ashift, "duck")} AS BIGINT) AS __ab
+  FROM (SELECT {col_a}, {col_b}, a.mapped AS __a16, b.mapped AS __b16
+        FROM {source} t0
+        JOIN amap a ON t0.{col_a} = a.value
+        JOIN bmap b ON t0.{col_b} = b.value
+        WHERE t0.{col_a} IS NOT NULL AND t0.{col_b} IS NOT NULL) t
+),
+mm AS (SELECT CAST(min(__vb) AS BIGINT) AS mn,
+              CAST(max(__vb) AS BIGINT) AS mx FROM keyed),
+preds(p_lo, p_hi) AS (VALUES {values}),
+bounds AS (
+  SELECT CAST(p_lo AS INT) AS p_lo, CAST(p_hi AS INT) AS p_hi,
+         CAST(mn + ((mx - mn) * p_lo) // 100 AS BIGINT) AS lo,
+         CAST(mn + ((mx - mn) * p_hi) // 100 AS BIGINT) AS hi
+  FROM preds CROSS JOIN mm
+),
+zstats AS (SELECT __zb, min(__vb) AS fmin, max(__vb) AS fmax
+           FROM keyed GROUP BY __zb),
+astats AS (SELECT __ab, min(__vb) AS fmin, max(__vb) AS fmax
+           FROM keyed GROUP BY __ab),
+zread AS (
+  SELECT b.p_lo, b.p_hi, CAST(count(s.__zb) AS BIGINT) AS z_files_read
+  FROM bounds b LEFT JOIN zstats s ON s.fmax >= b.lo AND s.fmin <= b.hi
+  GROUP BY b.p_lo, b.p_hi
+),
+aread AS (
+  SELECT b.p_lo, b.p_hi, CAST(count(s.__ab) AS BIGINT) AS a_files_read
+  FROM bounds b LEFT JOIN astats s ON s.fmax >= b.lo AND s.fmin <= b.hi
+  GROUP BY b.p_lo, b.p_hi
+),
+m AS (
+  SELECT b.p_lo, b.p_hi, CAST(count(*) AS BIGINT) AS rows_matched
+  FROM bounds b JOIN keyed k ON k.__vb BETWEEN b.lo AND b.hi
+  GROUP BY b.p_lo, b.p_hi
+),
+tz AS (SELECT CAST(count(*) AS BIGINT) AS z_files_total FROM zstats),
+ta AS (SELECT CAST(count(*) AS BIGINT) AS a_files_total FROM astats)
+SELECT b.p_lo, b.p_hi, b.lo, b.hi,
+       coalesce(m.rows_matched, 0) AS rows_matched,
+       tz.z_files_total, zread.z_files_read,
+       ta.a_files_total, aread.a_files_read,
+       (zread.z_files_read <= aread.a_files_read) AS z_not_worse_on_b
+FROM bounds b
+LEFT JOIN m ON m.p_lo = b.p_lo AND m.p_hi = b.p_hi
+JOIN zread ON zread.p_lo = b.p_lo AND zread.p_hi = b.p_hi
+JOIN aread ON aread.p_lo = b.p_lo AND aread.p_hi = b.p_hi
+CROSS JOIN tz CROSS JOIN ta
+ORDER BY b.p_lo
+"""
 
 
 def oracle_zorder_stats_sql(

@@ -65,6 +65,7 @@ DRIVER_PRIORITY = (
     "sample_pps_systematic",
     "embedding_gram_moments",
     "near_dedup_cc_clusters",
+    "layout_file_skipping",
     # changed since the r06 freeze (rotation policy (a))
     "text_inverted_index",
     "layout_zorder_clustering",
@@ -112,9 +113,9 @@ DRIVER_PRIORITY = (
     "clean_corpus_pipeline",
     "clear",
     "correlated_scalar_subquery",
-    "dedup_repeated_spans",
     # --- 50-slot window boundary: rows below lead the r08 rotation ---
     # (the remaining r04-stale rows, alphabetical)
+    "dedup_repeated_spans",
     "dim_validate",
     "events_asof_purchase_last_view",
     "events_json_extract",

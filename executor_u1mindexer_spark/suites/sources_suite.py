@@ -114,8 +114,23 @@ def layout_zorder_clustering(spark, sf_dir):
     return L.zorder_layout_stats(li, "l_partkey", "l_suppkey")
 
 
+def layout_file_skipping(spark, sf_dir):
+    """Data-skipping proof for the z-order layout (r07, the companion to
+    layout_zorder_clustering): for three range predicates on l_suppkey
+    (percent splits of its min/max range, computed in-plan), count how
+    many simulated files each layout's per-file min/max stats force a
+    scan to READ — the actual parquet-footer pruning decision. One
+    integer row per predicate with the weak skipping theorem
+    (z_not_worse_on_b) oracle-checked."""
+    from executor_u1mindexer_spark.operators import layout as L
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return L.file_skipping_stats(li, "l_partkey", "l_suppkey")
+
+
 QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
+    "layout_file_skipping": layout_file_skipping,
     "source_json_roundtrip": source_json_roundtrip,
     "source_partitioned_parquet": source_partitioned_parquet,
     "source_orc_roundtrip": source_orc_roundtrip,
@@ -162,6 +177,9 @@ SELECT doc_id, chunk_seq,
 FROM c
 """,
     "layout_zorder_clustering": _L.oracle_zorder_stats_sql(
+        "lineitem", "l_partkey", "l_suppkey"
+    ),
+    "layout_file_skipping": _L.oracle_file_skipping_sql(
         "lineitem", "l_partkey", "l_suppkey"
     ),
 }
