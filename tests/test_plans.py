@@ -665,3 +665,22 @@ def test_ams_state_plan_is_pure_catalyst_single_exchange(spark, sf_dir):
                       "FlatMapGroupsInPandas"):
         assert python_op not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_gram_moments_is_one_exchange_one_pandas_stage(spark, sf_dir):
+    """The Gram kernel's scale contract: exactly ONE MapInPandas (the
+    per-partition int64 Gram) feeding ONE exchange over the <=
+    partitions * d(d+1)/2 partial rows — never a shuffle of n*d^2
+    exploded rows, and no other Python stage."""
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import linalg as L
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    plan = plans.physical_plan(L.gram_moments(emb), "simple")
+    assert plan.count("MapInPandas") == 1, plan
+    for python_op in ("BatchEvalPython", "ArrowEvalPython",
+                      "FlatMapGroupsInPandas"):
+        assert python_op not in plan, plan
+    # one exchange for the (i, j) groupBy-sum; the orderBy rides a
+    # range exchange over the 2080 aggregated rows, never raw data
+    assert plan.count("Exchange") <= 2, plan
