@@ -66,6 +66,7 @@ DRIVER_PRIORITY = (
     "embedding_gram_moments",
     "near_dedup_cc_clusters",
     "layout_file_skipping",
+    "text_phrase_search",
     # changed since the r06 freeze (rotation policy (a))
     "text_inverted_index",
     "layout_zorder_clustering",
@@ -112,9 +113,9 @@ DRIVER_PRIORITY = (
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
     "clear",
-    "correlated_scalar_subquery",
     # --- 50-slot window boundary: rows below lead the r08 rotation ---
     # (the remaining r04-stale rows, alphabetical)
+    "correlated_scalar_subquery",
     "dedup_repeated_spans",
     "dim_validate",
     "events_asof_purchase_last_view",

@@ -119,6 +119,46 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings
 
 
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (r07) — the query the inverted-index
+    artifact exists to serve: find every document containing an exact
+    2-token phrase, with its occurrence count. The phrase is derived
+    IN-PLAN from the fixture (the first two tokens of doc 0's text —
+    sf-independent, no literals to drift). Spark side: positional
+    postings via posexplode, occurrences = the classic positional-index
+    self-join on (doc_id, pos + 1) — the scalable formulation (token
+    equi-keys bound the join; no per-doc scan). The oracle takes a
+    DIFFERENT route: per-document token-array walk (ws[i], ws[i+1])
+    counting matches — so an off-by-one in either positional scheme
+    diverges. At 100 TB the w1/w2 token filters prune the postings
+    before the position join; stopword-class phrases inherit the df
+    skew documented on text_inverted_index."""
+    d = _docs(spark, sf_dir)
+    ws = T.words(F.lower(F.col("text")))
+    phrase = d.filter(F.col("doc_id") == 0).select(
+        ws.getItem(0).alias("w1"), ws.getItem(1).alias("w2")
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(ws).alias("pos", "token")
+    ).crossJoin(F.broadcast(phrase))
+    a1 = pos.filter(F.col("token") == F.col("w1")).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    a2 = pos.filter(F.col("token") == F.col("w2")).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p2")
+    )
+    return (
+        a1.join(
+            a2,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("p2") == F.col("p1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
+
+
 def text_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct character 4-gram counts per doc (functions/text.char_ngrams
     — the language-ID / fuzzy-similarity primitive) plus the uniqueness
@@ -658,6 +698,7 @@ QUERIES = {
     "text_corpus_stats": text_corpus_stats,
     "text_vocab_topk": text_vocab_topk,
     "text_inverted_index": text_inverted_index,
+    "text_phrase_search": text_phrase_search,
     "text_benchmark_contamination": text_benchmark_contamination,
     "text_char_ngram_stats": text_char_ngram_stats,
 }
@@ -994,6 +1035,23 @@ FROM (SELECT DISTINCT doc_id,
              unnest(str_split_regex(lower(text), '\\s+')) AS token
       FROM documents) t
 GROUP BY token
+""",
+    # phrase from doc 0's first two tokens; the oracle walks each doc's
+    # token array (ws[i], ws[i+1]) — a per-document formulation, vs
+    # Spark's positional-index self-join
+    "text_phrase_search": """
+WITH ph AS (
+  SELECT str_split_regex(lower(text), '\\s+')[1] AS w1,
+         str_split_regex(lower(text), '\\s+')[2] AS w2
+  FROM documents WHERE doc_id = 0
+), toks AS (
+  SELECT doc_id, str_split_regex(lower(text), '\\s+') AS ws FROM documents
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks t, ph, unnest(range(1, len(t.ws))) AS u(i)
+WHERE t.ws[i] = ph.w1 AND t.ws[i + 1] = ph.w2
+GROUP BY t.doc_id
+ORDER BY t.doc_id
 """,
     "text_vocab_topk": f"""
 SELECT token, count(*) AS n

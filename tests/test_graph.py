@@ -189,3 +189,27 @@ def test_pagerank_plan_depth_constant_across_iterations(spark):
         depths.append(len(plan.splitlines()))
     assert max(depths) - min(depths) <= 2, depths
 
+
+
+# -- hypothesis property test: CC vs union-find on arbitrary graphs ----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_connected_components_property(spark, edges):
+    edges = [(s, d) for s, d in edges if s != d]
+    if not edges:
+        return
+    got = {
+        r.node: r.component
+        for r in G.connected_components(_edges_df(spark, edges)).collect()
+    }
+    assert got == _py_components(edges)

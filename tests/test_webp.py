@@ -163,3 +163,43 @@ def test_oversized_header_rejected_before_allocation():
     bw.write(0, 3)
     with pytest.raises(ValueError, match="pixel budget"):
         W.decode_vp8l(bw.getvalue())
+
+
+# -- hypothesis property tests (no Spark; the codec is pure Python) ----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _rand_image(draw):
+    w = draw(st.integers(min_value=1, max_value=12))
+    h = draw(st.integers(min_value=1, max_value=10))
+    style = draw(st.sampled_from(["noise", "palette", "stripes"]))
+    if style == "noise":
+        rgb = bytes(
+            draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                          max_size=w * h * 3))
+        )
+    elif style == "palette":
+        pal = [
+            bytes(draw(st.lists(st.integers(0, 255), min_size=3, max_size=3)))
+            for _ in range(draw(st.integers(1, 5)))
+        ]
+        rgb = b"".join(
+            pal[draw(st.integers(0, len(pal) - 1))] for _ in range(w * h)
+        )
+    else:
+        row = bytes(
+            draw(st.lists(st.integers(0, 255), min_size=w * 3, max_size=w * 3))
+        )
+        rgb = row * h
+    lane = draw(st.sampled_from(_LANES))
+    return w, h, rgb, lane
+
+
+@settings(max_examples=40, deadline=None)
+@given(_rand_image())
+def test_roundtrip_property(data):
+    w, h, rgb, lane = data
+    enc = W.encode_webp(w, h, rgb, **lane)
+    assert W.decode_webp_rgb(enc) == (w, h, rgb)
