@@ -964,30 +964,43 @@ def encode_vp8l(
     height: int,
     rgb: bytes,
     *,
+    alpha: bytes | None = None,
     transforms: tuple[str, ...] = (),
     cache_bits: int = 0,
     use_lz77: bool = True,
     meta_split: bool = False,
     pred_size_bits: int = 2,
 ) -> bytes:
-    """RGB raster -> VP8L chunk payload (alpha = 255 everywhere).
+    """RGB raster -> VP8L chunk payload. `alpha` (w*h bytes, optional —
+    default opaque 255) exercises the alpha prefix code with a real
+    (non-degenerate) alphabet; the alpha-is-used header hint is set
+    accordingly.
 
     transforms: ordered subset of ('subtract_green', 'predictor',
     'color', 'palette'); written in the given order, so the decoder
     inverts them in reverse. 'palette' must be alone (width-changing)."""
     if len(rgb) != width * height * 3:
         raise ValueError(f"expected {width * height * 3} RGB bytes")
+    if alpha is not None and len(alpha) != width * height:
+        raise ValueError(f"expected {width * height} alpha bytes")
     if "palette" in transforms and len(transforms) != 1:
         raise ValueError("palette transform must be used alone")
     pix = [
-        _argb(0xFF, rgb[i * 3], rgb[i * 3 + 1], rgb[i * 3 + 2])
+        _argb(
+            0xFF if alpha is None else alpha[i],
+            rgb[i * 3],
+            rgb[i * 3 + 1],
+            rgb[i * 3 + 2],
+        )
         for i in range(width * height)
     ]
     bw = _BitWriter()
     bw.write(0x2F, 8)
     bw.write(width - 1, 14)
     bw.write(height - 1, 14)
-    bw.write(0, 1)  # alpha hint
+    bw.write(
+        1 if alpha is not None and any(a != 0xFF for a in alpha) else 0, 1
+    )  # alpha-is-used hint
     bw.write(0, 3)  # version
     cur_w = width
     for tr in transforms:

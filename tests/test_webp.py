@@ -203,3 +203,22 @@ def test_roundtrip_property(data):
     w, h, rgb, lane = data
     enc = W.encode_webp(w, h, rgb, **lane)
     assert W.decode_webp_rgb(enc) == (w, h, rgb)
+
+
+def test_alpha_channel_roundtrip():
+    """Non-opaque alpha gives the alpha prefix code a real alphabet
+    (otherwise it is always a degenerate single-symbol code)."""
+    rng = random.Random(13)
+    for lane in (dict(), dict(cache_bits=4),
+                 dict(transforms=("subtract_green", "predictor"))):
+        w, h = 9, 7
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        alpha = bytes(rng.randrange(256) for _ in range(w * h))
+        enc = W.encode_webp(w, h, rgb, alpha=alpha, **lane)
+        dw, dh, ch, rgba = W.decode_webp(enc)
+        assert (dw, dh, ch) == (w, h, 4)
+        got_rgb = bytes(
+            b for i in range(w * h) for b in rgba[i * 4 : i * 4 + 3]
+        )
+        got_a = bytes(rgba[i * 4 + 3] for i in range(w * h))
+        assert got_rgb == rgb and got_a == alpha, lane
