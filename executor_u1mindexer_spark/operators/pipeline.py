@@ -322,6 +322,126 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: str = "42") -> DataF
     return ranked.drop("__shuffle_key")
 
 
+def rolling_zscore_anomaly(
+    df: DataFrame,
+    *,
+    key: str,
+    order_cols: tuple,
+    value_col: str,
+    id_col: str,
+    window_rows: int = 20,
+    sigmas: int = 3,
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly flags (r07) — the point-anomaly
+    monitor next to drift_chi2_buckets' distribution monitor: flag a
+    value more than `sigmas` standard deviations from the mean of the
+    `window_rows` values BEFORE it (the trailing baseline EXCLUDES the
+    current row — including it bounds z^2 by n-1 algebraically, so a
+    spike in a small window could never reach 3 sigma; excluding it
+    leaves z unbounded, the semantics every production monitor uses).
+
+    EXACT integer arithmetic throughout: v = round(value * value_scale)
+    as BIGINT, baseline sum and sum-of-squares are integer window sums,
+    and the z-test is cross-multiplied to kill the division and sqrt —
+
+        (n*v - sum)^2  >  sigmas^2 * (n*sumsq - sum^2)
+
+    which is z^2 > sigmas^2 scaled by n^2 * (population) variance — so
+    the flag is bit-identical across engines and partition orders (a
+    float mean/std would not be). Baselines need n >= 2 and nonzero
+    variance to flag (a constant baseline flags nothing).
+
+    Scale shape: ROWS-frame windows PARTITIONED BY the key — state per
+    task is `window_rows` values; no global window, no shuffle beyond
+    the one hash exchange on the key. Overflow bound: n * max|v| and
+    n * max(v^2) must stay under 2^63 — with value_scale=1000 and
+    |value| <= 1e6 that holds to window_rows ~ 9e3.
+
+    Returns (id_col, v_scaled, n_win, win_sum, win_sumsq, is_anomaly)."""
+    from pyspark.sql import Window
+
+    if window_rows < 2:
+        raise ValueError(f"window_rows must be >= 2, got {window_rows}")
+    v = F.round(F.col(value_col) * F.lit(float(value_scale))).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.col(key).alias("__k"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        v.alias("v_scaled"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*[f"__o{i}" for i in range(len(order_cols))])
+        .rowsBetween(-window_rows, -1)
+    )
+    out = base.select(
+        id_col,
+        "v_scaled",
+        F.count("v_scaled").over(w).cast("long").alias("n_win"),
+        F.coalesce(F.sum("v_scaled").over(w), F.lit(0))
+        .cast("long")
+        .alias("win_sum"),
+        F.coalesce(F.sum(F.col("v_scaled") * F.col("v_scaled")).over(w), F.lit(0))
+        .cast("long")
+        .alias("win_sumsq"),
+    )
+    lhs = (F.col("n_win") * F.col("v_scaled") - F.col("win_sum"))
+    var_n2 = (
+        F.col("n_win") * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum")
+    )
+    return out.select(
+        id_col,
+        "v_scaled",
+        "n_win",
+        "win_sum",
+        "win_sumsq",
+        (
+            (F.col("n_win") >= 2)
+            & (var_n2 > 0)
+            & (lhs * lhs > F.lit(sigmas * sigmas) * var_n2)
+        ).alias("is_anomaly"),
+    )
+
+
+def oracle_rolling_zscore_sql(
+    source: str,
+    *,
+    key: str,
+    order_cols: tuple,
+    value_col: str,
+    id_col: str,
+    window_rows: int = 20,
+    sigmas: int = 3,
+    value_scale: int = 1000,
+) -> str:
+    """DuckDB replay of rolling_zscore_anomaly — identical integer
+    window sums and cross-multiplied test."""
+    order = ", ".join(order_cols)
+    frame = f"ROWS BETWEEN {window_rows} PRECEDING AND 1 PRECEDING"
+    over = f"OVER (PARTITION BY {key} ORDER BY {order} {frame})"
+    return f"""
+WITH v AS (
+  SELECT {id_col}, {key}, {order},
+         CAST(round({value_col} * {float(value_scale)!r}) AS BIGINT) AS v_scaled
+  FROM {source}
+), w AS (
+  SELECT {id_col}, v_scaled,
+         CAST(count(v_scaled) {over} AS BIGINT) AS n_win,
+         CAST(coalesce(sum(v_scaled) {over}, 0) AS BIGINT) AS win_sum,
+         CAST(coalesce(sum(v_scaled * v_scaled) {over}, 0) AS BIGINT)
+           AS win_sumsq
+  FROM v
+)
+SELECT {id_col}, v_scaled, n_win, win_sum, win_sumsq,
+       (n_win >= 2 AND (n_win * win_sumsq - win_sum * win_sum) > 0
+        AND (n_win * v_scaled - win_sum) * (n_win * v_scaled - win_sum)
+            > {sigmas * sigmas} * (n_win * win_sumsq - win_sum * win_sum))
+         AS is_anomaly
+FROM w
+"""
+
+
 DRIFT_NANO = 10**9
 
 

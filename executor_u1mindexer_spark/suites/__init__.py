@@ -67,6 +67,7 @@ DRIVER_PRIORITY = (
     "near_dedup_cc_clusters",
     "layout_file_skipping",
     "text_phrase_search",
+    "events_rolling_zscore",
     # changed since the r06 freeze (rotation policy (a))
     "text_inverted_index",
     "layout_zorder_clustering",
@@ -112,9 +113,9 @@ DRIVER_PRIORITY = (
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
-    "clear",
     # --- 50-slot window boundary: rows below lead the r08 rotation ---
     # (the remaining r04-stale rows, alphabetical)
+    "clear",
     "correlated_scalar_subquery",
     "dedup_repeated_spans",
     "dim_validate",

@@ -126,10 +126,29 @@ def embedding_gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.gram_moments(emb)
 
 
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score point-anomaly flags over events.value
+    (r07, operators/pipeline.py rolling_zscore_anomaly) — the companion
+    monitor to drift_chi2_value_periods: trailing 20-row window per
+    user, flag |z| > 3. The z-test is CROSS-MULTIPLIED integer
+    arithmetic over round(value*1000) BIGINTs (no division, no sqrt),
+    so every flag is bit-identical across engines and partition
+    orders. Partitioned ROWS windows only — no global window."""
+    ev = tables.load(spark, sf_dir, "events")
+    return P.rolling_zscore_anomaly(
+        ev,
+        key="user_id",
+        order_cols=("ts", "event_id"),
+        value_col="value",
+        id_col="event_id",
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "sample_hash_fraction": sample_hash_fraction,
     "sample_pps_systematic": sample_pps_systematic,
     "embedding_gram_moments": embedding_gram_moments,
+    "events_rolling_zscore": events_rolling_zscore,
     "shuffle_epoch_order": shuffle_epoch_order,
     "sample_stratified_by_lang": sample_stratified_by_lang,
     "mixture_weighted_sources": mixture_weighted_sources,
@@ -196,6 +215,13 @@ ORACLES = {
     "sample_hash_fraction": f"""
 SELECT doc_id, lang FROM documents WHERE {_BUCKET} < 100000
 """,
+    "events_rolling_zscore": P.oracle_rolling_zscore_sql(
+        "events",
+        key="user_id",
+        order_cols=("ts", "event_id"),
+        value_col="value",
+        id_col="event_id",
+    ) + " ORDER BY event_id",
     # PPS systematic rule replayed with ONE plain window cumsum (a
     # deliberately different formulation from Spark's partitioned
     # two-pass): select where floor(cum*k/total) crosses

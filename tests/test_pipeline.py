@@ -226,3 +226,32 @@ def test_pps_systematic_no_single_partition_window(spark):
         and not re.search(r"windowspecdefinition\(__b#\d+L, ", ln)
     ]
     assert all("__bt" in ln for ln in unpartitioned), unpartitioned
+
+
+def test_rolling_zscore_flags_spike_not_constant(spark):
+    from executor_u1mindexer_spark.operators.pipeline import rolling_zscore_anomaly
+
+    # key 1: gentle noise then a spike; key 2: constant (variance 0 ->
+    # never flags, even though any deviation would be "infinite sigma")
+    rows = []
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.0, 9.0, 10.0, 50.0]
+    rows += [(i, 1, i, vals[i]) for i in range(len(vals))]
+    rows += [(100 + i, 2, i, 7.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "event_id long, user_id int, ts long, value double")
+    got = {
+        r.event_id: r.is_anomaly
+        for r in rolling_zscore_anomaly(
+            df, key="user_id", order_cols=("ts", "event_id"),
+            value_col="value", id_col="event_id", window_rows=20,
+        ).collect()
+    }
+    assert got[9] is True          # the spike
+    assert not any(got[i] for i in range(9))      # the noise never flags
+    assert not any(got[100 + i] for i in range(8))  # constant never flags
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_rows"):
+        rolling_zscore_anomaly(
+            df, key="user_id", order_cols=("ts",), value_col="value",
+            id_col="event_id", window_rows=1,
+        )
