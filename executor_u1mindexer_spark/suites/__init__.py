@@ -45,16 +45,18 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 7 window — VERDICT r06 #3: rotation policy (a) first — the 2
-# brand-new r07 operators (star-contraction connected components, VP8L
-# lossless-WebP decode) and the 7 rows whose implementation or oracle
+# Round 7 window — VERDICT r06 #3: rotation policy (a) first — the 8
+# brand-new r07 operators (star-contraction connected components ×2
+# rows, VP8L lossless-WebP decode, PPS systematic sampling, Gram
+# moments, file-skipping proof, positional phrase search, rolling
+# z-score anomaly flags) and the 7 rows whose implementation or oracle
 # changed since the r06 freeze (text_inverted_index's driver-safe
 # string postings — r06's only red — plus the scale-safe zorder rank
 # map, the three quantile rows touched by the merged-state ordering
 # fix, drift's BIGINT buckets, and HNSW's l2-on-C + state validation);
 # then ALL 32 rows whose newest driver row is r03 (named by
 # tools/rotation_check.py — policy (b), alphabetical); then fill the
-# remaining 9 slots from the r04-stale rows (alphabetical). After this
+# remaining slots from the r04-stale rows (alphabetical). After this
 # round the staleness floor rises to r04 (histogram min >= 4). Every
 # below-boundary row stays green in the committed local dtype-faithful
 # sweeps at sf0.01 AND sf0.1 meanwhile; the remaining r04 rows lead r08.
