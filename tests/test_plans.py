@@ -684,3 +684,34 @@ def test_gram_moments_is_one_exchange_one_pandas_stage(spark, sf_dir):
     # one exchange for the (i, j) groupBy-sum; the orderBy rides a
     # range exchange over the 2080 aggregated rows, never raw data
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_phrase_search_joins_on_token_filtered_postings(spark, sf_dir):
+    """The positional join must be a real equi/hash join over
+    token-filtered postings — the only BroadcastNestedLoopJoin allowed
+    is the 1-row phrase crossJoin; no Python anywhere."""
+    from executor_u1mindexer_spark.suites.text_suite import text_phrase_search
+
+    df = text_phrase_search(spark, "/root/testdata/sf0.001")
+    plan = plans.physical_plan(df, "simple")
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_op not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_file_skipping_has_no_unpartitioned_data_window(spark, sf_dir):
+    """All windows in the rank maps are bucket-partitioned; the file
+    stats and bounds ride broadcast joins; no Python."""
+    from executor_u1mindexer_spark.suites.sources_suite import layout_file_skipping
+
+    df = layout_file_skipping(spark, "/root/testdata/sf0.001")
+    plan = plans.physical_plan(df, "simple")
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_op not in plan, plan
+    import re
+
+    for ln in plan.splitlines():
+        if "Window" in ln and "row_number" in ln:
+            assert re.search(r"windowspecdefinition\(__bkt#\d+", ln), ln
