@@ -218,3 +218,83 @@ def gapfill_hourly(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple = ("ts", "event_id"),
+    prob_scale: int = 10**6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event chains
+    (r07) — the user-behavior model a product-analytics pipeline fits:
+    for each (from_type, to_type) pair, the transition count over all
+    consecutive event pairs of the same key, and the row-normalized
+    probability as a MICRO-SCALED INTEGER ((cnt * prob_scale) DIV
+    row_total — exact floor division, so the matrix is bit-identical
+    across engines; probabilities in a row sum to prob_scale minus the
+    floor remainders, which is the documented convention, not an error).
+
+    Scale shape: one lag window PARTITIONED by key (state = 1 row), one
+    grouped count over (from, to) — map-side partial — and the row
+    totals come from a second tiny aggregate over the <= |types|^2
+    matrix itself, broadcast back. No global window, no driver scalar.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = events.select(
+        F.col(type_col).alias("to_type"),
+        F.lag(type_col).over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__row_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr(f"(n_transitions * {prob_scale}L) DIV __row_total")
+            .cast("long")
+            .alias("prob_micro"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def oracle_markov_sql(
+    source: str = "events",
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple = ("ts", "event_id"),
+    prob_scale: int = 10**6,
+) -> str:
+    order = ", ".join(order_cols)
+    return f"""
+WITH pairs AS (
+  SELECT lag({type_col}) OVER (PARTITION BY {key_col} ORDER BY {order})
+           AS from_type,
+         {type_col} AS to_type
+  FROM {source}
+), c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+), t AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS row_total
+  FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST((c.n_transitions * {prob_scale}) // t.row_total AS BIGINT)
+         AS prob_micro
+FROM c JOIN t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+"""

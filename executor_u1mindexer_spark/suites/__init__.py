@@ -70,6 +70,7 @@ DRIVER_PRIORITY = (
     "layout_file_skipping",
     "text_phrase_search",
     "events_rolling_zscore",
+    "events_markov_transitions",
     # changed since the r06 freeze (rotation policy (a))
     "text_inverted_index",
     "layout_zorder_clustering",
@@ -114,9 +115,9 @@ DRIVER_PRIORITY = (
     # fill: newest driver row r04, alphabetical
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",
-    "clean_corpus_pipeline",
     # --- 50-slot window boundary: rows below lead the r08 rotation ---
     # (the remaining r04-stale rows, alphabetical)
+    "clean_corpus_pipeline",
     "clear",
     "correlated_scalar_subquery",
     "dedup_repeated_spans",

@@ -168,8 +168,19 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.gapfill_hourly(ev).orderBy("hour", "event_type")
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event chains
+    (r07, operators/events.markov_transitions): (from_type, to_type)
+    counts + micro-scaled floor-division probabilities — bit-exact, one
+    partitioned lag window + one grouped count; the |types|^2 matrix's
+    row totals broadcast back."""
+    ev = tables.load(spark, sf_dir, "events")
+    return E.markov_transitions(ev)
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
+    "events_markov_transitions": events_markov_transitions,
     "events_resample_ohlc": events_resample_ohlc,
     "events_gapfill_hourly": events_gapfill_hourly,
     "events_sliding_1h_30m": events_sliding_1h_30m,
@@ -182,6 +193,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_markov_transitions": E.oracle_markov_sql(),
     # dense spine via generate_series over the corpus min/max hour; DuckDB's
     # last_value IGNORE NULLS is the same forward-fill as Spark's
     # F.last(ignorenulls=True) over ROWS UNBOUNDED PRECEDING
