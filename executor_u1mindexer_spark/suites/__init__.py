@@ -45,11 +45,11 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 7 window — VERDICT r06 #3: rotation policy (a) first — the 8
-# brand-new r07 operators (star-contraction connected components ×2
-# rows, VP8L lossless-WebP decode, PPS systematic sampling, Gram
-# moments, file-skipping proof, positional phrase search, rolling
-# z-score anomaly flags) and the 7 rows whose implementation or oracle
+# Round 7 window — VERDICT r06 #3: rotation policy (a) first — the 9
+# brand-new r07 registry rows (star-contraction connected components ×2,
+# VP8L lossless-WebP decode, PPS systematic sampling, Gram moments,
+# file-skipping proof, positional phrase search, rolling z-score
+# anomaly flags, Markov transitions) and the 7 rows whose implementation or oracle
 # changed since the r06 freeze (text_inverted_index's driver-safe
 # string postings — r06's only red — plus the scale-safe zorder rank
 # map, the three quantile rows touched by the merged-state ordering
