@@ -588,9 +588,7 @@ def _inv_color_index(
 ) -> list[int]:
     wb = _width_bits(len(palette))
     if wb == 0:
-        out = pix
-        idxs = [(p >> 8) & 0xFF for p in pix]
-        return [_lookup_palette(palette, i) for i in idxs]
+        return [_lookup_palette(palette, (p >> 8) & 0xFF) for p in pix]
     per = 1 << wb
     bits = 8 >> wb
     mask = (1 << bits) - 1
