@@ -70,3 +70,17 @@ def test_pca_project_plan_is_expression_only(spark):
     # the projection itself must not shuffle or call Python
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_covariance_from_moments_matches_numpy_cov(spark):
+    rng = np.random.default_rng(21)
+    mat = rng.normal(scale=0.4, size=(80, 6)).astype(np.float32)
+    rows = [r.asDict() for r in L.gram_moments(_emb_df(spark, mat)).collect()]
+    cov = L.covariance_from_moments(rows)
+    q = np.round(mat.astype(np.float64) * L.GRAM_SCALE)
+    want = np.cov(q, rowvar=False, ddof=1)
+    assert np.allclose(cov, want, rtol=1e-12, atol=1e-6)
+    with pytest.raises(ValueError, match="n >= 2"):
+        L.covariance_from_moments(
+            [{"i": 0, "j": 0, "n": 1, "sum_qi": 5, "sum_qj": 5, "sum_qq": 25}]
+        )

@@ -222,3 +222,40 @@ def test_alpha_channel_roundtrip():
         )
         got_a = bytes(rgba[i * 4 + 3] for i in range(w * h))
         assert got_rgb == rgb and got_a == alpha, lane
+
+
+def test_decode_handcrafted_minimal_stream():
+    """Decoder vs a HAND-SPECIFIED bitstream (packed by a local one-off
+    packer, not the module's _BitWriter): a 1x1 image, no transforms/
+    cache/meta, five simple prefix codes each degenerate to one symbol,
+    zero pixel bits. Checks the field order and bit layout of the
+    header + simple-code path independently of the encoder."""
+    fields = [
+        (0x2F, 8),   # signature
+        (0, 14),     # width - 1
+        (0, 14),     # height - 1
+        (0, 1),      # alpha hint
+        (0, 3),      # version
+        (0, 1),      # no transforms
+        (0, 1),      # no color cache
+        (0, 1),      # no meta prefix codes
+        # green: simple, 1 symbol, 8-bit, symbol 42
+        (1, 1), (0, 1), (1, 1), (42, 8),
+        # red: symbol 7
+        (1, 1), (0, 1), (1, 1), (7, 8),
+        # blue: symbol 99
+        (1, 1), (0, 1), (1, 1), (99, 8),
+        # alpha: symbol 255
+        (1, 1), (0, 1), (1, 1), (255, 8),
+        # distance: simple, 1 symbol, 1-bit, symbol 0
+        (1, 1), (0, 1), (0, 1), (0, 1),
+    ]
+    acc = 0
+    nbits = 0
+    for val, n in fields:
+        acc |= (val & ((1 << n) - 1)) << nbits
+        nbits += n
+    payload = acc.to_bytes((nbits + 7) // 8, "little")
+    w, h, pix = W.decode_vp8l(payload)
+    assert (w, h) == (1, 1)
+    assert pix == [W._argb(255, 7, 42, 99)]
