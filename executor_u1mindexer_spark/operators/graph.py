@@ -292,6 +292,91 @@ def connected_components(
     return members.unionByName(roots).distinct()
 
 
+def label_propagation(
+    edges: DataFrame, n_iter: int = 4
+) -> DataFrame:
+    """Synchronous label propagation (community detection; Raghavan,
+    Albert, Kumara 2007) with FULLY DETERMINISTIC semantics: labels
+    start as node ids; each round every node adopts the label most
+    frequent among its neighbors, ties broken by SMALLEST label (the
+    classic async coin-flips are replaced by the (count desc, label asc)
+    rule so engines and partitionings agree bit-for-bit), run for a
+    FIXED n_iter rounds (like pagerank — bounded replayable iterations,
+    not a data-dependent fixpoint).
+
+    Returns (node, label) for every node incident to an edge. Scale
+    shape: per round one edges-join-labels shuffle + one (node, label)
+    grouped count + one node-partitioned window — the Pregel superstep
+    expressed relationally, eager checkpoint per round (constant plan
+    depth). The oracle replays all rounds as chained CTEs.
+
+    [NOT IN REFERENCE — executor.py has no graph surface.]"""
+    from pyspark.sql import Window
+
+    if not (1 <= n_iter <= 50):
+        raise ValueError(f"n_iter must be in [1, 50], got {n_iter}")
+    directed = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = directed.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iter):
+        votes = (
+            directed.join(labels, directed["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def oracle_label_propagation_sql(n_iter: int = 4) -> str:
+    """Chained-CTE replay of label_propagation over the part-adjacency
+    edges — identical vote counting and (count desc, label asc) rule."""
+    if not (1 <= n_iter <= 50):
+        raise ValueError(f"n_iter must be in [1, 50], got {n_iter}")
+    body = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        """directed AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM directed),""",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"l{i - 1}"
+        body.append(f"""v{i} AS (
+  SELECT d.dst AS node, p.label, CAST(count(*) AS BIGINT) AS c
+  FROM directed d JOIN {prev} p ON d.src = p.node
+  GROUP BY d.dst, p.label
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{i}) q
+  WHERE rn = 1
+),""")
+    out = "\n".join(body).rstrip().rstrip(",")
+    return out + f"\nSELECT node, label FROM l{n_iter}\n"
+
+
 # -- DuckDB oracle generators ------------------------------------------------
 
 _EDGES_SQL = """

@@ -71,6 +71,7 @@ DRIVER_PRIORITY = (
     "text_phrase_search",
     "events_rolling_zscore",
     "events_markov_transitions",
+    "graph_label_propagation",
     # changed since the r06 freeze (rotation policy (a))
     "text_inverted_index",
     "layout_zorder_clustering",
@@ -114,9 +115,9 @@ DRIVER_PRIORITY = (
     "window_cume_dist_percent_rank",
     # fill: newest driver row r04, alphabetical
     "agg_stats_funcs",
-    "ann_kmeans_ivf_topk",
     # --- 50-slot window boundary: rows below lead the r08 rotation ---
     # (the remaining r04-stale rows, alphabetical)
+    "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
     "clear",
     "correlated_scalar_subquery",

@@ -72,15 +72,31 @@ def graph_cc_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITER = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the part
+    co-occurrence graph (r07, operators/graph.py label_propagation) —
+    community detection completing the iterative trio beside PageRank
+    and star-contraction CC. Ties break (count desc, label asc) instead
+    of the classic coin flip, so all 4 replayed rounds are bit-exact in
+    both engines."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return G.label_propagation(G.consecutive_line_edges(li), LPA_ITER)
+
+
 QUERIES = {
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_count": graph_triangle_count,
     "graph_cc_event_chains": graph_cc_event_chains,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 ORACLES = {
     "graph_pagerank_parts": G.oracle_pagerank_sql(PR_ITER, PR_DAMPING),
     "graph_triangle_count": G.oracle_triangles_sql(),
+    "graph_label_propagation": G.oracle_label_propagation_sql(LPA_ITER),
     # exact independent formulation: the chain graph's components are the
     # users, so the component label (= component-min node id) is simply
     # the user's minimum event_id — no recursion, no closure, exact at

@@ -213,3 +213,49 @@ def test_connected_components_property(spark, edges):
         for r in G.connected_components(_edges_df(spark, edges)).collect()
     }
     assert got == _py_components(edges)
+
+
+def _py_lpa(edges, n_iter):
+    directed = []
+    for s, d in edges:
+        directed += [(s, d), (d, s)]
+    labels = {s: s for s, _ in directed}
+    for _ in range(n_iter):
+        votes = {}
+        for s, d in directed:
+            votes.setdefault(d, {}).setdefault(labels[s], 0)
+            votes[d][labels[s]] += 1
+        labels = {
+            n: min(v, key=lambda lb: (-v[lb], lb)) for n, v in votes.items()
+        }
+    return labels
+
+
+def test_label_propagation_matches_python_replay(spark):
+    # two dense triangles joined by a bridge: communities form fast,
+    # ties on the bridge exercise the (count desc, label asc) rule
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+             (7, 8)]
+    for n_iter in (1, 2, 4):
+        got = {
+            r.node: r.label
+            for r in G.label_propagation(
+                _edges_df(spark, edges), n_iter
+            ).collect()
+        }
+        assert got == _py_lpa(edges, n_iter), n_iter
+    with pytest.raises(ValueError, match="n_iter"):
+        G.label_propagation(_edges_df(spark, edges), 0)
+
+
+def test_label_propagation_plan_depth_constant(spark):
+    edges = [(i, i + 1) for i in range(30)]
+    e = _edges_df(spark, edges)
+    depths = []
+    for n_iter in (1, 4):
+        plan = (
+            G.label_propagation(e, n_iter)
+            ._jdf.queryExecution().executedPlan().treeString()
+        )
+        depths.append(len(plan.splitlines()))
+    assert max(depths) - min(depths) <= 2, depths
