@@ -329,12 +329,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, ch, out.tobytes()
 
 
-def decode_image_meta(payload: bytes) -> dict:
-    """Dispatch on magic bytes; returns format/width/height/pixel_sum where
-    pixel_sum is the sum of all channel bytes in top-down raster order
-    (identical for the same RGB image in any lossless container; for JPEG
-    it is the sum over the DECODED raster — exact for block-constant
-    images under the default all-ones quant table, see operators/jpeg.py)."""
+def decode_image_px(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Dispatch on magic bytes -> (format, width, height, channel bytes
+    in top-down raster order). The raster is RGB for the lossless
+    containers and whatever the codec produced for JPEG (gray or RGB —
+    both flow through the sum/resize consumers unchanged)."""
     from executor_u1mindexer_spark.operators.jpeg import decode_jpeg
 
     from executor_u1mindexer_spark.operators.gif import decode_gif
@@ -358,7 +357,70 @@ def decode_image_meta(payload: bytes) -> dict:
             "unrecognized image payload (expected P6 PPM, BMP, PNG, GIF, "
             "WebP, or JPEG)"
         )
+    return fmt, w, h, px
+
+
+def decode_image_meta(payload: bytes) -> dict:
+    """Dispatch on magic bytes; returns format/width/height/pixel_sum where
+    pixel_sum is the sum of all channel bytes in top-down raster order
+    (identical for the same RGB image in any lossless container; for JPEG
+    it is the sum over the DECODED raster — exact for block-constant
+    images under the default all-ones quant table, see operators/jpeg.py)."""
+    fmt, w, h, px = decode_image_px(payload)
     return {"format": fmt, "width": w, "height": h, "pixel_sum": sum(px)}
+
+
+def resize_nearest(px: bytes, w: int, h: int, tw: int, th: int, ch: int = 3) -> bytes:
+    """Nearest-neighbor resize of a top-down raster: thumbnail pixel
+    (tx, ty) samples source (tx*w DIV tw, ty*h DIV th) — pure integer
+    coordinate mapping, so the result (and any sum over it) is exact and
+    engine-independent. The thumbnailing step of a 100 TB image corpus."""
+    if len(px) != w * h * ch:
+        raise ValueError(f"expected {w * h * ch} channel bytes, got {len(px)}")
+    out = bytearray()
+    for ty in range(th):
+        sy = ty * h // th
+        for tx in range(tw):
+            sx = tx * w // tw
+            i = (sy * w + sx) * ch
+            out += px[i : i + ch]
+    return bytes(out)
+
+
+THUMB_META_SCHEMA = (
+    "doc_id long, format string, src_w int, src_h int, "
+    "thumb_w int, thumb_h int, thumb_pixel_sum long"
+)
+
+
+def thumbnail_metadata(
+    df: DataFrame, tw: int = 2, th: int = 2, id_col: str = "doc_id", bin_col: str = "img"
+) -> DataFrame:
+    """Decode + nearest-neighbor thumbnail + typed metadata in ONE Arrow
+    pass (mapInPandas) — decode and feature-extract fused so payloads
+    are touched once; the integer coordinate mapping keeps the
+    thumbnail's pixel_sum closed-form for the oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "format": [], "src_w": [], "src_h": [],
+                "thumb_w": [], "thumb_h": [], "thumb_pixel_sum": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                fmt, w, h, px = decode_image_px(bytes(payload))
+                ch = len(px) // (w * h)
+                thumb = resize_nearest(px, w, h, tw, th, ch)
+                rows["doc_id"].append(did)
+                rows["format"].append(fmt)
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["thumb_w"].append(tw)
+                rows["thumb_h"].append(th)
+                rows["thumb_pixel_sum"].append(sum(thumb))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=THUMB_META_SCHEMA)
 
 
 def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

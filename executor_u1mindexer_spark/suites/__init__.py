@@ -45,11 +45,12 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 7 window — VERDICT r06 #3: rotation policy (a) first — the 9
+# Round 7 window — VERDICT r06 #3: rotation policy (a) first — the 11
 # brand-new r07 registry rows (star-contraction connected components ×2,
 # VP8L lossless-WebP decode, PPS systematic sampling, Gram moments,
 # file-skipping proof, positional phrase search, rolling z-score
-# anomaly flags, Markov transitions) and the 7 rows whose implementation or oracle
+# anomaly flags, Markov transitions, label propagation, fused
+# decode+thumbnail) and the 7 rows whose implementation or oracle
 # changed since the r06 freeze (text_inverted_index's driver-safe
 # string postings — r06's only red — plus the scale-safe zorder rank
 # map, the three quantile rows touched by the merged-state ordering
@@ -72,6 +73,7 @@ DRIVER_PRIORITY = (
     "events_rolling_zscore",
     "events_markov_transitions",
     "graph_label_propagation",
+    "multimodal_thumbnail_meta",
     # changed since the r06 freeze (rotation policy (a))
     "text_inverted_index",
     "layout_zorder_clustering",
@@ -113,9 +115,10 @@ DRIVER_PRIORITY = (
     "update_skipped",
     "vector_dedup_quantize",
     "window_cume_dist_percent_rank",
-    # fill: newest driver row r04, alphabetical
-    "agg_stats_funcs",
     # --- 50-slot window boundary: rows below lead the r08 rotation ---
+    # (the remaining r04-stale rows, alphabetical — none fit this round:
+    # all 50 slots hold r07-new/changed rows + the 32 r03-stale rows)
+    "agg_stats_funcs",
     # (the remaining r04-stale rows, alphabetical)
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",

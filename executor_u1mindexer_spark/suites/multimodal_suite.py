@@ -99,6 +99,17 @@ def multimodal_decode_webp_lossless(spark: SparkSession, sf_dir: str) -> DataFra
     return MM.decode_images_metadata(MM.attach_synthetic_webp(docs))
 
 
+def multimodal_thumbnail_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor 2x2 thumbnail in one Arrow pass (r07,
+    operators/multimodal.py thumbnail_metadata) over the same 4-container
+    synthetic image cycle as multimodal_decode_image. The resize is pure
+    integer coordinate mapping (tx*w DIV tw), so the thumbnail pixel_sum
+    has a closed form the oracle states per lane — a decoder or resize
+    off-by-one in ANY container diverges."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return MM.thumbnail_metadata(MM.attach_synthetic_images(docs))
+
+
 QUERIES = {
     "multimodal_join": multimodal_join,
     "multimodal_binary_metadata": multimodal_binary_metadata,
@@ -107,6 +118,7 @@ QUERIES = {
     "multimodal_sample_video_frames": multimodal_sample_video_frames,
     "multimodal_decode_gif_animation": multimodal_decode_gif_animation,
     "multimodal_decode_webp_lossless": multimodal_decode_webp_lossless,
+    "multimodal_thumbnail_meta": multimodal_thumbnail_meta,
 }
 
 
@@ -221,6 +233,34 @@ SELECT doc_id,
        CAST(list_sum(list_transform(
               range(0, (doc_id % 6 + 3) * (doc_id % 4 + 3) * 3),
               i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum
+FROM documents
+""",
+    # thumbnail rule: tw = th = 2, nearest-neighbor sample at
+    # (tx*w)//2, (ty*h)//2. Lossless lanes (3 channels): sum over the 12
+    # thumbnail channel bytes of the generation formula; constant-JPEG
+    # lanes: 4 thumbnail pixels of the constant (1-channel gray for
+    # id%8=3, 3-channel color for id%8=7)
+    "multimodal_thumbnail_meta": """
+SELECT doc_id,
+       CASE WHEN doc_id % 8 = 4 THEN 'gif'
+            WHEN doc_id % 4 = 0 THEN 'ppm' WHEN doc_id % 4 = 1 THEN 'bmp'
+            WHEN doc_id % 4 = 2 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(doc_id % 5 + 2 AS INT) AS src_w,
+       CAST(doc_id % 3 + 2 AS INT) AS src_h,
+       CAST(2 AS INT) AS thumb_w,
+       CAST(2 AS INT) AS thumb_h,
+       CAST(CASE WHEN doc_id % 8 = 3
+            THEN 4 * ((doc_id * 7) % 256)
+            WHEN doc_id % 8 = 7
+            THEN 4 * ((doc_id * 7) % 256 + (doc_id * 11) % 256
+                      + (doc_id * 13) % 256)
+            ELSE list_sum(list_transform(range(0, 12), k ->
+                 (doc_id * 7
+                  + ((((k // 6) * (doc_id % 3 + 2)) // 2)
+                       * (doc_id % 5 + 2)
+                     + (((k % 6) // 3) * (doc_id % 5 + 2)) // 2) * 3
+                  + k % 3) % 256))
+       END AS BIGINT) AS thumb_pixel_sum
 FROM documents
 """,
 }

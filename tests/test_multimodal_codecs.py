@@ -579,3 +579,27 @@ def test_gif_single_frame_encoder_still_roundtrips_through_frames_api():
     sw, sh, out = G.decode_gif_frames(G.encode_gif(6, 2, px))
     assert (sw, sh, len(out)) == (6, 2, 1)
     assert out[0][1] == px
+
+
+def test_resize_nearest_semantics():
+    from executor_u1mindexer_spark.operators.multimodal import resize_nearest
+
+    # 4x2 RGB raster with per-pixel distinct bytes
+    w, h = 4, 2
+    px = bytes(range(w * h * 3))
+    thumb = resize_nearest(px, w, h, 2, 2)
+    # (tx*4)//2 -> sx in {0, 2}; (ty*2)//2 -> sy in {0, 1}
+    want = b"".join(
+        px[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+        for sy in (0, 1) for sx in (0, 2)
+    )
+    assert thumb == want
+    # identity resize
+    assert resize_nearest(px, w, h, w, h) == px
+    # upscale replicates nearest pixels and keeps total size tw*th*3
+    up = resize_nearest(px, w, h, 8, 4)
+    assert len(up) == 8 * 4 * 3
+    import pytest as _p
+
+    with _p.raises(ValueError, match="channel bytes"):
+        resize_nearest(px[:-1], w, h, 2, 2)
