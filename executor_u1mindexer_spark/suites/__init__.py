@@ -56,8 +56,8 @@ SUITE_MODULES = (
 # map, the three quantile rows touched by the merged-state ordering
 # fix, drift's BIGINT buckets, and HNSW's l2-on-C + state validation);
 # then ALL 32 rows whose newest driver row is r03 (named by
-# tools/rotation_check.py — policy (b), alphabetical); then fill the
-# remaining slots from the r04-stale rows (alphabetical). After this
+# tools/rotation_check.py — policy (b), alphabetical) — which fills the
+# window exactly (11 + 7 + 32 = 50). After this
 # round the staleness floor rises to r04 (histogram min >= 4). Every
 # below-boundary row stays green in the committed local dtype-faithful
 # sweeps at sf0.01 AND sf0.1 meanwhile; the remaining r04 rows lead r08.
@@ -116,10 +116,9 @@ DRIVER_PRIORITY = (
     "vector_dedup_quantize",
     "window_cume_dist_percent_rank",
     # --- 50-slot window boundary: rows below lead the r08 rotation ---
-    # (the remaining r04-stale rows, alphabetical — none fit this round:
-    # all 50 slots hold r07-new/changed rows + the 32 r03-stale rows)
+    # (ALL r04-stale rows, alphabetical — no fill slots remained this
+    # round: the 50 slots hold 11 new + 7 changed + 32 r03-stale rows)
     "agg_stats_funcs",
-    # (the remaining r04-stale rows, alphabetical)
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
     "clear",
