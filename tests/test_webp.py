@@ -259,3 +259,53 @@ def test_decode_handcrafted_minimal_stream():
     w, h, pix = W.decode_vp8l(payload)
     assert (w, h) == (1, 1)
     assert pix == [W._argb(255, 7, 42, 99)]
+
+
+def _pack(fields):
+    acc = 0
+    nbits = 0
+    for val, n in fields:
+        acc |= (val & ((1 << n) - 1)) << nbits
+        nbits += n
+    return acc.to_bytes((nbits + 7) // 8, "little")
+
+
+def _header_1x1():
+    return [(0x2F, 8), (0, 14), (0, 14), (0, 1), (0, 3),
+            (0, 1), (0, 1), (0, 1)]  # no transforms/cache/meta
+
+
+def test_decoder_rejects_out_of_alphabet_simple_symbols():
+    # distance simple code with an 8-bit symbol 255 >= 40 -> ValueError
+    fields = _header_1x1()
+    for sym in (42, 7, 99, 255):  # four valid 8-bit simple codes
+        fields += [(1, 1), (0, 1), (1, 1), (sym, 8)]
+    fields += [(1, 1), (0, 1), (1, 1), (255, 8)]  # dist symbol 255: invalid
+    with pytest.raises(ValueError, match="out of alphabet"):
+        W.decode_vp8l(_pack(fields))
+
+
+def test_decoder_rejects_code_length_repeat_past_alphabet():
+    # green code via the NORMAL path whose 18-code zero-run overruns the
+    # 280-symbol alphabet: num_cl=5 transmits lengths for order
+    # (17, 18, 0, 1, 2); give symbol 18 length 1 and symbol 0 length 1,
+    # then emit enough 18-runs to blow past the alphabet
+    fields = _header_1x1()
+    fields += [(0, 1)]           # normal code
+    fields += [(5 - 4, 4)]       # num_code_lengths = 5
+    # 3-bit lengths for cl symbols 17, 18, 0, 1, 2
+    fields += [(0, 3), (1, 3), (1, 3), (0, 3), (0, 3)]
+    fields += [(0, 1)]           # no max_symbol trimming
+    # canonical: symbols {18: len1, 0: len1} -> codes 0 (sym 0), 1 (sym 18)
+    # emit 18-code (bit 1) with max run 138, three times: 414 > 280
+    for _ in range(3):
+        fields += [(1, 1), (127, 7)]
+    with pytest.raises(ValueError, match="repeat past alphabet"):
+        W.decode_vp8l(_pack(fields))
+
+
+def test_decoder_rejects_oversubscribed_prefix_code():
+    # code-length code claiming three symbols of length 1 is
+    # over-subscribed; construction must fail loudly
+    with pytest.raises(ValueError, match="over-subscribed"):
+        W._PrefixCode([1, 1, 1])
