@@ -259,3 +259,34 @@ def test_label_propagation_plan_depth_constant(spark):
         )
         depths.append(len(plan.splitlines()))
     assert max(depths) - min(depths) <= 2, depths
+
+
+def test_connected_components_self_loops_only_is_empty(spark):
+    # self-loops normalize away entirely -> empty labeling, no error
+    out = G.connected_components(_edges_df(spark, [(3, 3), (7, 7)])).collect()
+    assert out == []
+
+
+def test_markov_transitions_matches_python_replay(spark):
+    from executor_u1mindexer_spark.operators.events import markov_transitions
+
+    rows = [
+        # user 1: a -> b -> a -> c ; user 2: b -> b -> a
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"), (4, 1, 40, "c"),
+        (5, 2, 10, "b"), (6, 2, 20, "b"), (7, 2, 30, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id int, ts long, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob_micro)
+        for r in markov_transitions(df).collect()
+    }
+    # from 'a': a->b (1), a->c (1) => 500000 each; from 'b': b->a (2),
+    # b->b (1) => 666666 / 333333 (floor division)
+    assert got == {
+        ("a", "b"): (1, 500000),
+        ("a", "c"): (1, 500000),
+        ("b", "a"): (2, 666666),
+        ("b", "b"): (1, 333333),
+    }

@@ -255,3 +255,17 @@ def test_rolling_zscore_flags_spike_not_constant(spark):
             df, key="user_id", order_cols=("ts",), value_col="value",
             id_col="event_id", window_rows=1,
         )
+
+
+def test_pps_single_bucket_degenerates_correctly(spark):
+    """n_buckets=1 collapses the two-pass cumsum to one partition-wide
+    window — still exact (the offsets table is a single zero row)."""
+    from executor_u1mindexer_spark.operators.pipeline import pps_systematic
+
+    rows = [(i, (i * 13) % 7 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    a = sorted(map(tuple, pps_systematic(
+        df, key="doc_id", weight_col="n_chars", k=9, n_buckets=1).collect()))
+    b = sorted(map(tuple, pps_systematic(
+        df, key="doc_id", weight_col="n_chars", k=9, n_buckets=64).collect()))
+    assert a == b and len(a) >= 8
