@@ -269,3 +269,40 @@ def test_pps_single_bucket_degenerates_correctly(spark):
     b = sorted(map(tuple, pps_systematic(
         df, key="doc_id", weight_col="n_chars", k=9, n_buckets=64).collect()))
     assert a == b and len(a) >= 8
+
+
+# -- hypothesis property test: PPS pick-set vs sequential replay -------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 400)),
+        min_size=2,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 30),
+)
+def test_pps_systematic_property(spark, rows, k):
+    from executor_u1mindexer_spark.operators.pipeline import pps_systematic
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    got = {
+        r.doc_id: (r.weight, r.cum, r.pick_idx, r.n_hits)
+        for r in pps_systematic(
+            df, key="doc_id", weight_col="n_chars", k=k
+        ).collect()
+    }
+    total = sum(w for _, w in rows)
+    cum = 0
+    expect = {}
+    for key, w in sorted(rows):
+        lo = cum * k // total
+        cum += w
+        hi = cum * k // total
+        if hi > lo:
+            expect[key] = (w, cum, lo + 1, hi - lo)
+    assert got == expect
