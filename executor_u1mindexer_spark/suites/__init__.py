@@ -45,111 +45,65 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 7 window — VERDICT r06 #3: rotation policy (a) first — the 11
-# brand-new r07 registry rows (star-contraction connected components ×2,
-# VP8L lossless-WebP decode, PPS systematic sampling, Gram moments,
-# file-skipping proof, positional phrase search, rolling z-score
-# anomaly flags, Markov transitions, label propagation, fused
-# decode+thumbnail) and the 7 rows whose implementation or oracle
-# changed since the r06 freeze (text_inverted_index's driver-safe
-# string postings — r06's only red — plus the scale-safe zorder rank
-# map, the three quantile rows touched by the merged-state ordering
-# fix, drift's BIGINT buckets, and HNSW's l2-on-C + state validation);
-# then ALL 32 rows whose newest driver row is r03 (named by
-# tools/rotation_check.py — policy (b), alphabetical) — which fills the
-# window exactly (11 + 7 + 32 = 50). After this
-# round the staleness floor rises to r04 (histogram min >= 4). Every
+# Round 9 window — VERDICT r08 #2 (round 8 stalled with zero commits, so
+# this executes the missed r08 rotation): ALL 48 rows whose newest driver
+# row is r04 (named by tools/rotation_check.py), which includes the entire
+# §2.A flagship family (knn_search_cosine/euclidean/inner_product, the four
+# batch rows, payload_fetch, limit_clamp, score_transform_similarity,
+# dim_validate, clear — executor.py:73–125 semantics, 4 rounds
+# driver-stale) placed FIRST per the new flagship tier guard, then the
+# remaining r04 rows alphabetical. Policy (a) rows changed this round:
+# sample_pps_systematic + hybrid_search_rrf (both rebuilt on the bounded
+# collect+broadcast pattern to kill the unpartitioned-window warnings —
+# VERDICT r08 #4; rrf is itself r04-stale so it double-counts). The 50th
+# slot goes to events_sessionize (r05-stale, verdict-named; judge ★
+# re-checked it r08 but the driver row is what rotation tracks). After
+# this round the staleness floor rises to r05 (histogram min >= 5); the
+# 50 r05 rows lead the r10 window, then the 43 r06 rows in r11. Every
 # below-boundary row stays green in the committed local dtype-faithful
-# sweeps at sf0.01 AND sf0.1 meanwhile; the remaining r04 rows lead r08.
+# sweeps at sf0.01 AND sf0.1 meanwhile.
 DRIVER_PRIORITY = (
-    # new in r07 (rotation policy (a))
-    "graph_cc_event_chains",
-    "multimodal_decode_webp_lossless",
+    # changed this round (rotation policy (a))
     "sample_pps_systematic",
-    "embedding_gram_moments",
-    "near_dedup_cc_clusters",
-    "layout_file_skipping",
-    "text_phrase_search",
-    "events_rolling_zscore",
-    "events_markov_transitions",
-    "graph_label_propagation",
-    "multimodal_thumbnail_meta",
-    # changed since the r06 freeze (rotation policy (a))
-    "text_inverted_index",
-    "layout_zorder_clustering",
-    "sketch_quantile_estimate",
-    "sketch_quantile_merge",
-    "sketch_quantile_grouped_estimate",
-    "drift_chi2_value_periods",
-    "ann_hnsw_partitioned_topk",
-    # newest driver row r03 (rotation policy (b), alphabetical)
-    "events_range_join_bucketed",
-    "events_retention_cohorts",
-    "index_upsert",
-    "llm_corpus_pipeline",
-    "multimodal_decode_audio",
-    "multimodal_sample_video_frames",
-    "near_dedup_clusters",
-    "near_dedup_simhash",
-    "pack_token_budget",
-    "scalar_array_funcs",
-    "shuffle_epoch_order",
-    "simhash_fingerprints",
-    "source_compact_small_files",
-    "source_orc_roundtrip",
-    "source_partitioned_parquet",
-    "split_train_val_test",
-    "status_counts",
-    "text_char_ngram_stats",
-    "text_corpus_stats",
-    "text_length_histogram",
-    "text_pii_redaction",
-    "text_repetition_scores",
-    "text_url_domains",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q6_forecast_revenue",
-    "unpivot_lineitem_metrics",
-    "update_existing",
-    "update_skipped",
-    "vector_dedup_quantize",
-    "window_cume_dist_percent_rank",
-    # --- 50-slot window boundary: rows below lead the r08 rotation ---
-    # (ALL r04-stale rows, alphabetical — no fill slots remained this
-    # round: the 50 slots hold 11 new + 7 changed + 32 r03-stale rows)
+    "hybrid_search_rrf",
+    # §2.A flagship family — r04-stale, tier-guarded (rotation policy (b))
+    "knn_search_cosine",
+    "knn_search_euclidean",
+    "knn_search_inner_product",
+    "knn_search_batch1",
+    "knn_search_batch8",
+    "knn_search_batch64",
+    "knn_search_batch512",
+    "payload_fetch",
+    "limit_clamp",
+    "score_transform_similarity",
+    "dim_validate",
+    "clear",
+    # remaining r04-stale rows (rotation policy (b), alphabetical)
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
-    "clear",
     "correlated_scalar_subquery",
     "dedup_repeated_spans",
-    "dim_validate",
     "events_asof_purchase_last_view",
     "events_json_extract",
     "events_pivot_daily_types",
     "events_range_join",
     "events_sliding_1h_30m",
     "fuzzy_join_part_names",
-    "hybrid_search_rrf",
     "index_state_diff",
     "join_anti_customers_without_orders",
     "join_full_outer_segments",
-    "knn_search_batch1",
-    "knn_search_batch512",
-    "knn_search_batch64",
-    "knn_search_batch8",
-    "knn_search_cosine",
-    "knn_search_euclidean",
-    "knn_search_inner_product",
-    "limit_clamp",
     "multimodal_training_manifest",
-    "payload_fetch",
     "scd2_customer_history",
     "scd2_point_in_time_join",
-    "score_transform_similarity",
     "text_bigram_lm_scores",
     "text_bm25_topk",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q11_important_parts",
     "tpch_q12_priority_shipping",
     "tpch_q13_customer_distribution",
@@ -160,12 +114,60 @@ DRIVER_PRIORITY = (
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
     "vector_pq_codes",
+    # 50th slot: r05-stale, verdict-named (rotation policy (b))
+    "events_sessionize",
+    # --- 50-slot window boundary: rows below lead the r10 rotation ---
+    # (the remaining 49 r05-stale rows, alphabetical)
+    "agg_approx_distinct",
+    "ann_cosine_topk_join",
+    "ann_ivf_label_topk",
+    "ann_ivf_pq_topk",
+    "ann_lsh_hyperplane_topk",
+    "bucketed_colocated_join",
+    "chunk_sliding_window",
+    "cube_orderstatus_priority",
+    "embedding_quantize_int8",
+    "events_tumbling_hourly",
+    "exact_dedup_text",
+    "grouping_sets_orders",
+    "join_broadcast_dim",
+    "join_semi_customers_with_orders",
+    "map_column_ops",
+    "mixture_weighted_sources",
+    "multimodal_binary_metadata",
+    "multimodal_decode_image",
+    "multimodal_join",
+    "near_dedup_embedding_cosine",
+    "near_dedup_minhash_lsh",
+    "near_dedup_ngram_jaccard",
+    "null_handling_funcs",
+    "rollup_returnflag_linestatus",
+    "sample_hash_fraction",
+    "sample_stratified_by_lang",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scd2_two_batch_history",
+    "set_ops_customer_segments",
+    "skew_salted_join",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "text_benchmark_contamination",
+    "text_fingerprints",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_vocab_topk",
+    "topk_orders_by_price",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "traverse_chunks",
+    "window_ntile_first_last",
+    "window_range_frame",
+    "window_rank_lag_lead",
+    "window_running_sum",
 )
 
 

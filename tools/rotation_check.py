@@ -30,6 +30,27 @@ sys.path.insert(0, REPO_ROOT)
 
 WINDOW = 50
 
+# §2.A flagship tier (VERDICT r08 #8): the reference's core search
+# semantics (executor.py:73–125). These rows may never exceed 2 rounds
+# driver-stale; a proposed window that would leave one of them older than
+# (current max round - 2) without re-earning it fails the audit loudly.
+# Round 8 proved the need — the missed rotation left the whole family 4
+# rounds stale and only a manual judge re-check caught it.
+FLAGSHIP = (
+    "knn_search_cosine",
+    "knn_search_euclidean",
+    "knn_search_inner_product",
+    "knn_search_batch1",
+    "knn_search_batch8",
+    "knn_search_batch64",
+    "knn_search_batch512",
+    "payload_fetch",
+    "limit_clamp",
+    "score_transform_similarity",
+    "dim_validate",
+    "clear",
+)
+
 
 def main() -> int:
     latest: dict[str, int] = {}
@@ -65,10 +86,24 @@ def main() -> int:
     covered = sorted(stale & set(window))
     missed = sorted(stale - set(window))
     print(f"stale (< r{threshold:02d}): {len(stale)}; window re-earns {len(covered)}; missed {len(missed)}")
+    rc = 0
+    # Flagship tier guard: assuming the current window earns a row at
+    # round cur+1, no flagship row may end up older than (cur+1) - 2.
+    flagship_violations = sorted(
+        n
+        for n in FLAGSHIP
+        if n not in window and latest.get(n, 0) < (cur + 1) - 2
+    )
+    if flagship_violations:
+        print(
+            "FLAGSHIP TIER VIOLATION (must be in the window this round):",
+            flagship_violations,
+        )
+        rc = 1
     if missed:
         print("MISSED (put these first next round):", missed)
-        return 1
-    return 0
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":
