@@ -88,6 +88,38 @@ HEADLINE = [
 ]
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed-cost host-speed probe (VERDICT r08 #3).
+
+    Two consecutive rounds of uniform bench drift (+17%, +15%) on
+    byte-identical code were attributed to host variance but unprovable
+    from committed data. This probe times a constant workload — a 10M-row
+    range with JVM-side arithmetic pushed through one 997-key shuffle —
+    whose cost depends only on the box, never on repo code or fixture
+    data. (50M rows: a 10M probe timed ~0.1 s, inside the job-submission
+    noise floor; 50M reads ~0.4-0.5 s, comfortably above it.) It runs at bench start AND end; per-query numbers in
+    BENCH_r{N}.json divide by it to separate host drift from regressions.
+    Best of 3 after one discarded warm-up, same policy as the query loop.
+    """
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(50_000_000)
+        .withColumn("k", (F.col("id") % 997).cast("int"))
+        .groupBy("k")
+        .agg(F.sum(F.col("id") * 3 + 1).alias("s"))
+    )
+    best = None
+    for i in range(4):
+        t0 = time.time()
+        df.toPandas()
+        dt = time.time() - t0
+        if i == 0:
+            continue
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from executor_u1mindexer_spark.session import get_spark
@@ -99,6 +131,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
 
     timings: dict[str, float] = {}
+    probe_start = _calibration_probe(spark)
 
     # Ingest throughput — the baseline's headline metric (README.md:26-31
     # indexing times): full embeddings+documents ingest through the engine
@@ -149,6 +182,8 @@ def main() -> None:
         # bench run doesn't accumulate cached blocks across the whole set
         cache.release_all()
 
+    probe_end = _calibration_probe(spark)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     out = {
@@ -157,6 +192,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # host-speed calibration (VERDICT r08 #3): constant workload, box-
+        # dependent only. Compare across rounds BEFORE reading per-query
+        # drift; start vs end also exposes within-run slowdown.
+        "calibration_probe": {"start_s": probe_start, "end_s": probe_end},
     }
     print(json.dumps(out))
 
