@@ -93,24 +93,34 @@ def _calibration_probe(spark) -> float:
 
     Two consecutive rounds of uniform bench drift (+17%, +15%) on
     byte-identical code were attributed to host variance but unprovable
-    from committed data. This probe times a constant workload — a 10M-row
-    range with JVM-side arithmetic pushed through one 997-key shuffle —
-    whose cost depends only on the box, never on repo code or fixture
-    data. (50M rows: a 10M probe timed ~0.1 s, inside the job-submission
-    noise floor; 50M reads ~0.4-0.5 s, comfortably above it.) It runs at bench start AND end; per-query numbers in
-    BENCH_r{N}.json divide by it to separate host drift from regressions.
-    Best of 3 after one discarded warm-up, same policy as the query loop.
+    from committed data. This probe times a constant workload — a
+    200M-row range hashed twice per row (xxhash64, codegen'd JVM-side)
+    through one 997-key shuffle — whose cost depends only on the box,
+    never on repo code or fixture data. It runs at bench start AND end;
+    per-query numbers in BENCH_r{N}.json divide by it to separate host
+    drift from regressions. Best of 3 after one discarded warm-up, same
+    policy as the query loop. The DataFrame is rebuilt inside the loop
+    with a per-repeat salt: re-running the SAME DataFrame object reuses
+    its shuffle map output (Spark skips the map stage), which would time
+    only the 997-row reduce (~0.1 s) instead of the 200M-row map stage —
+    the thing being calibrated. Hashes are pmod-reduced before the sum
+    so the aggregate cannot overflow under ANSI mode.
     """
     from pyspark.sql import functions as F
 
-    df = (
-        spark.range(50_000_000)
-        .withColumn("k", (F.col("id") % 997).cast("int"))
-        .groupBy("k")
-        .agg(F.sum(F.col("id") * 3 + 1).alias("s"))
-    )
     best = None
     for i in range(4):
+        df = (
+            spark.range(200_000_000)
+            .withColumn("h", F.xxhash64(F.col("id"), F.lit(i)))
+            .withColumn("h2", F.xxhash64(F.col("h"), F.col("id")))
+            .withColumn("k", F.pmod(F.col("h"), F.lit(997)).cast("int"))
+            .groupBy("k")
+            .agg(
+                F.sum(F.pmod(F.col("h2"), F.lit(1000003))).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
         t0 = time.time()
         df.toPandas()
         dt = time.time() - t0
