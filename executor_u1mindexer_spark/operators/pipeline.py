@@ -88,9 +88,13 @@ def pps_systematic(
     two-pass pattern as layout.rank_space_map — affine key-range coarse
     buckets (pure function of the data; bucket id monotone in key, so
     cross-bucket order is the key order), per-bucket PARTITIONED window
-    sums, and the <= n_buckets bucket totals joined back broadcast as
-    offsets. No SinglePartition window at any cardinality; the total is
-    a 1-row aggregate crossJoined in-plan (no driver scalar).
+    sums, and the <= n_buckets bucket totals collected, prefix-summed on
+    the driver, and broadcast-joined back as offsets (the layout.py
+    literal-stamp pattern — r09, VERDICT r08 #4: the previous <= 64-row
+    unpartitioned window was correct but emitted WindowExec warnings and
+    tripped the no-SinglePartition-window plan lint). No SinglePartition
+    window at any cardinality; the grand total is a 1-row aggregate
+    crossJoined in-plan (no driver scalar).
 
     Returns (key, weight, cum, pick_idx, n_hits) for selected rows.
 
@@ -116,16 +120,19 @@ def pps_systematic(
         .orderBy("__k")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    b = b.withColumn("__local_cum", F.sum("__w").over(local_w))
-    totals = b.groupBy("__b").agg(F.sum("__w").alias("__bt"))
-    # <= n_buckets rows: the bounded-window exception (quantile-estimate
-    # pattern); offset(b) = sum of totals of strictly-smaller buckets
-    off_w = Window.orderBy("__b").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # <= n_buckets bucket totals by construction: collect, prefix-sum on
+    # the driver (exact Python ints), stamp back as a broadcast literal
+    # table — offset(b) = sum of totals of strictly-smaller buckets
+    cnts = sorted(
+        (r["__b"], r["__bt"])
+        for r in b.groupBy("__b").agg(F.sum("__w").alias("__bt")).collect()
     )
-    offsets = totals.withColumn(
-        "__off", F.sum("__bt").over(off_w) - F.col("__bt")
-    ).select("__b", "__off")
+    off_rows, acc = [], 0
+    for bkt, bt in cnts:
+        off_rows.append((bkt, acc))
+        acc += bt
+    offsets = df.sparkSession.createDataFrame(off_rows, "__b long, __off long")
+    b = b.withColumn("__local_cum", F.sum("__w").over(local_w))
     grand = base.agg(F.sum("__w").alias("__total"))
     out = (
         b.join(F.broadcast(offsets), "__b")

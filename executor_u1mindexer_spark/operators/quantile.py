@@ -153,9 +153,28 @@ def quantile_estimate(
     for q in qs:
         if not (0.0 < q <= 1.0):
             raise ValueError(f"quantile q must be in (0, 1], got {q}")
-    order = [F.col("rep_value").asc()] + [F.col(c).asc() for c in order_cols]
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pts = state.withColumn("cumw", F.sum("weight").over(w).cast("long"))
+    # Cumulative weight in rank order. The input here is the SKETCH (<=
+    # p*s summary rows by construction), never the data, so instead of a
+    # SinglePartition window (correct but warning-noisy — VERDICT r08 #4)
+    # the summary is collected, prefix-summed on the driver with exact
+    # Python ints, and stamped back as a literal table (the layout.py
+    # bounded collect+broadcast pattern). Sort key = rep_value then the
+    # full order_cols tiebreak — total by the (src,) bucket, tile
+    # uniqueness invariant, so the cumsum is engine-independent.
+    from pyspark.sql import types as T
+
+    sel = state.select("rep_value", *order_cols, "weight")
+    rows = sel.collect()
+    rows.sort(key=lambda r: (r["rep_value"], *(r[c] for c in order_cols)))
+    pts_rows, acc = [], 0
+    for r in rows:
+        acc += int(r["weight"])
+        pts_rows.append((r["rep_value"], *(r[c] for c in order_cols), acc))
+    pts_schema = T.StructType(
+        [sel.schema["rep_value"], *(sel.schema[c] for c in order_cols)]
+        + [T.StructField("cumw", T.LongType(), False)]
+    )
+    pts = state.sparkSession.createDataFrame(pts_rows, pts_schema)
     tot = state.agg(F.sum("weight").cast("long").alias("n_total"))
     errb = (
         state.groupBy(*bucket_cols)

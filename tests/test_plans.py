@@ -715,3 +715,27 @@ def test_file_skipping_has_no_unpartitioned_data_window(spark, sf_dir):
     for ln in plan.splitlines():
         if "Window" in ln and "row_number" in ln:
             assert re.search(r"windowspecdefinition\(__bkt#\d+", ln), ln
+
+
+def test_registry_has_no_unpartitioned_window(spark):
+    """Registry-wide SinglePartition-window lint (VERDICT r08 #4).
+
+    No registered query may plan a Window fed by a SinglePartition
+    exchange — the whole-relation-through-one-task shape that silently
+    caps scale and spams `WindowExec: No Partition Defined` warnings.
+    The former bounded-input exceptions (PPS bucket offsets, the RRF
+    50-row rank, quantile-estimate's sketch cumsum) were rebuilt in r09
+    on the collect+broadcast literal-stamp pattern, so the allowlist is
+    EMPTY; adding a name here requires a docstring in the query proving
+    its window input is constant-bounded."""
+    import __spark_entry__ as em
+
+    allowed: set[str] = set()
+    bad = []
+    for name, fn in em.queries().items():
+        if name in allowed:
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        if plans.window_over_single_partition(df):
+            bad.append(name)
+    assert not bad, f"SinglePartition windows in registry queries: {bad}"
