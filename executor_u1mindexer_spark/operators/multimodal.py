@@ -77,7 +77,12 @@ def decode_image(payload: bytes):  # pragma: no cover - stub by design
     table. Lossy VP8's boolean-coder probability tables and loop-filter
     constants have no such internal redundancy; written from memory,
     roundtrip tests would self-cancel any error, and a
-    silently-incorrect decoder is worse than a loud gate."""
+    silently-incorrect decoder is worse than a loud gate.
+
+    What IS parsed for lossy containers (r09, operators/containers.py):
+    header-structural metadata — VP8 frame-header dims, VP8X canvas +
+    alpha flag, AVIF ispe/auxC — via parse_lossy_container_header; only
+    pixel RECONSTRUCTION remains gated here."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:

@@ -53,17 +53,19 @@ SUITE_MODULES = (
 # dim_validate, clear — executor.py:73–125 semantics, 4 rounds
 # driver-stale) placed FIRST per the new flagship tier guard, then the
 # remaining r04 rows alphabetical. Policy (a) rows changed this round:
-# sample_pps_systematic + hybrid_search_rrf (both rebuilt on the bounded
-# collect+broadcast pattern to kill the unpartitioned-window warnings —
-# VERDICT r08 #4; rrf is itself r04-stale so it double-counts). The 50th
-# slot goes to events_sessionize (r05-stale, verdict-named; judge ★
-# re-checked it r08 but the driver row is what rotation tracks). After
-# this round the staleness floor rises to r05 (histogram min >= 5); the
-# 50 r05 rows lead the r10 window, then the 43 r06 rows in r11. Every
-# below-boundary row stays green in the committed local dtype-faithful
-# sweeps at sf0.01 AND sf0.1 meanwhile.
+# multimodal_lossy_header_meta (NEW this round — VP8/VP8X/AVIF header
+# metadata, VERDICT r08 #5) plus sample_pps_systematic + hybrid_search_rrf
+# (both rebuilt on the bounded collect+broadcast pattern to kill the
+# unpartitioned-window warnings — VERDICT r08 #4; rrf is itself r04-stale
+# so it double-counts). After this round the staleness floor rises to r05
+# (histogram min >= 5); the 50 r05 rows lead the r10 window
+# (events_sessionize first — verdict-named but displaced by the new row,
+# which would otherwise enter the registry never-driver-checked), then
+# the 43 r06 rows in r11. Every below-boundary row stays green in the
+# committed local dtype-faithful sweeps at sf0.01 AND sf0.1 meanwhile.
 DRIVER_PRIORITY = (
-    # changed this round (rotation policy (a))
+    # new + changed this round (rotation policy (a))
+    "multimodal_lossy_header_meta",
     "sample_pps_systematic",
     "hybrid_search_rrf",
     # §2.A flagship family — r04-stale, tier-guarded (rotation policy (b))
@@ -115,10 +117,9 @@ DRIVER_PRIORITY = (
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "vector_pq_codes",
-    # 50th slot: r05-stale, verdict-named (rotation policy (b))
-    "events_sessionize",
     # --- 50-slot window boundary: rows below lead the r10 rotation ---
-    # (the remaining 49 r05-stale rows, alphabetical)
+    # (the 50 r05-stale rows; events_sessionize first, verdict-named)
+    "events_sessionize",
     "agg_approx_distinct",
     "ann_cosine_topk_join",
     "ann_ivf_label_topk",

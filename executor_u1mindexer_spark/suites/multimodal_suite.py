@@ -110,6 +110,24 @@ def multimodal_thumbnail_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.thumbnail_metadata(MM.attach_synthetic_images(docs))
 
 
+def multimodal_lossy_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-container HEADER metadata (r09, VERDICT r08 #5): synthesize
+    spec-conformant lossy payloads per doc — simple WebP whose ``VP8 ``
+    chunk carries a real RFC 6386 keyframe header, extended WebP with
+    VP8X canvas dims + ALPH alpha, and ISOBMFF AVIF with an ispe
+    property + auxC alpha urn (operators/containers.py) — then re-parse
+    (container, codec, width, height, has_alpha) from header structure
+    alone. No entropy decoding anywhere: full lossy reconstruction stays
+    behind the loud gate in multimodal.decode_image with its documented
+    rationale. The oracle states the parsed metadata in closed form from
+    the generation rule — a wrong chunk offset, endianness slip, masked
+    14-bit read, canvas-minus-one error, or missed auxC diverges."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from executor_u1mindexer_spark.operators import containers as C
+
+    return C.extract_lossy_header_metadata(C.attach_synthetic_lossy(docs))
+
+
 QUERIES = {
     "multimodal_join": multimodal_join,
     "multimodal_binary_metadata": multimodal_binary_metadata,
@@ -119,6 +137,7 @@ QUERIES = {
     "multimodal_decode_gif_animation": multimodal_decode_gif_animation,
     "multimodal_decode_webp_lossless": multimodal_decode_webp_lossless,
     "multimodal_thumbnail_meta": multimodal_thumbnail_meta,
+    "multimodal_lossy_header_meta": multimodal_lossy_header_meta,
 }
 
 
@@ -240,6 +259,19 @@ FROM documents
     # thumbnail channel bytes of the generation formula; constant-JPEG
     # lanes: 4 thumbnail pixels of the constant (1-channel gray for
     # id%8=3, 3-channel color for id%8=7)
+    # lossy-container rule (attach_synthetic_lossy): w = id%9+1,
+    # h = id%5+1; lane id%3 -> simple webp / extended webp / avif;
+    # alpha only in the extended lanes and only for odd ids — closed
+    # form, the oracle never parses a byte
+    "multimodal_lossy_header_meta": """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 2 THEN 'avif' ELSE 'webp' END AS container,
+       CASE WHEN doc_id % 3 = 2 THEN 'av01' ELSE 'vp8' END AS codec,
+       CAST(doc_id % 9 + 1 AS INT) AS width,
+       CAST(doc_id % 5 + 1 AS INT) AS height,
+       (doc_id % 3 <> 0 AND doc_id % 2 = 1) AS has_alpha
+FROM documents
+""",
     "multimodal_thumbnail_meta": """
 SELECT doc_id,
        CASE WHEN doc_id % 8 = 4 THEN 'gif'

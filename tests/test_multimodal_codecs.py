@@ -603,3 +603,124 @@ def test_resize_nearest_semantics():
 
     with _p.raises(ValueError, match="channel bytes"):
         resize_nearest(px[:-1], w, h, 2, 2)
+
+
+# --- lossy-container header metadata (r09, operators/containers.py) --------
+
+from executor_u1mindexer_spark.operators import containers as C
+
+
+def test_lossy_header_roundtrip_full_lane_cycle():
+    """Every (lane, parity, dim) combination of the generation rule
+    re-parses to the closed form the oracle states."""
+    for did in range(90):  # covers id%9, id%5, id%3, id%2 jointly
+        w, h = did % 9 + 1, did % 5 + 1
+        filler = bytes((did * 7 + i) % 256 for i in range(8))
+        lane, odd = did % 3, did % 2 == 1
+        if lane == 0:
+            p = C.encode_webp_vp8(w, h, filler=filler)
+        elif lane == 1:
+            p = C.encode_webp_vp8(w, h, extended=True, alpha=odd, filler=filler)
+        else:
+            p = C.encode_avif(w, h, alpha=odd, filler=filler)
+        assert C.parse_lossy_container_header(p) == {
+            "container": "avif" if lane == 2 else "webp",
+            "codec": "av01" if lane == 2 else "vp8",
+            "width": w,
+            "height": h,
+            "has_alpha": lane != 0 and odd,
+        }, did
+
+
+def test_vp8x_canvas_takes_precedence_over_frame_dims():
+    """Hand-spliced container: VP8X canvas 7x9 around a 3x2 VP8 frame —
+    the spec says canvas dims are authoritative."""
+    import struct
+
+    frame = C._riff_chunk(b"VP8 ", C._vp8_chunk_payload(3, 2, b"\x00" * 4))
+    vp8x = C._riff_chunk(
+        b"VP8X",
+        bytes([0]) + b"\x00\x00\x00" + (6).to_bytes(3, "little") + (8).to_bytes(3, "little"),
+    )
+    body = vp8x + frame
+    p = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    m = C.parse_lossy_container_header(p)
+    assert (m["width"], m["height"]) == (7, 9)
+    assert m["has_alpha"] is False
+
+
+def test_vp8_14bit_dims_masked_from_upscale_bits():
+    """The 16-bit dim fields carry a 2-bit upscale code in the top bits;
+    the parser must mask to 14 bits. Patch the scale bits by hand."""
+    p = bytearray(C.encode_webp_vp8(16383, 1))
+    off = p.index(b"\x9d\x01\x2a") + 3
+    p[off + 1] |= 0xC0  # upscale code 3 on width
+    m = C.parse_lossy_container_header(bytes(p))
+    assert (m["width"], m["height"]) == (16383, 1)
+
+
+def test_lossy_header_parser_is_loud():
+    good_webp = C.encode_webp_vp8(4, 3)
+    # corrupt the VP8 start code
+    bad = bytearray(good_webp)
+    bad[bad.index(b"\x9d\x01\x2a")] = 0x9C
+    with pytest.raises(ValueError, match="start code"):
+        C.parse_lossy_container_header(bytes(bad))
+    # interframe (non-key) first frame
+    bad = bytearray(good_webp)
+    bad[bad.index(b"VP8 ") + 8] |= 1
+    with pytest.raises(ValueError, match="keyframe"):
+        C.parse_lossy_container_header(bytes(bad))
+    # RIFF size disagreeing with the payload
+    bad = bytearray(good_webp)
+    bad[4] ^= 0xFF
+    with pytest.raises(ValueError, match="RIFF size"):
+        C.parse_lossy_container_header(bytes(bad))
+    # truncated chunk: inner size field claims more bytes than exist
+    # (outer RIFF size left consistent so the walk reaches the chunk)
+    import struct as _s
+
+    bad = bytearray(good_webp)
+    i = bad.index(b"VP8 ") + 4
+    bad[i : i + 4] = _s.pack("<I", _s.unpack("<I", bytes(bad[i : i + 4]))[0] + 8)
+    with pytest.raises(ValueError, match="truncated"):
+        C.parse_lossy_container_header(bytes(bad))
+    # lossless bitstream routed to the wrong parser
+    from executor_u1mindexer_spark.operators.webp import encode_webp
+
+    with pytest.raises(ValueError, match="VP8L"):
+        C.parse_lossy_container_header(encode_webp(2, 2, bytes(12)))
+    # avif missing ispe
+    import struct
+
+    ftyp = C._box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avif")
+    with pytest.raises(ValueError, match="ispe"):
+        C.parse_lossy_container_header(ftyp + C._fullbox(b"meta", b""))
+    # non-avif brand
+    heic = C._box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"heic")
+    with pytest.raises(ValueError, match="brand"):
+        C.parse_lossy_container_header(heic)
+    # not a container at all
+    with pytest.raises(ValueError, match="unrecognized"):
+        C.parse_lossy_container_header(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_avif_aux_urn_must_be_alpha():
+    """An auxC property with a non-alpha urn (e.g. depth) must NOT set
+    has_alpha."""
+    import struct
+
+    p = C.encode_avif(5, 4, alpha=True)
+    depth_urn = b"urn:mpeg:mpegB:cicp:systems:auxiliary:depth\x00"
+    assert len(depth_urn) == len(C.ALPHA_URN)
+    p2 = p.replace(C.ALPHA_URN, depth_urn)
+    assert p2 != p
+    m = C.parse_lossy_container_header(p2)
+    assert m["has_alpha"] is False and (m["width"], m["height"]) == (5, 4)
+
+
+def test_encoder_guards():
+    with pytest.raises(ValueError, match="14 bits"):
+        C.encode_webp_vp8(16384, 1)
+    with pytest.raises(ValueError, match="extended"):
+        C.encode_webp_vp8(4, 4, alpha=True)
