@@ -26,11 +26,20 @@ container. Mitigations for that:
   source layout.
 - Roundtrip property tests cover every decode path with this module's
   own independent encoder (different code path, shared constants).
+- HAND-SPECIFIED bitstreams (tests/test_webp.py, packed by a local
+  one-off, not this module's _BitWriter) pin each decode lane without
+  the sibling encoder: the simple-code header path (r07), and — r09,
+  VERDICT r08 #6 — the color cache (normal code-length-coded green
+  code reaching a cache symbol), meta prefix codes (2-group entropy
+  image driving tile selection), and color-indexing bit-bundling
+  (four 2-bit indices per packed byte, delta-coded palette).
 
 Residual risk — encoder and decoder sharing one systematic misreading
-of the spec (self-cancelling in roundtrips) — is documented here rather
-than hidden; it cannot be closed without a reference codec or network
-access. See also multimodal.decode_image's gate rationale.
+of the spec (self-cancelling in roundtrips) — is narrowed by the
+hand-specified lane fixtures above to the arithmetic shared between
+them (prefix construction, transform math), and documented here rather
+than hidden; it cannot be fully closed without a reference codec or
+network access. See also multimodal.decode_image's gate rationale.
 
 [NOT IN REFERENCE — executor.py:6 treats bytes as opaque; this is the
 multimodal-breadth mandate, like operators/jpeg.py and gif.py.]

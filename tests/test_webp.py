@@ -309,3 +309,147 @@ def test_decoder_rejects_oversubscribed_prefix_code():
     # over-subscribed; construction must fail loudly
     with pytest.raises(ValueError, match="over-subscribed"):
         W._PrefixCode([1, 1, 1])
+
+
+# -- r09 (VERDICT r08 #6): hand-specified fixtures for the remaining decode
+# lanes — color cache, meta prefix codes, color-indexing bit-bundling —
+# packed by the local _pack one-off, NOT the module's encoder, so each lane
+# has a check that cannot self-cancel with a shared encoder misreading.
+
+
+def test_decode_handcrafted_color_cache_stream():
+    """2x1 image, 1-bit color cache: pixel 0 is the literal ARGB
+    (255,1,2,3), pixel 1 is a cache hit of it. The green code is a
+    NORMAL (code-length-coded) prefix code — cache symbols live above
+    255 so no simple code can reach them — which also pins the
+    code-length-code order, the 18-token zero runs, and the canonical
+    construction against the spec, independently of the encoder."""
+    px = 0xFF010203
+    ci = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> 31  # spec §4.3, 1-bit cache
+    S = 256 + 24 + ci  # the cache-hit green symbol
+    fields = [
+        (0x2F, 8), (1, 14), (0, 14), (0, 1), (0, 3),  # header, 2x1
+        (0, 1),              # no transforms
+        (1, 1), (1, 4),      # color cache, cache_bits = 1
+        (0, 1),              # no meta prefix codes
+        # green: NORMAL code over 282 symbols; lengths: sym2 -> 1, S -> 1
+        (0, 1),              # not simple
+        (0, 4),              # num_cl = 4 -> CL_ORDER prefix 17,18,0,1
+        (0, 3),              # len(cl 17) = 0
+        (2, 3),              # len(cl 18) = 2
+        (1, 3),              # len(cl 0)  = 1
+        (2, 3),              # len(cl 1)  = 2
+        (0, 1),              # no max-symbol trimming
+        # canonical cl codes: 0 -> '0', 1 -> '10', 18 -> '11'
+        (0, 1), (0, 1),                  # green syms 0,1: length 0
+        (1, 1), (0, 1),                  # green sym 2: length 1
+        (1, 1), (1, 1), (127, 7),        # 18: 138 zeros
+        (1, 1), (1, 1), (127, 7),        # 18: 138 more
+    ]
+    fields += [(0, 1)] * (1 + ci)        # remaining zeros up to S
+    fields += [(1, 1), (0, 1)]           # green sym S: length 1
+    fields += [(0, 1)] * (1 - ci)        # zeros after S (alphabet 282)
+    fields += [
+        # red / blue / alpha: simple 1-symbol 8-bit codes (0 pixel bits)
+        (1, 1), (0, 1), (1, 1), (1, 8),
+        (1, 1), (0, 1), (1, 1), (3, 8),
+        (1, 1), (0, 1), (1, 1), (255, 8),
+        # distance: simple 1-symbol 1-bit code
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        # pixels: green '0' = literal sym 2; green '1' = cache hit S
+        (0, 1),
+        (1, 1),
+    ]
+    w, h, pix = W.decode_vp8l(_pack(fields))
+    assert (w, h) == (2, 1)
+    assert pix == [px, px]
+
+
+def test_decode_handcrafted_meta_prefix_stream():
+    """8x1 image with meta prefix codes, meta_bits=2: the 1x2 entropy
+    image assigns tiles x<4 to group 0 (green literal 10) and x>=4 to
+    group 1 (green literal 20). All ten main codes are degenerate, so
+    group SELECTION alone determines the pixels — a wrong meta_bits
+    offset, subsample size, or group-id extraction (bits 8..23) breaks
+    the split point."""
+    fields = [
+        (0x2F, 8), (7, 14), (0, 14), (0, 1), (0, 3),  # header, 8x1
+        (0, 1),              # no transforms
+        (0, 1),              # no color cache
+        (1, 1), (0, 3),      # meta prefix codes, meta_bits = 0 + 2
+        # entropy image (2x1, no cache flag of its own first):
+        (0, 1),              # entropy image: no color cache
+        # its green code: simple, 2 symbols, 1-bit first: 0 then 1
+        (1, 1), (1, 1), (0, 1), (0, 1), (1, 8),
+        # red / blue / alpha / distance: 1-symbol 1-bit 0
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        # entropy pixels: green '0' (group 0) then '1' (group 1)
+        (0, 1), (1, 1),
+        # group 0: green = single symbol 10; r/b 0; alpha 255; dist 0
+        (1, 1), (0, 1), (1, 1), (10, 8),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (1, 1), (255, 8),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        # group 1: green = single symbol 20; r/b 0; alpha 255; dist 0
+        (1, 1), (0, 1), (1, 1), (20, 8),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (1, 1), (255, 8),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        # main pixels: every code degenerate -> zero bits
+    ]
+    w, h, pix = W.decode_vp8l(_pack(fields))
+    assert (w, h) == (8, 1)
+    assert pix == [W._argb(255, 0, 10, 0)] * 4 + [W._argb(255, 0, 20, 0)] * 4
+
+
+def test_decode_handcrafted_palette_bundling_stream():
+    """5x1 image through the color-indexing transform with a 4-color
+    palette: width_bits=2, so FOUR 2-bit indices bundle into each packed
+    green byte and the packed width is ceil(5/4)=2. Palette entries are
+    component-delta coded (greens 7, +10, +10, +10). Packed greens
+    57 = 1|2<<2|3<<4|0<<6 and 2 encode indices [1,2,3,0,2] — any slip in
+    delta accumulation, sub-pixel bit order, packed-width rounding, or
+    palette lookup rearranges the output colors."""
+    fields = [
+        (0x2F, 8), (4, 14), (0, 14), (0, 1), (0, 3),  # header, 5x1
+        (1, 1), (3, 2),      # transform present: color indexing
+        (3, 8),              # palette size - 1 = 3
+        # palette image (4x1): no cache
+        (0, 1),
+        # green: simple 2-symbol 8-bit: 7 and 10
+        (1, 1), (1, 1), (1, 1), (7, 8), (10, 8),
+        # red / blue: 1-symbol 1-bit 0
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        # alpha: simple 2-symbol 8-bit: 255 and 0
+        (1, 1), (1, 1), (1, 1), (255, 8), (0, 8),
+        # distance: 1-symbol 1-bit 0
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        # palette pixels (green, alpha): (7,255) then 3x delta (10,0)
+        # canonical: green 7->'0' 10->'1'; alpha 0->'0' 255->'1'
+        (0, 1), (1, 1),
+        (1, 1), (0, 1),
+        (1, 1), (0, 1),
+        (1, 1), (0, 1),
+        (0, 1),              # end of transforms
+        # main (packed 2x1): no cache, no meta
+        (0, 1), (0, 1),
+        # green: simple 2-symbol 8-bit: 2 and 57
+        (1, 1), (1, 1), (1, 1), (2, 8), (57, 8),
+        # red / blue / alpha / distance: 1-symbol 1-bit 0
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        (1, 1), (0, 1), (0, 1), (0, 1),
+        # packed pixels: '1' (57) then '0' (2)
+        (1, 1), (0, 1),
+    ]
+    w, h, pix = W.decode_vp8l(_pack(fields))
+    assert (w, h) == (5, 1)
+    p = [W._argb(255, 0, 7 + 10 * i, 0) for i in range(4)]
+    assert pix == [p[1], p[2], p[3], p[0], p[2]]
