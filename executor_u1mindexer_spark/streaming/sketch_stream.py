@@ -19,6 +19,7 @@ executor.py has no streaming surface.]
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 
 from executor_u1mindexer_spark.operators import sketch as SK
@@ -42,12 +43,52 @@ def streaming_cms_state(
     return SK.cms_state(stream, col, d, w)
 
 
+class _BatchKeyedStore:
+    """Checkpoint-scoped durable store for driver-side fold state (r09,
+    VERDICT r08 #7): one parquet file per batch id under `state_dir`,
+    written to a dot-temp path and os.replace'd into place — atomic on
+    POSIX, so a crash mid-write leaves either the old file or the new
+    one, never a torn state. Redelivery of a batch id overwrites the
+    SAME path, which makes the store idempotent the same way the
+    in-memory dict is; a restarted driver reloads every committed entry
+    with load(). Pair `state_dir` with the query's checkpointLocation:
+    the checkpoint decides which batches are REPLAYED, this store makes
+    the replays harmless and the non-replayed history durable."""
+
+    def __init__(self, state_dir: str):
+        import os
+
+        self._dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def put(self, batch_id: int, pdf: pd.DataFrame) -> None:
+        import os
+
+        tmp = os.path.join(self._dir, f".tmp-batch-{batch_id}.parquet")
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(self._dir, f"batch-{batch_id}.parquet"))
+
+    def load(self) -> dict[int, pd.DataFrame]:
+        import os
+        import re
+
+        out: dict[int, pd.DataFrame] = {}
+        for name in sorted(os.listdir(self._dir)):
+            m = re.fullmatch(r"batch-(\d+)\.parquet", name)
+            if m:
+                out[int(m.group(1))] = pd.read_parquet(
+                    os.path.join(self._dir, name)
+                )
+        return out
+
+
 def streaming_quantile_state_fold(
     stream: DataFrame,
     value_col: str,
     id_col: str,
     p: int = 8,
     s: int = 64,
+    state_dir: str | None = None,
 ):
     """Streaming form of the equi-depth quantile sketch (r06).
 
@@ -64,27 +105,43 @@ def streaming_quantile_state_fold(
     queries (n_total and targets inflate); overwriting the key makes the
     fold idempotent under redelivery. Each entry is <= p*s rows
     regardless of batch size, which is what makes the driver-side fold
-    legitimate. Restart semantics: the dict lives in THIS process — a new
-    driver process starts empty and (with a checkpoint) only sees batches
-    not yet committed, so persist entries externally keyed by batch_id if
-    states must survive the driver."""
+    legitimate.
+
+    Restart closure (r09, VERDICT r08 #7): pass `state_dir` (a directory
+    scoped NEXT TO the query's checkpointLocation) and every entry is
+    also persisted as an atomically-replaced parquet file keyed by batch
+    id (_BatchKeyedStore); a NEW driver process calling this function
+    with the same `state_dir` starts with the committed history already
+    loaded, and checkpoint-replayed batches overwrite both the dict key
+    and the file — no double-count either way (kill-and-resume pinned in
+    tests/test_streaming.py)."""
     from executor_u1mindexer_spark.operators import quantile as QT
 
+    _COLS = ("src", "bucket", "tile", "rep_value", "weight")
+    store = _BatchKeyedStore(state_dir) if state_dir else None
     states: dict[int, list] = {}
+    if store is not None:
+        for bid, pdf in store.load().items():
+            states[bid] = [tuple(t) for t in pdf[list(_COLS)].itertuples(index=False)]
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         st = QT.quantile_state(batch_df, value_col, id_col, p, s)
         rows = st.collect()
-        states[int(batch_id)] = [
+        entry = [
             (int(batch_id), r.bucket, r.tile, r.rep_value, r.weight)
             for r in rows
         ]
+        if store is not None:
+            store.put(int(batch_id), pd.DataFrame(entry, columns=_COLS))
+        states[int(batch_id)] = entry
 
     writer = stream.writeStream.foreachBatch(fold)
     return writer, states
 
 
-def streaming_gram_fold(stream: DataFrame, vec_col: str = "embedding"):
+def streaming_gram_fold(
+    stream: DataFrame, vec_col: str = "embedding", state_dir: str | None = None
+):
     """Streaming form of the exact Gram-moment accumulation (r07,
     operators/linalg.py): second moments are ORDER-FREE BIGINT sums, so
     the stream fold is the same d(d+1)/2-entry state summed across
@@ -96,13 +153,34 @@ def streaming_gram_fold(stream: DataFrame, vec_col: str = "embedding"):
     redelivery overwrites rather than double-counts. merged_moments()
     returns rows shaped like gram_moments' output, bit-equal to the
     batch operator over the drained backlog (pinned in
-    tests/test_streaming.py)."""
+    tests/test_streaming.py). Pass `state_dir` to make the fold survive
+    a driver restart via the same batch-id-keyed atomic parquet store
+    as streaming_quantile_state_fold (r09, VERDICT r08 #7)."""
     from executor_u1mindexer_spark.operators import linalg as L
 
+    _COLS = ("i", "j", "n", "sum_qi", "sum_qj", "sum_qq")
+    store = _BatchKeyedStore(state_dir) if state_dir else None
     states: dict[int, dict] = {}
+    if store is not None:
+        for bid, pdf in store.load().items():
+            states[bid] = {
+                (int(r.i), int(r.j)): (int(r.n), int(r.sum_qi), int(r.sum_qj), int(r.sum_qq))
+                for r in pdf.itertuples(index=False)
+            }
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         rows = L.gram_moments(batch_df, vec_col=vec_col).collect()
+        if store is not None:
+            store.put(
+                int(batch_id),
+                pd.DataFrame(
+                    [
+                        (r.i, r.j, r.n, r.sum_qi, r.sum_qj, r.sum_qq)
+                        for r in rows
+                    ],
+                    columns=_COLS,
+                ),
+            )
         states[int(batch_id)] = {
             (r.i, r.j): (r.n, r.sum_qi, r.sum_qj, r.sum_qq) for r in rows
         }

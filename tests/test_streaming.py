@@ -308,3 +308,102 @@ def test_streaming_gram_fold_matches_batch(spark, sf_dir):
     bid = next(iter(states))
     states[bid] = dict(states[bid])
     assert merged_moments() == batch
+
+
+def test_streaming_quantile_fold_kill_and_resume(spark, sf_dir, tmp_path):
+    """Kill-and-resume closure (r09, VERDICT r08 #7): a fold with a
+    `state_dir` survives driver death. Phase 1 processes half the
+    events and 'dies'; phase 2 is a NEW fold instance (fresh dict =
+    new driver process) on the same state_dir + checkpoint that sees
+    only the unprocessed file. The merged rank query over the resumed
+    states must cover the WHOLE backlog exactly once — no lost phase-1
+    state, no double-count."""
+    from executor_u1mindexer_spark.operators import quantile as QT
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+
+    events = tables.load(spark, sf_dir, "events").select("event_id", "value")
+    n = events.count()
+    half = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    sdir = str(tmp_path / "state")
+    half.coalesce(1).write.parquet(src)
+
+    schema = events.schema
+
+    def run_phase():
+        stream = spark.readStream.schema(schema).parquet(src)
+        writer, states = SS.streaming_quantile_state_fold(
+            stream, "value", "event_id", 4, 16, state_dir=sdir
+        )
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return states
+
+    states1 = run_phase()
+    assert len(states1) == 1 and sum(
+        w for b in states1.values() for *_, w in b
+    ) == half.count()
+
+    # driver dies here; new files land; a new process resumes
+    rest.coalesce(1).write.mode("append").parquet(src)
+    states2 = run_phase()
+
+    assert len(states2) == 2  # phase-1 state reloaded + the new batch
+    total_w = sum(w for b in states2.values() for *_, w in b)
+    assert total_w == n  # every event weighted exactly once
+    flat = [row for batch in states2.values() for row in batch]
+    merged = spark.createDataFrame(
+        flat, "src long, bucket long, tile long, rep_value double, weight long"
+    )
+    est = QT.quantile_estimate(
+        merged, [0.5], bucket_cols=["src", "bucket"],
+        order_cols=["src", "bucket", "tile"],
+    ).collect()[0]
+    assert est.n_total == n
+
+    # checkpoint-replay redelivery: overwriting the same batch id in the
+    # store leaves ONE file whose latest content wins
+    import pandas as pd
+
+    store = SS._BatchKeyedStore(sdir)
+    store.put(0, pd.DataFrame({"src": [0], "bucket": [0], "tile": [0],
+                               "rep_value": [1.0], "weight": [7]}))
+    store.put(0, pd.DataFrame({"src": [0], "bucket": [0], "tile": [0],
+                               "rep_value": [1.0], "weight": [9]}))
+    loaded = store.load()
+    assert set(loaded) == {0, 1}
+    assert loaded[0]["weight"].tolist() == [9]
+
+
+def test_streaming_gram_fold_resumes_from_state_dir(spark, sf_dir, tmp_path):
+    """The gram fold's persisted moments reload bit-equal in a fresh
+    fold instance and merge to the batch oracle."""
+    from executor_u1mindexer_spark.operators import linalg as L
+    from executor_u1mindexer_spark.streaming import events_stream as ES
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+
+    sdir = str(tmp_path / "gram_state")
+    stream = ES.read_fixture_stream(spark, sf_dir, "embeddings")
+    writer, states, merged_moments = SS.streaming_gram_fold(
+        stream, state_dir=sdir
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    emb = tables.load(spark, sf_dir, "embeddings")
+    batch = {
+        (r.i, r.j): (r.n, r.sum_qi, r.sum_qj, r.sum_qq)
+        for r in L.gram_moments(emb).collect()
+    }
+    assert merged_moments() == batch
+
+    # 'new driver': a fresh fold on the same state_dir — no stream run —
+    # must already hold the identical merged moments
+    _, states2, merged2 = SS.streaming_gram_fold(stream, state_dir=sdir)
+    assert states2 == states
+    assert merged2() == batch
