@@ -23,9 +23,11 @@ so any numeric-kind divergence FAILS here, before the driver sees it.
 Usage: python tools/oracle_check.py [--json OUT.json] [name ...]
 
 ``--json`` writes a driver-shaped record per query (rows/schema/hash match
-booleans) — committed each round as CORRECTNESS_LOCAL_r{N}.json so the full
-registry has a verification row every round regardless of which 50-query
-sample the driver's window covers.
+booleans, plus ``secs`` — the row's wall-clock sweep cost, r09 VERDICT r08
+#9: per-row cost is now part of the committed record so sweep-budget
+decisions are data, not guesses) — committed each round as
+CORRECTNESS_LOCAL_r{N}.json so the full registry has a verification row
+every round regardless of which 50-query sample the driver's window covers.
 """
 
 from __future__ import annotations
@@ -185,14 +187,16 @@ def main(only: list[str], json_out: str | None = None) -> int:
             print(f"FAIL {name}: spark error: {e}")
             records[name] = {"rows_match": None, "schema_match": None,
                              "hash_match": None, "spark_rows": None,
-                             "oracle_rows": None, "err": f"spark: {e}"[:300]}
+                             "oracle_rows": None, "err": f"spark: {e}"[:300],
+                             "secs": round(time.time() - t0, 2)}
             failures += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             records[name] = {"rows_match": None, "schema_match": None,
                              "hash_match": None, "spark_rows": len(srows),
-                             "oracle_rows": None, "err": "no_oracle"}
+                             "oracle_rows": None, "err": "no_oracle",
+                             "secs": round(time.time() - t0, 2)}
             continue
         try:
             # Arrow fetch mirrors the driver's materialization: nullable ints
@@ -207,7 +211,8 @@ def main(only: list[str], json_out: str | None = None) -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             records[name] = {"rows_match": None, "schema_match": None,
                              "hash_match": None, "spark_rows": len(srows),
-                             "oracle_rows": None, "err": f"duckdb: {e}"[:300]}
+                             "oracle_rows": None, "err": f"duckdb: {e}"[:300],
+                             "secs": round(time.time() - t0, 2)}
             failures += 1
             continue
         problems = []
@@ -235,6 +240,7 @@ def main(only: list[str], json_out: str | None = None) -> int:
             "spark_rows": len(srows),
             "oracle_rows": len(orows),
             "err": None,
+            "secs": round(time.time() - t0, 2),
         }
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
