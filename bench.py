@@ -72,6 +72,7 @@ HEADLINE = [
     "ann_hnsw_partitioned_topk",  # r06: tracks the C-kernel build path
     "sketch_bloom_join_prune",  # r06: tracks the scan-prune + join-equality pass
     "embedding_gram_moments",  # r07: tracks the partial-Gram mapInPandas kernel
+    "multimodal_lossy_header_meta",  # r09: tracks the container header-parse lane
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,
