@@ -716,14 +716,29 @@ GROUP BY hash_row, bucket
 # -- AMS (Alon-Matias-Szegedy) F2 / join-size sketch -------------------------
 #
 # The frequency-MOMENT member of the family (AMS, STOC'96): d counters
-# z_j = sum_i s_j(i) * f_i with deterministic +/-1 signs s_j(i) from the
-# same salted md5 fragments. E[z_j^2] = F2 = sum f_i^2 (the self-join
+# z_j = sum_i s_j(i) * f_i with deterministic +/-1 signs s_j(i) drawn
+# from md5 digest BITS. E[z_j^2] = F2 = sum f_i^2 (the self-join
 # size / repeat rate), and for two relations sketched with the SAME sign
 # hashes, E[z_Aj * z_Bj] = sum_k f_A(k) f_B(k) = |A JOIN B on k| — the
 # classic join-CARDINALITY estimator a 100 TB query planner wants
-# WITHOUT executing the join or shuffling either side by the key. State
-# is d integer rows, built map-side with one d-key shuffle (the
-# cms_state shape), merged across partitions/days by plain SUM
+# WITHOUT executing the join or shuffling either side by the key.
+#
+# Sign scheme (r09): ONE md5 digest per input row feeds 120 counters —
+# digest k = md5(value || '#ams' || k) split into two 60-bit halves
+# (the _hash60_sql 15-hex-char convention), sign_j = bit (j mod 60) of
+# half (j div 60). The r06 original salted a FRESH md5 per counter
+# (d md5s per row — 64x the digest work for d=64; at sf0.1 the
+# orders+lineitem join-size row spent ~50 s in Spark on hashing alone).
+# Distinct bits of one md5 are the standard practical stand-in for
+# independent sign functions; the 5-sigma accuracy verdicts below stay
+# green at both SFs (re-checked when the scheme landed).
+#
+# Build shape (r09): d sign-sums computed as ONE no-key aggregate over
+# the row stream (map-side partials, a single 1-row-per-partition
+# exchange), then the 1xd wide row unpivoted to (hash_row, z) with
+# stack(). The r06 original expanded every input row to d (hash_row, z)
+# pairs BEFORE the partial agg — correct, but 64x the agg probes. State
+# stays d integer rows, merged across partitions/days by plain SUM
 # (counters are linear). Everything up to the final estimate is exact
 # integer arithmetic; the 5-sigma accuracy verdicts use the HLL rows'
 # shared-double-expression pattern (identical trees in both engines).
@@ -736,25 +751,51 @@ def _validate_ams_d(d: int) -> None:
         raise ValueError(f"d must be in [1, 4096], got {d}")
 
 
-def _ams_sign_sql(col: str, j: int, engine: str) -> str:
-    """Deterministic +/-1: low bit of the j-salted 60-bit hash."""
-    h = _salted_hash_sql(col, j, engine)
-    return f"(CASE WHEN ({h} & 1) = 1 THEN 1 ELSE -1 END)"
+def _ams_halves(d: int) -> int:
+    """Number of 60-bit digest halves needed for d sign bits."""
+    return (d + 59) // 60
+
+
+def _ams_half_sql(col: str, gh: int, engine: str) -> str:
+    """Global half ``gh`` (0-based): 60-bit int from hex chars
+    [1+15*(gh%2), +15) of digest md5(value || '#ams' || gh//2)."""
+    hx = (
+        f"substr(md5(concat(CAST({col} AS STRING), '#ams{gh // 2}')),"
+        f" {1 + 15 * (gh % 2)}, 15)"
+    )
+    if engine == "spark":
+        return f"CAST(conv({hx}, 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', {hx}) AS BIGINT)"
 
 
 def ams_state(df: DataFrame, col: str, d: int = AMS_D_DEFAULT) -> DataFrame:
-    """AMS state: one (hash_row, z) row per counter — each input row adds
-    its +/-1 sign to each of the d counters (codegen stack expansion,
-    map-side partial sums, ONE d-key shuffle)."""
+    """AMS state: one (hash_row, z) row per counter. One md5 digest per
+    row per 120 counters (bit-sliced signs), d sign-sums in a single
+    no-key codegen aggregate (map-side partials, one tiny exchange), the
+    1xd result unpivoted via stack(). Empty input keeps the r06
+    zero-rows contract (the NULL-sum row is filtered)."""
     _validate_ams_d(d)
-    pairs = ", ".join(
-        f"{j}, CAST({_ams_sign_sql(col, j, 'spark')} AS BIGINT)" for j in range(d)
-    )
+    halves = [
+        f"{_ams_half_sql(col, gh, 'spark')} AS __h{gh}"
+        for gh in range(_ams_halves(d))
+    ]
+    hdf = df.filter(F.col(col).isNotNull()).selectExpr(*halves)
+    sums = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN (shiftright(__h{j // 60}, {j % 60}) & 1) = 1"
+                " THEN 1 ELSE -1 END"
+            )
+        )
+        .cast("long")
+        .alias(f"__z{j}")
+        for j in range(d)
+    ]
+    pairs = ", ".join(f"{j}, __z{j}" for j in range(d))
     return (
-        df.filter(F.col(col).isNotNull())
+        hdf.agg(*sums)
         .selectExpr(f"stack({d}, {pairs}) AS (hash_row, z)")
-        .groupBy("hash_row")
-        .agg(F.sum("z").cast("long").alias("z"))
+        .where(F.col("z").isNotNull())
     )
 
 
@@ -809,16 +850,28 @@ def ams_inner_product(
 
 
 def oracle_ams_state_sql(source: str, col: str, d: int = AMS_D_DEFAULT) -> str:
-    """DuckDB twin of ams_state (UNION ALL over the d rows)."""
+    """DuckDB twin of ams_state: the digest halves land ONCE per row in a
+    MATERIALIZED CTE (so the d UNION ALL arms re-read cached 60-bit ints,
+    not d fresh md5 scans of the source — the same one-digest-per-120-
+    counters economy as the Spark side)."""
     _validate_ams_d(d)
+    halves = ", ".join(
+        f"{_ams_half_sql(col, gh, 'duck')} AS __h{gh}"
+        for gh in range(_ams_halves(d))
+    )
     arms = "\nUNION ALL\n".join(
         f"SELECT {j} AS hash_row, "
-        f"CAST({_ams_sign_sql(col, j, 'duck')} AS BIGINT) AS z "
-        f"FROM {source} WHERE {col} IS NOT NULL"
+        f"CAST(CASE WHEN ((__h{j // 60} >> {j % 60}) & 1) = 1"
+        " THEN 1 ELSE -1 END AS BIGINT) AS z FROM __ams_h"
         for j in range(d)
     )
     return f"""
 SELECT hash_row, CAST(sum(z) AS BIGINT) AS z
-FROM ({arms}) signs
+FROM (
+  WITH __ams_h AS MATERIALIZED (
+    SELECT {halves} FROM {source} WHERE {col} IS NOT NULL
+  )
+  {arms}
+) signs
 GROUP BY hash_row
 """

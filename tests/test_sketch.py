@@ -424,8 +424,13 @@ def test_cms_grouped_requires_group_cols(spark):
 
 
 def _ams_sign(v, j):
-    h = int(hashlib.md5(f"{v}#{j}".encode()).hexdigest()[:15], 16)
-    return 1 if h & 1 else -1
+    # r09 scheme: bit (j % 60) of 60-bit half (j // 60) % 2 of digest
+    # md5(value || '#ams' || j // 120) — one digest per 120 counters
+    gh, bit = divmod(j, 60)
+    k, half = divmod(gh, 2)
+    dg = hashlib.md5(f"{v}#ams{k}".encode()).hexdigest()
+    h = int(dg[15 * half : 15 * half + 15], 16)
+    return 1 if (h >> bit) & 1 else -1
 
 
 def test_ams_state_matches_python_replay(spark):
