@@ -690,12 +690,16 @@ def span_dedup(
     (the doc still gets its output row, per the every-doc contract).
     [NOT IN REFERENCE — executor.py has no text surface.]
     """
-    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * span_words + 1, span_words), " "
+    spans = T.let1(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda words: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(words) / F.lit(span_words)).cast("int") - 1,
+            ),
+            lambda i: F.array_join(
+                F.slice(words, i * span_words + 1, span_words), " "
+            ),
         ),
     )
     exploded = df.select(

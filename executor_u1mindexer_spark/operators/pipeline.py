@@ -238,19 +238,22 @@ def chunk_sliding_window(
     """Sliding-window chunking of the token sequence (training-sample
     construction): windows of `size` words every `stride` words, last
     partial window kept when anything remains."""
-    toks = F.split(F.col(text_col), r"\s+")
-    n = F.size(toks)
-    n_chunks = F.greatest(
-        F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + 1, F.lit(1)
-    )
-    idx = F.sequence(F.lit(0), n_chunks - 1)
-    chunks = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("chunk_idx"),
-            F.array_join(F.slice(toks, i * stride + 1, size), " ").alias("chunk_text"),
-        ),
-    )
+    def _chunks_of(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + 1, F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.array_join(F.slice(toks, i * stride + 1, size), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+
+    chunks = T.let1(F.split(F.col(text_col), r"\s+"), _chunks_of)
     return (
         df.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(

@@ -194,13 +194,22 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: duplicate word 2-/3-gram
     fractions (1 - distinct/total) and the most-frequent-token fraction.
     The standard LLM-corpus filters for boilerplate / keyword-stuffed /
-    looping documents; all pure Catalyst expressions."""
+    looping documents; all pure Catalyst expressions. The token and gram
+    arrays land in their own projection (r09) so each is built once per
+    row — CollapseProject keeps multiply-referenced non-cheap
+    expressions, see functions.text.dup_fraction_of."""
     d = _docs(spark, sf_dir)
-    return d.select(
+    arrs = d.select(
         "doc_id",
-        T.dup_ngram_fraction(F.col("text"), 2).alias("dup_2gram_frac"),
-        T.dup_ngram_fraction(F.col("text"), 3).alias("dup_3gram_frac"),
-        T.top_token_fraction(F.col("text")).alias("top_token_frac"),
+        T.word_ngrams_all(F.col("text"), 2).alias("_g2"),
+        T.word_ngrams_all(F.col("text"), 3).alias("_g3"),
+        T.words(F.col("text")).alias("_toks"),
+    )
+    return arrs.select(
+        "doc_id",
+        T.dup_fraction_of(F.col("_g2")).alias("dup_2gram_frac"),
+        T.dup_fraction_of(F.col("_g3")).alias("dup_3gram_frac"),
+        T.top_token_fraction_tokens(F.col("_toks")).alias("top_token_frac"),
     )
 
 
