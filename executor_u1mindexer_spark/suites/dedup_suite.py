@@ -232,16 +232,25 @@ SELECT c.id_a, c.id_b, {_JACCARD} AS jaccard
 FROM cand c JOIN sh_t a ON a.id = c.id_a JOIN sh_t b ON b.id = c.id_b
 WHERE {_JACCARD} >= 0.5
 """,
+    # candidate pairs via a shared-shingle postings join instead of
+    # all-pairs-in-block (r09 sweep-cost fix: 81 s -> 14 s at sf0.1,
+    # row-identical — jaccard >= 0.5 > 0 implies at least one shared
+    # shingle, so the restriction loses nothing)
     "near_dedup_ngram_jaccard": f"""
 WITH t AS (
   SELECT doc_id AS id, lang AS blk, str_split(text, ' ') AS toks FROM documents
-), sh_t AS (
+), sh_t AS MATERIALIZED (
   SELECT id, blk,
          list_distinct(list_transform({_SHINGLES}, s -> {_H32.format(s='s')})) AS sh
   FROM t
+), post AS (
+  SELECT id, blk, unnest(sh) AS h FROM sh_t
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM post l JOIN post r ON l.blk = r.blk AND l.h = r.h AND l.id < r.id
 )
-SELECT a.id AS id_a, b.id AS id_b, {_JACCARD} AS jaccard
-FROM sh_t a JOIN sh_t b ON a.blk = b.blk AND a.id < b.id
+SELECT c.id_a, c.id_b, {_JACCARD} AS jaccard
+FROM cand c JOIN sh_t a ON a.id = c.id_a JOIN sh_t b ON b.id = c.id_b
 WHERE {_JACCARD} >= 0.5
 """,
     "simhash_fingerprints": f"""
