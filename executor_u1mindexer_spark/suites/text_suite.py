@@ -418,17 +418,27 @@ def _bpe_pair_counts(c: DataFrame) -> DataFrame:
     # minimal repro: filter(arrays_zip(a, b), p -> p['b'].isNotNull())
     # sees b=None for every element while plain collect shows real
     # values), so pairs are built by position with element_at
-    toks = F.split(F.trim(F.col("s")), " ")
-    n = F.size(toks)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    ex = c.select(toks.alias("t"), F.explode(idx).alias("j"))
+    # the pair structs are built INSIDE the array (let1-bound token array,
+    # one split per row) and only the pairs explode — the r04 form exploded
+    # an index column NEXT TO the full token array, copying the whole array
+    # into every pair row (~tokens^2 string traffic per round, r09)
+    def _pairs_of(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda j: F.struct(
+                    F.element_at(toks, j).alias("a"),
+                    F.element_at(toks, j + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    pairs = T.let1(F.split(F.trim(F.col("s")), " "), _pairs_of)
     return (
-        ex.select(
-            F.element_at("t", F.col("j")).alias("a"),
-            F.element_at("t", F.col("j") + 1).alias("b"),
-        )
+        c.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
         .filter((F.col("a") != "") & (F.col("b") != ""))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c"))
