@@ -37,3 +37,46 @@ def test_udtf_chunks_match_expression_chunker(spark, sf_dir):
         for r in P.chunk_sliding_window(docs, size=32, stride=16).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_let1_text_helpers_match_python_replay(spark):
+    """The r09 let1-bound builders (split once per row, not per element)
+    must agree with a direct python replay on edge shapes: empty text,
+    single token, all-same tokens, and a tie between two token counts
+    (the sorted-run fold must pick the max, first-run ties irrelevant
+    because only the count is used)."""
+    from executor_u1mindexer_spark.functions import text as T
+
+    texts = [
+        "",
+        "one",
+        "a a a a",
+        "x y x y z",
+        "alpha beta gamma alpha beta alpha",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        T.word_shingles(F.col("text"), 3).alias("sh"),
+        T.word_ngrams_all(F.col("text"), 2).alias("g2"),
+        T.top_token_fraction(F.col("text")).alias("ttf"),
+    ).collect()
+    for r in rows:
+        toks = r.text.split(" ") if r.text else [""]
+        if len(toks) >= 3:
+            want_sh = list(dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            ))
+        else:
+            want_sh = [" ".join(toks)]
+        assert r.sh == want_sh, (r.text, r.sh, want_sh)
+        want_g2 = [
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ] if len(toks) >= 2 else []
+        assert r.g2 == want_g2, (r.text, r.g2, want_g2)
+        if toks:
+            from collections import Counter
+            want_ttf = max(Counter(toks).values()) / len(toks)
+        else:
+            want_ttf = 0.0
+        assert abs(r.ttf - want_ttf) < 1e-12, (r.text, r.ttf, want_ttf)
