@@ -118,6 +118,21 @@ DRIVER_PRIORITY = (
     "tpch_q22_global_sales_opportunity",
     "vector_pq_codes",
     # --- 50-slot window boundary: rows below lead the r10 rotation ---
+    # r09 late-session perf work changed six rows AFTER the window above
+    # was frozen (policy (a) applies to them in r10): the two AMS rows'
+    # VALUES changed (new digest-slicing sign scheme, both engines moved
+    # together), the other four are plan-only rewrites with bit-identical
+    # output (array-percentage quantiles; let1-bound repetition grams;
+    # BPE pair-struct explode). All six are green in this round's
+    # committed dtype-faithful sweeps at sf0.01 AND sf0.1; they lead r10
+    # so the value-changed rows get the next driver row. The displaced
+    # r05-stale block (events_sessionize first, verdict-named) follows.
+    "sketch_ams_join_size",
+    "sketch_ams_f2_tokens",
+    "agg_approx_quantiles",
+    "text_repetition_scores",
+    "text_bpe_learn_merges",
+    "text_bpe_tokenize",
     # (the 50 r05-stale rows; events_sessionize first, verdict-named)
     "events_sessionize",
     "agg_approx_distinct",
