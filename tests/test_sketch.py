@@ -442,6 +442,18 @@ def test_ams_state_matches_python_replay(spark):
     assert got == want
 
 
+def test_ams_state_replay_beyond_one_digest(spark):
+    # d=150 crosses both the second 60-bit half (j >= 60) and the second
+    # digest (j >= 120) — pins the bit/half/digest indexing of the r09
+    # sliced-sign scheme on every lane, not just digest 0 half 0
+    vals = ["a", "b", "a", "c"]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    d = 150
+    got = {r.hash_row: r.z for r in SK.ams_state(df, "t", d).collect()}
+    want = {j: sum(_ams_sign(v, j) for v in vals) for j in range(d)}
+    assert got == want
+
+
 def test_ams_merge_is_linear(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     even = docs.filter(F.col("doc_id") % 2 == 0)
