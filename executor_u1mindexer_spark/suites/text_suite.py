@@ -452,7 +452,11 @@ def bpe_learn_merges(d: DataFrame, n_merges: int = BPE_MERGES):
     (the deterministic-semantics contract needs literal patterns)."""
     import re as _re
 
-    cur = _bpe_corpus(d)
+    # one upfront doc_id shuffle so all n_merges count+rewrite rounds run
+    # on 32 tasks instead of the fixture file's single split (r09: counts
+    # are global sums and the rewrite is map-only, so partitioning cannot
+    # move a result; localCheckpoint preserves the layout across rounds)
+    cur = _bpe_corpus(d).repartition(32, F.col("doc_id"))
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
