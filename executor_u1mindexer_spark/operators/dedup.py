@@ -690,6 +690,7 @@ def span_dedup(
     (the doc still gets its output row, per the every-doc contract).
     [NOT IN REFERENCE — executor.py has no text surface.]
     """
+    df = _spread(df)  # per-doc span build; 1-split fixture input
     spans = T.let1(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
         lambda words: F.transform(

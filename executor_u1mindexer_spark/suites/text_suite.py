@@ -163,7 +163,9 @@ def text_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct character 4-gram counts per doc (functions/text.char_ngrams
     — the language-ID / fuzzy-similarity primitive) plus the uniqueness
     ratio against the maximum possible n-gram count."""
-    d = _docs(spark, sf_dir)
+    from executor_u1mindexer_spark.operators.dedup import _spread
+
+    d = _spread(_docs(spark, sf_dir))  # per-doc HOF work; 1-split fixture
     n4 = F.size(T.char_ngrams(F.col("text"), 4))
     denom = F.greatest(F.length("text") - 3, F.lit(1))
     return d.select(
@@ -198,7 +200,9 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays land in their own projection (r09) so each is built once per
     row — CollapseProject keeps multiply-referenced non-cheap
     expressions, see functions.text.dup_fraction_of."""
-    d = _docs(spark, sf_dir)
+    from executor_u1mindexer_spark.operators.dedup import _spread
+
+    d = _spread(_docs(spark, sf_dir))  # per-doc HOF work; 1-split fixture
     arrs = d.select(
         "doc_id",
         T.word_ngrams_all(F.col("text"), 2).alias("_g2"),
@@ -317,7 +321,9 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (pinned by test_plans.test_bigram_lm_count_joins_are_skew_immune).
     Past the broadcast threshold (vocab of billions), the fallback SMJ is
     covered by spark.sql.adaptive.skewJoin (enabled in session.py)."""
-    d = _docs(spark, sf_dir)
+    from executor_u1mindexer_spark.operators.dedup import _spread
+
+    d = _spread(_docs(spark, sf_dir))  # per-doc HOF work; 1-split fixture
     toks = d.select("doc_id", T.words(F.col("text")).alias("toks"))
     bigrams = toks.select(
         "doc_id",
