@@ -133,6 +133,8 @@ DRIVER_PRIORITY = (
     "text_repetition_scores",
     "text_bpe_learn_merges",
     "text_bpe_tokenize",
+    "text_char_ngram_stats",
+    "text_bigram_lm_scores",
     # (the 50 r05-stale rows; events_sessionize first, verdict-named)
     "events_sessionize",
     "agg_approx_distinct",
