@@ -329,18 +329,24 @@ def simhash32(text_col: Column | str) -> Column:
     though the Python F.shiftright wrapper only takes ints)."""
     name = text_col if isinstance(text_col, str) else None
     assert name is not None, "simhash32 needs a column name for the SQL expression"
+    # the token hash array is bound ONCE via the single-element-array
+    # transform (functions.text.let1 in SQL form) — the r06 original
+    # embedded the split+md5 transform inside the per-bit lambda, re-
+    # hashing every token 32 times per document (r09)
     return F.expr(
         f"""
-        aggregate(
-          transform(sequence(0, 31), j ->
-            CASE WHEN aggregate(
-                   transform(split({name}, ' '),
-                             w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)),
-                   0L,
-                   (acc, h) -> acc + CASE WHEN (h DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1
-                                          THEN 1 ELSE -1 END) > 0
-                 THEN CAST(pow(2, j) AS BIGINT) ELSE 0L END),
-          0L, (acc, x) -> acc + x)
+        element_at(transform(
+          array(transform(split({name}, ' '),
+                          w -> CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT))),
+          hs -> aggregate(
+            transform(sequence(0, 31), j ->
+              CASE WHEN aggregate(
+                     hs,
+                     0L,
+                     (acc, h) -> acc + CASE WHEN (h DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                                            THEN 1 ELSE -1 END) > 0
+                   THEN CAST(pow(2, j) AS BIGINT) ELSE 0L END),
+            0L, (acc, x) -> acc + x)), 1)
         """
     )
 
