@@ -385,9 +385,33 @@ def _validate_dw(d: int, w: int) -> None:
         raise ValueError(f"w must be a power of two >= {W_MIN}, got {w}")
 
 
-def _salted_hash_sql(col: str, salt: int, engine: str) -> str:
-    """Row-i hash: same 60-bit md5 scheme over value + '#i' salt."""
-    return _hash60_sql(f"concat(CAST({col} AS STRING), '#{salt}')", engine)
+def _sliced_pos_sql(col: str, i: int, mod: int, family: str, engine: str) -> str:
+    """Hash position i in [0, mod) (mod a power of two): a log2(mod)-bit
+    field sliced from the value's md5 digest stream — digest k =
+    md5(value || '#' || family || k), split into two 60-bit halves (the
+    _hash60_sql convention), each half yielding floor(60/bits) fields.
+
+    The r09 digest economy (the AMS lesson applied to the CMS bucket and
+    Bloom bit families): the r06 originals salted a FRESH md5 per
+    position, i.e. d (or k) digests per input row; one digest now serves
+    2 * floor(60/bits) positions, so the default CMS (d=4, w=256) and
+    Bloom (k=4, m=4096) pay ONE digest per row. Distinct bit fields of
+    one md5 are the standard practical stand-in for independent hashes;
+    the CMS overcount bound and the Bloom no-false-negative guarantee
+    are hash-choice-independent, and the probabilistic accuracy rows
+    were re-verified green at both SFs when the scheme landed."""
+    bits = mod.bit_length() - 1
+    per_half = 60 // bits
+    gh, field = divmod(i, per_half)
+    hx = (
+        f"substr(md5(concat(CAST({col} AS STRING), '#{family}{gh // 2}')),"
+        f" {1 + 15 * (gh % 2)}, 15)"
+    )
+    if engine == "spark":
+        h = f"CAST(conv({hx}, 16, 10) AS BIGINT)"
+        return f"(shiftright({h}, {bits * field}) & {mod - 1})"
+    h = f"CAST(concat('0x', {hx}) AS BIGINT)"
+    return f"(({h} >> {bits * field}) & {mod - 1})"
 
 
 def cms_state(df: DataFrame, col: str, d: int = D_DEFAULT, w: int = 256) -> DataFrame:
@@ -400,7 +424,7 @@ def cms_state(df: DataFrame, col: str, d: int = D_DEFAULT, w: int = 256) -> Data
     """
     _validate_dw(d, w)
     pairs = ", ".join(
-        f"{i}, CAST(({_salted_hash_sql(col, i, 'spark')} % {w}) AS BIGINT)"
+        f"{i}, CAST({_sliced_pos_sql(col, i, w, 'cms', 'spark')} AS BIGINT)"
         for i in range(d)
     )
     return (
@@ -445,7 +469,7 @@ def cms_lookup(
     """
     _validate_dw(d, w)
     pairs = ", ".join(
-        f"{i}, CAST(({_salted_hash_sql(col, i, 'spark')} % {w}) AS BIGINT)"
+        f"{i}, CAST({_sliced_pos_sql(col, i, w, 'cms', 'spark')} AS BIGINT)"
         for i in range(d)
     )
     coords = items.selectExpr("*", f"stack({d}, {pairs}) AS (hash_row, bucket)")
@@ -464,7 +488,8 @@ def cms_lookup(
 # -- Bloom filter ------------------------------------------------------------
 #
 # The membership member of the sketch trio (HLL cardinality, CMS
-# frequency, Bloom membership): k salted hash positions per item over an
+# frequency, Bloom membership): k digest-sliced bit positions per item
+# (_sliced_pos_sql — one md5 per row at the k=4/m=4096 default) over an
 # m-bit array. Set-bit state is stored as DISTINCT position rows (<= m
 # rows, one shuffle), merges by plain set union (bitwise OR), and lookup
 # gives NO false negatives ever, false positives at a rate ~= (1 -
@@ -489,7 +514,7 @@ def bloom_state(df: DataFrame, col: str, k: int = 4, mbits: int = 4096) -> DataF
     """
     _validate_bloom(k, mbits)
     pairs = ", ".join(
-        f"CAST(({_salted_hash_sql(col, i, 'spark')} % {mbits}) AS BIGINT)"
+        f"CAST({_sliced_pos_sql(col, i, mbits, 'bloom', 'spark')} AS BIGINT)"
         for i in range(k)
     )
     return (
@@ -525,7 +550,7 @@ def bloom_contains(
     """
     _validate_bloom(k, mbits)
     pairs = ", ".join(
-        f"CAST(({_salted_hash_sql(col, i, 'spark')} % {mbits}) AS BIGINT)"
+        f"CAST({_sliced_pos_sql(col, i, mbits, 'bloom', 'spark')} AS BIGINT)"
         for i in range(k)
     )
     coords = items.selectExpr("*", f"stack({k}, {pairs}) AS (bit)")
@@ -555,7 +580,7 @@ def bloom_bits_collect(
 
 def bloom_member_expr(bits: list[int], col: str, k: int = 4, mbits: int = 4096):
     """Pure-Catalyst membership predicate over a literal bit array: TRUE
-    iff all k salted positions of `col` are set.
+    iff all k digest-sliced positions of `col` are set.
 
     The mbits bits pack into mbits/64 signed longs inlined as an array
     literal; each probe is element_at + shiftright + mask — integer
@@ -576,7 +601,7 @@ def bloom_member_expr(bits: list[int], col: str, k: int = 4, mbits: int = 4096):
     arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
     conds = []
     for i in range(k):
-        pos = f"CAST(({_salted_hash_sql(col, i, 'spark')} % {mbits}) AS BIGINT)"
+        pos = f"CAST({_sliced_pos_sql(col, i, mbits, 'bloom', 'spark')} AS BIGINT)"
         word = f"element_at({arr}, CAST(shiftright({pos}, 6) AS INT) + 1)"
         conds.append(f"((shiftright({word}, CAST(({pos} & 63) AS INT)) & 1) = 1)")
     return F.expr("(" + " AND ".join(conds) + ")")
@@ -618,7 +643,7 @@ def cms_state_grouped(
     if not group_cols:
         raise ValueError("group_cols must be non-empty; use cms_state")
     pairs = ", ".join(
-        f"{i}, CAST(({_salted_hash_sql(col, i, 'spark')} % {w}) AS BIGINT)"
+        f"{i}, CAST({_sliced_pos_sql(col, i, w, 'cms', 'spark')} AS BIGINT)"
         for i in range(d)
     )
     g = ", ".join(group_cols)
@@ -645,7 +670,7 @@ def cms_lookup_grouped(
     if not group_cols:
         raise ValueError("group_cols must be non-empty; use cms_lookup")
     pairs = ", ".join(
-        f"{i}, CAST(({_salted_hash_sql(col, i, 'spark')} % {w}) AS BIGINT)"
+        f"{i}, CAST({_sliced_pos_sql(col, i, w, 'cms', 'spark')} AS BIGINT)"
         for i in range(d)
     )
     coords = items.selectExpr("*", f"stack({d}, {pairs}) AS (hash_row, bucket)")
@@ -673,7 +698,7 @@ def oracle_cms_state_grouped_sql(
     g = ", ".join(group_cols)
     arms = "\nUNION ALL\n".join(
         f"SELECT {g}, {i} AS hash_row, "
-        f"CAST(({_salted_hash_sql(col, i, 'duck')} % {w}) AS BIGINT) AS bucket "
+        f"CAST({_sliced_pos_sql(col, i, w, 'cms', 'duck')} AS BIGINT) AS bucket "
         f"FROM {source} WHERE {col} IS NOT NULL"
         for i in range(d)
     )
@@ -689,7 +714,7 @@ def oracle_bloom_state_sql(source: str, col: str, k: int = 4, mbits: int = 4096)
     deduplicates, matching the DataFrame .distinct())."""
     _validate_bloom(k, mbits)
     arms = "\nUNION\n".join(
-        f"SELECT CAST(({_salted_hash_sql(col, i, 'duck')} % {mbits}) AS BIGINT)"
+        f"SELECT CAST({_sliced_pos_sql(col, i, mbits, 'bloom', 'duck')} AS BIGINT)"
         f" AS bit FROM {source} WHERE {col} IS NOT NULL"
         for i in range(k)
     )
@@ -702,7 +727,7 @@ def oracle_cms_state_sql(source: str, col: str, d: int = D_DEFAULT, w: int = 256
     _validate_dw(d, w)
     arms = "\nUNION ALL\n".join(
         f"SELECT {i} AS hash_row, "
-        f"CAST(({_salted_hash_sql(col, i, 'duck')} % {w}) AS BIGINT) AS bucket "
+        f"CAST({_sliced_pos_sql(col, i, w, 'cms', 'duck')} AS BIGINT) AS bucket "
         f"FROM {source} WHERE {col} IS NOT NULL"
         for i in range(d)
     )

@@ -135,6 +135,17 @@ DRIVER_PRIORITY = (
     "text_bpe_tokenize",
     "text_char_ngram_stats",
     "text_bigram_lm_scores",
+    # CMS/Bloom digest-economy rows (values changed with the sliced-sign
+    # scheme, both engines moved together; invariants re-proven green)
+    "sketch_cms_state",
+    "sketch_cms_heavy_hitters",
+    "sketch_cms_merge_partitions",
+    "sketch_cms_lookup_unseen",
+    "sketch_cms_grouped_state",
+    "sketch_cms_grouped_heavy_hitters",
+    "sketch_bloom_state",
+    "sketch_bloom_membership",
+    "sketch_bloom_join_prune",
     # (the 50 r05-stale rows; events_sessionize first, verdict-named)
     "events_sessionize",
     "agg_approx_distinct",

@@ -766,7 +766,7 @@ FROM merged m FULL OUTER JOIN whole w USING (register)
 def _cms_probe_arms(item_source: str) -> str:
     return "\nUNION ALL\n".join(
         f"SELECT token, exact_count, {i} AS hash_row, "
-        f"CAST(({SK._salted_hash_sql('token', i, 'duck')} % {CMS_W}) AS BIGINT)"
+        f"CAST({SK._sliced_pos_sql('token', i, CMS_W, 'cms', 'duck')} AS BIGINT)"
         f" AS bucket FROM {item_source}"
         for i in range(CMS_D)
     )
@@ -833,7 +833,7 @@ def _bloom_probe_arms() -> str:
     )
     return "\nUNION ALL\n".join(
         f"SELECT probe_id, expected, "
-        f"CAST(({SK._salted_hash_sql('probe_id', i, 'duck')} % {BLOOM_M}) AS BIGINT)"
+        f"CAST({SK._sliced_pos_sql('probe_id', i, BLOOM_M, 'bloom', 'duck')} AS BIGINT)"
         f" AS bit FROM {probes} probes{i}"
         for i in range(BLOOM_K)
     )
@@ -860,7 +860,7 @@ FROM verdicts
 def _bloom_join_probe_arms() -> str:
     return "\nUNION ALL\n".join(
         f"SELECT o_orderkey, "
-        f"CAST(({SK._salted_hash_sql('o_custkey', i, 'duck')} % {BLOOM_JOIN_M})"
+        f"CAST({SK._sliced_pos_sql('o_custkey', i, BLOOM_JOIN_M, 'bloom', 'duck')}"
         f" AS BIGINT) AS bit FROM orders"
         for i in range(BLOOM_JOIN_K)
     )
@@ -926,7 +926,7 @@ FROM est CROSS JOIN total
 def _cms_grouped_probe_arms(item_source: str) -> str:
     return "\nUNION ALL\n".join(
         f"SELECT lang, token, exact_count, {i} AS hash_row, "
-        f"CAST(({SK._salted_hash_sql('token', i, 'duck')} % {CMS_W}) AS BIGINT)"
+        f"CAST({SK._sliced_pos_sql('token', i, CMS_W, 'cms', 'duck')} AS BIGINT)"
         f" AS bucket FROM {item_source}"
         for i in range(CMS_D)
     )

@@ -122,14 +122,22 @@ def test_double_literals_use_e0_notation():
 # -- count-min sketch --------------------------------------------------------
 
 
+def _sliced_pos(v, i, mod, family):
+    # r09 digest economy: position i is a log2(mod)-bit field of digest
+    # md5(value || '#' || family || k) — mirrors sketch._sliced_pos_sql
+    bits = mod.bit_length() - 1
+    per_half = 60 // bits
+    gh, field = divmod(i, per_half)
+    dg = hashlib.md5(f"{v}#{family}{gh // 2}".encode()).hexdigest()
+    h = int(dg[15 * (gh % 2) : 15 * (gh % 2) + 15], 16)
+    return (h >> (bits * field)) & (mod - 1)
+
+
 def _py_cms(values, d, w):
     state = {}
     for v in values:
         for i in range(d):
-            h = int(
-                hashlib.md5(f"{v}#{i}".encode()).hexdigest()[:15], 16
-            )
-            key = (i, h % w)
+            key = (i, _sliced_pos(v, i, w, "cms"))
             state[key] = state.get(key, 0) + 1
     return state
 
