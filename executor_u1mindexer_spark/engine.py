@@ -98,19 +98,34 @@ class U1MIndexerSpark:
     # -- helpers ---------------------------------------------------------
 
     def _empty_vectors(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [], f"{M.ID} long, {M.IID} long, {M.EMB} array<double>"
-        )
+        """Known-empty state as a one-row projection under WHERE FALSE, NOT
+        `createDataFrame([])`: the latter is an RDD-backed relation whose
+        emptiness Catalyst cannot see, so a fresh engine's first upsert
+        would drag the full kept/updated/anti join machinery through the
+        plan (measured: a 166-node physical plan for a first-batch ingest).
+        A literal false filter folds to an empty LocalRelation and
+        PropagateEmptyRelation then prunes the state-side branches away —
+        the first batch compiles to just dedup + dense-rank + insert."""
+        return self.spark.sql(
+            f"""SELECT CAST(NULL AS BIGINT) AS {M.ID},
+                       CAST(NULL AS BIGINT) AS {M.IID},
+                       CAST(NULL AS ARRAY<DOUBLE>) AS {M.EMB}"""
+        ).where(F.lit(False))
 
     def _as_batch(self, docs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         """Normalize an input batch to (id, emb, seq). Arrival order := a
         `seq` column when present, else the id order (deterministic stand-in
-        for the reference's list position, executor.py:151)."""
-        knn.validate_dim(docs, self.dim, vec_col=vec_col)
+        for the reference's list position, executor.py:151).
+
+        Dim validation (executor.py:144-148) is the LAZY dim_guard fused
+        into the emb column: it rides the batch into the pass that
+        materializes it (dump/search), so ingest reads the batch ONCE —
+        the eager validate-then-ingest shape would scan a 100 TB batch
+        twice. Error timing divergence documented at knn.dim_guard."""
         seq = F.col("seq") if "seq" in docs.columns else F.col(id_col)
         return docs.select(
             F.col(id_col).alias(M.ID),
-            F.col(vec_col).cast("array<double>").alias(M.EMB),
+            knn.dim_guard(F.col(vec_col).cast("array<double>"), self.dim).alias(M.EMB),
             seq.alias(M.SEQ),
         )
 
@@ -192,7 +207,11 @@ class U1MIndexerSpark:
         """
         queries = traverse.traverse_flat(queries, traversal_paths, id_col=query_id_col)
         k = limit if limit is not None else self.limit
-        knn.validate_dim(queries, self.dim, vec_col=query_vec_col)
+        # lazy dim check (executor.py:105-110): guard fused into the query
+        # vec column — enforced in the search pass itself, no pre-scan job
+        queries = queries.withColumn(
+            query_vec_col, knn.dim_guard(F.col(query_vec_col), self.dim)
+        )
         stored = self._vectors.select(
             F.col(M.ID).alias("vec_id"), F.col(M.EMB).alias("embedding")
         )

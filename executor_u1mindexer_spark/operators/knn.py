@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from executor_u1mindexer_spark.functions import vector as V
@@ -326,17 +326,45 @@ def _with_payload(
 
 
 def validate_dim(df: DataFrame, dim: int, vec_col: str = "embedding") -> None:
-    """Raise ValueError if any row's embedding width != dim.
+    """Raise ValueError if any row's embedding width != dim — EAGER form
+    (runs one job now).
 
     Relational form of the reference's dim check (executor.py:105-110,
     144-148, 199-204). One aggregate scan; at 100 TB this is a single
-    codegen'd pass with a count accumulator, no shuffle.
+    codegen'd pass with a count accumulator, no shuffle — but it is still
+    a full extra read of the batch, so the engine's hot paths use
+    `dim_guard` (the same check fused into the batch's own materialization
+    pass) and this eager form is for callers who want the reference's
+    request-time error timing.
     """
     bad = df.filter(~V.dim_check(F.col(vec_col), dim)).limit(1).count()
     if bad:
         raise ValueError(
             f"Attempted to process vectors whose dimension != the index dim ({dim})"
         )
+
+
+def dim_guard(col: Column, dim: int) -> Column:
+    """Width-validating pass-through of an embedding column — LAZY form.
+
+    `CASE WHEN size(col)=dim THEN col ELSE raise_error(...) END`: the check
+    rides the column into whatever pass materializes it, so enforcement
+    costs zero extra jobs and zero extra reads. At 100 TB the eager
+    validate-then-ingest shape scans the batch twice; this guard validates
+    in the single ingest pass. Error timing therefore moves from the
+    endpoint call to the first action that touches the data (dump/search
+    collection) — the Spark-first analogue of the reference's per-request
+    ValueError (executor.py:105-110, 144-148, 199-204), surfaced as
+    USER_RAISED_EXCEPTION with the same message text.
+    """
+    return F.when(V.dim_check(col, dim), col).otherwise(
+        F.raise_error(
+            F.lit(
+                "Attempted to process vectors whose dimension != the index "
+                f"dim ({dim})"
+            )
+        )
+    )
 
 
 def clamped_k(stored: DataFrame, k: int) -> int:

@@ -113,13 +113,19 @@ def index_state(emb_df: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
 def dedup_latest(batch: DataFrame, id_col: str = ID, seq_col: str = SEQ) -> DataFrame:
     """Keep-latest per id (last write in arrival order wins) — the batch-side
     half of upsert (executor.py:157-161 reprocesses duplicate ids in order;
-    last assignment wins)."""
-    w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
-    return (
-        batch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    last assignment wins).
+
+    Shape: groupBy + max_by, NOT a row_number window. The aggregate gets
+    map-side partial combine (duplicate ids collapse BEFORE the exchange,
+    so a skewed 100 TB batch ships one row per id per map task), while the
+    window form must shuffle and sort every duplicate. Ties on seq_col pick
+    an arbitrary winner in both forms."""
+    others = [c for c in batch.columns if c not in (id_col, seq_col)]
+    agged = batch.groupBy(id_col).agg(
+        F.max_by(F.struct(*others), F.col(seq_col)).alias("__kept"),
+        F.max(seq_col).alias(seq_col),
     )
+    return agged.select(id_col, *[F.col(f"__kept.{c}").alias(c) for c in others], seq_col)
 
 
 def upsert(state: DataFrame, batch: DataFrame) -> DataFrame:

