@@ -127,6 +127,15 @@ DRIVER_PRIORITY = (
     # committed dtype-faithful sweeps at sf0.01 AND sf0.1; they lead r10
     # so the value-changed rows get the next driver row. The displaced
     # r05-stale block (events_sessionize first, verdict-named) follows.
+    # Ingest-path perf rewrite (lazy dim_guard, foldable empty state,
+    # max_by dedup — all plan-only, outputs re-proven bit-identical in the
+    # committed sweeps and a 13-row targeted oracle check at BOTH SFs):
+    # the five changed rows not already in the r09 window lead r10.
+    "index_upsert",
+    "update_existing",
+    "update_skipped",
+    "status_counts",
+    "dump_load_roundtrip",
     "sketch_ams_join_size",
     "sketch_ams_f2_tokens",
     "agg_approx_quantiles",
@@ -134,7 +143,8 @@ DRIVER_PRIORITY = (
     "text_bpe_learn_merges",
     "text_bpe_tokenize",
     "text_char_ngram_stats",
-    "text_bigram_lm_scores",
+    # (text_bigram_lm_scores also changed late-r09 but already sits in the
+    # r09 window above; the round-end driver run checks it on current code)
     # CMS/Bloom digest-economy rows (values changed with the sliced-sign
     # scheme, both engines moved together; invariants re-proven green)
     "sketch_cms_state",
