@@ -103,24 +103,35 @@ def pagerank(
         )
         .localCheckpoint(eager=True)
     )
-    nodes = directed.select(F.col("src").alias("node")).distinct()
-    deg = directed.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("outdeg")
+    # outdeg is loop-invariant and node-keyed; every node incident to an
+    # edge appears as a src in `directed` (both directions are present), so
+    # deg doubles as the node list — one checkpointed (node, outdeg) table
+    # serves the per-iteration share join, the base-rank init, AND the
+    # dangling-node left join. Per iteration the heavy edge-sized work is
+    # then a SINGLE join (edges ⋈ share on src): the old shape joined the
+    # edge list twice per round (once to ranks, once to outdeg), i.e.
+    # n_iter extra edge-sized shuffles that this hoist deletes.
+    deg = (
+        directed.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
     )
-    n = nodes.count()  # bounded driver scalar, like the literal-centroid fits
+    nodes = deg.select("node")
+    n = deg.count()  # bounded driver scalar, like the literal-centroid fits
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
     base = SCALE // n
     r = nodes.select("node", F.lit(base).cast("long").alias("rank_scaled"))
     for _ in range(n_iter):
+        # node-sized join first: (rank DIV outdeg) per src, THEN one
+        # edge-sized join fans the share out along edges
+        share = r.join(deg, "node").select(
+            F.col("node").alias("__sn"),
+            F.expr(_idiv("rank_scaled", "outdeg", "spark")).alias("__c"),
+        )
         contrib = (
-            directed.join(r, directed["src"] == r["node"])
-            .join(deg.withColumnRenamed("node", "__dn"), F.col("src") == F.col("__dn"))
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(_idiv("rank_scaled", "outdeg", "spark")).alias("__c"),
-            )
-            .groupBy("node")
+            directed.join(share, directed["src"] == share["__sn"])
+            .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("__c").cast("long").alias("__contrib"))
         )
         r = (
