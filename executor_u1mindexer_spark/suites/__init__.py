@@ -156,6 +156,10 @@ DRIVER_PRIORITY = (
     "sketch_bloom_state",
     "sketch_bloom_membership",
     "sketch_bloom_join_prune",
+    # pagerank loop rewrite (outdeg hoisted, one edge-sized join per
+    # iteration — plan-only, output hash-identical in targeted oracle
+    # checks at sf0.01 AND sf0.1 this session)
+    "graph_pagerank_parts",
     # (the 50 r05-stale rows; events_sessionize first, verdict-named)
     "events_sessionize",
     "agg_approx_distinct",
