@@ -103,17 +103,38 @@ def pagerank(
         )
         .localCheckpoint(eager=True)
     )
-    # outdeg is loop-invariant and node-keyed; every node incident to an
-    # edge appears as a src in `directed` (both directions are present), so
-    # deg doubles as the node list — one checkpointed (node, outdeg) table
-    # serves the per-iteration share join, the base-rank init, AND the
-    # dangling-node left join. Per iteration the heavy edge-sized work is
-    # then a SINGLE join (edges ⋈ share on src): the old shape joined the
-    # edge list twice per round (once to ranks, once to outdeg), i.e.
-    # n_iter extra edge-sized shuffles that this hoist deletes.
+    # Loop-invariant hoists (the GraphX routing-table idea). Every node
+    # incident to an edge appears as a src in `directed` (both directions
+    # are present), so deg doubles as the node list — one checkpointed
+    # (node, outdeg) table serves the per-iteration share join, the
+    # base-rank init, AND the dangling-node left join.
     deg = (
         directed.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    # The edge list is then folded ONCE into adjacency arrays
+    # (node, salt, dsts). The salt count is PER NODE — ceil(outdeg/1024),
+    # i.e. 0 extra rows for ordinary nodes and ceil(deg/1024) slices for a
+    # hub, so no task ever materializes a celebrity's whole neighborhood
+    # in one array while small nodes pay zero fragmentation. After this
+    # build (one edge-sized join + one edge-sized groupBy, both outside
+    # the loop), NO iteration shuffles edge-sized rows: the per-round
+    # joins are all node-keyed (ranks ⋈ deg, then ⋈ adj), the fan-out
+    # happens by exploding in-partition arrays, and the partial
+    # groupBy(dst) combines the exploded stream map-side back down to
+    # ~distinct-dsts-per-partition before the only exchange. Per-iteration
+    # shuffled bytes drop from O(E) (the previous edges ⋈ share join)
+    # to O(N).
+    adj = (
+        directed.join(deg, directed["src"] == deg["node"])
+        .groupBy(
+            "node",
+            F.pmod(
+                F.xxhash64("dst"), F.ceil(F.col("outdeg") / F.lit(1024))
+            ).alias("__salt"),
+        )
+        .agg(F.collect_list("dst").alias("__dsts"))
         .localCheckpoint(eager=True)
     )
     nodes = deg.select("node")
@@ -123,15 +144,17 @@ def pagerank(
     base = SCALE // n
     r = nodes.select("node", F.lit(base).cast("long").alias("rank_scaled"))
     for _ in range(n_iter):
-        # node-sized join first: (rank DIV outdeg) per src, THEN one
-        # edge-sized join fans the share out along edges
+        # node-sized join first: (rank DIV outdeg) per src, THEN the
+        # node-sized adjacency join + in-partition explode fans the share
+        # out along edges without an edge-sized exchange
         share = r.join(deg, "node").select(
-            F.col("node").alias("__sn"),
+            "node",
             F.expr(_idiv("rank_scaled", "outdeg", "spark")).alias("__c"),
         )
         contrib = (
-            directed.join(share, directed["src"] == share["__sn"])
-            .groupBy(F.col("dst").alias("node"))
+            adj.join(share, "node")
+            .select(F.explode("__dsts").alias("node"), "__c")
+            .groupBy("node")
             .agg(F.sum("__c").cast("long").alias("__contrib"))
         )
         r = (
