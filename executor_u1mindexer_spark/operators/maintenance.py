@@ -166,6 +166,64 @@ def upsert(state: DataFrame, batch: DataFrame) -> DataFrame:
     return kept.unionByName(updated).unionByName(inserted)
 
 
+def upsert_capacity_bound(
+    state: DataFrame, batch: DataFrame, capacity: int
+) -> tuple[DataFrame, DataFrame]:
+    """Capacity-bounded upsert — the reference's `max_elements` semantics
+    (executor.py:21, 43, 54, 67: hnswlib preallocates a fixed slot count
+    and add_items on a full index raises) as an OPTIONAL validation, per
+    SURVEY.md §2.A #20. The engine's default upsert stays unbounded (the
+    100 TB north star); this variant is for callers that want the
+    reference's admission contract.
+
+    Semantics, matched to hnswlib:
+    - updates to EXISTING ids never consume capacity (replace-in-place,
+      executor.py:157-161);
+    - NEW ids are admitted in arrival order (seq, the reference's list
+      position) while `prior_count + arrival < capacity`, each taking the
+      next dense internal id exactly like the unbounded path;
+    - the overflow is returned as a `rejected` warn-set (id rows), the
+      update_skipped pattern — the relational analogue of the hnswlib
+      raise, which a caller can turn back into the reference's hard
+      failure by checking the set is empty. Deletes don't refund slots
+      (hnswlib mark_deleted keeps the element count, executor.py:223):
+      capacity compares against TOTAL state rows, tombstones included.
+
+    Returns (new_state, rejected): new_state has the upsert's
+    (id, internal_id, emb, status) shape, rejected is (id) only.
+    """
+    if capacity < 0:
+        raise ValueError(f"capacity must be >= 0, got {capacity}")
+    b = dedup_latest(batch)
+    prior = state.agg(F.count(F.lit(1)).alias("__prior"))
+    updated = (
+        state.drop(EMB)
+        .join(F.broadcast(b.select(ID, EMB)), on=ID, how="inner")
+        .select(ID, IID, EMB)
+        .withColumn("status", F.lit("updated"))
+    )
+    kept = (
+        state.join(F.broadcast(b.select(ID)), on=ID, how="left_anti")
+        .select(ID, IID, EMB)
+        .withColumn("status", F.lit("kept"))
+    )
+    ranked = (
+        dense_rank_by(
+            b.join(state.select(ID), on=ID, how="left_anti"), SEQ, "__arrival"
+        )
+        .crossJoin(F.broadcast(prior))
+        .withColumn(IID, (F.col("__prior") + F.col("__arrival")).cast("long"))
+    )
+    inserted = (
+        ranked.filter(F.col(IID) < capacity)
+        .select(ID, IID, EMB)
+        .withColumn("status", F.lit("inserted"))
+    )
+    rejected = ranked.filter(F.col(IID) >= capacity).select(ID)
+    new_state = kept.unionByName(updated).unionByName(inserted)
+    return new_state, rejected
+
+
 def update_existing(state: DataFrame, batch: DataFrame) -> DataFrame:
     """The /update endpoint (executor.py:170-211): only already-indexed ids
     are re-embedded; unknown ids are skipped (executor.py:188-196)."""

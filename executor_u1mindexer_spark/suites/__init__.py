@@ -156,10 +156,14 @@ DRIVER_PRIORITY = (
     "sketch_bloom_state",
     "sketch_bloom_membership",
     "sketch_bloom_join_prune",
-    # pagerank loop rewrite (outdeg hoisted, one edge-sized join per
-    # iteration — plan-only, output hash-identical in targeted oracle
-    # checks at sf0.01 AND sf0.1 this session)
+    # pagerank loop rewrite (outdeg hoisted, adjacency-array fan-out —
+    # plan-only, output hash-identical in targeted oracle checks at
+    # sf0.01 AND sf0.1 this session)
     "graph_pagerank_parts",
+    # NEW row late-r09 (capacity_bound, SURVEY §2.A #20 closed as the
+    # optional validation) — never driver-checked, leads r10 with the
+    # other policy-(a) rows; green in targeted oracle checks at both SFs
+    "index_upsert_capacity",
     # (the 50 r05-stale rows; events_sessionize first, verdict-named)
     "events_sessionize",
     "agg_approx_distinct",

@@ -86,6 +86,31 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_norm(M.upsert(_state(spark, sf_dir), _batch(spark, sf_dir)))
 
 
+CAPACITY_HEADROOM = 40  # slots beyond the fixture state's row count
+
+
+def index_upsert_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-bounded upsert (executor.py:21, 43, 54, 67 — hnswlib
+    max_elements; SURVEY.md §2.A #20 'optional validation'). Capacity =
+    state rows + 100, so the first 100 new ids (arrival/seq order) are
+    admitted with dense internal ids exactly like the unbounded path and
+    the overflow surfaces as 'rejected' rows (internal_id/norm NULL) —
+    the relational analogue of the hnswlib add_items raise. Headroom 40
+    sits below the fixture's ~|emb|/7 inserts from sf0.01 up (72 at
+    sf0.01), so the driver's correctness SF exercises BOTH the admission
+    and the rejection lane."""
+    state = _state(spark, sf_dir)
+    cap = state.count() + CAPACITY_HEADROOM  # bounded driver scalar (pinned state)
+    new_state, rejected = M.upsert_capacity_bound(state, _batch(spark, sf_dir), cap)
+    rej = rejected.select(
+        M.ID,
+        F.lit(None).cast("long").alias(M.IID),
+        F.lit("rejected").alias("status"),
+        F.lit(None).cast("double").alias("norm"),
+    )
+    return _with_norm(new_state).unionByName(rej)
+
+
 def update_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_norm(M.update_existing(_state(spark, sf_dir), _batch(spark, sf_dir)))
 
@@ -197,6 +222,32 @@ _UPSERT = _BASE + f"""
   SELECT * FROM kept UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM inserted
 )
 SELECT id, internal_id, status, {_NORM.format(a='emb')} AS norm FROM result
+"""
+
+_UPSERT_CAP = _BASE + f"""
+, new_rows AS (
+  SELECT b.id, b.emb, b.seq FROM b
+  WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.id = b.id)
+), ranked AS (
+  SELECT id, emb,
+         (SELECT count(*) FROM state) + row_number() OVER (ORDER BY seq) - 1 AS internal_id
+  FROM new_rows
+), kept AS (
+  SELECT s.id, s.internal_id, s.emb, 'kept' AS status
+  FROM state s WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.id = s.id)
+), updated AS (
+  SELECT s.id, s.internal_id, b.emb, 'updated' AS status
+  FROM state s JOIN b ON b.id = s.id
+), inserted AS (
+  SELECT id, internal_id, emb, 'inserted' AS status FROM ranked
+  WHERE internal_id < (SELECT count(*) FROM state) + {CAPACITY_HEADROOM}
+), result AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM inserted
+)
+SELECT id, internal_id, status, {_NORM.format(a='emb')} AS norm FROM result
+UNION ALL
+SELECT id, CAST(NULL AS BIGINT), 'rejected', CAST(NULL AS DOUBLE) FROM ranked
+WHERE internal_id >= (SELECT count(*) FROM state) + {CAPACITY_HEADROOM}
 """
 
 _UPDATE = _BASE + f"""
@@ -492,6 +543,7 @@ FROM hist
 ORDER BY c_custkey, valid_from
 """,
     "index_upsert": _UPSERT,
+    "index_upsert_capacity": _UPSERT_CAP,
     "update_existing": _UPDATE,
     "update_skipped": _BASE
     + "SELECT id FROM b WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.id = b.id)",
@@ -522,6 +574,7 @@ FROM embeddings
 
 QUERIES = {
     "index_upsert": index_upsert,
+    "index_upsert_capacity": index_upsert_capacity,
     "update_existing": update_existing,
     "update_skipped": update_skipped,
     "delete_by_ids": delete_by_ids,

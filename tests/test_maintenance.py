@@ -67,6 +67,42 @@ def test_upsert_duplicate_ids_last_write_wins(spark, state):
     assert out[5][M.EMB] == [2.0, 2.0]  # seq 7 arrived later
 
 
+def test_upsert_capacity_admits_in_arrival_order(spark, state):
+    """Reference max_elements semantics (executor.py:21, 67): new ids are
+    admitted by seq while slots remain; updates never consume capacity."""
+    batch = _batch(
+        spark,
+        [
+            (3, [9.0, 9.0], 50),     # update — admitted even at full capacity
+            (300, [3.0, 0.0], 30),   # arrival rank 1 -> rejected (cap 11)
+            (100, [1.0, 0.0], 10),   # arrival rank 0 -> internal_id 10
+            (400, [4.0, 0.0], 40),   # arrival rank 2 -> rejected
+        ],
+    )
+    new_state, rejected = M.upsert_capacity_bound(state, batch, capacity=11)
+    out = {r[M.ID]: r for r in new_state.collect()}
+    assert len(out) == 11
+    assert out[3]["status"] == "updated" and out[3][M.IID] == 3
+    assert out[100]["status"] == "inserted" and out[100][M.IID] == 10
+    assert sorted(r[M.ID] for r in rejected.collect()) == [300, 400]
+
+
+def test_upsert_capacity_full_and_roomy_extremes(spark, state):
+    batch = _batch(spark, [(7, [5.0, 5.0], 0), (500, [1.0, 1.0], 1)])
+    # capacity == current count: updates land, every new id is rejected
+    st_full, rej_full = M.upsert_capacity_bound(state, batch, capacity=10)
+    assert st_full.count() == 10
+    assert st_full.filter(F.col(M.ID) == 7).collect()[0]["status"] == "updated"
+    assert [r[M.ID] for r in rej_full.collect()] == [500]
+    # roomy capacity: identical to the unbounded upsert, empty warn-set
+    st_room, rej_room = M.upsert_capacity_bound(state, batch, capacity=1000)
+    unbounded = {(r[M.ID], r[M.IID], r["status"]) for r in M.upsert(state, batch).collect()}
+    assert {(r[M.ID], r[M.IID], r["status"]) for r in st_room.collect()} == unbounded
+    assert rej_room.count() == 0
+    with pytest.raises(ValueError):
+        M.upsert_capacity_bound(state, batch, capacity=-1)
+
+
 def test_update_skips_unknown_ids(spark, state):
     batch = _batch(spark, [(4, [8.0, 8.0], 0), (999, [0.0, 0.0], 1)])
     out = M.update_existing(state, batch)
