@@ -16,7 +16,11 @@ Differences by design (Spark-first, north star):
 - search is EXACT (recall 1.0): `ef_query`/`ef_construction`/`max_connection`
   are accepted and ignored with the reasoning documented (executor.py:22-24
   tune an approximation this engine does not make);
-- no `max_elements` capacity (executor.py:21) — the 100 TB point;
+- `max_elements` (executor.py:21) is OPTIONAL and defaults to unbounded —
+  the 100 TB point. When set, index() admits new ids in arrival order
+  while allocated slots (live + tombstones, hnswlib element-count
+  semantics) stay under the cap and returns the overflow as a `rejected`
+  warn-set DataFrame instead of reproducing the hnswlib raise;
 - ids may be any orderable type (the reference used strings).
 """
 
@@ -72,6 +76,7 @@ class U1MIndexerSpark:
         ef_construction: int | None = None,
         ef_query: int | None = None,
         max_connection: int | None = None,
+        max_elements: int | None = None,
     ) -> None:
         self.spark = spark
         self.dim = dim
@@ -80,6 +85,9 @@ class U1MIndexerSpark:
         # HNSW knobs accepted for signature parity; exact search has no
         # recall/speed trade-off to tune (executor.py:22-24).
         self._ignored_knobs = (ef_construction, ef_query, max_connection)
+        if max_elements is not None and max_elements < 0:
+            raise ValueError(f"max_elements must be >= 0, got {max_elements}")
+        self.max_elements = max_elements  # None = unbounded (the default)
         self.workspace = workspace
         self._vectors = self._empty_vectors()
         self._docstore: DataFrame | None = None
@@ -236,14 +244,40 @@ class U1MIndexerSpark:
         id_col: str = "doc_id",
         vec_col: str = "embedding",
         traversal_paths: str = "r",
-    ) -> None:
+    ) -> DataFrame | None:
         """Keyed upsert (executor.py:127-168): existing ids keep their
         internal id, new ids get dense arrival-order ids. traversal_paths
-        (executor.py:138): 'c' indexes the chunk level of each document."""
+        (executor.py:138): 'c' indexes the chunk level of each document.
+
+        With `max_elements` configured (executor.py:21), admission is
+        capacity-bounded: new ids land in arrival order while allocated
+        slots (live + tombstones) stay under the cap, and the overflow
+        ids are RETURNED as a warn-set DataFrame (the update()-skipped
+        pattern) rather than reproducing hnswlib's add_items raise —
+        callers wanting the hard failure assert the set is empty.
+        Rejected ids are also kept out of the doc store. Unbounded
+        engines (the default) return None and pay no extra jobs."""
         docs = traverse.traverse_flat(docs, traversal_paths, id_col=id_col)
         self._before_mutation()
         batch = self._as_batch(docs, id_col, vec_col)
-        self._vectors = M.upsert(self._vectors, batch).select(M.ID, M.IID, M.EMB)
+        rejected = None
+        if self.max_elements is not None:
+            # live-row count is a bounded scalar job, only in capacity mode;
+            # capacity passed to the operator is net of tombstoned slots so
+            # the comparison is against hnswlib's element count
+            cap = self.max_elements - getattr(self, "_tombstones", 0)
+            new_state, rejected = M.upsert_capacity_bound(
+                self._vectors, batch, max(cap, 0)
+            )
+            rejected = rejected.localCheckpoint(eager=True)
+            self._vectors = new_state.select(M.ID, M.IID, M.EMB)
+            docs = docs.join(
+                F.broadcast(rejected.withColumnRenamed(M.ID, id_col)),
+                on=id_col,
+                how="left_anti",
+            )
+        else:
+            self._vectors = M.upsert(self._vectors, batch).select(M.ID, M.IID, M.EMB)
         self._ds_batch_no += 1
         payload = (
             docs.withColumnRenamed(id_col, M.ID)
@@ -263,6 +297,7 @@ class U1MIndexerSpark:
             if self._ds_pending >= DOCSTORE_COMPACT_EVERY:
                 self._docstore_compact()
         self._dirty = True
+        return rejected
 
     def update(
         self,

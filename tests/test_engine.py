@@ -48,6 +48,32 @@ def test_update_skips_unknown_and_reembeds_known(spark, engine):
     assert engine.status()["count_active"] == 100  # no inserts happened
 
 
+def test_max_elements_caps_admission_and_counts_tombstones(spark, tmp_path):
+    """executor.py:21 max_elements as the optional validation: arrival-order
+    admission, overflow returned as a warn-set, tombstones still occupy
+    slots (hnswlib element-count semantics), doc store excludes rejects."""
+    eng = U1MIndexerSpark(spark, dim=2, workspace=str(tmp_path), max_elements=3)
+    docs = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"t{i}") for i in range(5)],
+        "doc_id long, embedding array<double>, text string",
+    )
+    rejected = eng.index(docs)
+    assert sorted(r.id for r in rejected.collect()) == [3, 4]
+    st = eng.status()
+    assert st["count_active"] == 3 and st["size_dam"] == 3
+    # updates to existing ids never consume capacity, even at full index
+    upd = spark.createDataFrame([(1, [9.0, 9.0], "t1b")], "doc_id long, embedding array<double>, text string")
+    assert eng.index(upd).count() == 0
+    assert eng.status()["count_active"] == 3
+    # a tombstone keeps its slot: deleting one id does NOT free room
+    eng.delete([0])
+    more = spark.createDataFrame([(7, [7.0, 1.0], "t7")], "doc_id long, embedding array<double>, text string")
+    assert [r.id for r in eng.index(more).collect()] == [7]
+    assert eng.status()["count_indexed"] == 3
+    with pytest.raises(ValueError):
+        U1MIndexerSpark(spark, dim=2, max_elements=-1)
+
+
 def test_delete_and_status_tombstones(spark, engine):
     engine.delete([0, 1, 31337])  # 31337 unknown -> ignored
     st = engine.status()
