@@ -173,21 +173,31 @@ def test_connected_components_plan_depth_constant_across_sizes(spark):
     assert max(depths) - min(depths) <= 2, depths
 
 
-def test_pagerank_plan_depth_constant_across_iterations(spark):
-    """VERDICT r06 #7 pin: each superstep ends in an eager localCheckpoint,
-    so the RESULT plan must not grow with n_iter — a lost checkpoint turns
-    the per-round join+agg into exponentially nested plans and this test
-    is the tripwire (the bench entry is the other half)."""
+def test_pagerank_plan_depth_bounded_by_checkpoint_window(spark):
+    """VERDICT r06 #7 pin, updated for windowed checkpointing: with
+    checkpoint_every=1 (strict Pregel supersteps) the RESULT plan must
+    not grow with n_iter, and with the default window the plan depth one
+    step past a truncation point must equal the depth at one iteration —
+    a lost checkpoint would nest the per-round join+agg without bound
+    and this test is the tripwire (the bench entry is the other half)."""
     edges = [(i, i + 1) for i in range(40)] + [(0, j) for j in range(2, 12)]
     e = _edges_df(spark, edges)
-    depths = []
-    for n_iter in (1, 3, 6):
+
+    def depth(n_iter, every):
         plan = (
-            G.pagerank(e, n_iter)
+            G.pagerank(e, n_iter, checkpoint_every=every)
             ._jdf.queryExecution().executedPlan().treeString()
         )
-        depths.append(len(plan.splitlines()))
-    assert max(depths) - min(depths) <= 2, depths
+        return len(plan.splitlines())
+
+    strict = [depth(n, 1) for n in (1, 3, 6)]
+    assert max(strict) - min(strict) <= 2, strict
+    # default window (8): iteration 9 sits one past the truncation at 8,
+    # so its residual plan is exactly a single round's — same as n_iter=1
+    assert abs(depth(9, 8) - depth(1, 8)) <= 2
+    # and within a window the growth is linear-bounded, never explosive:
+    # 6 unchecked rounds stay under 6x a single round's plan
+    assert depth(6, 8) < 6 * depth(1, 8)
 
 
 
