@@ -342,7 +342,7 @@ def connected_components(
 
 
 def label_propagation(
-    edges: DataFrame, n_iter: int = 4
+    edges: DataFrame, n_iter: int = 4, checkpoint_every: int = 8
 ) -> DataFrame:
     """Synchronous label propagation (community detection; Raghavan,
     Albert, Kumara 2007) with FULLY DETERMINISTIC semantics: labels
@@ -354,16 +354,22 @@ def label_propagation(
     not a data-dependent fixpoint).
 
     Returns (node, label) for every node incident to an edge. Scale
-    shape: per round one edges-join-labels shuffle + one (node, label)
-    grouped count + one node-partitioned window — the Pregel superstep
-    expressed relationally, eager checkpoint per round (constant plan
-    depth). The oracle replays all rounds as chained CTEs.
+    shape mirrors pagerank's: edges fold ONCE into per-node-salted
+    adjacency arrays, each round is a node-keyed adj ⋈ labels join whose
+    fan-out explodes in-partition and partially aggregates map-side
+    before the one (node, label) exchange, and lineage truncates every
+    checkpoint_every rounds (each round references the previous labels
+    exactly once, so in-window plan growth is linear and AQE's
+    ReuseExchange materializes the adjacency shuffle once per window).
+    The per-node argmax is max_by over the vote struct — map-side
+    combinable, no window sort. The oracle replays all rounds as
+    chained CTEs.
 
     [NOT IN REFERENCE — executor.py has no graph surface.]"""
-    from pyspark.sql import Window
-
     if not (1 <= n_iter <= 50):
         raise ValueError(f"n_iter must be in [1, 50], got {n_iter}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     directed = (
         edges.select("src", "dst")
         .unionByName(
@@ -371,25 +377,38 @@ def label_propagation(
         )
         .localCheckpoint(eager=True)
     )
-    labels = directed.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    deg = (
+        directed.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("__c").desc(), F.col("label").asc()
+    adj = (
+        directed.join(deg, directed["src"] == deg["node"])
+        .groupBy(
+            "node",
+            F.pmod(
+                F.xxhash64("dst"), F.ceil(F.col("outdeg") / F.lit(1024))
+            ).alias("__salt"),
+        )
+        .agg(F.collect_list("dst").alias("__dsts"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(n_iter):
+    labels = deg.select("node", F.col("node").alias("label"))
+    # (count desc, label asc) == max of the (count, -label) struct; labels
+    # are non-negative node ids so the negation is a safe total order
+    pick = F.max_by(
+        F.col("label"), F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))
+    )
+    for it in range(n_iter):
         votes = (
-            directed.join(labels, directed["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "label")
+            adj.join(labels, "node")
+            .select(F.explode("__dsts").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
+        labels = votes.groupBy("node").agg(pick.alias("label"))
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 

@@ -156,10 +156,12 @@ DRIVER_PRIORITY = (
     "sketch_bloom_state",
     "sketch_bloom_membership",
     "sketch_bloom_join_prune",
-    # pagerank loop rewrite (outdeg hoisted, adjacency-array fan-out —
-    # plan-only, output hash-identical in targeted oracle checks at
-    # sf0.01 AND sf0.1 this session)
+    # pagerank + label-propagation loop rewrites (adjacency-array
+    # fan-out, windowed checkpoints, max_by argmax — plan-only, outputs
+    # hash-identical in targeted oracle checks at sf0.01 AND sf0.1 this
+    # session)
     "graph_pagerank_parts",
+    "graph_label_propagation",
     # NEW row late-r09 (capacity_bound, SURVEY §2.A #20 closed as the
     # optional validation) — never driver-checked, leads r10 with the
     # other policy-(a) rows; green in targeted oracle checks at both SFs

@@ -258,17 +258,26 @@ def test_label_propagation_matches_python_replay(spark):
         G.label_propagation(_edges_df(spark, edges), 0)
 
 
-def test_label_propagation_plan_depth_constant(spark):
+def test_label_propagation_plan_depth_bounded_by_checkpoint_window(spark):
+    """Windowed-checkpoint pin, same contract as the pagerank twin:
+    strict mode (checkpoint_every=1) must keep the result plan constant
+    across n_iter; the default window must reset the residual plan to a
+    single round's one step past a truncation point, and in-window
+    growth must stay linear-bounded."""
     edges = [(i, i + 1) for i in range(30)]
     e = _edges_df(spark, edges)
-    depths = []
-    for n_iter in (1, 4):
+
+    def depth(n_iter, every):
         plan = (
-            G.label_propagation(e, n_iter)
+            G.label_propagation(e, n_iter, checkpoint_every=every)
             ._jdf.queryExecution().executedPlan().treeString()
         )
-        depths.append(len(plan.splitlines()))
-    assert max(depths) - min(depths) <= 2, depths
+        return len(plan.splitlines())
+
+    strict = [depth(n, 1) for n in (1, 4)]
+    assert max(strict) - min(strict) <= 2, strict
+    assert abs(depth(9, 8) - depth(1, 8)) <= 2
+    assert depth(4, 8) < 4 * depth(1, 8)
 
 
 def test_connected_components_self_loops_only_is_empty(spark):
