@@ -75,6 +75,99 @@ def test_streaming_rolling_zscore_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_minhash_dedup_matches_batch_replay(spark, sf_dir):
+    """The per-bucket near-dup decision ledger from the stream must equal
+    a batch replay of the same rule (band collide + >=16/32 perm agreement,
+    dup_of = smallest earlier same-bucket id) built from the SAME signature
+    and banding expressions."""
+    from executor_u1mindexer_spark.operators import dedup as D
+    from executor_u1mindexer_spark.streaming import dedup_stream as DS
+
+    stream = DS.read_documents_stream(spark, sf_dir)
+    q = (
+        DS.streaming_minhash_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("mh_dedup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.dup_of, r.band_idx)
+        for r in spark.table("mh_dedup").collect()
+    }
+
+    docs = tables.load(spark, sf_dir, "documents")
+    sig_df = docs.select("doc_id", D.minhash_signature("text").alias("sig"))
+    banded = sig_df.select(
+        "doc_id",
+        "sig",
+        F.posexplode(D.lsh_band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("sa"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("sb"), "band_idx", "band_key"
+    )
+    simfrac = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / float(D.N_HASHES)
+    want = {
+        (r.b, r.dup_of, r.band_idx)
+        for r in a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", simfrac)
+        .filter(F.col("sim") >= DS.SIG_SIM_THRESHOLD)
+        .groupBy("b", "band_idx")
+        .agg(F.min("a").alias("dup_of"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+class _StubState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_streaming_minhash_bucket_state_carries_across_batches():
+    """Pure-kernel check: a doc arriving in a LATER micro-batch must match
+    against bucket members stored by an earlier batch, and non-matching
+    docs join the state without emitting."""
+    import pandas as pd
+
+    from executor_u1mindexer_spark.streaming.dedup_stream import (
+        _bucket_dedup_kernel,
+    )
+
+    sig_x = [1] * 32
+    sig_half = [1] * 16 + [2] * 16   # sim 0.5 -> qualifies (threshold 0.5)
+    sig_far = [3] * 32               # sim 0 vs both
+    state = _StubState()
+    b1 = pd.DataFrame({"doc_id": [10, 11], "sig": [sig_x, sig_far]})
+    out1 = pd.concat(list(_bucket_dedup_kernel((0,), iter([b1]), state)))
+    assert len(out1) == 0  # nothing earlier to match
+    b2 = pd.DataFrame({"doc_id": [12], "sig": [sig_half]})
+    out2 = pd.concat(list(_bucket_dedup_kernel((0,), iter([b2]), state)))
+    assert list(out2.itertuples(index=False)) == [(12, 10, 0, 0.5)]
+    assert state.get[0] == [10, 11, 12]  # arrival-ordered bucket membership
+
+
 def test_streaming_zscore_state_carry_across_chunks():
     """Pure-python core: folding events in two chunks (micro-batches)
     equals folding them in one — the state string carries exactly the
