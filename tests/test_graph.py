@@ -200,6 +200,29 @@ def test_pagerank_plan_depth_bounded_by_checkpoint_window(spark):
     assert depth(6, 8) < 6 * depth(1, 8)
 
 
+def test_pagerank_adjacency_exchange_reused_within_window(spark):
+    """The windowed checkpoint's 100 TB payoff, pinned: in the shuffle-join
+    regime (broadcast off — a billion-node share table does not broadcast)
+    the final adaptive plan must REUSE the loop-invariant adjacency/degree
+    exchanges across in-window iterations instead of re-shuffling the edge
+    arrays per round. A regression here silently restores O(E)-per-round
+    shuffle traffic while all value tests stay green."""
+    edges = [(i, i + 1) for i in range(200)] + [(0, j) for j in range(2, 50)]
+    e = _edges_df(spark, edges)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = G.pagerank(e, 5)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().treeString()
+        assert "isFinalPlan=true" in plan
+        # 5 iterations re-read deg (x2: share join + dangling left join)
+        # and adj; measured 12 reuses — pin a conservative floor
+        assert plan.count("ReusedExchange") >= 8, plan.count("ReusedExchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 
 # -- hypothesis property test: CC vs union-find on arbitrary graphs ----------
 
