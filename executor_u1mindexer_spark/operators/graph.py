@@ -197,12 +197,49 @@ def pagerank(
 
 def triangle_count(edges: DataFrame) -> DataFrame:
     """One-row (n_nodes, n_edges, n_triangles) summary over canonical
-    undirected edges: triangles counted once each via a < b < c chains
-    closed by the (a, c) edge."""
+    undirected edges, one count per triangle.
+
+    Path generation uses DEGREE-ORDERED orientation (the
+    compact-forward / Schank–Wagner device): every undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, and the join
+    builds lo→mid→hi chains closed by the lo→hi edge. Under this
+    orientation out-degree is O(sqrt(E)) for EVERY node, so the chain
+    intermediate is Σ_mid in(mid)·out(mid) ≤ sqrt(E)·E — bounded for any
+    degree distribution: a celebrity node contributes almost nothing
+    because nearly all of its edges point INTO it and its out-fan is
+    capped. The naive a<b<c id-ordering bounds nothing — a low-id hub
+    keeps its full quadratic fan-out, exactly the skew that kills a
+    100 TB run. Each triangle still closes exactly once (its three nodes
+    have a unique (degree, id) total order, so exactly one lo→mid→hi
+    labeling exists). The two degree-attach joins this costs are
+    node-keyed and loop-free — the cheap side of the trade."""
     e = edges.select("src", "dst").distinct()
-    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    deg = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    oriented = (
+        e.join(deg.select(F.col("n").alias("src"), F.col("d").alias("__ds")), "src")
+        .join(deg.select(F.col("n").alias("dst"), F.col("d").alias("__dd")), "dst")
+        .select(
+            F.when(
+                F.struct("__ds", "src") < F.struct("__dd", "dst"), F.col("src")
+            )
+            .otherwise(F.col("dst"))
+            .alias("lo"),
+            F.when(
+                F.struct("__ds", "src") < F.struct("__dd", "dst"), F.col("dst")
+            )
+            .otherwise(F.col("src"))
+            .alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ab = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     tris = ab.join(bc, "b").join(ac, ["a", "c"])
     nodes = e.select(F.col("src").alias("n")).unionByName(
         e.select(F.col("dst").alias("n"))

@@ -162,6 +162,7 @@ DRIVER_PRIORITY = (
     # session)
     "graph_pagerank_parts",
     "graph_label_propagation",
+    "graph_triangle_count",
     # NEW row late-r09 (capacity_bound, SURVEY §2.A #20 closed as the
     # optional validation) — never driver-checked, leads r10 with the
     # other policy-(a) rows; green in targeted oracle checks at both SFs

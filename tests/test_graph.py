@@ -65,6 +65,16 @@ def test_triangle_count_hand_cases(spark):
     sq = [(1, 2), (2, 3), (3, 4), (1, 4)]
     row = G.triangle_count(_edges_df(spark, sq)).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 4, 0)
+    # hub-heavy graph (the degree-orientation case): node 0 connects to
+    # all of 1..40, plus consecutive rim edges (i, i+1) — every triangle
+    # is (0, i, i+1), 39 total; the hub's wedge fan-out must not explode
+    hub = [(0, i) for i in range(1, 41)] + [(i, i + 1) for i in range(1, 40)]
+    row = G.triangle_count(_edges_df(spark, hub)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (41, 79, 39)
+    # ties in (degree, id) ordering: a triangle among three degree-2 nodes
+    tri = [(7, 9), (9, 8), (7, 8)]
+    row = G.triangle_count(_edges_df(spark, tri)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
 
 
 def test_consecutive_line_edges_are_canonical_and_adjacent_only(spark):
