@@ -168,6 +168,60 @@ def test_streaming_minhash_bucket_state_carries_across_batches():
     assert state.get[0] == [10, 11, 12]  # arrival-ordered bucket membership
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sigs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=8, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    split=st.integers(min_value=0, max_value=12),
+)
+def test_streaming_minhash_kernel_matches_bruteforce_any_split(sigs, split):
+    """Property: for ANY bucket population and ANY micro-batch split point,
+    the kernel's emissions equal the brute-force rule (dup_of = smallest
+    earlier doc whose signature agrees on >= half the perms), and the
+    split must not change the outcome (state carry is exact)."""
+    import pandas as pd
+
+    from executor_u1mindexer_spark.streaming.dedup_stream import (
+        SIG_SIM_THRESHOLD,
+        _bucket_dedup_kernel,
+        _sig_sim,
+    )
+
+    docs = list(enumerate(sigs))  # doc_id = arrival index, already sorted
+    expect = []
+    for i, (doc_id, sig) in enumerate(docs):
+        q = [
+            eid
+            for eid, esig in docs[:i]
+            if _sig_sim(sig, esig) >= SIG_SIM_THRESHOLD
+        ]
+        if q:
+            expect.append((doc_id, min(q)))
+
+    def run(batches):
+        state = _StubState()
+        rows = []
+        for b in batches:
+            if not len(b):
+                continue
+            pdf = pd.DataFrame(
+                {"doc_id": [d for d, _ in b], "sig": [s for _, s in b]}
+            )
+            out = pd.concat(list(_bucket_dedup_kernel((0,), iter([pdf]), state)))
+            rows += [(int(r.doc_id), int(r.dup_of)) for r in out.itertuples()]
+        return rows
+
+    split = min(split, len(docs))
+    assert run([docs]) == expect
+    assert run([docs[:split], docs[split:]]) == expect
+
+
 def test_streaming_zscore_state_carry_across_chunks():
     """Pure-python core: folding events in two chunks (micro-batches)
     equals folding them in one — the state string carries exactly the
