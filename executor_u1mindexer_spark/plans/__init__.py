@@ -53,9 +53,25 @@ def window_over_single_partition(df: DataFrame) -> bool:
     the whole-table-through-one-task shape (a partition-less Window.orderBy).
     Scalar global aggregates also use SinglePartition but only over the tiny
     partial-agg output, so they are deliberately NOT flagged."""
+    return window_over_single_partition_text(physical_plan(df, "simple"))
+
+
+def has_cartesian_product(plan_text: str) -> bool:
+    """True if the plan contains a CartesianProduct node — the all-pairs
+    shuffle-everything join Spark falls back to when a non-equi join has
+    no broadcastable side. Deliberate bounded cross joins (1-row scalar
+    aggregates, literal tables) plan as BroadcastNestedLoopJoin and are
+    NOT flagged."""
+    return "CartesianProduct" in plan_text
+
+
+def window_over_single_partition_text(plan_text: str) -> bool:
+    """Text-level twin of window_over_single_partition, for callers that
+    already hold the plan string (registry-wide lints compile each query
+    plan once and run every shape check on it)."""
     import re
 
-    lines = physical_plan(df, "simple").splitlines()
+    lines = plan_text.splitlines()
     for i, ln in enumerate(lines):
         # exact Window node (not WindowGroupLimit, which is a top-k pushdown)
         if re.match(r"^[\s:+*-]*Window\s", ln):

@@ -718,24 +718,32 @@ def test_file_skipping_has_no_unpartitioned_data_window(spark, sf_dir):
 
 
 def test_registry_has_no_unpartitioned_window(spark):
-    """Registry-wide SinglePartition-window lint (VERDICT r08 #4).
+    """Registry-wide forbidden-plan-shape lint: each query's physical plan
+    is compiled ONCE at sf0.001 and checked for every shape in the table.
 
-    No registered query may plan a Window fed by a SinglePartition
-    exchange — the whole-relation-through-one-task shape that silently
-    caps scale and spams `WindowExec: No Partition Defined` warnings.
-    The former bounded-input exceptions (PPS bucket offsets, the RRF
-    50-row rank, quantile-estimate's sketch cumsum) were rebuilt in r09
-    on the collect+broadcast literal-stamp pattern, so the allowlist is
-    EMPTY; adding a name here requires a docstring in the query proving
-    its window input is constant-bounded."""
+    - SinglePartition-fed Window (VERDICT r08 #4): the whole-relation-
+      through-one-task shape that silently caps scale and spams
+      `WindowExec: No Partition Defined` warnings. The former bounded-
+      input exceptions (PPS bucket offsets, the RRF 50-row rank,
+      quantile-estimate's sketch cumsum) were rebuilt in r09 on the
+      collect+broadcast literal-stamp pattern, so the allowlist is EMPTY.
+    - CartesianProduct (late r09): the all-pairs fallback join. Every
+      near-dedup family already pins no-cartesian per-query; this makes
+      the guarantee registry-wide. Bounded scalar cross joins plan as
+      BroadcastNestedLoopJoin and are not flagged.
+
+    Adding a name to an allowlist requires a docstring in the query
+    proving the relation feeding the shape is constant-bounded."""
     import __spark_entry__ as em
 
-    allowed: set[str] = set()
-    bad = []
+    window_allowed: set[str] = set()
+    cartesian_allowed: set[str] = set()
+    bad_window, bad_cartesian = [], []
     for name, fn in em.queries().items():
-        if name in allowed:
-            continue
-        df = fn(spark, "/root/testdata/sf0.001")
-        if plans.window_over_single_partition(df):
-            bad.append(name)
-    assert not bad, f"SinglePartition windows in registry queries: {bad}"
+        plan = plans.physical_plan(fn(spark, "/root/testdata/sf0.001"), "simple")
+        if name not in window_allowed and plans.window_over_single_partition_text(plan):
+            bad_window.append(name)
+        if name not in cartesian_allowed and plans.has_cartesian_product(plan):
+            bad_cartesian.append(name)
+    assert not bad_window, f"SinglePartition windows in registry queries: {bad_window}"
+    assert not bad_cartesian, f"CartesianProduct in registry queries: {bad_cartesian}"
