@@ -103,6 +103,58 @@ def test_upsert_capacity_full_and_roomy_extremes(spark, state):
         M.upsert_capacity_bound(state, batch, capacity=-1)
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_state=st.integers(min_value=0, max_value=6),
+    batch=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),   # id (may hit state or dup)
+            st.integers(min_value=0, max_value=30),   # seq base
+        ),
+        max_size=8,
+    ),
+    headroom=st.integers(min_value=0, max_value=6),
+)
+def test_upsert_capacity_matches_python_replay(spark, n_state, batch, headroom):
+    """Property: for arbitrary state sizes, batches (duplicate ids, ids
+    overlapping the state) and capacities, the operator equals a python
+    replay of the admission rule: keep-latest per id, updates free, new
+    ids admitted by arrival (seq) order while count < capacity."""
+    state_rows = [(i, [float(i)], i) for i in range(n_state)]
+    sdf = spark.createDataFrame(
+        [(i, i, [float(i)]) for i in range(n_state)],
+        f"{M.ID} long, {M.IID} long, {M.EMB} array<double>",
+    )
+    # unique seq per row (dense_rank_by contract): seq = base*10 + position
+    brows = [(bid, [float(bid) + 0.5], base * 10 + pos) for pos, (bid, base) in enumerate(batch)]
+    bdf = _batch(spark, brows)
+    capacity = n_state + headroom
+
+    # python replay
+    latest = {}
+    for bid, emb, seq in brows:
+        if bid not in latest or seq > latest[bid][1]:
+            latest[bid] = (emb, seq)
+    existing = set(range(n_state))
+    new_ids = sorted(
+        (i for i in latest if i not in existing), key=lambda i: latest[i][1]
+    )
+    admitted = new_ids[: max(capacity - n_state, 0)]
+    want_state = {
+        (i, i, "updated" if i in latest else "kept") for i in existing
+    } | {(i, n_state + r, "inserted") for r, i in enumerate(admitted)}
+    want_rejected = sorted(set(new_ids) - set(admitted))
+
+    got_state_df, got_rej_df = M.upsert_capacity_bound(sdf, bdf, capacity)
+    got_state = {(r[M.ID], r[M.IID], r["status"]) for r in got_state_df.collect()}
+    got_rejected = sorted(r[M.ID] for r in got_rej_df.collect())
+    assert got_state == want_state
+    assert got_rejected == want_rejected
+
+
 def test_update_skips_unknown_ids(spark, state):
     batch = _batch(spark, [(4, [8.0, 8.0], 0), (999, [0.0, 0.0], 1)])
     out = M.update_existing(state, batch)
