@@ -126,6 +126,52 @@ def test_streaming_ingest_into_engine_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) == 10
 
 
+def test_streaming_ingest_capacity_across_microbatches(spark, tmp_path):
+    """Capacity-bounded engine fed from a 3-micro-batch stream: slot
+    arithmetic must hold ACROSS index() calls — batch 1 fills part of the
+    index, batch 2 is cut mid-batch, batch 3 is rejected wholesale; the
+    warn-sets accumulate exactly the overflow ids and the final index
+    holds exactly max_elements rows."""
+    from executor_u1mindexer_spark.engine import U1MIndexerSpark
+
+    src = tmp_path / "docs_src"
+    for part, ids in enumerate(([0, 1, 2], [3, 4, 5], [6, 7])):
+        spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in ids],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.parquet(str(src / f"p{part}"))
+    schema = spark.read.parquet(str(src / "p0")).schema
+
+    eng = U1MIndexerSpark(
+        spark, dim=2, workspace=str(tmp_path / "ws"), max_elements=4
+    )
+    rejected_ids: list[int] = []
+
+    def feed(batch_df, batch_id):
+        rej = eng.index(batch_df, id_col="vec_id", vec_col="embedding")
+        rejected_ids.extend(r.id for r in rej.collect())
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "p*"))
+        .writeStream.foreachBatch(feed)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    st = eng.status()
+    assert st["count_active"] == 4
+    # micro-batch file order isn't guaranteed, but capacity is 4 of 8
+    # total docs: exactly 4 admitted, the other 4 rejected — and the
+    # admitted set is exactly the complement of the rejected set
+    assert len(rejected_ids) == 4
+    assert len(set(rejected_ids)) == 4
+    assert set(rejected_ids) <= set(range(8))
+
+
 def test_streaming_search_matches_batch(spark, sf_dir, tmp_path):
     """The streaming /search twin: a query-vector file-stream scored
     micro-batch by micro-batch against the static corpus must produce
