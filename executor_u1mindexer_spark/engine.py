@@ -18,9 +18,10 @@ Differences by design (Spark-first, north star):
   tune an approximation this engine does not make);
 - `max_elements` (executor.py:21) is OPTIONAL and defaults to unbounded —
   the 100 TB point. When set, index() admits new ids in arrival order
-  while allocated slots (live + tombstones, hnswlib element-count
-  semantics) stay under the cap and returns the overflow as a `rejected`
-  warn-set DataFrame instead of reproducing the hnswlib raise;
+  while the next slot (internal-id high-water mark; tombstones below it
+  keep their slots, hnswlib element-count semantics) stays under the cap
+  and returns the overflow as a `rejected` warn-set DataFrame instead of
+  reproducing the hnswlib raise;
 - ids may be any orderable type (the reference used strings).
 """
 
@@ -250,24 +251,25 @@ class U1MIndexerSpark:
         (executor.py:138): 'c' indexes the chunk level of each document.
 
         With `max_elements` configured (executor.py:21), admission is
-        capacity-bounded: new ids land in arrival order while allocated
-        slots (live + tombstones) stay under the cap, and the overflow
-        ids are RETURNED as a warn-set DataFrame (the update()-skipped
-        pattern) rather than reproducing hnswlib's add_items raise —
-        callers wanting the hard failure assert the set is empty.
-        Rejected ids are also kept out of the doc store. Unbounded
-        engines (the default) return None and pay no extra jobs."""
+        capacity-bounded: new ids land in arrival order while the next
+        slot (the internal-id high-water mark — tombstones below it keep
+        their slots, hnswlib element-count semantics) stays under the
+        cap, and the overflow ids are RETURNED as a warn-set DataFrame
+        (the update()-skipped pattern) rather than reproducing hnswlib's
+        add_items raise — callers wanting the hard failure assert the
+        set is empty. Rejected ids are also kept out of the doc store.
+        Unbounded engines (the default) return None and pay no extra
+        jobs."""
         docs = traverse.traverse_flat(docs, traversal_paths, id_col=id_col)
         self._before_mutation()
         batch = self._as_batch(docs, id_col, vec_col)
         rejected = None
         if self.max_elements is not None:
-            # live-row count is a bounded scalar job, only in capacity mode;
-            # capacity passed to the operator is net of tombstoned slots so
-            # the comparison is against hnswlib's element count
-            cap = self.max_elements - getattr(self, "_tombstones", 0)
+            # slot accounting lives in the operator (next slot =
+            # max(internal_id) + 1, so tombstones below the high-water
+            # mark keep occupying their slots — see upsert_capacity_bound)
             new_state, rejected = M.upsert_capacity_bound(
-                self._vectors, batch, max(cap, 0)
+                self._vectors, batch, self.max_elements
             )
             rejected = rejected.localCheckpoint(eager=True)
             self._vectors = new_state.select(M.ID, M.IID, M.EMB)

@@ -79,6 +79,46 @@ def consecutive_line_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def _adjacency(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared loop-invariant build for the iterative graph operators:
+    (deg, adj) over the symmetrized edge list, all eagerly checkpointed.
+
+    deg = (node, outdeg) — every node incident to an edge appears as a
+    src once both directions are present, so deg doubles as the node
+    list. adj = (node, __salt, __dsts) adjacency arrays; the salt count
+    is PER NODE — ceil(outdeg/1024), i.e. 0 extra rows for ordinary
+    nodes and ceil(deg/1024) slices for a hub, so no task ever
+    materializes a celebrity's whole neighborhood in one array while
+    small nodes pay zero fragmentation. The build costs one edge-sized
+    join + one edge-sized groupBy, ONCE, outside any iteration; array
+    element order is partition-dependent and callers must only consume
+    the arrays order-insensitively (sums, counts)."""
+    directed = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        directed.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    adj = (
+        directed.join(deg, directed["src"] == deg["node"])
+        .groupBy(
+            "node",
+            F.pmod(
+                F.xxhash64("dst"), F.ceil(F.col("outdeg") / F.lit(1024))
+            ).alias("__salt"),
+        )
+        .agg(F.collect_list("dst").alias("__dsts"))
+        .localCheckpoint(eager=True)
+    )
+    return deg, adj
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 5,
@@ -106,50 +146,16 @@ def pagerank(
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
-    # materialize the loop-invariant edge structures once (eager
-    # localCheckpoint, the BPE-training lineage pattern) — otherwise each
-    # of the n_iter rounds re-derives the edge list from the base scan
-    directed = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    # Loop-invariant hoists (the GraphX routing-table idea). Every node
-    # incident to an edge appears as a src in `directed` (both directions
-    # are present), so deg doubles as the node list — one checkpointed
-    # (node, outdeg) table serves the per-iteration share join, the
-    # base-rank init, AND the dangling-node left join.
-    deg = (
-        directed.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-        .localCheckpoint(eager=True)
-    )
-    # The edge list is then folded ONCE into adjacency arrays
-    # (node, salt, dsts). The salt count is PER NODE — ceil(outdeg/1024),
-    # i.e. 0 extra rows for ordinary nodes and ceil(deg/1024) slices for a
-    # hub, so no task ever materializes a celebrity's whole neighborhood
-    # in one array while small nodes pay zero fragmentation. After this
-    # build (one edge-sized join + one edge-sized groupBy, both outside
-    # the loop), NO iteration shuffles edge-sized rows: the per-round
-    # joins are all node-keyed (ranks ⋈ deg, then ⋈ adj), the fan-out
-    # happens by exploding in-partition arrays, and the partial
+    # Loop-invariant hoists (the GraphX routing-table idea): after the
+    # shared adjacency build, NO iteration shuffles edge-sized rows — the
+    # per-round joins are all node-keyed (ranks ⋈ deg, then ⋈ adj), the
+    # fan-out happens by exploding in-partition arrays, and the partial
     # groupBy(dst) combines the exploded stream map-side back down to
     # ~distinct-dsts-per-partition before the only exchange. Per-iteration
-    # shuffled bytes drop from O(E) (the previous edges ⋈ share join)
-    # to O(N).
-    adj = (
-        directed.join(deg, directed["src"] == deg["node"])
-        .groupBy(
-            "node",
-            F.pmod(
-                F.xxhash64("dst"), F.ceil(F.col("outdeg") / F.lit(1024))
-            ).alias("__salt"),
-        )
-        .agg(F.collect_list("dst").alias("__dsts"))
-        .localCheckpoint(eager=True)
-    )
+    # shuffled bytes drop from O(E) (the previous edges ⋈ share join) to
+    # O(N). The checkpointed (node, outdeg) table serves the per-iteration
+    # share join, the base-rank init, AND the dangling-node left join.
+    deg, adj = _adjacency(edges)
     nodes = deg.select("node")
     n = deg.count()  # bounded driver scalar, like the literal-centroid fits
     if n == 0:
@@ -407,34 +413,14 @@ def label_propagation(
         raise ValueError(f"n_iter must be in [1, 50], got {n_iter}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
-    directed = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        directed.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
-        .localCheckpoint(eager=True)
-    )
-    adj = (
-        directed.join(deg, directed["src"] == deg["node"])
-        .groupBy(
-            "node",
-            F.pmod(
-                F.xxhash64("dst"), F.ceil(F.col("outdeg") / F.lit(1024))
-            ).alias("__salt"),
-        )
-        .agg(F.collect_list("dst").alias("__dsts"))
-        .localCheckpoint(eager=True)
-    )
+    deg, adj = _adjacency(edges)
     labels = deg.select("node", F.col("node").alias("label"))
-    # (count desc, label asc) == max of the (count, -label) struct; labels
-    # are non-negative node ids so the negation is a safe total order
-    pick = F.max_by(
-        F.col("label"), F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))
+    # (count desc, label asc) == min of the (-count, label) struct: only
+    # the COUNT (always numeric) is negated, so the rule works for any
+    # orderable label type — negating the label instead would silently
+    # break string/date node ids
+    pick = F.min_by(
+        F.col("label"), F.struct((-F.col("__c")).alias("__nc"), F.col("label"))
     )
     for it in range(n_iter):
         votes = (

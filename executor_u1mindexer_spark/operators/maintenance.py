@@ -134,12 +134,21 @@ def upsert(state: DataFrame, batch: DataFrame) -> DataFrame:
     Returns the new state (id, internal_id, emb, status) where status marks
     provenance: 'kept' (untouched), 'updated' (id existed; embedding
     replaced, internal_id preserved — executor.py:157-161), 'inserted'
-    (new id; dense internal_id = prior_count + arrival rank among new rows
+    (new id; dense internal_id = next slot + arrival rank among new rows
     — executor.py:151-156).
+
+    The slot base is max(internal_id) + 1, NOT the live row count: after
+    a delete the two diverge, and a count-based base would hand a new id
+    an internal_id still held by a surviving row (hnswlib never reuses
+    slots — element_count includes tombstones, executor.py:252). On a
+    never-deleted state the two are equal, which is why the fixture
+    oracles agree bit-for-bit.
     """
     b = dedup_latest(batch)
-    # prior count as a 1-row DF so the whole thing stays one lazy plan
-    prior = state.agg(F.count(F.lit(1)).alias("__prior"))
+    # next slot as a 1-row DF so the whole thing stays one lazy plan
+    prior = state.agg(
+        F.coalesce(F.max(IID) + 1, F.lit(0)).cast("long").alias("__prior")
+    )
 
     updated = (
         state.drop(EMB)
@@ -180,14 +189,21 @@ def upsert_capacity_bound(
     - updates to EXISTING ids never consume capacity (replace-in-place,
       executor.py:157-161);
     - NEW ids are admitted in arrival order (seq, the reference's list
-      position) while `prior_count + arrival < capacity`, each taking the
-      next dense internal id exactly like the unbounded path;
+      position) while `next_slot + arrival < capacity`, each taking the
+      next internal id exactly like the unbounded path;
     - the overflow is returned as a `rejected` warn-set (id rows), the
       update_skipped pattern — the relational analogue of the hnswlib
       raise, which a caller can turn back into the reference's hard
-      failure by checking the set is empty. Deletes don't refund slots
-      (hnswlib mark_deleted keeps the element count, executor.py:223):
-      capacity compares against TOTAL state rows, tombstones included.
+      failure by checking the set is empty.
+
+    Slot accounting: the next slot is max(internal_id) + 1 (see upsert),
+    so a tombstone BELOW the high-water mark keeps occupying its slot —
+    hnswlib's deletes-don't-refund semantics (mark_deleted keeps the
+    element count, executor.py:223) — with one documented divergence:
+    deleting the HIGHEST-slot row lowers the mark and frees that slot,
+    where hnswlib would not. What can never happen is two live rows
+    sharing an internal_id, which a live-row-count base would produce
+    on the first insert after any delete.
 
     Returns (new_state, rejected): new_state has the upsert's
     (id, internal_id, emb, status) shape, rejected is (id) only.
@@ -195,7 +211,9 @@ def upsert_capacity_bound(
     if capacity < 0:
         raise ValueError(f"capacity must be >= 0, got {capacity}")
     b = dedup_latest(batch)
-    prior = state.agg(F.count(F.lit(1)).alias("__prior"))
+    prior = state.agg(
+        F.coalesce(F.max(IID) + 1, F.lit(0)).cast("long").alias("__prior")
+    )
     updated = (
         state.drop(EMB)
         .join(F.broadcast(b.select(ID, EMB)), on=ID, how="inner")

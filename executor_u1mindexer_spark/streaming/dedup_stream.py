@@ -56,16 +56,18 @@ def streaming_exact_dedup_ledger(docs: DataFrame) -> DataFrame:
 # (band_idx, band_key) via applyInPandasWithState. Each bucket's state is
 # the (doc_id, signature) list of docs seen in that bucket — bounded by
 # bucket occupancy (r=4 banding keeps buckets small; the batch path's
-# bounded-bucket argument, dedup.py:225-229, carries over verbatim). A new
-# arrival is compared against the bucket's earlier docs by signature
-# agreement (fraction of equal perms, the standard MinHash estimate of
-# jaccard); matches emit a (doc_id, dup_of, band_idx, sim) decision row
-# with dup_of = the SMALLEST earlier qualifying id (deterministic). A doc
-# may collide in several bands — the consumer takes min(dup_of) per doc
-# (one tiny batch agg over the decision ledger), mirroring how the batch
-# path dedups its banded candidates. Confirm-by-signature (not exact
-# shingle jaccard) is the deliberate streaming trade: state holds 32
-# longs/doc/bucket instead of unbounded shingle sets; the estimator's
+# bounded-bucket argument, dedup.py:225-229, carries over verbatim).
+# Arrivals are compared by signature agreement (fraction of equal perms,
+# the standard MinHash estimate of jaccard); qualifying matches emit
+# (doc_id, dup_of, band_idx, sim) decision rows whose min(dup_of)-per-doc
+# fold CONVERGES to the batch rule — dup_of = smallest qualifying smaller
+# id in the bucket — for ANY arrival order (late-arriving smaller ids
+# emit improvement rows for the bucket members they beat; see the kernel
+# docstring). A doc may collide in several bands — the same tiny
+# min-fold spans bands, mirroring how the batch path dedups its banded
+# candidates. Confirm-by-signature (not exact shingle jaccard) is the
+# deliberate streaming trade: state holds 32 longs + one best-id per
+# doc per bucket instead of unbounded shingle sets; the estimator's
 # bias vs exact jaccard is the documented cost of bounded state.
 # [NOT IN REFERENCE — no streaming surface in executor.py.]
 
@@ -77,33 +79,67 @@ def _sig_sim(a: list, b: list) -> float:
 
 
 def _bucket_dedup_kernel(key, pdfs, state):
-    """Per-bucket stateful comparator. Batch rows are processed in doc_id
-    order (deterministic within a micro-batch); 'earlier' = bucket state
-    from prior batches, then smaller ids in this batch."""
+    """Per-bucket stateful comparator whose decision ledger CONVERGES to
+    the batch rule — dup_of(doc) = the smallest qualifying SMALLER id in
+    the bucket — for ANY arrival order:
+
+    - an incoming doc is matched against the bucket's smaller ids and
+      emits its current-best verdict;
+    - a bucket member with a LARGER id gets an 'improvement' emission
+      when a smaller qualifying id arrives later (each member's
+      best-known dup_of is carried in the state, so only strict
+      improvements emit);
+    - consumers fold the ledger with min(dup_of) per doc — the folded
+      verdicts equal the batch replay once the stream drains, whatever
+      order docs arrived in (property-tested under random permutations).
+
+    A doc is never its own duplicate (a min(dup_of) consumer would drop
+    it — worse, two mutual dup claims would drop a whole cluster), so
+    re-arrival of an id already in the bucket (re-delivery, re-index) is
+    IDEMPOTENT: skipped entirely, first-seen signature authoritative —
+    the keep-smallest convention of the rest of the dedup family."""
     import pandas as pd
 
     if state.exists:
-        ids, sigs = list(state.get[0]), [list(s) for s in state.get[1]]
+        ids = list(state.get[0])
+        sigs = [list(s) for s in state.get[1]]
+        bests = list(state.get[2])
     else:
-        ids, sigs = [], []
+        ids, sigs, bests = [], [], []
+    seen = set(ids)
     out = {"doc_id": [], "dup_of": [], "band_idx": [], "sim": []}
     band_idx = int(key[0])
+
+    def emit(d, dup, sim):
+        out["doc_id"].append(int(d))
+        out["dup_of"].append(int(dup))
+        out["band_idx"].append(band_idx)
+        out["sim"].append(float(sim))
+
     batch = pd.concat(list(pdfs)).sort_values("doc_id")
     for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
+        doc_id = int(doc_id)
+        if doc_id in seen:
+            continue
         sig = [int(v) for v in sig]
-        best, best_sim = None, 0.0
-        for eid, esig in zip(ids, sigs):
+        best, best_sim = -1, 0.0
+        for i, (eid, esig) in enumerate(zip(ids, sigs)):
             sim = _sig_sim(sig, esig)
-            if sim >= SIG_SIM_THRESHOLD and (best is None or eid < best):
-                best, best_sim = eid, sim
-        if best is not None:
-            out["doc_id"].append(int(doc_id))
-            out["dup_of"].append(best)
-            out["band_idx"].append(band_idx)
-            out["sim"].append(best_sim)
-        ids.append(int(doc_id))
+            if sim < SIG_SIM_THRESHOLD:
+                continue
+            if eid < doc_id:
+                if best == -1 or eid < best:
+                    best, best_sim = eid, sim
+            elif bests[i] == -1 or doc_id < bests[i]:
+                bests[i] = doc_id
+                emit(eid, doc_id, sim)
+        if best != -1:
+            emit(doc_id, best, best_sim)
+        seen.add(doc_id)
+        ids.append(doc_id)
         sigs.append(sig)
-    state.update((ids, sigs))
+        bests.append(best)
+    state.update((ids, sigs, bests))
     yield pd.DataFrame(out)
 
 
@@ -147,6 +183,7 @@ def streaming_minhash_dedup(docs: DataFrame) -> DataFrame:
         [
             StructField("ids", ArrayType(LongType())),
             StructField("sigs", ArrayType(ArrayType(LongType()))),
+            StructField("bests", ArrayType(LongType())),
         ]
     )
     return banded.groupBy("band_idx", "band_key").applyInPandasWithState(

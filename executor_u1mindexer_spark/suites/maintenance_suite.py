@@ -92,8 +92,8 @@ CAPACITY_HEADROOM = 40  # slots beyond the fixture state's row count
 def index_upsert_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity-bounded upsert (executor.py:21, 43, 54, 67 — hnswlib
     max_elements; SURVEY.md §2.A #20 'optional validation'). Capacity =
-    state rows + 100, so the first 100 new ids (arrival/seq order) are
-    admitted with dense internal ids exactly like the unbounded path and
+    next slot + 40 headroom, so the first 40 new ids (arrival/seq order)
+    are admitted with dense internal ids exactly like the unbounded path and
     the overflow surfaces as 'rejected' rows (internal_id/norm NULL) —
     the relational analogue of the hnswlib add_items raise. Headroom 40
     sits below the fixture's ~|emb|/7 inserts from sf0.01 up (72 at
@@ -215,7 +215,7 @@ _UPSERT = _BASE + f"""
   WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.id = b.id)
 ), inserted AS (
   SELECT id,
-         (SELECT count(*) FROM state) + row_number() OVER (ORDER BY seq) - 1 AS internal_id,
+         (SELECT coalesce(max(internal_id) + 1, 0) FROM state) + row_number() OVER (ORDER BY seq) - 1 AS internal_id,
          emb, 'inserted' AS status
   FROM new_rows
 ), result AS (
@@ -230,7 +230,7 @@ _UPSERT_CAP = _BASE + f"""
   WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.id = b.id)
 ), ranked AS (
   SELECT id, emb,
-         (SELECT count(*) FROM state) + row_number() OVER (ORDER BY seq) - 1 AS internal_id
+         (SELECT coalesce(max(internal_id) + 1, 0) FROM state) + row_number() OVER (ORDER BY seq) - 1 AS internal_id
   FROM new_rows
 ), kept AS (
   SELECT s.id, s.internal_id, s.emb, 'kept' AS status
@@ -240,14 +240,14 @@ _UPSERT_CAP = _BASE + f"""
   FROM state s JOIN b ON b.id = s.id
 ), inserted AS (
   SELECT id, internal_id, emb, 'inserted' AS status FROM ranked
-  WHERE internal_id < (SELECT count(*) FROM state) + {CAPACITY_HEADROOM}
+  WHERE internal_id < (SELECT coalesce(max(internal_id) + 1, 0) FROM state) + {CAPACITY_HEADROOM}
 ), result AS (
   SELECT * FROM kept UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM inserted
 )
 SELECT id, internal_id, status, {_NORM.format(a='emb')} AS norm FROM result
 UNION ALL
 SELECT id, CAST(NULL AS BIGINT), 'rejected', CAST(NULL AS DOUBLE) FROM ranked
-WHERE internal_id >= (SELECT count(*) FROM state) + {CAPACITY_HEADROOM}
+WHERE internal_id >= (SELECT coalesce(max(internal_id) + 1, 0) FROM state) + {CAPACITY_HEADROOM}
 """
 
 _UPDATE = _BASE + f"""

@@ -67,6 +67,26 @@ def test_upsert_duplicate_ids_last_write_wins(spark, state):
     assert out[5][M.EMB] == [2.0, 2.0]  # seq 7 arrived later
 
 
+def test_upsert_after_delete_never_reuses_live_internal_ids(spark, state):
+    """Slot base is the internal-id high-water mark, not the live count:
+    after deleting a low-slot row, a new id must take max(iid)+1, never
+    an internal_id still held by a survivor (hnswlib never reuses slots,
+    executor.py:252)."""
+    gapped = M.delete_by_ids(state, [0, 1, 2])  # live iids 3..9, count 7
+    batch = _batch(spark, [(500, [1.0, 1.0], 0)])
+    out = {r[M.ID]: r for r in M.upsert(gapped, batch).collect()}
+    assert out[500][M.IID] == 10  # count-based would collide at 7
+    live_iids = [r[M.IID] for r in M.upsert(gapped, batch).collect()]
+    assert len(live_iids) == len(set(live_iids))
+    # capacity twin: the same base drives admission — live 7, mark 10,
+    # so capacity 10 has NO room even though the live count suggests 3
+    st2, rej2 = M.upsert_capacity_bound(gapped, batch, capacity=10)
+    assert [r[M.ID] for r in rej2.collect()] == [500]
+    st3, rej3 = M.upsert_capacity_bound(gapped, batch, capacity=11)
+    assert {r[M.ID]: r[M.IID] for r in st3.collect()}[500] == 10
+    assert rej3.count() == 0
+
+
 def test_upsert_capacity_admits_in_arrival_order(spark, state):
     """Reference max_elements semantics (executor.py:21, 67): new ids are
     admitted by seq while slots remain; updates never consume capacity."""

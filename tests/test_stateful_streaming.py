@@ -166,6 +166,25 @@ def test_streaming_minhash_bucket_state_carries_across_batches():
     out2 = pd.concat(list(_bucket_dedup_kernel((0,), iter([b2]), state)))
     assert list(out2.itertuples(index=False)) == [(12, 10, 0, 0.5)]
     assert state.get[0] == [10, 11, 12]  # arrival-ordered bucket membership
+    # re-delivery of doc 10 is idempotent: it must NOT match itself
+    # (min(dup_of) consumers would drop it as its own duplicate) and must
+    # not grow the bucket state; it still reports against OTHER earlier
+    # docs (12 has id > 10, so nothing qualifies here)
+    b3 = pd.DataFrame({"doc_id": [10], "sig": [sig_x]})
+    out3 = pd.concat(list(_bucket_dedup_kernel((0,), iter([b3]), state)))
+    assert len(out3) == 0
+    assert state.get[0] == [10, 11, 12]
+    # a SMALLER qualifying id arriving later must improve the earlier
+    # member's verdict: doc 3 (sig_x) beats dup_of(12)=10 and gives
+    # doc 10 a smaller dup too — emissions for BOTH bucket members
+    b4 = pd.DataFrame({"doc_id": [3], "sig": [sig_x]})
+    out4 = sorted(
+        (int(r.doc_id), int(r.dup_of))
+        for r in pd.concat(list(_bucket_dedup_kernel((0,), iter([b4]), state))).itertuples()
+    )
+    assert out4 == [(10, 3), (12, 3)]
+    # converged min-fold now equals the batch rule on {3, 10, 11, 12}
+    # (3 is everyone's smallest qualifying smaller id; 11 matches nothing)
 
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -179,12 +198,18 @@ from hypothesis import given, settings, strategies as st  # noqa: E402
         max_size=12,
     ),
     split=st.integers(min_value=0, max_value=12),
+    order_seed=st.integers(min_value=0, max_value=10**6),
 )
-def test_streaming_minhash_kernel_matches_bruteforce_any_split(sigs, split):
-    """Property: for ANY bucket population and ANY micro-batch split point,
-    the kernel's emissions equal the brute-force rule (dup_of = smallest
-    earlier doc whose signature agrees on >= half the perms), and the
-    split must not change the outcome (state carry is exact)."""
+def test_streaming_minhash_kernel_converges_any_order_any_split(
+    sigs, split, order_seed
+):
+    """Property: for ANY bucket population, ANY arrival order, and ANY
+    micro-batch split point, the min(dup_of)-per-doc fold of the kernel's
+    emissions equals the batch rule — dup_of(d) = smallest SMALLER id
+    whose signature agrees on >= half the perms. Arrival order and split
+    may change which rows emit, never what the fold converges to."""
+    import random
+
     import pandas as pd
 
     from executor_u1mindexer_spark.streaming.dedup_stream import (
@@ -193,20 +218,20 @@ def test_streaming_minhash_kernel_matches_bruteforce_any_split(sigs, split):
         _sig_sim,
     )
 
-    docs = list(enumerate(sigs))  # doc_id = arrival index, already sorted
-    expect = []
-    for i, (doc_id, sig) in enumerate(docs):
+    docs = list(enumerate(sigs))  # doc_id = index
+    expect = {}
+    for doc_id, sig in docs:
         q = [
             eid
-            for eid, esig in docs[:i]
-            if _sig_sim(sig, esig) >= SIG_SIM_THRESHOLD
+            for eid, esig in docs
+            if eid < doc_id and _sig_sim(sig, esig) >= SIG_SIM_THRESHOLD
         ]
         if q:
-            expect.append((doc_id, min(q)))
+            expect[doc_id] = min(q)
 
-    def run(batches):
+    def converged(batches):
         state = _StubState()
-        rows = []
+        fold: dict[int, int] = {}
         for b in batches:
             if not len(b):
                 continue
@@ -214,12 +239,16 @@ def test_streaming_minhash_kernel_matches_bruteforce_any_split(sigs, split):
                 {"doc_id": [d for d, _ in b], "sig": [s for _, s in b]}
             )
             out = pd.concat(list(_bucket_dedup_kernel((0,), iter([pdf]), state)))
-            rows += [(int(r.doc_id), int(r.dup_of)) for r in out.itertuples()]
-        return rows
+            for r in out.itertuples():
+                d, dup = int(r.doc_id), int(r.dup_of)
+                fold[d] = min(fold.get(d, dup), dup)
+        return fold
 
-    split = min(split, len(docs))
-    assert run([docs]) == expect
-    assert run([docs[:split], docs[split:]]) == expect
+    assert converged([docs]) == expect
+    shuffled = docs[:]
+    random.Random(order_seed).shuffle(shuffled)
+    split = min(split, len(shuffled))
+    assert converged([shuffled[:split], shuffled[split:]]) == expect
 
 
 def test_streaming_zscore_state_carry_across_chunks():
