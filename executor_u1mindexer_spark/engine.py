@@ -265,11 +265,16 @@ class U1MIndexerSpark:
         batch = self._as_batch(docs, id_col, vec_col)
         rejected = None
         if self.max_elements is not None:
-            # slot accounting lives in the operator (next slot =
-            # max(internal_id) + 1, so tombstones below the high-water
-            # mark keep occupying their slots — see upsert_capacity_bound)
+            # the operator admits against the surviving high-water mark
+            # (next slot = max(internal_id) + 1); subtracting the slot
+            # debt accumulated by deletes of highest-slot rows makes the
+            # admission compare against slots EVER allocated — strict
+            # hnswlib element-count semantics (a delete never refunds
+            # room). Internal ids may renumber into freed top slots, but
+            # two live rows can never collide.
+            cap = self.max_elements - getattr(self, "_slot_debt", 0)
             new_state, rejected = M.upsert_capacity_bound(
-                self._vectors, batch, self.max_elements
+                self._vectors, batch, max(cap, 0)
             )
             rejected = rejected.localCheckpoint(eager=True)
             self._vectors = new_state.select(M.ID, M.IID, M.EMB)
@@ -338,11 +343,30 @@ class U1MIndexerSpark:
             else self.spark.createDataFrame([(int(i),) for i in ids], f"{M.ID} long")
         )
         self._before_mutation()
-        # one semi-join count (ids actually present) instead of before/after
-        # full counts — a single job against the state table
-        n_hit = self._vectors.join(
-            F.broadcast(ids_df.select(M.ID)), on=M.ID, how="left_semi"
-        ).count()
+        # ONE aggregate job against the state computes everything delete-time
+        # accounting needs: how many ids actually hit, the pre-delete
+        # internal-id mark, and the surviving mark. The gap between the two
+        # marks is recorded as SLOT DEBT: capacity admission works off the
+        # surviving high-water mark (see index()), so without the debt a
+        # delete of the highest-slot row would silently refund its slot —
+        # hnswlib never refunds (element_count keeps tombstones,
+        # executor.py:252). mark + debt = slots ever allocated, exactly.
+        marked = self._vectors.join(
+            F.broadcast(ids_df.select(M.ID).withColumn("__del", F.lit(True))),
+            on=M.ID,
+            how="left",
+        )
+        row = marked.agg(
+            F.count(F.when(F.col("__del"), F.lit(1))).alias("n_hit"),
+            F.max(M.IID).alias("mark_all"),
+            F.max(F.when(F.col("__del").isNull(), F.col(M.IID))).alias("mark_surv"),
+        ).collect()[0]
+        n_hit = row["n_hit"]
+        if n_hit:
+            freed_top = (int(row["mark_all"]) + 1) - (
+                int(row["mark_surv"]) + 1 if row["mark_surv"] is not None else 0
+            )
+            self._slot_debt = getattr(self, "_slot_debt", 0) + max(freed_top, 0)
         self._tombstones = getattr(self, "_tombstones", 0) + n_hit
         self._vectors = M.delete_by_ids(self._vectors, ids_df)
         if self._docstore is not None:
@@ -376,6 +400,7 @@ class U1MIndexerSpark:
         self._ds_layers = 0
         self._ds_batch_no = 0
         self._tombstones = 0
+        self._slot_debt = 0
         self._dirty = False
 
     def status(self) -> dict[str, int]:

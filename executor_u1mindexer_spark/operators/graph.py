@@ -404,9 +404,10 @@ def label_propagation(
     checkpoint_every rounds (each round references the previous labels
     exactly once, so in-window plan growth is linear and AQE's
     ReuseExchange materializes the adjacency shuffle once per window).
-    The per-node argmax is max_by over the vote struct — map-side
-    combinable, no window sort. The oracle replays all rounds as
-    chained CTEs.
+    The per-node argmax is min_by over the (-count, label) vote struct —
+    map-side combinable, no window sort, label never negated so any
+    orderable label type stays deterministic. The oracle replays all
+    rounds as chained CTEs.
 
     [NOT IN REFERENCE — executor.py has no graph surface.]"""
     if not (1 <= n_iter <= 50):

@@ -199,11 +199,15 @@ def upsert_capacity_bound(
     Slot accounting: the next slot is max(internal_id) + 1 (see upsert),
     so a tombstone BELOW the high-water mark keeps occupying its slot —
     hnswlib's deletes-don't-refund semantics (mark_deleted keeps the
-    element count, executor.py:223) — with one documented divergence:
-    deleting the HIGHEST-slot row lowers the mark and frees that slot,
-    where hnswlib would not. What can never happen is two live rows
-    sharing an internal_id, which a live-row-count base would produce
-    on the first insert after any delete.
+    element count, executor.py:223) — with one documented divergence at
+    THIS level: deleting the HIGHEST-slot row lowers the mark and frees
+    that slot, where hnswlib would not. The engine facade closes even
+    that: its delete() records the freed top slots as debt and index()
+    shrinks the capacity it passes by the debt, so engine admission is
+    strict element-count semantics (see engine.py). What can never
+    happen anywhere is two live rows sharing an internal_id, which a
+    live-row-count base would produce on the first insert after any
+    delete.
 
     Returns (new_state, rejected): new_state has the upsert's
     (id, internal_id, emb, status) shape, rejected is (id) only.

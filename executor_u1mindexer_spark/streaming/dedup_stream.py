@@ -103,7 +103,9 @@ def _bucket_dedup_kernel(key, pdfs, state):
     if state.exists:
         ids = list(state.get[0])
         sigs = [list(s) for s in state.get[1]]
-        bests = list(state.get[2])
+        # 'no best yet' persists as NULL (doc ids are arbitrary longs —
+        # a numeric sentinel like -1 would collide with a legal id)
+        bests = [None if b is None else int(b) for b in state.get[2]]
     else:
         ids, sigs, bests = [], [], []
     seen = set(ids)
@@ -122,18 +124,18 @@ def _bucket_dedup_kernel(key, pdfs, state):
         if doc_id in seen:
             continue
         sig = [int(v) for v in sig]
-        best, best_sim = -1, 0.0
+        best, best_sim = None, 0.0
         for i, (eid, esig) in enumerate(zip(ids, sigs)):
             sim = _sig_sim(sig, esig)
             if sim < SIG_SIM_THRESHOLD:
                 continue
             if eid < doc_id:
-                if best == -1 or eid < best:
+                if best is None or eid < best:
                     best, best_sim = eid, sim
-            elif bests[i] == -1 or doc_id < bests[i]:
+            elif bests[i] is None or doc_id < bests[i]:
                 bests[i] = doc_id
                 emit(eid, doc_id, sim)
-        if best != -1:
+        if best is not None:
             emit(doc_id, best, best_sim)
         seen.add(doc_id)
         ids.append(doc_id)

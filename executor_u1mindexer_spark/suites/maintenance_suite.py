@@ -86,7 +86,7 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_norm(M.upsert(_state(spark, sf_dir), _batch(spark, sf_dir)))
 
 
-CAPACITY_HEADROOM = 40  # slots beyond the fixture state's row count
+CAPACITY_HEADROOM = 40  # slots beyond the state's internal-id high-water mark
 
 
 def index_upsert_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +100,11 @@ def index_upsert_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01), so the driver's correctness SF exercises BOTH the admission
     and the rejection lane."""
     state = _state(spark, sf_dir)
-    cap = state.count() + CAPACITY_HEADROOM  # bounded driver scalar (pinned state)
+    # bounded driver scalar over the pinned state — the SAME base the
+    # operator and the oracle use (the internal-id high-water mark; equal
+    # to the row count here only because the fixture state has no gaps)
+    mark = state.agg(F.coalesce(F.max(M.IID) + 1, F.lit(0)).cast("long")).collect()[0][0]
+    cap = int(mark) + CAPACITY_HEADROOM
     new_state, rejected = M.upsert_capacity_bound(state, _batch(spark, sf_dir), cap)
     rej = rejected.select(
         M.ID,

@@ -70,6 +70,15 @@ def test_max_elements_caps_admission_and_counts_tombstones(spark, tmp_path):
     more = spark.createDataFrame([(7, [7.0, 1.0], "t7")], "doc_id long, embedding array<double>, text string")
     assert [r.id for r in eng.index(more).collect()] == [7]
     assert eng.status()["count_indexed"] == 3
+    # STRICT element-count semantics even for the HIGHEST slot: deleting
+    # the top internal_id lowers the high-water mark, but the engine's
+    # slot debt keeps the freed slot counted — admission stays full
+    eng2 = U1MIndexerSpark(spark, dim=2, max_elements=3)
+    eng2.index(docs.filter("doc_id < 3"))
+    eng2.delete([2])  # internal_id 2 — the high-water mark row
+    late = spark.createDataFrame([(9, [9.0, 1.0], "t9")], "doc_id long, embedding array<double>, text string")
+    assert [r.id for r in eng2.index(late).collect()] == [9]  # still full
+    assert eng2.status()["count_indexed"] == 3  # 2 live + 1 tombstone
     with pytest.raises(ValueError):
         U1MIndexerSpark(spark, dim=2, max_elements=-1)
 

@@ -129,6 +129,50 @@ def test_streaming_minhash_dedup_matches_batch_replay(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_minhash_state_survives_real_microbatch_reload(spark, tmp_path):
+    """Cross-micro-batch drain through the REAL state store: the bucket
+    state written in batch 1 (including NULL 'no best yet' entries) must
+    reload in batch 2 and produce the converged verdict — whichever file
+    order the stream picks."""
+    from executor_u1mindexer_spark.streaming import dedup_stream as DS
+
+    same = "alpha beta gamma delta epsilon zeta"
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [(1, same), (7, "completely different words entirely here now")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "p0"))
+    spark.createDataFrame([(5, same)], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "p1"))
+    schema = spark.read.parquet(str(src / "p0")).schema
+
+    q = (
+        DS.streaming_minhash_dedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "p*"))
+        )
+        .writeStream.format("memory")
+        .queryName("mh_reload")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("mh_reload").collect()
+    # identical texts -> identical signatures -> all 8 bands collide;
+    # converged fold must say doc 5 duplicates doc 1 in every band,
+    # regardless of which file streamed first
+    fold = {}
+    for r in rows:
+        key = (r.doc_id, r.band_idx)
+        fold[key] = min(fold.get(key, r.dup_of), r.dup_of)
+    assert {k[0] for k in fold} == {5}
+    assert sorted(k[1] for k in fold) == list(range(8))
+    assert set(fold.values()) == {1}
+
+
 class _StubState:
     def __init__(self):
         self._v = None
@@ -166,10 +210,10 @@ def test_streaming_minhash_bucket_state_carries_across_batches():
     out2 = pd.concat(list(_bucket_dedup_kernel((0,), iter([b2]), state)))
     assert list(out2.itertuples(index=False)) == [(12, 10, 0, 0.5)]
     assert state.get[0] == [10, 11, 12]  # arrival-ordered bucket membership
-    # re-delivery of doc 10 is idempotent: it must NOT match itself
-    # (min(dup_of) consumers would drop it as its own duplicate) and must
-    # not grow the bucket state; it still reports against OTHER earlier
-    # docs (12 has id > 10, so nothing qualifies here)
+    # re-delivery of doc 10 is idempotent: the kernel SKIPS an id already
+    # in the bucket outright (no emissions at all, no state growth) — a
+    # self-match would make min(dup_of) consumers drop the doc as its own
+    # duplicate, and mutual dup claims could drop a whole cluster
     b3 = pd.DataFrame({"doc_id": [10], "sig": [sig_x]})
     out3 = pd.concat(list(_bucket_dedup_kernel((0,), iter([b3]), state)))
     assert len(out3) == 0
@@ -218,7 +262,9 @@ def test_streaming_minhash_kernel_converges_any_order_any_split(
         _sig_sim,
     )
 
-    docs = list(enumerate(sigs))  # doc_id = index
+    # doc ids span NEGATIVE longs too — a numeric 'no best' sentinel
+    # would collide with a legal id (review-caught regression class)
+    docs = [(i - 3, sig) for i, sig in enumerate(sigs)]
     expect = {}
     for doc_id, sig in docs:
         q = [
