@@ -335,8 +335,14 @@ class U1MIndexerSpark:
 
     def delete(self, ids: DataFrame | Sequence[int]) -> None:
         """Remove ids; unknown ids silently ignored (executor.py:213-225).
-        count_indexed keeps counting removed slots (tombstone arithmetic) via
-        the retained internal-id watermark in status()."""
+        count_indexed keeps counting removed slots via the _tombstones
+        counter that status() adds to the live count; capacity admission
+        additionally carries the freed-top-slot debt (see below). Both
+        counters are driver state scoped to this engine's LIFE: a dump()
+        snapshot is a COMPACTED index (live rows only, same reason
+        status() shows zero tombstones after a workspace reload), so
+        accounting starts fresh on load — the documented divergence from
+        hnswlib's save_index, which persists dead slots."""
         ids_df = (
             ids
             if isinstance(ids, DataFrame)
@@ -351,8 +357,13 @@ class U1MIndexerSpark:
         # delete of the highest-slot row would silently refund its slot —
         # hnswlib never refunds (element_count keeps tombstones,
         # executor.py:252). mark + debt = slots ever allocated, exactly.
+        # distinct() before the left join: a repeated id in the delete list
+        # would duplicate its matched state row and inflate n_hit (the old
+        # left_semi shape was naturally immune; a plain left join is not)
         marked = self._vectors.join(
-            F.broadcast(ids_df.select(M.ID).withColumn("__del", F.lit(True))),
+            F.broadcast(
+                ids_df.select(M.ID).distinct().withColumn("__del", F.lit(True))
+            ),
             on=M.ID,
             how="left",
         )

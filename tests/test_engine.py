@@ -84,7 +84,8 @@ def test_max_elements_caps_admission_and_counts_tombstones(spark, tmp_path):
 
 
 def test_delete_and_status_tombstones(spark, engine):
-    engine.delete([0, 1, 31337])  # 31337 unknown -> ignored
+    engine.delete([0, 1, 31337, 1, 1])  # 31337 unknown -> ignored;
+    # repeated id 1 must count its one state row ONCE in the tombstones
     st = engine.status()
     assert st["count_active"] == 98
     assert st["count_deleted"] == 2
