@@ -259,7 +259,19 @@ class U1MIndexerSpark:
         add_items raise — callers wanting the hard failure assert the
         set is empty. Rejected ids are also kept out of the doc store.
         Unbounded engines (the default) return None and pay no extra
-        jobs."""
+        jobs.
+
+        Error-timing divergence (ADVICE r09, deliberate): the eager
+        rejected-set materialization below runs the batch through
+        dedup_latest, so the lazy dim_guard fires AT index() TIME on a
+        capacity-bounded engine — matching the reference's request-time
+        ValueError (hnswlib raises inside add_items, executor.py:151) —
+        while the unbounded path defers the same error to the first
+        dump/search (documented there). The cost is one Spark job per
+        index() call even when nothing is rejected; accepted because the
+        warn-set contract ("callers assert it is empty") requires the
+        rejection decision to be consumable immediately, not a lazy plan
+        whose admission cutoff would shift under later re-planning."""
         docs = traverse.traverse_flat(docs, traversal_paths, id_col=id_col)
         self._before_mutation()
         batch = self._as_batch(docs, id_col, vec_col)

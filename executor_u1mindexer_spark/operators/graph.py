@@ -218,8 +218,21 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     100 TB run. Each triangle still closes exactly once (its three nodes
     have a unique (degree, id) total order, so exactly one lo→mid→hi
     labeling exists). The two degree-attach joins this costs are
-    node-keyed and loop-free — the cheap side of the trade."""
-    e = edges.select("src", "dst").distinct()
+    node-keyed and loop-free — the cheap side of the trade.
+
+    Input hardening (ADVICE r09): edges are normalized to canonical form
+    (least, greatest) BEFORE the distinct, so an input that carries both
+    (x, y) and (y, x) — or self-loops — cannot double-orient an edge
+    onto the same lo→hi arc and silently multiply chain matches; degrees
+    and n_edges then count each undirected edge exactly once."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
     deg = (
         e.select(F.col("src").alias("n"))
         .unionByName(e.select(F.col("dst").alias("n")))

@@ -122,9 +122,10 @@ def quantile_estimate(
     Output: (q, n_total, target, err_budget, max_tile, est_value), one
     row per q. est_value is the rep_value of the FIRST point (ordered by
     rep_value then the deterministic tiebreak) whose cumulative weight
-    reaches target = ceil(q * n_total). All window/cum work runs over the
-    <= p*s summary rows — the SinglePartition window is over the SKETCH,
-    never the data.
+    reaches target = ceil(q * n_total). All cumulative-weight work runs
+    over the <= p*s summary rows — an in-plan triangular broadcast
+    self-join over the SKETCH, never the data (and never a
+    SinglePartition window or a driver-side collect).
 
     Merged states (r07, ADVICE r06): a quantile_merge output carries a
     'src' tag, and (bucket, tile) is NO LONGER unique across sources —
@@ -154,27 +155,28 @@ def quantile_estimate(
         if not (0.0 < q <= 1.0):
             raise ValueError(f"quantile q must be in (0, 1], got {q}")
     # Cumulative weight in rank order. The input here is the SKETCH (<=
-    # p*s summary rows by construction), never the data, so instead of a
-    # SinglePartition window (correct but warning-noisy — VERDICT r08 #4)
-    # the summary is collected, prefix-summed on the driver with exact
-    # Python ints, and stamped back as a literal table (the layout.py
-    # bounded collect+broadcast pattern). Sort key = rep_value then the
-    # full order_cols tiebreak — total by the (src,) bucket, tile
-    # uniqueness invariant, so the cumsum is engine-independent.
-    from pyspark.sql import types as T
-
+    # p*s summary rows by construction), never the data. cumw is computed
+    # IN-PLAN with the triangular broadcast-join pattern of
+    # maintenance.dense_rank_by (VERDICT r09 #2: the r09 collect+stamp
+    # rebuild was scale-safe but added a Spark job per call and broke the
+    # laziness contract — ADVICE r09): cumw(row) = sum of weights over
+    # rows whose sort key <= this row's key, where the key is the struct
+    # (rep_value, *order_cols) — a TOTAL order by the (src,) bucket, tile
+    # uniqueness invariant, so the cumsum is engine-independent. The
+    # self-join is O((p*s)^2) comparisons over summary rows with the tiny
+    # side broadcast — no SinglePartition window, no driver collect, and
+    # the whole query stays one lazy plan.
     sel = state.select("rep_value", *order_cols, "weight")
-    rows = sel.collect()
-    rows.sort(key=lambda r: (r["rep_value"], *(r[c] for c in order_cols)))
-    pts_rows, acc = [], 0
-    for r in rows:
-        acc += int(r["weight"])
-        pts_rows.append((r["rep_value"], *(r[c] for c in order_cols), acc))
-    pts_schema = T.StructType(
-        [sel.schema["rep_value"], *(sel.schema[c] for c in order_cols)]
-        + [T.StructField("cumw", T.LongType(), False)]
+    key = F.struct(F.col("rep_value"), *[F.col(c) for c in order_cols])
+    rhs = sel.select(
+        key.alias("__k2"), F.col("weight").alias("__w2")
     )
-    pts = state.sparkSession.createDataFrame(pts_rows, pts_schema)
+    pts = (
+        sel.withColumn("__k", key)
+        .join(F.broadcast(rhs), F.col("__k2") <= F.col("__k"))
+        .groupBy("rep_value", *order_cols)
+        .agg(F.sum("__w2").cast("long").alias("cumw"))
+    )
     tot = state.agg(F.sum("weight").cast("long").alias("n_total"))
     errb = (
         state.groupBy(*bucket_cols)

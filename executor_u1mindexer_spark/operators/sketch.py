@@ -376,6 +376,13 @@ def oracle_estimate_sql(source: str, col: str, p: int = 10) -> str:
 
 D_DEFAULT = 4
 W_MIN = 2
+# Slicing precondition (ADVICE r09): _sliced_pos_sql carves bit_length-1
+# bit fields out of 60-bit digest halves, so a width above 2^60 would
+# divide by zero (60 // bits == 0) and widths near it leave 1-2 fields
+# per half. 2^30 bounds the field width to half a digest half — far past
+# any sane sketch width — and makes the precondition an explicit error
+# instead of an unrelated ZeroDivisionError.
+W_MAX = 1 << 30
 
 
 def _validate_dw(d: int, w: int) -> None:
@@ -383,6 +390,10 @@ def _validate_dw(d: int, w: int) -> None:
         raise ValueError(f"d must be in [1, 16], got {d}")
     if w < W_MIN or (w & (w - 1)) != 0:
         raise ValueError(f"w must be a power of two >= {W_MIN}, got {w}")
+    if w > W_MAX:
+        raise ValueError(
+            f"w must be <= 2^30 (digest-slicing bound, see W_MAX), got {w}"
+        )
 
 
 def _sliced_pos_sql(col: str, i: int, mod: int, family: str, engine: str) -> str:
@@ -503,6 +514,10 @@ def _validate_bloom(k: int, mbits: int) -> None:
         raise ValueError(f"k must be in [1, {BLOOM_K_MAX}], got {k}")
     if mbits < 2 or (mbits & (mbits - 1)) != 0:
         raise ValueError(f"mbits must be a power of two >= 2, got {mbits}")
+    if mbits > W_MAX:
+        raise ValueError(
+            f"mbits must be <= 2^30 (digest-slicing bound, see W_MAX), got {mbits}"
+        )
 
 
 def bloom_state(df: DataFrame, col: str, k: int = 4, mbits: int = 4096) -> DataFrame:

@@ -130,17 +130,26 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
         .limit(RRF_N)
     )
-    # rank assignment over the ALREADY-truncated 50 rows: collect the
-    # bounded list, rank in Python (exact ints, same desc-score/asc-id
-    # order), and stamp back as a literal table — r09, VERDICT r08 #4:
-    # the previous unpartitioned rank window over the same 50 rows was
-    # correct but emitted WindowExec warnings and tripped the
-    # no-SinglePartition-window plan lint
-    bm_rows = bm_top.select("doc_id", "score_micro").collect()
-    bm_rows.sort(key=lambda r: (-r["score_micro"], r["doc_id"]))
-    bm_ranked = spark.createDataFrame(
-        [(r["doc_id"], i + 1) for i, r in enumerate(bm_rows)],
-        "doc_id long, bm25_rank int",
+    # rank assignment over the ALREADY-truncated 50 rows, IN-PLAN via the
+    # triangular broadcast self-join of maintenance.dense_rank_by
+    # (VERDICT r09 #2): rank(d) = count of list rows at-or-above d in the
+    # total (score desc, doc_id asc) order. 50x50 broadcast comparisons,
+    # no SinglePartition window (the r08 #4 lint win is kept), and no
+    # driver collect (the r09 collect+stamp added a Spark job per call).
+    # Determinism needs no shared materialization: the exact micro-int
+    # scores + doc_id tiebreak make the top-50 a total order, so both
+    # sides of the self-join compute the identical list.
+    lhs = bm_top.select("doc_id", "score_micro")
+    rhs = lhs.select(
+        F.col("doc_id").alias("__d2"), F.col("score_micro").alias("__s2")
+    )
+    at_or_above = (F.col("__s2") > F.col("score_micro")) | (
+        (F.col("__s2") == F.col("score_micro")) & (F.col("__d2") <= F.col("doc_id"))
+    )
+    bm_ranked = (
+        lhs.join(F.broadcast(rhs), at_or_above)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("bm25_rank"))
     )
 
     q = emb.filter(F.col("vec_id") == 0).select(

@@ -77,6 +77,16 @@ def test_triangle_count_hand_cases(spark):
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
 
 
+def test_triangle_count_noncanonical_input_is_normalized(spark):
+    # ADVICE r09: both directions of every edge + self-loops must fold to
+    # the canonical form, not double-orient onto the same lo->hi arc
+    # (which would multiply chain matches) — same answer as the clean K4
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    dirty = k4 + [(b, a) for a, b in k4] + [(n, n) for n in range(1, 5)]
+    row = G.triangle_count(_edges_df(spark, dirty)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
 def test_consecutive_line_edges_are_canonical_and_adjacent_only(spark):
     li = spark.createDataFrame(
         [

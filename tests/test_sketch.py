@@ -192,6 +192,10 @@ def test_cms_params_validated(spark):
         SK.cms_state(df, "v", 4, 100)
     with pytest.raises(ValueError, match="d must be"):
         SK.cms_state(df, "v", 0, 64)
+    # ADVICE r09: the digest-slicing width bound is an explicit error,
+    # not a ZeroDivisionError inside _sliced_pos_sql
+    with pytest.raises(ValueError, match="digest-slicing"):
+        SK.cms_state(df, "v", 4, 1 << 31)
     with pytest.raises(ValueError, match="at least one"):
         SK.cms_merge()
 
@@ -241,6 +245,8 @@ def test_bloom_params_validated(spark):
         SK.bloom_state(df, "v", 4, 1000)
     with pytest.raises(ValueError, match="k must be"):
         SK.bloom_state(df, "v", 0, 1024)
+    with pytest.raises(ValueError, match="digest-slicing"):
+        SK.bloom_state(df, "v", 4, 1 << 31)
     with pytest.raises(ValueError, match="at least one"):
         SK.bloom_merge()
 
