@@ -207,6 +207,15 @@ def main() -> None:
         # dependent only. Compare across rounds BEFORE reading per-query
         # drift; start vs end also exposes within-run slowdown.
         "calibration_probe": {"start_s": probe_start, "end_s": probe_end},
+        # probe-normalized per-query times (VERDICT r09 #5): each raw time
+        # divided by the mean probe reading, so cross-round regression
+        # detection is mechanical — a query whose NORMALIZED number moved
+        # regressed for real; one whose raw number moved with the probe
+        # just rode host drift. Unit: multiples of the probe workload.
+        "queries_normalized": {
+            k: round(v / ((probe_start + probe_end) / 2), 4)
+            for k, v in timings.items()
+        },
     }
     print(json.dumps(out))
 

@@ -166,6 +166,17 @@ def quantile_estimate(
     # self-join is O((p*s)^2) comparisons over summary rows with the tiny
     # side broadcast — no SinglePartition window, no driver collect, and
     # the whole query stays one lazy plan.
+    #
+    # The state subtree is referenced FOUR times below (both self-join
+    # sides, n_total, err_budget) and exchange reuse does not fire across
+    # the broadcast/aggregate aliases (r10 plan audit: four separate
+    # bucket-shuffle + ntile subtrees, ~4x the state build cost), so the
+    # <= p*s-row state is persist()ed via the session cache registry —
+    # still lazy (computed once at first action), released by the query
+    # harnesses between queries.
+    from executor_u1mindexer_spark import cache
+
+    state = cache.pin(state)
     sel = state.select("rep_value", *order_cols, "weight")
     key = F.struct(F.col("rep_value"), *[F.col(c) for c in order_cols])
     rhs = sel.select(

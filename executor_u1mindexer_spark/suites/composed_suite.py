@@ -138,7 +138,14 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver collect (the r09 collect+stamp added a Spark job per call).
     # Determinism needs no shared materialization: the exact micro-int
     # scores + doc_id tiebreak make the top-50 a total order, so both
-    # sides of the self-join compute the identical list.
+    # sides of the self-join compute the identical list. The 50-row list
+    # IS persist()ed (lazily, via the session cache registry) so the two
+    # sides share one computation of the BM25 token-aggregate branch —
+    # exchange reuse does not fire across the broadcast alias (r10 plan
+    # audit), and without the pin the branch runs twice.
+    from executor_u1mindexer_spark import cache
+
+    bm_top = cache.pin(bm_top)
     lhs = bm_top.select("doc_id", "score_micro")
     rhs = lhs.select(
         F.col("doc_id").alias("__d2"), F.col("score_micro").alias("__s2")
