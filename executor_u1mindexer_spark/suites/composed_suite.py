@@ -317,7 +317,7 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {
+_VARIANT_QUERIES = {
     "clean_corpus_pipeline": clean_corpus_pipeline,
     "llm_corpus_pipeline": llm_corpus_pipeline,
     "vector_dedup_quantize": vector_dedup_quantize,
@@ -400,7 +400,7 @@ _RRF_BATCH_SQL = (
     + "\nORDER BY query_id, fused_rank"
 )
 
-ORACLES = {
+_VARIANT_ORACLES = {
     "hybrid_search_rrf_batch": _RRF_BATCH_SQL,
     # The span stage replays the dedup_repeated_spans oracle formulation
     # (word-explode + string_agg) over the exact-dedup survivors; the
@@ -597,3 +597,52 @@ FROM c WHERE cum_cost <= {PACK_BUDGET}
 GROUP BY lang ORDER BY lang
 """,
 }
+
+
+# -- registry folding (VERDICT r09 #3) ----------------------------------------
+# The single-query and batch RRF rows fold into ONE registered
+# hybrid_search_rrf row: both arms run their full pipelines and union
+# under a variant tag with NULL-padded batch-only columns (no melt needed
+# — the schemas align). bench.py still times the single-query arm alone
+# via its folded-row compat table so the bench series stays comparable.
+
+
+def _hybrid_search_rrf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    single = hybrid_search_rrf(spark, sf_dir).select(
+        F.lit("single").alias("variant"),
+        F.lit(None).cast("long").alias("query_id"),
+        "doc_id",
+        "rrf_score",
+        "bm25_rank",
+        "vec_rank",
+        F.lit(None).cast("int").alias("fused_rank"),
+    )
+    batch = hybrid_search_rrf_batch(spark, sf_dir).select(
+        F.lit("batch").alias("variant"),
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        "bm25_rank",
+        "vec_rank",
+        "fused_rank",
+    )
+    return single.unionByName(batch)
+
+
+_RRF_ALL_SQL = (
+    "SELECT 'single' AS variant, CAST(NULL AS BIGINT) AS query_id, "
+    "doc_id, rrf_score, bm25_rank, vec_rank, CAST(NULL AS INT) AS fused_rank "
+    f"FROM ({_VARIANT_ORACLES['hybrid_search_rrf']}) __single "
+    "UNION ALL "
+    "SELECT 'batch' AS variant, query_id, doc_id, rrf_score, bm25_rank, "
+    f"vec_rank, fused_rank FROM ({_RRF_BATCH_SQL}) __batch"
+)
+
+QUERIES = {
+    k: v for k, v in _VARIANT_QUERIES.items() if k != "hybrid_search_rrf_batch"
+}
+QUERIES["hybrid_search_rrf"] = _hybrid_search_rrf_all
+ORACLES = {
+    k: v for k, v in _VARIANT_ORACLES.items() if k != "hybrid_search_rrf_batch"
+}
+ORACLES["hybrid_search_rrf"] = _RRF_ALL_SQL

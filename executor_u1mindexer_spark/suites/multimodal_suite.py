@@ -128,6 +128,25 @@ def multimodal_lossy_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.extract_lossy_header_metadata(C.attach_synthetic_lossy(docs))
 
 
+def multimodal_container_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container chunk/property metadata (r10, VERDICT r09 #7): extends
+    the lossy-header lane with the WebP metadata chunks (ICCP/EXIF, with
+    VP8X feature-flag cross-check) and the AVIF HEIF item properties
+    (irot rotation, imir mirror, pixi channel structure) — all pure
+    public byte layout, no entropy decoding, gated reconstruction
+    untouched. The oracle states every field in closed form from the
+    generation rule (attach_synthetic_container_props docstring); the
+    parser cross-checks the VP8X flag byte against the chunks actually
+    present, so an encoder/parser disagreement raises instead of
+    passing."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from executor_u1mindexer_spark.operators import containers as C
+
+    return C.extract_container_properties(
+        C.attach_synthetic_container_props(docs)
+    )
+
+
 QUERIES = {
     "multimodal_join": multimodal_join,
     "multimodal_binary_metadata": multimodal_binary_metadata,
@@ -138,6 +157,7 @@ QUERIES = {
     "multimodal_decode_webp_lossless": multimodal_decode_webp_lossless,
     "multimodal_thumbnail_meta": multimodal_thumbnail_meta,
     "multimodal_lossy_header_meta": multimodal_lossy_header_meta,
+    "multimodal_container_properties": multimodal_container_properties,
 }
 
 
@@ -270,6 +290,29 @@ SELECT doc_id,
        CAST(doc_id % 9 + 1 AS INT) AS width,
        CAST(doc_id % 5 + 1 AS INT) AS height,
        (doc_id % 3 <> 0 AND doc_id % 2 = 1) AS has_alpha
+FROM documents
+""",
+    # container-properties rule (attach_synthetic_container_props): lane
+    # id%3 as the lossy rule; extended webp: ICCP of 16+id%8 bytes iff
+    # id%4=1, EXIF of 24+id%8 bytes iff id%4=2; avif: irot angle id%4,
+    # imir axis id%2 iff id%5=0, always 3-channel pixi with uniform
+    # depth 8+2*((id//3)%3)
+    "multimodal_container_properties": """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 2 THEN 'avif' ELSE 'webp' END AS container,
+       (doc_id % 3 <> 0 AND doc_id % 2 = 1) AS has_alpha,
+       (doc_id % 3 = 1 AND doc_id % 4 = 1) AS has_icc,
+       (doc_id % 3 = 1 AND doc_id % 4 = 2) AS has_exif,
+       CASE WHEN doc_id % 3 = 1 AND doc_id % 4 = 1
+            THEN CAST(16 + doc_id % 8 AS INT) END AS icc_bytes,
+       CASE WHEN doc_id % 3 = 1 AND doc_id % 4 = 2
+            THEN CAST(24 + doc_id % 8 AS INT) END AS exif_bytes,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 4 AS INT) END AS rotation_ccw,
+       CASE WHEN doc_id % 3 = 2 AND doc_id % 5 = 0
+            THEN CAST(doc_id % 2 AS INT) END AS mirror_axis,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(3 AS INT) END AS n_channels,
+       CASE WHEN doc_id % 3 = 2
+            THEN CAST(8 + 2 * ((doc_id // 3) % 3) AS INT) END AS bit_depth
 FROM documents
 """,
     "multimodal_thumbnail_meta": """

@@ -544,7 +544,7 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("name_a", "name_b", "dist").orderBy("name_a", "name_b")
 
 
-QUERIES = {
+_VARIANT_QUERIES = {
     "fuzzy_join_part_names": fuzzy_join_part_names,
     "join_full_outer_segments": join_full_outer_segments,
     "agg_percentiles": agg_percentiles,
@@ -594,7 +594,7 @@ SELECT count(*) AS n_purchases,
 FROM pv
 """
 
-ORACLES = {
+_VARIANT_ORACLES = {
     "fuzzy_join_part_names": """
 WITH names AS (SELECT DISTINCT p_name FROM part)
 SELECT a.p_name AS name_a, b.p_name AS name_b,
@@ -801,3 +801,86 @@ GROUP BY purchase_id, user_id, purchase_ts
     "events_range_join_amplified": _RANGE_AMPLIFIED_SQL,
     "events_range_join_banded_amplified": _RANGE_AMPLIFIED_SQL,
 }
+
+
+# -- registry folding (VERDICT r09 #3) ----------------------------------------
+# Four cross-module family twins: the window/scalar/grouping/approx-agg
+# showcases (12 near-duplicate rows across relational_suite and this
+# module) fold into one registered row each under the canonical melted
+# schema of suites/_fold.py. Raw passthrough columns that only re-read the
+# scan (window_running_sum's o_orderdate) are not re-compared; every
+# OPERATOR output column is. Dates melt via CAST(x AS DATE) -> string,
+# which prints identically in both engines.
+
+from executor_u1mindexer_spark.suites import _fold as FD
+from executor_u1mindexer_spark.suites import relational_suite as _RS
+
+FOLDED_HERE = (
+    "window_cume_dist_percent_rank",
+    "window_range_frame",
+    "window_ntile_first_last",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "grouping_sets_orders",
+    "agg_percentiles",
+    "agg_approx_quantiles",
+)
+
+_ALL_Q = {**_RS._VARIANT_QUERIES, **_VARIANT_QUERIES}
+_ALL_O = {**_RS._VARIANT_ORACLES, **_VARIANT_ORACLES}
+
+FAMILIES = {
+    "window_funcs": [
+        ("window_running_sum", ["o_custkey", "o_orderkey"],
+         ["running_total", "order_seq"], {}),
+        ("window_rank_lag_lead", ["c_nationkey", "c_custkey"],
+         ["c_acctbal", "bal_rank", "bal_dense_rank", "prev_cust", "next_cust"], {}),
+        ("window_range_frame", ["o_custkey", "o_orderkey"],
+         ["order_day", "rev_30d", "n_orders_30d"], {}),
+        ("window_ntile_first_last", ["c_mktsegment", "c_custkey"],
+         ["balance_quartile", "richest_cust", "poorest_cust", "second_cust"], {}),
+        ("window_cume_dist_percent_rank", ["s_nationkey", "s_suppkey"],
+         ["bal_cume_dist", "bal_pct_rank"], {}),
+    ],
+    "scalar_funcs": [
+        ("scalar_string_funcs", ["p_partkey"],
+         ["name_lower", "brand_upper", "name_len", "name_head",
+          "type_devowel", "brand_type", "first_word"],
+         {"strings": {"name_lower", "brand_upper", "name_head",
+                      "type_devowel", "brand_type", "first_word"}}),
+        ("scalar_date_funcs", ["o_orderkey"],
+         ["order_year", "order_month", "order_day", "order_quarter",
+          "month_start", "days_to_2002"],
+         {"dates": {"month_start"}}),
+        ("scalar_math_funcs", ["p_partkey"],
+         ["abs_centered", "sqrt_price", "price_sq", "ln_price",
+          "seventh_rounded", "sign_centered", "floor_500", "cap_1500"], {}),
+        ("scalar_array_funcs", ["l_orderkey"],
+         ["n_items", "n_distinct", "min_qty", "max_qty", "first3",
+          "has_25", "sum_fold"],
+         {"strings": {"first3"}, "bools": {"has_25"}}),
+    ],
+    "grouping_analytics": [
+        ("rollup_returnflag_linestatus", ["l_returnflag", "l_linestatus"],
+         ["n", "sum_qty"], {}),
+        ("cube_orderstatus_priority", ["o_orderstatus", "o_orderpriority"],
+         ["n", "sum_price"], {}),
+        ("grouping_sets_orders", ["o_orderstatus", "o_orderpriority"],
+         ["g_status", "g_priority", "n", "sum_price"], {}),
+    ],
+    "agg_approx_family": [
+        ("agg_approx_distinct", [],
+         ["exact_parts", "approx_within_10pct"],
+         {"bools": {"approx_within_10pct"}}),
+        ("agg_percentiles", ["l_returnflag"],
+         ["p25_price", "p50_price", "p75_price", "p50_qty"], {}),
+        ("agg_approx_quantiles", ["l_returnflag"],
+         ["p50_exact", "p90_exact", "p50_within_band", "p90_within_band"],
+         {"bools": {"p50_within_band", "p90_within_band"}}),
+    ],
+}
+
+QUERIES = {k: v for k, v in _VARIANT_QUERIES.items() if k not in FOLDED_HERE}
+ORACLES = {k: v for k, v in _VARIANT_ORACLES.items() if k not in FOLDED_HERE}
+for _fam, _members in FAMILIES.items():
+    QUERIES[_fam], ORACLES[_fam] = FD.fold_family(_fam, _members, _ALL_Q, _ALL_O)

@@ -415,7 +415,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {
+_VARIANT_QUERIES = {
     "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
@@ -440,7 +440,7 @@ QUERIES = {
 
 _DISC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
 
-ORACLES = {
+_VARIANT_ORACLES = {
     "tpch_q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
@@ -618,3 +618,23 @@ SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_within_10pct
 FROM lineitem
 """,
 }
+
+
+# -- registry folding (VERDICT r09 #3) ----------------------------------------
+# Seven rows from this module fold into the cross-module family twins
+# registered in relational_extra_suite (window_funcs / scalar_funcs /
+# grouping_analytics / agg_approx_family); they are exported via the
+# _VARIANT_* dicts and excluded from this module's public registry. The
+# builder functions and oracle SQL remain importable and pytest-covered.
+FOLDED_HERE = (
+    "rollup_returnflag_linestatus",
+    "cube_orderstatus_priority",
+    "window_running_sum",
+    "window_rank_lag_lead",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "agg_approx_distinct",
+)
+
+QUERIES = {k: v for k, v in _VARIANT_QUERIES.items() if k not in FOLDED_HERE}
+ORACLES = {k: v for k, v in _VARIANT_ORACLES.items() if k not in FOLDED_HERE}

@@ -128,7 +128,7 @@ def layout_file_skipping(spark, sf_dir):
     return L.file_skipping_stats(li, "l_partkey", "l_suppkey")
 
 
-QUERIES = {
+_VARIANT_QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "layout_file_skipping": layout_file_skipping,
     "source_json_roundtrip": source_json_roundtrip,
@@ -141,7 +141,7 @@ QUERIES = {
 
 from executor_u1mindexer_spark.operators import layout as _L  # noqa: E402
 
-ORACLES = {
+_VARIANT_ORACLES = {
     "source_csv_roundtrip": "SELECT * FROM nation ORDER BY n_nationkey",
     "source_json_roundtrip": "SELECT * FROM region ORDER BY r_regionkey",
     "source_orc_roundtrip": """
@@ -183,3 +183,31 @@ FROM c
         "lineitem", "l_partkey", "l_suppkey"
     ),
 }
+
+
+# -- registry folding (VERDICT r09 #3) ----------------------------------------
+# The three format roundtrips (csv/json/orc — each a write-then-read of a
+# small dimension table through operators/sources.py) fold into one
+# parameterized twin; each arm still runs its full write+read cycle.
+
+from executor_u1mindexer_spark.suites import _fold as FD
+
+FAMILIES = {
+    "source_format_roundtrips": [
+        ("source_csv_roundtrip", ["n_nationkey"],
+         ["n_name", "n_regionkey"], {"strings": {"n_name"}}),
+        ("source_json_roundtrip", ["r_regionkey"],
+         ["r_name"], {"strings": {"r_name"}}),
+        ("source_orc_roundtrip", ["s_suppkey"],
+         ["s_name", "s_nationkey", "s_acctbal"], {"strings": {"s_name"}}),
+    ],
+}
+
+FOLDED_HERE = ("source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip")
+
+QUERIES = {k: v for k, v in _VARIANT_QUERIES.items() if k not in FOLDED_HERE}
+ORACLES = {k: v for k, v in _VARIANT_ORACLES.items() if k not in FOLDED_HERE}
+for _fam, _members in FAMILIES.items():
+    QUERIES[_fam], ORACLES[_fam] = FD.fold_family(
+        _fam, _members, _VARIANT_QUERIES, _VARIANT_ORACLES
+    )

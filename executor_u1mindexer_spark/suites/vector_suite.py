@@ -138,6 +138,29 @@ def _knn_batch(spark: SparkSession, sf_dir: str, nq: int) -> DataFrame:
     return knn.knn_search(emb, q, k=20, metric="cosine", impl=impl)
 
 
+BATCH_SIZES = (1, 8, 64, 512)
+
+
+def knn_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized twin of the four batch-size rows (VERDICT r09 #3):
+    the 1/8/64/512 query batches UNION'd under a batch_size tag — four
+    flagship rows, one driver-window slot, identical per-variant plans
+    (each union arm is the same _knn_batch build as before; the catalyst/
+    arrow ARROW_MIN_BATCH routing is exercised on both sides of the
+    crossover in one row). bench.py still times each size separately via
+    its folded-row compat table (batch scaling is the measurement)."""
+    parts = [
+        _knn_batch(spark, sf_dir, nq).select(
+            F.lit(nq).cast("int").alias("batch_size"), "*"
+        )
+        for nq in BATCH_SIZES
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def knn_search_batch1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_batch(spark, sf_dir, 1)
 
@@ -175,10 +198,7 @@ def embedding_matryoshka_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "knn_search_cosine": knn_search_cosine,
-    "knn_search_batch1": knn_search_batch1,
-    "knn_search_batch8": knn_search_batch8,
-    "knn_search_batch64": knn_search_batch64,
-    "knn_search_batch512": knn_search_batch512,
+    "knn_search_batch": knn_search_batch,
     "embedding_matryoshka_stats": embedding_matryoshka_stats,
     "knn_search_euclidean": knn_search_euclidean,
     "knn_search_inner_product": knn_search_inner_product,
@@ -190,10 +210,11 @@ QUERIES = {
 
 ORACLES = {
     "knn_search_cosine": _knn_oracle(_COS_DIST),
-    "knn_search_batch1": _knn_oracle(_COS_DIST, k=20, nq=1),
-    "knn_search_batch8": _knn_oracle(_COS_DIST, k=20, nq=8),
-    "knn_search_batch64": _knn_oracle(_COS_DIST, k=20, nq=64),
-    "knn_search_batch512": _knn_oracle(_COS_DIST, k=20, nq=512),
+    "knn_search_batch": "\nUNION ALL\n".join(
+        f"SELECT {nq} AS batch_size, __b.* "
+        f"FROM ({_knn_oracle(_COS_DIST, k=20, nq=nq)}) __b"
+        for nq in (1, 8, 64, 512)
+    ),
     "embedding_matryoshka_stats": f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

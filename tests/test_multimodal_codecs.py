@@ -623,7 +623,11 @@ def test_lossy_header_roundtrip_full_lane_cycle():
             p = C.encode_webp_vp8(w, h, extended=True, alpha=odd, filler=filler)
         else:
             p = C.encode_avif(w, h, alpha=odd, filler=filler)
-        assert C.parse_lossy_container_header(p) == {
+        got = C.parse_lossy_container_header(p)
+        # r10 widened the parser dict with the chunk/property fields;
+        # this lane cycle pins the original metadata subset
+        assert {k: got[k] for k in
+                ("container", "codec", "width", "height", "has_alpha")} == {
             "container": "avif" if lane == 2 else "webp",
             "codec": "av01" if lane == 2 else "vp8",
             "width": w,
@@ -724,3 +728,64 @@ def test_encoder_guards():
         C.encode_webp_vp8(16384, 1)
     with pytest.raises(ValueError, match="extended"):
         C.encode_webp_vp8(4, 4, alpha=True)
+
+
+# --- container chunk/property metadata (r10, VERDICT r09 #7) ----------------
+
+
+def test_container_props_roundtrip_icc_exif_irot_imir_pixi():
+    # extended WebP with ICC + EXIF
+    p = C.encode_webp_vp8(5, 4, extended=True, icc=bytes(20), exif=bytes(30))
+    m = C.parse_lossy_container_header(p)
+    assert (m["has_icc"], m["icc_bytes"], m["has_exif"], m["exif_bytes"]) == (
+        True, 20, True, 30,
+    )
+    assert m["rotation_ccw"] is None and m["bit_depth"] is None
+    # AVIF with every r10 property
+    p = C.encode_avif(
+        6, 2, alpha=True, rotation_ccw=3, mirror_axis=1, channel_bits=(10, 10, 10)
+    )
+    m = C.parse_lossy_container_header(p)
+    assert (m["rotation_ccw"], m["mirror_axis"], m["n_channels"], m["bit_depth"]) == (
+        3, 1, 3, 10,
+    )
+    assert m["has_alpha"] is True
+    # defaults: no irot box -> rotation 0, no imir -> None, no pixi -> None
+    m = C.parse_lossy_container_header(C.encode_avif(2, 2))
+    assert (m["rotation_ccw"], m["mirror_axis"], m["n_channels"]) == (0, None, None)
+
+
+def test_container_props_validation_and_flag_crosscheck():
+    # metadata chunks require the extended container
+    with pytest.raises(ValueError, match="extended"):
+        C.encode_webp_vp8(2, 2, icc=bytes(4))
+    with pytest.raises(ValueError, match="irot"):
+        C.encode_avif(2, 2, rotation_ccw=4)
+    with pytest.raises(ValueError, match="imir"):
+        C.encode_avif(2, 2, mirror_axis=2)
+    with pytest.raises(ValueError, match="pixi"):
+        C.encode_avif(2, 2, channel_bits=(0,))
+    # non-uniform pixi depths are refused by the parser
+    with pytest.raises(ValueError, match="non-uniform"):
+        C.parse_lossy_container_header(
+            C.encode_avif(2, 2, channel_bits=(8, 10, 8))
+        )
+    # VP8X flag byte disagreeing with present chunks is loud both ways
+    p = bytearray(C.encode_webp_vp8(3, 3, extended=True, icc=bytes(8)))
+    flag_off = p.index(b"VP8X") + 8
+    p[flag_off] &= ~0x20 & 0xFF  # clear the ICC flag, chunk still present
+    with pytest.raises(ValueError, match="VP8X flags"):
+        C.parse_lossy_container_header(bytes(p))
+    p = bytearray(C.encode_webp_vp8(3, 3, extended=True))
+    p[p.index(b"VP8X") + 8] |= 0x08  # declare EXIF with no EXIF chunk
+    with pytest.raises(ValueError, match="VP8X flags"):
+        C.parse_lossy_container_header(bytes(p))
+    # ICC chunk inside a simple (non-VP8X) container
+    simple = C.encode_webp_vp8(3, 3)
+    body = simple[12:]
+    injected = C._riff_chunk(b"ICCP", bytes(4)) + body
+    import struct as _s
+
+    dirty = b"RIFF" + _s.pack("<I", 4 + len(injected)) + b"WEBP" + injected
+    with pytest.raises(ValueError, match="simple"):
+        C.parse_lossy_container_header(dirty)

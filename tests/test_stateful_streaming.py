@@ -312,3 +312,62 @@ def test_streaming_zscore_state_carry_across_chunks():
     assert vals_a == vals_b
     assert len(vals_a) == 8  # hard-bounded state
     assert out_a[-1][3] is True  # the 99.0 spike flags
+
+
+def test_streaming_sig_confirm_divergence_vs_exact_jaccard_is_zero_on_fixture(
+    spark, sf_dir
+):
+    """VERDICT r09 #6 — the measured cost of the streaming trade.
+
+    The streaming near-dedup ledger confirms banded candidates by
+    SIGNATURE agreement (bounded state); the batch rule confirms by exact
+    shingle jaccard. This measures the divergence on the fixture, using
+    the exact production primitives for both rules over the identical
+    candidate set: sf0.01 -> 25 candidate pairs, 0 false-confirms,
+    0 misses; sf0.1 (measured once, r10, not asserted here for test
+    budget) -> 256 candidate pairs, 0/0. The fixture's near-dups sit far
+    from the 0.5 boundary, where E[sig_sim] = jaccard with sigma
+    ~= sqrt(j(1-j)/32) ~= 0.09 — divergence is only possible for
+    boundary pairs, and the fixture has none. The assert pins BOTH rates
+    at zero so a fixture or primitive change that opens a gap is loud."""
+    from executor_u1mindexer_spark.functions import text as T
+    from executor_u1mindexer_spark.operators import dedup as D
+    from executor_u1mindexer_spark.streaming.dedup_stream import SIG_SIM_THRESHOLD
+
+    docs = tables.load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        D.minhash_signature("text").alias("sig"),
+        T.word_shingles(F.col("text"), 3).alias("sh"),
+    )
+    banded = base.select(
+        "doc_id", "sig", "sh",
+        F.posexplode(D.lsh_band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
+        F.col("sh").alias("sh_a"), "band_idx", "band_key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
+        F.col("sh").alias("sh_b"), "band_idx", "band_key",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    ) / F.size("sig_a")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    thr = float(SIG_SIM_THRESHOLD)
+    r = cand.select(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(((agree >= thr) & (jac < 0.5)).cast("long")).alias("false_confirm"),
+        F.sum(((agree < thr) & (jac >= 0.5)).cast("long")).alias("miss"),
+    ).collect()[0]
+    assert r.n_cand > 0  # the fixture must actually exercise the compare
+    assert (r.false_confirm, r.miss) == (0, 0), r

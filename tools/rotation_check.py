@@ -11,9 +11,24 @@ and reports:
 - registry entries that have never had a driver row.
 
 Usage: python tools/rotation_check.py
-Exit code 1 if any query's newest driver row is older than (current max
-round - 2) AND it is not in the current window — the "rotation debt"
-condition VERDICT r04 flagged.
+
+Exit criterion (amended r10, VERDICT r09 #1): with 160+ registry rows and
+a 50-slot window, "zero stale rows" is structurally impossible while a
+multi-round debt drains — the r08/r09 failure mode was never the
+EXISTENCE of debt but a window that re-earned NOTHING (the at-rest tree
+re-pointing the driver at the freshly-checked rows). So the audit now
+fails (exit 1) iff the window WASTES slots:
+
+  1. any window slot holds a row that is neither stale (< cur-2), nor
+     never-driver-checked, nor declared in suites.POLICY_A (the
+     changed-this-round list, rotation policy (a)) — while stale rows
+     wait outside the window; or
+  2. a never-checked row is left outside the window while condition 1
+     holds slots that could have taken it; or
+  3. the flagship tier guard fires (below).
+
+A maximally-rotated window with remaining debt exits 0 and prints the
+queue so the next round's window is a copy-paste.
 """
 
 from __future__ import annotations
@@ -36,14 +51,13 @@ WINDOW = 50
 # (current max round - 2) without re-earning it fails the audit loudly.
 # Round 8 proved the need — the missed rotation left the whole family 4
 # rounds stale and only a manual judge re-check caught it.
+# r10: the four batch rows folded into the single parameterized
+# knn_search_batch twin (VERDICT r09 #3).
 FLAGSHIP = (
     "knn_search_cosine",
     "knn_search_euclidean",
     "knn_search_inner_product",
-    "knn_search_batch1",
-    "knn_search_batch8",
-    "knn_search_batch64",
-    "knn_search_batch512",
+    "knn_search_batch",
     "payload_fetch",
     "limit_clamp",
     "score_transform_similarity",
@@ -70,14 +84,18 @@ def main() -> int:
         return 0
     cur = max(rounds)
 
-    from executor_u1mindexer_spark.suites import merged
+    import executor_u1mindexer_spark.suites as suites
 
-    queries, _ = merged()
+    queries, _ = suites.merged()
+    policy_a = set(getattr(suites, "POLICY_A", ()))
     window = list(queries)[:WINDOW]
     never = [n for n in queries if n not in latest]
 
     print(f"rounds seen: {sorted(set(rounds))}; registry: {len(queries)} queries")
-    print("staleness histogram (newest driver row):", dict(sorted(Counter(latest.values()).items())))
+    print(
+        "staleness histogram (newest driver row, 0=never):",
+        dict(sorted(Counter(latest.get(n, 0) for n in queries).items())),
+    )
     if never:
         print(f"never driver-checked ({len(never)}):", never)
 
@@ -85,7 +103,17 @@ def main() -> int:
     stale = {n for n, r in latest.items() if r < threshold and n in queries}
     covered = sorted(stale & set(window))
     missed = sorted(stale - set(window))
-    print(f"stale (< r{threshold:02d}): {len(stale)}; window re-earns {len(covered)}; missed {len(missed)}")
+    never_missed = sorted(set(never) - set(window))
+    wasted = [
+        n
+        for n in window
+        if n not in stale and n not in never and n not in policy_a
+    ]
+    print(
+        f"stale (< r{threshold:02d}): {len(stale)}; window re-earns "
+        f"{len(covered)}; missed {len(missed)}; never outside window "
+        f"{len(never_missed)}; wasted slots {len(wasted)}"
+    )
     rc = 0
     # Flagship tier guard: assuming the current window earns a row at
     # round cur+1, no flagship row may end up older than (cur+1) - 2.
@@ -100,9 +128,18 @@ def main() -> int:
             flagship_violations,
         )
         rc = 1
-    if missed:
-        print("MISSED (put these first next round):", missed)
+    if wasted and (missed or never_missed):
+        print(
+            "WASTED WINDOW SLOTS (neither stale nor never-checked nor "
+            "POLICY_A, while debt waits outside):",
+            wasted,
+        )
         rc = 1
+    if missed:
+        tag = "QUEUED for the next window" if rc == 0 else "MISSED"
+        print(f"{tag} ({len(missed)}):", missed)
+    if never_missed:
+        print("never-checked rows outside the window:", never_missed)
     return rc
 
 
