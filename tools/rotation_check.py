@@ -16,16 +16,24 @@ Exit criterion (amended r10, VERDICT r09 #1): with 160+ registry rows and
 a 50-slot window, "zero stale rows" is structurally impossible while a
 multi-round debt drains — the r08/r09 failure mode was never the
 EXISTENCE of debt but a window that re-earned NOTHING (the at-rest tree
-re-pointing the driver at the freshly-checked rows). So the audit now
-fails (exit 1) iff the window WASTES slots:
+re-pointing the driver at freshly-checked rows). So the audit fails
+(exit 1) iff the window WASTES slots.
 
-  1. any window slot holds a row that is neither stale (< cur-2), nor
-     never-driver-checked, nor declared in suites.POLICY_A (the
-     changed-this-round list, rotation policy (a)) — while stale rows
-     wait outside the window; or
-  2. a never-checked row is left outside the window while condition 1
-     holds slots that could have taken it; or
-  3. the flagship tier guard fires (below).
+A slot's legitimacy is judged against its STALENESS BASIS: the row's
+newest driver round EXCLUDING the current round. The driver consumes the
+committed window at round end, so right after a healthy round every
+window row has latest == cur — indistinguishable, by latest alone, from
+the r08 stall where the driver re-checked an already-fresh window. The
+basis separates them: a window row whose previous row was old (or that
+had never been checked) spent its slot re-earning debt (basis < cur-2 →
+legitimate); one whose previous row was already fresh burned the slot
+(basis >= cur-2 → wasted, unless declared in suites.POLICY_A, the
+changed-this-round list — rotation policy (a)).
+
+exit 1 iff:
+  1. wasted slots exist while stale or never-checked rows wait outside
+     the window; or
+  2. the flagship tier guard fires (below).
 
 A maximally-rotated window with remaining debt exits 0 and prints the
 queue so the next round's window is a copy-paste.
@@ -68,6 +76,7 @@ FLAGSHIP = (
 
 def main() -> int:
     latest: dict[str, int] = {}
+    rounds_by_name: dict[str, set[int]] = {}
     rounds = []
     # anchored to the repo root, not cwd — from any other directory the
     # glob would match nothing and the audit would exit 0 without looking
@@ -79,10 +88,17 @@ def main() -> int:
         rounds.append(rnd)
         for name in json.load(open(path)):
             latest[name] = max(latest.get(name, 0), rnd)
+            rounds_by_name.setdefault(name, set()).add(rnd)
     if not rounds:
         print("no CORRECTNESS_r*.json files found")
         return 0
     cur = max(rounds)
+
+    def basis(name: str) -> int:
+        """Staleness basis: newest driver round EXCLUDING the current one
+        (0 = never checked before cur). See the module docstring."""
+        prior = [r for r in rounds_by_name.get(name, ()) if r != cur]
+        return max(prior, default=0)
 
     import executor_u1mindexer_spark.suites as suites
 
@@ -104,10 +120,13 @@ def main() -> int:
     covered = sorted(stale & set(window))
     missed = sorted(stale - set(window))
     never_missed = sorted(set(never) - set(window))
+    # wasted = slots whose staleness BASIS (pre-cur) was already fresh:
+    # the slot neither re-earned debt nor first-checked a new row nor
+    # covered a declared change
     wasted = [
         n
         for n in window
-        if n not in stale and n not in never and n not in policy_a
+        if basis(n) >= threshold and n not in policy_a
     ]
     print(
         f"stale (< r{threshold:02d}): {len(stale)}; window re-earns "
