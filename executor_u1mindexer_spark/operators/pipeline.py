@@ -62,6 +62,46 @@ def mixture_weights(df: DataFrame, key: str, stratum: str, weights: dict[str, fl
     return sample_stratified(df, key, stratum, fractions)
 
 
+def mixture_temperature(df: DataFrame, key: str, stratum: str) -> DataFrame:
+    """Temperature-scaled source mixing at alpha = 1/2 — the standard
+    multilingual-pretraining rebalance (sample stratum s with
+    probability ∝ n_s^alpha, so low-resource strata gain share): as a
+    DOWN-sampling realization, target share q_s ∝ n_s^alpha over
+    natural share n_s/N gives keep_frac_s ∝ n_s^(alpha-1), normalized
+    so the smallest stratum keeps everything — for alpha = 1/2 that is
+    the closed form keep_frac_s = sqrt(n_min / n_s).
+
+    alpha is FIXED at 1/2 deliberately: IEEE-754 requires division and
+    sqrt to be correctly rounded, so sqrt(n_min/n_s) is bit-identical in
+    any compliant engine and the integer hash threshold
+    floor(sqrt(...) * HASH_BUCKETS) is oracle-exact; a general alpha
+    needs pow(), which carries no cross-engine rounding guarantee (the
+    same libm-ulp reason the BM25/LM scores round once at micro scale).
+
+    Returns the selected ROWS of df (like the other samplers); the
+    registered audit view aggregates them per stratum next to n_docs and
+    the threshold. Scale shape: one stratum-count aggregate (map-side
+    combinable), a 1-row global min crossJoined in-plan, and a broadcast
+    threshold join back onto the data — no window, no collect, and the
+    selection is a pure function of the data."""
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__n"))
+    mn = counts.agg(F.min("__n").alias("__nmin"))
+    thr = counts.crossJoin(F.broadcast(mn)).select(
+        stratum,
+        (
+            F.floor(
+                F.sqrt(F.col("__nmin").cast("double") / F.col("__n").cast("double"))
+                * F.lit(HASH_BUCKETS)
+            )
+        )
+        .cast("long")
+        .alias("__thr"),
+    )
+    return df.join(F.broadcast(thr), stratum).filter(
+        hash_bucket(F.col(key)) < F.col("__thr")
+    ).drop("__thr")
+
+
 def pps_systematic(
     df: DataFrame,
     *,

@@ -138,8 +138,9 @@ DRIVER_PRIORITY = (
     # graph_pagerank_parts, graph_triangle_count, multimodal_decode_gif_
     # animation, sketch_bloom_join_prune, sketch_quantile_clip_outliers,
     # text_bm25_topk_joins, text_bpe_learn_merges, text_bpe_tokenize),
-    # then the oldest r08 rows fill the remaining ~27 slots.
+    # then the oldest r08 rows fill the remaining ~26 slots.
     "multimodal_container_properties",
+    "mixture_temperature_resample",
     "agg_listagg_names",
     "ann_partitioned_topk",
     "ann_range_search",

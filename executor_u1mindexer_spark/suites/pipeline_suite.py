@@ -37,6 +37,42 @@ def mixture_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
 
 
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing audit view (r10): per-lang natural count, the
+    alpha=1/2 hash threshold, and the kept count after
+    P.mixture_temperature down-sampling. The keep fraction
+    sqrt(n_min/n_s) is bit-exact cross-engine (IEEE correctly-rounded
+    div + sqrt — the operator docstring has the determinism argument),
+    so the oracle restates the whole chain in closed form."""
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = P.mixture_temperature(docs, "doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("__nmin"))
+    thr = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        (
+            F.floor(
+                F.sqrt(F.col("__nmin").cast("double") / F.col("n_docs").cast("double"))
+                * F.lit(P.HASH_BUCKETS)
+            )
+        )
+        .cast("long")
+        .alias("threshold"),
+    )
+    kc = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("__nk"))
+    return (
+        thr.join(kc, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "threshold",
+            F.coalesce(F.col("__nk"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return P.pack_token_budget(docs, BUDGET)
@@ -146,6 +182,7 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sample_hash_fraction": sample_hash_fraction,
+    "mixture_temperature_resample": mixture_temperature_resample,
     "sample_pps_systematic": sample_pps_systematic,
     "embedding_gram_moments": embedding_gram_moments,
     "events_rolling_zscore": events_rolling_zscore,
@@ -214,6 +251,29 @@ FROM u
 ORACLES = {
     "sample_hash_fraction": f"""
 SELECT doc_id, lang FROM documents WHERE {_BUCKET} < 100000
+""",
+    # temperature mixing at alpha = 1/2: keep_frac_s = sqrt(n_min/n_s),
+    # IEEE-correctly-rounded div+sqrt => the integer threshold is exact
+    # in both engines (operators/pipeline.mixture_temperature docstring)
+    "mixture_temperature_resample": f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n_docs) AS nmin FROM c
+), t AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    * 1000000) AS BIGINT) AS threshold
+  FROM c CROSS JOIN m
+), k AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN t ON d.lang = t.lang
+  WHERE {_BUCKET} < t.threshold
+  GROUP BY d.lang
+)
+SELECT t.lang, t.n_docs, t.threshold, COALESCE(k.n_kept, 0) AS n_kept
+FROM t LEFT JOIN k ON t.lang = k.lang
+ORDER BY t.lang
 """,
     "events_rolling_zscore": P.oracle_rolling_zscore_sql(
         "events",

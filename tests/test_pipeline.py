@@ -306,3 +306,28 @@ def test_pps_systematic_property(spark, rows, k):
         if hi > lo:
             expect[key] = (w, cum, lo + 1, hi - lo)
     assert got == expect
+
+
+def test_mixture_temperature_alpha_half_semantics(spark):
+    """r10: the smallest stratum keeps (almost) everything, larger strata
+    keep ~sqrt(n_min/n_s), and the selection is the deterministic hash
+    rule (re-running gives the identical kept set)."""
+    from executor_u1mindexer_spark.operators import pipeline as P
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "small") for i in range(100)]
+        + [(10_000 + i, "big") for i in range(10_000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = P.mixture_temperature(df, "doc_id", "lang")
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # threshold for the smallest stratum is exactly HASH_BUCKETS (sqrt(1)=1)
+    # -> every row whose bucket < 1e6 is kept, i.e. all of them
+    assert counts["small"] == 100
+    # big stratum keeps ~sqrt(100/10000) = 10% (hash-rule tolerance)
+    assert 700 <= counts["big"] <= 1300
+    # pure function of the data: identical on re-run
+    again = {r.lang: r.n for r in P.mixture_temperature(df, "doc_id", "lang")
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
