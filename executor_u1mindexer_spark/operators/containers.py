@@ -185,6 +185,7 @@ def _parse_webp(b: bytes) -> dict:
     saw_alph = False
     icc_bytes = None
     exif_bytes = None
+    exif_meta = None
     frame = None
     codec = None
     while off + 8 <= len(b):
@@ -207,6 +208,7 @@ def _parse_webp(b: bytes) -> dict:
             icc_bytes = size
         elif fourcc == b"EXIF":
             exif_bytes = size
+            exif_meta = parse_tiff_exif(payload)
         elif fourcc == b"VP8 ":
             codec = "vp8"
             tag = int.from_bytes(payload[0:3], "little")
@@ -251,6 +253,8 @@ def _parse_webp(b: bytes) -> dict:
         "has_exif": exif_bytes is not None,
         "icc_bytes": icc_bytes,
         "exif_bytes": exif_bytes,
+        "exif_byte_order": exif_meta["byte_order"] if exif_meta else None,
+        "exif_orientation": exif_meta["orientation"] if exif_meta else None,
         "rotation_ccw": None,
         "mirror_axis": None,
         "n_channels": None,
@@ -324,6 +328,8 @@ def _parse_isobmff(b: bytes) -> dict:
         "has_exif": False,
         "icc_bytes": None,
         "exif_bytes": None,
+        "exif_byte_order": None,
+        "exif_orientation": None,
         "rotation_ccw": rotation,
         "mirror_axis": mirror,
         "n_channels": n_channels,
@@ -404,11 +410,64 @@ def extract_lossy_header_metadata(
     return df.select(id_col, bin_col).mapInPandas(parse, schema=LOSSY_HEADER_SCHEMA)
 
 
+# --- EXIF (TIFF) payload: byte order + orientation --------------------------
+# The EXIF chunk payload is plain TIFF structure (public: TIFF 6.0 /
+# EXIF 2.x): a 2-byte byte-order mark ('II' little-endian / 'MM' big),
+# the 16-bit magic 42, a 32-bit offset to IFD0, then IFD0 as a 16-bit
+# entry count followed by 12-byte entries (tag u16, type u16, count u32,
+# value-or-offset u32 — a SHORT value sits left-justified in the value
+# field under the declared byte order). Orientation is tag 0x0112,
+# type SHORT (3), values 1..8. No compression, no entropy coding —
+# honestly buildable and parseable from structure alone.
+
+ORIENTATION_TAG = 0x0112
+TIFF_SHORT = 3
+
+
+def encode_tiff_exif(orientation: int, *, big_endian: bool = False, pad: int = 0) -> bytes:
+    """Minimal TIFF: header + one-entry IFD0 (orientation) + pad bytes."""
+    if not (1 <= orientation <= 8):
+        raise ValueError(f"EXIF orientation must be 1..8, got {orientation}")
+    e = ">" if big_endian else "<"
+    header = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, 8)
+    # SHORT value is left-justified in the 4-byte value field: under 'II'
+    # that is value-lo value-hi 0 0; under 'MM' it is value-hi value-lo
+    # 0 0 — i.e. the first two bytes under the declared order either way
+    value_field = struct.pack(e + "H", orientation) + b"\x00\x00"
+    entry = struct.pack(e + "HHI", ORIENTATION_TAG, TIFF_SHORT, 1) + value_field
+    ifd0 = struct.pack(e + "H", 1) + entry + struct.pack(e + "I", 0)
+    return header + ifd0 + bytes(pad)
+
+
+def parse_tiff_exif(b: bytes) -> dict:
+    """(byte_order, orientation) from TIFF structure; loud on malformed."""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError(f"bad TIFF byte-order mark {b[:2]!r}")
+    big = b[:2] == b"MM"
+    e = ">" if big else "<"
+    magic, ifd_off = struct.unpack_from(e + "HI", b, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    (n_entries,) = struct.unpack_from(e + "H", b, ifd_off)
+    orientation = None
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, off)
+        if tag == ORIENTATION_TAG:
+            if typ != TIFF_SHORT or cnt != 1:
+                raise ValueError(f"orientation entry has type {typ} count {cnt}")
+            (orientation,) = struct.unpack_from(e + "H", b, off + 8)
+            if not (1 <= orientation <= 8):
+                raise ValueError(f"orientation {orientation} outside 1..8")
+    return {"byte_order": "MM" if big else "II", "orientation": orientation}
+
+
 # --- r10 growth: chunk/property metadata (VERDICT r09 #7) -------------------
 
 CONTAINER_PROPS_SCHEMA = (
     "doc_id long, container string, has_alpha boolean, "
     "has_icc boolean, has_exif boolean, icc_bytes int, exif_bytes int, "
+    "exif_byte_order string, exif_orientation int, "
     "rotation_ccw int, mirror_axis int, n_channels int, bit_depth int"
 )
 
@@ -417,8 +476,10 @@ def attach_synthetic_container_props(docs: DataFrame, id_col: str = "doc_id") ->
     """Deterministic payloads exercising the r10 metadata lanes, all in
     closed form from the id: lane id%3 as in attach_synthetic_lossy
     (0 simple WebP / 1 extended WebP / 2 AVIF); extended WebP carries an
-    ICCP chunk of 16 + id%8 bytes iff id%4 == 1 and an EXIF chunk of
-    24 + id%8 bytes iff id%4 == 2; AVIF carries irot angle id%4, an imir
+    ICCP chunk of 16 + id%8 bytes iff id%4 == 1 and, iff id%4 == 2, an
+    EXIF chunk holding a REAL one-entry TIFF (orientation 1 + (id//4)%8,
+    byte order II/MM by (id//4)%2, id%8 pad bytes -> 26 + id%8 total);
+    AVIF carries irot angle id%4, an imir
     box (axis id%2) iff id%5 == 0, and always a 3-channel pixi with
     uniform depth 8 + 2*(id%3... the lane pins id%3 == 2, so depth uses
     (id//3)%3: 8/10/12)."""
@@ -435,7 +496,17 @@ def attach_synthetic_container_props(docs: DataFrame, id_col: str = "doc_id") ->
                     p = encode_webp_vp8(w, h, filler=filler)
                 elif lane == 1:
                     icc = bytes(16 + did % 8) if did % 4 == 1 else None
-                    exif = bytes(24 + did % 8) if did % 4 == 2 else None
+                    # a REAL TIFF payload: orientation cycles 1..8 and the
+                    # byte order alternates across the lane via id//4
+                    exif = (
+                        encode_tiff_exif(
+                            1 + (did // 4) % 8,
+                            big_endian=(did // 4) % 2 == 1,
+                            pad=did % 8,
+                        )
+                        if did % 4 == 2
+                        else None
+                    )
                     p = encode_webp_vp8(
                         w, h, extended=True, alpha=odd, icc=icc, exif=exif,
                         filler=filler,
@@ -470,7 +541,8 @@ def extract_container_properties(
 
     cols = (
         "container", "has_alpha", "has_icc", "has_exif", "icc_bytes",
-        "exif_bytes", "rotation_ccw", "mirror_axis", "n_channels", "bit_depth",
+        "exif_bytes", "exif_byte_order", "exif_orientation",
+        "rotation_ccw", "mirror_axis", "n_channels", "bit_depth",
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

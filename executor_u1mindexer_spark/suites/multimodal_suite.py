@@ -294,9 +294,10 @@ FROM documents
 """,
     # container-properties rule (attach_synthetic_container_props): lane
     # id%3 as the lossy rule; extended webp: ICCP of 16+id%8 bytes iff
-    # id%4=1, EXIF of 24+id%8 bytes iff id%4=2; avif: irot angle id%4,
-    # imir axis id%2 iff id%5=0, always 3-channel pixi with uniform
-    # depth 8+2*((id//3)%3)
+    # id%4=1, and iff id%4=2 an EXIF chunk holding a REAL one-entry TIFF
+    # (26+id%8 bytes; orientation 1+(id//4)%8; byte order II/MM by
+    # (id//4)%2); avif: irot angle id%4, imir axis id%2 iff id%5=0,
+    # always 3-channel pixi with uniform depth 8+2*((id//3)%3)
     "multimodal_container_properties": """
 SELECT doc_id,
        CASE WHEN doc_id % 3 = 2 THEN 'avif' ELSE 'webp' END AS container,
@@ -306,7 +307,12 @@ SELECT doc_id,
        CASE WHEN doc_id % 3 = 1 AND doc_id % 4 = 1
             THEN CAST(16 + doc_id % 8 AS INT) END AS icc_bytes,
        CASE WHEN doc_id % 3 = 1 AND doc_id % 4 = 2
-            THEN CAST(24 + doc_id % 8 AS INT) END AS exif_bytes,
+            THEN CAST(26 + doc_id % 8 AS INT) END AS exif_bytes,
+       CASE WHEN doc_id % 3 = 1 AND doc_id % 4 = 2
+            THEN CASE WHEN (doc_id // 4) % 2 = 1 THEN 'MM' ELSE 'II' END
+       END AS exif_byte_order,
+       CASE WHEN doc_id % 3 = 1 AND doc_id % 4 = 2
+            THEN CAST(1 + (doc_id // 4) % 8 AS INT) END AS exif_orientation,
        CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 4 AS INT) END AS rotation_ccw,
        CASE WHEN doc_id % 3 = 2 AND doc_id % 5 = 0
             THEN CAST(doc_id % 2 AS INT) END AS mirror_axis,

@@ -734,12 +734,16 @@ def test_encoder_guards():
 
 
 def test_container_props_roundtrip_icc_exif_irot_imir_pixi():
-    # extended WebP with ICC + EXIF
-    p = C.encode_webp_vp8(5, 4, extended=True, icc=bytes(20), exif=bytes(30))
+    # extended WebP with ICC + a real TIFF EXIF payload
+    p = C.encode_webp_vp8(
+        5, 4, extended=True, icc=bytes(20),
+        exif=C.encode_tiff_exif(7, big_endian=True, pad=4),
+    )
     m = C.parse_lossy_container_header(p)
     assert (m["has_icc"], m["icc_bytes"], m["has_exif"], m["exif_bytes"]) == (
         True, 20, True, 30,
     )
+    assert (m["exif_byte_order"], m["exif_orientation"]) == ("MM", 7)
     assert m["rotation_ccw"] is None and m["bit_depth"] is None
     # AVIF with every r10 property
     p = C.encode_avif(
@@ -789,3 +793,43 @@ def test_container_props_validation_and_flag_crosscheck():
     dirty = b"RIFF" + _s.pack("<I", 4 + len(injected)) + b"WEBP" + injected
     with pytest.raises(ValueError, match="simple"):
         C.parse_lossy_container_header(dirty)
+
+
+def test_exif_tiff_roundtrip_both_byte_orders():
+    # every orientation x both byte orders x pad sizes
+    for o in range(1, 9):
+        for big in (False, True):
+            p = C.encode_tiff_exif(o, big_endian=big, pad=o % 3)
+            m = C.parse_tiff_exif(p)
+            assert m == {"byte_order": "MM" if big else "II", "orientation": o}
+    with pytest.raises(ValueError, match="orientation"):
+        C.encode_tiff_exif(0)
+    with pytest.raises(ValueError, match="orientation"):
+        C.encode_tiff_exif(9)
+
+
+def test_exif_tiff_parser_is_loud():
+    good = C.encode_tiff_exif(3, big_endian=True)
+    bad = bytearray(good)
+    bad[0:2] = b"XX"
+    with pytest.raises(ValueError, match="byte-order"):
+        C.parse_tiff_exif(bytes(bad))
+    bad = bytearray(good)
+    bad[3] ^= 0xFF  # magic (big-endian: bytes 2-3 hold 42)
+    with pytest.raises(ValueError, match="magic"):
+        C.parse_tiff_exif(bytes(bad))
+    # orientation entry with a wrong type must not silently parse
+    bad = bytearray(good)
+    # entry starts at ifd_off+2; type is entry bytes 2-3 (BE here)
+    import struct as _s
+
+    ifd_off = _s.unpack_from(">I", bytes(bad), 4)[0]
+    _s.pack_into(">H", bad, ifd_off + 2 + 2, 4)  # type LONG, not SHORT
+    with pytest.raises(ValueError, match="type"):
+        C.parse_tiff_exif(bytes(bad))
+    # the value sits under the DECLARED byte order: an MM payload parsed
+    # as written must give the same orientation as its II twin
+    assert (
+        C.parse_tiff_exif(C.encode_tiff_exif(6, big_endian=True))["orientation"]
+        == C.parse_tiff_exif(C.encode_tiff_exif(6, big_endian=False))["orientation"]
+    )
