@@ -344,6 +344,166 @@ def file_skipping_stats(
     )
 
 
+# -- Hilbert curve (r10) ------------------------------------------------------
+#
+# The second space-filling curve behind modern table layouts (Delta Lake
+# liquid clustering, Amazon Redshift sort keys): unlike the Morton curve,
+# the Hilbert curve never makes a diagonal jump, so consecutive curve
+# positions are always grid-adjacent and per-file min/max spans come out
+# tighter on BOTH dimensions. The classic xy2d loop (one step per bit,
+# each step extracting a quadrant digit and rotating/reflecting the
+# remaining sub-square) carries (x, y) state across steps, so it is not
+# one closed-form expression — but every step is pure integer CASE/shift
+# arithmetic, so the loop UNROLLS into a chain of projections (Spark:
+# chained selectExpr; DuckDB: chained CTEs), generated from ONE fragment
+# source for both engines and therefore bit-exact cross-engine. The
+# quadrant digit (3*rx) XOR ry is rewritten arithmetically as
+# 3*rx + ry - 2*rx*ry (identical on {0,1}^2) so no engine-specific XOR
+# syntax is needed.
+
+HB_BITS = 8  # 256x256 rank space: 8 unrolled stages, 16-bit curve index
+
+
+def _hilbert_stage_exprs(i: int, bits: int, engine: str) -> tuple:
+    """(x_new, y_new, d_term) SQL fragments for unrolled stage i (i =
+    bits-1 .. 0), reading columns __hx / __hy. N-1 reflection uses the
+    full side length, as in the classic algorithm — already-consumed
+    high bits flip too, but later stages never read them."""
+    n1 = (1 << bits) - 1
+    rx = f"({_shr('__hx', i, engine)} & 1)"
+    ry = f"({_shr('__hy', i, engine)} & 1)"
+    d_term = _shl(f"(3 * {rx} + {ry} - 2 * {rx} * {ry})", 2 * i, engine)
+    x_new = (
+        f"(CASE WHEN {ry} = 1 THEN __hx"
+        f" WHEN {rx} = 0 THEN __hy ELSE {n1} - __hy END)"
+    )
+    y_new = (
+        f"(CASE WHEN {ry} = 1 THEN __hy"
+        f" WHEN {rx} = 0 THEN __hx ELSE {n1} - __hx END)"
+    )
+    return x_new, y_new, d_term
+
+
+def hilbert_apply(
+    df: DataFrame, xcol: str, ycol: str, bits: int = HB_BITS, out: str = "__h"
+) -> DataFrame:
+    """Append column `out` = Hilbert curve index of (`xcol`, `ycol`),
+    which must already be BIGINT values in [0, 2^bits). One projection
+    per unrolled stage; each stage's CASE outputs are referenced by the
+    next stage more than once, which is exactly the condition under
+    which Catalyst's CollapseProject declines to inline, so the plan
+    stays a linear chain rather than an exponential expression tree."""
+    if not (1 <= bits <= 16):
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    keep = [c for c in df.columns if c not in ("__hx", "__hy", "__hd")]
+    cur = df.selectExpr(
+        *keep,
+        f"CAST({xcol} AS BIGINT) AS __hx",
+        f"CAST({ycol} AS BIGINT) AS __hy",
+        "CAST(0 AS BIGINT) AS __hd",
+    )
+    for i in range(bits - 1, -1, -1):
+        xn, yn, dt = _hilbert_stage_exprs(i, bits, "spark")
+        cur = cur.selectExpr(
+            *keep,
+            f"{xn} AS __hx",
+            f"{yn} AS __hy",
+            f"(__hd + {dt}) AS __hd",
+        )
+    return cur.selectExpr(*keep, f"__hd AS {out}")
+
+
+def hilbert_xy2d_py(bits: int, x: int, y: int) -> int:
+    """Plain-Python reference of the same classic xy2d loop — the test
+    oracle that pins both engine unrollings to the textbook algorithm."""
+    n1 = (1 << bits) - 1
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        rx = (x >> i) & 1
+        ry = (y >> i) & 1
+        d += (3 * rx + ry - 2 * rx * ry) << (2 * i)
+        if ry == 0:
+            if rx == 1:
+                x, y = n1 - x, n1 - y
+            x, y = y, x
+    return d
+
+
+def hilbert_layout_stats(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = HB_BITS,
+    n_bucket_bits: int = 5,
+) -> DataFrame:
+    """Three-way layout comparison at one shared rank-space granularity:
+    per-simulated-file min/max span sums under (h) the Hilbert layout,
+    (z) the Morton layout, and (a) the single-column sort — the same
+    measurable parquet-pruning artifact as zorder_layout_stats, now with
+    the curve the modern engines actually moved to. Output one row:
+    (h_n_buckets, h_sum_a_span, h_sum_b_span, z_*, a_*,
+    hilbert_clusters_b, hilbert_spans_le_morton) — the first boolean is
+    the layout theorem vs the single-column sort; the second states the
+    no-diagonal-jump locality advantage as a combined-span comparison on
+    this data (both engines compute it identically either way)."""
+    amap = rank_space_map(df, col_a, bits).withColumnRenamed("mapped", "__a16")
+    bmap = rank_space_map(df, col_b, bits).withColumnRenamed("mapped", "__b16")
+    rows = (
+        df.select(F.col(col_a).alias("__va"), F.col(col_b).alias("__vb"))
+        .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
+        .join(F.broadcast(amap), F.col("__va") == amap["value"])
+        .drop("value")
+        .join(F.broadcast(bmap), F.col("__vb") == bmap["value"])
+        .drop("value")
+    )
+    rows = hilbert_apply(rows, "__a16", "__b16", bits, out="__h")
+    z = morton_interleave_sql("__a16", "__b16", bits, "spark")
+    shift = 2 * bits - n_bucket_bits
+    ashift = bits - n_bucket_bits
+    keyed = rows.select(
+        "__a16",
+        "__b16",
+        F.expr(_shr("__h", shift, "spark")).cast("long").alias("__hb"),
+        F.expr(_shr(z, shift, "spark")).cast("long").alias("__zb"),
+        F.expr(_shr("__a16", ashift, "spark")).cast("long").alias("__ab"),
+    )
+
+    def layout(bucket_col: str, prefix: str) -> DataFrame:
+        per = keyed.groupBy(bucket_col).agg(
+            (F.max("__a16") - F.min("__a16")).alias("__aspan"),
+            (F.max("__b16") - F.min("__b16")).alias("__bspan"),
+        )
+        return per.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}_n_buckets"),
+            F.sum("__aspan").cast("long").alias(f"{prefix}_sum_a_span"),
+            F.sum("__bspan").cast("long").alias(f"{prefix}_sum_b_span"),
+        )
+
+    return (
+        layout("__hb", "h")
+        .crossJoin(layout("__zb", "z"))
+        .crossJoin(layout("__ab", "a"))
+        .select(
+            "h_n_buckets",
+            "h_sum_a_span",
+            "h_sum_b_span",
+            "z_n_buckets",
+            "z_sum_a_span",
+            "z_sum_b_span",
+            "a_n_buckets",
+            "a_sum_a_span",
+            "a_sum_b_span",
+            (F.col("h_sum_b_span") < F.col("a_sum_b_span")).alias(
+                "hilbert_clusters_b"
+            ),
+            (
+                F.col("h_sum_a_span") + F.col("h_sum_b_span")
+                <= F.col("z_sum_a_span") + F.col("z_sum_b_span")
+            ).alias("hilbert_spans_le_morton"),
+        )
+    )
+
+
 # -- DuckDB oracle -----------------------------------------------------------
 
 
@@ -485,4 +645,82 @@ SELECT z_n_buckets, z_sum_a_span, z_sum_b_span,
        (z_sum_b_span < a_sum_b_span) AS zorder_clusters_b,
        (a_sum_a_span <= z_sum_a_span) AS single_dim_wins_own_dim
 FROM zs CROSS JOIN asx
+"""
+
+
+def oracle_hilbert_stats_sql(
+    source: str,
+    col_a: str,
+    col_b: str,
+    bits: int = HB_BITS,
+    n_bucket_bits: int = 5,
+) -> str:
+    """Same unrolled xy2d stages as hilbert_apply, emitted as a chain of
+    CTEs h{bits-1}..h0 — one stage per CTE, same fragment source, so the
+    curve index is bit-identical to the Spark side."""
+    z = morton_interleave_sql("__a16", "__b16", bits, "duck")
+    shift = 2 * bits - n_bucket_bits
+    ashift = bits - n_bucket_bits
+
+    def rankmap(col: str) -> str:
+        return f"""
+  SELECT value,
+         CAST(((dense_rank() OVER (ORDER BY value ASC) - 1) * {1 << bits})
+              // (SELECT count(DISTINCT {col}) FROM {source}
+                  WHERE {col} IS NOT NULL) AS BIGINT) AS mapped
+  FROM (SELECT DISTINCT {col} AS value FROM {source}
+        WHERE {col} IS NOT NULL) dv
+"""
+
+    stages, prev = [], "rows_m"
+    for i in range(bits - 1, -1, -1):
+        xn, yn, dt = _hilbert_stage_exprs(i, bits, "duck")
+        name = f"hs{i}"
+        stages.append(
+            f"{name} AS (SELECT __a16, __b16, {xn} AS __hx, {yn} AS __hy,"
+            f" (__hd + {dt}) AS __hd FROM {prev})"
+        )
+        prev = name
+    stage_sql = ",\n".join(stages)
+    return f"""
+WITH amap AS ({rankmap(col_a)}),
+bmap AS ({rankmap(col_b)}),
+rows_m AS (
+  SELECT a.mapped AS __a16, b.mapped AS __b16,
+         a.mapped AS __hx, b.mapped AS __hy, CAST(0 AS BIGINT) AS __hd
+  FROM {source} t
+  JOIN amap a ON t.{col_a} = a.value
+  JOIN bmap b ON t.{col_b} = b.value
+  WHERE t.{col_a} IS NOT NULL AND t.{col_b} IS NOT NULL
+),
+{stage_sql},
+keyed AS (
+  SELECT __a16, __b16,
+         CAST(({_shr('__hd', shift, 'duck')}) AS BIGINT) AS __hb,
+         CAST({_shr(z, shift, "duck")} AS BIGINT) AS __zb,
+         CAST({_shr("__a16", ashift, "duck")} AS BIGINT) AS __ab
+  FROM {prev}
+),
+hper AS (SELECT __hb, max(__a16) - min(__a16) AS aspan,
+                max(__b16) - min(__b16) AS bspan FROM keyed GROUP BY __hb),
+zper AS (SELECT __zb, max(__a16) - min(__a16) AS aspan,
+                max(__b16) - min(__b16) AS bspan FROM keyed GROUP BY __zb),
+aper AS (SELECT __ab, max(__a16) - min(__a16) AS aspan,
+                max(__b16) - min(__b16) AS bspan FROM keyed GROUP BY __ab),
+hs AS (SELECT CAST(count(*) AS BIGINT) AS h_n_buckets,
+              CAST(sum(aspan) AS BIGINT) AS h_sum_a_span,
+              CAST(sum(bspan) AS BIGINT) AS h_sum_b_span FROM hper),
+zs AS (SELECT CAST(count(*) AS BIGINT) AS z_n_buckets,
+              CAST(sum(aspan) AS BIGINT) AS z_sum_a_span,
+              CAST(sum(bspan) AS BIGINT) AS z_sum_b_span FROM zper),
+asx AS (SELECT CAST(count(*) AS BIGINT) AS a_n_buckets,
+               CAST(sum(aspan) AS BIGINT) AS a_sum_a_span,
+               CAST(sum(bspan) AS BIGINT) AS a_sum_b_span FROM aper)
+SELECT h_n_buckets, h_sum_a_span, h_sum_b_span,
+       z_n_buckets, z_sum_a_span, z_sum_b_span,
+       a_n_buckets, a_sum_a_span, a_sum_b_span,
+       (h_sum_b_span < a_sum_b_span) AS hilbert_clusters_b,
+       (h_sum_a_span + h_sum_b_span <= z_sum_a_span + z_sum_b_span)
+           AS hilbert_spans_le_morton
+FROM hs CROSS JOIN zs CROSS JOIN asx
 """

@@ -128,6 +128,25 @@ def layout_file_skipping(spark, sf_dir):
     return L.file_skipping_stats(li, "l_partkey", "l_suppkey")
 
 
+def layout_hilbert_clustering(spark, sf_dir):
+    """Hilbert-curve data layout (r10, operators/layout.py — the curve
+    behind Delta liquid clustering): rank-space-map (l_partkey,
+    l_suppkey) at 8 bits, walk the classic xy2d loop as 8 unrolled
+    integer projection stages (the same fragment source emits Spark
+    selectExpr stages and DuckDB CTE stages, so the curve index is
+    bit-identical cross-engine), simulate 32 files under the Hilbert,
+    Morton, and single-column layouts at the SAME granularity, and
+    compare the per-file min/max span sums parquet pruning would read.
+    Pure integer output with two oracle-checked booleans: Hilbert
+    clusters the second dimension vs the single-column sort, and its
+    combined spans tie-or-beat Morton's (the no-diagonal-jump locality
+    advantage)."""
+    from executor_u1mindexer_spark.operators import layout as L
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return L.hilbert_layout_stats(li, "l_partkey", "l_suppkey")
+
+
 _VARIANT_QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "layout_file_skipping": layout_file_skipping,
@@ -137,6 +156,7 @@ _VARIANT_QUERIES = {
     "source_compact_small_files": source_compact_small_files,
     "traverse_chunks": traverse_chunks,
     "layout_zorder_clustering": layout_zorder_clustering,
+    "layout_hilbert_clustering": layout_hilbert_clustering,
 }
 
 from executor_u1mindexer_spark.operators import layout as _L  # noqa: E402
@@ -180,6 +200,9 @@ FROM c
         "lineitem", "l_partkey", "l_suppkey"
     ),
     "layout_file_skipping": _L.oracle_file_skipping_sql(
+        "lineitem", "l_partkey", "l_suppkey"
+    ),
+    "layout_hilbert_clustering": _L.oracle_hilbert_stats_sql(
         "lineitem", "l_partkey", "l_suppkey"
     ),
 }
