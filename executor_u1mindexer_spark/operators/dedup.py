@@ -323,6 +323,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 4,
+    t_den: int = 5,
+    n_shingle: int = 3,
+) -> DataFrame:
+    """Asymmetric near-SUPERSET pairs by prefix filtering (the SSJoin /
+    PPJoin device, Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08):
+    containment C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| >= t — the dedup case
+    symmetric jaccard structurally misses (a short doc quoted inside a
+    long one has tiny jaccard however perfect the overlap), and the LSH
+    banding misses with it (banding recalls high-JACCARD pairs only).
+
+    Prefix theorem: if |a∩b| >= ceil(t*n_a), then b must hit a's prefix —
+    the first n_a - ceil(t*n_a) + 1 shingles of a under ANY fixed global
+    order — else |a∩b| <= n_a - prefix_len = ceil(t*n_a) - 1. So joining
+    only PREFIX postings of the contained side against FULL postings of
+    the container side is lossless for the threshold, and ordering the
+    prefix by ascending global document frequency (rarest first) makes
+    the joined posting lists the SHORTEST ones — that choice is pure
+    optimization, correctness never depends on it.
+
+    Exactness: the threshold is the rational t_num/t_den; required
+    overlap = ceil(t*n) = (t_num*n + t_den - 1) DIV t_den in both
+    engines, and the reported containment i/n_a is one int/int IEEE-754
+    division — bit-exact cross-engine.
+
+    Scale shape (100 TB): doc frequency is one groupBy(h) count; the
+    frequency join, the prefix rank (a window PARTITIONED by doc id),
+    and the prefix⋈full posting join all shuffle on the SAME keys the
+    posting join needs anyway; the quadratic confirm runs only on
+    candidates, with |prefix| = (1-t)*n + 1 per doc (5x fewer probe
+    postings at t=0.8 than a full self-join) and the rare-first order
+    keeping per-posting fan-out minimal."""
+    proj = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    base = cache.pin(
+        proj.select(
+            "id",
+            F.array_distinct(
+                F.transform(T.word_shingles(F.col("__text"), n_shingle), T.hash32)
+            ).alias("sh"),
+        ).withColumn("n_sh", F.size("sh"))
+    )
+    post = base.select("id", "n_sh", F.explode("sh").alias("h"))
+    dfreq = post.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+    postf = post.join(dfreq, "h")
+    # required overlap and prefix length, integer-exact
+    req = F.expr(f"CAST(({t_num} * n_sh + {t_den} - 1) DIV {t_den} AS INT)")
+    w = Window.partitionBy("id").orderBy(F.col("dfc").asc(), F.col("h").asc())
+    prefix = (
+        postf.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("n_sh") - req + 1)
+        .select(F.col("id").alias("id_a"), "h")
+    )
+    cand = (
+        prefix.join(post.select(F.col("id").alias("id_b"), "h"), "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    i = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            i.cast("long").alias("n_shared"),
+            (i.cast("double") / F.col("n_a").cast("double")).alias("containment"),
+        )
+        .filter(F.col("n_shared") * t_den >= F.col("n_a") * t_num)
+    )
+
+
 def simhash32(text_col: Column | str) -> Column:
     """32-bit SimHash of the whitespace tokens — pure SQL higher-order
     functions (shiftright with a non-foldable shift is valid Spark SQL even

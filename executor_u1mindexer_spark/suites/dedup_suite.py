@@ -113,6 +113,38 @@ def near_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# 2e9 keeps the containment-fixture ids disjoint from both the real id
+# range and the exact-dup injection band at 1e9
+CONTAIN_OFFSET = 2_000_000_000
+N_CONTAIN = 25
+
+
+def _docs_with_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject TRUE containment pairs: docs with doc_id < 25 re-appear
+    (shifted by +2e9) truncated to their first ceil(n/2) words — every
+    word 3-shingle of the half is a shingle of the whole, so
+    containment(injected → original) = 1.0 by construction. Derived
+    purely from fixture data; the oracle replays the identical slice."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    half = docs.filter(F.col("doc_id") < N_CONTAIN).select(
+        (F.col("doc_id") + CONTAIN_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, F.lit(1), ((F.size(toks) + 1) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    return docs.unionByName(half)
+
+
+def near_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-superset dedup (operators/dedup.py
+    containment_prefix_pairs, r10): prefix-filtered shingle-containment
+    pairs at t = 4/5 over the corpus plus 25 injected true-subset docs.
+    The injected (half → whole) pairs land at containment 1.0; the
+    planted symmetric near-dups surface in both directions."""
+    return D.containment_prefix_pairs(_docs_with_subsets(spark, sf_dir))
+
+
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style span dedup: drop every 5-word span whose exact text
     occurred earlier in the corpus, reassemble each doc. First occurrence
@@ -132,6 +164,7 @@ QUERIES = {
     "near_dedup_embedding_cosine": near_dedup_embedding_cosine,
     "near_dedup_clusters": near_dedup_clusters,
     "near_dedup_cc_clusters": near_dedup_cc_clusters,
+    "near_dedup_containment_prefix": near_dedup_containment_prefix,
     "dedup_repeated_spans": dedup_repeated_spans,
 }
 
@@ -362,6 +395,50 @@ SELECT s.doc_id,
 FROM spans s JOIN firsts f ON s.span = f.span
 GROUP BY s.doc_id
 ORDER BY s.doc_id
+""",
+    # Prefix-filtered containment (PPJoin device): same posting-level
+    # formulation as the Spark side — doc frequency, rare-first prefix
+    # rank (window PARTITIONED by doc, total order (dfc, h) since hashed
+    # shingles are distinct per doc), prefix⋈full candidate join, exact
+    # intersect confirm. Threshold exact via integer cross-multiply;
+    # required overlap ceil(4n/5) = (4n+4) // 5.
+    "near_dedup_containment_prefix": f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_OFFSET},
+         array_to_string(toks[1:(len(toks)+1)//2], ' ')
+  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+  WHERE doc_id < {N_CONTAIN}
+), t AS (
+  SELECT doc_id AS id, str_split(text, ' ') AS toks FROM all_docs
+), base AS MATERIALIZED (
+  SELECT id, sh, len(sh) AS n_sh FROM (
+    SELECT id,
+           list_distinct(list_transform({_SHINGLES}, s -> {_H32.format(s='s')})) AS sh
+    FROM t)
+), post AS (
+  SELECT id, n_sh, unnest(sh) AS h FROM base
+), dfreq AS (
+  SELECT h, count(*) AS dfc FROM post GROUP BY h
+), pf AS (
+  SELECT p.id, p.n_sh, p.h,
+         row_number() OVER (PARTITION BY p.id ORDER BY d.dfc ASC, p.h ASC) AS rk
+  FROM post p JOIN dfreq d USING (h)
+), prefix AS (
+  SELECT id AS id_a, h FROM pf
+  WHERE rk <= n_sh - ((4 * n_sh + 4) // 5) + 1
+), cand AS (
+  SELECT DISTINCT pr.id_a, po.id AS id_b
+  FROM prefix pr JOIN post po USING (h)
+  WHERE pr.id_a <> po.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(a.n_sh AS BIGINT) AS n_a,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+       len(list_intersect(a.sh, b.sh))::DOUBLE / a.n_sh::DOUBLE AS containment
+FROM cand c JOIN base a ON a.id = c.id_a JOIN base b ON b.id = c.id_b
+WHERE len(list_intersect(a.sh, b.sh)) * 5 >= a.n_sh * 4
 """,
 }
 

@@ -588,3 +588,53 @@ def test_hnsw_from_state_rejects_corrupted_graph():
     bad_cnt["cnt_flat"][0] = 10_000
     with pytest.raises(ValueError, match="capacity"):
         H.hnsw_from_state(bad_cnt)
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """The prefix theorem in action: prefix-filtered candidates must
+    recover EXACTLY the brute-force all-ordered-pairs containment set —
+    subsets, supersets, partial overlaps, and disjoint docs."""
+    corpus = [
+        (1, "a b c d e f g h i j k l"),          # base doc
+        (2, "a b c d e f g"),                    # strict prefix -> contained in 1
+        (3, "f g h i j k l"),                    # strict suffix -> contained in 1
+        (4, "a b c x y z q w e r t u"),          # partial overlap, below t
+        (5, "m n o p q r s"),                    # disjoint
+        (6, "a b c d e f g h i j k l"),          # exact dup of 1 (both ways)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.n_a, r.n_shared)
+        for r in D.containment_prefix_pairs(df).collect()
+    }
+
+    def shingles(text):
+        toks = text.split(" ")
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sh = {i: shingles(t) for i, t in corpus}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            i = len(sh[a] & sh[b])
+            if i * 5 >= len(sh[a]) * 4:
+                want[(a, b)] = (len(sh[a]), i)
+    assert got == want
+    assert (2, 1) in got and (3, 1) in got       # asymmetric directions found
+    assert (1, 2) not in got                     # the container is NOT contained
+    assert (1, 6) in got and (6, 1) in got       # exact dup both ways
+
+
+def test_containment_injected_subsets_score_one(spark, sf_dir):
+    out = dedup_suite.near_dedup_containment_prefix(spark, sf_dir)
+    inj = out.filter(
+        (F.col("id_a") >= dedup_suite.CONTAIN_OFFSET)
+        & (F.col("id_b") == F.col("id_a") - dedup_suite.CONTAIN_OFFSET)
+    )
+    rows = inj.collect()
+    assert len(rows) == dedup_suite.N_CONTAIN
+    assert all(r.containment == 1.0 for r in rows)
