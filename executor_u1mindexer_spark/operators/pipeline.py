@@ -102,6 +102,34 @@ def mixture_temperature(df: DataFrame, key: str, stratum: str) -> DataFrame:
     ).drop("__thr")
 
 
+def domain_quota(df: DataFrame, key: str, domain: str, cap: int) -> DataFrame:
+    """Hard per-domain document cap — the C4/RefinedWeb anti-boilerplate
+    step that stops one giant domain from dominating a training mix
+    (fraction sampling can't express "at most N", and a global top-N
+    isn't per-domain). Rows within each domain are ranked by a SALTED
+    key hash ('quota:' prefix, so the decision is independent of every
+    other hash-sampling decision in this module), tie-broken by the key
+    itself for a total order; the first `cap` survive.
+
+    Scale shape: one partitioned window per domain — parallel across
+    domains, spill-safe within one. For a pathologically hot domain the
+    two-pass alternative (per-domain rank-`cap` hash threshold from a
+    quantile sketch, then a stateless filter) avoids the full sort; at
+    any realistic domain cardinality the window is the right plan and
+    keeps the operator exact."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = T.hash32(F.concat(F.lit("quota:"), F.col(key).cast("string")))
+    w = Window.partitionBy(domain).orderBy(order.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__qrk", F.row_number().over(w))
+        .filter(F.col("__qrk") <= cap)
+        .drop("__qrk")
+    )
+
+
 def pps_systematic(
     df: DataFrame,
     *,

@@ -73,6 +73,36 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUOTA_CAP = 10
+
+
+def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain hard cap (r10, P.domain_quota): at most 10 docs per
+    `source`, chosen by salted-hash rank. Output the recipe-audit view:
+    per-source natural count, kept, dropped, and the kept chars — the
+    numbers a mixture report would show."""
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = P.domain_quota(docs, "doc_id", "source", QUOTA_CAP)
+    nat = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kc = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_kept_chars"),
+    )
+    return (
+        nat.join(kc, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("sum_kept_chars", F.lit(0)).cast("long").alias("sum_kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return P.pack_token_budget(docs, BUDGET)
@@ -188,6 +218,7 @@ QUERIES = {
     "events_rolling_zscore": events_rolling_zscore,
     "shuffle_epoch_order": shuffle_epoch_order,
     "sample_stratified_by_lang": sample_stratified_by_lang,
+    "sample_domain_quota": sample_domain_quota,
     "mixture_weighted_sources": mixture_weighted_sources,
     "pack_token_budget": pack_token_budget,
     "chunk_sliding_window": chunk_sliding_window,
@@ -340,6 +371,29 @@ SELECT doc_id, lang FROM documents WHERE {_BUCKET} < ({_STRAT_THRESHOLD})
 SELECT lang, count(*) AS n_kept FROM documents
 WHERE {_BUCKET} < ({_MIX_THRESHOLD})
 GROUP BY lang ORDER BY lang
+""",
+    "sample_domain_quota": f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) ASC,
+                    doc_id ASC) AS qrk
+  FROM documents
+), kc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(n_chars) AS BIGINT) AS sum_kept_chars
+  FROM ranked WHERE qrk <= {QUOTA_CAP} GROUP BY source
+), nat AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT nat.source, nat.n_docs,
+       coalesce(kc.n_kept, 0) AS n_kept,
+       CAST(nat.n_docs - coalesce(kc.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(kc.sum_kept_chars, 0) AS sum_kept_chars
+FROM nat LEFT JOIN kc ON kc.source = nat.source
+ORDER BY nat.source
 """,
     "pack_token_budget": f"""
 WITH c AS (

@@ -331,3 +331,28 @@ def test_mixture_temperature_alpha_half_semantics(spark):
     again = {r.lang: r.n for r in P.mixture_temperature(df, "doc_id", "lang")
              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == counts
+
+
+def test_domain_quota_caps_and_is_deterministic(spark):
+    import pytest
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    kept = P.domain_quota(df, "doc_id", "src", 10)
+    by_src = {r.src: sorted(r.ids) for r in kept.groupBy("src")
+              .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")).collect()}
+    assert len(by_src["big"]) == 10          # cap bites
+    assert by_src["small"] == [1000, 1001, 1002]  # under-cap domain untouched
+    # pure function of the data: identical on re-run
+    again = {r.src: sorted(r.ids) for r in P.domain_quota(df, "doc_id", "src", 10)
+             .groupBy("src").agg(F.sort_array(F.collect_list("doc_id")).alias("ids")).collect()}
+    assert again == by_src
+    # salted: the quota choice is NOT the sample_fraction prefix (different
+    # hash stream) — at least one of the 10 kept ids differs from the 10
+    # smallest unsalted hash_bucket ids
+    unsalted = [r.doc_id for r in df.filter(F.col("src") == "big")
+                .orderBy(P.hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc())
+                .limit(10).collect()]
+    assert sorted(unsalted) != by_src["big"]
+    with pytest.raises(ValueError, match="cap"):
+        P.domain_quota(df, "doc_id", "src", 0)
