@@ -73,6 +73,10 @@ HEADLINE = [
     "sketch_bloom_join_prune",  # r06: tracks the scan-prune + join-equality pass
     "embedding_gram_moments",  # r07: tracks the partial-Gram mapInPandas kernel
     "multimodal_lossy_header_meta",  # r09: tracks the container header-parse lane
+    # r10: tracks the unrolled staged-projection chain (8 chained Projects
+    # that CollapseProject must NOT inline) — a lost linearity guard shows
+    # up here as a blown-up optimize/codegen time before anything breaks
+    "layout_hilbert_clustering",
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,

@@ -141,6 +141,12 @@ DRIVER_PRIORITY = (
     # then the oldest r08 rows fill the remaining ~26 slots.
     "multimodal_container_properties",
     "mixture_temperature_resample",
+    # new r10 (after the window commit): hilbert layout, containment
+    # dedup, domain quota — never driver-checked, green in the committed
+    # r10 local sweeps at both SFs; they lead r11 with the rows above
+    "layout_hilbert_clustering",
+    "near_dedup_containment_prefix",
+    "sample_domain_quota",
     "agg_listagg_names",
     "ann_partitioned_topk",
     "ann_range_search",
