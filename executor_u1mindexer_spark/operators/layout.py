@@ -261,7 +261,11 @@ def file_skipping_stats(
     Scale shape: per-file stats are one grouped agg to <= 2^n_bucket_bits
     rows; predicate evaluation is a broadcast join of those tiny stats
     against the <= |pred_pcts|-row bounds table; rows_matched is one
-    broadcast-range filter + grouped count over the fact rows."""
+    broadcast-range filter + grouped count over the fact rows.
+
+    r10: the Hilbert layout rides the same machinery as a third arm
+    (h_files_total / h_files_read / h_not_worse_on_b) — the skipping
+    proof for the curve layout_hilbert_clustering measures spans for."""
     amap = rank_space_map(df, col_a, bits).withColumnRenamed("mapped", "__a16")
     bmap = rank_space_map(df, col_b, bits).withColumnRenamed("mapped", "__b16")
     rows = (
@@ -274,11 +278,13 @@ def file_skipping_stats(
         .join(F.broadcast(bmap), F.col("__vb") == bmap["value"])
         .drop("value")
     )
+    rows = hilbert_apply(rows, "__a16", "__b16", bits, out="__h")
     z = morton_interleave_sql("__a16", "__b16", bits, "spark")
     zshift = 2 * bits - n_bucket_bits
     ashift = bits - n_bucket_bits
     keyed = rows.select(
         "__vb",
+        F.expr(_shr("__h", zshift, "spark")).cast("long").alias("__hb"),
         F.expr(_shr(z, zshift, "spark")).cast("long").alias("__zb"),
         F.expr(_shr("__a16", ashift, "spark")).cast("long").alias("__ab"),
     )
@@ -308,6 +314,9 @@ def file_skipping_stats(
             F.count(bucket_col).cast("long").alias(f"{prefix}_files_read")
         )
 
+    htotal = keyed.agg(
+        F.countDistinct("__hb").cast("long").alias("h_files_total")
+    )
     ztotal = keyed.agg(
         F.countDistinct("__zb").cast("long").alias("z_files_total")
     )
@@ -322,8 +331,10 @@ def file_skipping_stats(
     )
     return (
         bounds.join(matched, ["p_lo", "p_hi"], "left")
+        .join(files_read("__hb", "h"), ["p_lo", "p_hi"], "left")
         .join(files_read("__zb", "z"), ["p_lo", "p_hi"], "left")
         .join(files_read("__ab", "a"), ["p_lo", "p_hi"], "left")
+        .crossJoin(F.broadcast(htotal))
         .crossJoin(F.broadcast(ztotal))
         .crossJoin(F.broadcast(atotal))
         .select(
@@ -332,12 +343,17 @@ def file_skipping_stats(
             "lo",
             "hi",
             F.coalesce("rows_matched", F.lit(0)).cast("long").alias("rows_matched"),
+            "h_files_total",
+            F.coalesce("h_files_read", F.lit(0)).cast("long").alias("h_files_read"),
             "z_files_total",
             F.coalesce("z_files_read", F.lit(0)).cast("long").alias("z_files_read"),
             "a_files_total",
             F.coalesce("a_files_read", F.lit(0)).cast("long").alias("a_files_read"),
             (F.coalesce("z_files_read", F.lit(0)) <= F.coalesce("a_files_read", F.lit(0))).alias(
                 "z_not_worse_on_b"
+            ),
+            (F.coalesce("h_files_read", F.lit(0)) <= F.coalesce("a_files_read", F.lit(0))).alias(
+                "h_not_worse_on_b"
             ),
         )
         .orderBy("p_lo")
@@ -529,19 +545,38 @@ def oracle_file_skipping_sql(
         WHERE {col} IS NOT NULL) dv
 """
 
+    # same unrolled xy2d stage chain as hilbert_apply (r10 third arm)
+    stages, prev = [], "rows_m"
+    for i in range(bits - 1, -1, -1):
+        xn, yn, dt = _hilbert_stage_exprs(i, bits, "duck")
+        name = f"hs{i}"
+        stages.append(
+            f"{name} AS (SELECT __vb, __a16, __b16, {xn} AS __hx,"
+            f" {yn} AS __hy, (__hd + {dt}) AS __hd FROM {prev})"
+        )
+        prev = name
+    stage_sql = ",\n".join(stages)
+
     values = ", ".join(f"({lo}, {hi})" for lo, hi in pred_pcts)
     return f"""
 WITH amap AS ({rankmap(col_a)}),
 bmap AS ({rankmap(col_b)}),
+rows_m AS (
+  SELECT CAST(t0.{col_b} AS BIGINT) AS __vb,
+         a.mapped AS __a16, b.mapped AS __b16,
+         a.mapped AS __hx, b.mapped AS __hy, CAST(0 AS BIGINT) AS __hd
+  FROM {source} t0
+  JOIN amap a ON t0.{col_a} = a.value
+  JOIN bmap b ON t0.{col_b} = b.value
+  WHERE t0.{col_a} IS NOT NULL AND t0.{col_b} IS NOT NULL
+),
+{stage_sql},
 keyed AS (
-  SELECT CAST(t.{col_b} AS BIGINT) AS __vb,
+  SELECT __vb,
+         CAST(({_shr('__hd', zshift, 'duck')}) AS BIGINT) AS __hb,
          CAST({_shr(z, zshift, "duck")} AS BIGINT) AS __zb,
          CAST({_shr("__a16", ashift, "duck")} AS BIGINT) AS __ab
-  FROM (SELECT {col_a}, {col_b}, a.mapped AS __a16, b.mapped AS __b16
-        FROM {source} t0
-        JOIN amap a ON t0.{col_a} = a.value
-        JOIN bmap b ON t0.{col_b} = b.value
-        WHERE t0.{col_a} IS NOT NULL AND t0.{col_b} IS NOT NULL) t
+  FROM {prev}
 ),
 mm AS (SELECT CAST(min(__vb) AS BIGINT) AS mn,
               CAST(max(__vb) AS BIGINT) AS mx FROM keyed),
@@ -552,10 +587,17 @@ bounds AS (
          CAST(mn + ((mx - mn) * p_hi) // 100 AS BIGINT) AS hi
   FROM preds CROSS JOIN mm
 ),
+hstats AS (SELECT __hb, min(__vb) AS fmin, max(__vb) AS fmax
+           FROM keyed GROUP BY __hb),
 zstats AS (SELECT __zb, min(__vb) AS fmin, max(__vb) AS fmax
            FROM keyed GROUP BY __zb),
 astats AS (SELECT __ab, min(__vb) AS fmin, max(__vb) AS fmax
            FROM keyed GROUP BY __ab),
+hread AS (
+  SELECT b.p_lo, b.p_hi, CAST(count(s.__hb) AS BIGINT) AS h_files_read
+  FROM bounds b LEFT JOIN hstats s ON s.fmax >= b.lo AND s.fmin <= b.hi
+  GROUP BY b.p_lo, b.p_hi
+),
 zread AS (
   SELECT b.p_lo, b.p_hi, CAST(count(s.__zb) AS BIGINT) AS z_files_read
   FROM bounds b LEFT JOIN zstats s ON s.fmax >= b.lo AND s.fmin <= b.hi
@@ -571,18 +613,22 @@ m AS (
   FROM bounds b JOIN keyed k ON k.__vb BETWEEN b.lo AND b.hi
   GROUP BY b.p_lo, b.p_hi
 ),
+th AS (SELECT CAST(count(*) AS BIGINT) AS h_files_total FROM hstats),
 tz AS (SELECT CAST(count(*) AS BIGINT) AS z_files_total FROM zstats),
 ta AS (SELECT CAST(count(*) AS BIGINT) AS a_files_total FROM astats)
 SELECT b.p_lo, b.p_hi, b.lo, b.hi,
        coalesce(m.rows_matched, 0) AS rows_matched,
+       th.h_files_total, hread.h_files_read,
        tz.z_files_total, zread.z_files_read,
        ta.a_files_total, aread.a_files_read,
-       (zread.z_files_read <= aread.a_files_read) AS z_not_worse_on_b
+       (zread.z_files_read <= aread.a_files_read) AS z_not_worse_on_b,
+       (hread.h_files_read <= aread.a_files_read) AS h_not_worse_on_b
 FROM bounds b
 LEFT JOIN m ON m.p_lo = b.p_lo AND m.p_hi = b.p_hi
+JOIN hread ON hread.p_lo = b.p_lo AND hread.p_hi = b.p_hi
 JOIN zread ON zread.p_lo = b.p_lo AND zread.p_hi = b.p_hi
 JOIN aread ON aread.p_lo = b.p_lo AND aread.p_hi = b.p_hi
-CROSS JOIN tz CROSS JOIN ta
+CROSS JOIN th CROSS JOIN tz CROSS JOIN ta
 ORDER BY b.p_lo
 """
 

@@ -121,7 +121,10 @@ def layout_file_skipping(spark, sf_dir):
     many simulated files each layout's per-file min/max stats force a
     scan to READ — the actual parquet-footer pruning decision. One
     integer row per predicate with the weak skipping theorem
-    (z_not_worse_on_b) oracle-checked."""
+    (z_not_worse_on_b) oracle-checked. r10: the Hilbert layout rides as
+    a third arm (h_files_total/read + h_not_worse_on_b) — at sf0.1 both
+    curves read 4-10 of 32 files where the single-column sort reads all
+    32."""
     from executor_u1mindexer_spark.operators import layout as L
 
     li = tables.load(spark, sf_dir, "lineitem")

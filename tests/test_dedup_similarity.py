@@ -638,3 +638,40 @@ def test_containment_injected_subsets_score_one(spark, sf_dir):
     rows = inj.collect()
     assert len(rows) == dedup_suite.N_CONTAIN
     assert all(r.containment == 1.0 for r in rows)
+
+
+def test_containment_prefix_filter_lossless_on_random_corpus(spark):
+    """Seeded-random stress of the prefix theorem: 60 docs drawn from a
+    40-word vocabulary (heavy shingle sharing, many borderline pairs),
+    prefix-filtered output == brute-force all-ordered-pairs containment."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(40)]
+    corpus = []
+    for i in range(60):
+        n = rng.randint(1, 30)
+        corpus.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant explicit subset/superset relations on top of the noise
+    corpus.append((100, corpus[0][1] + " " + corpus[1][1]))
+    corpus.append((101, " ".join(corpus[2][1].split(" ")[:5])))
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.n_a, r.n_shared)
+           for r in D.containment_prefix_pairs(df).collect()}
+
+    def shingles(text):
+        toks = text.split(" ")
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sh = {i: shingles(t) for i, t in corpus}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a != b:
+                i = len(sh[a] & sh[b])
+                if i * 5 >= len(sh[a]) * 4:
+                    want[(a, b)] = (len(sh[a]), i)
+    assert got == want
+    assert len(want) >= 3  # the stress actually produced pairs
