@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from executor_u1mindexer_spark import cache
+
 BITS_DEFAULT = 16
 
 
@@ -200,11 +202,28 @@ def zorder_layout_stats(
         F.expr(_shr(z, zshift, "spark")).cast("long").alias("__zb"),
         F.expr(_shr("__a16", ashift, "spark")).cast("long").alias("__ab"),
     )
+    # ONE full-data pass: aggregate min/max per COMPOSITE bucket key
+    # (every layout's bucket id is a function of (a16, b16), so the
+    # composite groups are <= 2^(2*n_bucket_bits) rows). Each layout's
+    # per-bucket spans then derive from this tiny relation by
+    # re-aggregating (min/max are associative) — a per-layout groupBy
+    # over the raw rows would scan+shuffle the full data once PER layout.
+    # comp is cache.pin'd: it is BOUNDED (<= 1024 narrow rows) with an
+    # expensive upstream (full scan + rank-map joins), the exact opposite
+    # profile of the rejected keyed-pin (600k rows, cheap upstream) — the
+    # pin threshold lesson in BENCH_NOTES r10. Values are identical; the
+    # DuckDB oracle keeps the direct per-layout formulation.
+    comp = cache.pin(keyed.groupBy("__zb", "__ab").agg(
+        F.min("__a16").alias("__mna"),
+        F.max("__a16").alias("__mxa"),
+        F.min("__b16").alias("__mnb"),
+        F.max("__b16").alias("__mxb"),
+    ))
 
     def layout(bucket_col: str, prefix: str) -> DataFrame:
-        per = keyed.groupBy(bucket_col).agg(
-            (F.max("__a16") - F.min("__a16")).alias("__aspan"),
-            (F.max("__b16") - F.min("__b16")).alias("__bspan"),
+        per = comp.groupBy(bucket_col).agg(
+            (F.max("__mxa") - F.min("__mna")).alias("__aspan"),
+            (F.max("__mxb") - F.min("__mnb")).alias("__bspan"),
         )
         return per.agg(
             F.count(F.lit(1)).cast("long").alias(f"{prefix}_n_buckets"),
@@ -483,11 +502,21 @@ def hilbert_layout_stats(
         F.expr(_shr(z, shift, "spark")).cast("long").alias("__zb"),
         F.expr(_shr("__a16", ashift, "spark")).cast("long").alias("__ab"),
     )
+    # one full-data pass on the composite key, then three tiny
+    # re-aggregations over the pinned <= 2^(3*n_bucket_bits)-row comp
+    # (see the zorder_layout_stats note) — the 8-stage hilbert chain and
+    # the scan run ONCE instead of once per layout
+    comp = cache.pin(keyed.groupBy("__hb", "__zb", "__ab").agg(
+        F.min("__a16").alias("__mna"),
+        F.max("__a16").alias("__mxa"),
+        F.min("__b16").alias("__mnb"),
+        F.max("__b16").alias("__mxb"),
+    ))
 
     def layout(bucket_col: str, prefix: str) -> DataFrame:
-        per = keyed.groupBy(bucket_col).agg(
-            (F.max("__a16") - F.min("__a16")).alias("__aspan"),
-            (F.max("__b16") - F.min("__b16")).alias("__bspan"),
+        per = comp.groupBy(bucket_col).agg(
+            (F.max("__mxa") - F.min("__mna")).alias("__aspan"),
+            (F.max("__mxb") - F.min("__mnb")).alias("__bspan"),
         )
         return per.agg(
             F.count(F.lit(1)).cast("long").alias(f"{prefix}_n_buckets"),

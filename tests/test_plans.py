@@ -747,3 +747,22 @@ def test_registry_has_no_unpartitioned_window(spark):
             bad_cartesian.append(name)
     assert not bad_window, f"SinglePartition windows in registry queries: {bad_window}"
     assert not bad_cartesian, f"CartesianProduct in registry queries: {bad_cartesian}"
+
+
+def test_containment_shares_the_shingle_pipeline(spark, sf_dir):
+    """containment_prefix_pairs' base (id, shingles, n_sh) feeds FIVE
+    plan branches (prefix postings, full postings, doc-frequency input,
+    both confirm-join sides). The cache.pin sharing point must hold —
+    every branch reads the memoized relation — or the scan+shingle+hash
+    pipeline recomputes per branch (~5x at any scale). Also pin the join
+    strategy class: hash joins only, never a cartesian/BNLJ."""
+    from executor_u1mindexer_spark import cache, tables
+    from executor_u1mindexer_spark.operators import dedup as D
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = D.containment_prefix_pairs(docs)
+    plan = plans.physical_plan(out, "simple")
+    assert plan.count("InMemoryTableScan") >= 5, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    cache.release_all()
