@@ -38,8 +38,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from executor_u1mindexer_spark import cache
-
 BITS_DEFAULT = 16
 
 
@@ -202,38 +200,32 @@ def zorder_layout_stats(
         F.expr(_shr(z, zshift, "spark")).cast("long").alias("__zb"),
         F.expr(_shr("__a16", ashift, "spark")).cast("long").alias("__ab"),
     )
-    # ONE full-data pass: aggregate min/max per COMPOSITE bucket key
-    # (every layout's bucket id is a function of (a16, b16), so the
-    # composite groups are <= 2^(2*n_bucket_bits) rows). Each layout's
-    # per-bucket spans then derive from this tiny relation by
-    # re-aggregating (min/max are associative) — a per-layout groupBy
-    # over the raw rows would scan+shuffle the full data once PER layout.
-    # comp is cache.pin'd: it is BOUNDED (<= 1024 narrow rows) with an
-    # expensive upstream (full scan + rank-map joins), the exact opposite
-    # profile of the rejected keyed-pin (600k rows, cheap upstream) — the
-    # pin threshold lesson in BENCH_NOTES r10. Values are identical; the
-    # DuckDB oracle keeps the direct per-layout formulation.
-    comp = cache.pin(keyed.groupBy("__zb", "__ab").agg(
-        F.min("__a16").alias("__mna"),
-        F.max("__a16").alias("__mxa"),
-        F.min("__b16").alias("__mnb"),
-        F.max("__b16").alias("__mxb"),
-    ))
+    # ONE pass over the data for BOTH layouts: GROUPING SETS ((zb),(ab))
+    # computes every layout's per-bucket min/max in a single aggregation
+    # (rows expand per set map-side, partial aggs collapse each to
+    # <= 2^n_bucket_bits groups before the one tiny shuffle), then a
+    # second <= 2*2^n_bucket_bits-row aggregation folds the spans per
+    # layout — no per-layout rescans, no crossJoins, no cache. Values
+    # are identical; the DuckDB oracle keeps the direct per-layout
+    # formulation.
+    per = keyed.groupingSets(
+        [["__zb"], ["__ab"]], "__zb", "__ab"
+    ).agg(
+        F.grouping_id().alias("__gid"),
+        (F.max("__a16") - F.min("__a16")).alias("__aspan"),
+        (F.max("__b16") - F.min("__b16")).alias("__bspan"),
+    )
+    # grouping_id bit = 1 when the column is AGGREGATED AWAY: with column
+    # order (__zb, __ab), the (zb) set has gid 0b01 = 1, the (ab) set 0b10 = 2
+    def stats(gid: int, prefix: str):
+        m = F.col("__gid") == gid
+        return [
+            F.sum(F.when(m, 1)).cast("long").alias(f"{prefix}_n_buckets"),
+            F.sum(F.when(m, F.col("__aspan"))).cast("long").alias(f"{prefix}_sum_a_span"),
+            F.sum(F.when(m, F.col("__bspan"))).cast("long").alias(f"{prefix}_sum_b_span"),
+        ]
 
-    def layout(bucket_col: str, prefix: str) -> DataFrame:
-        per = comp.groupBy(bucket_col).agg(
-            (F.max("__mxa") - F.min("__mna")).alias("__aspan"),
-            (F.max("__mxb") - F.min("__mnb")).alias("__bspan"),
-        )
-        return per.agg(
-            F.count(F.lit(1)).cast("long").alias(f"{prefix}_n_buckets"),
-            F.sum("__aspan").cast("long").alias(f"{prefix}_sum_a_span"),
-            F.sum("__bspan").cast("long").alias(f"{prefix}_sum_b_span"),
-        )
-
-    zstats = layout("__zb", "z")
-    astats = layout("__ab", "a")
-    return zstats.crossJoin(astats).select(
+    return per.agg(*stats(1, "z"), *stats(2, "a")).select(
         "z_n_buckets",
         "z_sum_a_span",
         "z_sum_b_span",
@@ -502,32 +494,29 @@ def hilbert_layout_stats(
         F.expr(_shr(z, shift, "spark")).cast("long").alias("__zb"),
         F.expr(_shr("__a16", ashift, "spark")).cast("long").alias("__ab"),
     )
-    # one full-data pass on the composite key, then three tiny
-    # re-aggregations over the pinned <= 2^(3*n_bucket_bits)-row comp
-    # (see the zorder_layout_stats note) — the 8-stage hilbert chain and
-    # the scan run ONCE instead of once per layout
-    comp = cache.pin(keyed.groupBy("__hb", "__zb", "__ab").agg(
-        F.min("__a16").alias("__mna"),
-        F.max("__a16").alias("__mxa"),
-        F.min("__b16").alias("__mnb"),
-        F.max("__b16").alias("__mxb"),
-    ))
-
-    def layout(bucket_col: str, prefix: str) -> DataFrame:
-        per = comp.groupBy(bucket_col).agg(
-            (F.max("__mxa") - F.min("__mna")).alias("__aspan"),
-            (F.max("__mxb") - F.min("__mnb")).alias("__bspan"),
-        )
-        return per.agg(
-            F.count(F.lit(1)).cast("long").alias(f"{prefix}_n_buckets"),
-            F.sum("__aspan").cast("long").alias(f"{prefix}_sum_a_span"),
-            F.sum("__bspan").cast("long").alias(f"{prefix}_sum_b_span"),
-        )
+    # ONE pass for all THREE layouts via GROUPING SETS ((hb),(zb),(ab))
+    # (see the zorder_layout_stats note) — the scan and the 8-stage
+    # hilbert chain run once, partial aggs collapse map-side, and the
+    # final fold is one aggregation over <= 3*2^n_bucket_bits rows
+    per = keyed.groupingSets(
+        [["__hb"], ["__zb"], ["__ab"]], "__hb", "__zb", "__ab"
+    ).agg(
+        F.grouping_id().alias("__gid"),
+        (F.max("__a16") - F.min("__a16")).alias("__aspan"),
+        (F.max("__b16") - F.min("__b16")).alias("__bspan"),
+    )
+    # column order (__hb, __zb, __ab): (hb) keeps col 0 -> gid 0b011 = 3,
+    # (zb) -> 0b101 = 5, (ab) -> 0b110 = 6
+    def stats(gid: int, prefix: str):
+        m = F.col("__gid") == gid
+        return [
+            F.sum(F.when(m, 1)).cast("long").alias(f"{prefix}_n_buckets"),
+            F.sum(F.when(m, F.col("__aspan"))).cast("long").alias(f"{prefix}_sum_a_span"),
+            F.sum(F.when(m, F.col("__bspan"))).cast("long").alias(f"{prefix}_sum_b_span"),
+        ]
 
     return (
-        layout("__hb", "h")
-        .crossJoin(layout("__zb", "z"))
-        .crossJoin(layout("__ab", "a"))
+        per.agg(*stats(3, "h"), *stats(5, "z"), *stats(6, "a"))
         .select(
             "h_n_buckets",
             "h_sum_a_span",
