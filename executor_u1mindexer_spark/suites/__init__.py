@@ -147,6 +147,7 @@ DRIVER_PRIORITY = (
     "layout_hilbert_clustering",
     "near_dedup_containment_prefix",
     "sample_domain_quota",
+    "ivm_incremental_agg",
     "agg_listagg_names",
     "ann_partitioned_topk",
     "ann_range_search",

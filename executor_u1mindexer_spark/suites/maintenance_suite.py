@@ -526,8 +526,57 @@ ORDER BY c_custkey, valid_from
 """
 
 
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (r10, maintenance.ivm_agg_state /
+    ivm_merge): the per-event_type (count, sum, min, max) view is built
+    from the month's first half, then maintained through TWO delta
+    batches (days 16-23, then 24-31) WITHOUT rescanning the base — the
+    materialized-view pattern whose merge touches grouped keys, not
+    facts. The oracle computes the whole-table aggregate directly, so
+    any maintenance bug (double-count, lost key, non-associative merge)
+    diverges. avg_milli derives at read time as one int/int IEEE
+    division — bit-exact cross-engine."""
+    from executor_u1mindexer_spark.operators import maintenance as M
+
+    ev = tables.load(spark, sf_dir, "events")
+    keys = ["event_type"]
+    state = M.ivm_agg_state(ev.filter(F.dayofmonth("ts") <= 15), keys, "value")
+    d1 = M.ivm_agg_state(
+        ev.filter((F.dayofmonth("ts") >= 16) & (F.dayofmonth("ts") <= 23)),
+        keys,
+        "value",
+    )
+    d2 = M.ivm_agg_state(ev.filter(F.dayofmonth("ts") >= 24), keys, "value")
+    out = M.ivm_merge(M.ivm_merge(state, d1, keys), d2, keys)
+    return out.select(
+        "event_type",
+        "n_rows",
+        "sum_milli",
+        "min_milli",
+        "max_milli",
+        (F.col("sum_milli").cast("double") / F.col("n_rows").cast("double")).alias(
+            "avg_milli"
+        ),
+    ).orderBy("event_type")
+
+
+_IVM_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+       CAST(min(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS min_milli,
+       CAST(max(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS max_milli,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_milli
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 ORACLES = {
     "index_state_diff": _DIFF,
+    "ivm_incremental_agg": _IVM_SQL,
     "scd2_two_batch_history": _SCD2_TWO_BATCH_SQL,
     "scd2_point_in_time_join": _SCD2_HISTORY_SQL
     + """
@@ -585,6 +634,7 @@ QUERIES = {
     "status_counts": status_counts,
     "dump_load_roundtrip": dump_load_roundtrip,
     "index_state_diff": index_state_diff,
+    "ivm_incremental_agg": ivm_incremental_agg,
     "scd2_customer_history": scd2_customer_history,
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "scd2_two_batch_history": scd2_two_batch_history,

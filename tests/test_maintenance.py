@@ -318,3 +318,29 @@ def test_scd2_apply_composes_history(spark):
     # global invariant: exactly one current row per key
     for k, rows in by_key.items():
         assert sum(1 for r in rows if r["is_current"]) == 1, (k, rows)
+
+
+def test_ivm_merge_composes_and_never_rescans_semantics(spark):
+    from executor_u1mindexer_spark.operators import maintenance as M
+
+    rows = [
+        ("a", 1.0), ("a", 2.5), ("b", -3.0),            # base
+        ("a", 4.0), ("c", 10.0),                        # delta 1 (c is new)
+        ("c", -1.5),                                    # delta 2 (b untouched)
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    base, d1, d2 = (df.limit(3), df.offset(3).limit(2), df.offset(5))
+    keys = ["k"]
+    merged = M.ivm_merge(
+        M.ivm_merge(M.ivm_agg_state(base, keys, "value"),
+                    M.ivm_agg_state(d1, keys, "value"), keys),
+        M.ivm_agg_state(d2, keys, "value"), keys,
+    )
+    got = {r.k: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
+           for r in merged.collect()}
+    # equality to a from-scratch recompute over the union
+    want = {r.k: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
+            for r in M.ivm_agg_state(df, keys, "value").collect()}
+    assert got == want
+    assert got["c"] == (2, 8500, -1500, 10000)   # delta-only key appears
+    assert got["b"] == (1, -3000, -3000, -3000)  # untouched key passes through
