@@ -624,3 +624,67 @@ FULL OUTER JOIN
       FROM {source_b} WHERE {value_col} IS NOT NULL GROUP BY 1) cb
 USING (bucket)
 """
+
+
+def dq_audit(
+    df: DataFrame,
+    row_constraints: dict[str, str],
+    unique_cols: Sequence[str] | None = None,
+    fk: tuple | None = None,
+) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/Great-Expectations
+    constraint-suite shape): every row-level constraint is a SQL
+    predicate counted in ONE scan (sum-of-CASE columns melted to long
+    form — adding a constraint never adds a pass over the data),
+    uniqueness rides the same pass as count - count_distinct, and a
+    referential check is one anti-join count against the dimension.
+    Output one row per constraint: (check_name, n_violations, passed) —
+    all integer/boolean, bit-exact cross-engine.
+
+    fk = (fact_col, dim_df, dim_col): count fact rows whose non-null key
+    has no match in the dimension.
+
+    Scale shape: one scan + one tiny final melt for the row constraints;
+    the FK anti-join is the only extra pass, shuffling on the key it
+    checks. [NOT IN REFERENCE — beyond-reference pipeline monitoring
+    beside drift_chi2_buckets / rolling_zscore.]"""
+    aggs = [
+        F.sum(F.when(~F.expr(pred), 1)).alias(name)
+        for name, pred in row_constraints.items()
+    ]
+    names = list(row_constraints)
+    if unique_cols:
+        for c in unique_cols:
+            nm = f"unique_{c}"
+            aggs.append((F.count(c) - F.count_distinct(F.col(c))).alias(nm))
+            names.append(nm)
+    wide = df.agg(*aggs)
+    stacked = wide.selectExpr(
+        "stack({n}, {pairs}) AS (check_name, __v)".format(
+            n=len(names),
+            pairs=", ".join(f"'{n}', {n}" for n in names),
+        )
+    )
+    out = stacked.select(
+        "check_name",
+        F.coalesce(F.col("__v"), F.lit(0)).cast("long").alias("n_violations"),
+    )
+    if fk is not None:
+        fact_col, dim_df, dim_col = fk
+        viol = (
+            df.select(F.col(fact_col).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .join(
+                dim_df.select(F.col(dim_col).alias("__k")).distinct(),
+                "__k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(
+                F.lit(f"fk_{fact_col}").alias("check_name"), "n_violations"
+            )
+        )
+        out = out.unionByName(viol)
+    return out.select(
+        "check_name", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    ).orderBy("check_name")

@@ -148,6 +148,8 @@ DRIVER_PRIORITY = (
     "near_dedup_containment_prefix",
     "sample_domain_quota",
     "ivm_incremental_agg",
+    "dq_constraint_audit",
+    "source_schema_evolution",
     "agg_listagg_names",
     "ann_partitioned_topk",
     "ann_range_search",

@@ -103,6 +103,34 @@ def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DQ_CONSTRAINTS = {
+    "price_positive": "o_totalprice > 0",
+    "price_below_400k": "o_totalprice < 400000",
+    "status_in_domain": "o_orderstatus IN ('F', 'O', 'P')",
+    "custkey_nonnull": "o_custkey IS NOT NULL",
+    "date_in_1995": "o_orderdate < TIMESTAMP '1996-01-01 00:00:00'",
+}
+
+
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (r10, P.dq_audit — the
+    Deequ/Great-Expectations constraint-suite shape): five row-level
+    predicates counted in ONE scan over orders (sum-of-CASE melted to
+    long form), o_orderkey uniqueness in the same pass, and the
+    orders→customer referential check as one anti-join. One row per
+    constraint: (check_name, n_violations, passed) — a mix of passing
+    and legitimately-failing constraints so both verdicts are
+    oracle-checked."""
+    orders = tables.load(spark, sf_dir, "orders")
+    customer = tables.load(spark, sf_dir, "customer")
+    return P.dq_audit(
+        orders,
+        DQ_CONSTRAINTS,
+        unique_cols=["o_orderkey"],
+        fk=("o_custkey", customer, "c_custkey"),
+    )
+
+
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return P.pack_token_budget(docs, BUDGET)
@@ -219,6 +247,7 @@ QUERIES = {
     "shuffle_epoch_order": shuffle_epoch_order,
     "sample_stratified_by_lang": sample_stratified_by_lang,
     "sample_domain_quota": sample_domain_quota,
+    "dq_constraint_audit": dq_constraint_audit,
     "mixture_weighted_sources": mixture_weighted_sources,
     "pack_token_budget": pack_token_budget,
     "chunk_sliding_window": chunk_sliding_window,
@@ -371,6 +400,31 @@ SELECT doc_id, lang FROM documents WHERE {_BUCKET} < ({_STRAT_THRESHOLD})
 SELECT lang, count(*) AS n_kept FROM documents
 WHERE {_BUCKET} < ({_MIX_THRESHOLD})
 GROUP BY lang ORDER BY lang
+""",
+    "dq_constraint_audit": """
+WITH rowc AS (
+  SELECT CAST(count(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) AS BIGINT) AS price_positive,
+         CAST(count(CASE WHEN NOT (o_totalprice < 400000) THEN 1 END) AS BIGINT) AS price_below_400k,
+         CAST(count(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 END) AS BIGINT) AS status_in_domain,
+         CAST(count(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 END) AS BIGINT) AS custkey_nonnull,
+         CAST(count(CASE WHEN NOT (o_orderdate < TIMESTAMP '1996-01-01 00:00:00') THEN 1 END) AS BIGINT) AS date_in_1995,
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS unique_o_orderkey
+  FROM orders
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), longf AS (
+  SELECT 'price_positive' AS check_name, price_positive AS n_violations FROM rowc
+  UNION ALL SELECT 'price_below_400k', price_below_400k FROM rowc
+  UNION ALL SELECT 'status_in_domain', status_in_domain FROM rowc
+  UNION ALL SELECT 'custkey_nonnull', custkey_nonnull FROM rowc
+  UNION ALL SELECT 'date_in_1995', date_in_1995 FROM rowc
+  UNION ALL SELECT 'unique_o_orderkey', unique_o_orderkey FROM rowc
+  UNION ALL SELECT 'fk_o_custkey', n FROM fk
+)
+SELECT check_name, n_violations, (n_violations = 0) AS passed
+FROM longf ORDER BY check_name
 """,
     "sample_domain_quota": f"""
 WITH ranked AS (

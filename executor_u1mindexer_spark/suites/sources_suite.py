@@ -150,6 +150,29 @@ def layout_hilbert_clustering(spark, sf_dir):
     return L.hilbert_layout_stats(li, "l_partkey", "l_suppkey")
 
 
+def source_schema_evolution(spark, sf_dir):
+    """Schema-drift roundtrip (r10): batch 1 (even s_suppkey) writes the
+    2-column supplier projection, batch 2 (odd keys) writes a WIDER
+    3-column one (+s_acctbal), and the read merges both footprints with
+    parquet mergeSchema — the union schema comes back with NULL backfill
+    on the narrow batch's missing column, exactly the long-lived-table
+    schema-evolution contract a 100 TB lake relies on. Row-level output
+    so the backfill itself is oracle-checked, not just counts."""
+    sup = tables.load(spark, sf_dir, "supplier")
+    base = os.path.join(
+        IO_DIR, os.path.basename(sf_dir.rstrip("/")), "supplier_evolve"
+    )
+    p1, p2 = os.path.join(base, "b1"), os.path.join(base, "b2")
+    sup.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_name").write.mode(
+        "overwrite"
+    ).parquet(p1)
+    sup.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).write.mode("overwrite").parquet(p2)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return merged.select("s_suppkey", "s_name", "s_acctbal").orderBy("s_suppkey")
+
+
 _VARIANT_QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "layout_file_skipping": layout_file_skipping,
@@ -160,6 +183,7 @@ _VARIANT_QUERIES = {
     "traverse_chunks": traverse_chunks,
     "layout_zorder_clustering": layout_zorder_clustering,
     "layout_hilbert_clustering": layout_hilbert_clustering,
+    "source_schema_evolution": source_schema_evolution,
 }
 
 from executor_u1mindexer_spark.operators import layout as _L  # noqa: E402
@@ -208,6 +232,11 @@ FROM c
     "layout_hilbert_clustering": _L.oracle_hilbert_stats_sql(
         "lineitem", "l_partkey", "l_suppkey"
     ),
+    "source_schema_evolution": """
+SELECT s_suppkey, s_name,
+       CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
+FROM supplier ORDER BY s_suppkey
+""",
 }
 
 

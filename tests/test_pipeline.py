@@ -356,3 +356,31 @@ def test_domain_quota_caps_and_is_deterministic(spark):
     assert sorted(unsalted) != by_src["big"]
     with pytest.raises(ValueError, match="cap"):
         P.domain_quota(df, "doc_id", "src", 0)
+
+
+def test_dq_audit_counts_every_violation_class(spark):
+    facts = [
+        (1, 10, 5.0), (2, 10, -1.0),          # negative value
+        (2, 99, 3.0),                          # dup key AND dangling fk
+        (3, None, 2.0),                        # null fk key (not an fk violation)
+    ]
+    df = spark.createDataFrame(facts, "k long, fk long, v double")
+    dim = spark.createDataFrame([(10,), (20,)], "d long")
+    out = {r.check_name: (r.n_violations, r.passed)
+           for r in P.dq_audit(
+               df,
+               {"v_positive": "v > 0", "fk_nonnull": "fk IS NOT NULL"},
+               unique_cols=["k"],
+               fk=("fk", dim, "d"),
+           ).collect()}
+    assert out == {
+        "v_positive": (1, False),
+        "fk_nonnull": (1, False),
+        "unique_k": (1, False),
+        "fk_fk": (1, False),
+    }
+    clean = spark.createDataFrame([(1, 10, 1.0)], "k long, fk long, v double")
+    out2 = {r.check_name: r.passed
+            for r in P.dq_audit(clean, {"v_positive": "v > 0"},
+                                unique_cols=["k"], fk=("fk", dim, "d")).collect()}
+    assert all(out2.values())
