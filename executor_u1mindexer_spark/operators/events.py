@@ -298,3 +298,69 @@ SELECT c.from_type, c.to_type, c.n_transitions,
 FROM c JOIN t ON c.from_type = t.from_type
 ORDER BY c.from_type, c.to_type
 """
+
+
+def interval_union_coverage(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Merge overlapping/adjacent [start, end) integer intervals per key
+    and report coverage — the classic gaps-and-islands union (time on
+    site, SLA coverage, sensor uptime) that sessionize's fixed-gap rule
+    cannot express (here the merge rule is interval OVERLAP, decided by
+    a running max of the interval ENDS, not a gap threshold between
+    points: an early long interval must swallow later short ones).
+
+    Determinism: rows are ordered by (start, end, id) — a total order —
+    so the running max, the island flags, and every island id are pure
+    functions of the data and the DuckDB oracle replays the identical
+    windows. All arithmetic is BIGINT.
+
+    Output one row per key: (key, n_intervals, n_islands,
+    covered_units, span_units) with covered <= span by construction.
+
+    Scale shape: two windows and one aggregate, all PARTITIONED by the
+    key — state per task is one running max; no unpartitioned window,
+    no self-join (the O(n^2) interval-overlap formulation)."""
+    flagged = df.select(
+        key,
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+        F.col(id_col).alias("__id"),
+    ).withColumn(
+        "__new",
+        F.when(F.col("__s") > F.coalesce(
+            F.max("__e").over(
+                Window.partitionBy(key)
+                .orderBy("__s", "__e", "__id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(-(1 << 62)),
+        ), 1).otherwise(0),
+    )
+    islanded = flagged.withColumn(
+        "__island",
+        F.sum("__new").over(
+            Window.partitionBy(key)
+            .orderBy("__s", "__e", "__id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = islanded.groupBy(key, "__island").agg(
+        F.min("__s").alias("__is"),
+        F.max("__e").alias("__ie"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        islands.groupBy(key)
+        .agg(
+            F.sum("__n").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum(F.col("__ie") - F.col("__is")).cast("long").alias("covered_units"),
+            (F.max("__ie") - F.min("__is")).cast("long").alias("span_units"),
+        )
+        .orderBy(key)
+    )

@@ -150,6 +150,7 @@ DRIVER_PRIORITY = (
     "ivm_incremental_agg",
     "dq_constraint_audit",
     "source_schema_evolution",
+    "events_interval_union",
     "agg_listagg_names",
     "ann_partitioned_topk",
     "ann_range_search",

@@ -178,7 +178,31 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.markov_transitions(ev)
 
 
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-overlapping-intervals coverage (r10,
+    operators/events.interval_union_coverage): each event opens an
+    integer-seconds interval [epoch(ts), epoch(ts) + max(1,
+    round(value))) and per user the overlapping/adjacent intervals
+    union into islands — time-on-site/SLA-coverage semantics the
+    fixed-gap sessionize cannot express (an early long interval must
+    swallow later short ones; the island rule is a running max of ends,
+    not a gap threshold). Pure BIGINT, total-ordered windows, so the
+    oracle replays the identical running-max/island chain."""
+    ev = tables.load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ivs"),
+        (
+            F.unix_timestamp("ts").cast("long")
+            + F.greatest(F.lit(1), F.round(F.col("value")).cast("long"))
+        ).alias("ive"),
+    )
+    return E.interval_union_coverage(iv, "user_id", "ivs", "ive", "event_id")
+
+
 QUERIES = {
+    "events_interval_union": events_interval_union,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_markov_transitions": events_markov_transitions,
     "events_resample_ohlc": events_resample_ohlc,
@@ -193,6 +217,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    # identical running-max / island-sum window chain; the (__s, __e, id)
+    # total order makes every intermediate a pure function of the data
+    "events_interval_union": """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ivs,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + greatest(1, CAST(round(value) AS BIGINT)) AS ive
+  FROM events
+), flagged AS (
+  SELECT user_id, ivs, ive,
+         CASE WHEN ivs > coalesce(
+           max(ive) OVER (PARTITION BY user_id ORDER BY ivs, ive, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -4611686018427387904) THEN 1 ELSE 0 END AS newf,
+         event_id
+  FROM iv
+), islanded AS (
+  SELECT user_id, ivs, ive,
+         sum(newf) OVER (PARTITION BY user_id ORDER BY ivs, ive, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island, min(ivs) AS i_s, max(ive) AS i_e,
+         count(*) AS n
+  FROM islanded GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_e - i_s) AS BIGINT) AS covered_units,
+       CAST(max(i_e) - min(i_s) AS BIGINT) AS span_units
+FROM islands GROUP BY user_id ORDER BY user_id
+""",
     "events_markov_transitions": E.oracle_markov_sql(),
     # dense spine via generate_series over the corpus min/max hour; DuckDB's
     # last_value IGNORE NULLS is the same forward-fill as Spark's

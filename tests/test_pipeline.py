@@ -384,3 +384,25 @@ def test_dq_audit_counts_every_violation_class(spark):
             for r in P.dq_audit(clean, {"v_positive": "v > 0"},
                                 unique_cols=["k"], fk=("fk", dim, "d")).collect()}
     assert all(out2.values())
+
+
+def test_interval_union_swallows_and_splits(spark):
+    """The overlap rule sessionize can't express: an early LONG interval
+    swallows later short ones (one island), a gap splits (two islands),
+    adjacency [0,10)+[10,15) merges (half-open union), and exact
+    duplicates collapse into their island."""
+    from executor_u1mindexer_spark.operators import events as E
+
+    rows = [
+        # u1: [0,100) swallows [5,10) and [50,60); [100,110) is ADJACENT
+        # (merges under half-open union); [200,205) splits a new island
+        (1, 1, 0, 100), (1, 2, 5, 10), (1, 3, 50, 60),
+        (1, 4, 100, 110), (1, 5, 200, 205),
+        # u2: duplicate intervals + containment
+        (2, 6, 0, 10), (2, 7, 0, 10), (2, 8, 2, 3),
+    ]
+    df = spark.createDataFrame(rows, "u long, id long, s long, e long")
+    got = {r.u: (r.n_intervals, r.n_islands, r.covered_units, r.span_units)
+           for r in E.interval_union_coverage(df, "u", "s", "e", "id").collect()}
+    assert got[1] == (5, 2, 115, 205)   # [0,110) + [200,205)
+    assert got[2] == (3, 1, 10, 10)
