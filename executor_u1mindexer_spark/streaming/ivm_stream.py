@@ -1,0 +1,81 @@
+"""Streaming twin of incremental view maintenance (r10).
+
+operators/maintenance.ivm_merge IS the streaming-sink pattern — this
+module runs it as one: foreachBatch reduces each micro-batch to its
+per-key partial state (maintenance.ivm_agg_state — grouped keys, never
+facts) and stores ONE state PER BATCH ID, exactly the
+sketch_stream.streaming_quantile_state_fold discipline:
+
+- keyed by batch id, so a checkpoint-replayed batch OVERWRITES its own
+  entry instead of double-counting (idempotent under redelivery);
+- durable via _BatchKeyedStore when `state_dir` is given (atomic
+  os.replace parquet per batch id), so a restarted driver reloads the
+  committed history and resumes exactly;
+- the maintained view at any moment is the ivm_merge fold of the stored
+  states — all four aggregates (count/sum/min/max) are associative and
+  commutative in BIGINT, so the fold order is free and the result is
+  bit-identical to the batch ivm_agg_state of the drained backlog
+  (pinned in tests/test_streaming.py).
+
+State bound: (#batches seen) x (keys per batch) grouped rows — the
+per-batch entry is key-cardinality-sized regardless of batch row count,
+which is what makes the driver-side fold legitimate; a long-lived
+deployment would periodically ivm_merge-compact the per-batch files
+into one (the merge is the compaction).
+
+[NOT IN REFERENCE — executor.py has no streaming surface.]
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from executor_u1mindexer_spark.operators import maintenance as M
+from executor_u1mindexer_spark.streaming.sketch_stream import _BatchKeyedStore
+
+_STATE_COLS = ("n_rows", "sum_milli", "min_milli", "max_milli")
+
+
+def streaming_ivm_fold(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_dir: str | None = None,
+):
+    """Returns (writer, states): run the writer to drain the stream;
+    `states` is the batch-id-keyed dict of per-batch partial states
+    (each a list of key+state tuples). Read the maintained view with
+    ivm_view(spark, states, keys)."""
+    cols = tuple(keys) + _STATE_COLS
+    store = _BatchKeyedStore(state_dir) if state_dir else None
+    states: dict[int, list] = {}
+    if store is not None:
+        for bid, pdf in store.load().items():
+            states[bid] = [tuple(t) for t in pdf[list(cols)].itertuples(index=False)]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        st = M.ivm_agg_state(batch_df, keys, value_col)
+        entry = [tuple(r[c] for c in cols) for r in st.collect()]
+        if store is not None:
+            store.put(int(batch_id), pd.DataFrame(entry, columns=list(cols)))
+        states[int(batch_id)] = entry
+
+    writer = stream.writeStream.foreachBatch(fold)
+    return writer, states
+
+
+def ivm_view(spark: SparkSession, states: dict[int, list], keys: list[str]) -> DataFrame:
+    """The maintained view over everything drained so far: one
+    ivm_merge-shaped grouped fold of the per-batch partial states."""
+    cols = list(keys) + list(_STATE_COLS)
+    rows = [t for entry in states.values() for t in entry]
+    schema = ", ".join(
+        [f"{k} string" for k in keys]
+        + [f"{c} long" for c in _STATE_COLS]
+    )
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    # one grouped fold of all entries == chained pairwise ivm_merge
+    # (associativity); expressed AS ivm_merge against an empty state so
+    # the streaming view and the batch operator share one code path
+    return M.ivm_merge(df.limit(0), df, keys)

