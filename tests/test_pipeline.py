@@ -406,3 +406,41 @@ def test_interval_union_swallows_and_splits(spark):
            for r in E.interval_union_coverage(df, "u", "s", "e", "id").collect()}
     assert got[1] == (5, 2, 115, 205)   # [0,110) + [200,205)
     assert got[2] == (3, 1, 10, 10)
+
+
+def test_interval_union_matches_brute_force_on_random_sets(spark):
+    """Seeded-random stress: 200 intervals over 10 keys with heavy
+    overlap, operator output == a plain-Python sweep-line merge."""
+    import random
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(200):
+        k = rng.randint(0, 9)
+        s = rng.randint(0, 500)
+        rows.append((k, i, s, s + rng.randint(1, 80)))
+    from executor_u1mindexer_spark.operators import events as E
+
+    df = spark.createDataFrame(rows, "u long, id long, s long, e long")
+    got = {r.u: (r.n_intervals, r.n_islands, r.covered_units, r.span_units)
+           for r in E.interval_union_coverage(df, "u", "s", "e", "id").collect()}
+
+    by_key = {}
+    for k, _, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    want = {}
+    for k, iv in by_key.items():
+        iv.sort()
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want[k] = (
+            len(iv),
+            len(islands),
+            sum(e - s for s, e in islands),
+            islands[-1][1] - islands[0][0],
+        )
+    assert got == want
