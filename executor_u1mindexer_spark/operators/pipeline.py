@@ -648,8 +648,12 @@ def dq_audit(
     the FK anti-join is the only extra pass, shuffling on the key it
     checks. [NOT IN REFERENCE — beyond-reference pipeline monitoring
     beside drift_chi2_buckets / rolling_zscore.]"""
+    # a violation is any row where the predicate is NOT TRUE — a NULL
+    # predicate (NULL input to a comparison) counts as a violation, the
+    # Deequ semantics; sum(when(~pred)) would let NULL escape both
+    # branches and silently under-count
     aggs = [
-        F.sum(F.when(~F.expr(pred), 1)).alias(name)
+        (F.count(F.lit(1)) - F.sum(F.when(F.expr(pred), 1).otherwise(0))).alias(name)
         for name, pred in row_constraints.items()
     ]
     names = list(row_constraints)

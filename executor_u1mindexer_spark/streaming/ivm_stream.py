@@ -67,7 +67,13 @@ def streaming_ivm_fold(
 
 def ivm_view(spark: SparkSession, states: dict[int, list], keys: list[str]) -> DataFrame:
     """The maintained view over everything drained so far: one
-    ivm_merge-shaped grouped fold of the per-batch partial states."""
+    ivm_merge-shaped grouped fold of the per-batch partial states.
+
+    Key columns are materialized as STRING in the reconstructed frame
+    (the fold state is schema-light driver-side tuples); grouping and
+    the four BIGINT aggregates are type-agnostic over that, so the view
+    values are exact — a caller needing typed keys casts on the way
+    out."""
     cols = list(keys) + list(_STATE_COLS)
     rows = [t for entry in states.values() for t in entry]
     schema = ", ".join(

@@ -403,11 +403,11 @@ GROUP BY lang ORDER BY lang
 """,
     "dq_constraint_audit": """
 WITH rowc AS (
-  SELECT CAST(count(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) AS BIGINT) AS price_positive,
-         CAST(count(CASE WHEN NOT (o_totalprice < 400000) THEN 1 END) AS BIGINT) AS price_below_400k,
-         CAST(count(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 END) AS BIGINT) AS status_in_domain,
-         CAST(count(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 END) AS BIGINT) AS custkey_nonnull,
-         CAST(count(CASE WHEN NOT (o_orderdate < TIMESTAMP '1996-01-01 00:00:00') THEN 1 END) AS BIGINT) AS date_in_1995,
+  SELECT CAST(count(*) - count(CASE WHEN o_totalprice > 0 THEN 1 END) AS BIGINT) AS price_positive,
+         CAST(count(*) - count(CASE WHEN o_totalprice < 400000 THEN 1 END) AS BIGINT) AS price_below_400k,
+         CAST(count(*) - count(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 END) AS BIGINT) AS status_in_domain,
+         CAST(count(*) - count(CASE WHEN o_custkey IS NOT NULL THEN 1 END) AS BIGINT) AS custkey_nonnull,
+         CAST(count(*) - count(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' THEN 1 END) AS BIGINT) AS date_in_1995,
          CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS unique_o_orderkey
   FROM orders
 ), fk AS (

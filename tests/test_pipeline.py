@@ -384,6 +384,13 @@ def test_dq_audit_counts_every_violation_class(spark):
             for r in P.dq_audit(clean, {"v_positive": "v > 0"},
                                 unique_cols=["k"], fk=("fk", dim, "d")).collect()}
     assert all(out2.values())
+    # NULL predicate counts as a violation (Deequ semantics): NULL > 0 is
+    # NULL, which is NOT TRUE — sum(when(~pred)) would let it escape
+    nullv = spark.createDataFrame([(1, 10, None), (2, 10, 1.0)],
+                                  "k long, fk long, v double")
+    out3 = {r.check_name: r.n_violations
+            for r in P.dq_audit(nullv, {"v_positive": "v > 0"}).collect()}
+    assert out3 == {"v_positive": 1}
 
 
 def test_interval_union_swallows_and_splits(spark):
