@@ -122,7 +122,13 @@ def domain_quota(df: DataFrame, key: str, domain: str, cap: int) -> DataFrame:
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     order = T.hash32(F.concat(F.lit("quota:"), F.col(key).cast("string")))
-    w = Window.partitionBy(domain).orderBy(order.asc(), F.col(key).asc())
+    # explicit NULLS LAST: a NULL key hashes to NULL, and Spark's asc
+    # defaults NULLS FIRST where DuckDB defaults NULLS LAST — pin the
+    # DuckDB convention so the rank is engine-independent even on dirty
+    # keys (the fixture's doc_id is non-null; this is input hardening)
+    w = Window.partitionBy(domain).orderBy(
+        order.asc_nulls_last(), F.col(key).asc_nulls_last()
+    )
     return (
         df.withColumn("__qrk", F.row_number().over(w))
         .filter(F.col("__qrk") <= cap)
