@@ -330,6 +330,11 @@ def interval_union_coverage(
         F.col(start_col).cast("long").alias("__s"),
         F.col(end_col).cast("long").alias("__e"),
         F.col(id_col).alias("__id"),
+    ).filter(
+        # input hardening: an interval without a bound has no coverage,
+        # and a NULL in the window's order key would rank-diverge across
+        # engines (Spark asc = NULLS FIRST, DuckDB = NULLS LAST)
+        F.col("__s").isNotNull() & F.col("__e").isNotNull() & F.col("__id").isNotNull()
     ).withColumn(
         "__new",
         F.when(F.col("__s") > F.coalesce(
