@@ -85,3 +85,58 @@ def ivm_view(spark: SparkSession, states: dict[int, list], keys: list[str]) -> D
     # (associativity); expressed AS ivm_merge against an empty state so
     # the streaming view and the batch operator share one code path
     return M.ivm_merge(df.limit(0), df, keys)
+
+
+def streaming_dq_fold(
+    stream: DataFrame,
+    row_constraints: dict[str, str],
+    state_dir: str | None = None,
+):
+    """Streaming data-quality ledger: per micro-batch, run the SAME
+    pipeline.dq_audit constraint suite (row-level predicates only —
+    uniqueness and referential checks are cross-batch properties a
+    per-batch monitor cannot decide) and store its per-check violation
+    counts keyed by batch id — additive, so the accumulated view is the
+    dq_audit of the drained backlog exactly, under the same
+    redelivery-idempotent, durable, batch-id-keyed discipline as
+    streaming_ivm_fold. Read the ledger with dq_view()."""
+    from executor_u1mindexer_spark.operators import pipeline as P
+
+    cols = ("check_name", "n_violations")
+    store = _BatchKeyedStore(state_dir) if state_dir else None
+    states: dict[int, list] = {}
+    if store is not None:
+        for bid, pdf in store.load().items():
+            states[bid] = [tuple(t) for t in pdf[list(cols)].itertuples(index=False)]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        audit = P.dq_audit(batch_df, row_constraints)
+        entry = [(r.check_name, r.n_violations) for r in audit.collect()]
+        if store is not None:
+            store.put(int(batch_id), pd.DataFrame(entry, columns=list(cols)))
+        states[int(batch_id)] = entry
+
+    writer = stream.writeStream.foreachBatch(fold)
+    return writer, states
+
+
+def dq_view(spark: SparkSession, states: dict[int, list]) -> DataFrame:
+    """Accumulated constraint report over everything drained so far."""
+    from pyspark.sql import functions as F
+
+    rows = [t for entry in states.values() for t in entry]
+    df = (
+        spark.createDataFrame(rows, "check_name string, n_violations long")
+        if rows
+        else spark.createDataFrame([], "check_name string, n_violations long")
+    )
+    return (
+        df.groupBy("check_name")
+        .agg(F.sum("n_violations").cast("long").alias("n_violations"))
+        .select(
+            "check_name",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )

@@ -507,3 +507,36 @@ def test_streaming_ivm_view_matches_batch(spark, sf_dir, tmp_path):
         r.event_type: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
         for r in IV.ivm_view(spark, states3, ["event_type"]).collect()
     } == want
+
+
+def test_streaming_dq_ledger_matches_batch_audit(spark, sf_dir, tmp_path):
+    """The streaming DQ ledger's accumulated counts must equal the batch
+    dq_audit of the drained backlog (violation counts are additive), with
+    the same redelivery-idempotence and restart closure as the IVM fold."""
+    from executor_u1mindexer_spark.operators import pipeline as P
+    from executor_u1mindexer_spark.streaming import events_stream as ES
+    from executor_u1mindexer_spark.streaming import ivm_stream as IV
+
+    constraints = {"value_positive": "value > 0",
+                   "type_known": "event_type IN ('view','click','purchase','signup','error')"}
+    sdir = str(tmp_path / "dq_state")
+    stream = ES.read_events_stream(spark, sf_dir)
+    writer, states = IV.streaming_dq_fold(stream, constraints, sdir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(states) >= 1
+    events = tables.load(spark, sf_dir, "events")
+    want = {(r.check_name, r.n_violations, r.passed)
+            for r in P.dq_audit(events, constraints).collect()}
+    got = {(r.check_name, r.n_violations, r.passed)
+           for r in IV.dq_view(spark, states).collect()}
+    assert got == want and len(want) == 2
+    # redelivery: overwriting a batch id leaves the view unchanged
+    bid = next(iter(states))
+    states[bid] = list(states[bid])
+    assert {(r.check_name, r.n_violations, r.passed)
+            for r in IV.dq_view(spark, states).collect()} == want
+    # restart: a fresh fold on the durable dir resumes with history
+    _, states2 = IV.streaming_dq_fold(stream, constraints, sdir)
+    assert {(r.check_name, r.n_violations, r.passed)
+            for r in IV.dq_view(spark, states2).collect()} == want
