@@ -66,84 +66,19 @@ SUITE_MODULES = (
 # (a)); rotation_check treats these as legitimate window occupants even
 # while stale rows wait. Keep this list honest — it is the audit trail
 # for why a fresh row occupies a slot ahead of a stale one.
-POLICY_A = (
-    "hybrid_search_rrf",
-)
+POLICY_A = ()
 
 DRIVER_PRIORITY = (
-    # policy (a): changed this round
-    "hybrid_search_rrf",
-    # never driver-checked: capacity row (r09 #4) + the 11 fold twins
-    "index_upsert_capacity",
-    "knn_search_batch",
-    "sketch_ams",
-    "sketch_cms",
-    "sketch_bloom",
-    "sketch_hll",
-    "sketch_quantile",
-    "window_funcs",
-    "scalar_funcs",
-    "grouping_analytics",
-    "agg_approx_family",
-    "source_format_roundtrips",
-    # ALL 37 surviving r05-stale rows (events_sessionize first, then
-    # alphabetical) — the staleness floor rises to r06 after this round
-    "events_sessionize",
-    "ann_cosine_topk_join",
-    "ann_ivf_label_topk",
-    "ann_ivf_pq_topk",
-    "ann_lsh_hyperplane_topk",
-    "bucketed_colocated_join",
-    "chunk_sliding_window",
-    "embedding_quantize_int8",
-    "events_tumbling_hourly",
-    "exact_dedup_text",
-    "join_broadcast_dim",
-    "join_semi_customers_with_orders",
-    "map_column_ops",
-    "mixture_weighted_sources",
-    "multimodal_binary_metadata",
-    "multimodal_decode_image",
-    "multimodal_join",
-    "near_dedup_embedding_cosine",
-    "near_dedup_minhash_lsh",
-    "near_dedup_ngram_jaccard",
-    "null_handling_funcs",
-    "sample_hash_fraction",
-    "sample_stratified_by_lang",
-    "scd2_two_batch_history",
-    "set_ops_customer_segments",
-    "skew_salted_join",
-    "text_benchmark_contamination",
-    "text_fingerprints",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_vocab_topk",
-    "topk_orders_by_price",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "traverse_chunks",
-    # --- 50-slot window boundary ---
-    # r11 window plan: multimodal_container_properties (NEW r10, never
-    # driver-checked — green in this round's committed local sweeps at
-    # both SFs) plus the 22 surviving r06-stale rows lead
-    # (agg_listagg_names, ann_partitioned_topk, ann_range_search,
-    # decontaminated_training_mix, delete_by_ids, dump_load_roundtrip,
-    # embedding_centroids_by_label, embedding_matryoshka_stats,
-    # eval_retrieval_label_metrics, events_funnel_view_click_purchase,
-    # events_gapfill_hourly, events_range_join_amplified,
-    # events_range_join_banded_amplified, events_resample_ohlc,
-    # graph_pagerank_parts, graph_triangle_count, multimodal_decode_gif_
-    # animation, sketch_bloom_join_prune, sketch_quantile_clip_outliers,
-    # text_bm25_topk_joins, text_bpe_learn_merges, text_bpe_tokenize),
-    # then the oldest r08 rows fill the remaining ~26 slots.
+    # Round 11 window (VERDICT r10 #1, rotated as the FIRST commit of the
+    # round per the settled protocol): the 9 never-driver-checked r10 rows
+    # lead, then ALL 22 surviving r06-stale rows, then the 19 oldest
+    # (alphabetical) of the 43 r08-stale rows. Staleness floor rises to
+    # r08 after this round; the 24 remaining r08 rows queue for r12
+    # (listed after the boundary) and fit one window with room for r11's
+    # new rows, keeping the 4-window full-registry cycle on schedule.
+    # never driver-checked (new in r10):
     "multimodal_container_properties",
     "mixture_temperature_resample",
-    # new r10 (after the window commit): hilbert layout, containment
-    # dedup, domain quota — never driver-checked, green in the committed
-    # r10 local sweeps at both SFs; they lead r11 with the rows above
     "layout_hilbert_clustering",
     "near_dedup_containment_prefix",
     "sample_domain_quota",
@@ -151,6 +86,7 @@ DRIVER_PRIORITY = (
     "dq_constraint_audit",
     "source_schema_evolution",
     "events_interval_union",
+    # ALL 22 surviving r06-stale rows (alphabetical):
     "agg_listagg_names",
     "ann_partitioned_topk",
     "ann_range_search",
@@ -173,6 +109,54 @@ DRIVER_PRIORITY = (
     "text_bm25_topk_joins",
     "text_bpe_learn_merges",
     "text_bpe_tokenize",
+    # 19 oldest r08-stale rows (alphabetical prefix of the 43):
+    "ann_hnsw_partitioned_topk",
+    "drift_chi2_value_periods",
+    "embedding_gram_moments",
+    "events_markov_transitions",
+    "events_range_join_bucketed",
+    "events_retention_cohorts",
+    "events_rolling_zscore",
+    "graph_cc_event_chains",
+    "graph_label_propagation",
+    "index_upsert",
+    "layout_file_skipping",
+    "layout_zorder_clustering",
+    "llm_corpus_pipeline",
+    "multimodal_decode_audio",
+    "multimodal_decode_webp_lossless",
+    "multimodal_sample_video_frames",
+    "multimodal_thumbnail_meta",
+    "near_dedup_cc_clusters",
+    "near_dedup_clusters",
+    # --- 50-slot window boundary ---
+    # r12 window plan: any rows changed/added in r11 (policy (a) /
+    # never-checked) lead, then the 24 remaining r08-stale rows below,
+    # then the oldest r09 rows fill the rest.
+    "near_dedup_simhash",
+    "pack_token_budget",
+    "shuffle_epoch_order",
+    "simhash_fingerprints",
+    "source_compact_small_files",
+    "source_partitioned_parquet",
+    "split_train_val_test",
+    "status_counts",
+    "text_char_ngram_stats",
+    "text_corpus_stats",
+    "text_inverted_index",
+    "text_length_histogram",
+    "text_phrase_search",
+    "text_pii_redaction",
+    "text_repetition_scores",
+    "text_url_domains",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q6_forecast_revenue",
+    "unpivot_lineitem_metrics",
+    "update_existing",
+    "update_skipped",
+    "vector_dedup_quantize",
 )
 
 
