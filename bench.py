@@ -242,16 +242,25 @@ def main() -> None:
         # dependent only. Compare across rounds BEFORE reading per-query
         # drift; start vs end also exposes within-run slowdown.
         "calibration_probe": {"start_s": probe_start, "end_s": probe_end},
-        # probe-normalized per-query times (VERDICT r09 #5): each raw time
-        # divided by the mean probe reading, so cross-round regression
-        # detection is mechanical — a query whose NORMALIZED number moved
-        # regressed for real; one whose raw number moved with the probe
-        # just rode host drift. Unit: multiples of the probe workload.
-        "queries_normalized": {
-            k: round(v / ((probe_start + probe_end) / 2), 4)
-            for k, v in timings.items()
-        },
     }
+    # Probe-normalized per-query times (VERDICT r09 #5): each raw time
+    # divided by the mean probe reading, so cross-round regression
+    # detection is mechanical — a query whose NORMALIZED number moved
+    # regressed for real; one whose raw number moved with the probe just
+    # rode host drift. Unit: multiples of the probe workload.
+    #
+    # Printed on its OWN line, NOT inside the headline record: the grading
+    # driver keeps only a bounded stdout TAIL and parses the LAST JSON
+    # line. Folding this map into the headline in r10 doubled that line
+    # past the tail window and truncated its head — BENCH_r10.json has
+    # `parsed: null` (VERDICT r10 #2). The headline line below is the
+    # r01–r09 shape that parsed every round; keep it the FINAL line and
+    # keep it compact.
+    normalized = {
+        k: round(v / ((probe_start + probe_end) / 2), 4)
+        for k, v in timings.items()
+    }
+    print(json.dumps({"queries_normalized": normalized}))
     print(json.dumps(out))
 
 

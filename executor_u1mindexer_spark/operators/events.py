@@ -322,6 +322,13 @@ def interval_union_coverage(
     Output one row per key: (key, n_intervals, n_islands,
     covered_units, span_units) with covered <= span by construction.
 
+    Input policy (ADVICE r10): NULL-bound intervals are dropped (no
+    coverage, and a NULL order key would rank-diverge across engines),
+    and so are EMPTY or REVERSED intervals (end <= start) — a reversed
+    interval could make an island's min(start)/max(end) inconsistent and
+    push covered_units past span_units, breaking the invariant above; a
+    zero-width interval covers nothing. Only end > start rows count.
+
     Scale shape: two windows and one aggregate, all PARTITIONED by the
     key — state per task is one running max; no unpartitioned window,
     no self-join (the O(n^2) interval-overlap formulation)."""
@@ -334,7 +341,12 @@ def interval_union_coverage(
         # input hardening: an interval without a bound has no coverage,
         # and a NULL in the window's order key would rank-diverge across
         # engines (Spark asc = NULLS FIRST, DuckDB = NULLS LAST)
-        F.col("__s").isNotNull() & F.col("__e").isNotNull() & F.col("__id").isNotNull()
+        F.col("__s").isNotNull()
+        & F.col("__e").isNotNull()
+        & F.col("__id").isNotNull()
+        # empty/reversed intervals carry no coverage and would break the
+        # covered <= span invariant (see docstring policy)
+        & (F.col("__e") > F.col("__s"))
     ).withColumn(
         "__new",
         F.when(F.col("__s") > F.coalesce(

@@ -15,6 +15,8 @@ chunking is an explode whose fan-out is len/stride per doc.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -109,7 +111,12 @@ def domain_quota(df: DataFrame, key: str, domain: str, cap: int) -> DataFrame:
     isn't per-domain). Rows within each domain are ranked by a SALTED
     key hash ('quota:' prefix, so the decision is independent of every
     other hash-sampling decision in this module), tie-broken by the key
-    itself for a total order; the first `cap` survive.
+    itself for a total order; the first `cap` survive. Rows with a NULL
+    key are dropped before ranking (ADVICE r10: with 2+ NULL keys in one
+    domain BOTH order expressions are NULL, so their relative rank would
+    be nondeterministic — the same hardening as interval_union). The
+    engine-independence claim therefore holds over non-null keys; NULL
+    keys have a pinned policy (excluded) rather than a pinned rank.
 
     Scale shape: one partitioned window per domain — parallel across
     domains, spill-safe within one. For a pathologically hot domain the
@@ -122,15 +129,10 @@ def domain_quota(df: DataFrame, key: str, domain: str, cap: int) -> DataFrame:
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     order = T.hash32(F.concat(F.lit("quota:"), F.col(key).cast("string")))
-    # explicit NULLS LAST: a NULL key hashes to NULL, and Spark's asc
-    # defaults NULLS FIRST where DuckDB defaults NULLS LAST — pin the
-    # DuckDB convention so the rank is engine-independent even on dirty
-    # keys (the fixture's doc_id is non-null; this is input hardening)
-    w = Window.partitionBy(domain).orderBy(
-        order.asc_nulls_last(), F.col(key).asc_nulls_last()
-    )
+    w = Window.partitionBy(domain).orderBy(order.asc(), F.col(key).asc())
     return (
-        df.withColumn("__qrk", F.row_number().over(w))
+        df.filter(F.col(key).isNotNull())
+        .withColumn("__qrk", F.row_number().over(w))
         .filter(F.col("__qrk") <= cap)
         .drop("__qrk")
     )
@@ -650,10 +652,21 @@ def dq_audit(
     fk = (fact_col, dim_df, dim_col): count fact rows whose non-null key
     has no match in the dimension.
 
+    Check names (constraint keys and unique column names) must be plain
+    SQL identifiers (``[A-Za-z_][A-Za-z0-9_]*``) — they are interpolated
+    into the generated stack() expression both as a string literal and as
+    a column reference, so a quote/space/reserved word would break or
+    silently mis-parse the melt; reject loudly instead (ADVICE r10).
+
     Scale shape: one scan + one tiny final melt for the row constraints;
     the FK anti-join is the only extra pass, shuffling on the key it
     checks. [NOT IN REFERENCE — beyond-reference pipeline monitoring
     beside drift_chi2_buckets / rolling_zscore.]"""
+    for nm in list(row_constraints) + [f"unique_{c}" for c in (unique_cols or ())]:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", nm):
+            raise ValueError(
+                f"dq_audit check name {nm!r} is not a plain SQL identifier"
+            )
     # a violation is any row where the predicate is NOT TRUE — a NULL
     # predicate (NULL input to a comparison) counts as a violation, the
     # Deequ semantics; sum(when(~pred)) would let NULL escape both

@@ -74,13 +74,23 @@ def melt_spark(
     parts = []
     for m in metrics:
         dt = dtypes[m]
+        # the date lane melts via cast-to-DATE-then-string, which would
+        # silently discard a timestamp's time-of-day from the compare —
+        # so only dtype 'date' is admitted; a timestamp metric must be
+        # formatted by the variant builder itself (ADVICE r10)
+        if dt.startswith("timestamp"):
+            raise ValueError(
+                f"fold metric {variant}.{m} has dtype {dt}: the date lane "
+                "accepts only DATE — format timestamps to string (full "
+                "precision) in the variant builder instead"
+            )
         lane = (
             "bool"
             if dt == "boolean"
             else "string"
             if dt == "string"
             else "date"
-            if dt.startswith(("date", "timestamp"))
+            if dt.startswith("date")
             else "num"
         )
         declared = (
@@ -189,6 +199,13 @@ def fold_family(
         )
 
     q.__name__ = name
+    # mechanical fold marker (VERDICT r10 #4): tests/test_fold_witness.py
+    # enumerates folded registry rows by this attribute and re-runs each
+    # family's WIDEST variant through the UNFOLDED builder against its
+    # original-dtype oracle — the folded row compares doubles/strings by
+    # design, so every family keeps one dtype-faithful witness in pytest.
+    q.__fold_members__ = members
+    q.__fold_sources__ = (queries, oracles)
     q.__doc__ = doc or (
         f"Parameterized twin row (VERDICT r09 #3): UNION of "
         f"{[m[0] for m in members]} under the canonical melted schema — "

@@ -226,6 +226,12 @@ WITH iv AS (
          CAST(floor(epoch(ts)) AS BIGINT)
            + greatest(1, CAST(round(value) AS BIGINT)) AS ive
   FROM events
+  -- mirror the operator's input policy (ADVICE r10): both sides drop
+  -- NULL-bound rows; the end > start check is vacuous here (ive is
+  -- constructed >= ivs+1) but states the same contract
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+), hardened AS (
+  SELECT * FROM iv WHERE ive > ivs
 ), flagged AS (
   SELECT user_id, ivs, ive,
          CASE WHEN ivs > coalesce(
@@ -233,7 +239,7 @@ WITH iv AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            -4611686018427387904) THEN 1 ELSE 0 END AS newf,
          event_id
-  FROM iv
+  FROM hardened
 ), islanded AS (
   SELECT user_id, ivs, ive,
          sum(newf) OVER (PARTITION BY user_id ORDER BY ivs, ive, event_id

@@ -435,6 +435,7 @@ WITH ranked AS (
                          AS BIGINT) ASC,
                     doc_id ASC) AS qrk
   FROM documents
+  WHERE doc_id IS NOT NULL  -- mirror domain_quota's NULL-key drop (ADVICE r10)
 ), kc AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
          CAST(sum(n_chars) AS BIGINT) AS sum_kept_chars

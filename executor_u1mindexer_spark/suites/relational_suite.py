@@ -389,7 +389,10 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.quarter("o_orderdate").alias("order_quarter"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        # DATE, not the raw date_trunc timestamp: month-start is always
+        # midnight so the cast is lossless, and the fold's date lane
+        # rejects timestamps (ADVICE r10 — silent time-of-day truncation)
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_2002"
         ),
@@ -606,7 +609,7 @@ SELECT o_orderkey,
        month(o_orderdate) AS order_month,
        day(o_orderdate) AS order_day,
        quarter(o_orderdate) AS order_quarter,
-       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
        datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
 FROM orders
 """,
