@@ -20,8 +20,11 @@ sketch_stream.streaming_quantile_state_fold discipline:
 State bound: (#batches seen) x (keys per batch) grouped rows — the
 per-batch entry is key-cardinality-sized regardless of batch row count,
 which is what makes the driver-side fold legitimate; a long-lived
-deployment would periodically ivm_merge-compact the per-batch files
-into one (the merge is the compaction).
+deployment periodically compacts the per-batch files into one via
+_BatchKeyedStore.compact(ivm_compact_fold(keys)) — the merge IS the
+compaction (r11, VERDICT r10 #5): all-but-the-newest entries fold into
+a compact-K superseding file, crash-safe under os.replace alone and
+redelivery-safe because only the newest batch can ever be replayed.
 
 [NOT IN REFERENCE — executor.py has no streaming surface.]
 """
@@ -118,6 +121,36 @@ def streaming_dq_fold(
 
     writer = stream.writeStream.foreachBatch(fold)
     return writer, states
+
+
+def ivm_compact_fold(keys: list[str]):
+    """fold_fn for _BatchKeyedStore.compact over streaming_ivm_fold
+    state (VERDICT r10 #5): the SAME algebra as maintenance.ivm_merge —
+    count/sum add, min/max fold — applied to the key-cardinality-sized
+    per-batch partials driver-side (pandas), so the compacted entry is
+    bit-identical to the entries it replaces under ivm_view's grouped
+    fold (all four aggregates associative+commutative in BIGINT)."""
+
+    def fold(pdfs: list[pd.DataFrame]) -> pd.DataFrame:
+        allp = pd.concat(pdfs, ignore_index=True)
+        return allp.groupby(list(keys), as_index=False).agg(
+            n_rows=("n_rows", "sum"),
+            sum_milli=("sum_milli", "sum"),
+            min_milli=("min_milli", "min"),
+            max_milli=("max_milli", "max"),
+        )
+
+    return fold
+
+
+def dq_compact_fold(pdfs: list[pd.DataFrame]) -> pd.DataFrame:
+    """fold_fn for _BatchKeyedStore.compact over streaming_dq_fold state:
+    violation counts are additive, so summing per check_name preserves
+    the accumulated ledger exactly."""
+    allp = pd.concat(pdfs, ignore_index=True)
+    return allp.groupby("check_name", as_index=False).agg(
+        n_violations=("n_violations", "sum")
+    )
 
 
 def dq_view(spark: SparkSession, states: dict[int, list]) -> DataFrame:

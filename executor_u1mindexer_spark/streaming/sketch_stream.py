@@ -69,17 +69,92 @@ class _BatchKeyedStore:
         os.replace(tmp, os.path.join(self._dir, f"batch-{batch_id}.parquet"))
 
     def load(self) -> dict[int, pd.DataFrame]:
+        """Committed entries, with compaction semantics: if a
+        ``compact-K.parquet`` exists, it SUPERSEDES every ``batch-k`` file
+        with k <= K (and every older compact file) — those are ignored
+        here and lazily deleted by the next compact(). This is what makes
+        compact() crash-safe with os.replace alone: until the compact
+        file lands nothing changed, and after it lands the stale per-batch
+        files are invisible regardless of whether their cleanup ran."""
         import os
         import re
 
-        out: dict[int, pd.DataFrame] = {}
+        compacts: dict[int, str] = {}
+        batches: dict[int, str] = {}
         for name in sorted(os.listdir(self._dir)):
             m = re.fullmatch(r"batch-(\d+)\.parquet", name)
             if m:
-                out[int(m.group(1))] = pd.read_parquet(
-                    os.path.join(self._dir, name)
-                )
+                batches[int(m.group(1))] = name
+            m = re.fullmatch(r"compact-(\d+)\.parquet", name)
+            if m:
+                compacts[int(m.group(1))] = name
+        out: dict[int, pd.DataFrame] = {}
+        floor = -1
+        if compacts:
+            floor = max(compacts)
+            out[floor] = pd.read_parquet(os.path.join(self._dir, compacts[floor]))
+        for bid, name in batches.items():
+            if bid > floor:
+                out[bid] = pd.read_parquet(os.path.join(self._dir, name))
         return out
+
+    def compact(self, fold_fn) -> dict[int, pd.DataFrame]:
+        """Fold every committed entry EXCEPT the newest into one
+        (VERDICT r10 #5 — the documented "ivm_merge IS the compaction"
+        maintenance step). ``fold_fn(list[pd.DataFrame]) -> pd.DataFrame``
+        must be the store's additive/mergeable path (ivm_compact_fold /
+        dq_compact_fold in ivm_stream.py), so the folded entry equals the
+        entries it replaces under any later fold.
+
+        Redelivery safety: Structured Streaming can only re-deliver the
+        LATEST batch (the one whose checkpoint commit may not have been
+        recorded — every older batch's commit is implied by the newer
+        entries' existence), so the newest entry is EXCLUDED from the fold
+        and keeps overwrite-idempotent semantics; the folded history is
+        keyed at the max FOLDED id K via a compact-K file that load()
+        treats as superseding batch-k for k <= K.
+
+        Crash safety: the compact file is os.replace'd into place (all or
+        nothing); stale per-batch files left by a crash after that point
+        are ignored by load() and deleted on the next compact(). Run on a
+        quiescent store (stream stopped / between restarts) — the
+        in-memory states dict of a LIVE fold is rebuilt from load() only
+        at restart. Returns the post-compaction load() view."""
+        import os
+
+        entries = self.load()
+        if len(entries) >= 3:
+            newest = max(entries)
+            fold_ids = sorted(k for k in entries if k != newest)
+            k_top = fold_ids[-1]
+            folded = fold_fn([entries[k] for k in fold_ids])
+            tmp = os.path.join(self._dir, f".tmp-compact-{k_top}.parquet")
+            folded.to_parquet(tmp, index=False)
+            os.replace(tmp, os.path.join(self._dir, f"compact-{k_top}.parquet"))
+        # lazy cleanup of anything a current compact file supersedes
+        # (including stale files from an earlier crashed cleanup)
+        import re
+
+        names = os.listdir(self._dir)
+        floors = [
+            int(m.group(1))
+            for name in names
+            if (m := re.fullmatch(r"compact-(\d+)\.parquet", name))
+        ]
+        if floors:
+            floor = max(floors)
+            for name in names:
+                m = re.fullmatch(r"(batch|compact)-(\d+)\.parquet", name)
+                if m and (
+                    int(m.group(2)) <= floor
+                    if m.group(1) == "batch"
+                    else int(m.group(2)) < floor
+                ):
+                    try:
+                        os.remove(os.path.join(self._dir, name))
+                    except OSError:
+                        pass  # cleanup is best-effort; load() ignores these
+        return self.load()
 
 
 def streaming_quantile_state_fold(

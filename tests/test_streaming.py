@@ -540,3 +540,117 @@ def test_streaming_dq_ledger_matches_batch_audit(spark, sf_dir, tmp_path):
     _, states2 = IV.streaming_dq_fold(stream, constraints, sdir)
     assert {(r.check_name, r.n_violations, r.passed)
             for r in IV.dq_view(spark, states2).collect()} == want
+
+
+def test_batch_keyed_store_compaction(spark, sf_dir, tmp_path):
+    """_BatchKeyedStore.compact (r11, VERDICT r10 #5): folding all-but-
+    the-newest entries via the ivm_merge algebra must leave the view
+    EXACT under (a) the fold itself, (b) redelivery of the newest batch,
+    (c) a state_dir restart, and (d) stale per-batch files left by a
+    crashed cleanup (superseded files are ignored by load())."""
+    import os
+
+    from executor_u1mindexer_spark.operators import maintenance as M
+    from executor_u1mindexer_spark.streaming import events_stream as ES
+    from executor_u1mindexer_spark.streaming import ivm_stream as IV
+    from executor_u1mindexer_spark.streaming.sketch_stream import _BatchKeyedStore
+
+    sdir = str(tmp_path / "ivm_state")
+    events = tables.load(spark, sf_dir, "events")
+    cols = ["event_type", "n_rows", "sum_milli", "min_milli", "max_milli"]
+    chunks = [
+        events.filter(F.dayofmonth("ts") <= 8),
+        events.filter((F.dayofmonth("ts") > 8) & (F.dayofmonth("ts") <= 16)),
+        events.filter((F.dayofmonth("ts") > 16) & (F.dayofmonth("ts") <= 24)),
+        events.filter(F.dayofmonth("ts") > 24),
+    ]
+    store = _BatchKeyedStore(sdir)
+    pdfs = {}
+    for bid, ch in enumerate(chunks):
+        pdfs[bid] = M.ivm_agg_state(ch, ["event_type"], "value").toPandas()[cols]
+        store.put(bid, pdfs[bid])
+
+    want = {
+        r.event_type: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
+        for r in M.ivm_agg_state(events, ["event_type"], "value").collect()
+    }
+
+    def view_of(entries):
+        states = {
+            bid: [tuple(t) for t in pdf[cols].itertuples(index=False)]
+            for bid, pdf in entries.items()
+        }
+        return {
+            r.event_type: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
+            for r in IV.ivm_view(spark, states, ["event_type"]).collect()
+        }
+
+    assert view_of(store.load()) == want  # uncompacted baseline
+
+    # (a) compact: batches 0..2 fold into compact-2; batch 3 (newest —
+    # the only replayable one) keeps its own overwrite-idempotent entry
+    got = store.compact(IV.ivm_compact_fold(["event_type"]))
+    assert sorted(got) == [2, 3]
+    files = sorted(os.listdir(sdir))
+    assert files == ["batch-3.parquet", "compact-2.parquet"]
+    assert view_of(got) == want
+
+    # (b) redelivery of the newest batch overwrites its own entry only
+    store.put(3, pdfs[3])
+    assert view_of(store.load()) == want
+
+    # (c) restart: a fresh fold on the same state_dir reloads the
+    # compacted history and the maintained view is still exact
+    stream = ES.read_events_stream(spark, sf_dir)
+    _, states3 = IV.streaming_ivm_fold(stream, ["event_type"], "value", sdir)
+    assert {
+        r.event_type: (r.n_rows, r.sum_milli, r.min_milli, r.max_milli)
+        for r in IV.ivm_view(spark, states3, ["event_type"]).collect()
+    } == want
+
+    # (d) crash-safe cleanup: a stale superseded file beside compact-2 is
+    # invisible to load() and removed by the next compact()
+    pdfs[1].to_parquet(os.path.join(sdir, "batch-1.parquet"), index=False)
+    assert view_of(store.load()) == want
+    store.compact(IV.ivm_compact_fold(["event_type"]))
+    assert "batch-1.parquet" not in os.listdir(sdir)
+    assert view_of(store.load()) == want
+
+
+def test_dq_ledger_compaction(spark, sf_dir, tmp_path):
+    """The DQ ledger's compaction twin: additive violation counts fold to
+    the same accumulated report, and a compacted store + redelivered
+    newest batch still equals the batch audit of the backlog."""
+    from executor_u1mindexer_spark.operators import pipeline as P
+    from executor_u1mindexer_spark.streaming import ivm_stream as IV
+    from executor_u1mindexer_spark.streaming.sketch_stream import _BatchKeyedStore
+
+    constraints = {"value_positive": "value > 0",
+                   "type_known": "event_type IN ('view','click','purchase','signup','error')"}
+    events = tables.load(spark, sf_dir, "events")
+    chunks = [events.filter(F.dayofmonth("ts") <= 10),
+              events.filter((F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20)),
+              events.filter(F.dayofmonth("ts") > 20)]
+    sdir = str(tmp_path / "dq_state")
+    store = _BatchKeyedStore(sdir)
+    pdfs = {}
+    for bid, ch in enumerate(chunks):
+        pdfs[bid] = (
+            P.dq_audit(ch, constraints).toPandas()[["check_name", "n_violations"]]
+        )
+        store.put(bid, pdfs[bid])
+    want = {(r.check_name, r.n_violations, r.passed)
+            for r in P.dq_audit(events, constraints).collect()}
+
+    def view_of(entries):
+        states = {
+            bid: [tuple(t) for t in pdf.itertuples(index=False)]
+            for bid, pdf in entries.items()
+        }
+        return {(r.check_name, r.n_violations, r.passed)
+                for r in IV.dq_view(spark, states).collect()}
+
+    got = store.compact(IV.dq_compact_fold)
+    assert sorted(got) == [1, 2] and view_of(got) == want
+    store.put(2, pdfs[2])  # redelivered newest batch
+    assert view_of(store.load()) == want
