@@ -300,6 +300,59 @@ ORDER BY c.from_type, c.to_type
 """
 
 
+def _interval_islands(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared gaps-and-islands core for interval_union_coverage and
+    interval_gap_report: hardened input -> one island row per merged
+    interval group, (key, __is, __ie, __n), via the running-max-of-ends
+    flag and its prefix sum over the (start, end, id) total order. Two
+    key-partitioned windows + one aggregate; all BIGINT."""
+    flagged = df.select(
+        key,
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+        F.col(id_col).alias("__id"),
+    ).filter(
+        # input hardening: an interval without a bound has no coverage,
+        # a NULL in the window's order key would rank-diverge across
+        # engines (Spark asc = NULLS FIRST, DuckDB = NULLS LAST), and
+        # empty/reversed intervals carry no coverage and would break the
+        # covered <= span invariant (see the callers' docstring policy)
+        F.col("__s").isNotNull()
+        & F.col("__e").isNotNull()
+        & F.col("__id").isNotNull()
+        & (F.col("__e") > F.col("__s"))
+    ).withColumn(
+        "__new",
+        F.when(F.col("__s") > F.coalesce(
+            F.max("__e").over(
+                Window.partitionBy(key)
+                .orderBy("__s", "__e", "__id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(-(1 << 62)),
+        ), 1).otherwise(0),
+    )
+    islanded = flagged.withColumn(
+        "__island",
+        F.sum("__new").over(
+            Window.partitionBy(key)
+            .orderBy("__s", "__e", "__id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islanded.groupBy(key, "__island").agg(
+        F.min("__s").alias("__is"),
+        F.max("__e").alias("__ie"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+
 def interval_union_coverage(
     df: DataFrame,
     key: str,
@@ -332,45 +385,7 @@ def interval_union_coverage(
     Scale shape: two windows and one aggregate, all PARTITIONED by the
     key — state per task is one running max; no unpartitioned window,
     no self-join (the O(n^2) interval-overlap formulation)."""
-    flagged = df.select(
-        key,
-        F.col(start_col).cast("long").alias("__s"),
-        F.col(end_col).cast("long").alias("__e"),
-        F.col(id_col).alias("__id"),
-    ).filter(
-        # input hardening: an interval without a bound has no coverage,
-        # and a NULL in the window's order key would rank-diverge across
-        # engines (Spark asc = NULLS FIRST, DuckDB = NULLS LAST)
-        F.col("__s").isNotNull()
-        & F.col("__e").isNotNull()
-        & F.col("__id").isNotNull()
-        # empty/reversed intervals carry no coverage and would break the
-        # covered <= span invariant (see docstring policy)
-        & (F.col("__e") > F.col("__s"))
-    ).withColumn(
-        "__new",
-        F.when(F.col("__s") > F.coalesce(
-            F.max("__e").over(
-                Window.partitionBy(key)
-                .orderBy("__s", "__e", "__id")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(-(1 << 62)),
-        ), 1).otherwise(0),
-    )
-    islanded = flagged.withColumn(
-        "__island",
-        F.sum("__new").over(
-            Window.partitionBy(key)
-            .orderBy("__s", "__e", "__id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    islands = islanded.groupBy(key, "__island").agg(
-        F.min("__s").alias("__is"),
-        F.max("__e").alias("__ie"),
-        F.count(F.lit(1)).alias("__n"),
-    )
+    islands = _interval_islands(df, key, start_col, end_col, id_col)
     return (
         islands.groupBy(key)
         .agg(
@@ -380,4 +395,44 @@ def interval_union_coverage(
             (F.max("__ie") - F.min("__is")).cast("long").alias("span_units"),
         )
         .orderBy(key)
+    )
+
+
+def interval_gap_report(
+    df: DataFrame,
+    key: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The complement of interval_union_coverage (r11, VERDICT r10 #7):
+    one row per DOWNTIME GAP between consecutive coverage islands — the
+    SLA report ("when was the key NOT covered, and for how long") that
+    the coverage totals summarize away. Same island machinery, same
+    input policy (NULL-bound and end <= start intervals dropped), same
+    BIGINT arithmetic.
+
+    Islands within a key are disjoint and strictly separated (touching
+    intervals merge — the island rule is start > running max of ends),
+    so consecutive islands ordered by island start define gaps of
+    gap_units >= 1; keys with a single island emit no rows.
+
+    Output: (key, gap_start, gap_end, gap_units) where gap_start is the
+    previous island's end and gap_end the next island's start.
+
+    Scale shape: the islands' two key-partitioned windows + one
+    aggregate, then ONE more key-partitioned lag over the (tiny) island
+    rows — no unpartitioned window, no self-join."""
+    islands = _interval_islands(df, key, start_col, end_col, id_col)
+    w = Window.partitionBy(key).orderBy("__is")
+    return (
+        islands.withColumn("__prev_e", F.lag("__ie").over(w))
+        .filter(F.col("__prev_e").isNotNull())
+        .select(
+            key,
+            F.col("__prev_e").cast("long").alias("gap_start"),
+            F.col("__is").cast("long").alias("gap_end"),
+            (F.col("__is") - F.col("__prev_e")).cast("long").alias("gap_units"),
+        )
+        .orderBy(key, "gap_start")
     )

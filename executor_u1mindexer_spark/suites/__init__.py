@@ -71,12 +71,14 @@ POLICY_A = ()
 DRIVER_PRIORITY = (
     # Round 11 window (VERDICT r10 #1, rotated as the FIRST commit of the
     # round per the settled protocol): the 9 never-driver-checked r10 rows
-    # lead, then ALL 22 surviving r06-stale rows, then the 19 oldest
-    # (alphabetical) of the 43 r08-stale rows. Staleness floor rises to
-    # r08 after this round; the 24 remaining r08 rows queue for r12
-    # (listed after the boundary) and fit one window with room for r11's
-    # new rows, keeping the 4-window full-registry cycle on schedule.
-    # never driver-checked (new in r10):
+    # lead, then ALL 22 surviving r06-stale rows, then the 17 oldest
+    # (alphabetical) of the 43 r08-stale rows, then the 2 rows ADDED in
+    # r11 (never-checked rows outrank merely-r08-stale ones — the
+    # no-wasted-slots rule fires if they wait outside). Staleness floor
+    # rises to r08 after this round; the 26 remaining r08 rows queue for
+    # r12 (listed after the boundary), keeping the 4-window cycle.
+    # never driver-checked (new in r10, plus the two r11 rows at the
+    # end of the window — interval gap report and cross-batch DQ):
     "multimodal_container_properties",
     "mixture_temperature_resample",
     "layout_hilbert_clustering",
@@ -109,7 +111,8 @@ DRIVER_PRIORITY = (
     "text_bm25_topk_joins",
     "text_bpe_learn_merges",
     "text_bpe_tokenize",
-    # 19 oldest r08-stale rows (alphabetical prefix of the 43):
+    # 17 oldest r08-stale rows (alphabetical prefix of the 43; the last
+    # two slots go to the r11 never-checked rows below):
     "ann_hnsw_partitioned_topk",
     "drift_chi2_value_periods",
     "embedding_gram_moments",
@@ -127,12 +130,14 @@ DRIVER_PRIORITY = (
     "multimodal_decode_webp_lossless",
     "multimodal_sample_video_frames",
     "multimodal_thumbnail_meta",
+    "events_interval_gaps",
+    "dq_backlog_cross_batch",
+    # --- 50-slot window boundary ---
+    # r12 window plan: any rows added/changed later in r11 lead, then the
+    # 26 remaining r08-stale rows below, then the oldest r09 rows fill
+    # the rest.
     "near_dedup_cc_clusters",
     "near_dedup_clusters",
-    # --- 50-slot window boundary ---
-    # r12 window plan: any rows changed/added in r11 (policy (a) /
-    # never-checked) lead, then the 24 remaining r08-stale rows below,
-    # then the oldest r09 rows fill the rest.
     "near_dedup_simhash",
     "pack_token_budget",
     "shuffle_epoch_order",

@@ -201,8 +201,28 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.interval_union_coverage(iv, "user_id", "ivs", "ive", "event_id")
 
 
+def events_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime-gap report (r11, operators/events.interval_gap_report):
+    the SLA complement of events_interval_union — one row per gap
+    between consecutive coverage islands per user, over the SAME
+    event-opened intervals. Pure BIGINT; the oracle replays the island
+    chain plus one lag over island starts."""
+    ev = tables.load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ivs"),
+        (
+            F.unix_timestamp("ts").cast("long")
+            + F.greatest(F.lit(1), F.round(F.col("value")).cast("long"))
+        ).alias("ive"),
+    )
+    return E.interval_gap_report(iv, "user_id", "ivs", "ive", "event_id")
+
+
 QUERIES = {
     "events_interval_union": events_interval_union,
+    "events_interval_gaps": events_interval_gaps,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_markov_transitions": events_markov_transitions,
     "events_resample_ohlc": events_resample_ohlc,
@@ -216,10 +236,11 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
 }
 
-ORACLES = {
-    # identical running-max / island-sum window chain; the (__s, __e, id)
-    # total order makes every intermediate a pure function of the data
-    "events_interval_union": """
+# identical running-max / island-sum window chain; the (__s, __e, id)
+# total order makes every intermediate a pure function of the data —
+# shared by the coverage row and its gap-report complement exactly as
+# operators/events._interval_islands is shared by the two operators
+_INTERVAL_ISLANDS_CTE = """
 WITH iv AS (
   SELECT user_id, event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS ivs,
@@ -251,12 +272,30 @@ WITH iv AS (
          count(*) AS n
   FROM islanded GROUP BY user_id, island
 )
+"""
+
+ORACLES = {
+    "events_interval_union": _INTERVAL_ISLANDS_CTE + """
 SELECT user_id,
        CAST(sum(n) AS BIGINT) AS n_intervals,
        CAST(count(*) AS BIGINT) AS n_islands,
        CAST(sum(i_e - i_s) AS BIGINT) AS covered_units,
        CAST(max(i_e) - min(i_s) AS BIGINT) AS span_units
 FROM islands GROUP BY user_id ORDER BY user_id
+""",
+    "events_interval_gaps": _INTERVAL_ISLANDS_CTE + """
+SELECT user_id,
+       CAST(gap_start AS BIGINT) AS gap_start,
+       CAST(gap_end AS BIGINT) AS gap_end,
+       CAST(gap_end - gap_start AS BIGINT) AS gap_units
+FROM (
+  SELECT user_id,
+         lag(i_e) OVER (PARTITION BY user_id ORDER BY i_s) AS gap_start,
+         i_s AS gap_end
+  FROM islands
+) g
+WHERE gap_start IS NOT NULL
+ORDER BY user_id, gap_start
 """,
     "events_markov_transitions": E.oracle_markov_sql(),
     # dense spine via generate_series over the corpus min/max hour; DuckDB's

@@ -131,6 +131,41 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_backlog_cross_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch DQ audit over a drained backlog (r11, VERDICT r10
+    #6): the streaming ledger (ivm_stream.streaming_dq_fold) honestly
+    gates out uniqueness and referential checks — they are cross-batch
+    properties a per-batch monitor cannot decide — so this is the
+    companion operator: run dq_audit's uniqueness/FK lanes in BATCH mode
+    over the UNION of two micro-batches, with an injected cross-batch
+    duplicate set so the uniqueness lane has real work to find.
+
+    Batch A = even-orderkey orders; batch B = odd-orderkey orders PLUS
+    the A rows with o_orderkey % 100 == 0, re-delivered with their
+    custkey NEGATED — each injected row is a duplicate A∩B orderkey
+    (invisible to any per-batch uniqueness check) AND an FK break
+    (negative custkeys match no customer). Deterministic, so the oracle
+    replays the same injection."""
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = tables.load(spark, sf_dir, "customer")
+    batch_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    injected = batch_a.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        (-F.col("o_custkey")).alias("o_custkey"),
+        "o_totalprice",
+    )
+    batch_b = orders.filter(F.col("o_orderkey") % 2 == 1).unionByName(injected)
+    backlog = batch_a.unionByName(batch_b)
+    return P.dq_audit(
+        backlog,
+        {"price_positive": "o_totalprice > 0"},
+        unique_cols=["o_orderkey"],
+        fk=("o_custkey", customer, "c_custkey"),
+    )
+
+
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return P.pack_token_budget(docs, BUDGET)
@@ -248,6 +283,7 @@ QUERIES = {
     "sample_stratified_by_lang": sample_stratified_by_lang,
     "sample_domain_quota": sample_domain_quota,
     "dq_constraint_audit": dq_constraint_audit,
+    "dq_backlog_cross_batch": dq_backlog_cross_batch,
     "mixture_weighted_sources": mixture_weighted_sources,
     "pack_token_budget": pack_token_budget,
     "chunk_sliding_window": chunk_sliding_window,
@@ -420,6 +456,35 @@ WITH rowc AS (
   UNION ALL SELECT 'status_in_domain', status_in_domain FROM rowc
   UNION ALL SELECT 'custkey_nonnull', custkey_nonnull FROM rowc
   UNION ALL SELECT 'date_in_1995', date_in_1995 FROM rowc
+  UNION ALL SELECT 'unique_o_orderkey', unique_o_orderkey FROM rowc
+  UNION ALL SELECT 'fk_o_custkey', n FROM fk
+)
+SELECT check_name, n_violations, (n_violations = 0) AS passed
+FROM longf ORDER BY check_name
+""",
+    # same injection as the Spark builder: even/odd orderkey batches,
+    # the %100==0 A-rows re-delivered into B with negated custkeys
+    "dq_backlog_cross_batch": """
+WITH a AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+), injected AS (
+  SELECT o_orderkey, -o_custkey AS o_custkey, o_totalprice
+  FROM a WHERE o_orderkey % 100 = 0
+), b AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL SELECT * FROM injected
+), backlog AS (
+  SELECT * FROM a UNION ALL SELECT * FROM b
+), rowc AS (
+  SELECT CAST(count(*) - count(CASE WHEN o_totalprice > 0 THEN 1 END) AS BIGINT) AS price_positive,
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS unique_o_orderkey
+  FROM backlog
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM backlog o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), longf AS (
+  SELECT 'price_positive' AS check_name, price_positive AS n_violations FROM rowc
   UNION ALL SELECT 'unique_o_orderkey', unique_o_orderkey FROM rowc
   UNION ALL SELECT 'fk_o_custkey', n FROM fk
 )

@@ -451,3 +451,72 @@ def test_interval_union_matches_brute_force_on_random_sets(spark):
             islands[-1][1] - islands[0][0],
         )
     assert got == want
+
+
+def test_interval_gap_report_complement_and_brute_force(spark):
+    """interval_gap_report (r11): gaps are the islands' complement —
+    checked on the hand case (one gap per split) and on the seeded
+    stress set against the same plain-Python sweep-line merge; also pins
+    the identity covered_units + sum(gap_units) == span_units per key,
+    and that reversed/empty/NULL-bound intervals are dropped by the
+    shared policy."""
+    import random
+
+    from executor_u1mindexer_spark.operators import events as E
+
+    rows = [
+        (1, 1, 0, 100), (1, 2, 5, 10), (1, 3, 50, 60),
+        (1, 4, 100, 110), (1, 5, 200, 205),
+        (2, 6, 0, 10), (2, 7, 0, 10), (2, 8, 2, 3),
+        # policy rows: reversed, empty, NULL bound — all dropped
+        (1, 9, 50, 40), (1, 10, 7, 7), (2, 11, None, 9),
+    ]
+    df = spark.createDataFrame(rows, "u long, id long, s long, e long")
+    got = [(r.u, r.gap_start, r.gap_end, r.gap_units)
+           for r in E.interval_gap_report(df, "u", "s", "e", "id").collect()]
+    assert got == [(1, 110, 200, 90)]  # u1's single split; u2 has one island
+
+    rng = random.Random(20260815)
+    srows = []
+    for i in range(200):
+        k = rng.randint(0, 9)
+        s = rng.randint(0, 500)
+        srows.append((k, i, s, s + rng.randint(1, 80)))
+    sdf = spark.createDataFrame(srows, "u long, id long, s long, e long")
+    ggaps = {}
+    for r in E.interval_gap_report(sdf, "u", "s", "e", "id").collect():
+        ggaps.setdefault(r.u, []).append((r.gap_start, r.gap_end, r.gap_units))
+    by_key = {}
+    for k, _, s, e in srows:
+        by_key.setdefault(k, []).append((s, e))
+    cov = {r.u: (r.covered_units, r.span_units)
+           for r in E.interval_union_coverage(sdf, "u", "s", "e", "id").collect()}
+    for k, iv in by_key.items():
+        iv.sort()
+        islands = []
+        for s, e in iv:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want = [(a_e, b_s, b_s - a_e)
+                for (_, a_e), (b_s, _) in zip(islands, islands[1:])]
+        assert ggaps.get(k, []) == want
+        covered, span = cov[k]
+        assert covered + sum(g for _, _, g in want) == span
+
+
+def test_dq_audit_rejects_bad_check_names(spark):
+    """ADVICE r10: names reach the generated stack() SQL as a literal
+    AND an identifier — anything beyond a plain identifier must fail
+    construction loudly, never mis-parse."""
+    import pytest as _pt
+
+    from executor_u1mindexer_spark.operators import pipeline as P
+
+    df = spark.createDataFrame([(1,)], "v long")
+    for bad in ("has space", "quote'd", "hy-phen", "1leading"):
+        with _pt.raises(ValueError, match="not a plain SQL identifier"):
+            P.dq_audit(df, {bad: "v > 0"})
+    with _pt.raises(ValueError, match="not a plain SQL identifier"):
+        P.dq_audit(df, {"ok": "v > 0"}, unique_cols=["bad col"])
