@@ -559,3 +559,87 @@ def ivm_merge(state: DataFrame, delta_state: DataFrame, keys: Sequence[str]) -> 
             F.max("max_milli").cast("long").alias("max_milli"),
         )
     )
+
+
+IVM_RETRACT_STATE_COLS = ("n_rows", "sum_milli", "sumsq_milli2")
+
+
+def ivm_retract_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    value_scale: int = 1000,
+    sign: int = 1,
+) -> DataFrame:
+    """Partial state for the RETRACTABLE incremental-view lanes (r11) —
+    the Flink retract-stream distinction that ivm_agg_state cannot make:
+    count/sum/sum-of-squares are group-invertible (a delete is the
+    inserted row with sign -1), so a maintained view over them absorbs
+    DELETE deltas without ever rescanning the base; min/max are NOT
+    invertible (a retracted maximum forces a rescan) and are deliberately
+    absent from this state.
+
+    Per key: (n_rows, sum_milli, sumsq_milli2) over the milli-scaled
+    BIGINT value, each multiplied by ``sign`` (+1 insert batch, -1
+    retraction batch). sumsq_milli2 is DECIMAL(38,0): squares of milli
+    values overflow BIGINT at realistic corpus scales (Σv² > 2^63 needs
+    only ~10^6 rows of |value|~10^3), and exact 38-digit decimal sums are
+    bit-identical across engines the way doubles are not. avg and
+    variance derive at read time (ivm_retract_view)."""
+    if sign not in (1, -1):
+        raise ValueError(f"sign must be +1 or -1, got {sign}")
+    v = F.round(F.col(value_col) * F.lit(float(value_scale))).cast("long")
+    v_dec = v.cast("decimal(18,0)")
+    return df.groupBy(*keys).agg(
+        (F.lit(sign) * F.count(F.lit(1))).cast("long").alias("n_rows"),
+        (F.lit(sign) * F.sum(v)).cast("long").alias("sum_milli"),
+        (F.lit(sign).cast("decimal(2,0)") * F.sum(v_dec * v_dec))
+        .cast("decimal(38,0)")
+        .alias("sumsq_milli2"),
+    )
+
+
+def ivm_retract_merge(
+    state: DataFrame, delta_state: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge a (possibly negative-signed) delta state into the retractable
+    view state: plain addition on all three lanes, |state| + |delta|
+    grouped rows touched, base never rescanned. A fully-retracted key
+    (n_rows == 0) is dropped — it has left the view; n_rows < 0 means the
+    caller retracted rows never inserted and fails loudly rather than
+    carrying an impossible state."""
+    merged = (
+        state.unionByName(delta_state)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_milli").cast("long").alias("sum_milli"),
+            F.sum("sumsq_milli2").cast("decimal(38,0)").alias("sumsq_milli2"),
+        )
+    )
+    guard = F.when(
+        F.col("n_rows") < 0,
+        F.raise_error(F.lit("ivm_retract_merge: negative n_rows — retraction of never-inserted rows")),
+    ).otherwise(F.col("n_rows"))
+    return merged.withColumn("n_rows", guard).filter(F.col("n_rows") > 0)
+
+
+def ivm_retract_view(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Read-time derivation over the retractable state: the three state
+    integers plus the EXACT variance fraction var_num/var_den, where
+    var_num = n*Σv² − (Σv)² and var_den = n² (population variance of the
+    milli values = var_num/var_den — kept as an exact integer pair, not
+    divided, so the artifact is bit-identical cross-engine; a reader
+    divides). var_num ≥ 0 by Cauchy-Schwarz; both in DECIMAL(38,0)."""
+    n_dec = F.col("n_rows").cast("decimal(20,0)")
+    s_dec = F.col("sum_milli").cast("decimal(20,0)")
+    return state.select(
+        *keys,
+        "n_rows",
+        "sum_milli",
+        "sumsq_milli2",
+        (n_dec * F.col("sumsq_milli2") - s_dec * s_dec)
+        .cast("decimal(38,0)")
+        .alias("var_num"),
+        (F.col("n_rows") * F.col("n_rows")).cast("long").alias("var_den"),
+    ).orderBy(*keys)

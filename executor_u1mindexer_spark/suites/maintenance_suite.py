@@ -526,6 +526,49 @@ ORDER BY c_custkey, valid_from
 """
 
 
+def ivm_retractable_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract-stream view maintenance (r11, maintenance.ivm_retract_*):
+    the per-orderstatus (count, sum, sum-of-squares) view is built over
+    ~3/4 of orders, grows by an INSERT delta (the remaining quarter),
+    then absorbs a DELETE delta (every orderkey % 10 == 0, spanning both
+    earlier batches — a retraction the insert-only ivm_agg_state cannot
+    express) — all without rescanning the base. The read-time view adds
+    the exact variance fraction var_num/var_den (integers, no division).
+    The oracle aggregates the surviving rows directly, so a lost
+    retraction, double-count, or sign error diverges."""
+    from executor_u1mindexer_spark.operators import maintenance as M
+
+    orders = tables.load(spark, sf_dir, "orders")
+    keys = ["o_orderstatus"]
+    base = M.ivm_retract_state(
+        orders.filter(F.col("o_orderkey") % 4 != 3), keys, "o_totalprice"
+    )
+    ins = M.ivm_retract_state(
+        orders.filter(F.col("o_orderkey") % 4 == 3), keys, "o_totalprice"
+    )
+    dels = M.ivm_retract_state(
+        orders.filter(F.col("o_orderkey") % 10 == 0), keys, "o_totalprice", sign=-1
+    )
+    state = M.ivm_retract_merge(M.ivm_retract_merge(base, ins, keys), dels, keys)
+    return M.ivm_retract_view(state, keys)
+
+
+_IVM_RETRACT_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS sum_milli,
+       CAST(sum(CAST(v AS HUGEINT) * v) AS DECIMAL(38,0)) AS sumsq_milli2,
+       CAST(count(*) * sum(CAST(v AS HUGEINT) * v)
+            - CAST(sum(v) AS HUGEINT) * sum(v) AS DECIMAL(38,0)) AS var_num,
+       CAST(count(*) * count(*) AS BIGINT) AS var_den
+FROM (
+  SELECT o_orderstatus, CAST(round(o_totalprice * 1000) AS BIGINT) AS v
+  FROM orders WHERE o_orderkey % 10 <> 0
+) t
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (r10, maintenance.ivm_agg_state /
     ivm_merge): the per-event_type (count, sum, min, max) view is built
@@ -577,6 +620,7 @@ ORDER BY event_type
 ORACLES = {
     "index_state_diff": _DIFF,
     "ivm_incremental_agg": _IVM_SQL,
+    "ivm_retractable_delta": _IVM_RETRACT_SQL,
     "scd2_two_batch_history": _SCD2_TWO_BATCH_SQL,
     "scd2_point_in_time_join": _SCD2_HISTORY_SQL
     + """
@@ -635,6 +679,7 @@ QUERIES = {
     "dump_load_roundtrip": dump_load_roundtrip,
     "index_state_diff": index_state_diff,
     "ivm_incremental_agg": ivm_incremental_agg,
+    "ivm_retractable_delta": ivm_retractable_delta,
     "scd2_customer_history": scd2_customer_history,
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "scd2_two_batch_history": scd2_two_batch_history,

@@ -344,3 +344,60 @@ def test_ivm_merge_composes_and_never_rescans_semantics(spark):
     assert got == want
     assert got["c"] == (2, 8500, -1500, 10000)   # delta-only key appears
     assert got["b"] == (1, -3000, -3000, -3000)  # untouched key passes through
+
+
+def test_ivm_retract_lanes_cancel_exactly(spark):
+    """Retract-stream IVM (r11): a delete delta is the insert with sign
+    -1 — merging +d then -d must return the EXACT original state (all
+    lanes group-invertible); a fully-retracted key leaves the view; a
+    retraction of never-inserted rows fails loudly (negative n_rows)."""
+    import pytest as _pt
+
+    base = spark.createDataFrame(
+        [("a", 1.25), ("a", -2.5), ("b", 3.0), ("c", 7.125)],
+        "k string, value double",
+    )
+    extra = spark.createDataFrame(
+        [("a", 10.0), ("c", -7.125), ("d", 0.5)], "k string, value double"
+    )
+    keys = ["k"]
+    s0 = M.ivm_retract_state(base, keys, "value")
+    plus = M.ivm_retract_state(extra, keys, "value")
+    minus = M.ivm_retract_state(extra, keys, "value", sign=-1)
+
+    def snap(df):
+        return {r.k: (r.n_rows, r.sum_milli, str(r.sumsq_milli2))
+                for r in df.collect()}
+
+    round_trip = M.ivm_retract_merge(M.ivm_retract_merge(s0, plus, keys), minus, keys)
+    assert snap(round_trip) == snap(s0)
+
+    # full retraction of c's single row drops the key from the view
+    del_c = M.ivm_retract_state(
+        base.filter(F.col("k") == "c"), keys, "value", sign=-1
+    )
+    left = M.ivm_retract_merge(s0, del_c, keys)
+    assert set(r.k for r in left.collect()) == {"a", "b"}
+
+    # retracting rows never inserted must raise, not carry n_rows < 0
+    dup_del = M.ivm_retract_merge(del_c, del_c, keys)
+    with _pt.raises(Exception, match="never-inserted"):
+        dup_del.collect()
+
+
+def test_ivm_retract_view_variance_fraction_is_exact(spark):
+    """var_num/var_den must equal the population variance of the milli
+    values exactly (integer identity n*Σv² − (Σv)² over n²), checked
+    against plain-Python integers."""
+    vals = [1.25, -2.5, 3.0, 0.0, 10.125]
+    df = spark.createDataFrame([("a", v) for v in vals], "k string, value double")
+    out = M.ivm_retract_view(M.ivm_retract_state(df, ["k"], "value"), ["k"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    m = [round(v * 1000) for v in vals]
+    n = len(m)
+    assert (r.n_rows, r.sum_milli) == (n, sum(m))
+    assert int(r.sumsq_milli2) == sum(x * x for x in m)
+    assert int(r.var_num) == n * sum(x * x for x in m) - sum(m) ** 2
+    assert r.var_den == n * n
+    assert int(r.var_num) >= 0
