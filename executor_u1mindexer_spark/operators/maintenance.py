@@ -599,6 +599,33 @@ def ivm_retract_state(
     )
 
 
+def ivm_retract_state_cdc(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    sign_col: str,
+    value_scale: int = 1000,
+) -> DataFrame:
+    """ivm_retract_state over a CHANGELOG batch (the CDC/retract-stream
+    shape): each row carries its own sign in ``sign_col`` (+1 insert,
+    -1 delete), so one grouped pass folds a mixed batch — an insert and
+    its same-batch retraction cancel exactly. Signs other than ±1 fail
+    loudly at evaluation (they would silently scale the lanes)."""
+    sg = F.col(sign_col).cast("long")
+    checked = F.when((sg == 1) | (sg == -1), sg).otherwise(
+        F.raise_error(F.lit("ivm_retract_state_cdc: sign must be +1 or -1"))
+    )
+    v = F.round(F.col(value_col) * F.lit(float(value_scale))).cast("long")
+    v_dec = v.cast("decimal(18,0)")
+    return df.groupBy(*keys).agg(
+        F.sum(checked).cast("long").alias("n_rows"),
+        F.sum(checked * v).cast("long").alias("sum_milli"),
+        F.sum(checked.cast("decimal(2,0)") * (v_dec * v_dec))
+        .cast("decimal(38,0)")
+        .alias("sumsq_milli2"),
+    )
+
+
 def ivm_retract_merge(
     state: DataFrame, delta_state: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -123,6 +123,76 @@ def streaming_dq_fold(
     return writer, states
 
 
+_RETRACT_STATE_COLS = ("n_rows", "sum_milli", "sumsq_milli2")
+
+
+def streaming_retract_ivm_fold(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sign_col: str,
+    state_dir: str | None = None,
+):
+    """CDC twin of streaming_ivm_fold (r11): the stream is a CHANGELOG —
+    each row carries sign_col (+1 insert, -1 delete) — and the per-batch
+    partial is maintenance.ivm_retract_state_cdc, so DELETE rows retract
+    from the maintained view without any base rescan. Same batch-id-keyed,
+    durable, redelivery-idempotent discipline as streaming_ivm_fold; read
+    the view with retract_ivm_view over a DRAINED backlog (mid-drain, a
+    key whose delete landed in an earlier-read batch than its insert can
+    be transiently negative; the drained fold is exact because addition
+    commutes)."""
+    cols = tuple(keys) + _RETRACT_STATE_COLS
+    store = _BatchKeyedStore(state_dir) if state_dir else None
+    states: dict[int, list] = {}
+    if store is not None:
+        for bid, pdf in store.load().items():
+            states[bid] = [tuple(t) for t in pdf[list(cols)].itertuples(index=False)]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        st = M.ivm_retract_state_cdc(batch_df, keys, value_col, sign_col)
+        entry = [tuple(r[c] for c in cols) for r in st.collect()]
+        if store is not None:
+            store.put(int(batch_id), pd.DataFrame(entry, columns=list(cols)))
+        states[int(batch_id)] = entry
+
+    writer = stream.writeStream.foreachBatch(fold)
+    return writer, states
+
+
+def retract_ivm_view(
+    spark: SparkSession, states: dict[int, list], keys: list[str]
+) -> DataFrame:
+    """Maintained retractable view over the drained backlog: the grouped
+    fold of the per-batch CDC partials through the SAME
+    maintenance.ivm_retract_merge path as the batch operator (fully-
+    retracted keys leave the view; a net-negative key — retraction of
+    never-inserted rows — fails loudly)."""
+    rows = [tuple(e) for entry in states.values() for e in entry]
+    schema = ", ".join(
+        [f"{k} string" for k in keys]
+        + ["n_rows long", "sum_milli long", "sumsq_milli2 decimal(38,0)"]
+    )
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    return M.ivm_retract_merge(df.limit(0), df, keys)
+
+
+def retract_compact_fold(keys: list[str]):
+    """fold_fn for _BatchKeyedStore.compact over streaming_retract_ivm_fold
+    state: all three lanes are plain sums (group-invertible), so the
+    compacted entry is exact under any later fold."""
+
+    def fold(pdfs: list[pd.DataFrame]) -> pd.DataFrame:
+        allp = pd.concat(pdfs, ignore_index=True)
+        return allp.groupby(list(keys), as_index=False).agg(
+            n_rows=("n_rows", "sum"),
+            sum_milli=("sum_milli", "sum"),
+            sumsq_milli2=("sumsq_milli2", "sum"),
+        )
+
+    return fold
+
+
 def ivm_compact_fold(keys: list[str]):
     """fold_fn for _BatchKeyedStore.compact over streaming_ivm_fold
     state (VERDICT r10 #5): the SAME algebra as maintenance.ivm_merge —

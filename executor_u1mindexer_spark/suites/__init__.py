@@ -133,9 +133,10 @@ DRIVER_PRIORITY = (
     "events_interval_gaps",
     "dq_backlog_cross_batch",
     # --- 50-slot window boundary ---
-    # r12 window plan: any rows added/changed later in r11 lead, then the
-    # 26 remaining r08-stale rows below, then the oldest r09 rows fill
-    # the rest.
+    # r12 window plan: the rows added in r11 after the window commit lead
+    # (never driver-checked; each green at 3 SFs in this round's sweeps),
+    # then the 26 remaining r08-stale rows, then the oldest r09 rows.
+    "ivm_retractable_delta",
     "near_dedup_cc_clusters",
     "near_dedup_clusters",
     "near_dedup_simhash",

@@ -654,3 +654,59 @@ def test_dq_ledger_compaction(spark, sf_dir, tmp_path):
     assert sorted(got) == [1, 2] and view_of(got) == want
     store.put(2, pdfs[2])  # redelivered newest batch
     assert view_of(store.load()) == want
+
+
+def test_streaming_retract_ivm_cdc_matches_batch(spark, sf_dir, tmp_path):
+    """CDC retract-stream fold (r11): a changelog built as the event
+    stream (+1) unioned with a -1 copy of every event_id % 10 == 0 row
+    must drain to the batch retract-state of the SURVIVING rows exactly
+    — deletes retract without base rescans, whatever batch interleaving
+    the union produced (addition commutes). Also pins the state_dir
+    restart and compaction with retract_compact_fold."""
+    from executor_u1mindexer_spark.operators import maintenance as M
+    from executor_u1mindexer_spark.streaming import events_stream as ES
+    from executor_u1mindexer_spark.streaming import ivm_stream as IV
+    from executor_u1mindexer_spark.streaming.sketch_stream import _BatchKeyedStore
+
+    sdir = str(tmp_path / "retract_state")
+    base = ES.read_events_stream(spark, sf_dir)
+    cdc = base.withColumn("sign", F.lit(1)).unionByName(
+        base.filter(F.col("event_id") % 10 == 0).withColumn("sign", F.lit(-1))
+    )
+    assert cdc.isStreaming
+    writer, states = IV.streaming_retract_ivm_fold(
+        cdc, ["event_type"], "value", "sign", sdir
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(states) >= 1
+
+    events = tables.load(spark, sf_dir, "events")
+    surviving = events.filter(F.col("event_id") % 10 != 0)
+    want = {
+        r.event_type: (r.n_rows, r.sum_milli, str(r.sumsq_milli2))
+        for r in M.ivm_retract_state(surviving, ["event_type"], "value").collect()
+    }
+
+    def view(st):
+        return {
+            r.event_type: (r.n_rows, r.sum_milli, str(r.sumsq_milli2))
+            for r in IV.retract_ivm_view(spark, st, ["event_type"]).collect()
+        }
+
+    assert view(states) == want and len(want) > 0
+
+    # restart: fresh fold on the durable dir reloads the committed history
+    _, states2 = IV.streaming_retract_ivm_fold(
+        cdc, ["event_type"], "value", "sign", sdir
+    )
+    assert view(states2) == want
+
+    # compaction preserves the view exactly (sums are group-invertible)
+    store = _BatchKeyedStore(sdir)
+    if len(store.load()) >= 3:
+        store.compact(IV.retract_compact_fold(["event_type"]))
+    _, states3 = IV.streaming_retract_ivm_fold(
+        cdc, ["event_type"], "value", "sign", sdir
+    )
+    assert view(states3) == want
