@@ -72,13 +72,13 @@ DRIVER_PRIORITY = (
     # Round 11 window (VERDICT r10 #1, rotated as the FIRST commit of the
     # round per the settled protocol): the 9 never-driver-checked r10 rows
     # lead, then ALL 22 surviving r06-stale rows, then the 17 oldest
-    # (alphabetical) of the 43 r08-stale rows, then the 2 rows ADDED in
+    # (alphabetical) of the 43 r08-stale rows, then the rows ADDED in
     # r11 (never-checked rows outrank merely-r08-stale ones — the
     # no-wasted-slots rule fires if they wait outside). Staleness floor
-    # rises to r08 after this round; the 26 remaining r08 rows queue for
+    # rises to r08 after this round; the remaining r08 rows queue for
     # r12 (listed after the boundary), keeping the 4-window cycle.
-    # never driver-checked (new in r10, plus the two r11 rows at the
-    # end of the window — interval gap report and cross-batch DQ):
+    # never driver-checked (new in r10; the r11 rows sit at the end of
+    # the window):
     "multimodal_container_properties",
     "mixture_temperature_resample",
     "layout_hilbert_clustering",
@@ -111,8 +111,8 @@ DRIVER_PRIORITY = (
     "text_bm25_topk_joins",
     "text_bpe_learn_merges",
     "text_bpe_tokenize",
-    # 17 oldest r08-stale rows (alphabetical prefix of the 43; the last
-    # two slots go to the r11 never-checked rows below):
+    # 16 oldest r08-stale rows (alphabetical prefix of the 43; the last
+    # three slots go to the r11 never-checked rows below):
     "ann_hnsw_partitioned_topk",
     "drift_chi2_value_periods",
     "embedding_gram_moments",
@@ -129,14 +129,16 @@ DRIVER_PRIORITY = (
     "multimodal_decode_audio",
     "multimodal_decode_webp_lossless",
     "multimodal_sample_video_frames",
-    "multimodal_thumbnail_meta",
     "events_interval_gaps",
     "dq_backlog_cross_batch",
-    # --- 50-slot window boundary ---
-    # r12 window plan: the rows added in r11 after the window commit lead
-    # (never driver-checked; each green at 3 SFs in this round's sweeps),
-    # then the 26 remaining r08-stale rows, then the oldest r09 rows.
     "ivm_retractable_delta",
+    # --- 50-slot window boundary ---
+    # r12 window plan: rows added in r11 after this point lead (never
+    # driver-checked; each green at 3 SFs in this round's sweeps), then
+    # the 27 remaining r08-stale rows, then the oldest r09 rows. Every
+    # NEW registry row displaces the bottom r08 row from the window —
+    # the no-wasted-slots rule requires never-checked rows inside.
+    "multimodal_thumbnail_meta",
     "near_dedup_cc_clusters",
     "near_dedup_clusters",
     "near_dedup_simhash",
