@@ -808,3 +808,118 @@ def span_dedup(
         F.count(F.lit(1)).alias("n_spans"),
         F.count(F.when(~F.col("keep"), F.lit(1))).alias("n_dropped"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    d: int = 2,
+    key_len: int = 48,
+) -> DataFrame:
+    """Edit-distance similarity join (r11): all unordered pairs whose
+    dedup keys — the first ``key_len`` characters of ``text_col`` — are
+    within Levenshtein distance ``d``. The tenth near-dup family member,
+    and the one the shingle/minhash/simhash lanes structurally miss:
+    character-level typo/OCR variants keep ED tiny while every 3-word
+    shingle containing the edit changes, so at realistic thresholds
+    token-shingle jaccard/containment never fires on them.
+
+    Candidate filter is the PassJoin pigeonhole (Li, Deng, Wang, Feng,
+    ICDE'11 'PASS-JOIN: a partition-based method for similarity joins'):
+    split a's key into d+1 contiguous segments (even split, the last
+    ``len % (d+1)`` segments one char longer); at most d edits can touch
+    at most d segments, so at least ONE segment of a survives VERBATIM
+    in b, shifted by at most d positions. Joining a's d+1 segments
+    against b's generated substrings — for each source length l in
+    [len_b - d, len_b + d], the segment shape for l, extracted at every
+    start within +-d of the segment's home position — is therefore
+    LOSSLESS for the threshold (pinned against brute force in pytest);
+    Levenshtein runs only on candidates.
+
+    Policy: keys shorter than d+1 characters are dropped (they cannot
+    form d+1 non-empty segments; at d=2 that is only sub-3-char texts).
+    Ties to no global order — output is the canonical (id_a < id_b) pair
+    set with the exact distance.
+
+    Scale shape (100 TB): O(d) segment rows and O(d^2 * (2d+1)) substring
+    rows per doc — constants, not corpus factors — shuffled once on the
+    (source_len, seg_idx, seg_str) signature the join needs; the O(n^2)
+    verify runs only on pigeonhole survivors, and the key cap bounds
+    every Levenshtein at key_len^2 cells."""
+    k = d + 1
+    base = cache.pin(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.substring(F.col(text_col), 1, key_len).alias("s"),
+        )
+        .withColumn("len", F.length("s"))
+        .filter(F.col("len") >= k)
+    )
+
+    def seg_bounds(total: Column, i: Column) -> tuple[Column, Column]:
+        # even split of `total` chars into k segments: the first
+        # k - (total % k) segments are total DIV k chars, the rest one
+        # longer; 1-indexed start positions (integer division throughout)
+        bl = F.floor(total / k).cast("int")
+        rem = (total % k).cast("int")
+        slen = bl + F.when(i >= k - rem, 1).otherwise(0)
+        start = 1 + i * bl + F.greatest(F.lit(0), i - (k - rem))
+        return start.cast("int"), slen.cast("int")
+
+    idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+
+    # side A: each key's own k segments at their home positions
+    seg = base.select("id", "len", "s", idx)
+    a_start, a_len = seg_bounds(F.col("len"), F.col("i"))
+    side_a = seg.select(
+        F.col("id").alias("id_a"),
+        F.col("len").alias("src_len"),
+        "i",
+        F.col("s").substr(a_start, a_len).alias("seg_str"),
+    )
+
+    # side B: for every plausible source length l and segment index, the
+    # substrings of b within +-d of that segment's home position
+    lens = base.withColumn(
+        "l",
+        F.explode(
+            F.sequence(F.greatest(F.lit(k), F.col("len") - d), F.col("len") + d)
+        ),
+    )
+    subs = lens.select("id", "len", "s", "l", idx)
+    b_start, b_len = seg_bounds(F.col("l"), F.col("i"))
+    lo = F.greatest(F.lit(1), b_start - d)
+    hi = F.least(F.col("len") - b_len + 1, b_start + d)
+    side_b = (
+        subs.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .filter(F.col("__lo") <= F.col("__hi"))
+        .withColumn("p", F.explode(F.sequence("__lo", "__hi")))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("l").alias("src_len"),
+            "i",
+            F.col("s").substr(F.col("p"), b_len).alias("seg_str"),
+        )
+    )
+
+    cand = (
+        side_a.join(side_b, ["src_len", "i", "seg_str"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("s_a", "s_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= d)
+        .orderBy("id_a", "id_b")
+    )

@@ -145,6 +145,45 @@ def near_dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame
     return D.containment_prefix_pairs(_docs_with_subsets(spark, sf_dir))
 
 
+# 3e9 keeps the typo-fixture ids disjoint from the real range, the 1e9
+# exact-dup band, and the 2e9 containment band
+TYPO_OFFSET = 3_000_000_000
+ED_SAMPLE_MOD = 8   # doc_id % 8 == 0 -> the ED-join corpus slice
+ED_TYPO_MOD = 40    # doc_id % 40 == 0 -> re-injected with two typos
+
+
+def _docs_with_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ED-join fixture: the doc_id % 8 == 0 corpus slice, plus every
+    doc_id % 40 == 0 doc re-injected (+3e9) with chars 7 and 29 replaced
+    by literals — edit distance <= 2 from its source by construction
+    (exactly 2 unless the original char already matched). Pure
+    substr/concat so the oracle replays the identical injection."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    sample = docs.filter(F.col("doc_id") % ED_SAMPLE_MOD == 0)
+    typo = sample.filter(F.col("doc_id") % ED_TYPO_MOD == 0).select(
+        (F.col("doc_id") + TYPO_OFFSET).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 6),
+            F.lit("@"),
+            F.substring(F.col("text"), 8, 21),
+            F.lit("#"),
+            F.expr("substring(text, 30)"),
+        ).alias("text"),
+    )
+    return sample.unionByName(typo)
+
+
+def near_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (r11, operators/dedup.py
+    edit_distance_pairs): all pairs within Levenshtein 2 on the first
+    48 chars, over the sampled corpus plus injected two-typo copies —
+    the character-level near-dup lane the token-shingle families
+    structurally miss. Spark runs the PassJoin pigeonhole filter; the
+    oracle is deliberately the OPPOSITE formulation (brute-force
+    length-filtered all-pairs), so a lossy filter diverges immediately."""
+    return D.edit_distance_pairs(_docs_with_typos(spark, sf_dir))
+
+
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style span dedup: drop every 5-word span whose exact text
     occurred earlier in the corpus, reassemble each doc. First occurrence
@@ -165,6 +204,7 @@ QUERIES = {
     "near_dedup_clusters": near_dedup_clusters,
     "near_dedup_cc_clusters": near_dedup_cc_clusters,
     "near_dedup_containment_prefix": near_dedup_containment_prefix,
+    "near_dedup_edit_distance": near_dedup_edit_distance,
     "dedup_repeated_spans": dedup_repeated_spans,
 }
 
@@ -397,6 +437,28 @@ GROUP BY s.doc_id
 ORDER BY s.doc_id
 """,
     # Prefix-filtered containment (PPJoin device): same posting-level
+    # Deliberately the OPPOSITE formulation of the Spark PassJoin filter:
+    # brute-force length-filtered all-pairs with DuckDB's levenshtein —
+    # a lossy pigeonhole (missed pair) or over-eager verify diverges
+    # immediately. Same injection expressions, chars 7 and 29 replaced.
+    "near_dedup_edit_distance": f"""
+WITH sample AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {ED_SAMPLE_MOD} = 0
+), all_docs AS (
+  SELECT doc_id, substr(text, 1, 48) AS s FROM sample
+  UNION ALL
+  SELECT doc_id + {TYPO_OFFSET},
+         substr(substr(text, 1, 6) || '@' || substr(text, 8, 21) || '#'
+                || substr(text, 30), 1, 48)
+  FROM sample WHERE doc_id % {ED_TYPO_MOD} = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM all_docs a JOIN all_docs b
+  ON a.doc_id < b.doc_id AND abs(len(a.s) - len(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2 AND len(a.s) >= 3 AND len(b.s) >= 3
+ORDER BY id_a, id_b
+""",
     # formulation as the Spark side — doc frequency, rare-first prefix
     # rank (window PARTITIONED by doc, total order (dfc, h) since hashed
     # shingles are distinct per doc), prefix⋈full candidate join, exact

@@ -675,3 +675,61 @@ def test_containment_prefix_filter_lossless_on_random_corpus(spark):
                     want[(a, b)] = (len(sh[a]), i)
     assert got == want
     assert len(want) >= 3  # the stress actually produced pairs
+
+
+def test_edit_distance_pairs_lossless_vs_brute_force(spark):
+    """PassJoin pigeonhole losslessness (r11): seeded corpus of random
+    strings plus planted <=2-edit variants (substitutions, inserts,
+    deletes at random positions, including length-changing edits that
+    shift every later segment) — operator pairs must EQUAL brute-force
+    Levenshtein-filtered all-pairs exactly."""
+    import random
+
+    from executor_u1mindexer_spark.operators import dedup as D
+
+    rng = random.Random(20260815)
+    alpha = "abcdef"
+    docs = []
+    for i in range(60):
+        docs.append((i, "".join(rng.choice(alpha) for _ in range(rng.randint(8, 24)))))
+    # planted variants: for each base in a sample, apply 1-2 random edits
+    nid = 1000
+    for i in range(0, 60, 3):
+        s = list(docs[i][1])
+        for _ in range(rng.randint(1, 2)):
+            op = rng.choice("sid")
+            p = rng.randrange(len(s))
+            if op == "s":
+                s[p] = rng.choice(alpha)
+            elif op == "i":
+                s.insert(p, rng.choice(alpha))
+            elif len(s) > 4:
+                del s[p]
+        docs.append((nid + i, "".join(s)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in D.edit_distance_pairs(df, d=2, key_len=48).collect()}
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for ii in range(1, m + 1):
+            prev, dp[0] = dp[0], ii
+            for jj in range(1, n + 1):
+                cur = dp[jj]
+                dp[jj] = min(dp[jj] + 1, dp[jj - 1] + 1,
+                             prev + (a[ii - 1] != b[jj - 1]))
+                prev = cur
+        return dp[n]
+
+    want = set()
+    for x in range(len(docs)):
+        for y in range(x + 1, len(docs)):
+            ia, sa = docs[x]
+            ib, sb = docs[y]
+            if ia > ib:
+                ia, ib, sa, sb = ib, ia, sb, sa
+            d = lev(sa, sb)
+            if d <= 2:
+                want.add((ia, ib, d))
+    assert got == want and len(want) >= 20
