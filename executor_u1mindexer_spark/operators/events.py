@@ -131,6 +131,71 @@ def asof_join_last_before(
     return out
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """The other two as-of directions in one pass (r11): for each left
+    row, ``before_ts`` = greatest right ts <= left ts (what
+    asof_join_last_before returns), ``after_ts`` = smallest right ts >=
+    left ts (the FORWARD as-of), and ``nearest_ts`` = whichever is
+    closer in absolute seconds, ties to the backward match (the
+    pandas/QuestDB merge_asof direction='nearest' rule).
+
+    Same union+window device as asof_join_last_before — ONE shuffle on
+    the key serves both directions; the two frames need opposite
+    left/right tie orders at equal timestamps (<= must see an equal-ts
+    right row behind it, >= ahead of it), so the plan is one exchange
+    with two sorted Window nodes over it, still no join and no
+    per-row probe."""
+    rts_type = right.schema[right_ts].dataType
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__row"),
+        F.lit(None).cast(rts_type).alias("__rts"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
+        F.col(right_ts).alias("__rts"),
+    )
+    u = l_tag.unionByName(r_tag)
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    before = F.last("__rts", ignorenulls=True).over(wb)
+    after = F.first("__rts", ignorenulls=True).over(wf)
+    d_b = F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(before)
+    d_f = F.unix_timestamp(after) - F.unix_timestamp(F.col("__ts"))
+    nearest = (
+        F.when(before.isNull(), after)
+        .when(after.isNull(), before)
+        .when(d_b <= d_f, before)  # tie -> backward
+        .otherwise(after)
+    )
+    return (
+        u.withColumn("before_ts", before)
+        .withColumn("after_ts", after)
+        .withColumn("nearest_ts", nearest)
+        .filter(F.col("__is_left") == 1)
+        .select("__row.*", "before_ts", "after_ts", "nearest_ts")
+    )
+
+
 def funnel_stages(
     events: DataFrame,
     stages: Sequence[str],

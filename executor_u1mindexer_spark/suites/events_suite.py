@@ -100,6 +100,21 @@ def events_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select("event_id", "user_id", "ts", "last_view_ts")
 
 
+def events_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward + nearest as-of directions (r11,
+    operators/events.asof_join_nearest): for each purchase, the last
+    view at-or-before, the first view at-or-after, and the nearer of
+    the two (ties backward) — one shuffle, two window frames; the
+    oracle is DuckDB's native ASOF JOIN run in both directions."""
+    ev = tables.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = E.asof_join_nearest(purchases, views, on="user_id")
+    return out.select(
+        "event_id", "user_id", "ts", "before_ts", "after_ts", "nearest_ts"
+    ).orderBy("event_id")
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return ev.select(
@@ -230,6 +245,7 @@ QUERIES = {
     "events_sliding_1h_30m": events_sliding_1h_30m,
     "events_sessionize": events_sessionize,
     "events_asof_purchase_last_view": events_asof_purchase_last_view,
+    "events_asof_nearest_view": events_asof_nearest_view,
     "events_json_extract": events_json_extract,
     "events_pivot_daily_types": events_pivot_daily_types,
     "events_funnel_view_click_purchase": events_funnel_view_click_purchase,
@@ -385,6 +401,32 @@ WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
 SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
 FROM purchases p ASOF LEFT JOIN views v
   ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    # both directions via DuckDB's native ASOF JOIN (backward v.ts<=p.ts,
+    # forward v.ts>=p.ts), nearest = closer absolute gap, ties backward —
+    # a deliberately different formulation from Spark's union+two-frame
+    # windows
+    "events_asof_nearest_view": """
+WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     views AS (SELECT * FROM events WHERE event_type = 'view'),
+     back AS (
+       SELECT p.event_id, p.user_id, p.ts, v.ts AS before_ts
+       FROM purchases p ASOF LEFT JOIN views v
+         ON p.user_id = v.user_id AND v.ts <= p.ts
+     ),
+     fwd AS (
+       SELECT p.event_id, v.ts AS after_ts
+       FROM purchases p ASOF LEFT JOIN views v
+         ON p.user_id = v.user_id AND v.ts >= p.ts
+     )
+SELECT b.event_id, b.user_id, b.ts, b.before_ts, f.after_ts,
+       CASE WHEN b.before_ts IS NULL THEN f.after_ts
+            WHEN f.after_ts IS NULL THEN b.before_ts
+            WHEN epoch(b.ts) - epoch(b.before_ts)
+                 <= epoch(f.after_ts) - epoch(b.ts) THEN b.before_ts
+            ELSE f.after_ts END AS nearest_ts
+FROM back b JOIN fwd f USING (event_id)
+ORDER BY event_id
 """,
     "events_json_extract": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
