@@ -177,8 +177,16 @@ def asof_join_nearest(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    before = F.last("__rts", ignorenulls=True).over(wb)
-    after = F.first("__rts", ignorenulls=True).over(wf)
+    # materialize the two window results FIRST, then derive nearest from
+    # the materialized columns — referencing the raw window expressions
+    # inside the CASE would re-evaluate each window a second time (4
+    # Window nodes instead of 2; measured on the executed plan)
+    both = u.select(
+        "*",
+        F.last("__rts", ignorenulls=True).over(wb).alias("before_ts"),
+        F.first("__rts", ignorenulls=True).over(wf).alias("after_ts"),
+    )
+    before, after = F.col("before_ts"), F.col("after_ts")
     d_b = F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(before)
     d_f = F.unix_timestamp(after) - F.unix_timestamp(F.col("__ts"))
     nearest = (
@@ -188,9 +196,7 @@ def asof_join_nearest(
         .otherwise(after)
     )
     return (
-        u.withColumn("before_ts", before)
-        .withColumn("after_ts", after)
-        .withColumn("nearest_ts", nearest)
+        both.withColumn("nearest_ts", nearest)
         .filter(F.col("__is_left") == 1)
         .select("__row.*", "before_ts", "after_ts", "nearest_ts")
     )

@@ -766,3 +766,21 @@ def test_containment_shares_the_shingle_pipeline(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     cache.release_all()
+
+
+def test_asof_nearest_is_one_exchange_two_windows_no_join(spark, sf_dir):
+    """asof_join_nearest (r11): both directions + nearest must cost ONE
+    hash exchange and exactly TWO Window nodes (backward frame, forward
+    frame) over it — no join, and no doubled windows from the CASE
+    re-evaluating raw window expressions (the bug the operator's
+    materialize-first shape exists to prevent)."""
+    import re
+
+    from executor_u1mindexer_spark.suites.events_suite import (
+        events_asof_nearest_view,
+    )
+
+    plan = plans.physical_plan(events_asof_nearest_view(spark, sf_dir), "simple")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 2
+    assert "Join" not in plan
