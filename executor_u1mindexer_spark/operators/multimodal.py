@@ -189,6 +189,18 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# Adam7 interlace passes (PNG spec §8.2): (x_start, x_step, y_start, y_step).
+# Pass sub-images are filtered INDEPENDENTLY; empty passes contribute no
+# bytes at all (not even filter bytes).
+_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -214,24 +226,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(
-    width: int,
-    height: int,
-    pixels: bytes,
-    *,
-    color_type: int = 2,
-    filter_type: int = 0,
-) -> bytes:
-    """Minimal valid PNG from a top-down 8-bit raster. filter_type applies
-    the given PNG filter to every scanline (0=None..4=Paeth) — the encoder
-    computes the forward filter so all five decode paths are exercisable in
-    roundtrip tests without an external reference image."""
-    import struct
-    import zlib as _z
-
-    ch = _PNG_CHANNELS[color_type]
-    if len(pixels) != width * height * ch:
-        raise ValueError(f"expected {width * height * ch} pixel bytes, got {len(pixels)}")
+def _png_filter_block(pixels: bytes, width: int, height: int, ch: int,
+                      filter_type: int) -> bytearray:
+    """Forward-filter one raster block into (stride+1)*height stream bytes
+    (prior row = previous row of the SAME block — passes filter
+    independently, which is why this is a helper)."""
     stride = width * ch
     raw = bytearray()
     prior = bytes(stride)
@@ -256,50 +255,92 @@ def encode_png(
                 raise ValueError(f"unknown PNG filter {filter_type}")
             raw.append(f)
         prior = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return raw
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Parse a baseline PNG → (width, height, channels, top-down raster).
+def _adam7_geometry(width: int, height: int):
+    """Non-empty Adam7 passes as (x0, xs, y0, ys, pass_w, pass_h)."""
+    out = []
+    for x0, xs, y0, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw > 0 and ph > 0:
+            out.append((x0, xs, y0, ys, pw, ph))
+    return out
 
-    Full unfilter support for all five scanline filters; Sub and Up are
-    vectorized (per-channel cumsum / vector add), Average and Paeth walk
-    the row (sequential left-dependency is inherent to the spec)."""
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    color_type: int = 2,
+    filter_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal valid PNG from a top-down 8-bit raster. filter_type applies
+    the given PNG filter to every scanline (0=None..4=Paeth) — the encoder
+    computes the forward filter so all five decode paths are exercisable in
+    roundtrip tests without an external reference image.
+
+    r11: ``interlace=True`` writes Adam7 (each of the seven passes is a
+    sub-image filtered independently; empty passes emit nothing), and
+    ``color_type=3`` writes an INDEXED PNG — input stays the RGB raster,
+    the encoder builds the PLTE from the distinct colors in
+    first-occurrence order (<= 256 required) and streams 1-byte indices."""
     import struct
     import zlib as _z
 
+    plte = b""
+    if color_type == 3:
+        if len(pixels) != width * height * 3:
+            raise ValueError("indexed PNG input must be an RGB raster")
+        palette: dict[bytes, int] = {}
+        idx = bytearray()
+        for i in range(0, len(pixels), 3):
+            c = pixels[i : i + 3]
+            if c not in palette:
+                if len(palette) == 256:
+                    raise ValueError("indexed PNG needs <= 256 distinct colors")
+                palette[c] = len(palette)
+            idx.append(palette[c])
+        plte = b"".join(palette)  # insertion order == index order
+        pixels, ch = bytes(idx), 1
+    else:
+        ch = _PNG_CHANNELS[color_type]
+        if len(pixels) != width * height * ch:
+            raise ValueError(
+                f"expected {width * height * ch} pixel bytes, got {len(pixels)}"
+            )
+    if not interlace:
+        raw = _png_filter_block(pixels, width, height, ch, filter_type)
+    else:
+        raw = bytearray()
+        for x0, xs, y0, ys, pw, ph in _adam7_geometry(width, height):
+            sub = bytearray()
+            for py in range(ph):
+                y = y0 + py * ys
+                for px_i in range(pw):
+                    x = x0 + px_i * xs
+                    o = (y * width + x) * ch
+                    sub += pixels[o : o + ch]
+            raw += _png_filter_block(bytes(sub), pw, ph, ch, filter_type)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    chunks = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        chunks += _png_chunk(b"PLTE", plte)
+    return chunks + _png_chunk(b"IDAT", _z.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+
+
+def _png_unfilter_block(raw: bytes, w: int, h: int, ch: int):
+    """Unfilter one (stride+1)*h stream block → (h, stride) uint8 array.
+    Sub and Up are vectorized (per-channel cumsum / vector add), Average
+    and Paeth walk the row (sequential left-dependency is inherent to
+    the spec)."""
     import numpy as np
 
-    if not payload.startswith(_PNG_MAGIC):
-        raise ValueError("not a PNG payload")
-    pos, idat, meta = 8, bytearray(), None
-    while pos < len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth}, color_type={color_type}, "
-                    f"interlace={interlace}); baseline 8-bit gray/RGB/RGBA only"
-                )
-            meta = (w, h, _PNG_CHANNELS[color_type])
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if meta is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, ch = meta
-    raw = _z.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG scanline data size mismatch")
@@ -331,6 +372,76 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter byte {ft}")
         out[r] = recon
         prior = recon.astype(np.int32)
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a PNG → (width, height, channels, top-down raster).
+
+    8-bit gray / RGB / RGBA / INDEXED (PLTE, r11), non-interlaced or
+    Adam7-interlaced (r11 — each pass unfiltered independently, pixels
+    scattered back by the pass geometry; empty passes carry no bytes).
+    Indexed rasters return as RGB after palette lookup. 16-bit /
+    sub-8-bit depths and tRNS-transparent palettes raise loudly."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, idat, meta, plte = 8, bytearray(), None, None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color_type not in (0, 2, 3, 6) or interlace not in (0, 1):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color_type={color_type}, "
+                    f"interlace={interlace}); 8-bit gray/RGB/RGBA/indexed only"
+                )
+            meta = (w, h, color_type, interlace)
+        elif tag == b"PLTE":
+            plte = bytes(body)
+        elif tag == b"tRNS":
+            raise ValueError("unsupported PNG: tRNS transparency on palette")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, color_type, interlace = meta
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    if color_type == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("indexed PNG missing/malformed PLTE")
+    raw = _z.decompress(bytes(idat))
+    if interlace == 0:
+        out = _png_unfilter_block(raw, w, h, ch)
+    else:
+        out = np.zeros((h, w * ch), dtype=np.uint8)
+        off = 0
+        for x0, xs, y0, ys, pw, ph in _adam7_geometry(w, h):
+            blk_len = (pw * ch + 1) * ph
+            sub = _png_unfilter_block(raw[off : off + blk_len], pw, ph, ch)
+            off += blk_len
+            ys_idx = np.arange(ph) * ys + y0
+            xs_idx = np.arange(pw) * xs + x0
+            sub3 = sub.reshape(ph, pw, ch)
+            for ci in range(ch):
+                out[np.ix_(ys_idx, xs_idx * ch + ci)] = sub3[:, :, ci]
+        if off != len(raw):
+            raise ValueError("PNG Adam7 stream size mismatch")
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("indexed PNG references a color past the PLTE")
+        rgb = pal[idx]  # (h, w, 3)
+        return w, h, 3, rgb.tobytes()
     return w, h, ch, out.tobytes()
 
 
@@ -433,7 +544,9 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
     height = id%3+2; container cycles id%4 → PPM / BMP / PNG / JPEG, with
     the PPM lane further split on id%8 == 4 → GIF (palette+LZW; lossless,
     so it carries the same RGB bytes and the same pixel_sum; id%16 == 12
-    additionally exercises 4-pass interlace).
+    additionally exercises 4-pass interlace) and the PNG lane split on
+    id%8 == 6 → id%16 == 6 INDEXED (PLTE) / id%16 == 14 Adam7 INTERLACED
+    (r11; both lossless, same bytes, same pixel_sum).
     Lossless containers carry RGB channel byte i = (id*7 + i) % 256
     (top-down raster; the PNG scanline filter cycles id%5 so every
     unfilter path decodes under the oracle). JPEG — lossy in general — is
@@ -477,7 +590,22 @@ def attach_synthetic_images(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 elif kind == 1:
                     payloads.append(encode_bmp(w, h, px))
                 elif kind == 2:
-                    payloads.append(encode_png(w, h, px, filter_type=did % 5))
+                    # the PNG lane splits on id%8: 2 -> baseline with the
+                    # filter cycling id%5; 6 -> id%16==6 INDEXED (PLTE,
+                    # decoder maps back to the same RGB raster) and
+                    # id%16==14 Adam7 INTERLACED — both lossless, so the
+                    # closed-form pixel_sum oracle is untouched (r11)
+                    if did % 8 == 6:
+                        payloads.append(
+                            encode_png(
+                                w, h, px,
+                                color_type=3 if did % 16 == 6 else 2,
+                                filter_type=did % 5,
+                                interlace=(did % 16 == 14),
+                            )
+                        )
+                    else:
+                        payloads.append(encode_png(w, h, px, filter_type=did % 5))
                 elif did % 8 == 3:
                     gray = bytes([did * 7 % 256]) * (w * h)
                     payloads.append(encode_jpeg(w, h, gray, channels=1))

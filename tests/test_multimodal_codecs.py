@@ -833,3 +833,48 @@ def test_exif_tiff_parser_is_loud():
         C.parse_tiff_exif(C.encode_tiff_exif(6, big_endian=True))["orientation"]
         == C.parse_tiff_exif(C.encode_tiff_exif(6, big_endian=False))["orientation"]
     )
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 3, 6])
+@pytest.mark.parametrize("filter_type", range(5))
+def test_png_adam7_roundtrip_all_filters(color_type, filter_type):
+    """Adam7 interlace (r11): every pass is filtered independently and
+    scattered back by the pass geometry — roundtrip across all color
+    types and filters, on sizes that exercise empty passes (1x1 has six
+    empty passes) and ragged pass widths."""
+    import random
+
+    rng = random.Random(20260815 + color_type * 5 + filter_type)
+    for w, h in ((1, 1), (2, 3), (5, 4), (8, 8), (9, 7)):
+        if color_type == 3:
+            px = bytes(rng.choice((0, 17, 34, 200)) for _ in range(w * h * 3))
+            want_ch, want = 3, px
+        else:
+            ch = MM._PNG_CHANNELS[color_type]
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            want_ch, want = ch, px
+        p = MM.encode_png(
+            w, h, px, color_type=color_type, filter_type=filter_type, interlace=True
+        )
+        assert MM.decode_png(p) == (w, h, want_ch, want)
+
+
+def test_png_indexed_roundtrip_and_gates():
+    """Indexed PNG (r11): PLTE lookup returns the original RGB raster;
+    >256 distinct colors and tRNS payloads raise loudly."""
+    px = bytes((7 * i) % 256 for i in range(6 * 4 * 3))
+    p = MM.encode_png(6, 4, px, color_type=3, filter_type=4)
+    assert MM.decode_png(p) == (6, 4, 3, px)
+
+    many = bytes(
+        b for i in range(300) for b in (i % 256, (i // 256) % 256, 7)
+    )  # 300 distinct colors in a 300x1 image
+    with pytest.raises(ValueError, match="<= 256 distinct colors"):
+        MM.encode_png(300, 1, many, color_type=3)
+
+    # splice a tRNS chunk into a valid indexed PNG -> loud gate
+    base = MM.encode_png(2, 2, bytes(12), color_type=3)
+    iend = base.index(b"IEND") - 4
+    trns = MM._png_chunk(b"tRNS", b"\x80")
+    with pytest.raises(ValueError, match="tRNS"):
+        MM.decode_png(base[:iend] + trns + base[iend:])
