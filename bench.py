@@ -77,6 +77,11 @@ HEADLINE = [
     # that CollapseProject must NOT inline) — a lost linearity guard shows
     # up here as a blown-up optimize/codegen time before anything breaks
     "layout_hilbert_clustering",
+    # r11: tracks the PassJoin signature join (a lost pigeonhole bound —
+    # e.g. a widened position window — shows as candidate blow-up here
+    # before correctness notices) and the shared-island-core complement
+    "near_dedup_edit_distance",
+    "events_interval_gaps",
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,
