@@ -42,3 +42,54 @@ def salted_join(
     )
     out = b.join(s, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def salted_group_topk(
+    df: DataFrame,
+    group: str,
+    order_col: str,
+    tiebreak: str,
+    k: int,
+    *,
+    n_salt: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Skew-resistant per-group top-k (r11): two salted phases instead of
+    one full per-group sort. Phase 1 ranks within (group, salt) — a hot
+    group's rows spread over n_salt parallel window partitions — and
+    keeps each bucket's top k; phase 2 ranks the surviving
+    <= k * n_salt candidate rows per group. Correct because a row in the
+    TRUE per-group top-k is by definition in the top-k of whatever salt
+    bucket it landed in (at most k bucket rows can outrank it), so phase
+    1 never drops a winner — the same pigeonhole that makes partial
+    top-k aggregation sound.
+
+    Deterministic: salt derives from the TIEBREAK column (never rand()),
+    and both phases order by (order_col DESC, tiebreak ASC) — a total
+    order, so the survivors are a pure function of the data.
+
+    Scale shape: the phase-1 window partitions by (group, salt) — the
+    hot-group reducer problem a plain per-group window has at 100 TB
+    disappears — and phase 2's window sees at most k * n_salt rows per
+    group regardless of group size. Returns the top-k rows per group
+    with their final rank."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col(tiebreak).cast("string")), F.lit(n_salt))
+    w1 = Window.partitionBy(group, "__salt").orderBy(
+        F.col(order_col).desc(), F.col(tiebreak).asc()
+    )
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(group).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak).asc()
+    )
+    return (
+        survivors.withColumn("rank_in_group", F.row_number().over(w2))
+        .filter(F.col("rank_in_group") <= k)
+    )

@@ -231,6 +231,22 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant per-group top-k (r11, operators/skew.py
+    salted_group_topk): top-5 customers by acctbal per nation via the
+    two-phase salted rank — phase 1 caps every (group, salt) bucket at
+    k, phase 2 ranks the <= k*n_salt survivors, provably equal to the
+    plain per-group top-k (the oracle IS the plain form, so a lossy
+    phase 1 diverges)."""
+    from executor_u1mindexer_spark.operators import skew
+
+    cust = tables.load(spark, sf_dir, "customer")
+    out = skew.salted_group_topk(cust, "c_nationkey", "c_acctbal", "c_custkey", 5)
+    return out.select(
+        "c_nationkey", "c_custkey", "c_acctbal", "rank_in_group"
+    ).orderBy("c_nationkey", "rank_in_group")
+
+
 def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer max order price via a correlated scalar subquery —
     Catalyst decorrelates it into a left outer aggregate join."""
@@ -560,6 +576,7 @@ _VARIANT_QUERIES = {
     "null_handling_funcs": null_handling_funcs,
     "agg_stats_funcs": agg_stats_funcs,
     "skew_salted_join": skew_salted_join,
+    "topk_per_group_salted": topk_per_group_salted,
     "scalar_math_funcs": scalar_math_funcs,
     "map_column_ops": map_column_ops,
     "grouping_sets_orders": grouping_sets_orders,
@@ -734,6 +751,19 @@ SELECT l_returnflag,
        round(var_samp(l_quantity), 6) AS var_qty,
        round(avg(l_quantity), 6) AS avg_qty
 FROM lineitem GROUP BY l_returnflag
+""",
+    # plain one-window formulation on purpose: the salted two-phase must
+    # produce EXACTLY the per-group top-k, so the oracle is the direct form
+    "topk_per_group_salted": """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       CAST(rnk AS INT) AS rank_in_group
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) t WHERE rnk <= 5
+ORDER BY c_nationkey, rank_in_group
 """,
     "skew_salted_join": """
 SELECT o_orderstatus, count(*) AS n_lines,

@@ -784,3 +784,31 @@ def test_asof_nearest_is_one_exchange_two_windows_no_join(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert len(re.findall(r"\bWindow\b", plan)) == 2
     assert "Join" not in plan
+
+
+def test_salted_group_topk_equals_plain_and_spreads_hot_group(spark):
+    """salted_group_topk (r11): on a pathologically hot group (one group
+    holding 90% of rows, plus duplicate order values forcing tiebreaks)
+    the two-phase result must EQUAL the plain one-window top-k, and the
+    phase-1 window must partition by (group, salt) — the hot group's
+    rows spread over n_salt rank partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark.operators import skew
+
+    rows = [(0, i, float((i * 7) % 50)) for i in range(900)]  # hot group, many ties
+    rows += [(g, 1000 + g * 10 + j, float(j)) for g in range(1, 6) for j in range(10)]
+    df = spark.createDataFrame(rows, "g long, id long, v double")
+
+    got = {(r.g, r.id, r.rank_in_group)
+           for r in skew.salted_group_topk(df, "g", "v", "id", 7).collect()}
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+    want = {(r.g, r.id, r.rank_in_group)
+            for r in df.withColumn("rank_in_group", F.row_number().over(w))
+                       .filter(F.col("rank_in_group") <= 7).collect()}
+    assert got == want and len(want) == 7 + 5 * 7
+
+    plan = plans.physical_plan(skew.salted_group_topk(df, "g", "v", "id", 7), "simple")
+    assert "__salt" in plan  # phase-1 partitioning carries the salt key
+    assert "SinglePartition" not in plan
