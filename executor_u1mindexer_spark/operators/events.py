@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -83,6 +84,68 @@ def sessionize(
         F.col("w.end").alias("session_end"),
         *agg_cols,
     )
+
+
+def sessionize_capped(
+    events: DataFrame,
+    gap_s: int,
+    cap_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a max-duration cap
+    (r11) — the web-analytics session rule (GA/Snowplow default: 30-min
+    idle OR the absolute session ceiling) that neither F.session_window
+    nor the gaps-and-islands window trick can express: a session splits
+    when ts - prev_ts >= gap_s OR ts - session_start > cap_s, and
+    session_start itself depends on where the previous split happened —
+    a data-dependent recurrence that is not prefix-decomposable, so no
+    fixed window frame computes it. This is the honest custom-stateful
+    lane: one shuffle on the user key, then an O(n_user) sequential fold
+    per user inside Arrow-batched applyInPandas.
+
+    Semantics (replayed exactly by the recursive-CTE oracle): events of
+    one user in (ts, id) total order; the first event opens a session;
+    event i starts a NEW session iff t_i - t_{i-1} >= gap_s or
+    t_i - session_start > cap_s. All integer epoch seconds. Session
+    starts strictly increase (gap_s > 0), so (user, session_start) is a
+    key. Output: (user, session_start_s, session_end_s, n_events).
+
+    Scale shape: the per-user fold is inherent to the semantics, not an
+    implementation shortcut — parallelism comes from the user-key
+    partitioning, state per task is three integers."""
+    if gap_s <= 0 or cap_s <= 0:
+        raise ValueError(f"gap_s and cap_s must be > 0, got {gap_s}, {cap_s}")
+    out_schema = (
+        f"{user_col} long, session_start_s long, session_end_s long, n_events long"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        t = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+        uid = pdf[user_col].iloc[0]
+        rows = []
+        start = prev = None
+        n = 0
+        for ti in t:
+            ti = int(ti)
+            if start is None:
+                start, prev, n = ti, ti, 1
+                continue
+            if ti - prev >= gap_s or ti - start > cap_s:
+                rows.append((uid, start, prev, n))
+                start, n = ti, 1
+            else:
+                n += 1
+            prev = ti
+        if start is not None:
+            rows.append((uid, start, prev, n))
+        return pd.DataFrame(
+            rows, columns=[user_col, "session_start_s", "session_end_s", "n_events"]
+        )
+
+    return events.groupBy(user_col).applyInPandas(fold, out_schema)
 
 
 def asof_join_last_before(

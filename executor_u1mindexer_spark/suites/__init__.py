@@ -111,8 +111,8 @@ DRIVER_PRIORITY = (
     "text_bm25_topk_joins",
     "text_bpe_learn_merges",
     "text_bpe_tokenize",
-    # 13 oldest r08-stale rows (alphabetical prefix of the 43; the last
-    # six slots go to the r11 never-checked rows below):
+    # 12 oldest r08-stale rows (alphabetical prefix of the 43; the last
+    # seven slots go to the r11 never-checked rows below):
     "ann_hnsw_partitioned_topk",
     "drift_chi2_value_periods",
     "embedding_gram_moments",
@@ -125,19 +125,20 @@ DRIVER_PRIORITY = (
     "index_upsert",
     "layout_file_skipping",
     "layout_zorder_clustering",
-    "llm_corpus_pipeline",
     "events_interval_gaps",
     "dq_backlog_cross_batch",
     "ivm_retractable_delta",
     "near_dedup_edit_distance",
     "events_asof_nearest_view",
     "topk_per_group_salted",
+    "events_sessionize_capped",
     # --- 50-slot window boundary ---
     # r12 window plan: rows added in r11 after this point lead (never
     # driver-checked; each green at 3 SFs in this round's sweeps), then
     # the 27 remaining r08-stale rows, then the oldest r09 rows. Every
     # NEW registry row displaces the bottom r08 row from the window —
     # the no-wasted-slots rule requires never-checked rows inside.
+    "llm_corpus_pipeline",
     "multimodal_decode_audio",
     "multimodal_decode_webp_lossless",
     "multimodal_sample_video_frames",

@@ -100,6 +100,25 @@ def events_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select("event_id", "user_id", "ts", "last_view_ts")
 
 
+CAP_GAP_S = 43_200   # 12 h inactivity gap
+CAP_DUR_S = 86_400   # 24 h absolute session ceiling
+
+
+def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap + max-duration sessionization (r11,
+    operators/events.sessionize_capped): the GA/Snowplow session rule —
+    12 h idle OR a 24 h absolute ceiling — whose split recurrence no
+    window frame can express (session_start depends on the previous
+    split). Spark runs the per-user Arrow fold; the oracle replays the
+    identical recurrence as a DuckDB RECURSIVE CTE walking rn -> rn+1.
+    Non-vacuous: the cap adds 49/483/~4.8k extra splits at the three
+    SFs over the gap-only rule."""
+    ev = tables.load(spark, sf_dir, "events")
+    return E.sessionize_capped(ev, CAP_GAP_S, CAP_DUR_S).orderBy(
+        "user_id", "session_start_s"
+    )
+
+
 def events_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward + nearest as-of directions (r11,
     operators/events.asof_join_nearest): for each purchase, the last
@@ -246,6 +265,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_asof_purchase_last_view": events_asof_purchase_last_view,
     "events_asof_nearest_view": events_asof_nearest_view,
+    "events_sessionize_capped": events_sessionize_capped,
     "events_json_extract": events_json_extract,
     "events_pivot_daily_types": events_pivot_daily_types,
     "events_funnel_view_click_purchase": events_funnel_view_click_purchase,
@@ -401,6 +421,28 @@ WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
 SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
 FROM purchases p ASOF LEFT JOIN views v
   ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    # the same split recurrence, replayed row-by-row: walk joins rn -> rn+1
+    # per user, carrying sess_start forward; floor(epoch()) matches Spark's
+    # ns//1e9 integer-seconds floor
+    "events_sessionize_capped": f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, rn, t, t AS sess_start FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.t,
+         CASE WHEN e.t - w.t >= {CAP_GAP_S} OR e.t - w.sess_start > {CAP_DUR_S}
+              THEN e.t ELSE w.sess_start END
+  FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, sess_start AS session_start_s,
+       CAST(max(t) AS BIGINT) AS session_end_s,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM walk GROUP BY user_id, sess_start
+ORDER BY user_id, session_start_s
 """,
     # both directions via DuckDB's native ASOF JOIN (backward v.ts<=p.ts,
     # forward v.ts>=p.ts), nearest = closer absolute gap, ties backward —

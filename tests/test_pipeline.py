@@ -520,3 +520,60 @@ def test_dq_audit_rejects_bad_check_names(spark):
             P.dq_audit(df, {bad: "v > 0"})
     with _pt.raises(ValueError, match="not a plain SQL identifier"):
         P.dq_audit(df, {"ok": "v > 0"}, unique_cols=["bad col"])
+
+
+def test_sessionize_capped_matches_plain_python_fold(spark):
+    """sessionize_capped (r11): hand case exercising both split rules
+    (gap split, cap split mid-burst, exact-boundary non-splits) plus a
+    seeded-random stress vs a plain-Python replay of the recurrence."""
+    import random
+    from datetime import datetime, timedelta
+
+    from executor_u1mindexer_spark.operators import events as E
+
+    base = datetime(2025, 1, 1)
+
+    def ts(s):
+        return base + timedelta(seconds=s)
+
+    # gap=100, cap=250: 0,80,160,250 stay one session (every diff < 100;
+    # duration 250 is NOT > cap — exact-boundary non-split); 320 cap-splits
+    # (320-0 > 250) despite diff 70; 400 rides; 700 gap-splits (diff 300)
+    rows = [(1, i, ts(t)) for i, t in enumerate((0, 80, 160, 250, 320, 400, 700))]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = [(r.session_start_s, r.session_end_s, r.n_events)
+           for r in E.sessionize_capped(df, 100, 250)
+                     .orderBy("session_start_s").collect()]
+    b = int(base.timestamp())
+    assert got == [(b + 0, b + 250, 4), (b + 320, b + 400, 2), (b + 700, b + 700, 1)]
+
+    rng = random.Random(20260815)
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = 0
+        for _ in range(rng.randint(5, 60)):
+            t += rng.randint(1, 160)
+            rows.append((u, eid, ts(t)))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {(r.user_id, r.session_start_s, r.session_end_s, r.n_events)
+           for r in E.sessionize_capped(df, 100, 250).collect()}
+
+    want = set()
+    by_u = {}
+    for u, _, t in rows:
+        by_u.setdefault(u, []).append(int(t.timestamp()))
+    for u, times in by_u.items():
+        times.sort()
+        start = prev = times[0]
+        n = 1
+        for t in times[1:]:
+            if t - prev >= 100 or t - start > 250:
+                want.add((u, start, prev, n))
+                start, n = t, 1
+            else:
+                n += 1
+            prev = t
+        want.add((u, start, prev, n))
+    assert got == want and len(want) > 30
