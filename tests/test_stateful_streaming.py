@@ -371,3 +371,71 @@ def test_streaming_sig_confirm_divergence_vs_exact_jaccard_is_zero_on_fixture(
     ).collect()[0]
     assert r.n_cand > 0  # the fixture must actually exercise the compare
     assert (r.false_confirm, r.miss) == (0, 0), r
+
+
+def test_streaming_sessionize_capped_matches_batch(spark, sf_dir, tmp_path):
+    """streaming_sessionize_capped (r11): over a time-ordered chunked
+    replay (the operator's stated arrival contract — four parquet files
+    sorted by ts, one file per micro-batch), the drained CLOSED sessions
+    must equal the batch sessionize_capped output minus each user's
+    final (still-open) session."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.operators import events as E
+    from executor_u1mindexer_spark.streaming import stateful as ST
+
+    gap_s, cap_s = 43_200, 86_400
+    events = tables.load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    src = str(tmp_path / "sorted_events")
+    # four time-ordered chunks: ntile(4) over (ts, event_id) keeps every
+    # file's range disjoint, so per-key arrival is monotone across
+    # micro-batches (the test runs at sf0.001 — the global ntile sort is
+    # fixture-sized, not an operator under test)
+    ranked = events.withColumn(
+        "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        ranked.filter(F.col("__q") == i).drop("__q").coalesce(1).write.mode(
+            "append" if i > 1 else "overwrite"
+        ).parquet(src)
+    # overwrite wrote part files unordered in one dir — instead re-list:
+    # Spark's file stream picks files in modification order, which the
+    # sequential writes above produce; with maxFilesPerTrigger=1 each
+    # quartile is its own micro-batch
+    n_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_files >= 4
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ST.streaming_sessionize_capped(stream, gap_s, cap_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("capped_sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start_s, r.session_end_s, r.n_events)
+        for r in spark.table("capped_sessions_stream").collect()
+    }
+
+    batch = E.sessionize_capped(events, gap_s, cap_s)
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start_s").desc())
+    closed_batch = (
+        batch.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") > 1)  # drop each user's final (open) session
+        .drop("__r")
+    )
+    want = {
+        (r.user_id, r.session_start_s, r.session_end_s, r.n_events)
+        for r in closed_batch.collect()
+    }
+    assert got == want and len(want) > 50
