@@ -66,78 +66,38 @@ SUITE_MODULES = (
 # (a)); rotation_check treats these as legitimate window occupants even
 # while stale rows wait. Keep this list honest — it is the audit trail
 # for why a fresh row occupies a slot ahead of a stale one.
-POLICY_A = ()
+# r12: ivm_retractable_delta is re-shaped (VERDICT r11 #1 — its
+# DECIMAL(38,0) driver-facing lanes, the registry's only ones, move to
+# canonical digit strings on both engine sides); events_asof_nearest_view
+# moves its nearest/tie arithmetic to microsecond precision on both
+# sides (ADVICE r11, latent parity break at larger SFs).
+POLICY_A = (
+    "ivm_retractable_delta",
+    "events_asof_nearest_view",
+)
 
 DRIVER_PRIORITY = (
-    # Round 11 window (VERDICT r10 #1, rotated as the FIRST commit of the
-    # round per the settled protocol): the 9 never-driver-checked r10 rows
-    # lead, then ALL 22 surviving r06-stale rows, then the 17 oldest
-    # (alphabetical) of the 43 r08-stale rows, then the rows ADDED in
-    # r11 (never-checked rows outrank merely-r08-stale ones — the
-    # no-wasted-slots rule fires if they wait outside). Staleness floor
-    # rises to r08 after this round; the remaining r08 rows queue for
-    # r12 (listed after the boundary), keeping the 4-window cycle.
-    # never driver-checked (new in r10; the r11 rows sit at the end of
-    # the window):
-    "multimodal_container_properties",
-    "mixture_temperature_resample",
-    "layout_hilbert_clustering",
-    "near_dedup_containment_prefix",
-    "sample_domain_quota",
-    "ivm_incremental_agg",
-    "dq_constraint_audit",
-    "source_schema_evolution",
-    "events_interval_union",
-    # ALL 22 surviving r06-stale rows (alphabetical):
-    "agg_listagg_names",
-    "ann_partitioned_topk",
-    "ann_range_search",
-    "decontaminated_training_mix",
-    "delete_by_ids",
-    "dump_load_roundtrip",
-    "embedding_centroids_by_label",
-    "embedding_matryoshka_stats",
-    "eval_retrieval_label_metrics",
-    "events_funnel_view_click_purchase",
-    "events_gapfill_hourly",
-    "events_range_join_amplified",
-    "events_range_join_banded_amplified",
-    "events_resample_ohlc",
-    "graph_pagerank_parts",
-    "graph_triangle_count",
-    "multimodal_decode_gif_animation",
-    "sketch_bloom_join_prune",
-    "sketch_quantile_clip_outliers",
-    "text_bm25_topk_joins",
-    "text_bpe_learn_merges",
-    "text_bpe_tokenize",
-    # 12 oldest r08-stale rows (alphabetical prefix of the 43; the last
-    # seven slots go to the r11 never-checked rows below):
-    "ann_hnsw_partitioned_topk",
-    "drift_chi2_value_periods",
-    "embedding_gram_moments",
-    "events_markov_transitions",
-    "events_range_join_bucketed",
-    "events_retention_cohorts",
-    "events_rolling_zscore",
-    "graph_cc_event_chains",
-    "graph_label_propagation",
-    "index_upsert",
-    "layout_file_skipping",
-    "layout_zorder_clustering",
-    "events_interval_gaps",
-    "dq_backlog_cross_batch",
+    # Round 12 window (VERDICT r11 #2, rotated as the FIRST commit of the
+    # round per the settled protocol): the 8 flagship-tier rows lead
+    # (rotation_check named them — r09 basis, the guard caps them at 2
+    # rounds stale), then the 2 POLICY_A rows changed this round, then
+    # ALL 31 remaining r08-stale rows (the queue the r11 boundary
+    # comment listed), then the 9 oldest (alphabetical) r09 rows. After
+    # this round the staleness floor rises to r09 with 28 r09 rows
+    # left, which fit the r13 window with room for new-row swaps.
+    # §2.A flagship tier (knn core semantics, executor.py:73-125):
+    "knn_search_cosine",
+    "knn_search_euclidean",
+    "knn_search_inner_product",
+    "payload_fetch",
+    "limit_clamp",
+    "dim_validate",
+    "score_transform_similarity",
+    "clear",
+    # POLICY_A — implementation/oracle changed this round:
     "ivm_retractable_delta",
-    "near_dedup_edit_distance",
     "events_asof_nearest_view",
-    "topk_per_group_salted",
-    "events_sessionize_capped",
-    # --- 50-slot window boundary ---
-    # r12 window plan: rows added in r11 after this point lead (never
-    # driver-checked; each green at 3 SFs in this round's sweeps), then
-    # the 27 remaining r08-stale rows, then the oldest r09 rows. Every
-    # NEW registry row displaces the bottom r08 row from the window —
-    # the no-wasted-slots rule requires never-checked rows inside.
+    # ALL 31 remaining r08-stale rows (alphabetical):
     "llm_corpus_pipeline",
     "multimodal_decode_audio",
     "multimodal_decode_webp_lossless",
@@ -169,6 +129,50 @@ DRIVER_PRIORITY = (
     "update_existing",
     "update_skipped",
     "vector_dedup_quantize",
+    # 9 oldest (alphabetical) r09 rows — each NEW registry row added
+    # this round displaces the bottom one of these into the r13 queue
+    # (never-checked rows outrank merely-r09-stale ones):
+    "agg_stats_funcs",
+    "ann_kmeans_ivf_topk",
+    "clean_corpus_pipeline",
+    "correlated_scalar_subquery",
+    "dedup_repeated_spans",
+    "events_asof_purchase_last_view",
+    "events_json_extract",
+    "events_pivot_daily_types",
+    "events_range_join",
+    # --- 50-slot window boundary ---
+    # r13 window plan: rows added in r12 after this point lead (never
+    # driver-checked), then the 28 remaining r09-stale rows below, then
+    # the oldest r10 rows.
+    "events_sliding_1h_30m",
+    "fuzzy_join_part_names",
+    "index_state_diff",
+    "join_anti_customers_without_orders",
+    "join_full_outer_segments",
+    "multimodal_lossy_header_meta",
+    "multimodal_training_manifest",
+    "sample_pps_systematic",
+    "scd2_customer_history",
+    "scd2_point_in_time_join",
+    "text_bigram_lm_scores",
+    "text_bm25_topk",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "vector_pq_codes",
 )
 
 
