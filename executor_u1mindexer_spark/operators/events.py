@@ -123,7 +123,13 @@ def sessionize_capped(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        t = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+        # normalize to ns resolution BEFORE the epoch division: pandas 2.x
+        # can deliver datetime64[us]/[ms] series from Arrow, where a bare
+        # .astype('int64') would silently yield wrong "seconds" and shift
+        # every session boundary (ADVICE r11)
+        t = (
+            pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        ).to_numpy()
         uid = pdf[user_col].iloc[0]
         rows = []
         start = prev = None
@@ -205,8 +211,9 @@ def asof_join_nearest(
     row, ``before_ts`` = greatest right ts <= left ts (what
     asof_join_last_before returns), ``after_ts`` = smallest right ts >=
     left ts (the FORWARD as-of), and ``nearest_ts`` = whichever is
-    closer in absolute seconds, ties to the backward match (the
-    pandas/QuestDB merge_asof direction='nearest' rule).
+    closer in absolute MICROSECONDS (full timestamp precision), ties to
+    the backward match (the pandas/QuestDB merge_asof
+    direction='nearest' rule).
 
     Same union+window device as asof_join_last_before — ONE shuffle on
     the key serves both directions; the two frames need opposite
@@ -250,8 +257,19 @@ def asof_join_nearest(
         F.first("__rts", ignorenulls=True).over(wf).alias("after_ts"),
     )
     before, after = F.col("before_ts"), F.col("after_ts")
-    d_b = F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(before)
-    d_f = F.unix_timestamp(after) - F.unix_timestamp(F.col("__ts"))
+
+    # microsecond precision (ADVICE r11): fixture timestamps are
+    # sub-second, and whole-second unix_timestamp diffs can tie where the
+    # true gaps differ — flipping the nearest pick vs any oracle that
+    # compares at full precision. NTZ columns reject unix_micros
+    # directly; the session tz is pinned UTC (session.py), so the
+    # NTZ->TIMESTAMP cast is an exact epoch-micros reinterpretation and
+    # any fixed offset cancels in the two differences anyway.
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    d_b = _us(F.col("__ts")) - _us(before)
+    d_f = _us(after) - _us(F.col("__ts"))
     nearest = (
         F.when(before.isNull(), after)
         .when(after.isNull(), before)

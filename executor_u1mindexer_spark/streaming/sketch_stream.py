@@ -64,9 +64,39 @@ class _BatchKeyedStore:
     def put(self, batch_id: int, pdf: pd.DataFrame) -> None:
         import os
 
+        floor = self._compact_floor()
+        if batch_id <= floor:
+            # A batch at-or-below the compact floor would WRITE fine but be
+            # invisible to load() forever — the silent-data-loss shape of a
+            # checkpoint/state_dir mismatch (a fresh checkpoint restarting
+            # batch ids at 0 against an old store). Fail loudly instead
+            # (ADVICE r11): pre-compaction the same mismatch at least
+            # visibly overwrote entries.
+            raise ValueError(
+                f"put(batch_id={batch_id}) is at or below the compact floor "
+                f"{floor} of state_dir {self._dir!r} — the entry would be "
+                "superseded by the compact file and silently dropped. This "
+                "means the streaming checkpoint and state_dir are out of "
+                "sync; point the query at a fresh state_dir (or restore the "
+                "matching checkpoint)."
+            )
         tmp = os.path.join(self._dir, f".tmp-batch-{batch_id}.parquet")
         pdf.to_parquet(tmp, index=False)
         os.replace(tmp, os.path.join(self._dir, f"batch-{batch_id}.parquet"))
+
+    def _compact_floor(self) -> int:
+        """Max compact-K id on disk, or -1 when never compacted."""
+        import os
+        import re
+
+        return max(
+            (
+                int(m.group(1))
+                for name in os.listdir(self._dir)
+                if (m := re.fullmatch(r"compact-(\d+)\.parquet", name))
+            ),
+            default=-1,
+        )
 
     def load(self) -> dict[int, pd.DataFrame]:
         """Committed entries, with compaction semantics: if a
@@ -136,6 +166,16 @@ class _BatchKeyedStore:
         import re
 
         names = os.listdir(self._dir)
+        # any .tmp-* is by construction uncommitted (a crash between
+        # to_parquet and os.replace) — without this, the lazy-cleanup
+        # regex below never matches the dot-prefix and stale tmp files
+        # accumulate across compaction rounds (ADVICE r11)
+        for name in names:
+            if name.startswith(".tmp-") and name.endswith(".parquet"):
+                try:
+                    os.remove(os.path.join(self._dir, name))
+                except OSError:
+                    pass  # best-effort, same as below
         floors = [
             int(m.group(1))
             for name in names

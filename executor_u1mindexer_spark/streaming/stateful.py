@@ -134,7 +134,9 @@ def streaming_sessionize_capped(
         closed = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for t in pdf["ts"].astype("int64") // 1_000_000_000:
+            # ns-normalize first — see operators/events.sessionize_capped
+            # (a datetime64[us] series would silently shift every boundary)
+            for t in pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000:
                 t = int(t)
                 if start is None:
                     start, prev, n = t, t, 1

@@ -464,8 +464,8 @@ WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
 SELECT b.event_id, b.user_id, b.ts, b.before_ts, f.after_ts,
        CASE WHEN b.before_ts IS NULL THEN f.after_ts
             WHEN f.after_ts IS NULL THEN b.before_ts
-            WHEN epoch(b.ts) - epoch(b.before_ts)
-                 <= epoch(f.after_ts) - epoch(b.ts) THEN b.before_ts
+            WHEN epoch_us(b.ts) - epoch_us(b.before_ts)
+                 <= epoch_us(f.after_ts) - epoch_us(b.ts) THEN b.before_ts
             ELSE f.after_ts END AS nearest_ts
 FROM back b JOIN fwd f USING (event_id)
 ORDER BY event_id

@@ -616,6 +616,25 @@ def test_batch_keyed_store_compaction(spark, sf_dir, tmp_path):
     assert "batch-1.parquet" not in os.listdir(sdir)
     assert view_of(store.load()) == want
 
+    # (e) a crash between to_parquet and os.replace leaves a .tmp-*
+    # leftover; it is uncommitted by construction — invisible to load()
+    # and removed by the next compact() (ADVICE r11: the cleanup regex
+    # alone never matched the dot-prefix, so these accumulated forever)
+    pdfs[1].to_parquet(os.path.join(sdir, ".tmp-compact-7.parquet"), index=False)
+    assert view_of(store.load()) == want
+    store.compact(IV.ivm_compact_fold(["event_type"]))
+    assert ".tmp-compact-7.parquet" not in os.listdir(sdir)
+
+    # (f) a put() at-or-below the compact floor would be silently
+    # superseded by the compact file (checkpoint/state_dir mismatch —
+    # e.g. a fresh checkpoint restarting batch ids at 0): loud failure,
+    # not silent data loss (ADVICE r11)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compact floor"):
+        store.put(0, pdfs[0])
+    assert "batch-0.parquet" not in os.listdir(sdir)
+
 
 def test_dq_ledger_compaction(spark, sf_dir, tmp_path):
     """The DQ ledger's compaction twin: additive violation counts fold to
