@@ -129,22 +129,26 @@ DRIVER_PRIORITY = (
     "update_existing",
     "update_skipped",
     "vector_dedup_quantize",
-    # 9 oldest (alphabetical) r09 rows — each NEW registry row added
-    # this round displaces the bottom one of these into the r13 queue
-    # (never-checked rows outrank merely-r09-stale ones):
+    # 6 oldest (alphabetical) r09 rows — each NEW registry row added
+    # this round displaced the bottom one of these into the r13 queue
+    # (never-checked rows outrank merely-r09-stale ones); the 3 rows
+    # ADDED in r12 close the window:
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
     "correlated_scalar_subquery",
     "dedup_repeated_spans",
     "events_asof_purchase_last_view",
+    # never driver-checked (new in r12; each green at 3 SFs locally):
+    "ivm_retract_cdc_backlog",
+    "sketch_heavy_hitters_verified",
+    "text_gopher_quality_audit",
+    # --- 50-slot window boundary ---
+    # r13 window plan: rows added late in r12 (if any) lead, then the
+    # 31 remaining r09-stale rows below, then the oldest r10 rows.
     "events_json_extract",
     "events_pivot_daily_types",
     "events_range_join",
-    # --- 50-slot window boundary ---
-    # r13 window plan: rows added in r12 after this point lead (never
-    # driver-checked), then the 28 remaining r09-stale rows below, then
-    # the oldest r10 rows.
     "events_sliding_1h_30m",
     "fuzzy_join_part_names",
     "index_state_diff",

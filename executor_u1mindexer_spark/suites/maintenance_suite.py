@@ -590,6 +590,87 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def ivm_retract_cdc_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC/retract-stream lane's driver-facing row (r12, VERDICT r11
+    #7 — streaming/ivm_stream.streaming_retract_ivm_fold was pytest-only):
+    a two-batch CHANGELOG over orders keyed by o_orderpriority, folded
+    per batch with maintenance.ivm_retract_state_cdc (each row carries
+    its own ±1 sign) and read back through ivm_stream.retract_ivm_view —
+    the exact drained-backlog read path of the streaming fold, including
+    its bounded per-batch driver-side partial collect (n_keys rows per
+    batch, the streaming ledger's honest state shape).
+
+    Batch 0: inserts for orderkey % 4 != 3. Batch 1: the remaining
+    quarter's inserts, PLUS deletes (sign −1) of every orderkey % 7 == 0
+    — retractions landing in a LATER batch than most of their inserts —
+    PLUS a same-batch insert+retract pair (orderkey % 100 == 50, price
+    tripled) that must cancel exactly inside one grouped pass. The
+    oracle aggregates the surviving rows (% 7 != 0) directly, so a lost
+    retraction, an uncancelled pair, or a sign error diverges. Wide
+    decimal lanes are rendered as digit strings per the r12 driver-dtype
+    lint (see ivm_retractable_delta)."""
+    from executor_u1mindexer_spark.operators import maintenance as M
+    from executor_u1mindexer_spark.streaming import ivm_stream as IV
+
+    orders = tables.load(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    cols = ("o_orderpriority", "o_totalprice", "sign")
+
+    cancel = orders.filter(F.col("o_orderkey") % 100 == 50).select(
+        "o_orderpriority", (F.col("o_totalprice") * 3).alias("o_totalprice")
+    )
+    batch0 = orders.filter(F.col("o_orderkey") % 4 != 3).select(
+        *cols[:2], F.lit(1).alias("sign")
+    )
+    batch1 = (
+        orders.filter(F.col("o_orderkey") % 4 == 3)
+        .select(*cols[:2], F.lit(1).alias("sign"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 7 == 0).select(
+                *cols[:2], F.lit(-1).alias("sign")
+            )
+        )
+        .unionByName(cancel.select(*cols[:2], F.lit(1).alias("sign")))
+        .unionByName(cancel.select(*cols[:2], F.lit(-1).alias("sign")))
+    )
+    state_cols = tuple(keys) + M.IVM_RETRACT_STATE_COLS
+    states = {
+        bid: [
+            tuple(r[c] for c in state_cols)
+            for r in M.ivm_retract_state_cdc(b, keys, "o_totalprice", "sign").collect()
+        ]
+        for bid, b in enumerate((batch0, batch1))
+    }
+    merged = IV.retract_ivm_view(spark, states, keys)
+    view = M.ivm_retract_view(merged, keys)
+    return view.select(
+        "o_orderpriority",
+        "n_rows",
+        "sum_milli",
+        F.col("sumsq_milli2").cast("string").alias("sumsq_milli2"),
+        F.col("var_num").cast("string").alias("var_num"),
+        "var_den",
+    )
+
+
+_IVM_CDC_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS sum_milli,
+       CAST(CAST(sum(CAST(v AS HUGEINT) * v) AS DECIMAL(38,0)) AS VARCHAR)
+         AS sumsq_milli2,
+       CAST(CAST(count(*) * sum(CAST(v AS HUGEINT) * v)
+            - CAST(sum(v) AS HUGEINT) * sum(v) AS DECIMAL(38,0)) AS VARCHAR)
+         AS var_num,
+       CAST(count(*) * count(*) AS BIGINT) AS var_den
+FROM (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 1000) AS BIGINT) AS v
+  FROM orders WHERE o_orderkey % 7 <> 0
+) t
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (r10, maintenance.ivm_agg_state /
     ivm_merge): the per-event_type (count, sum, min, max) view is built
@@ -642,6 +723,7 @@ ORACLES = {
     "index_state_diff": _DIFF,
     "ivm_incremental_agg": _IVM_SQL,
     "ivm_retractable_delta": _IVM_RETRACT_SQL,
+    "ivm_retract_cdc_backlog": _IVM_CDC_SQL,
     "scd2_two_batch_history": _SCD2_TWO_BATCH_SQL,
     "scd2_point_in_time_join": _SCD2_HISTORY_SQL
     + """
@@ -701,6 +783,7 @@ QUERIES = {
     "index_state_diff": index_state_diff,
     "ivm_incremental_agg": ivm_incremental_agg,
     "ivm_retractable_delta": ivm_retractable_delta,
+    "ivm_retract_cdc_backlog": ivm_retract_cdc_backlog,
     "scd2_customer_history": scd2_customer_history,
     "scd2_point_in_time_join": scd2_point_in_time_join,
     "scd2_two_batch_history": scd2_two_batch_history,

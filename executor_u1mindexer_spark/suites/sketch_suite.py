@@ -1217,3 +1217,49 @@ for _fam, _members in FAMILIES.items():
     QUERIES[_fam], ORACLES[_fam] = FD.fold_family(
         _fam, _members, _VARIANT_QUERIES, _VARIANT_ORACLES
     )
+
+
+MG_K = 64
+
+
+def sketch_heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters with exact verify (r12, VERDICT r11 #5;
+    operators/sketch.misra_gries_partials / heavy_hitters_verified): the
+    item stream is lineitem's partkey with a DETERMINISTIC hot-key
+    injection — rows of every fourth order map to l_partkey % 10, so ten
+    items each carry ~2.5% of the stream while the other ~part-count
+    items stay far below threshold (the same deterministic-skew device
+    as events_range_join_amplified / dq_backlog_cross_batch; TPC-H
+    columns alone are uniform and would make the row vacuous). Per
+    partition a bounded k-counter MG summary (k=64) plus a row-count
+    sentinel; candidates = the union of partition summaries (no false
+    negatives by the Mergeable-Summaries bound, regardless of partition
+    boundaries); the exact-count verify over just the candidates makes
+    the output deterministic: exactly the items with true count >
+    n/(k+1), with exact counts. The oracle computes that set directly
+    from a full group-by, so a dropped candidate (a false negative — the
+    one thing MG must never do) or a wrong threshold diverges."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.col("l_partkey") % 10)
+        .otherwise(F.col("l_partkey"))
+        .alias("item")
+    )
+    return SK.heavy_hitters_verified(items, "item", MG_K).orderBy("item")
+
+
+_MG_HH_SQL = f"""
+WITH items AS (
+  SELECT CASE WHEN l_orderkey % 4 = 0 THEN l_partkey % 10
+              ELSE l_partkey END AS item
+  FROM lineitem
+)
+SELECT item, CAST(count(*) AS BIGINT) AS n_exact
+FROM items
+GROUP BY item
+HAVING count(*) * {MG_K + 1} > (SELECT count(*) FROM items)
+ORDER BY item
+"""
+
+QUERIES["sketch_heavy_hitters_verified"] = sketch_heavy_hitters_verified
+ORACLES["sketch_heavy_hitters_verified"] = _MG_HH_SQL

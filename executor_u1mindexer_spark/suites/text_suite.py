@@ -1119,3 +1119,76 @@ FROM train JOIN bench ON train.h = bench.h
 GROUP BY train.doc_id
 """,
 }
+
+
+# Gopher/C4-style corpus quality audit (r12, VERDICT r11 #6). PASS
+# predicates over operators/pipeline.gopher_doc_metrics — a flagged doc
+# is a dq_audit "violation". Thresholds are calibrated to split THIS
+# fixture corpus non-trivially (measured at sf0.01: mean word length
+# spans 3.71–5.30 around a 4.51 median, stopword fraction 0–0.22,
+# top-token fraction 0.05–0.30, doc length 10–99 words) — except
+# symbol_word_frac_high, which is honestly zero-flagged here (the
+# synthetic corpus has no symbol tokens) and included because the
+# check, not the fixture, is the standard filter. e0-suffixed literals
+# parse as DOUBLE, not DECIMAL (the sketch-suite trap).
+GOPHER_CHECKS = {
+    "mean_word_len_low": "mean_word_len >= 4.3e0",
+    "mean_word_len_high": "mean_word_len <= 4.75e0",
+    "stopword_frac_low": "stopword_frac >= 0.02e0",
+    "top_token_frac_high": "top_token_frac <= 0.15e0",
+    "symbol_word_frac_high": "symbol_word_frac <= 0.1e0",
+    "short_doc": "n_words >= 20",
+}
+
+
+def text_gopher_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard LLM-corpus quality-filter bundle (Gopher §A1.1 /
+    C4), melted through the existing dq_audit machinery: per-doc metrics
+    in one exploded scan (pipeline.gopher_doc_metrics), then all six
+    checks counted in one tiny sum-of-CASE pass — (check_name,
+    n_violations, passed), adding a check never adds a pass over the
+    corpus. The oracle recomputes metrics and counts from scratch in
+    DuckDB, so a wrong fraction, threshold, or tokenization diverges."""
+    from executor_u1mindexer_spark.operators import pipeline as P
+
+    docs = _docs(spark, sf_dir)
+    metrics = P.gopher_doc_metrics(docs)
+    return P.dq_audit(metrics, GOPHER_CHECKS)
+
+
+def _gopher_arm(name: str, pass_pred: str) -> str:
+    return f"""
+SELECT '{name}' AS check_name,
+       CAST(count(*) FILTER (WHERE NOT ({pass_pred})) AS BIGINT) AS n_violations,
+       (count(*) FILTER (WHERE NOT ({pass_pred})) = 0) AS passed
+FROM m"""
+
+
+_GOPHER_SQL = (
+    """
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(str_split(trim(text), ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+m AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(c * len(tok)) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           AS mean_word_len,
+         CAST(sum(CASE WHEN tok IN ('a', 'the') THEN c ELSE 0 END) AS DOUBLE)
+           / CAST(sum(c) AS DOUBLE) AS stopword_frac,
+         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_frac,
+         CAST(sum(CASE WHEN regexp_matches(tok, '^[a-z0-9]+$') THEN 0 ELSE c END)
+              AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS symbol_word_frac
+  FROM tc GROUP BY 1
+)
+SELECT * FROM ("""
+    + "\nUNION ALL".join(_gopher_arm(n, p) for n, p in sorted(GOPHER_CHECKS.items()))
+    + """
+) arms ORDER BY check_name
+"""
+)
+
+QUERIES["text_gopher_quality_audit"] = text_gopher_quality_audit
+ORACLES["text_gopher_quality_audit"] = _GOPHER_SQL

@@ -577,3 +577,41 @@ def test_sessionize_capped_matches_plain_python_fold(spark):
             prev = t
         want.add((u, start, prev, n))
     assert got == want and len(want) > 30
+
+
+def test_gopher_doc_metrics_hand_computed(spark):
+    # doc 1: "the cat sat on the mat" — 6 words, 17 chars, 2 stopwords
+    # ('the' x2), top token 'the' (2), no symbol words
+    # doc 2: "a b@d t0ken a a" — 5 words, 11 chars, 3 stopwords ('a' x3),
+    # top 'a' (3), 1 symbol word ('b@d'; 't0ken' is [a-z0-9] and is NOT)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "  a b@d t0ken a a  ")],
+        "doc_id long, text string",
+    )
+    m = {r.doc_id: r for r in P.gopher_doc_metrics(docs).collect()}
+    assert m[1].n_words == 6
+    assert m[1].mean_word_len == 17.0 / 6.0
+    assert m[1].stopword_frac == 2.0 / 6.0
+    assert m[1].top_token_frac == 2.0 / 6.0
+    assert m[1].symbol_word_frac == 0.0
+    assert m[2].n_words == 5
+    assert m[2].mean_word_len == 11.0 / 5.0
+    assert m[2].stopword_frac == 3.0 / 5.0
+    assert m[2].top_token_frac == 3.0 / 5.0
+    assert m[2].symbol_word_frac == 1.0 / 5.0
+
+
+def test_gopher_audit_melts_through_dq_audit(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "a a a a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.check_name: (r.n_violations, r.passed)
+        for r in P.dq_audit(
+            P.gopher_doc_metrics(docs),
+            {"short_doc": "n_words >= 5", "rep_high": "top_token_frac <= 0.5e0"},
+        ).collect()
+    }
+    # doc 2 has 4 words (short) and top fraction 1.0 (repetitive)
+    assert out == {"short_doc": (1, False), "rep_high": (1, False)}

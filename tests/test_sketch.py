@@ -509,3 +509,62 @@ def test_ams_d_validated(spark):
     df = spark.createDataFrame([("x",)], "t string")
     with pytest.raises(ValueError, match="d must be"):
         SK.ams_state(df, "t", 0)
+
+
+# ------------------------------------------------------- Misra-Gries (r12)
+
+
+def _mg_fixture(spark, n_parts):
+    # 3 heavy items (300/200/150 of n=1000) + 350 singleton tail items;
+    # values interleaved so heavy occurrences span every partition
+    rows = (
+        [(1,)] * 300 + [(2,)] * 200 + [(3,)] * 150 + [(100 + i,) for i in range(350)]
+    )
+    return spark.createDataFrame(rows, "item long").repartition(n_parts)
+
+
+def test_mg_partials_bounded_and_undercounting(spark):
+    k = 8
+    df = _mg_fixture(spark, 7)
+    parts = SK.misra_gries_partials(df, "item", k).collect()
+    sentinels = [r for r in parts if r.item is None]
+    items = [r for r in parts if r.item is not None]
+    # exactly one sentinel per non-empty partition, carrying the stream length
+    assert sum(r.cnt_lb for r in sentinels) == 1000
+    # bounded state: 7 partitions x (<= k items + 1 sentinel)
+    assert len(sentinels) <= 7
+    assert len(items) <= 7 * k
+    from collections import Counter
+
+    exact = {1: 300, 2: 200, 3: 150}
+    agg = Counter()
+    for r in items:
+        agg[r.item] += r.cnt_lb
+        assert r.cnt_lb >= 1
+    # undercount property: cnt_lb <= true count, deficit <= n/(k+1)
+    for it, lb in agg.items():
+        true = exact.get(it, 1)
+        assert lb <= true
+        assert true - lb <= 1000 // (k + 1)
+
+
+def test_mg_heavy_hitters_verified_exact_any_partitioning(spark):
+    # truth: items with count > n/(k+1); with k=8, threshold 1000/9=111.1
+    # -> {1, 2, 3}. MG guarantees no false negatives under ANY partition
+    # layout; the verify join kills false positives — so the output is
+    # bit-identical across layouts.
+    k = 8
+    want = {(1, 300), (2, 200), (3, 150)}
+    for n_parts in (1, 3, 16):
+        df = _mg_fixture(spark, n_parts)
+        got = {
+            (r.item, r.n_exact)
+            for r in SK.heavy_hitters_verified(df, "item", k).collect()
+        }
+        assert got == want, n_parts
+
+
+def test_mg_k_validated(spark):
+    df = spark.createDataFrame([(1,)], "item long")
+    with pytest.raises(ValueError, match="k must be"):
+        SK.misra_gries_partials(df, "item", 0)
