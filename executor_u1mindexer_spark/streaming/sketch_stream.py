@@ -313,3 +313,85 @@ def streaming_gram_fold(
 
     writer = stream.writeStream.foreachBatch(fold)
     return writer, states, merged_moments
+
+
+def streaming_heavy_hitters_fold(
+    stream: DataFrame,
+    item_col: str,
+    k: int = 64,
+    state_dir: str | None = None,
+):
+    """Streaming twin of the Misra-Gries heavy-hitter summary (r12).
+
+    Like the quantile sketch (above), the MG state's per-batch shape is
+    one BOUNDED summary per micro-batch — at most k (item, cnt_lb) rows
+    plus the stream-length sentinel (sketch.misra_gries_partials over
+    the batch, partition partials merged in-plan by item-wise sum; the
+    sum of MG summaries is itself a valid MG summary by the
+    Mergeable-Summaries bound, so no truncation is needed between the
+    partition partials and the per-batch entry). Accumulated driver-side
+    keyed by batch id (redelivery overwrites — idempotent), durably via
+    _BatchKeyedStore when `state_dir` is set.
+
+    Read with heavy_hitters_state(): item-wise sum across batch entries.
+    The drained-backlog guarantee is the batch operator's: every item
+    with true count > n_total/(k+1) appears with cnt_lb > 0 (no false
+    negatives — each batch drops at most n_batch/(k+1) of any item's
+    mass), so candidates-then-exact-verify works on the live ledger the
+    same way heavy_hitters_verified does in batch."""
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    _COLS = (item_col, "cnt_lb")
+    store = _BatchKeyedStore(state_dir) if state_dir else None
+    states: dict[int, list] = {}
+
+    def _norm(it):
+        # the NULL-item sentinel roundtrips parquet as NaN/pd.NA and int
+        # items as numpy scalars — normalize back to None / plain Python
+        # so a reloaded ledger is bit-equal to the live one
+        if it is None or (not isinstance(it, str) and pd.isna(it)):
+            return None
+        if isinstance(it, float) and it.is_integer():
+            return int(it)
+        if hasattr(it, "item"):  # numpy / pandas scalar
+            return it.item()
+        return it
+
+    if store is not None:
+        for bid, pdf in store.load().items():
+            states[bid] = [
+                (_norm(it), int(c))
+                for it, c in zip(pdf[item_col].tolist(), pdf["cnt_lb"].tolist())
+            ]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        parts = SK.misra_gries_partials(batch_df, item_col, k)
+        from pyspark.sql import functions as F
+
+        entry_df = parts.groupBy(item_col).agg(F.sum("cnt_lb").alias("cnt_lb"))
+        entry = [(r[item_col], r["cnt_lb"]) for r in entry_df.collect()]
+        if store is not None:
+            items = [it for it, _ in entry]
+            if all(it is None or isinstance(it, int) for it in items):
+                items = pd.array(items, dtype="Int64")  # nullable-int roundtrip
+            store.put(
+                int(batch_id),
+                pd.DataFrame({item_col: items, "cnt_lb": [c for _, c in entry]}),
+            )
+        states[int(batch_id)] = entry
+
+    writer = stream.writeStream.foreachBatch(fold)
+    return writer, states
+
+
+def heavy_hitters_state(states: dict[int, list]) -> dict:
+    """Merged MG ledger view: item -> summed cnt_lb across batch entries
+    (the NULL-item sentinel key carries the total stream length). Item-
+    wise addition of MG summaries is the Mergeable-Summaries merge with
+    the truncation step skipped — valid (the bound only improves) and
+    what keeps the no-false-negative guarantee exact for the ledger."""
+    out: dict = {}
+    for entry in states.values():
+        for item, cnt in entry:
+            out[item] = out.get(item, 0) + cnt
+    return out

@@ -729,3 +729,50 @@ def test_streaming_retract_ivm_cdc_matches_batch(spark, sf_dir, tmp_path):
         cdc, ["event_type"], "value", "sign", sdir
     )
     assert view(states3) == want
+
+
+def test_streaming_heavy_hitters_ledger_no_false_negatives(spark, sf_dir, tmp_path):
+    """The MG ledger (r12, SS.streaming_heavy_hitters_fold): per-batch
+    bounded summaries fold to a merged state whose candidates contain
+    EVERY true heavy hitter of the drained backlog (the Mergeable-
+    Summaries no-false-negative bound), cnt_lb never exceeds the true
+    count, and a fresh fold on the same state_dir reloads the identical
+    ledger."""
+    from executor_u1mindexer_spark.streaming import events_stream as ES
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+
+    k = 64
+    sdir = str(tmp_path / "mg_state")
+    stream = ES.read_fixture_stream(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.col("l_partkey") % 10)
+        .otherwise(F.col("l_partkey"))
+        .alias("item")
+    )
+    writer, states = SS.streaming_heavy_hitters_fold(stream, "item", k, state_dir=sdir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    merged = SS.heavy_hitters_state(states)
+    n_total = merged.pop(None)
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.col("l_partkey") % 10)
+        .otherwise(F.col("l_partkey"))
+        .alias("item")
+    )
+    exact = {r.item: r.c for r in li.groupBy("item").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert n_total == sum(exact.values())
+    true_hh = {it for it, c in exact.items() if c * (k + 1) > n_total}
+    assert true_hh  # the injected skew must make this non-vacuous
+    assert true_hh <= set(merged), "MG ledger dropped a true heavy hitter"
+    for it, lb in merged.items():
+        assert lb <= exact[it]
+
+    # restart: a fresh fold on the same state_dir holds the same ledger
+    _, states2 = SS.streaming_heavy_hitters_fold(stream, "item", k, state_dir=sdir)
+
+    def norm(entries):  # the NULL-item sentinel defeats a plain sort
+        return sorted(((-1 if i is None else i), c) for i, c in entries)
+
+    assert {b: norm(e) for b, e in states2.items()} == {
+        b: norm(e) for b, e in states.items()
+    }
