@@ -588,3 +588,80 @@ def interval_gap_report(
         )
         .orderBy(key, "gap_start")
     )
+
+
+def decayed_counts(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    max_exponent: int = 33,
+) -> DataFrame:
+    """Exponentially time-decayed counts, EXACT (r12): per key, the sum of
+    per-event weights 2^(event_day − oldest_day) — a per-day half-life-one
+    decay read newest-heaviest, kept in BIGINT so the score is bit-exact
+    cross-engine (float decay factors like 0.9^age are not associative
+    under re-ordered partial sums; power-of-two integer weights are).
+    The day anchor is the stream's own oldest day, computed in-plan as a
+    1-row aggregate broadcast back over the scan — no collect, no
+    SinglePartition window.
+
+    Overflow is a data property, not a silent wrap: the exponent is
+    guarded at ``max_exponent`` (default 33: n·2^33 stays under 2^63 for
+    any n < 2^29 rows) and an out-of-range day span fails loudly via
+    raise_error. For longer horizons, pre-bucket ts to weeks/months so
+    the span fits, which is also the semantically honest reading of "decay"
+    at those horizons.
+
+    Scale shape: one scan + one grouped sum on the caller's keys (map-side
+    partial), plus the broadcast 1-row anchor. [NOT IN REFERENCE —
+    beyond-reference events-analytics breadth.]"""
+    day = F.date_trunc("day", F.col(ts_col))
+    tagged = events.select(*keys, day.alias("__day"))
+    anchor = tagged.agg(F.min("__day").alias("__day0"))
+    exp = F.datediff(F.col("__day"), F.col("__day0"))
+    checked = F.when(
+        (exp >= 0) & (exp <= max_exponent), exp
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"decayed_counts: day span exceeds max_exponent={max_exponent} "
+                "(the BIGINT-exact weight range) — pre-bucket the timestamp"
+            )
+        )
+    )
+    return (
+        tagged.crossJoin(F.broadcast(anchor))
+        .withColumn("__exp", checked)
+        # the Python shiftleft() wrapper only takes a literal int exponent;
+        # the SQL ShiftLeft expression takes any integral column
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), __exp)"))
+            .cast("long")
+            .alias("decayed_score")
+        )
+    )
+
+
+def decayed_leaderboard(
+    events: DataFrame,
+    group_col: str,
+    entity_col: str,
+    top_n: int = 3,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Top-N entities per group by exact decayed score (decayed_counts),
+    ties broken by entity id ascending — the "trending now" leaderboard
+    as a deterministic artifact. One grouped sum + one key-partitioned
+    window; at scale the rank never sees more than one group per
+    partition slice and the hot-group variant is topk_per_group_salted."""
+    scored = decayed_counts(events, [group_col, entity_col], ts_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("decayed_score").desc(), F.col(entity_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(group_col, "rank", entity_col, "decayed_score")
+        .orderBy(group_col, "rank")
+    )

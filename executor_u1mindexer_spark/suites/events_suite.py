@@ -515,3 +515,43 @@ FROM active a JOIN first USING (user_id)
 GROUP BY cohort_day, day_offset
 """,
 }
+
+
+def events_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact exponentially-decayed trending leaderboard (r12,
+    operators/events.decayed_counts / decayed_leaderboard): per
+    event_type, the top-3 users by the sum of per-event weights
+    2^(event_day − oldest_day) — a per-day half-life decay kept in
+    BIGINT (power-of-two weights are associative under any partial-sum
+    order; float decay factors are not), ties to the lower user id. The
+    in-plan 1-row day anchor is broadcast, the score is one grouped sum,
+    the leaderboard one key-partitioned window. The oracle replays the
+    identical integer weighting, so a wrong anchor, exponent direction,
+    or tie rule diverges."""
+    ev = tables.load(spark, sf_dir, "events")
+    return E.decayed_leaderboard(ev, "event_type", "user_id", top_n=3)
+
+
+_DECAYED_SQL = """
+WITH d AS (
+  SELECT event_type, user_id, date_trunc('day', ts) AS day FROM events
+),
+a AS (SELECT min(day) AS day0 FROM d),
+s AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(1 AS BIGINT) << date_diff('day', day0, day)) AS BIGINT)
+           AS decayed_score
+  FROM d CROSS JOIN a GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY decayed_score DESC, user_id
+  ) AS rank FROM s
+)
+SELECT event_type, CAST(rank AS INT) AS rank, user_id, decayed_score
+FROM r WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+QUERIES["events_decayed_leaderboard"] = events_decayed_leaderboard
+ORACLES["events_decayed_leaderboard"] = _DECAYED_SQL

@@ -812,3 +812,28 @@ def test_salted_group_topk_equals_plain_and_spreads_hot_group(spark):
     plan = plans.physical_plan(skew.salted_group_topk(df, "g", "v", "id", 7), "simple")
     assert "__salt" in plan  # phase-1 partitioning carries the salt key
     assert "SinglePartition" not in plan
+
+
+def test_decayed_counts_overflow_guard_and_exactness(spark):
+    """decayed_counts (r12): weights are exact powers of two anchored at
+    the stream's own oldest day, and a span beyond max_exponent fails
+    loudly instead of wrapping BIGINT."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark.operators import events as E
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-03 09:00:00"),
+         ("b", "2024-01-03 23:00:00")],
+        "k string, s string",
+    ).select("k", F.col("s").cast("timestamp").alias("ts"))
+    got = {r.k: r.decayed_score for r in E.decayed_counts(df, ["k"]).collect()}
+    assert got == {"a": 1 + 4, "b": 4}  # day offsets 0 and 2 -> 2^0, 2^2
+
+    wide = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2026-01-01 00:00:00")],
+        "k string, s string",
+    ).select("k", F.col("s").cast("timestamp").alias("ts"))
+    with _pytest.raises(Exception, match="max_exponent"):
+        E.decayed_counts(wide, ["k"]).collect()
