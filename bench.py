@@ -82,6 +82,13 @@ HEADLINE = [
     # before correctness notices) and the shared-island-core complement
     "near_dedup_edit_distance",
     "events_interval_gaps",
+    # r12: tracks the MG mapInPandas + broadcast-verify topology (a lost
+    # broadcast shows as a full exact-count shuffle here), the exploded
+    # two-phase Gopher aggregation, and the WindowGroupLimit partial
+    # top-k under the decayed-score sum
+    "sketch_heavy_hitters_verified",
+    "text_gopher_quality_audit",
+    "events_decayed_leaderboard",
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,
