@@ -665,3 +665,57 @@ def decayed_leaderboard(
         .select(group_col, "rank", entity_col, "decayed_score")
         .orderBy(group_col, "rank")
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One-sided CUSUM drift statistic over per-key daily counts (r12) —
+    the classic sequential changepoint monitor (Page 1954): with daily
+    deviations d_i = x_i − ref (ref = the key's floor-mean daily count),
+    S_i = max(0, S_{i−1} + d_i). The recurrence LOOKS stateful, but the
+    closed form S_i = P_i − min(0, min_{j≤i} P_j) over prefix sums P is
+    two window functions — so unlike sessionize_capped this lane is PURE
+    CATALYST: one grouped count, one per-key mean joined back, two
+    key-partitioned windows. All BIGINT (counts and floor means), so
+    bit-exact cross-engine. A day is flagged when 2·S_i > ref — drift
+    exceeding half an average day, a relative threshold that scales with
+    the key's own volume. (The alarm-RESET CUSUM variant re-zeroes S at
+    each flag and is genuinely non-prefix-decomposable; this is the
+    standard non-resetting drift statistic, stated so the boundary is
+    explicit.)
+
+    100 TB shape: the daily rollup shrinks the input to keys × days rows
+    before any window runs; everything after is over that tiny relation.
+    [NOT IN REFERENCE — beyond-reference monitoring breadth beside
+    rolling_zscore / drift_chi2.]"""
+    daily = (
+        events.groupBy(
+            key_col, F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    # integer DIV, not double /: a double quotient can round UP across an
+    # integer boundary for large sums, and the oracle floors
+    ref = daily.groupBy(key_col).agg(
+        F.expr("sum(x) DIV count(1)").cast("long").alias("ref")
+    )
+    w = Window.partitionBy(key_col).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = daily.join(ref, key_col).withColumn("dev", F.col("x") - F.col("ref"))
+    p = d.withColumn("pref", F.sum("dev").over(w))
+    s = p.withColumn(
+        "cusum",
+        F.col("pref") - F.least(F.lit(0).cast("long"), F.min("pref").over(w)),
+    )
+    return s.select(
+        key_col,
+        "day",
+        "x",
+        "ref",
+        F.col("cusum").cast("long").alias("cusum"),
+        (F.col("cusum") * 2 > F.col("ref")).alias("flagged"),
+    ).orderBy(key_col, "day")

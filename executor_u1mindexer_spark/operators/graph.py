@@ -557,3 +557,66 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
        (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles
 """
+
+
+def bfs_hop_distances(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Multi-source bounded-hop BFS (r12): for every node reachable from
+    the source set within ``max_hops`` undirected hops, the MINIMUM hop
+    distance — the classic batch-graph reachability/shortest-path
+    primitive beside PageRank / CC / triangles / label propagation
+    (unweighted shortest path IS BFS level order).
+
+    ``sources`` is a 1-column (node) DataFrame. Frontier expansion, one
+    hop per round: neighbors of the current frontier that are not yet
+    visited join at distance h. Distances are exact by induction (a node
+    is first reached at its true BFS level; the anti-join guarantees it
+    is never re-labeled), so the result is partitioning- and
+    order-independent — no tie rules needed.
+
+    100 TB shape: per hop ONE equi-join of the frontier against the
+    symmetric edge list (shuffle on node key) + one anti-join against
+    the visited set, then an eager localCheckpoint so plan depth stays
+    constant (the Pregel-superstep pattern shared with pagerank / CC /
+    BPE). State between hops is the visited (node, dist) set — at most
+    one row per reached node. Bounded hops is the honest contract at
+    scale: an unbounded all-pairs BFS is a different (and quadratic)
+    problem; bounded neighborhoods are what feature pipelines actually
+    compute. [NOT IN REFERENCE — executor.py has no graph surface.]"""
+    if not (1 <= max_hops <= 20):
+        raise ValueError(f"max_hops must be in [1, 20], got {max_hops}")
+    sym = (
+        edges.select(F.col("src").cast("long").alias("u"), F.col("dst").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("u"), F.col("src").cast("long").alias("v")
+            ).filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        sources.select(F.col(sources.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        # bounded driver scalar — the same convergence probe every
+        # iterate-until-fixpoint operator here uses
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -131,21 +131,23 @@ DRIVER_PRIORITY = (
     "vector_dedup_quantize",
     # 6 oldest (alphabetical) r09 rows — each NEW registry row added
     # this round displaced the bottom one of these into the r13 queue
-    # (never-checked rows outrank merely-r09-stale ones); the 4 rows
+    # (never-checked rows outrank merely-r09-stale ones); the rows
     # ADDED in r12 close the window:
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
-    "correlated_scalar_subquery",
-    "dedup_repeated_spans",
     # never driver-checked (new in r12; each green at 3 SFs locally):
     "ivm_retract_cdc_backlog",
     "sketch_heavy_hitters_verified",
     "text_gopher_quality_audit",
     "events_decayed_leaderboard",
+    "graph_bfs_hop_distances",
+    "events_cusum_drift",
     # --- 50-slot window boundary ---
     # r13 window plan: rows added late in r12 (if any) lead, then the
-    # 32 remaining r09-stale rows below, then the oldest r10 rows.
+    # 34 remaining r09-stale rows below, then the oldest r10 rows.
+    "correlated_scalar_subquery",
+    "dedup_repeated_spans",
     "events_asof_purchase_last_view",
     "events_json_extract",
     "events_pivot_daily_types",

@@ -555,3 +555,49 @@ ORDER BY event_type, rank
 
 QUERIES["events_decayed_leaderboard"] = events_decayed_leaderboard
 ORACLES["events_decayed_leaderboard"] = _DECAYED_SQL
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor (r12, operators/events.cusum_drift):
+    per event_type, daily counts against the key's floor-mean baseline,
+    S_i = max(0, S_{i-1} + (x_i - ref)) computed via the prefix-sum /
+    running-min closed form — two window functions, pure Catalyst, all
+    BIGINT. Days flagged when 2*S > ref. The oracle replays the same
+    closed form, so a wrong deviation, window frame, or floor rule
+    diverges on some of the keys x days rows."""
+    ev = tables.load(spark, sf_dir, "events")
+    return E.cusum_drift(ev)
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ref AS (
+  SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS ref
+  FROM daily GROUP BY 1
+),
+d AS (
+  SELECT daily.*, ref, x - ref AS dev FROM daily JOIN ref USING (event_type)
+),
+p AS (
+  SELECT *, sum(dev) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS pref FROM d
+),
+s AS (
+  SELECT *, pref - least(CAST(0 AS BIGINT), min(pref) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )) AS cusum FROM p
+)
+SELECT event_type, day, x, ref, CAST(cusum AS BIGINT) AS cusum,
+       (cusum * 2 > ref) AS flagged
+FROM s ORDER BY event_type, day
+"""
+
+QUERIES["events_cusum_drift"] = events_cusum_drift
+ORACLES["events_cusum_drift"] = _CUSUM_SQL

@@ -86,7 +86,30 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.label_propagation(G.consecutive_line_edges(li), LPA_ITER)
 
 
+BFS_HOPS = 3
+
+
+def graph_bfs_hop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded-hop BFS (r12, operators/graph.bfs_hop_distances)
+    — minimum hop distance from the deterministic source set (parts with
+    p_partkey % 97 == 0) to every part within 3 undirected hops of the
+    co-occurrence graph, the unweighted-shortest-path classic beside
+    PageRank / CC / triangles / label propagation. Frontier expansion
+    with an anti-join visited set, one checkpointed join per hop. The
+    oracle is a DuckDB RECURSIVE CTE walking the same symmetric edge
+    list with min(dist) — a formulation-independent answer any dropped
+    frontier row, premature stop, or re-labeling bug diverges from."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    sources = part.filter(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("node")
+    )
+    out = G.bfs_hop_distances(G.consecutive_line_edges(li), sources, BFS_HOPS)
+    return out.orderBy("node")
+
+
 QUERIES = {
+    "graph_bfs_hop_distances": graph_bfs_hop_distances,
     "graph_pagerank_parts": graph_pagerank_parts,
     "graph_triangle_count": graph_triangle_count,
     "graph_cc_event_chains": graph_cc_event_chains,
@@ -94,6 +117,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_bfs_hop_distances": f"""
+WITH RECURSIVE e AS ({G.oracle_edges_sql()}),
+sym AS (
+  SELECT src AS u, dst AS v FROM e
+  UNION
+  SELECT dst AS u, src AS v FROM e
+),
+src AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0),
+walk(node, dist) AS (
+  SELECT node, 0 FROM src
+  UNION
+  SELECT sym.v, walk.dist + 1
+  FROM walk JOIN sym ON walk.node = sym.u
+  WHERE walk.dist < {BFS_HOPS}
+)
+SELECT node, CAST(min(dist) AS INT) AS dist
+FROM walk GROUP BY node ORDER BY node
+""",
     "graph_pagerank_parts": G.oracle_pagerank_sql(PR_ITER, PR_DAMPING),
     "graph_triangle_count": G.oracle_triangles_sql(),
     "graph_label_propagation": G.oracle_label_propagation_sql(LPA_ITER),

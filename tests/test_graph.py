@@ -352,3 +352,32 @@ def test_markov_transitions_matches_python_replay(spark):
         ("b", "a"): (2, 666666),
         ("b", "b"): (1, 333333),
     }
+
+
+def test_bfs_hop_distances_hand_graph(spark):
+    """BFS levels on a hand graph: path 1-2-3-4-5 plus an isolated source
+    7 and a shortcut 1-4; multi-source min semantics from {1, 7}."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,), (7,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in G.bfs_hop_distances(edges, sources, max_hops=3).collect()
+    }
+    # 4 is 1 hop via the shortcut (not 3 via the path); 7 isolated at 0
+    assert got == {1: 0, 7: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+    # hop bound honored: with max_hops=1 node 3 and 5 are unreached
+    got1 = {
+        r.node: r.dist
+        for r in G.bfs_hop_distances(edges, sources, max_hops=1).collect()
+    }
+    assert got1 == {1: 0, 7: 0, 2: 1, 4: 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hops"):
+        G.bfs_hop_distances(edges, sources, max_hops=0)

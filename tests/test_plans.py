@@ -837,3 +837,36 @@ def test_decayed_counts_overflow_guard_and_exactness(spark):
     ).select("k", F.col("s").cast("timestamp").alias("ts"))
     with _pytest.raises(Exception, match="max_exponent"):
         E.decayed_counts(wide, ["k"]).collect()
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """cusum_drift's two-window closed form S_i = P_i - min(0, min P_j)
+    must equal the literal recurrence S_i = max(0, S_{i-1} + d_i) —
+    replayed here in Python over each key's day-ordered deviations."""
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark.operators import events as E
+
+    rows = []
+    # two keys, deliberately spiky counts: key a has a burst mid-month
+    for day, n in enumerate([3, 3, 3, 9, 9, 3, 1, 1], start=1):
+        rows += [("a", f"2024-01-{day:02d} 06:00:00")] * n
+    for day, n in enumerate([5, 1, 5, 1, 5, 1], start=1):
+        rows += [("b", f"2024-01-{day:02d} 06:00:00")] * n
+    df = spark.createDataFrame(rows, "event_type string, s string").select(
+        "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = E.cusum_drift(df).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.event_type, []).append(r)
+    for key, rs in by_key.items():
+        ref = rs[0].ref
+        s = 0
+        for r in rs:  # already day-ordered by the operator's orderBy
+            s = max(0, s + (r.x - ref))
+            assert r.cusum == s, (key, r.day, r.cusum, s)
+            assert r.flagged == (2 * s > ref)
+    # the fixture must exercise both verdicts
+    flags = {r.flagged for r in out}
+    assert flags == {True, False}
