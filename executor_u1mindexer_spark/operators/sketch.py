@@ -1017,3 +1017,100 @@ def heavy_hitters_verified(
         .filter(F.col("n_exact") * F.lit(k + 1) > F.col("n_total"))
         .select(item_col, "n_exact")
     )
+
+
+def misra_gries_partials_grouped(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = MG_K_DEFAULT,
+    group_type: str = "string",
+    item_type: str = "long",
+) -> DataFrame:
+    """Per-GROUP Misra-Gries(k) summaries, still one pass per partition:
+    each partition keeps an independent k-counter MG state per group it
+    sees (state O(groups_in_partition · k)), emitting ≤ k (group, item,
+    cnt_lb) rows plus one (group, NULL, n_group) sentinel per group per
+    partition. The per-group no-false-negative bound is the global
+    operator's bound applied within the group: an item with in-group
+    count > n_g/(k+1) survives in some partition's summary for that
+    group. This is the "bounded k-counter state per group" shape —
+    heavy items per language / per event type / per tenant — without
+    ever shuffling the full (group, item) domain."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out_schema = f"{group_col} {group_type}, {item_col} {item_type}, cnt_lb long"
+    use_int = item_type in ("long", "bigint", "int", "integer", "short", "byte")
+
+    def mg(pdfs):
+        counts: dict = {}  # group -> {item: cnt}
+        totals: dict = {}  # group -> rows seen
+        for pdf in pdfs:
+            vc = pdf.dropna(subset=[item_col]).groupby(
+                [group_col, item_col], sort=False
+            ).size()
+            for (g, it), c in vc.items():
+                gc = counts.setdefault(g, {})
+                gc[it] = gc.get(it, 0) + int(c)
+                totals[g] = totals.get(g, 0) + int(c)
+            for g, gc in counts.items():
+                if len(gc) > k:
+                    cut = sorted(gc.values(), reverse=True)[k]
+                    counts[g] = {i: c - cut for i, c in gc.items() if c > cut}
+        groups, items, cnts = [], [], []
+        for g, gc in counts.items():
+            for it, c in gc.items():
+                groups.append(g), items.append(it), cnts.append(c)
+            groups.append(g), items.append(None), cnts.append(totals.get(g, 0))
+        yield pd.DataFrame(
+            {
+                group_col: groups,
+                item_col: pd.array(items, dtype="Int64") if use_int else items,
+                "cnt_lb": cnts,
+            }
+        )
+
+    return df.select(group_col, item_col).mapInPandas(mg, out_schema)
+
+
+def heavy_hitters_verified_grouped(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = MG_K_DEFAULT,
+    group_type: str = "string",
+    item_type: str = "long",
+) -> DataFrame:
+    """Per-group exact heavy hitters: for each group, every item whose
+    in-group count exceeds n_g/(k+1), with exact counts — the grouped
+    twin of heavy_hitters_verified, deterministic under any partition
+    layout by the same no-false-negatives + exact-verify argument.
+
+    Scale shape: candidates ≤ P·k·groups_per_partition rows and group
+    totals (one row per group) both broadcast back over the second scan;
+    the exact count shuffles only (group, candidate-item) pairs."""
+    parts = misra_gries_partials_grouped(
+        df, group_col, item_col, k, group_type, item_type
+    )
+    cand = (
+        parts.filter(F.col(item_col).isNotNull())
+        .groupBy(group_col, item_col)
+        .agg(F.sum("cnt_lb").alias("cnt_lb"))
+    )
+    totals = (
+        parts.filter(F.col(item_col).isNull())
+        .groupBy(group_col)
+        .agg(F.sum("cnt_lb").cast("long").alias("n_group"))
+    )
+    exact = (
+        df.join(F.broadcast(cand.select(group_col, item_col)), [group_col, item_col])
+        .groupBy(group_col, item_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        exact.join(F.broadcast(totals), group_col)
+        .filter(F.col("n_exact") * F.lit(k + 1) > F.col("n_group"))
+        .select(group_col, item_col, "n_exact", "n_group")
+    )

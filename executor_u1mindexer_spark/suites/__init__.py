@@ -135,7 +135,6 @@ DRIVER_PRIORITY = (
     # ADDED in r12 close the window:
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",
-    "clean_corpus_pipeline",
     # never driver-checked (new in r12; each green at 3 SFs locally):
     "ivm_retract_cdc_backlog",
     "sketch_heavy_hitters_verified",
@@ -143,9 +142,11 @@ DRIVER_PRIORITY = (
     "events_decayed_leaderboard",
     "graph_bfs_hop_distances",
     "events_cusum_drift",
+    "sketch_heavy_hitters_grouped",
     # --- 50-slot window boundary ---
     # r13 window plan: rows added late in r12 (if any) lead, then the
-    # 34 remaining r09-stale rows below, then the oldest r10 rows.
+    # 35 remaining r09-stale rows below, then the oldest r10 rows.
+    "clean_corpus_pipeline",
     "correlated_scalar_subquery",
     "dedup_repeated_spans",
     "events_asof_purchase_last_view",

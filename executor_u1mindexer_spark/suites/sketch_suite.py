@@ -1263,3 +1263,42 @@ ORDER BY item
 
 QUERIES["sketch_heavy_hitters_verified"] = sketch_heavy_hitters_verified
 ORACLES["sketch_heavy_hitters_verified"] = _MG_HH_SQL
+
+
+def sketch_heavy_hitters_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP Misra-Gries heavy hitters (r12,
+    sketch.heavy_hitters_verified_grouped): per event_type, the users
+    with in-group frequency > n_g/(k+1), exact — the "bounded k-counter
+    state per group" form of the family. The item stream injects five
+    hot users per type (every fourth event maps to user_id % 5) over the
+    otherwise-uniform user domain, so each group has exactly 5 true
+    heavy hitters above threshold while thousands of cold users stay
+    below. Oracle = full per-group group-by with the same threshold."""
+    ev = tables.load(spark, sf_dir, "events")
+    items = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 4 == 0, F.col("user_id") % 5)
+        .otherwise(F.col("user_id"))
+        .alias("item"),
+    )
+    return SK.heavy_hitters_verified_grouped(
+        items, "event_type", "item", MG_K
+    ).orderBy("event_type", "item")
+
+
+_MG_HH_GROUPED_SQL = f"""
+WITH items AS (
+  SELECT event_type,
+         CASE WHEN event_id % 4 = 0 THEN user_id % 5 ELSE user_id END AS item
+  FROM events
+),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_group FROM items GROUP BY 1)
+SELECT i.event_type, i.item, CAST(count(*) AS BIGINT) AS n_exact, t.n_group
+FROM items i JOIN tot t USING (event_type)
+GROUP BY i.event_type, i.item, t.n_group
+HAVING count(*) * {MG_K + 1} > t.n_group
+ORDER BY i.event_type, i.item
+"""
+
+QUERIES["sketch_heavy_hitters_grouped"] = sketch_heavy_hitters_grouped
+ORACLES["sketch_heavy_hitters_grouped"] = _MG_HH_GROUPED_SQL

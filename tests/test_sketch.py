@@ -568,3 +568,21 @@ def test_mg_k_validated(spark):
     df = spark.createDataFrame([(1,)], "item long")
     with pytest.raises(ValueError, match="k must be"):
         SK.misra_gries_partials(df, "item", 0)
+
+
+def test_mg_grouped_heavy_hitters_exact_any_partitioning(spark):
+    # group A: heavy {1: 60, 2: 30} over 60 singleton-tail items (n=150,
+    # k=8 -> threshold 150/9 = 16.7); group B: heavy {5: 40} over 30 tail
+    # (n=70 -> threshold 7.8)
+    rows = (
+        [("A", 1)] * 60 + [("A", 2)] * 30 + [("A", 100 + i) for i in range(60)]
+        + [("B", 5)] * 40 + [("B", 200 + i) for i in range(30)]
+    )
+    want = {("A", 1, 60, 150), ("A", 2, 30, 150), ("B", 5, 40, 70)}
+    for n_parts in (1, 4, 16):
+        df = spark.createDataFrame(rows, "g string, item long").repartition(n_parts)
+        got = {
+            (r.g, r.item, r.n_exact, r.n_group)
+            for r in SK.heavy_hitters_verified_grouped(df, "g", "item", 8).collect()
+        }
+        assert got == want, n_parts
