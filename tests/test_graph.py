@@ -381,3 +381,50 @@ def test_bfs_hop_distances_hand_graph(spark):
 
     with _pytest.raises(ValueError, match="max_hops"):
         G.bfs_hop_distances(edges, sources, max_hops=0)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sets(st.integers(0, 24), min_size=1, max_size=4),
+    st.integers(1, 4),
+)
+def test_bfs_property_matches_python_bfs(spark, edge_list, sources, hops):
+    """Property: bfs_hop_distances equals a sequential Python BFS replay
+    for any random graph, source set, and hop bound."""
+    from collections import deque
+
+    from executor_u1mindexer_spark.operators import graph as G
+
+    adj: dict = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in sources}
+    q = deque((s, 0) for s in sources)
+    while q:
+        u, d = q.popleft()
+        if d == hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = d + 1
+                q.append((v, d + 1))
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_list], "src long, dst long"
+    )
+    src_df = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        r.node: r.dist
+        for r in G.bfs_hop_distances(edges, src_df, hops).collect()
+    }
+    assert got == want

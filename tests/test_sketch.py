@@ -586,3 +586,31 @@ def test_mg_grouped_heavy_hitters_exact_any_partitioning(spark):
             for r in SK.heavy_hitters_verified_grouped(df, "g", "item", 8).collect()
         }
         assert got == want, n_parts
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    st.integers(2, 12),
+    st.integers(1, 6),
+)
+def test_mg_heavy_hitters_property(spark, items, k, n_parts):
+    """Property (Mergeable Summaries): under ANY stream content, k, and
+    partition count, heavy_hitters_verified returns EXACTLY the items
+    with count * (k+1) > n — no false negatives from the MG candidates,
+    no false positives past the verify."""
+    from collections import Counter
+
+    df = spark.createDataFrame([(i,) for i in items], "item long").repartition(
+        n_parts
+    )
+    got = {
+        (r.item, r.n_exact)
+        for r in SK.heavy_hitters_verified(df, "item", k).collect()
+    }
+    c = Counter(items)
+    want = {(i, n) for i, n in c.items() if n * (k + 1) > len(items)}
+    assert got == want
