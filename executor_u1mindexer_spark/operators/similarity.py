@@ -837,3 +837,98 @@ def product_quantize(
             F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x
         ).alias("sq_norm"),
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    n: int = 4,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98)
+    — diversity-aware top-n (r12): from each query's top-m cosine
+    candidates, greedily pick n items maximizing
+    lam·rel(d) − (1−lam)·max_{s∈selected} sim(d, s), ties to the lower
+    id. The greedy recurrence is ITERATIVE but n is a small constant, so
+    it unrolls into n in-plan steps (the pagerank/BPE unrolled-CTE
+    playbook) — each step one anti-join (drop selected), one join onto
+    the m²-per-query pairwise-similarity relation + grouped max (the
+    penalty), and one per-query window argmax. PURE Catalyst: no UDF, no
+    collect, every join keyed on query_id.
+
+    Determinism: relevance and pairwise sims use the module's
+    left-to-right double fold (functions/vector.py — same fold the
+    DuckDB oracle runs), so scores are bit-equal cross-engine and the
+    id tie-break only decides EXACT double ties, identically on both
+    sides.
+
+    Output: (query_id, step 1..n, vec_id, relevance).
+
+    Scale shape: the candidate relation is m rows/query and the sim
+    relation m² rows/query — both linear in queries, shuffled on
+    query_id with constant per-query work; plan depth is O(n), a
+    bounded constant. [NOT IN REFERENCE — executor.py returns raw knn
+    order; diversity re-rank is beyond-reference retrieval breadth.]"""
+    from executor_u1mindexer_spark.operators import knn as KNN
+
+    if not (1 <= n <= m <= 64):
+        raise ValueError(f"need 1 <= n <= m <= 64, got n={n}, m={m}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    base = KNN.knn_search(emb, queries, k=m, metric="cosine", is_distance=False)
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), V.as_double_array(vec_col).alias("__emb")
+    )
+    cands = base.select("query_id", "vec_id", F.col("score").alias("rel")).join(
+        e, "vec_id"
+    )
+    a = cands.select("query_id", F.col("vec_id").alias("a"), F.col("__emb").alias("__ea"))
+    b = cands.select("query_id", F.col("vec_id").alias("b"), F.col("__emb").alias("__eb"))
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (F.lit(1.0) - V.cosine_distance(F.col("__ea"), F.col("__eb"))).alias(
+                "sim"
+            ),
+        )
+    )
+    cand_slim = cands.select("query_id", "vec_id", "rel")
+
+    def argmax(df: DataFrame, score_col: str, step: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col("vec_id").asc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id", F.lit(step).alias("step"), "vec_id", "rel"
+            )
+        )
+
+    selected = argmax(cand_slim, "rel", 1)
+    for step in range(2, n + 1):
+        remaining = cand_slim.join(
+            selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        penalty = (
+            sims.join(
+                selected.select("query_id", F.col("vec_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        scored = remaining.join(penalty, ["query_id", "vec_id"]).withColumn(
+            "__mmr",
+            F.lit(float(lam)) * F.col("rel") - F.lit(1.0 - float(lam)) * F.col("pen"),
+        )
+        selected = selected.unionByName(argmax(scored, "__mmr", step))
+    return selected.orderBy("query_id", "step")

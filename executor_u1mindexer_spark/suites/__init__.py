@@ -134,7 +134,6 @@ DRIVER_PRIORITY = (
     # (never-checked rows outrank merely-r09-stale ones); the rows
     # ADDED in r12 close the window:
     "agg_stats_funcs",
-    "ann_kmeans_ivf_topk",
     # never driver-checked (new in r12; each green at 3 SFs locally):
     "ivm_retract_cdc_backlog",
     "sketch_heavy_hitters_verified",
@@ -143,9 +142,11 @@ DRIVER_PRIORITY = (
     "graph_bfs_hop_distances",
     "events_cusum_drift",
     "sketch_heavy_hitters_grouped",
+    "ann_mmr_rerank_topn",
     # --- 50-slot window boundary ---
     # r13 window plan: rows added late in r12 (if any) lead, then the
-    # 35 remaining r09-stale rows below, then the oldest r10 rows.
+    # 36 remaining r09-stale rows below, then the oldest r10 rows.
+    "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
     "correlated_scalar_subquery",
     "dedup_repeated_spans",

@@ -561,3 +561,89 @@ SELECT count(*) AS n_queries,
 FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
 """,
 }
+
+
+MMR_M, MMR_N = 8, 4
+
+
+def ann_mmr_rerank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (r12, operators/similarity.mmr_rerank):
+    every (vec_id % QUERY_MOD == 0) query's top-8 cosine candidates
+    greedily reduced to 4 diverse picks at lambda=0.5 — the Carbonell &
+    Goldstein SIGIR'98 re-rank as n unrolled pure-Catalyst steps (anti-
+    join + penalty join + per-query window argmax per step). The oracle
+    replays the identical unrolled greedy over the identical fold-order
+    similarities, so a wrong penalty, tie rule, or step order diverges."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return S.mmr_rerank(emb, q, m=MMR_M, n=MMR_N, lam=0.5)
+
+
+def _mmr_oracle(m: int, n: int) -> str:
+    cos_qe = (
+        f"1.0 - {_DOT.format(a='q.qv', b='e.v')} / "
+        f"({_NORM.format(a='q.qv')} * {_NORM.format(a='e.v')})"
+    )
+    # sim between two candidates, kept literally as 1.0 - (1.0 - dot/nn):
+    # the Spark side computes 1.0 - cosine_distance and double arithmetic
+    # does NOT simplify 1.0-(1.0-x) to x
+    sim_ab = (
+        f"1.0 - (1.0 - {_DOT.format(a='ca.v', b='cb.v')} / "
+        f"({_NORM.format(a='ca.v')} * {_NORM.format(a='cb.v')}))"
+    )
+    parts = [
+        _BASE.rstrip(),
+        f""", cand0 AS (
+  SELECT q.query_id, e.vec_id, {cos_qe} AS dist, e.v
+  FROM e CROSS JOIN q
+), cand AS (
+  SELECT query_id, vec_id, 1.0 - dist AS rel, v
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+    ) AS rn FROM cand0
+  ) WHERE rn <= {m}
+), sims AS (
+  SELECT ca.query_id, ca.vec_id AS a, cb.vec_id AS b, {sim_ab} AS sim
+  FROM cand ca JOIN cand cb
+    ON ca.query_id = cb.query_id AND ca.vec_id <> cb.vec_id
+), s1 AS (
+  SELECT query_id, 1 AS step, vec_id, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, vec_id ASC
+    ) AS rn2 FROM cand
+  ) WHERE rn2 = 1
+), sel1 AS (SELECT * FROM s1)""",
+    ]
+    for i in range(2, n + 1):
+        parts.append(f""", p{i} AS (
+  SELECT s.query_id, s.a AS vec_id, max(s.sim) AS pen
+  FROM sims s JOIN sel{i - 1} t ON s.query_id = t.query_id AND s.b = t.vec_id
+  GROUP BY 1, 2
+), r{i} AS (
+  SELECT c.query_id, c.vec_id, c.rel,
+         0.5e0 * c.rel - 0.5e0 * p.pen AS mmr
+  FROM cand c JOIN p{i} p USING (query_id, vec_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel{i - 1} t
+    WHERE t.query_id = c.query_id AND t.vec_id = c.vec_id
+  )
+), s{i} AS (
+  SELECT query_id, {i} AS step, vec_id, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY mmr DESC, vec_id ASC
+    ) AS rn2 FROM r{i}
+  ) WHERE rn2 = 1
+), sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})""")
+    parts.append(
+        f"\nSELECT query_id, CAST(step AS INT) AS step, vec_id, rel\n"
+        f"FROM sel{n} ORDER BY query_id, step\n"
+    )
+    return "".join(parts)
+
+
+QUERIES["ann_mmr_rerank_topn"] = ann_mmr_rerank_topn
+ORACLES["ann_mmr_rerank_topn"] = _mmr_oracle(MMR_M, MMR_N)

@@ -733,3 +733,48 @@ def test_edit_distance_pairs_lossless_vs_brute_force(spark):
             if d <= 2:
                 want.add((ia, ib, d))
     assert got == want and len(want) >= 20
+
+
+def test_mmr_rerank_hand_computed(spark):
+    """MMR greedy on a hand-built corpus: q = e1; docs near-duplicate pair
+    (d1, d2) both highly relevant, d3 orthogonal-ish. Pure top-2 would be
+    {d1, d2}; MMR at lambda=0.5 must pick d1 then d3 (d2's near-dup
+    penalty beats d3's lower relevance)."""
+    from executor_u1mindexer_spark.operators import similarity as S
+
+    # q must differ from d1: with q == d1, rel(d) == sim(d1, d) for every
+    # candidate and all step-2 MMR scores tie at exactly 0.5*(rel - rel)=0
+    emb = spark.createDataFrame(
+        [
+            (1, [0.9701, 0.2425, 0.0]),  # d1: rel ~0.970 (picked first)
+            (2, [0.9701, 0.2425, 0.0]),  # d2: duplicate of d1 -> sim 1.0,
+            #    mmr = 0.5*0.970 - 0.5*1.0 ~= -0.015
+            (3, [0.8, 0.0, 0.6]),        # d3: rel 0.8, sim(d1,d3) ~0.776,
+            #    mmr = 0.5*0.8 - 0.5*0.776 ~= +0.012 -> beats the duplicate
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "query_id long, query_embedding array<double>"
+    )
+    got = [
+        (r.step, r.vec_id)
+        for r in S.mmr_rerank(emb, q, m=3, n=2, lam=0.5)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == [(1, 1), (2, 3)]
+
+    # lambda=1.0 degenerates to pure relevance order
+    got_rel = [
+        (r.step, r.vec_id)
+        for r in S.mmr_rerank(emb, q, m=3, n=2, lam=1.0)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got_rel == [(1, 1), (2, 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n <= m"):
+        S.mmr_rerank(emb, q, m=2, n=3)
