@@ -1114,3 +1114,88 @@ def heavy_hitters_verified_grouped(
         .filter(F.col("n_exact") * F.lit(k + 1) > F.col("n_group"))
         .select(group_col, item_col, "n_exact", "n_group")
     )
+
+
+# ----------------------------------------------------------- KMV (r12)
+#
+# K-Minimum-Values / bottom-k distinct sketch (Bar-Yossef et al. 2002;
+# Beyer et al. SIGMOD'07 give the unbiased (k-1)/U_(k) estimator used
+# here) — the order-statistics member of the mergeable-sketch family
+# beside HLL/CMS/Bloom/quantile/AMS/Misra-Gries. The summary is the k
+# SMALLEST distinct 60-bit hash values of a column; merging two
+# summaries is "union, keep the k smallest" (exactly the bottom-k of
+# the combined multiset, because any hash in the combined bottom-k is
+# in its own side's bottom-k — the pigeonhole that also makes the
+# per-partition fold below exact). Unlike HLL the same summary also
+# supports set operations (intersection/Jaccard estimates over the
+# shared hash space); unlike the full distinct it is O(k) state.
+# [NOT IN REFERENCE — beyond-reference breadth; the reference has no
+# sketch surface (executor.py is vector search only).]
+
+KMV_K_DEFAULT = 256
+_KMV_POW60 = "1152921504606846976.0e0"  # 2^60, exact in a double
+
+
+def kmv_partials(df: DataFrame, col: str, k: int = KMV_K_DEFAULT) -> DataFrame:
+    """Per-partition bottom-k distinct hashes: ≤ k ``h`` rows per input
+    partition, state O(k + batch_distinct) per partition (numpy sorted-
+    unique merge per Arrow batch), one pass, no shuffle. The same 60-bit
+    md5 hash fragment as the HLL/CMS/Bloom families, so the DuckDB
+    oracle replays it bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hashed = df.filter(F.col(col).isNotNull()).selectExpr(
+        f"{_hash60_sql(col, 'spark')} AS h"
+    )
+
+    def fold(pdfs):
+        state = np.empty(0, dtype=np.int64)
+        for pdf in pdfs:
+            batch = pdf["h"].to_numpy(dtype=np.int64)
+            state = np.unique(np.concatenate([state, batch]))[:k]
+        yield pd.DataFrame({"h": state})
+
+    return hashed.mapInPandas(fold, "h long")
+
+
+def kmv_bottomk(df: DataFrame, col: str, k: int = KMV_K_DEFAULT) -> DataFrame:
+    """The KMV summary of a column: its k smallest distinct hash values.
+
+    Scale shape: the per-partition fold emits ≤ P·k candidate rows; the
+    global distinct + ordered limit runs over that bounded set only (a
+    TakeOrdered of ≤ P·k rows), never over the column's full distinct
+    domain — the bounded-state economy that makes the sketch a rollup
+    artifact at 100 TB."""
+    return kmv_partials(df, col, k).distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K_DEFAULT) -> DataFrame:
+    """Merge two KMV summaries: bottom-k of their union — EXACTLY the
+    summary of the combined input (Mergeable Summaries property; no
+    approximation is introduced by merging)."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate_fragments(k: int) -> tuple[str, str]:
+    """(est_sql, cols) — the shared estimate fragment over a 1-row
+    (k_seen, kth_hash) aggregate: exact count when the summary is not
+    full, else the Beyer et al. unbiased (k-1)/U_(k) with U = h/2^60.
+    Only correctly-rounded IEEE ops (int->double cast, one mult, one
+    div), so both engines produce the identical double bit pattern."""
+    est = (
+        f"CASE WHEN k_seen < {k} THEN CAST(k_seen AS DOUBLE) "
+        f"ELSE CAST({k - 1} AS DOUBLE) * {_KMV_POW60} / CAST(kth_hash AS DOUBLE) END"
+    )
+    return est, "k_seen, kth_hash"
+
+
+def oracle_kmv_bottomk_sql(source: str, col: str, k: int = KMV_K_DEFAULT) -> str:
+    """DuckDB twin of kmv_bottomk over `source` (table or subquery)."""
+    h = _hash60_sql(col, "duck")
+    return (
+        f"SELECT DISTINCT {h} AS h FROM {source} "
+        f"WHERE {col} IS NOT NULL ORDER BY h LIMIT {k}"
+    )

@@ -133,7 +133,6 @@ DRIVER_PRIORITY = (
     # this round displaced the bottom one of these into the r13 queue
     # (never-checked rows outrank merely-r09-stale ones); the rows
     # ADDED in r12 close the window:
-    "agg_stats_funcs",
     # never driver-checked (new in r12; each green at 3 SFs locally):
     "ivm_retract_cdc_backlog",
     "sketch_heavy_hitters_verified",
@@ -143,9 +142,13 @@ DRIVER_PRIORITY = (
     "events_cusum_drift",
     "sketch_heavy_hitters_grouped",
     "ann_mmr_rerank_topn",
+    "sketch_kmv_distinct",
     # --- 50-slot window boundary ---
     # r13 window plan: rows added late in r12 (if any) lead, then the
-    # 36 remaining r09-stale rows below, then the oldest r10 rows.
+    # 37 remaining r09-stale rows below (agg_stats_funcs was displaced
+    # from the r12 window by the late-r12 never-checked additions),
+    # then the oldest r10 rows.
+    "agg_stats_funcs",
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
     "correlated_scalar_subquery",

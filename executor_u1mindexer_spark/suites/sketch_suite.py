@@ -1302,3 +1302,87 @@ ORDER BY i.event_type, i.item
 
 QUERIES["sketch_heavy_hitters_grouped"] = sketch_heavy_hitters_grouped
 ORACLES["sketch_heavy_hitters_grouped"] = _MG_HH_GROUPED_SQL
+
+
+KMV_K = 256
+# 5-sigma accuracy band: the Beyer et al. (k-1)/U_(k) estimator has
+# relative sigma ~ 1/sqrt(k-2). Literal spelled with an explicit e0
+# exponent (the module's DECIMAL-vs-DOUBLE parse trap).
+_KMV_BOUND = repr(5.0 / (KMV_K - 2) ** 0.5)
+assert "e" not in _KMV_BOUND and "E" not in _KMV_BOUND, _KMV_BOUND
+_KMV_BOUND += "e0"
+_KMV_EST, _ = SK.kmv_estimate_fragments(KMV_K)
+_KMV_REL_OK = (
+    f"abs({_KMV_EST} - CAST(exact_distinct AS DOUBLE)) "
+    f"/ CAST(exact_distinct AS DOUBLE) <= {_KMV_BOUND}"
+)
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (r12, operators/sketch.kmv_bottomk):
+    the k=256 smallest distinct 60-bit hashes of events.event_id, with
+    (1) the Beyer et al. unbiased (k-1)/U_(k) estimate next to the exact
+    distinct count and a 5-sigma accuracy verdict, and (2) a mergeability
+    witness: the merge of the even-id and odd-id half-sketches must equal
+    the whole-table sketch EXACTLY (bottom-k of a union is the union of
+    bottom-ks filtered to k — the pigeonhole the per-partition fold also
+    relies on), checked as an empty symmetric difference. Every column is
+    integer/boolean except the estimate, which is one int->double cast,
+    one multiply and one divide — correctly-rounded IEEE ops shared
+    textually with the oracle, hence bit-equal."""
+    ev = tables.load(spark, sf_dir, "events")
+    bk = SK.kmv_bottomk(ev, "event_id", KMV_K)
+    bke = SK.kmv_bottomk(ev.filter(F.col("event_id") % 2 == 0), "event_id", KMV_K)
+    bko = SK.kmv_bottomk(ev.filter(F.col("event_id") % 2 == 1), "event_id", KMV_K)
+    merged = SK.kmv_merge(bke, bko, KMV_K)
+    n_diff = (
+        merged.subtract(bk)
+        .unionByName(bk.subtract(merged))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_diff"))
+    )
+    agg = bk.agg(
+        F.count(F.lit(1)).cast("long").alias("k_seen"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = ev.filter(F.col("event_id").isNotNull()).agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    return (
+        agg.crossJoin(exact)
+        .crossJoin(n_diff)
+        .select(
+            "k_seen",
+            "kth_hash",
+            F.expr(_KMV_EST).alias("est_distinct"),
+            "exact_distinct",
+            F.expr(_KMV_REL_OK).alias("rel_err_ok"),
+            (F.col("n_diff") == 0).alias("merge_ok"),
+        )
+    )
+
+
+_KMV_SQL = f"""
+WITH bk AS ({SK.oracle_kmv_bottomk_sql("events", "event_id", KMV_K)}),
+bke AS ({SK.oracle_kmv_bottomk_sql(
+    "(SELECT event_id FROM events WHERE event_id % 2 = 0)", "event_id", KMV_K)}),
+bko AS ({SK.oracle_kmv_bottomk_sql(
+    "(SELECT event_id FROM events WHERE event_id % 2 = 1)", "event_id", KMV_K)}),
+mrg AS (
+  SELECT h FROM (SELECT h FROM bke UNION SELECT h FROM bko) u
+  ORDER BY h LIMIT {KMV_K}
+),
+a AS (SELECT CAST(count(*) AS BIGINT) AS k_seen, max(h) AS kth_hash FROM bk),
+x AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE event_id IS NOT NULL),
+d AS (SELECT CAST(count(*) AS BIGINT) AS n_diff FROM (
+        (SELECT h FROM mrg EXCEPT SELECT h FROM bk)
+        UNION ALL
+        (SELECT h FROM bk EXCEPT SELECT h FROM mrg)) t)
+SELECT k_seen, kth_hash, {_KMV_EST} AS est_distinct, exact_distinct,
+       {_KMV_REL_OK} AS rel_err_ok,
+       n_diff = 0 AS merge_ok
+FROM a, x, d
+"""
+
+QUERIES["sketch_kmv_distinct"] = sketch_kmv_distinct
+ORACLES["sketch_kmv_distinct"] = _KMV_SQL

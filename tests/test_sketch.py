@@ -614,3 +614,77 @@ def test_mg_heavy_hitters_property(spark, items, k, n_parts):
     c = Counter(items)
     want = {(i, n) for i, n in c.items() if n * (k + 1) > len(items)}
     assert got == want
+
+
+def _kmv_hash(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _kmv_fixture(spark, n_parts):
+    # 400 distinct longs with duplicates interleaved across partitions
+    rows = [(i % 400,) for i in range(1300)]
+    return spark.createDataFrame(rows, "item long").repartition(n_parts)
+
+
+@pytest.mark.parametrize("n_parts", [1, 4, 16])
+def test_kmv_bottomk_matches_python_replay_any_partitioning(spark, n_parts):
+    k = 32
+    df = _kmv_fixture(spark, n_parts)
+    got = [r.h for r in SK.kmv_bottomk(df, "item", k).collect()]
+    want = sorted({_kmv_hash(v) for v in range(400)})[:k]
+    assert got == want
+
+
+def test_kmv_partials_bounded_by_k_per_partition(spark):
+    k, n_parts = 16, 8
+    df = _kmv_fixture(spark, n_parts)
+    parts = SK.kmv_partials(df, "item", k).collect()
+    assert len(parts) <= k * n_parts
+    universe = {_kmv_hash(v) for v in range(400)}
+    assert {r.h for r in parts} <= universe
+    # the global bottom-k must survive the fold (pigeonhole)
+    assert set(sorted(universe)[:k]) <= {r.h for r in parts}
+
+
+def test_kmv_merge_equals_whole_table_sketch(spark):
+    k = 24
+    df = _kmv_fixture(spark, 5)
+    a = SK.kmv_bottomk(df.filter(F.col("item") % 2 == 0), "item", k)
+    b = SK.kmv_bottomk(df.filter(F.col("item") % 2 == 1), "item", k)
+    merged = [r.h for r in SK.kmv_merge(a, b, k).collect()]
+    whole = [r.h for r in SK.kmv_bottomk(df, "item", k).collect()]
+    assert merged == whole
+
+
+def test_kmv_estimate_exact_when_summary_not_full(spark):
+    k = 64
+    df = spark.createDataFrame([(i,) for i in range(20)], "item long")
+    bk = SK.kmv_bottomk(df, "item", k)
+    agg = bk.agg(
+        F.count(F.lit(1)).cast("long").alias("k_seen"),
+        F.max("h").alias("kth_hash"),
+    )
+    est_sql, _ = SK.kmv_estimate_fragments(k)
+    row = agg.select(F.expr(est_sql).alias("est")).collect()[0]
+    assert row.est == 20.0
+
+
+def test_kmv_estimate_formula_when_full(spark):
+    k = 8
+    vals = list(range(100))
+    df = spark.createDataFrame([(v,) for v in vals], "item long")
+    bk = SK.kmv_bottomk(df, "item", k)
+    agg = bk.agg(
+        F.count(F.lit(1)).cast("long").alias("k_seen"),
+        F.max("h").alias("kth_hash"),
+    )
+    est_sql, _ = SK.kmv_estimate_fragments(k)
+    row = agg.select(F.expr(est_sql).alias("est")).collect()[0]
+    kth = sorted(_kmv_hash(v) for v in vals)[k - 1]
+    assert row.est == (k - 1) * float(2**60) / float(kth)
+
+
+def test_kmv_k_validated(spark):
+    df = spark.createDataFrame([(1,)], "item long")
+    with pytest.raises(ValueError):
+        SK.kmv_partials(df, "item", 0)
