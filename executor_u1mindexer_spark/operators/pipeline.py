@@ -232,6 +232,120 @@ def pps_systematic(
     )
 
 
+PRIORITY_POW32 = "4294967296.0e0"  # 2^32, exact in a double
+# weights must stay below 2^21 so w * 2^32 is an EXACT double product
+# (<= 2^53); beyond that the priority would silently round and the
+# cross-engine bit-equality argument breaks
+PRIORITY_W_MAX = (1 << 21) - 1
+
+
+def priority_fragments(key: str, weight_col: str) -> tuple[str, str]:
+    """(spark_q, duck_q) — the priority expression q = w / u over the
+    hash-uniform u = (h32+1)/2^32, spelled per dialect. The float ops
+    are ONE exact integer->double product (w * 2^32, exact for
+    w <= 2^21 - 1, gated loudly in priority_sample) and ONE
+    correctly-rounded IEEE division, so the double is bit-identical in
+    both engines — no pow/ln (the A-ES key u^(1/w) form needs a
+    transcendental with no cross-engine rounding contract; w/u priority
+    order is the DLT formulation of the same weighted without-
+    replacement design)."""
+    hx = f"substr(md5(CAST({key} AS STRING)), 1, 8)"
+    spark_h = f"CAST(conv({hx}, 16, 10) AS BIGINT)"
+    duck_h = f"CAST(concat('0x', {hx}) AS BIGINT)"
+    q = (
+        f"CAST({weight_col} AS DOUBLE) * {PRIORITY_POW32}"
+        " / (CAST({h} AS DOUBLE) + 1.0e0)"
+    )
+    return q.format(h=spark_h), q.format(h=duck_h)
+
+
+def priority_sample(
+    df: DataFrame, *, key: str, weight_col: str, k: int
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): a weighted
+    without-replacement sample of k rows supporting UNBIASED subset-sum
+    estimation — the one-pass, bounded-state weighted sampler a corpus
+    pipeline uses to estimate token/byte totals of arbitrary slices from
+    a fixed small sample. Each row gets priority q = w/u with u a
+    (0,1] hash-uniform of its key (deterministic, like every sampler in
+    this module — no RNG stream); the sample is the k highest
+    priorities; tau = the (k+1)-th priority; the Horvitz-Thompson
+    adjusted weight max(w, tau) makes E[sum over sampled rows of any
+    subset] equal the subset's true weight (DLT Thm 1).
+
+    Scale shape: ONE scan, map-side partial top-(k+1) per partition
+    (TakeOrdered — no shuffle of the corpus, no window), driver-bounded
+    k+1-row merge; everything downstream operates on <= k+1 rows. The
+    adjusted weight is also emitted as floor(adj * 1e6) micros so
+    estimate sums stay integer-exact (float sums are fold-order-
+    dependent; a BIGINT sum is not).
+
+    Returns (key, weight, q, adj_weight, adj_micros), ordered by key.
+    Rows with weight <= 0 are excluded; weights above 2^21 - 1 raise
+    (the exact-double-product bound, see priority_fragments)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark_q, _ = priority_fragments("__k", "__w")
+    base = df.select(
+        F.col(key).cast("long").alias("__k"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).filter(F.col("__w") > 0)
+    base = base.withColumn(
+        "__w",
+        F.expr(
+            f"CASE WHEN __w > {PRIORITY_W_MAX} THEN "
+            f"raise_error('priority_sample: weight exceeds exact-double "
+            f"bound {PRIORITY_W_MAX}') ELSE __w END"
+        ),
+    )
+    pr = base.withColumn("q", F.expr(spark_q))
+    topkp1 = pr.orderBy(F.col("q").desc(), F.col("__k")).limit(k + 1)
+    smp = topkp1.orderBy(F.col("q").desc(), F.col("__k")).limit(k)
+    tau = topkp1.agg(
+        F.expr(
+            f"CASE WHEN count(*) = {k + 1} THEN min(q) ELSE 0.0e0 END"
+        ).alias("tau")
+    )
+    return (
+        smp.crossJoin(F.broadcast(tau))
+        .select(
+            F.col("__k").alias(key),
+            F.col("__w").alias("weight"),
+            "q",
+            F.expr("greatest(CAST(__w AS DOUBLE), tau)").alias("adj_weight"),
+            F.expr(
+                "CAST(floor(greatest(CAST(__w AS DOUBLE), tau) * 1000000.0e0)"
+                " AS BIGINT)"
+            ).alias("adj_micros"),
+        )
+        .orderBy(key)
+    )
+
+
+def oracle_priority_sample_sql(
+    source: str, key: str, weight_col: str, k: int
+) -> str:
+    """DuckDB twin of priority_sample (same fragments, same ordering)."""
+    _, duck_q = priority_fragments("__k", "__w")
+    return f"""
+WITH __base AS (
+  SELECT CAST({key} AS BIGINT) AS __k, CAST({weight_col} AS BIGINT) AS __w
+  FROM {source} WHERE {weight_col} > 0
+),
+__pr AS (SELECT __k, __w, {duck_q} AS q FROM __base),
+__topkp1 AS (SELECT * FROM __pr ORDER BY q DESC, __k LIMIT {k + 1}),
+__smp AS (SELECT * FROM __topkp1 ORDER BY q DESC, __k LIMIT {k}),
+__tau AS (SELECT CASE WHEN count(*) = {k + 1} THEN min(q) ELSE 0.0e0 END AS tau
+          FROM __topkp1)
+SELECT __k AS {key}, __w AS weight, q,
+       greatest(CAST(__w AS DOUBLE), tau) AS adj_weight,
+       CAST(floor(greatest(CAST(__w AS DOUBLE), tau) * 1000000.0e0) AS BIGINT)
+         AS adj_micros
+FROM __smp CROSS JOIN __tau
+ORDER BY {key}
+"""
+
+
 def pack_token_budget(
     df: DataFrame,
     budget: int,

@@ -144,10 +144,15 @@ DRIVER_PRIORITY = (
     "ann_mmr_rerank_topn",
     "sketch_kmv_distinct",
     # --- 50-slot window boundary ---
-    # r13 window plan: rows added late in r12 (if any) lead, then the
-    # 37 remaining r09-stale rows below (agg_stats_funcs was displaced
-    # from the r12 window by the late-r12 never-checked additions),
-    # then the oldest r10 rows.
+    # r13 window plan: the late-r12 never-checked rows below lead (the
+    # window closed at 50 before they landed; rotation_check's mandated-
+    # flagship amendment records why they queue instead of evicting a
+    # stale row), then the remaining r09-stale rows (agg_stats_funcs was
+    # displaced from the r12 window by the late-r12 additions), then the
+    # oldest r10 rows.
+    # late-r12, never driver-checked, green at 3 SFs locally:
+    "sample_priority_weighted",
+    # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",

@@ -564,3 +564,30 @@ FROM q
 """,
     "drift_chi2_value_periods": _DRIFT_ORACLE,
 }
+
+
+PRIO_K = 64
+
+
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (r12, operators/pipeline.priority_sample —
+    Duffield-Lund-Thorup JACM'07): the k=64 documents with the highest
+    hash-deterministic priorities q = n_chars/u, with the (k+1)-th
+    priority as the Horvitz-Thompson threshold and adjusted weights
+    max(w, tau) — the weighted without-replacement sampler whose sample
+    supports unbiased subset-sum estimation (the 'estimate any slice's
+    token total from one fixed sample' pipeline primitive). One scan,
+    map-side partial top-(k+1), no shuffle; the priority double is
+    bit-identical cross-engine (one exact product + one correctly-
+    rounded division — the DLT w/u form exists here precisely because
+    the A-ES u^(1/w) key needs a pow with no cross-engine rounding
+    contract). The unbiasedness property is pytest-pinned
+    (tests/test_pipeline.py) over disjoint key-salt draws."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return P.priority_sample(docs, key="doc_id", weight_col="n_chars", k=PRIO_K)
+
+
+QUERIES["sample_priority_weighted"] = sample_priority_weighted
+ORACLES["sample_priority_weighted"] = P.oracle_priority_sample_sql(
+    "documents", "doc_id", "n_chars", PRIO_K
+)

@@ -615,3 +615,96 @@ def test_gopher_audit_melts_through_dq_audit(spark):
     }
     # doc 2 has 4 words (short) and top fraction 1.0 (repetitive)
     assert out == {"short_doc": (1, False), "rep_high": (1, False)}
+
+
+# ------------------------------------------------- priority sampling (r12)
+
+
+def _prio_replay(pairs, k):
+    """Sequential replay of priority_sample's exact contract."""
+    import hashlib
+    import math
+
+    pr = []
+    for key, w in pairs:
+        if w <= 0:
+            continue
+        h = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+        q = float(w) * 4294967296.0 / (float(h) + 1.0)
+        pr.append((key, w, q))
+    pr.sort(key=lambda t: (-t[2], t[0]))
+    topkp1 = pr[: k + 1]
+    tau = topkp1[k][2] if len(topkp1) == k + 1 else 0.0
+    out = []
+    for key, w, q in topkp1[:k]:
+        adj = max(float(w), tau)
+        out.append((key, w, q, adj, math.floor(adj * 1000000.0)))
+    return sorted(out), tau
+
+
+def test_priority_sample_matches_python_replay(spark):
+    k = 16
+    pairs = [(i, 1 + (i * 37) % 500) for i in range(300)]
+    df = spark.createDataFrame(pairs, "k long, w long").repartition(7)
+    got = sorted(
+        (r["k"], r.weight, r.q, r.adj_weight, r.adj_micros)
+        for r in P.priority_sample(df, key="k", weight_col="w", k=k).collect()
+    )
+    want, _tau = _prio_replay(pairs, k)
+    assert got == want
+
+
+def test_priority_sample_exact_when_n_below_k(spark):
+    pairs = [(i, 10 + i) for i in range(5)]
+    df = spark.createDataFrame(pairs, "k long, w long")
+    rows = P.priority_sample(df, key="k", weight_col="w", k=64).collect()
+    # tau = 0: every adjusted weight is the raw weight (a census)
+    assert sorted((r["k"], r.adj_weight) for r in rows) == [
+        (i, float(10 + i)) for i in range(5)
+    ]
+
+
+def test_priority_sample_ht_estimator_is_unbiased_in_replay(spark):
+    """DLT Thm 1: E[sum adj over sample] = total. Checked over 400
+    disjoint hash draws of the pure-python replay (the Spark side is
+    pinned bit-exact to the replay above, so the property transfers);
+    one Spark draw is spot-checked inside the band of the empirical
+    spread."""
+    k = 32
+    weights = [1 + (i * 13) % 97 for i in range(250)]
+    total = float(sum(weights))
+    ests = []
+    for salt in range(400):
+        pairs = [(i + salt * 10_000, w) for i, w in enumerate(weights)]
+        smp, _tau = _prio_replay(pairs, k)
+        ests.append(sum(r[3] for r in smp))
+    mean = sum(ests) / len(ests)
+    assert abs(mean - total) / total < 0.02
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "k long, w long"
+    )
+    est_spark = sum(
+        r.adj_weight
+        for r in P.priority_sample(df, key="k", weight_col="w", k=k).collect()
+    )
+    lo, hi = min(ests), max(ests)
+    span = hi - lo
+    assert lo - 0.1 * span <= est_spark <= hi + 0.1 * span
+
+
+def test_priority_sample_weight_gate_raises(spark):
+    df = spark.createDataFrame([(1, 1 << 22)], "k long, w long")
+    try:
+        P.priority_sample(df, key="k", weight_col="w", k=4).collect()
+    except Exception as e:  # Spark wraps raise_error
+        assert "exact-double bound" in str(e)
+    else:
+        raise AssertionError("weight gate did not fire")
+
+
+def test_priority_sample_k_validated(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1)], "k long, w long")
+    with _pytest.raises(ValueError):
+        P.priority_sample(df, key="k", weight_col="w", k=0)

@@ -122,11 +122,20 @@ def main() -> int:
     never_missed = sorted(set(never) - set(window))
     # wasted = slots whose staleness BASIS (pre-cur) was already fresh:
     # the slot neither re-earned debt nor first-checked a new row nor
-    # covered a declared change
+    # covered a declared change. Amended late r12: a flagship row the
+    # tier guard itself FORCES into this window (latest < (cur+1)-2,
+    # i.e. removing it would trip the guard below) cannot also count as
+    # a wasted slot — before this amendment, adding any new registry
+    # row after the window closed flipped the mandated flagship block
+    # to "wasted" and the audit to exit 1, making late-round growth
+    # structurally impossible even though every displaceable slot was
+    # legitimately occupied. Mandated-but-fresh flagship rows (basis >=
+    # threshold AND not guard-forced) still count.
+    mandated = {n for n in FLAGSHIP if latest.get(n, 0) < (cur + 1) - 2}
     wasted = [
         n
         for n in window
-        if basis(n) >= threshold and n not in policy_a
+        if basis(n) >= threshold and n not in policy_a and n not in mandated
     ]
     print(
         f"stale (< r{threshold:02d}): {len(stale)}; window re-earns "
