@@ -670,3 +670,167 @@ def ivm_retract_view(state: DataFrame, keys: Sequence[str]) -> DataFrame:
         .alias("var_num"),
         (F.col("n_rows") * F.col("n_rows")).cast("long").alias("var_den"),
     ).orderBy(*keys)
+
+
+# --------------------------------------------- rendezvous sharding (r12)
+#
+# Highest-random-weight (HRW / rendezvous) hashing — Thaler &
+# Ravishankar, IEEE/ACM ToN 1998: route each key to the shard with the
+# highest hash(key, shard) score. The property that makes it THE shard
+# router for a distributed index (the reference's single-node index
+# would shard exactly this way at scale): when a shard is ADDED, the
+# only keys that move are those whose new shard IS the added one
+# (argmax over a superset changes only if the new element wins), so a
+# resize reshuffles ~1/(S+1) of the corpus instead of (S-1)/S as naive
+# `hash % S` routing would. [NOT IN REFERENCE — beyond-reference
+# breadth; executor.py is single-shard.]
+
+HRW_SALT = "#rdz"
+
+
+def hrw_score_sql(key: str, shard: int, engine: str) -> str:
+    """60-bit score of (key, shard): same md5 fragment family as the
+    sketch module — one md5 per (key, shard) pair, shared text across
+    engines."""
+    hx = f"substr(md5(concat(CAST({key} AS STRING), '{HRW_SALT}{shard}')), 1, 15)"
+    if engine == "spark":
+        return f"CAST(conv({hx}, 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', {hx}) AS BIGINT)"
+
+
+def hrw_argmax_sql(n_shards: int) -> str:
+    """Argmax over precomputed score columns __h0..__h{n-1}: greatest()
+    + a first-match CASE (ties are first-wins — deterministic, though a
+    60-bit tie needs an md5 collision). Engine-neutral text."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    cols = [f"__h{s}" for s in range(n_shards)]
+    if n_shards == 1:
+        return "0"
+    # greatest() of column refs is folded cheaply by both engines, so
+    # it is inlined per arm — n-1 comparisons, last shard is the ELSE
+    m = f"greatest({', '.join(cols)})"
+    arms = " ".join(
+        f"WHEN __h{s} = {m} THEN {s}" for s in range(n_shards - 1)
+    )
+    return f"CAST(CASE {arms} ELSE {n_shards - 1} END AS BIGINT)"
+
+
+def rendezvous_assign(df: DataFrame, key: str, n_shards: int) -> DataFrame:
+    """(key, shard) under HRW routing: one md5 per (row, shard) computed
+    ONCE in an inner projection, argmax in the outer — a pure map-side
+    operator (no shuffle, no UDF; at 100 TB this is S hash evaluations
+    per row inside whole-stage codegen)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    inner = df.filter(F.col(key).isNotNull()).select(
+        F.col(key),
+        *[
+            F.expr(hrw_score_sql(key, s, "spark")).alias(f"__h{s}")
+            for s in range(n_shards)
+        ],
+    )
+    return inner.select(
+        F.col(key), F.expr(hrw_argmax_sql(n_shards)).alias("shard")
+    )
+
+
+def rendezvous_resize_audit(
+    df: DataFrame, key: str, n_shards: int
+) -> DataFrame:
+    """Per-shard occupancy under S and S+1 shards plus the minimal-
+    movement audit: (shard, n_before, n_after, arrivals, moved_ok) —
+    arrivals counts keys that CHANGED shard into this one, and moved_ok
+    asserts HRW's contract that every move lands on the new shard
+    (arrivals = 0 everywhere else).
+
+    Scale shape: ONE scan computes the S+1 scores and both argmaxes per
+    row, then folds to the <= S*(S+1) (before, after) transition cube;
+    all shard-level counts derive from that tiny cube joined to an
+    in-plan shard spine. No second pass, no window."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    spark = df.sparkSession
+    inner = df.filter(F.col(key).isNotNull()).select(
+        *[
+            F.expr(hrw_score_sql(key, s, "spark")).alias(f"__h{s}")
+            for s in range(n_shards + 1)
+        ],
+    )
+    assigned = inner.select(
+        F.expr(hrw_argmax_sql(n_shards)).alias("s_before"),
+        F.expr(hrw_argmax_sql(n_shards + 1)).alias("s_after"),
+    )
+    cube = assigned.groupBy("s_before", "s_after").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    spine = spark.range(n_shards + 1).select(F.col("id").alias("shard"))
+    before = cube.groupBy(F.col("s_before").alias("shard")).agg(
+        F.sum("n").alias("n_before")
+    )
+    after = cube.groupBy(F.col("s_after").alias("shard")).agg(
+        F.sum("n").alias("n_after")
+    )
+    moved = (
+        cube.filter(F.col("s_before") != F.col("s_after"))
+        .groupBy(F.col("s_after").alias("shard"))
+        .agg(F.sum("n").alias("arrivals"))
+    )
+    return (
+        spine.join(before, "shard", "left")
+        .join(after, "shard", "left")
+        .join(moved, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("arrivals", F.lit(0)).cast("long").alias("arrivals"),
+            (
+                F.coalesce("arrivals", F.lit(0))
+                == F.when(
+                    F.col("shard") == n_shards, F.coalesce("n_after", F.lit(0))
+                ).otherwise(F.lit(0))
+            ).alias("moved_ok"),
+        )
+        .orderBy("shard")
+    )
+
+
+def oracle_rendezvous_resize_sql(source: str, key: str, n_shards: int) -> str:
+    """DuckDB twin of rendezvous_resize_audit — same fragments, same
+    one-scan transition-cube shape."""
+    scores = ", ".join(
+        f"{hrw_score_sql(key, s, 'duck')} AS __h{s}" for s in range(n_shards + 1)
+    )
+    return f"""
+WITH __scored AS (
+  SELECT {scores} FROM {source} WHERE {key} IS NOT NULL
+),
+__assigned AS (
+  SELECT {hrw_argmax_sql(n_shards)} AS s_before,
+         {hrw_argmax_sql(n_shards + 1)} AS s_after
+  FROM __scored
+),
+__cube AS (
+  SELECT s_before, s_after, CAST(count(*) AS BIGINT) AS n
+  FROM __assigned GROUP BY s_before, s_after
+),
+__spine AS (SELECT CAST(range AS BIGINT) AS shard FROM range({n_shards + 1})),
+__before AS (SELECT s_before AS shard, CAST(sum(n) AS BIGINT) AS n_before
+             FROM __cube GROUP BY s_before),
+__after AS (SELECT s_after AS shard, CAST(sum(n) AS BIGINT) AS n_after
+            FROM __cube GROUP BY s_after),
+__moved AS (SELECT s_after AS shard, CAST(sum(n) AS BIGINT) AS arrivals
+            FROM __cube WHERE s_before <> s_after GROUP BY s_after)
+SELECT s.shard,
+       CAST(coalesce(b.n_before, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+       CAST(coalesce(m.arrivals, 0) AS BIGINT) AS arrivals,
+       coalesce(m.arrivals, 0) = CASE WHEN s.shard = {n_shards}
+         THEN coalesce(a.n_after, 0) ELSE 0 END AS moved_ok
+FROM __spine s
+LEFT JOIN __before b ON s.shard = b.shard
+LEFT JOIN __after a ON s.shard = a.shard
+LEFT JOIN __moved m ON s.shard = m.shard
+ORDER BY s.shard
+"""

@@ -152,6 +152,7 @@ DRIVER_PRIORITY = (
     # oldest r10 rows.
     # late-r12, never driver-checked, green at 3 SFs locally:
     "sample_priority_weighted",
+    "shard_rendezvous_assignment",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

@@ -789,3 +789,27 @@ QUERIES = {
     "scd2_two_batch_history": scd2_two_batch_history,
     "clear": clear,
 }
+
+
+HRW_SHARDS = 8
+
+
+def shard_rendezvous_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / HRW shard routing with a resize audit (r12,
+    operators/maintenance.rendezvous_resize_audit — Thaler & Ravishankar
+    1998): documents routed to 8 shards by highest hash(doc_id, shard)
+    score, then re-routed under 9 shards in the SAME single scan, folded
+    to the (before, after) transition cube. The audit columns carry
+    HRW's load-bearing contract: per-shard occupancy stays ~uniform and
+    every moved document lands on the ADDED shard (moved_ok — the
+    ~1/(S+1) minimal-movement property that makes HRW the index-shard
+    router, vs hash%S moving (S-1)/S of the corpus). Pure map-side
+    argmax inside codegen; the oracle replays the identical fragments."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return M.rendezvous_resize_audit(docs, "doc_id", HRW_SHARDS)
+
+
+QUERIES["shard_rendezvous_assignment"] = shard_rendezvous_assignment
+ORACLES["shard_rendezvous_assignment"] = M.oracle_rendezvous_resize_sql(
+    "documents", "doc_id", HRW_SHARDS
+)
