@@ -620,3 +620,131 @@ def bfs_hop_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+# ------------------------------------------------- weighted SSSP (r12)
+
+
+def consecutive_line_weighted_edges(lineitem: DataFrame) -> DataFrame:
+    """Weighted canonical edges: the same adjacent-lines pairs as
+    consecutive_line_edges but WITHOUT the distinct — the multiplicity
+    (how many orders co-list the pair) becomes the tie strength, and the
+    traversal cost is its inverse, ``w = 1 + 64 DIV cnt`` (strong ties
+    are short — the standard network-science cost transform for
+    co-occurrence graphs). Integer-only, so path costs are exact."""
+    a = lineitem.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("__ln"),
+        F.col("l_partkey").alias("__pa"),
+    )
+    b = lineitem.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("__ln"),
+        F.col("l_partkey").alias("__pb"),
+    )
+    return (
+        a.join(b, ["l_orderkey", "__ln"])
+        .filter(F.col("__pa") != F.col("__pb"))
+        .select(
+            F.least("__pa", "__pb").alias("src"),
+            F.greatest("__pa", "__pb").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "src", "dst", (F.lit(1) + F.expr("64 DIV __cnt")).cast("long").alias("w")
+        )
+    )
+
+
+_WEIGHTED_EDGES_SQL = """
+SELECT src, dst, CAST(1 + 64 // cnt AS BIGINT) AS w
+FROM (
+  SELECT least(a.l_partkey, b.l_partkey) AS src,
+         greatest(a.l_partkey, b.l_partkey) AS dst,
+         count(*) AS cnt
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber + 1
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+) g
+"""
+
+
+def oracle_weighted_edges_sql() -> str:
+    return _WEIGHTED_EDGES_SQL
+
+
+def sssp_weighted(
+    edges_w: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Multi-source bounded-hop weighted shortest paths (r12): for every
+    node reachable from the source set within ``max_hops`` undirected
+    edges, the MINIMUM total edge cost over such paths — the weighted
+    generalization of bfs_hop_distances via frontier-only Bellman-Ford
+    relaxation. Exact by the standard BF induction: after round h,
+    ``best`` holds the min cost over paths of <= h edges (relaxing only
+    last-round-improved nodes is lossless because any <=h-edge improving
+    path extends a <=h-1-edge improving prefix). Deterministic — min is
+    order- and partitioning-independent; no tie rules needed.
+
+    100 TB shape: per hop ONE equi-join of the improved frontier against
+    the symmetric weighted edge list + one grouped min + one join
+    against the running best, each checkpointed so plan depth stays
+    constant (the Pregel-superstep pattern of pagerank/CC/BFS/BPE).
+    State between hops is one (node, cost) row per reached node. The
+    hop bound is the honest scale contract, as with BFS. [NOT IN
+    REFERENCE — executor.py has no graph surface.]"""
+    if not (1 <= max_hops <= 20):
+        raise ValueError(f"max_hops must be in [1, 20], got {max_hops}")
+    sym = (
+        edges_w.select(
+            F.col("src").cast("long").alias("u"),
+            F.col("dst").cast("long").alias("v"),
+            F.col("w").cast("long").alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges_w.select(
+                F.col("dst").cast("long").alias("u"),
+                F.col("src").cast("long").alias("v"),
+                F.col("w").cast("long").alias("w"),
+            ).filter(F.col("u") != F.col("v"))
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    best = (
+        sources.select(F.col(sources.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for _h in range(1, max_hops + 1):
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        old = best.select("node", F.col("cost").alias("__old"))
+        improved = (
+            cand.join(old, "node", "left")
+            .filter(F.col("__old").isNull() | (F.col("cost") < F.col("__old")))
+            .select("node", "cost")
+            .localCheckpoint(eager=True)
+        )
+        # bounded driver scalar — the module's standard convergence probe
+        if improved.limit(1).count() == 0:
+            break
+        best = (
+            best.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best

@@ -153,6 +153,7 @@ DRIVER_PRIORITY = (
     # late-r12, never driver-checked, green at 3 SFs locally:
     "sample_priority_weighted",
     "shard_rendezvous_assignment",
+    "graph_sssp_weighted",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

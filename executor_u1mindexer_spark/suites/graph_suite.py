@@ -150,3 +150,53 @@ FROM events
 ORDER BY node
 """,
 }
+
+
+SSSP_HOPS = 3
+SSSP_SRC_MOD = 397
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded-hop weighted shortest paths (r12,
+    operators/graph.sssp_weighted): minimum total cost from the
+    deterministic source set (p_partkey % 397 == 0) to every part
+    within 3 undirected edges of the co-occurrence graph, edge cost
+    1 + 64 DIV multiplicity (strong ties are short) — the weighted
+    generalization of graph_bfs_hop_distances via frontier-only
+    Bellman-Ford relaxation, one checkpointed join + grouped min per
+    hop. The oracle is a DuckDB RECURSIVE CTE accumulating cost along
+    the same symmetric weighted edge list with a final min — a
+    formulation-independent answer any missed relaxation, premature
+    convergence, or wrong merge diverges from."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    sources = part.filter(F.col("p_partkey") % SSSP_SRC_MOD == 0).select(
+        F.col("p_partkey").alias("node")
+    )
+    out = G.sssp_weighted(
+        G.consecutive_line_weighted_edges(li), sources, SSSP_HOPS
+    )
+    return out.orderBy("node")
+
+
+QUERIES["graph_sssp_weighted"] = graph_sssp_weighted
+ORACLES["graph_sssp_weighted"] = f"""
+WITH RECURSIVE ew AS ({G.oracle_weighted_edges_sql()}),
+sym AS (
+  SELECT u, v, CAST(min(w) AS BIGINT) AS w FROM (
+    SELECT src AS u, dst AS v, w FROM ew
+    UNION ALL
+    SELECT dst AS u, src AS v, w FROM ew
+  ) b GROUP BY u, v
+),
+src AS (SELECT p_partkey AS node FROM part WHERE p_partkey % {SSSP_SRC_MOD} = 0),
+walk(node, cost, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM src
+  UNION
+  SELECT sym.v, walk.cost + sym.w, walk.hops + 1
+  FROM walk JOIN sym ON walk.node = sym.u
+  WHERE walk.hops < {SSSP_HOPS}
+)
+SELECT node, CAST(min(cost) AS BIGINT) AS cost
+FROM walk GROUP BY node ORDER BY node
+"""

@@ -428,3 +428,77 @@ def test_bfs_property_matches_python_bfs(spark, edge_list, sources, hops):
         for r in G.bfs_hop_distances(edges, src_df, hops).collect()
     }
     assert got == want
+
+
+def test_sssp_weighted_hand_graph(spark):
+    """Weighted shortest paths on a hand graph: the 3-edge cheap path
+    1-2-3-4 (cost 3) must beat the 1-edge expensive shortcut 1-4
+    (cost 10) when hops allow, and lose to it under a tight hop bound."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10)],
+        "src long, dst long, w long",
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    got3 = {
+        r.node: r.cost
+        for r in G.sssp_weighted(edges, sources, max_hops=3).collect()
+    }
+    assert got3 == {1: 0, 2: 1, 3: 2, 4: 3}
+    got1 = {
+        r.node: r.cost
+        for r in G.sssp_weighted(edges, sources, max_hops=1).collect()
+    }
+    assert got1 == {1: 0, 2: 1, 4: 10}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hops"):
+        G.sssp_weighted(edges, sources, max_hops=0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 19), st.integers(0, 19), st.integers(1, 9)
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.sets(st.integers(0, 19), min_size=1, max_size=3),
+    st.integers(1, 4),
+)
+def test_sssp_property_matches_python_bellman_ford(
+    spark, edge_list, sources, hops
+):
+    """Property: sssp_weighted equals a sequential hop-bounded
+    Bellman-Ford replay for any random weighted graph, source set, and
+    hop bound (parallel edges keep the min weight, like the operator)."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    adj: dict = {}
+    for a, b, w in edge_list:
+        if a == b:
+            continue
+        for u, v in ((a, b), (b, a)):
+            cur = adj.setdefault(u, {})
+            cur[v] = min(cur.get(v, w), w)
+    want = {s: 0 for s in sources}
+    for _ in range(hops):
+        nxt = dict(want)
+        for u, d in want.items():
+            for v, w in adj.get(u, {}).items():
+                if v not in nxt or d + w < nxt[v]:
+                    nxt[v] = d + w
+        want = nxt
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in edge_list], "src long, dst long, w long"
+    )
+    src_df = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        r.node: r.cost
+        for r in G.sssp_weighted(edges, src_df, hops).collect()
+    }
+    assert got == want
