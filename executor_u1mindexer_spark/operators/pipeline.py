@@ -878,3 +878,107 @@ def gopher_doc_metrics(
         (F.col("top_c").cast("double") / nw).alias("top_token_frac"),
         (F.col("n_symbol_words").cast("double") / nw).alias("symbol_word_frac"),
     )
+
+
+# ------------------------------------------- market-basket mining (r12)
+
+
+def frequent_pairs(
+    df: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    minsup: int = 3,
+) -> DataFrame:
+    """A-priori frequent item PAIRS (Agrawal & Srikant, VLDB'94): every
+    unordered item pair co-occurring in >= minsup baskets, with support
+    and lift — the classic co-occurrence-mining primitive (recommender
+    candidates, query-expansion pairs, co-click mining).
+
+    Scale shape: the a-priori downward-closure prune runs first — an
+    item pair can only be frequent if BOTH items are (frequent-1 set
+    computed in one grouped count, applied as a broadcast semi-join
+    before any pair is generated) — then pair generation is ONE
+    self-join co-partitioned on the basket key with fan-out bounded by
+    (basket_size choose 2), never an all-pairs join over the item
+    domain. Lift is emitted with an integer numerator/denominator and
+    ONE correctly-rounded double division, so it is bit-identical
+    cross-engine. Output: (item_a, item_b, support, lift)."""
+    if minsup < 1:
+        raise ValueError(f"minsup must be >= 1, got {minsup}")
+    b = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(
+            F.col(basket_col).cast("long").alias("__bk"),
+            F.col(item_col).cast("long").alias("__it"),
+        )
+        .distinct()
+    )
+    f1 = (
+        b.groupBy("__it")
+        .agg(F.count(F.lit(1)).cast("long").alias("__sup1"))
+        .filter(F.col("__sup1") >= minsup)
+    )
+    bf = b.join(F.broadcast(f1.select("__it")), "__it")
+    left = bf.select("__bk", F.col("__it").alias("item_a"))
+    right = bf.select("__bk", F.col("__it").alias("item_b"))
+    sup = (
+        left.join(right, "__bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= minsup)
+    )
+    n_b = b.select("__bk").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    sa = f1.select(F.col("__it").alias("item_a"), F.col("__sup1").alias("__sa"))
+    sb = f1.select(F.col("__it").alias("item_b"), F.col("__sup1").alias("__sb"))
+    return (
+        sup.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.expr(
+                "CAST(support * __n AS DOUBLE) / CAST(__sa * __sb AS DOUBLE)"
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+def oracle_frequent_pairs_sql(
+    source: str, basket_col: str, item_col: str, minsup: int = 3
+) -> str:
+    """DuckDB twin of frequent_pairs — identical prune, pair, and lift."""
+    return f"""
+WITH __b AS (
+  SELECT DISTINCT CAST({basket_col} AS BIGINT) AS __bk,
+         CAST({item_col} AS BIGINT) AS __it
+  FROM {source}
+  WHERE {basket_col} IS NOT NULL AND {item_col} IS NOT NULL
+),
+__f1 AS (
+  SELECT __it, CAST(count(*) AS BIGINT) AS __sup1
+  FROM __b GROUP BY __it HAVING count(*) >= {minsup}
+),
+__bf AS (SELECT __b.__bk, __b.__it FROM __b JOIN __f1 USING (__it)),
+__sup AS (
+  SELECT a.__it AS item_a, c.__it AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM __bf a JOIN __bf c ON a.__bk = c.__bk AND a.__it < c.__it
+  GROUP BY 1, 2 HAVING count(*) >= {minsup}
+),
+__n AS (SELECT CAST(count(DISTINCT __bk) AS BIGINT) AS __n FROM __b)
+SELECT s.item_a, s.item_b, s.support,
+       CAST(s.support * __n.__n AS DOUBLE)
+         / CAST(fa.__sup1 * fb.__sup1 AS DOUBLE) AS lift
+FROM __sup s
+JOIN __f1 fa ON s.item_a = fa.__it
+JOIN __f1 fb ON s.item_b = fb.__it
+CROSS JOIN __n
+ORDER BY s.item_a, s.item_b
+"""

@@ -154,6 +154,7 @@ DRIVER_PRIORITY = (
     "sample_priority_weighted",
     "shard_rendezvous_assignment",
     "graph_sssp_weighted",
+    "basket_frequent_pairs",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

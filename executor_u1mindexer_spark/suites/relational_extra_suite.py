@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from executor_u1mindexer_spark import tables
+from executor_u1mindexer_spark.operators import pipeline as PIPE
 
 
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,3 +915,25 @@ QUERIES = {k: v for k, v in _VARIANT_QUERIES.items() if k not in FOLDED_HERE}
 ORACLES = {k: v for k, v in _VARIANT_ORACLES.items() if k not in FOLDED_HERE}
 for _fam, _members in FAMILIES.items():
     QUERIES[_fam], ORACLES[_fam] = FD.fold_family(_fam, _members, _ALL_Q, _ALL_O)
+
+
+FP_MINSUP = 3
+
+
+def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent item pairs (r12, operators/pipeline.frequent_pairs
+    — Agrawal & Srikant VLDB'94) over order baskets: part pairs co-listed
+    in >= 3 orders, with support and cross-engine-exact lift. The
+    downward-closure prune (broadcast frequent-1 semi-join) runs before
+    any pair is generated; pair fan-out is bounded per basket, never an
+    item-domain cross join. Oracle replays prune/pair/lift identically."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return PIPE.frequent_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", minsup=FP_MINSUP
+    )
+
+
+QUERIES["basket_frequent_pairs"] = basket_frequent_pairs
+ORACLES["basket_frequent_pairs"] = PIPE.oracle_frequent_pairs_sql(
+    "lineitem", "l_orderkey", "l_partkey", FP_MINSUP
+)

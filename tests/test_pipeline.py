@@ -708,3 +708,47 @@ def test_priority_sample_k_validated(spark):
     df = spark.createDataFrame([(1, 1)], "k long, w long")
     with _pytest.raises(ValueError):
         P.priority_sample(df, key="k", weight_col="w", k=0)
+
+
+# --------------------------------------------- frequent item pairs (r12)
+
+
+def test_frequent_pairs_hand_baskets(spark):
+    """Known baskets: pair (1,2) in 3 baskets, (1,3) in 2, singleton 9.
+    minsup=2 keeps (1,2) sup=3 and (1,3) sup=2; lift is exact."""
+    rows = [
+        (100, 1), (100, 2), (100, 3),
+        (200, 1), (200, 2), (200, 3),
+        (300, 1), (300, 2),
+        (400, 9),
+        (400, 9),  # duplicate listing dedups inside the basket
+    ]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    got = {
+        (r.item_a, r.item_b): (r.support, r.lift)
+        for r in P.frequent_pairs(
+            df, basket_col="bk", item_col="it", minsup=2
+        ).collect()
+    }
+    n = 4  # baskets
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == (3, 3 * n / (3 * 3))
+    assert got[(1, 3)] == (2, 2 * n / (3 * 2))
+    assert got[(2, 3)] == (2, 2 * n / (3 * 2))
+
+
+def test_frequent_pairs_apriori_prune_blocks_infrequent_items(spark):
+    # item 5 appears in only 1 basket: no pair containing it survives
+    # even though (5, 6) co-occur once
+    rows = [(1, 5), (1, 6), (2, 6), (3, 6)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    got = P.frequent_pairs(df, basket_col="bk", item_col="it", minsup=2).collect()
+    assert got == []
+
+
+def test_frequent_pairs_minsup_validated(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1)], "bk long, it long")
+    with _pytest.raises(ValueError):
+        P.frequent_pairs(df, basket_col="bk", item_col="it", minsup=0)
