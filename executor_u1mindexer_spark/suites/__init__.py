@@ -155,6 +155,7 @@ DRIVER_PRIORITY = (
     "shard_rendezvous_assignment",
     "graph_sssp_weighted",
     "basket_frequent_pairs",
+    "text_tfidf_topk_terms",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

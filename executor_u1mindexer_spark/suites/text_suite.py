@@ -1192,3 +1192,87 @@ SELECT * FROM ("""
 
 QUERIES["text_gopher_quality_audit"] = text_gopher_quality_audit
 ORACLES["text_gopher_quality_audit"] = _GOPHER_SQL
+
+
+TFIDF_TOPK = 5
+# idf fragment shared textually with the oracle: smoothed ln((N+1)/(df+1)).
+# ln is faithfully- (not correctly-) rounded, but both engines' libms have
+# agreed bit-for-bit on every registered ln-scoring row since r06 (BM25,
+# bigram LM — driver-green); ties between DIFFERENT terms with equal
+# (tf, df) produce the identical double both sides and fall to the term
+# tie-break, so selection cannot flip on a rounding edge.
+_TFIDF_SCORE = (
+    "CAST(tf AS DOUBLE) * ln((CAST(n AS DOUBLE) + 1.0e0)"
+    " / (CAST(df AS DOUBLE) + 1.0e0))"
+)
+
+
+def text_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (r12): the 5 highest
+    tf·idf terms of each document over the whitespace/lowercase token
+    contract shared with text_vocab_topk, idf smoothed as
+    ln((N+1)/(df+1)) — the classic representative-terms primitive
+    (doc tagging, cluster labeling, near-dup explanations) beside the
+    query-scoring BM25 family. Scale shape: one explode feeds BOTH the
+    per-doc tf aggregate and the distinct-doc df aggregate (grouped,
+    map-side combinable, no collect); scoring is a broadcast-joinable
+    df lookup + a doc_id-partitioned window for the top-k — never a
+    global sort. Emitted score is round(·, 9) like every float-scoring
+    text row."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr(_TFIDF_SCORE))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", F.round("score", 9).alias("score"))
+        .orderBy("doc_id", "term")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM tok) dd GROUP BY term),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, {_TFIDF_SCORE} AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rk
+  FROM s
+)
+SELECT doc_id, term, tf, df, round(score, 9) AS score
+FROM r WHERE rk <= {TFIDF_TOPK} ORDER BY doc_id, term
+"""
+
+QUERIES["text_tfidf_topk_terms"] = text_tfidf_topk_terms
+ORACLES["text_tfidf_topk_terms"] = _TFIDF_SQL

@@ -80,3 +80,42 @@ def test_let1_text_helpers_match_python_replay(spark):
         else:
             want_ttf = 0.0
         assert abs(r.ttf - want_ttf) < 1e-12, (r.text, r.ttf, want_ttf)
+
+
+def test_tfidf_topk_terms_hand_corpus(tmp_path, spark):
+    """TF-IDF pin on a 3-doc corpus: the ubiquitous term ('the', df=3)
+    scores tf * ln(4/4) = 0 exactly, so it can never beat a distinctive
+    term; exact scores replayed in python."""
+    import math
+    import os
+
+    docs = [
+        (1, "the cat sat", "en", "s", 11),
+        (2, "the dog ran the dog", "en", "s", 19),
+        (3, "the bird flew", "en", "s", 13),
+    ]
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    d.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from executor_u1mindexer_spark.suites.text_suite import text_tfidf_topk_terms
+
+    rows = text_tfidf_topk_terms(spark, sf).collect()
+    got = {(r.doc_id, r.term): (r.tf, r.df, r.score) for r in rows}
+    # 'the': df=3 -> idf = ln(4/4) = 0 -> score 0 everywhere, but still
+    # eligible for top-5 (every doc has < 5 distinct terms, all emitted)
+    n = 3
+
+    def idf(df):
+        return math.log((n + 1.0) / (df + 1.0))
+
+    assert got[(2, "dog")] == (2, 1, round(2 * idf(1), 9))
+    assert got[(1, "the")][2] == 0.0
+    # doc 2 has 3 distinct terms -> all 3 emitted; top by score is 'dog'
+    doc2 = sorted(
+        ((s, t) for (d_, t), (_tf, _df, s) in got.items() if d_ == 2),
+        reverse=True,
+    )
+    assert doc2[0][1] == "dog"
