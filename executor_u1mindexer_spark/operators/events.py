@@ -719,3 +719,133 @@ def cusum_drift(
         F.col("cusum").cast("long").alias("cusum"),
         (F.col("cusum") * 2 > F.col("ref")).alias("flagged"),
     ).orderBy(key_col, "day")
+
+
+# ------------------------------------------------- per-group OLS (r12)
+#
+# Closed-form simple linear regression per group, EXACT through the
+# sufficient statistics: x = epoch minutes (integer), y = centi-units
+# (floor(value*100 + 0.5), round-half-up — recovers the intended cents
+# for 2-decimal data, where a bare floor(value*100) truncates the
+# float representation error of e.g. 5.07 down a cent; deterministic
+# for any double either way), all five sums (n, Σx, Σy, Σxy, Σx²)
+# and min(x) kept in exact wide-integer arithmetic (Spark DECIMAL(38,0)
+# lanes / DuckDB HUGEINT — the ivm_retractable_delta precedent), so the
+# aggregate is associative under ANY partial-sum order — the property a
+# float Σxy cannot offer. Only the FINAL slope/intercept resolve to
+# doubles, rounded at 9 digits: DuckDB's HUGEINT→DOUBLE cast is
+# double-rounded (upper*2^64 + lower), not correctly rounded like
+# Spark's BigDecimal path, so the last-bit contract doesn't hold for
+# sums beyond 2^53 — round(·, 9) absorbs the ≤2-ulp gap exactly as the
+# BM25/bigram-LM rows absorb libm ulps. [NOT IN REFERENCE.]
+
+OLS_SLOPE_FINAL = (
+    "round(CAST(__num AS DOUBLE) / CAST(__den AS DOUBLE) * 14.4e0, 9)"
+)  # centi-units/minute -> units/day: *1440/100
+OLS_YHAT_FINAL = (
+    "round((CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE)"
+    " - CAST(__num AS DOUBLE) / CAST(__den AS DOUBLE)"
+    " * (CAST(__sx AS DOUBLE) / CAST(__n AS DOUBLE)"
+    " - CAST(__minx AS DOUBLE))) / 100.0e0, 9)"
+)
+
+
+def ols_trend_by_group(
+    df: DataFrame, group_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Per-group linear trend fit: (group, n, start_minute, slope_per_day,
+    value_at_start) — slope in value-units per day, intercept evaluated
+    at the group's first minute (anchor-free sufficient statistics; the
+    at-start value derives algebraically from the same single pass).
+
+    Scale shape: ONE grouped aggregate with map-side partial combine —
+    six exact integer statistics per group, no window, no second scan;
+    den = 0 (all x equal in a group) yields NULL fit columns rather
+    than a division error."""
+    x = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 60000000")
+    y = F.expr(f"CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT)")
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col),
+        x.alias("__x"),
+        y.alias("__y"),
+    )
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.expr("CAST(__x * __y AS DECIMAL(28,0))"))
+        .cast("decimal(38,0)")
+        .alias("__sxy"),
+        F.sum(F.expr("CAST(__x * __x AS DECIMAL(28,0))"))
+        .cast("decimal(38,0)")
+        .alias("__sxx"),
+        F.min("__x").alias("__minx"),
+    )
+    wide = agg.select(
+        group_col,
+        "__n",
+        "__sx",
+        "__sy",
+        "__minx",
+        F.expr(
+            "CAST(__n AS DECIMAL(38,0)) * __sxy"
+            " - CAST(__sx AS DECIMAL(38,0)) * CAST(__sy AS DECIMAL(38,0))"
+        ).alias("__num"),
+        F.expr(
+            "CAST(__n AS DECIMAL(38,0)) * __sxx"
+            " - CAST(__sx AS DECIMAL(38,0)) * CAST(__sx AS DECIMAL(38,0))"
+        ).alias("__den"),
+    )
+    return wide.select(
+        group_col,
+        F.col("__n").alias("n"),
+        F.col("__minx").alias("start_minute"),
+        F.expr(
+            f"CASE WHEN __den = 0 THEN NULL ELSE {OLS_SLOPE_FINAL} END"
+        ).alias("slope_per_day"),
+        F.expr(
+            f"CASE WHEN __den = 0 THEN NULL ELSE {OLS_YHAT_FINAL} END"
+        ).alias("value_at_start"),
+    ).orderBy(group_col)
+
+
+def oracle_ols_trend_sql(
+    source: str, group_col: str, ts_col: str, value_col: str
+) -> str:
+    """DuckDB twin of ols_trend_by_group — HUGEINT exact statistics,
+    identical final double text."""
+    return f"""
+WITH __base AS (
+  SELECT {group_col},
+         epoch_us({ts_col}) // 60000000 AS __x,
+         CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y
+  FROM {source}
+  WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
+),
+__agg AS (
+  SELECT {group_col},
+         CAST(count(*) AS BIGINT) AS __n,
+         CAST(sum(__x) AS BIGINT) AS __sx,
+         CAST(sum(__y) AS BIGINT) AS __sy,
+         sum(CAST(__x AS HUGEINT) * __y) AS __sxy,
+         sum(CAST(__x AS HUGEINT) * __x) AS __sxx,
+         CAST(min(__x) AS BIGINT) AS __minx
+  FROM __base GROUP BY {group_col}
+),
+__wide AS (
+  SELECT {group_col}, __n, __sx, __sy, __minx,
+         CAST(__n AS HUGEINT) * __sxy
+           - CAST(__sx AS HUGEINT) * CAST(__sy AS HUGEINT) AS __num,
+         CAST(__n AS HUGEINT) * __sxx
+           - CAST(__sx AS HUGEINT) * CAST(__sx AS HUGEINT) AS __den
+  FROM __agg
+)
+SELECT {group_col}, __n AS n, __minx AS start_minute,
+       CASE WHEN __den = 0 THEN NULL ELSE {OLS_SLOPE_FINAL} END
+         AS slope_per_day,
+       CASE WHEN __den = 0 THEN NULL ELSE {OLS_YHAT_FINAL} END
+         AS value_at_start
+FROM __wide ORDER BY {group_col}
+"""

@@ -156,6 +156,7 @@ DRIVER_PRIORITY = (
     "graph_sssp_weighted",
     "basket_frequent_pairs",
     "text_tfidf_topk_terms",
+    "events_ols_trend",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

@@ -601,3 +601,23 @@ FROM s ORDER BY event_type, day
 
 QUERIES["events_cusum_drift"] = events_cusum_drift
 ORACLES["events_cusum_drift"] = _CUSUM_SQL
+
+
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend (r12, operators/events.ols_trend_by_group):
+    closed-form OLS of value (centi-units) against time (epoch minutes),
+    slope reported in units/day with the fitted value at each group's
+    first minute — the classic 'is this metric drifting' analytic beside
+    the CUSUM and rolling-zscore rows. All sufficient statistics are
+    exact wide integers (order-independent under partial aggregation —
+    a float sum-of-products would be fold-order-dependent); only the
+    final slope/intercept resolve to 9-digit-rounded doubles (the
+    HUGEINT->DOUBLE double-rounding note in the operator docstring)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return E.ols_trend_by_group(ev, "event_type", "ts", "value")
+
+
+QUERIES["events_ols_trend"] = events_ols_trend
+ORACLES["events_ols_trend"] = E.oracle_ols_trend_sql(
+    "events", "event_type", "ts", "value"
+)

@@ -752,3 +752,59 @@ def test_frequent_pairs_minsup_validated(spark):
     df = spark.createDataFrame([(1, 1)], "bk long, it long")
     with _pytest.raises(ValueError):
         P.frequent_pairs(df, basket_col="bk", item_col="it", minsup=0)
+
+
+# --------------------------------------------------- per-group OLS (r12)
+
+
+def test_ols_trend_recovers_exact_linear_series(spark):
+    """y rises exactly 14.4 units/day (0.01/minute): the closed form
+    must recover slope_per_day = 14.4 and value_at_start = the first
+    value, independent of partitioning."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(minutes=m), 5.0 + 0.01 * m) for m in range(100)
+    ] + [("b", t0, 7.0)]  # single point: den = 0 -> NULL fit
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    ).repartition(7)
+    from executor_u1mindexer_spark.operators import events as E
+
+    got = {
+        r.event_type: (r.n, r.slope_per_day, r.value_at_start)
+        for r in E.ols_trend_by_group(df, "event_type", "ts", "value").collect()
+    }
+    assert got["a"][0] == 100
+    assert got["a"][1] == 14.4
+    assert got["a"][2] == 5.0
+    assert got["b"] == (1, None, None)
+
+
+def test_ols_trend_matches_numpy_on_noisy_data(spark):
+    """Against numpy's lstsq on deterministic pseudo-noise (exact to the
+    9-digit rounding of the emitted columns)."""
+    import datetime as dt
+
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1)
+    xs = list(range(0, 600, 7))
+    ys = [round(50 + 0.03 * m + ((m * 37) % 11 - 5) * 0.25, 2) for m in xs]
+    rows = [("g", t0 + dt.timedelta(minutes=m), y) for m, y in zip(xs, ys)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    )
+    from executor_u1mindexer_spark.operators import events as E
+
+    r = E.ols_trend_by_group(df, "event_type", "ts", "value").collect()[0]
+    # replay in exact integer space like the operator (centi-units,
+    # round-half-up); center x at its min for lstsq conditioning — the
+    # slope is shift-invariant and the intercept becomes value-at-start
+    yc = np.array([int(np.floor(y * 100.0 + 0.5)) for y in ys], dtype=np.int64)
+    xm = np.array(xs, dtype=np.int64)
+    A = np.vstack([xm - xm.min(), np.ones(len(xm))]).T.astype(np.float64)
+    slope_cpm, icpt = np.linalg.lstsq(A, yc.astype(np.float64), rcond=None)[0]
+    assert abs(r.slope_per_day - slope_cpm * 14.4) < 1e-6
+    assert abs(r.value_at_start - icpt / 100.0) < 1e-6
