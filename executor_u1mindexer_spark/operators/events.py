@@ -849,3 +849,118 @@ SELECT {group_col}, __n AS n, __minx AS start_minute,
          AS value_at_start
 FROM __wide ORDER BY {group_col}
 """
+
+
+# ---------------------------------------------- MAD robust outliers (r12)
+#
+# Median / median-absolute-deviation outlier detection (the robust
+# companion to the rolling-zscore and CUSUM rows): an observation is an
+# outlier when |x - median| > 3 * MAD. Everything is EXACT integer
+# arithmetic via 2x scaling: on centi-unit integers the interpolated
+# median is integer-or-half, so med2 = 2*median and mad4 = 2*median(
+# |2y - med2|) are exact integers in both engines, and the decision
+# rule |x-med| > 3*MAD becomes the pure integer comparison
+# 2*dev2 > 3*mad4 — no float enters the verdict at all (a float MAD
+# rule would hinge on last-bit division behavior). The emitted
+# median/MAD resolve by one correctly-rounded division each.
+# MAD = 0 (>= half the group at the median) makes every off-median row
+# an outlier — the standard MAD hazard, deliberate and documented.
+
+
+def mad_outliers_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """(group, n, median_value, mad_value, n_outliers, outlier_rate) —
+    three exact grouped passes (median, MAD, verdict count), each a
+    map-side-combinable aggregate plus one broadcast join of the tiny
+    per-group scalars; an approximate one-pass variant would use the
+    quantile sketch, this row is the exact artifact."""
+    y = F.expr(f"CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col), y.alias("__y")
+    )
+    g1 = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.expr("CAST(2.0e0 * percentile(__y, 0.5e0) AS BIGINT)").alias("__med2"),
+    )
+    dev = base.join(F.broadcast(g1), group_col).select(
+        group_col,
+        "__n",
+        "__med2",
+        F.abs(F.lit(2) * F.col("__y") - F.col("__med2")).alias("__dev2"),
+    )
+    g2 = dev.groupBy(group_col, "__n", "__med2").agg(
+        F.expr("CAST(2.0e0 * percentile(__dev2, 0.5e0) AS BIGINT)").alias("__mad4"),
+    )
+    verdict = (
+        dev.join(
+            F.broadcast(g2.select(group_col, "__mad4")), group_col
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(2) * F.col("__dev2") > F.lit(3) * F.col("__mad4"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("__nout"),
+        )
+    )
+    return (
+        g2.join(verdict, group_col)
+        .select(
+            group_col,
+            F.col("__n").alias("n"),
+            F.expr("CAST(__med2 AS DOUBLE) / 200.0e0").alias("median_value"),
+            F.expr("CAST(__mad4 AS DOUBLE) / 400.0e0").alias("mad_value"),
+            F.col("__nout").alias("n_outliers"),
+            F.expr(
+                "CAST(__nout AS DOUBLE) / CAST(__n AS DOUBLE)"
+            ).alias("outlier_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def oracle_mad_outliers_sql(
+    source: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB twin — quantile_cont is the continuous (interpolated)
+    median matching Spark's percentile()."""
+    return f"""
+WITH __base AS (
+  SELECT {group_col},
+         CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y
+  FROM {source} WHERE {value_col} IS NOT NULL
+),
+__g1 AS (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS __n,
+         CAST(2.0e0 * quantile_cont(__y, 0.5e0) AS BIGINT) AS __med2
+  FROM __base GROUP BY {group_col}
+),
+__dev AS (
+  SELECT b.{group_col}, g.__n, g.__med2,
+         abs(2 * b.__y - g.__med2) AS __dev2
+  FROM __base b JOIN __g1 g USING ({group_col})
+),
+__g2 AS (
+  SELECT {group_col}, __n, __med2,
+         CAST(2.0e0 * quantile_cont(__dev2, 0.5e0) AS BIGINT) AS __mad4
+  FROM __dev GROUP BY {group_col}, __n, __med2
+),
+__v AS (
+  SELECT d.{group_col},
+         CAST(sum(CASE WHEN 2 * d.__dev2 > 3 * g.__mad4 THEN 1 ELSE 0 END)
+              AS BIGINT) AS __nout
+  FROM __dev d JOIN __g2 g USING ({group_col})
+  GROUP BY d.{group_col}
+)
+SELECT g.{group_col}, g.__n AS n,
+       CAST(g.__med2 AS DOUBLE) / 200.0e0 AS median_value,
+       CAST(g.__mad4 AS DOUBLE) / 400.0e0 AS mad_value,
+       v.__nout AS n_outliers,
+       CAST(v.__nout AS DOUBLE) / CAST(g.__n AS DOUBLE) AS outlier_rate
+FROM __g2 g JOIN __v v USING ({group_col})
+ORDER BY g.{group_col}
+"""

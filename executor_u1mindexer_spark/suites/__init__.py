@@ -157,6 +157,7 @@ DRIVER_PRIORITY = (
     "basket_frequent_pairs",
     "text_tfidf_topk_terms",
     "events_ols_trend",
+    "events_mad_outliers",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

@@ -621,3 +621,23 @@ QUERIES["events_ols_trend"] = events_ols_trend
 ORACLES["events_ols_trend"] = E.oracle_ols_trend_sql(
     "events", "event_type", "ts", "value"
 )
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier audit per event_type (r12,
+    operators/events.mad_outliers_by_group): |x - median| > 3*MAD on
+    centi-unit integers with the whole decision rule in EXACT integer
+    arithmetic (2x-scaled medians — interpolated medians of integers
+    are integer-or-half, so 2*median is exact in both engines; no float
+    touches the verdict). The robust-statistics member of the anomaly
+    family beside rolling-zscore (moment-based) and CUSUM (sequential):
+    a mean/stddev rule moves with the outliers it hunts, the median/MAD
+    rule does not."""
+    ev = tables.load(spark, sf_dir, "events")
+    return E.mad_outliers_by_group(ev, "event_type", "value")
+
+
+QUERIES["events_mad_outliers"] = events_mad_outliers
+ORACLES["events_mad_outliers"] = E.oracle_mad_outliers_sql(
+    "events", "event_type", "value"
+)

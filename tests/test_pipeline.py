@@ -808,3 +808,35 @@ def test_ols_trend_matches_numpy_on_noisy_data(spark):
     slope_cpm, icpt = np.linalg.lstsq(A, yc.astype(np.float64), rcond=None)[0]
     assert abs(r.slope_per_day - slope_cpm * 14.4) < 1e-6
     assert abs(r.value_at_start - icpt / 100.0) < 1e-6
+
+
+# ------------------------------------------------- MAD outliers (r12)
+
+
+def test_mad_outliers_hand_group(spark):
+    """Hand group [1, 2, 3, 4, 100]: median 3, MAD 1, only 100 is an
+    outlier (|100-3| = 97 > 3). Even-count group [1, 2, 3, 4]: median
+    2.5 and MAD 1.0 exercise the half-integer interpolation lanes."""
+    from executor_u1mindexer_spark.operators import events as E
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 100)] + [
+        ("b", float(v)) for v in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double").repartition(3)
+    got = {
+        r.g: (r.n, r.median_value, r.mad_value, r.n_outliers)
+        for r in E.mad_outliers_by_group(df, "g", "value").collect()
+    }
+    assert got["a"] == (5, 3.0, 1.0, 1)
+    # group b: devs from 2.5 are [1.5, 0.5, 0.5, 1.5] -> MAD = 1.0;
+    # 1.5 > 3.0 is false -> no outliers
+    assert got["b"] == (4, 2.5, 1.0, 0)
+
+
+def test_mad_zero_flags_every_off_median_row(spark):
+    from executor_u1mindexer_spark.operators import events as E
+
+    rows = [("c", 5.0)] * 6 + [("c", 5.01)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = E.mad_outliers_by_group(df, "g", "value").collect()[0]
+    assert r.mad_value == 0.0 and r.n_outliers == 1
