@@ -395,3 +395,53 @@ def heavy_hitters_state(states: dict[int, list]) -> dict:
         for item, cnt in entry:
             out[item] = out.get(item, 0) + cnt
     return out
+
+
+def streaming_kmv_fold(
+    stream: DataFrame,
+    col: str,
+    k: int = 256,
+    state_dir: str | None = None,
+):
+    """Streaming twin of the KMV bottom-k distinct sketch (r12,
+    operators/sketch.kmv_bottomk): per micro-batch entry = the batch's
+    own bottom-k distinct hashes (BOUNDED: <= k BIGINT rows per batch),
+    accumulated driver-side keyed by batch id (redelivery overwrites —
+    idempotent), durably via _BatchKeyedStore when `state_dir` is set.
+
+    Read with kmv_state(): bottom-k of the union of entries — EXACTLY
+    the batch sketch of the drained backlog, by the same pigeonhole as
+    the per-partition fold (any hash in the backlog's global bottom-k is
+    in its own batch's bottom-k), so the ledger view is not merely
+    convergent but bit-equal to batch kmv_bottomk. Unlike the MG ledger
+    (lower bounds that tighten on verify) the KMV ledger needs no
+    second pass: merge IS exact."""
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    store = _BatchKeyedStore(state_dir) if state_dir else None
+    states: dict[int, list] = {}
+
+    if store is not None:
+        for bid, pdf in store.load().items():
+            states[bid] = [int(h) for h in pdf["h"].tolist()]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        entry = sorted(
+            int(r["h"]) for r in SK.kmv_bottomk(batch_df, col, k).collect()
+        )
+        if store is not None:
+            store.put(int(batch_id), pd.DataFrame({"h": entry}))
+        states[int(batch_id)] = entry
+
+    writer = stream.writeStream.foreachBatch(fold)
+    return writer, states
+
+
+def kmv_state(states: dict[int, list], k: int = 256) -> list:
+    """Merged KMV ledger view: the k smallest distinct hashes across all
+    batch entries — the Mergeable-Summaries merge, exact (see
+    streaming_kmv_fold)."""
+    merged: set = set()
+    for entry in states.values():
+        merged.update(entry)
+    return sorted(merged)[:k]

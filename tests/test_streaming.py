@@ -776,3 +776,31 @@ def test_streaming_heavy_hitters_ledger_no_false_negatives(spark, sf_dir, tmp_pa
     assert {b: norm(e) for b, e in states2.items()} == {
         b: norm(e) for b, e in states.items()
     }
+
+
+def test_streaming_kmv_fold_matches_batch_sketch(tmp_path, spark, sf_dir):
+    """The KMV ledger (r12, SS.streaming_kmv_fold): the bottom-k merge of
+    per-batch bottom-k entries must be BIT-EQUAL to the batch sketch of
+    the drained backlog (the pigeonhole merge is exact, not a bound),
+    and a fresh fold on the same state_dir reloads the identical
+    ledger."""
+    from executor_u1mindexer_spark.streaming import events_stream as ES
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    k = 64
+    sdir = str(tmp_path / "kmv_state")
+    stream = ES.read_fixture_stream(spark, sf_dir, "events").select("event_id")
+    writer, states = SS.streaming_kmv_fold(stream, "event_id", k, state_dir=sdir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    assert states, "no batches folded"
+    assert all(len(e) <= k for e in states.values())
+    merged = SS.kmv_state(states, k)
+    ev = tables.load(spark, sf_dir, "events")
+    want = [r.h for r in SK.kmv_bottomk(ev, "event_id", k).collect()]
+    assert merged == want
+
+    _, states2 = SS.streaming_kmv_fold(stream, "event_id", k, state_dir=sdir)
+    assert {b: e for b, e in states2.items()} == {b: e for b, e in states.items()}
