@@ -870,3 +870,64 @@ def test_cusum_closed_form_equals_recurrence(spark):
     # the fixture must exercise both verdicts
     flags = {r.flagged for r in out}
     assert flags == {True, False}
+
+
+def test_priority_sample_is_takeordered_no_corpus_shuffle(spark, sf_dir):
+    """priority_sample's top-(k+1) must be map-side partial top-k
+    (TakeOrderedAndProject), never a global sort or a corpus shuffle —
+    the whole point of the DLT formulation at 100 TB."""
+    from executor_u1mindexer_spark.operators import pipeline as P
+    from executor_u1mindexer_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    df = P.priority_sample(docs, key="doc_id", weight_col="n_chars", k=64)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # no hash-partitioned shuffle anywhere: the only exchange is the
+    # broadcast of the 1-row tau aggregate (the final k-row display
+    # Sort is not a corpus sort)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_rendezvous_audit_is_one_scan_no_udf(spark, sf_dir):
+    """The resize audit computes both argmaxes in ONE pass over ONE scan
+    of documents, materialized once as the transition cube (eager
+    localCheckpoint) — the FINAL plan re-reads no parquet at all and has
+    no python stage."""
+    from executor_u1mindexer_spark.operators import maintenance as M
+    from executor_u1mindexer_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    df = M.rendezvous_resize_audit(docs, "doc_id", 8)
+    plan = plans.physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_frequent_pairs_prune_is_broadcast_and_pair_join_is_keyed(spark, sf_dir):
+    """The a-priori frequent-1 prune applies as a BROADCAST join before
+    pair generation, and the pair self-join is an equi-join on the
+    basket key (never a CartesianProduct)."""
+    from executor_u1mindexer_spark.operators import pipeline as P
+    from executor_u1mindexer_spark import tables
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    df = P.frequent_pairs(li, basket_col="l_orderkey", item_col="l_partkey", minsup=3)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert not plans.has_cartesian_product(plan), plan
+
+
+def test_kmv_global_merge_is_bounded_not_corpus_wide(spark, sf_dir):
+    """kmv_bottomk's post-fold merge (distinct + ordered limit) operates
+    on the <= P*k candidate rows the Arrow fold emits — the plan shows
+    the python fold feeding the limit, not a corpus-wide distinct."""
+    from executor_u1mindexer_spark.operators import sketch as SK
+    from executor_u1mindexer_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    df = SK.kmv_bottomk(ev, "event_id", 256)
+    plan = plans.physical_plan(df, "simple")
+    # exactly one python (mapInPandas) stage = the bounded fold
+    assert plan.count("MapInPandas") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
