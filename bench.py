@@ -89,6 +89,14 @@ HEADLINE = [
     "sketch_heavy_hitters_verified",
     "text_gopher_quality_audit",
     "events_decayed_leaderboard",
+    # late-r12: tracks the KMV mapInPandas fold + TakeOrdered merge (a
+    # lost per-partition bound shows as fold-output blow-up), the
+    # zero-exchange DLT top-(k+1) (a lost TakeOrdered shows as a global
+    # sort), and the one-scan HRW transition cube (a lost checkpoint
+    # shows as the 6x scan replay the plan pin caught)
+    "sketch_kmv_distinct",
+    "sample_priority_weighted",
+    "shard_rendezvous_assignment",
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,

@@ -748,3 +748,110 @@ def sssp_weighted(
         )
         frontier = improved
     return best
+
+
+# ---------------------------------------------- link prediction (r12)
+
+
+def link_prediction_topk(
+    edges: DataFrame, k: int = 100, min_cn: int = 2
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction (Liben-Nowell & Kleinberg
+    2003): for node pairs NOT currently connected, the number of shared
+    neighbors and the Jaccard coefficient of their neighborhoods — the
+    classic 'which edges are missing' graph-ML feature (recommendation
+    candidates, knowledge-graph completion). Top-k by (jaccard desc,
+    pair), pairs below ``min_cn`` shared neighbors dropped.
+
+    Exactness: cn, deg are integers; jaccard = cn/(deg_a + deg_b − cn)
+    is ONE correctly-rounded division of exact integers — bit-identical
+    cross-engine, ties fall to the (a, b) key order.
+
+    Scale shape: wedge generation is one self-join of the symmetric
+    edge list on the middle node (intermediate bounded by Σ deg² — the
+    triangle-count bound; a hub-capped variant would pre-filter deg),
+    then a grouped count per pair, an anti-join against the edge set
+    (existing edges are not 'predictions'), two degree joins, and a
+    TakeOrdered — never an all-pairs product."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_cn < 1:
+        raise ValueError(f"min_cn must be >= 1, got {min_cn}")
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    e1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    e2 = sym.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    # each shared neighbor m contributes exactly one wedge row (sym is
+    # distinct), so count(*) IS the common-neighbor count
+    cn = (
+        e1.join(e2, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+        .filter(F.col("cn") >= min_cn)
+    )
+    nonedge = cn.join(
+        e,
+        (cn["a"] == e["src"]) & (cn["b"] == e["dst"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(cn AS DOUBLE) / CAST(deg_a + deg_b - cn AS DOUBLE)"
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(k)
+    )
+
+
+def oracle_link_prediction_sql(k: int = 100, min_cn: int = 2) -> str:
+    """DuckDB twin of link_prediction_topk over the co-occurrence edges."""
+    return f"""
+WITH e AS ({_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src),
+cn AS (
+  SELECT e1.dst AS dummy_m, e1.src AS a, e2.dst AS b
+  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst
+),
+cnt AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS cn
+  FROM cn GROUP BY a, b HAVING count(*) >= {min_cn}
+),
+nonedge AS (
+  SELECT c.* FROM cnt c LEFT JOIN e ON c.a = e.src AND c.b = e.dst
+  WHERE e.src IS NULL
+)
+SELECT n.a, n.b, n.cn, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(n.cn AS DOUBLE) / CAST(da.deg + db.deg - n.cn AS DOUBLE)
+         AS jaccard
+FROM nonedge n
+JOIN deg da ON n.a = da.node
+JOIN deg db ON n.b = db.node
+ORDER BY jaccard DESC, n.a, n.b LIMIT {k}
+"""

@@ -158,6 +158,7 @@ DRIVER_PRIORITY = (
     "text_tfidf_topk_terms",
     "events_ols_trend",
     "events_mad_outliers",
+    "graph_link_prediction_topk",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

@@ -200,3 +200,29 @@ walk(node, cost, hops) AS (
 SELECT node, CAST(min(cost) AS BIGINT) AS cost
 FROM walk GROUP BY node ORDER BY node
 """
+
+
+LP_TOPK = 100
+LP_MIN_CN = 2
+
+
+def graph_link_prediction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction (r12,
+    operators/graph.link_prediction_topk — Liben-Nowell & Kleinberg
+    2003): the 100 strongest missing edges of the part co-occurrence
+    graph by neighborhood Jaccard (>= 2 shared neighbors, existing
+    edges anti-joined away) — the classic recommendation/graph-
+    completion feature completing the analytics set beside PageRank /
+    CC / triangles / LPA / BFS / SSSP. Wedge self-join bounded by
+    sum(deg^2); jaccard is one correctly-rounded division of exact
+    integers, ties to the pair key."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return G.link_prediction_topk(
+        G.consecutive_line_edges(li), LP_TOPK, LP_MIN_CN
+    )
+
+
+QUERIES["graph_link_prediction_topk"] = graph_link_prediction_topk
+ORACLES["graph_link_prediction_topk"] = G.oracle_link_prediction_sql(
+    LP_TOPK, LP_MIN_CN
+)

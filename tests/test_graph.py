@@ -502,3 +502,72 @@ def test_sssp_property_matches_python_bellman_ford(
         for r in G.sssp_weighted(edges, src_df, hops).collect()
     }
     assert got == want
+
+
+def test_link_prediction_hand_graph(spark):
+    """Square 1-2-4-3-1 (no diagonal): both diagonals (1,4) and (2,3)
+    have cn=2, jaccard 2/(2+2-2)=1.0; adding the (1,4) edge removes
+    that pair from the predictions (anti-join) and leaves (2,3)."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    sq = [(1, 2), (2, 4), (3, 4), (1, 3)]
+    edges = spark.createDataFrame(sq, "src long, dst long")
+    got = {
+        (r.a, r.b): (r.cn, r.deg_a, r.deg_b, r.jaccard)
+        for r in G.link_prediction_topk(edges, k=10, min_cn=2).collect()
+    }
+    assert got == {(1, 4): (2, 2, 2, 1.0), (2, 3): (2, 2, 2, 1.0)}
+
+    edges2 = spark.createDataFrame(sq + [(1, 4)], "src long, dst long")
+    got2 = {
+        (r.a, r.b): r.cn
+        for r in G.link_prediction_topk(edges2, k=10, min_cn=2).collect()
+    }
+    assert (1, 4) not in got2 and (2, 3) in got2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        G.link_prediction_topk(edges, k=0)
+    with _pytest.raises(ValueError):
+        G.link_prediction_topk(edges, k=5, min_cn=0)
+
+
+def test_link_prediction_matches_python_replay(spark):
+    """Random-ish deterministic graph: predictions equal a sequential
+    replay (neighbor sets, jaccard, min_cn filter, non-edges only)."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for i in range(120)
+            for a, b in [((i * 7) % 23, (i * 13 + 5) % 23)]
+            if a != b
+        }
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    eset = set(pairs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in eset:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn >= 2:
+                want[(a, b)] = (
+                    cn,
+                    len(adj[a]),
+                    len(adj[b]),
+                    cn / (len(adj[a]) + len(adj[b]) - cn),
+                )
+    got = {
+        (r.a, r.b): (r.cn, r.deg_a, r.deg_b, r.jaccard)
+        for r in G.link_prediction_topk(edges, k=10_000, min_cn=2).collect()
+    }
+    assert got == want
