@@ -1199,3 +1199,81 @@ def oracle_kmv_bottomk_sql(source: str, col: str, k: int = KMV_K_DEFAULT) -> str
         f"SELECT DISTINCT {h} AS h FROM {source} "
         f"WHERE {col} IS NOT NULL ORDER BY h LIMIT {k}"
     )
+
+
+def kmv_partials_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = KMV_K_DEFAULT,
+    group_type: str = "string",
+) -> DataFrame:
+    """Per-GROUP bottom-k distinct hashes, one pass per partition: each
+    partition keeps an independent sorted-unique bottom-k per group it
+    sees (state O(groups_in_partition · k)), emitting ≤ k (group, h)
+    rows per group per partition — the grouped rollup form the HLL /
+    CMS / Misra-Gries families also carry (distinct users per event
+    type / URLs per day / tokens per tenant)."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hashed = df.filter(F.col(col).isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col), F.expr(f"{_hash60_sql(col, 'spark')} AS h")
+    )
+
+    def fold(pdfs):
+        state: dict = {}
+        for pdf in pdfs:
+            for g, sub in pdf.groupby(group_col, sort=False):
+                arr = np.unique(sub["h"].to_numpy(dtype=np.int64))
+                prev = state.get(g)
+                if prev is None:
+                    state[g] = arr[:k]
+                else:
+                    state[g] = np.unique(np.concatenate([prev, arr]))[:k]
+        groups, hs = [], []
+        for g, arr in state.items():
+            groups.extend([g] * len(arr))
+            hs.extend(arr.tolist())
+        yield pd.DataFrame({group_col: groups, "h": hs})
+
+    return hashed.mapInPandas(fold, f"{group_col} {group_type}, h long")
+
+
+def kmv_bottomk_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    k: int = KMV_K_DEFAULT,
+    group_type: str = "string",
+) -> DataFrame:
+    """Per-group KMV summaries: for each group its k smallest distinct
+    hashes. The global merge is a distinct + ONE group-partitioned
+    window rank over the ≤ P·k·G candidate rows the fold emits — never
+    the full per-group distinct domain."""
+    from pyspark.sql import Window
+
+    parts = kmv_partials_grouped(df, group_col, col, k, group_type).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        parts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(group_col, "h")
+    )
+
+
+def oracle_kmv_bottomk_grouped_sql(
+    source: str, group_col: str, col: str, k: int = KMV_K_DEFAULT
+) -> str:
+    """DuckDB twin of kmv_bottomk_grouped."""
+    h = _hash60_sql(col, "duck")
+    return f"""
+SELECT {group_col}, h FROM (
+  SELECT {group_col}, h,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS __rk
+  FROM (SELECT DISTINCT {group_col}, {h} AS h FROM {source}
+        WHERE {col} IS NOT NULL AND {group_col} IS NOT NULL) d
+) r WHERE __rk <= {k}
+"""

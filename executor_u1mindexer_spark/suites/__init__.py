@@ -159,6 +159,7 @@ DRIVER_PRIORITY = (
     "events_ols_trend",
     "events_mad_outliers",
     "graph_link_prediction_topk",
+    "sketch_kmv_grouped",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

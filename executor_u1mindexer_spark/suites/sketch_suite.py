@@ -1386,3 +1386,67 @@ FROM a, x, d
 
 QUERIES["sketch_kmv_distinct"] = sketch_kmv_distinct
 ORACLES["sketch_kmv_distinct"] = _KMV_SQL
+
+
+KMV_GK = 128
+_KMV_GBOUND = repr(5.0 / (KMV_GK - 2) ** 0.5)
+assert "e" not in _KMV_GBOUND and "E" not in _KMV_GBOUND, _KMV_GBOUND
+_KMV_GBOUND += "e0"
+_KMV_GEST, _ = SK.kmv_estimate_fragments(KMV_GK)
+_KMV_GREL_OK = (
+    f"abs({_KMV_GEST} - CAST(exact_distinct AS DOUBLE)) "
+    f"/ CAST(exact_distinct AS DOUBLE) <= {_KMV_GBOUND}"
+)
+
+
+def sketch_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct estimates (r12, sketch.kmv_bottomk_grouped):
+    distinct users per event_type from independent per-group bottom-k
+    (k=128) summaries — the grouped rollup form the HLL/CMS/MG families
+    also carry. Each group row shows the k_seen/kth_hash state, the
+    estimate (exact when the summary is not full — the sf0.001 groups
+    exercise exactly that branch), the exact count, and a 5-sigma
+    accuracy verdict; the estimate fragment is shared textually with
+    the oracle so the doubles are bit-equal."""
+    ev = tables.load(spark, sf_dir, "events")
+    bk = SK.kmv_bottomk_grouped(ev, "event_type", "user_id", KMV_GK)
+    agg = bk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k_seen"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            "k_seen",
+            "kth_hash",
+            F.expr(_KMV_GEST).alias("est_distinct"),
+            "exact_distinct",
+            F.expr(_KMV_GREL_OK).alias("rel_err_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KMV_G_SQL = f"""
+WITH bk AS ({SK.oracle_kmv_bottomk_grouped_sql("events", "event_type", "user_id", KMV_GK)}),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k_seen,
+             max(h) AS kth_hash
+      FROM bk GROUP BY event_type),
+x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type)
+SELECT a.event_type, a.k_seen, a.kth_hash,
+       {_KMV_GEST} AS est_distinct, x.exact_distinct,
+       {_KMV_GREL_OK} AS rel_err_ok
+FROM a JOIN x USING (event_type)
+ORDER BY a.event_type
+"""
+
+QUERIES["sketch_kmv_grouped"] = sketch_kmv_grouped
+ORACLES["sketch_kmv_grouped"] = _KMV_G_SQL

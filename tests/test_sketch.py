@@ -688,3 +688,22 @@ def test_kmv_k_validated(spark):
     df = spark.createDataFrame([(1,)], "item long")
     with pytest.raises(ValueError):
         SK.kmv_partials(df, "item", 0)
+
+
+@pytest.mark.parametrize("n_parts", [1, 5])
+def test_kmv_grouped_equals_per_group_plain(spark, n_parts):
+    """The grouped form must equal running the plain bottom-k per group."""
+    k = 16
+    rows = [(f"g{i % 3}", (i * 7) % 200) for i in range(900)]
+    df = spark.createDataFrame(rows, "g string, item long").repartition(n_parts)
+    got: dict = {}
+    for r in SK.kmv_bottomk_grouped(df, "g", "item", k).collect():
+        got.setdefault(r.g, []).append(r.h)
+    for g in ("g0", "g1", "g2"):
+        want = [
+            r.h
+            for r in SK.kmv_bottomk(
+                df.filter(F.col("g") == g), "item", k
+            ).collect()
+        ]
+        assert sorted(got[g]) == want, g
