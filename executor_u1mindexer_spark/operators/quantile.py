@@ -459,3 +459,76 @@ FROM (
 ) hit
 WHERE rn = 1
 """
+
+
+# ------------------------------------------- equi-depth histogram (r12)
+#
+# EXACT distributed equi-depth (equal-frequency) histogram — the
+# optimizer-statistics / data-profiling artifact (DB2/Oracle NDV
+# histograms, Spark CBO column stats): bucket boundaries at the i/8
+# interpolated quantiles, each bucket holding ~n/8 rows. Exactness at
+# scale comes from the VALUE-DOMAIN bound: the corpus folds to one
+# (value, frequency) row per distinct centi-value (map-side combinable
+# groupBy, ≤ ~56k rows for the fixture's value range REGARDLESS of
+# corpus size), and the frequency-weighted percentile runs over that
+# bounded histogram, not the corpus. Spark's percentile(col, p, freq)
+# and DuckDB's quantile_cont over the expanded multiset compute the
+# identical interpolation — verified bit-for-bit on mixed-parity
+# fixtures — and eighth-grid fractions make every interpolated value
+# exactly representable (g ∈ {0,…,7}/8; g·b and (1−g)·a are exact
+# doubles for centi-scale ints), so no rounding belt is needed.
+
+
+def equidepth_octiles(df: DataFrame, value_col: str) -> DataFrame:
+    """(bucket, n_rows, lo_value, hi_value) over 8 equal-frequency
+    buckets of ``value_col``; boundary ties go to the upper bucket
+    (y >= boundary). lo/hi resolve centi→units by one correctly-rounded
+    division each."""
+    y = F.expr(f"CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT)")
+    base = df.filter(F.col(value_col).isNotNull()).select(y.alias("__y"))
+    vh = base.groupBy("__y").agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    fracs = ", ".join(f"{i}.0e0 / 8.0e0" for i in range(1, 8))
+    qs = vh.agg(
+        F.expr(f"percentile(__y, array({fracs}), __cnt)").alias("__q")
+    ).select(*[F.element_at("__q", i).alias(f"__q{i}") for i in range(1, 8)])
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(__y AS DOUBLE) >= __q{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 8)
+    )
+    return (
+        vh.crossJoin(F.broadcast(qs))
+        .select("__y", "__cnt", F.expr(f"CAST({bucket} AS BIGINT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_rows"),
+            F.expr("CAST(min(__y) AS DOUBLE) / 100.0e0").alias("lo_value"),
+            F.expr("CAST(max(__y) AS DOUBLE) / 100.0e0").alias("hi_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def oracle_equidepth_octiles_sql(source: str, value_col: str) -> str:
+    """DuckDB twin — formulation-INDEPENDENT: native quantile_cont over
+    the raw rows (no histogram fold), so a Spark-side fold or weighting
+    bug diverges rather than being replayed."""
+    qcols = ", ".join(
+        f"quantile_cont(__y, {i}.0e0 / 8.0e0) AS __q{i}" for i in range(1, 8)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(__y AS DOUBLE) >= __q{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 8)
+    )
+    return f"""
+WITH __b AS (
+  SELECT CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y
+  FROM {source} WHERE {value_col} IS NOT NULL
+),
+__qs AS (SELECT {qcols} FROM __b)
+SELECT CAST({bucket} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(__y) AS DOUBLE) / 100.0e0 AS lo_value,
+       CAST(max(__y) AS DOUBLE) / 100.0e0 AS hi_value
+FROM __b CROSS JOIN __qs
+GROUP BY 1 ORDER BY 1
+"""

@@ -160,6 +160,7 @@ DRIVER_PRIORITY = (
     "events_mad_outliers",
     "graph_link_prediction_topk",
     "sketch_kmv_grouped",
+    "events_equidepth_histogram",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

@@ -1450,3 +1450,23 @@ ORDER BY a.event_type
 
 QUERIES["sketch_kmv_grouped"] = sketch_kmv_grouped
 ORACLES["sketch_kmv_grouped"] = _KMV_G_SQL
+
+
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed equi-depth histogram (r12,
+    operators/quantile.equidepth_octiles): 8 equal-frequency buckets of
+    events.value — the optimizer-statistics/profiling artifact beside
+    the approximate quantile sketch. The corpus folds to a value-domain-
+    bounded (value, frequency) histogram (map-side combinable; ≤ ~56k
+    rows at ANY corpus size) and the frequency-weighted percentile runs
+    over that bounded state; the oracle is DuckDB's NATIVE quantile_cont
+    over raw rows — a formulation-independent check that the fold +
+    weighting is exact, not a replay."""
+    ev = tables.load(spark, sf_dir, "events")
+    return QT.equidepth_octiles(ev, "value")
+
+
+QUERIES["events_equidepth_histogram"] = events_equidepth_histogram
+ORACLES["events_equidepth_histogram"] = QT.oracle_equidepth_octiles_sql(
+    "events", "value"
+)

@@ -217,3 +217,44 @@ def test_estimate_auto_includes_src_on_merged_state(spark, sf_dir):
             merged, [0.5], bucket_cols=["src", "bucket"],
             order_cols=["bucket", "tile"],
         )
+
+
+def test_equidepth_octiles_hand_multiset(spark):
+    """Known 13-value multiset (the cross-engine semantic fixture):
+    boundaries 1.5, 5, 5, 9, 12, 40, 40.5 — ties go to the upper
+    bucket, so e.g. both 5s' bucket counts land where >= puts them;
+    totals cover every row exactly once."""
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    vals = [1, 1, 2, 5, 5, 5, 9, 12, 12, 40, 40, 41, 100]
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    rows = QT.equidepth_octiles(df, "value").collect()
+    assert sum(r.n_rows for r in rows) == len(vals)
+    got = {r.bucket: (r.n_rows, r.lo_value, r.hi_value) for r in rows}
+    # replay: boundaries over the expanded multiset at i/8
+    import numpy as np
+
+    bounds = [np.quantile(vals, i / 8.0, method="linear") for i in range(1, 8)]
+    want: dict = {}
+    for v in vals:
+        b = sum(v >= q for q in bounds)
+        n, lo, hi = want.get(b, (0, v, v))
+        want[b] = (n + 1, min(lo, v), max(hi, v))
+    assert got == {b: (n, float(lo), float(hi)) for b, (n, lo, hi) in want.items()}
+
+
+def test_equidepth_octiles_partition_invariant_and_balanced(spark):
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    rows = [(float((i * 37) % 500) / 7.0,) for i in range(4000)]
+    a = QT.equidepth_octiles(
+        spark.createDataFrame(rows, "value double").repartition(1), "value"
+    ).collect()
+    b = QT.equidepth_octiles(
+        spark.createDataFrame(rows, "value double").repartition(13), "value"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    counts = [r.n_rows for r in a]
+    assert sum(counts) == 4000
+    # equal-frequency within tie-slack: every bucket within 25% of n/8
+    assert all(abs(c - 500) <= 125 for c in counts)
