@@ -161,6 +161,7 @@ DRIVER_PRIORITY = (
     "graph_link_prediction_topk",
     "sketch_kmv_grouped",
     "events_equidepth_histogram",
+    "text_pmi_collocations",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

@@ -1276,3 +1276,110 @@ FROM r WHERE rk <= {TFIDF_TOPK} ORDER BY doc_id, term
 
 QUERIES["text_tfidf_topk_terms"] = text_tfidf_topk_terms
 ORACLES["text_tfidf_topk_terms"] = _TFIDF_SQL
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 50
+# num/den as doubles (identical expression text both engines; every mult
+# and the division are correctly rounded, so the input to ln is
+# bit-equal): BIGINT products would overflow at corpus scale (cb*N^2
+# with N ~ 1e12 tokens), doubles never do.
+_PMI_MICRO = (
+    "CAST(round(ln((CAST(cab AS DOUBLE) * CAST(nn AS DOUBLE)"
+    " * CAST(nn AS DOUBLE)) / (CAST(mm AS DOUBLE) * CAST(na AS DOUBLE)"
+    " * CAST(nb AS DOUBLE))) * 1000000.0e0, 0) AS BIGINT)"
+)
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation extraction (r12): the 50
+    strongest adjacent-token collocations of the lowercased corpus —
+    PMI = ln(p(ab) / (p(a)p(b))) over bigram/unigram frequencies, the
+    classic phrase-mining primitive (Church & Hanks 1990) beside the
+    bigram LM (which conditions, where PMI normalizes). Count floor 5
+    kills the hapax-pair artifact (a once-seen pair of rare tokens
+    maxes raw PMI). Micro-scaled single-rounded ln per the bigram-LM
+    determinism note; selection orders on the INTEGER micro score with
+    the bigram as tie-break, so a libm ulp cannot flip the top-k.
+
+    Scale: two grouped counts + two count-table joins (AQE broadcasts
+    the aggregated sides — the skew note on text_bigram_lm_scores) and
+    one TakeOrdered."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", T.words(F.lower(F.col("text"))).alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg")
+    )
+    unigrams = toks.select(F.explode("toks").alias("w"))
+    uc = unigrams.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    nn = unigrams.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    bc = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_COUNT)
+    )
+    mm = bigrams.agg(F.count(F.lit(1)).cast("long").alias("mm"))
+    ua = uc.select(F.col("w").alias("token_a"), F.col("cu").alias("na"))
+    ub = uc.select(F.col("w").alias("token_b"), F.col("cu").alias("nb"))
+    return (
+        bc.withColumn("token_a", F.split("bg", " ")[0])
+        .withColumn("token_b", F.split("bg", " ")[1])
+        .join(ua, "token_a")
+        .join(ub, "token_b")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "token_a",
+            "token_b",
+            F.col("cab").alias("n_ab"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.expr(_PMI_MICRO).alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "token_a", "token_b")
+        .limit(PMI_TOPK)
+    )
+
+
+_PMI_SQL = f"""
+WITH t AS (
+  SELECT doc_id, str_split_regex(lower(text), '\\s+') AS toks FROM documents
+), bg AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])
+           ELSE CAST([] AS VARCHAR[]) END) AS bg
+  FROM t
+), uni AS (SELECT unnest(toks) AS w FROM t),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY w),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM uni),
+bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cab
+       FROM bg GROUP BY bg HAVING count(*) >= {PMI_MIN_COUNT}),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM bg),
+j AS (
+  SELECT str_split(bc.bg, ' ')[1] AS token_a,
+         str_split(bc.bg, ' ')[2] AS token_b,
+         bc.cab, ua.cu AS na, ub.cu AS nb, nn.nn, mm.mm
+  FROM bc
+  JOIN uc ua ON str_split(bc.bg, ' ')[1] = ua.w
+  JOIN uc ub ON str_split(bc.bg, ' ')[2] = ub.w
+  CROSS JOIN nn CROSS JOIN mm
+)
+SELECT token_a, token_b, cab AS n_ab, na AS n_a, nb AS n_b,
+       {_PMI_MICRO} AS pmi_micro
+FROM j
+ORDER BY pmi_micro DESC, token_a, token_b LIMIT {PMI_TOPK}
+"""
+
+QUERIES["text_pmi_collocations"] = text_pmi_collocations
+ORACLES["text_pmi_collocations"] = _PMI_SQL

@@ -119,3 +119,35 @@ def test_tfidf_topk_terms_hand_corpus(tmp_path, spark):
         reverse=True,
     )
     assert doc2[0][1] == "dog"
+
+
+def test_pmi_collocations_hand_corpus(tmp_path, spark):
+    """PMI pin on a corpus where 'new york' repeats 5x (above the count
+    floor) and a hapax pair 'rare pair' appears once (excluded by the
+    floor despite maximal raw PMI); score replayed in python at micro
+    scale."""
+    import math
+    import os
+
+    docs = [(i, "new york " * 1 + "the the the", "en", "s", 20) for i in range(5)]
+    docs.append((9, "rare pair", "en", "s", 9))
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    d.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from executor_u1mindexer_spark.suites.text_suite import text_pmi_collocations
+
+    rows = text_pmi_collocations(spark, sf).collect()
+    got = {(r.token_a, r.token_b): (r.n_ab, r.pmi_micro) for r in rows}
+    assert ("rare", "pair") not in got  # hapax killed by the floor
+    assert ("new", "york") in got
+    # replay: N unigrams, M bigrams over the same token stream
+    n_uni = 5 * 5 + 2  # 5 docs x 5 tokens + 'rare pair'
+    n_big = 5 * 4 + 1
+    cab, na, nb = 5, 5, 5
+    want = round(
+        math.log(cab * n_uni * n_uni / (n_big * na * nb)) * 1_000_000
+    )
+    assert got[("new", "york")] == (5, want)
