@@ -162,6 +162,7 @@ DRIVER_PRIORITY = (
     "sketch_kmv_grouped",
     "events_equidepth_histogram",
     "text_pmi_collocations",
+    "near_dedup_sorted_neighborhood",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

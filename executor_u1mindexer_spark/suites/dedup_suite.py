@@ -507,3 +507,57 @@ WHERE len(list_intersect(a.sh, b.sh)) * 5 >= a.n_sh * 4
 # near_dedup_cc_clusters is star-contraction CC against the SAME
 # recursive-CTE ground truth — two algorithms, one oracle
 ORACLES["near_dedup_cc_clusters"] = ORACLES["near_dedup_clusters"]
+
+
+SNM_WINDOW = 4
+
+
+def near_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (r12,
+    operators/dedup.sorted_neighborhood_pairs — Hernández & Stolfo
+    SIGMOD'95): candidates from a width-4 window slid over records
+    sorted by the first 24 chars of the lowercased text (per key-prefix
+    block, so the window is parallel and never SinglePartition), exact
+    hashed-shingle jaccard verify on candidates only — O(n·(w−1))
+    candidates, LINEAR in the corpus. The third blocking discipline
+    beside hash blocks and LSH bands; its stated miss (near-dups whose
+    keys sort apart) is the MinHash row's catch — complementary, which
+    is the point."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.sorted_neighborhood_pairs(docs, window=SNM_WINDOW, threshold=0.5)
+
+
+_SNM_LEADS = ", ".join(
+    f"lead(id, {j}) OVER w AS __n{j}" for j in range(1, SNM_WINDOW)
+)
+_SNM_ARMS = "\n    UNION ALL ".join(
+    f"SELECT id, __n{j} AS n FROM neigh WHERE __n{j} IS NOT NULL"
+    for j in range(1, SNM_WINDOW)
+)
+
+ORACLES_SNM_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS id, substr(lower(text), 1, 24) AS key,
+         str_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+), sh_t AS MATERIALIZED (
+  SELECT id, key, substr(key, 1, 4) AS blk,
+         list_distinct(list_transform({_SHINGLES}, s -> {_H32.format(s='s')})) AS sh
+  FROM t
+), neigh AS (
+  SELECT id, {_SNM_LEADS}
+  FROM sh_t WINDOW w AS (PARTITION BY blk ORDER BY key, id)
+), pairs AS (
+  SELECT DISTINCT least(id, n) AS id_a, greatest(id, n) AS id_b FROM (
+    {_SNM_ARMS}
+  ) u
+)
+SELECT p.id_a, p.id_b, {_JACCARD} AS jaccard
+FROM pairs p
+JOIN sh_t a ON a.id = p.id_a
+JOIN sh_t b ON b.id = p.id_b
+WHERE {_JACCARD} >= 0.5
+"""
+
+QUERIES["near_dedup_sorted_neighborhood"] = near_dedup_sorted_neighborhood
+ORACLES["near_dedup_sorted_neighborhood"] = ORACLES_SNM_SQL

@@ -778,3 +778,36 @@ def test_mmr_rerank_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="n <= m"):
         S.mmr_rerank(emb, q, m=2, n=3)
+
+
+def test_sorted_neighborhood_catches_adjacent_and_misses_far_keys(spark):
+    """The SNM contract: a near-dup pair sharing its key prefix sorts
+    adjacent and is caught; the same text prefixed with a different
+    first word sorts into another block and is the method's documented
+    miss (the MinHash row's catch). Jaccard values are exact."""
+    from executor_u1mindexer_spark.operators import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base + " iota"),          # same prefix -> adjacent -> caught
+        (3, "zzz " + base),           # far key -> different block -> missed
+        (4, "unrelated words entirely different content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.sorted_neighborhood_pairs(
+            df, window=3, threshold=0.3
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # exact jaccard of the caught pair: shingles of 8-token vs 9-token
+    # texts share 6 of (6 + 7 - 6) distinct 3-shingles
+    assert abs(pairs[(1, 2)] - 6 / 7) < 1e-12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.sorted_neighborhood_pairs(df, window=1)
