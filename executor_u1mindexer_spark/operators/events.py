@@ -964,3 +964,183 @@ SELECT g.{group_col}, g.__n AS n,
 FROM __g2 g JOIN __v v USING ({group_col})
 ORDER BY g.{group_col}
 """
+
+
+# ------------------------------------------------ A/B conversion (r12)
+#
+# Hash-split A/B conversion analysis — the product-analytics classic
+# over the funnel machinery: users split into two arms by the module's
+# deterministic md5 hash (no RNG — the same reproducibility contract as
+# every sampler in pipeline.py), conversion = a purchase within
+# 24 hours strictly after the user's first view (the bounded window is
+# what makes the metric discriminate — the dense fixture converts every
+# user eventually, collapsing the unbounded form to 100%/100%; compared
+# at MICROSECOND precision like the asof family), and the 2x2
+# chi-square computed EXACTLY
+# through wide-integer lanes (Spark DECIMAL(38,0) / DuckDB HUGEINT, the
+# ols_trend precedent): chi2 = n(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) with
+# every product exact, resolving to a 9-digit-rounded double at the
+# very end (absorbing the HUGEINT→DOUBLE double-rounding).
+
+_AB_CHI2 = (
+    "round(CAST(__num AS DOUBLE) / CAST(__den AS DOUBLE), 9)"
+)
+
+
+AB_WINDOW_US = 86_400_000_000  # 24 h in microseconds
+
+
+def ab_conversion_lift(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    view_type: str = "view",
+    convert_type: str = "purchase",
+    window_us: int = AB_WINDOW_US,
+) -> DataFrame:
+    """(arm, n_users, n_converted, conv_rate, rel_lift, chi2) — one row
+    per arm; rel_lift (arm 1 vs arm 0) and the exact chi-square ride
+    both rows as the experiment-level columns. One grouped min per
+    user for the first view, one semi-join-shaped conversion probe,
+    one tiny 2x2 crossJoin — no window, no collect."""
+    h32 = (
+        f"CAST(conv(substr(md5(CAST({user_col} AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    users = (
+        df.filter(F.col(user_col).isNotNull())
+        .select(user_col)
+        .distinct()
+        .withColumn("arm", F.expr(f"{h32} % 2"))
+    )
+    fv = (
+        df.filter(F.col(type_col) == view_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__fv"))
+    )
+    conv = (
+        df.filter(F.col(type_col) == convert_type)
+        .select(user_col, F.col(ts_col).alias("__ct"))
+        .join(fv, user_col)
+        .filter(
+            (F.col("__ct") > F.col("__fv"))
+            & (
+                F.expr("unix_micros(CAST(__ct AS TIMESTAMP))")
+                - F.expr("unix_micros(CAST(__fv AS TIMESTAMP))")
+                <= F.lit(window_us)
+            )
+        )
+        .select(user_col)
+        .distinct()
+        .withColumn("__conv", F.lit(1))
+    )
+    per_arm = (
+        users.join(conv, user_col, "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.coalesce("__conv", F.lit(0))).cast("long").alias("n_converted"),
+        )
+    )
+    a0 = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n_converted").alias("__a"),
+        (F.col("n_users") - F.col("n_converted")).alias("__b"),
+    )
+    a1 = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n_converted").alias("__c"),
+        (F.col("n_users") - F.col("n_converted")).alias("__d"),
+    )
+    wide = a0.crossJoin(a1).select(
+        F.expr(
+            "CAST(__a + __b + __c + __d AS DECIMAL(38,0))"
+            " * (CAST(__a AS DECIMAL(19,0)) * CAST(__d AS DECIMAL(19,0))"
+            "    - CAST(__b AS DECIMAL(19,0)) * CAST(__c AS DECIMAL(19,0)))"
+            " * (CAST(__a AS DECIMAL(19,0)) * CAST(__d AS DECIMAL(19,0))"
+            "    - CAST(__b AS DECIMAL(19,0)) * CAST(__c AS DECIMAL(19,0)))"
+        ).alias("__num"),
+        F.expr(
+            "CAST(__a + __b AS DECIMAL(38,0)) * CAST(__c + __d AS DECIMAL(19,0))"
+            " * CAST(__a + __c AS DECIMAL(19,0)) * CAST(__b + __d AS DECIMAL(19,0))"
+        ).alias("__den"),
+        F.expr(
+            "round((CAST(__c AS DOUBLE) / CAST(__c + __d AS DOUBLE))"
+            " / (CAST(__a AS DOUBLE) / CAST(__a + __b AS DOUBLE)) - 1.0e0, 9)"
+        ).alias("rel_lift"),
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(wide))
+        .select(
+            "arm",
+            "n_users",
+            "n_converted",
+            F.expr(
+                "round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 9)"
+            ).alias("conv_rate"),
+            "rel_lift",
+            F.expr(f"CASE WHEN __den = 0 THEN NULL ELSE {_AB_CHI2} END").alias(
+                "chi2"
+            ),
+        )
+        .orderBy("arm")
+    )
+
+
+def oracle_ab_conversion_sql(
+    source: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    view_type: str = "view",
+    convert_type: str = "purchase",
+    window_us: int = AB_WINDOW_US,
+) -> str:
+    h32 = (
+        f"CAST(concat('0x', substr(md5(CAST({user_col} AS STRING)), 1, 8))"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH __users AS (
+  SELECT DISTINCT {user_col}, {h32} % 2 AS arm
+  FROM {source} WHERE {user_col} IS NOT NULL
+),
+__fv AS (
+  SELECT {user_col}, min({ts_col}) AS __fv FROM {source}
+  WHERE {type_col} = '{view_type}' GROUP BY {user_col}
+),
+__conv AS (
+  SELECT DISTINCT s.{user_col} FROM {source} s JOIN __fv f USING ({user_col})
+  WHERE s.{type_col} = '{convert_type}' AND s.{ts_col} > f.__fv
+    AND epoch_us(s.{ts_col}) - epoch_us(f.__fv) <= {window_us}
+),
+__per_arm AS (
+  SELECT u.arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(count(c.{user_col}) AS BIGINT) AS n_converted
+  FROM __users u LEFT JOIN __conv c USING ({user_col})
+  GROUP BY u.arm
+),
+__w AS (
+  SELECT a0.n_converted AS __a, a0.n_users - a0.n_converted AS __b,
+         a1.n_converted AS __c, a1.n_users - a1.n_converted AS __d
+  FROM (SELECT * FROM __per_arm WHERE arm = 0) a0
+  CROSS JOIN (SELECT * FROM __per_arm WHERE arm = 1) a1
+),
+__wide AS (
+  SELECT CAST(__a + __b + __c + __d AS HUGEINT)
+           * (CAST(__a AS HUGEINT) * __d - CAST(__b AS HUGEINT) * __c)
+           * (CAST(__a AS HUGEINT) * __d - CAST(__b AS HUGEINT) * __c) AS __num,
+         CAST(__a + __b AS HUGEINT) * (__c + __d) * (__a + __c) * (__b + __d)
+           AS __den,
+         round((CAST(__c AS DOUBLE) / CAST(__c + __d AS DOUBLE))
+           / (CAST(__a AS DOUBLE) / CAST(__a + __b AS DOUBLE)) - 1.0e0, 9)
+           AS rel_lift
+  FROM __w
+)
+SELECT p.arm, p.n_users, p.n_converted,
+       round(CAST(p.n_converted AS DOUBLE) / CAST(p.n_users AS DOUBLE), 9)
+         AS conv_rate,
+       w.rel_lift,
+       CASE WHEN w.__den = 0 THEN NULL ELSE {_AB_CHI2} END AS chi2
+FROM __per_arm p CROSS JOIN __wide w
+ORDER BY p.arm
+"""

@@ -163,6 +163,7 @@ DRIVER_PRIORITY = (
     "events_equidepth_histogram",
     "text_pmi_collocations",
     "near_dedup_sorted_neighborhood",
+    "events_ab_conversion_lift",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

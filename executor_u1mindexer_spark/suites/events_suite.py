@@ -641,3 +641,23 @@ QUERIES["events_mad_outliers"] = events_mad_outliers
 ORACLES["events_mad_outliers"] = E.oracle_mad_outliers_sql(
     "events", "event_type", "value"
 )
+
+
+def events_ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split A/B conversion analysis (r12,
+    operators/events.ab_conversion_lift): users split into two arms by
+    the deterministic md5 hash, conversion = purchase within 24 h
+    strictly after the user's first view (microsecond-precision bound —
+    the unbounded form converts 100% of the dense fixture's users and
+    degenerates), relative lift of arm 1 over arm 0, and the EXACT 2x2
+    chi-square through wide-integer lanes (every product exact; one
+    9-digit-rounded division at the end) — the product-analytics
+    classic over the funnel machinery, an honest null experiment on the
+    fixture (the hash split is independent of behavior, so lift ~ 0 and
+    chi2 small — both oracle-checked values, not vacuous assertions)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return E.ab_conversion_lift(ev)
+
+
+QUERIES["events_ab_conversion_lift"] = events_ab_conversion_lift
+ORACLES["events_ab_conversion_lift"] = E.oracle_ab_conversion_sql("events")

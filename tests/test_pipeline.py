@@ -840,3 +840,73 @@ def test_mad_zero_flags_every_off_median_row(spark):
     df = spark.createDataFrame(rows, "g string, value double")
     r = E.mad_outliers_by_group(df, "g", "value").collect()[0]
     assert r.mad_value == 0.0 and r.n_outliers == 1
+
+
+# ------------------------------------------------ A/B conversion (r12)
+
+
+def test_ab_conversion_hand_2x2(spark):
+    """Hand-built arms with known 2x2 = [[2,2],[3,1]]: chi2 replayed via
+    the closed form n(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)); the 24h window
+    boundary is inclusive (purchase at exactly +24h converts, +24h+1s
+    does not)."""
+    import datetime as dt
+
+    from executor_u1mindexer_spark.operators import events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+
+    # find user ids for each arm under the real hash
+    import hashlib
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    a_users = [u for u in range(100) if arm(u) == 0][:4]
+    b_users = [u for u in range(100) if arm(u) == 1][:4]
+    rows = []
+    # arm0: 2 convert (one exactly at +24h), 2 don't (one at +24h+1s)
+    for i, u in enumerate(a_users):
+        rows.append((u, "view", t0))
+        if i == 0:
+            rows.append((u, "purchase", t0 + 2 * h))
+        elif i == 1:
+            rows.append((u, "purchase", t0 + 24 * h))  # boundary: converts
+        elif i == 2:
+            rows.append((u, "purchase", t0 + 24 * h + dt.timedelta(seconds=1)))
+    # arm1: 3 convert, 1 doesn't
+    for i, u in enumerate(b_users):
+        rows.append((u, "view", t0))
+        if i < 3:
+            rows.append((u, "purchase", t0 + 3 * h))
+    df = spark.createDataFrame(
+        [(u, ty, ts) for u, ty, ts in rows],
+        "user_id long, event_type string, ts timestamp_ntz",
+    )
+    got = {r.arm: r for r in E.ab_conversion_lift(df).collect()}
+    assert (got[0].n_users, got[0].n_converted) == (4, 2)
+    assert (got[1].n_users, got[1].n_converted) == (4, 3)
+    a, b, c, d = 2, 2, 3, 1
+    n = a + b + c + d
+    chi2 = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert abs(got[0].chi2 - chi2) < 1e-9
+    assert abs(got[0].rel_lift - ((c / (c + d)) / (a / (a + b)) - 1)) < 1e-9
+
+
+def test_ab_conversion_zero_margin_is_null_chi2(spark):
+    import datetime as dt
+
+    from executor_u1mindexer_spark.operators import events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    # every user converts -> b = d = 0 -> den = 0 -> chi2 NULL
+    rows = []
+    for u in range(8):
+        rows.append((u, "view", t0))
+        rows.append((u, "purchase", t0 + dt.timedelta(hours=1)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    )
+    for r in E.ab_conversion_lift(df).collect():
+        assert r.chi2 is None and r.conv_rate == 1.0
