@@ -855,3 +855,90 @@ JOIN deg da ON n.a = da.node
 JOIN deg db ON n.b = db.node
 ORDER BY jaccard DESC, n.a, n.b LIMIT {k}
 """
+
+
+_AA_W_MICRO = "CAST(round(1000000.0e0 / ln(CAST(deg_m AS DOUBLE)), 0) AS BIGINT)"
+
+
+def link_prediction_aa_topk(
+    edges: DataFrame, k: int = 100, min_cn: int = 2
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003): like
+    link_prediction_topk but each shared neighbor m contributes
+    1/ln(deg(m)) instead of 1 — rare shared neighbors are stronger
+    evidence than hubs. The per-middle weight is rounded ONCE to
+    integer micros (the bigram-LM ln-determinism pattern) so the
+    per-pair score is an INTEGER sum — fold-order free, and a libm ulp
+    cannot flip the top-k. A middle node's degree is ≥ 2 by
+    construction (it touches both endpoints), so ln never sees 1.
+    Same wedge/anti-join machinery and Σ deg² bound as the Jaccard
+    scorer; the two rows rank the same candidates by different
+    evidence models."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_cn < 1:
+        raise ValueError(f"min_cn must be >= 1, got {min_cn}")
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    e1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    e2 = sym.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    wedges = (
+        e1.join(e2, "m")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.select(F.col("node").alias("m"), F.col("deg").alias("deg_m")), "m")
+    )
+    scored = (
+        wedges.select("a", "b", F.expr(_AA_W_MICRO).alias("__w"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("__w").cast("long").alias("aa_micro"),
+        )
+        .filter(F.col("cn") >= min_cn)
+    )
+    nonedge = scored.join(
+        e, (scored["a"] == e["src"]) & (scored["b"] == e["dst"]), "left_anti"
+    )
+    return (
+        nonedge.select("a", "b", "cn", "aa_micro")
+        .orderBy(F.col("aa_micro").desc(), "a", "b")
+        .limit(k)
+    )
+
+
+def oracle_link_prediction_aa_sql(k: int = 100, min_cn: int = 2) -> str:
+    return f"""
+WITH e AS ({_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src),
+wedge AS (
+  SELECT e1.src AS a, e2.dst AS b, d.deg AS deg_m
+  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+  JOIN deg d ON e1.dst = d.node
+  WHERE e1.src < e2.dst
+),
+scored AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum({_AA_W_MICRO}) AS BIGINT) AS aa_micro
+  FROM wedge GROUP BY a, b HAVING count(*) >= {min_cn}
+),
+nonedge AS (
+  SELECT s.* FROM scored s LEFT JOIN e ON s.a = e.src AND s.b = e.dst
+  WHERE e.src IS NULL
+)
+SELECT a, b, cn, aa_micro
+FROM nonedge ORDER BY aa_micro DESC, a, b LIMIT {k}
+"""

@@ -164,6 +164,7 @@ DRIVER_PRIORITY = (
     "text_pmi_collocations",
     "near_dedup_sorted_neighborhood",
     "events_ab_conversion_lift",
+    "graph_link_prediction_aa",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

@@ -226,3 +226,21 @@ QUERIES["graph_link_prediction_topk"] = graph_link_prediction_topk
 ORACLES["graph_link_prediction_topk"] = G.oracle_link_prediction_sql(
     LP_TOPK, LP_MIN_CN
 )
+
+
+def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (r12, graph.link_prediction_aa_topk):
+    the degree-weighted evidence model beside the Jaccard scorer — each
+    shared neighbor contributes micro-rounded 1/ln(deg), so rare shared
+    parts outrank hub parts; per-pair scores are INTEGER sums, immune
+    to fold order and libm ulps at selection time."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return G.link_prediction_aa_topk(
+        G.consecutive_line_edges(li), LP_TOPK, LP_MIN_CN
+    )
+
+
+QUERIES["graph_link_prediction_aa"] = graph_link_prediction_aa
+ORACLES["graph_link_prediction_aa"] = G.oracle_link_prediction_aa_sql(
+    LP_TOPK, LP_MIN_CN
+)

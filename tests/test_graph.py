@@ -571,3 +571,29 @@ def test_link_prediction_matches_python_replay(spark):
         for r in G.link_prediction_topk(edges, k=10_000, min_cn=2).collect()
     }
     assert got == want
+
+
+def test_link_prediction_aa_weighs_rare_middles_higher(spark):
+    """Two candidate pairs with one shared neighbor each... both need
+    cn >= 2, so build pairs with two middles: pair (1,2) via two
+    degree-2 middles, pair (5,6) via two hub middles (degree 4) — AA
+    must rank (1,2) first while raw CN ties them; exact micro scores
+    replayed in python."""
+    import math
+
+    from executor_u1mindexer_spark.operators import graph as G
+
+    edges = [
+        (1, 10), (2, 10), (1, 11), (2, 11),          # middles 10, 11: deg 2
+        (5, 20), (6, 20), (5, 21), (6, 21),          # middles 20, 21...
+        (20, 30), (20, 31), (21, 32), (21, 33),      # ...fan out to deg 4
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.a, r.b): (r.cn, r.aa_micro)
+        for r in G.link_prediction_aa_topk(df, k=100, min_cn=2).collect()
+    }
+    w = lambda d: round(1_000_000.0 / math.log(d))  # noqa: E731
+    assert got[(1, 2)] == (2, 2 * w(2))
+    assert got[(5, 6)] == (2, 2 * w(4))
+    assert got[(1, 2)][1] > got[(5, 6)][1]
