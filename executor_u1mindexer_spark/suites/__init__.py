@@ -165,6 +165,7 @@ DRIVER_PRIORITY = (
     "near_dedup_sorted_neighborhood",
     "events_ab_conversion_lift",
     "graph_link_prediction_aa",
+    "text_langid_confusion",
     # r09-stale queue (alphabetical):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",

@@ -1383,3 +1383,61 @@ ORDER BY pmi_micro DESC, token_a, token_b LIMIT {PMI_TOPK}
 
 QUERIES["text_pmi_collocations"] = text_pmi_collocations
 ORACLES["text_pmi_collocations"] = _PMI_SQL
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (r12): the model-eval artifact over
+    the stopword-argmax classifier — one row per (true lang, predicted
+    lang) with the count, the row-normalized confusion fraction
+    (n / n_true), and global accuracy riding every row. The eval-
+    harness companion to eval_retrieval_label_metrics for the text
+    side: exact integer counts, two correctly-rounded divisions. Built
+    ON the registered classifier (same hit fragments), so a classifier
+    change shows here as a matrix shift, not a silent drift."""
+    preds = text_language_id(spark, sf_dir).select("lang", "pred_lang")
+    cm = preds.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    n_true = preds.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("__nt")
+    )
+    acc = preds.agg(
+        F.expr(
+            "round(CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)"
+        ).alias("accuracy")
+    )
+    return (
+        cm.join(n_true, "lang")
+        .crossJoin(F.broadcast(acc))
+        .select(
+            F.col("lang").alias("true_lang"),
+            "pred_lang",
+            "n",
+            F.expr("round(CAST(n AS DOUBLE) / CAST(__nt AS DOUBLE), 9)").alias(
+                "row_frac"
+            ),
+            "accuracy",
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+_LANGID_CONF_SQL = f"""
+WITH preds AS ({ORACLES["text_language_id"]}),
+cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       FROM preds GROUP BY lang, pred_lang),
+nt AS (SELECT lang, CAST(count(*) AS BIGINT) AS __nt
+       FROM preds GROUP BY lang),
+acc AS (SELECT round(CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS accuracy
+        FROM preds)
+SELECT cm.lang AS true_lang, cm.pred_lang, cm.n,
+       round(CAST(cm.n AS DOUBLE) / CAST(nt.__nt AS DOUBLE), 9) AS row_frac,
+       acc.accuracy
+FROM cm JOIN nt USING (lang) CROSS JOIN acc
+ORDER BY true_lang, pred_lang
+"""
+
+QUERIES["text_langid_confusion"] = text_langid_confusion
+ORACLES["text_langid_confusion"] = _LANGID_CONF_SQL
