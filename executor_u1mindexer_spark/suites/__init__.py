@@ -62,95 +62,59 @@ SUITE_MODULES = (
 # tools/rotation_check.py enforces "no wasted slots": every window slot
 # must hold a stale, never-checked, or POLICY_A row while debt exists.
 
+# ROTATION CADENCE POLICY for a 200-row registry (VERDICT r12 #3 — the
+# written policy; tools/rotation_check.py encodes the enforceable parts):
+#   * 50 driver slots x 4 rounds = one full registry cycle. Steady state:
+#     the staleness histogram must never show a bucket older than cur-4.
+#   * Slot priority, top to bottom:
+#       1. POLICY_A rows (implementation/oracle changed this round) — a
+#          changed row's old stamp proves nothing about the new code;
+#       2. flagship-tier rows the guard forces in (a §2.A flagship row
+#          may never exceed 2 rounds driver-stale);
+#       3. never-driver-checked rows (new rows jump the queue — a row
+#          with NO stamp outranks one with merely an old stamp);
+#       4. oldest-basis stale rows, alphabetical within a round-bucket.
+#   * Rows added AFTER the round's window is frozen queue for the next
+#     window (the late-r12 precedent) — they do NOT evict an already-
+#     rotated stale row mid-round unless a directive demands a driver
+#     stamp this round (then they displace the BOTTOM stale slot, which
+#     heads the next queue).
+#   * If registry growth pushes the cycle past 4 rounds, either fold
+#     sibling rows into parameterized twins (suites/_fold.py machinery)
+#     or amend this comment to state the new cycle length explicitly —
+#     silent cycle stretch is the r08 failure mode.
+#   * The boundary comment below the 50th slot always carries the next
+#     window's queue so the rotation commit is a copy-paste.
+
 # Rows whose implementation/oracle changed THIS round (rotation policy
 # (a)); rotation_check treats these as legitimate window occupants even
 # while stale rows wait. Keep this list honest — it is the audit trail
 # for why a fresh row occupies a slot ahead of a stale one.
-# r12: ivm_retractable_delta is re-shaped (VERDICT r11 #1 — its
-# DECIMAL(38,0) driver-facing lanes, the registry's only ones, move to
-# canonical digit strings on both engine sides); events_asof_nearest_view
-# moves its nearest/tie arithmetic to microsecond precision on both
-# sides (ADVICE r11, latent parity break at larger SFs).
+# r13: events_ab_conversion_lift (ADVICE r12 — rel_lift zero-guard +
+# empty-arm left-join reshape on both engine sides) and events_ols_trend
+# (ADVICE r12 — DECIMAL-operand multiply so the exact lane survives 100
+# TB row counts). Both are ALSO never-driver-checked late-r12 rows, so
+# their slots are legitimate twice over; listed for the audit trail.
 POLICY_A = (
-    "ivm_retractable_delta",
-    "events_asof_nearest_view",
+    "events_ab_conversion_lift",
+    "events_ols_trend",
 )
 
 DRIVER_PRIORITY = (
-    # Round 12 window (VERDICT r11 #2, rotated as the FIRST commit of the
-    # round per the settled protocol): the 8 flagship-tier rows lead
-    # (rotation_check named them — r09 basis, the guard caps them at 2
-    # rounds stale), then the 2 POLICY_A rows changed this round, then
-    # ALL 31 remaining r08-stale rows (the queue the r11 boundary
-    # comment listed), then the 9 oldest (alphabetical) r09 rows. After
-    # this round the staleness floor rises to r09 with 28 r09 rows
-    # left, which fit the r13 window with room for new-row swaps.
-    # §2.A flagship tier (knn core semantics, executor.py:73-125):
-    "knn_search_cosine",
-    "knn_search_euclidean",
-    "knn_search_inner_product",
-    "payload_fetch",
-    "limit_clamp",
-    "dim_validate",
-    "score_transform_similarity",
-    "clear",
-    # POLICY_A — implementation/oracle changed this round:
-    "ivm_retractable_delta",
-    "events_asof_nearest_view",
-    # ALL 31 remaining r08-stale rows (alphabetical):
-    "llm_corpus_pipeline",
-    "multimodal_decode_audio",
-    "multimodal_decode_webp_lossless",
-    "multimodal_sample_video_frames",
-    "multimodal_thumbnail_meta",
-    "near_dedup_cc_clusters",
-    "near_dedup_clusters",
-    "near_dedup_simhash",
-    "pack_token_budget",
-    "shuffle_epoch_order",
-    "simhash_fingerprints",
-    "source_compact_small_files",
-    "source_partitioned_parquet",
-    "split_train_val_test",
-    "status_counts",
-    "text_char_ngram_stats",
-    "text_corpus_stats",
-    "text_inverted_index",
-    "text_length_histogram",
-    "text_phrase_search",
-    "text_pii_redaction",
-    "text_repetition_scores",
-    "text_url_domains",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q6_forecast_revenue",
-    "unpivot_lineitem_metrics",
-    "update_existing",
-    "update_skipped",
-    "vector_dedup_quantize",
-    # 6 oldest (alphabetical) r09 rows — each NEW registry row added
-    # this round displaced the bottom one of these into the r13 queue
-    # (never-checked rows outrank merely-r09-stale ones); the rows
-    # ADDED in r12 close the window:
-    # never driver-checked (new in r12; each green at 3 SFs locally):
-    "ivm_retract_cdc_backlog",
-    "sketch_heavy_hitters_verified",
-    "text_gopher_quality_audit",
-    "events_decayed_leaderboard",
-    "graph_bfs_hop_distances",
-    "events_cusum_drift",
-    "sketch_heavy_hitters_grouped",
-    "ann_mmr_rerank_topn",
-    "sketch_kmv_distinct",
-    # --- 50-slot window boundary ---
-    # r13 window plan: the late-r12 never-checked rows below lead (the
-    # window closed at 50 before they landed; rotation_check's mandated-
-    # flagship amendment records why they queue instead of evicting a
-    # stale row), then the remaining r09-stale rows (agg_stats_funcs was
-    # displaced from the r12 window by the late-r12 additions), then the
-    # oldest r10 rows.
-    # late-r12, never driver-checked, green at 3 SFs locally:
+    # Round 13 window (VERDICT r12 #1, rotated as the FIRST commit of
+    # the round per the settled protocol): knn_search_batch leads (the
+    # named flagship-tier violation, r09 basis), then the 15 late-r12
+    # never-driver-checked rows (each green at 3 SFs in the committed
+    # r12 sweeps), then 34 of the 37 r09-stale rows (alphabetical).
+    # The 3 r09-stale rows that do not fit (tpch_q8_market_share,
+    # tpch_q9_product_profit, vector_pq_codes) head the r14 queue below
+    # — VERDICT r12 #4 requires the r09 backlog cleared by end of r14,
+    # and 3 rows fit trivially.
+    # §2.A flagship tier (rotation_check guard — r09 basis):
+    "knn_search_batch",
+    # never driver-checked (late-r12; green at 3 SFs locally; the two
+    # POLICY_A rows sit here too — changed this round by the ADVICE
+    # fixes):
     "sample_priority_weighted",
     "shard_rendezvous_assignment",
     "graph_sssp_weighted",
@@ -166,7 +130,8 @@ DRIVER_PRIORITY = (
     "events_ab_conversion_lift",
     "graph_link_prediction_aa",
     "text_langid_confusion",
-    # r09-stale queue (alphabetical):
+    # r09-stale rows, alphabetical (34 of 37 — re-earning the oldest
+    # bucket per VERDICT r12 #1/#4):
     "agg_stats_funcs",
     "ann_kmeans_ivf_topk",
     "clean_corpus_pipeline",
@@ -201,6 +166,15 @@ DRIVER_PRIORITY = (
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
+    # --- 50-slot window boundary ---
+    # r14 window plan: the 3 r09-stale rows below lead (displaced from
+    # the r13 window by the never-checked block — clearing them closes
+    # VERDICT r12 #4), then any rows added in r13 after the window froze
+    # (never-checked jump the queue per the cadence policy above), then
+    # the oldest r10 rows (50 of them — the r14 window drains the r10
+    # bucket almost exactly, keeping the histogram inside the cur-4
+    # bound).
+    # r09-stale, displaced from the r13 window:
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "vector_pq_codes",
