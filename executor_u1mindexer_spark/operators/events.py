@@ -771,14 +771,20 @@ def ols_trend_by_group(
         x.alias("__x"),
         y.alias("__y"),
     )
+    # ADVICE r12: multiply with a DECIMAL operand (not BIGINT-then-cast,
+    # which overflows in the 64-bit lane first) and keep __sx/__sy sums
+    # in DECIMAL(38,0) — the exact-wide-integer lane then matches the
+    # DuckDB twin's HUGEINT behavior at 100 TB row counts instead of
+    # tripping an ANSI overflow. Final expressions cast to DOUBLE, so
+    # the lane change is value-invariant at any SF.
     agg = base.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum("__x").cast("long").alias("__sx"),
-        F.sum("__y").cast("long").alias("__sy"),
-        F.sum(F.expr("CAST(__x * __y AS DECIMAL(28,0))"))
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("__sx"),
+        F.sum(F.col("__y").cast("decimal(38,0)")).alias("__sy"),
+        F.sum(F.expr("CAST(__x AS DECIMAL(28,0)) * __y"))
         .cast("decimal(38,0)")
         .alias("__sxy"),
-        F.sum(F.expr("CAST(__x * __x AS DECIMAL(28,0))"))
+        F.sum(F.expr("CAST(__x AS DECIMAL(28,0)) * __x"))
         .cast("decimal(38,0)")
         .alias("__sxx"),
         F.min("__x").alias("__minx"),
@@ -827,8 +833,8 @@ WITH __base AS (
 __agg AS (
   SELECT {group_col},
          CAST(count(*) AS BIGINT) AS __n,
-         CAST(sum(__x) AS BIGINT) AS __sx,
-         CAST(sum(__y) AS BIGINT) AS __sy,
+         sum(__x) AS __sx,
+         sum(__y) AS __sy,
          sum(CAST(__x AS HUGEINT) * __y) AS __sxy,
          sum(CAST(__x AS HUGEINT) * __x) AS __sxx,
          CAST(min(__x) AS BIGINT) AS __minx
@@ -1003,7 +1009,15 @@ def ab_conversion_lift(
     per arm; rel_lift (arm 1 vs arm 0) and the exact chi-square ride
     both rows as the experiment-level columns. One grouped min per
     user for the first view, one semi-join-shaped conversion probe,
-    one tiny 2x2 crossJoin — no window, no collect."""
+    one tiny 2x2 crossJoin — no window, no collect.
+
+    ADVICE r12 guards: rel_lift is NULL when arm 0 has zero conversions
+    (a/(a+b) = 0 — the unguarded division throws DIVIDE_BY_ZERO under
+    Spark 4 ANSI while DuckDB returns NULL, a latent crash plus
+    cross-engine divergence on sparse funnels); and the experiment-level
+    columns attach to per_arm by LEFT join, so when either arm is empty
+    (tiny inputs hashing to one arm) the surviving arm's occupancy row
+    still emits, with NULL rel_lift/chi2 where the 2x2 cannot form."""
     h32 = (
         f"CAST(conv(substr(md5(CAST({user_col} AS STRING)), 1, 8), 16, 10)"
         " AS BIGINT)"
@@ -1064,12 +1078,14 @@ def ab_conversion_lift(
             " * CAST(__a + __c AS DECIMAL(19,0)) * CAST(__b + __d AS DECIMAL(19,0))"
         ).alias("__den"),
         F.expr(
-            "round((CAST(__c AS DOUBLE) / CAST(__c + __d AS DOUBLE))"
+            "CASE WHEN __a = 0 THEN NULL ELSE"
+            " round((CAST(__c AS DOUBLE) / CAST(__c + __d AS DOUBLE))"
             " / (CAST(__a AS DOUBLE) / CAST(__a + __b AS DOUBLE)) - 1.0e0, 9)"
+            " END"
         ).alias("rel_lift"),
     )
     return (
-        per_arm.crossJoin(F.broadcast(wide))
+        per_arm.join(F.broadcast(wide), F.lit(True), "left")
         .select(
             "arm",
             "n_users",
@@ -1131,9 +1147,10 @@ __wide AS (
            * (CAST(__a AS HUGEINT) * __d - CAST(__b AS HUGEINT) * __c) AS __num,
          CAST(__a + __b AS HUGEINT) * (__c + __d) * (__a + __c) * (__b + __d)
            AS __den,
-         round((CAST(__c AS DOUBLE) / CAST(__c + __d AS DOUBLE))
-           / (CAST(__a AS DOUBLE) / CAST(__a + __b AS DOUBLE)) - 1.0e0, 9)
-           AS rel_lift
+         CASE WHEN __a = 0 THEN NULL ELSE
+           round((CAST(__c AS DOUBLE) / CAST(__c + __d AS DOUBLE))
+             / (CAST(__a AS DOUBLE) / CAST(__a + __b AS DOUBLE)) - 1.0e0, 9)
+         END AS rel_lift
   FROM __w
 )
 SELECT p.arm, p.n_users, p.n_converted,
@@ -1141,6 +1158,6 @@ SELECT p.arm, p.n_users, p.n_converted,
          AS conv_rate,
        w.rel_lift,
        CASE WHEN w.__den = 0 THEN NULL ELSE {_AB_CHI2} END AS chi2
-FROM __per_arm p CROSS JOIN __wide w
+FROM __per_arm p LEFT JOIN __wide w ON true
 ORDER BY p.arm
 """

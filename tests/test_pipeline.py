@@ -910,3 +910,63 @@ def test_ab_conversion_zero_margin_is_null_chi2(spark):
     )
     for r in E.ab_conversion_lift(df).collect():
         assert r.chi2 is None and r.conv_rate == 1.0
+
+
+def test_ab_conversion_arm0_zero_conversions_null_rel_lift(spark):
+    """ADVICE r12: arm 0 with users but ZERO conversions must yield NULL
+    rel_lift (not a DIVIDE_BY_ZERO crash under Spark 4 ANSI) — the
+    sparse-funnel case. chi2 stays defined (den > 0 here)."""
+    import datetime as dt
+    import hashlib
+
+    from executor_u1mindexer_spark.operators import events as E
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    t0 = dt.datetime(2024, 1, 1)
+    a_users = [u for u in range(100) if arm(u) == 0][:3]
+    b_users = [u for u in range(100) if arm(u) == 1][:3]
+    rows = []
+    for u in a_users:  # views only — zero conversions in arm 0
+        rows.append((u, "view", t0))
+    for i, u in enumerate(b_users):
+        rows.append((u, "view", t0))
+        if i < 2:
+            rows.append((u, "purchase", t0 + dt.timedelta(hours=2)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {r.arm: r for r in E.ab_conversion_lift(df).collect()}
+    assert got[0].rel_lift is None and got[1].rel_lift is None
+    assert got[0].chi2 is not None  # a=0 but den = (a+b)(c+d)(a+c)(b+d) > 0
+
+
+def test_ab_conversion_single_arm_still_emits_occupancy(spark):
+    """ADVICE r12: when every user hashes to one arm the 2x2 cannot form
+    — the surviving arm's occupancy row must still emit (LEFT join), with
+    NULL rel_lift/chi2 rather than silently returning zero rows."""
+    import datetime as dt
+    import hashlib
+
+    from executor_u1mindexer_spark.operators import events as E
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    t0 = dt.datetime(2024, 1, 1)
+    a_users = [u for u in range(100) if arm(u) == 0][:4]
+    rows = []
+    for i, u in enumerate(a_users):
+        rows.append((u, "view", t0))
+        if i < 2:
+            rows.append((u, "purchase", t0 + dt.timedelta(hours=1)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    )
+    out = E.ab_conversion_lift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.arm, r.n_users, r.n_converted) == (0, 4, 2)
+    assert r.rel_lift is None and r.chi2 is None
+    assert r.conv_rate == 0.5
