@@ -397,6 +397,18 @@ def heavy_hitters_state(states: dict[int, list]) -> dict:
     return out
 
 
+def kmv_batch_entry(batch_df: DataFrame, col: str, k: int = 256) -> list:
+    """One micro-batch's KMV ledger entry: the batch's OWN bottom-k
+    distinct hashes as a sorted python list (BOUNDED driver-side state:
+    <= k BIGINT values per batch). Shared verbatim by the streaming
+    fold below and the driver-facing drained-backlog row
+    (suites/sketch_suite.sketch_kmv_streaming_backlog), so the row
+    exercises the stream's actual per-batch code path."""
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    return sorted(int(r["h"]) for r in SK.kmv_bottomk(batch_df, col, k).collect())
+
+
 def streaming_kmv_fold(
     stream: DataFrame,
     col: str,
@@ -416,8 +428,6 @@ def streaming_kmv_fold(
     convergent but bit-equal to batch kmv_bottomk. Unlike the MG ledger
     (lower bounds that tighten on verify) the KMV ledger needs no
     second pass: merge IS exact."""
-    from executor_u1mindexer_spark.operators import sketch as SK
-
     store = _BatchKeyedStore(state_dir) if state_dir else None
     states: dict[int, list] = {}
 
@@ -426,9 +436,7 @@ def streaming_kmv_fold(
             states[bid] = [int(h) for h in pdf["h"].tolist()]
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        entry = sorted(
-            int(r["h"]) for r in SK.kmv_bottomk(batch_df, col, k).collect()
-        )
+        entry = kmv_batch_entry(batch_df, col, k)
         if store is not None:
             store.put(int(batch_id), pd.DataFrame({"h": entry}))
         states[int(batch_id)] = entry

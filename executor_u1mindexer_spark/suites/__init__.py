@@ -165,16 +165,21 @@ DRIVER_PRIORITY = (
     "tpch_q22_global_sales_opportunity",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
+    # VERDICT r12 #5 demands a driver stamp THIS round for the streaming
+    # KMV ledger row (added in r13) — per the cadence policy above it
+    # displaces the bottom stale slot (tpch_q7_volume_shipping), which
+    # heads the r14 queue:
+    "sketch_kmv_streaming_backlog",
     # --- 50-slot window boundary ---
-    # r14 window plan: the 3 r09-stale rows below lead (displaced from
-    # the r13 window by the never-checked block — clearing them closes
-    # VERDICT r12 #4), then any rows added in r13 after the window froze
-    # (never-checked jump the queue per the cadence policy above), then
-    # the oldest r10 rows (50 of them — the r14 window drains the r10
-    # bucket almost exactly, keeping the histogram inside the cur-4
-    # bound).
+    # r14 window plan: the 4 r09-stale rows below lead (displaced from
+    # the r13 window by the never-checked block and the directive row —
+    # clearing them closes VERDICT r12 #4), then any rows added in r13
+    # after the window froze (never-checked jump the queue per the
+    # cadence policy above), then the oldest r10 rows (50 of them — the
+    # r14 window drains the r10 bucket almost exactly, keeping the
+    # histogram inside the cur-4 bound).
     # r09-stale, displaced from the r13 window:
+    "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "vector_pq_codes",

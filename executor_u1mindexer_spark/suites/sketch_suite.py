@@ -1452,6 +1452,94 @@ QUERIES["sketch_kmv_grouped"] = sketch_kmv_grouped
 ORACLES["sketch_kmv_grouped"] = _KMV_G_SQL
 
 
+def sketch_kmv_streaming_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming KMV ledger's driver-facing row (r13, VERDICT r12 #5
+    — streaming/sketch_stream.streaming_kmv_fold was pytest-only): a
+    three-batch drained backlog over events, each micro-batch folded to
+    its bounded ledger entry through the stream's OWN per-batch code
+    path (sketch_stream.kmv_batch_entry — the exact function
+    streaming_kmv_fold's foreachBatch closure calls, <= k BIGINT values
+    of driver-side state per batch) and read back through
+    sketch_stream.kmv_state, the ledger-merge the restart path uses.
+
+    The verdict column is the strongest oracle a sketch can have: by
+    the pigeonhole (any hash in the backlog's global bottom-k is in its
+    own batch's bottom-k) the merged ledger must be BIT-EQUAL to the
+    batch sketch of the whole table — checked as an empty symmetric
+    difference — so a dropped batch, a truncation-order bug, or a
+    ledger-merge error diverges exactly, not statistically. Batches
+    split by event_id % 3 so the oracle replays the same boundaries
+    (the merge is boundary-invariant, which is the property under
+    test). Estimate/accuracy columns mirror sketch_kmv_distinct."""
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+
+    ev = tables.load(spark, sf_dir, "events")
+    states = {
+        bid: SS.kmv_batch_entry(
+            ev.filter(F.col("event_id") % 3 == bid), "event_id", KMV_K
+        )
+        for bid in range(3)
+    }
+    merged = SS.kmv_state(states, KMV_K)
+    ledger = spark.createDataFrame([(int(h),) for h in merged], "h long")
+    bk = SK.kmv_bottomk(ev, "event_id", KMV_K)
+    n_diff = (
+        ledger.subtract(bk)
+        .unionByName(bk.subtract(ledger))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_diff"))
+    )
+    agg = ledger.agg(
+        F.count(F.lit(1)).cast("long").alias("k_seen"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = ev.filter(F.col("event_id").isNotNull()).agg(
+        F.countDistinct("event_id").alias("exact_distinct")
+    )
+    return (
+        agg.crossJoin(exact)
+        .crossJoin(n_diff)
+        .select(
+            F.lit(len(states)).cast("long").alias("n_batches"),
+            "k_seen",
+            "kth_hash",
+            F.expr(_KMV_EST).alias("est_distinct"),
+            "exact_distinct",
+            F.expr(_KMV_REL_OK).alias("rel_err_ok"),
+            (F.col("n_diff") == 0).alias("ledger_eq_batch"),
+        )
+    )
+
+
+_KMV_STREAM_SQL = f"""
+WITH b0 AS ({SK.oracle_kmv_bottomk_sql(
+    "(SELECT event_id FROM events WHERE event_id % 3 = 0)", "event_id", KMV_K)}),
+b1 AS ({SK.oracle_kmv_bottomk_sql(
+    "(SELECT event_id FROM events WHERE event_id % 3 = 1)", "event_id", KMV_K)}),
+b2 AS ({SK.oracle_kmv_bottomk_sql(
+    "(SELECT event_id FROM events WHERE event_id % 3 = 2)", "event_id", KMV_K)}),
+led AS (
+  SELECT h FROM (SELECT h FROM b0 UNION SELECT h FROM b1 UNION SELECT h FROM b2) u
+  ORDER BY h LIMIT {KMV_K}
+),
+bk AS ({SK.oracle_kmv_bottomk_sql("events", "event_id", KMV_K)}),
+a AS (SELECT CAST(count(*) AS BIGINT) AS k_seen, max(h) AS kth_hash FROM led),
+x AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+      FROM events WHERE event_id IS NOT NULL),
+d AS (SELECT CAST(count(*) AS BIGINT) AS n_diff FROM (
+        (SELECT h FROM led EXCEPT SELECT h FROM bk)
+        UNION ALL
+        (SELECT h FROM bk EXCEPT SELECT h FROM led)) t)
+SELECT CAST(3 AS BIGINT) AS n_batches, k_seen, kth_hash,
+       {_KMV_EST} AS est_distinct, exact_distinct,
+       {_KMV_REL_OK} AS rel_err_ok,
+       n_diff = 0 AS ledger_eq_batch
+FROM a, x, d
+"""
+
+QUERIES["sketch_kmv_streaming_backlog"] = sketch_kmv_streaming_backlog
+ORACLES["sketch_kmv_streaming_backlog"] = _KMV_STREAM_SQL
+
+
 def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed equi-depth histogram (r12,
     operators/quantile.equidepth_octiles): 8 equal-frequency buckets of
