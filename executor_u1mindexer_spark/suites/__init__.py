@@ -183,6 +183,11 @@ DRIVER_PRIORITY = (
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "vector_pq_codes",
+    # added in r13 AFTER the window froze (VERDICT r12 #6 growth rows;
+    # never-checked, so they jump the r14 queue right behind the
+    # displaced stale rows above):
+    "sketch_hll_intersection_grouped",
+    "eval_ann_recall_at_k",
 )
 
 

@@ -647,3 +647,144 @@ def _mmr_oracle(m: int, n: int) -> str:
 
 QUERIES["ann_mmr_rerank_topn"] = ann_mmr_rerank_topn
 ORACLES["ann_mmr_rerank_topn"] = _mmr_oracle(MMR_M, MMR_N)
+
+
+def eval_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the ANN lanes vs exact cosine KNN, MEASURED as an
+    exact integer (r13, VERDICT r12 #6b — the ef/M recall trade-off the
+    reference tunes by hand, executor.py:22-24, measured rather than
+    asserted). One row per method: (method, n_queries, n_results,
+    n_hits, recall_at_k_micro) with recall = 1e6 * |ANN∩exact| floor-div
+    (n_queries * K) — pure integer arithmetic, no float in the metric.
+
+    Lanes: `exact_control` (the trivially-perfect baseline, which also
+    pins n_queries*K result rows), `ivf_label` and `lsh_hyperplane`
+    (candidate generation fully SQL-expressible, so the oracle replays
+    the ENTIRE retrieval and the measured recall is exact cross-engine
+    — the set intersections are deterministic because every lane
+    breaks ties (dist, vec_id) identically, pinned by each lane's own
+    registry row), and `hnsw_partitioned` (graph search not
+    SQL-expressible; its recall is 100% at every fixture SF — ef=50 >>
+    K=5 on this corpus — so the oracle states n_queries*K hits as the
+    EXPECTED exact fact, the invariant-oracle scheme of the ann_hnsw
+    row but pinned to the measured value instead of a >=60% floor: ANY
+    missed neighbor at ANY SF now hash-mismatches)."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    q2 = q.select("query_id", "query_embedding")
+    exact = knn.knn_search(emb, q2, k=K, metric="cosine").select(
+        "query_id", "vec_id"
+    )
+    lanes = {
+        "exact_control": exact,
+        "hnsw_partitioned": S.hnsw_partitioned_topk(
+            emb, q2, k=K, max_bucket_rows=200_000
+        ).select("query_id", "vec_id"),
+        "ivf_label": S.bucketed_topk(
+            emb,
+            q,
+            bucket_stored=F.col("label"),
+            bucket_query=F.col("query_label"),
+            k=K,
+            metric="cosine",
+        ).select("query_id", "vec_id"),
+        "lsh_hyperplane": S.bucketed_topk(
+            emb,
+            q,
+            bucket_stored=S.sign_lsh_bucket(F.col("embedding").cast("array<double>")),
+            bucket_query=S.sign_lsh_bucket(
+                F.col("query_embedding").cast("array<double>")
+            ),
+            k=K,
+            metric="cosine",
+        ).select("query_id", "vec_id"),
+    }
+    per_lane = None
+    for name, res in lanes.items():
+        row = (
+            res.agg(F.count(F.lit(1)).cast("long").alias("n_results"))
+            .crossJoin(
+                res.join(exact, ["query_id", "vec_id"], "leftsemi").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_hits")
+                )
+            )
+            .select(F.lit(name).alias("method"), "n_results", "n_hits")
+        )
+        per_lane = row if per_lane is None else per_lane.unionByName(row)
+    nq = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        per_lane.crossJoin(F.broadcast(nq))
+        .select(
+            "method",
+            "n_queries",
+            "n_results",
+            "n_hits",
+            F.expr(
+                f"CAST({EVAL_SCALE} * n_hits DIV (n_queries * {K}) AS BIGINT)"
+            ).alias("recall_at_k_micro"),
+        )
+        .orderBy("method")
+    )
+
+
+_LSH_COS = (
+    f"1.0 - {_DOT.format(a='qb.qv', b='eb.v')} / "
+    f"({_NORM.format(a='qb.qv')} * {_NORM.format(a='eb.v')})"
+)
+
+_RECALL_SQL = (
+    _BASE
+    + f"""
+, scored AS (
+  SELECT q.query_id, e.vec_id, {_COS} AS dist FROM e CROSS JOIN q
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, vec_id ASC) AS rk
+    FROM scored) t WHERE rk <= {K}
+), ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS} ASC, e.vec_id ASC) AS rk
+    FROM e JOIN q ON e.label = q.qlabel) t WHERE rk <= {K}
+), eb AS (
+  SELECT vec_id, v, {_BUCKET.format(v='v')} AS bucket FROM e
+), qb AS (
+  SELECT query_id, qv, {_BUCKET.format(v='qv')} AS bucket FROM q
+), lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qb.query_id, eb.vec_id,
+           row_number() OVER (PARTITION BY qb.query_id
+                              ORDER BY {_LSH_COS} ASC, eb.vec_id ASC) AS rk
+    FROM eb JOIN qb ON eb.bucket = qb.bucket) t WHERE rk <= {K}
+), nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+lanes AS (
+  SELECT 'exact_control' AS method,
+         (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_results,
+         (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_hits
+  UNION ALL
+  SELECT 'hnsw_partitioned',
+         (SELECT CAST(n_queries * {K} AS BIGINT) FROM nq),
+         (SELECT CAST(n_queries * {K} AS BIGINT) FROM nq)
+  UNION ALL
+  SELECT 'ivf_label',
+         (SELECT CAST(count(*) AS BIGINT) FROM ivf),
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT * FROM ivf INTERSECT SELECT * FROM exact) x)
+  UNION ALL
+  SELECT 'lsh_hyperplane',
+         (SELECT CAST(count(*) AS BIGINT) FROM lsh),
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT * FROM lsh INTERSECT SELECT * FROM exact) x)
+)
+SELECT method, n_queries, n_results, n_hits,
+       CAST(({EVAL_SCALE} * n_hits) // (n_queries * {K}) AS BIGINT)
+         AS recall_at_k_micro
+FROM lanes, nq ORDER BY method
+"""
+)
+
+QUERIES["eval_ann_recall_at_k"] = eval_ann_recall_at_k
+ORACLES["eval_ann_recall_at_k"] = _RECALL_SQL

@@ -1540,6 +1540,119 @@ QUERIES["sketch_kmv_streaming_backlog"] = sketch_kmv_streaming_backlog
 ORACLES["sketch_kmv_streaming_backlog"] = _KMV_STREAM_SQL
 
 
+def sketch_hll_intersection_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL intersection error audit (r13, VERDICT r12 #6a — the
+    one HLL form that had no exact-verify row): per day-of-month (the
+    fixture's events span one calendar month, so day is the natural
+    30-group rollup dimension),
+    |viewers ∩ purchasers| estimated by inclusion-exclusion over three
+    per-group HLL estimates, each row carrying the EXACT intersection
+    and a 5-sigma-x-union accuracy verdict (inclusion-exclusion error
+    scales with the union size, the same caveat as the ungrouped row).
+
+    The union sketch is the grouped REGISTER MERGE of the two branch
+    states (union + groupBy(group, register) max — the rollup-pipeline
+    merge, NOT a rescan), so the row also exercises grouped merge in an
+    estimate path; the oracle estimates over the IN-filtered source,
+    which is register-identical by the counters-are-max argument the
+    ungrouped row pins. Months with estimates on both sides but zero
+    overlapping users keep their row (exact LEFT-joined, coalesced 0) —
+    the estimator's behavior on empty intersections is part of what the
+    audit measures. At sf0.001 the per-month register states trigger the
+    linear-counting branch on all three estimates — the grouped-by-type
+    row's precedent says the shared ln fragment is fixture-stable."""
+    events = tables.load(spark, sf_dir, "events")
+    dom = F.dayofmonth("ts").cast("long").alias("dom")
+    viewers = events.filter(F.col("event_type") == "view").select(dom, "user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select(dom, "user_id")
+    reg_a = SK.hll_registers_grouped(viewers, "user_id", ["dom"], P_USERS)
+    reg_b = SK.hll_registers_grouped(buyers, "user_id", ["dom"], P_USERS)
+    reg_u = (
+        reg_a.unionByName(reg_b)
+        .groupBy("dom", "register")
+        .agg(F.max("max_rank").cast("long").alias("max_rank"))
+    )
+    est_a = SK.hll_estimate_grouped(reg_a, ["dom"], P_USERS).select(
+        "dom", F.expr("round(est_distinct, 9)").alias("est_viewers")
+    )
+    est_b = SK.hll_estimate_grouped(reg_b, ["dom"], P_USERS).select(
+        "dom", F.expr("round(est_distinct, 9)").alias("est_buyers")
+    )
+    est_u = SK.hll_estimate_grouped(reg_u, ["dom"], P_USERS).select(
+        "dom", F.expr("round(est_distinct, 9)").alias("est_union")
+    )
+    exact = (
+        viewers.distinct()
+        .join(buyers.distinct(), ["dom", "user_id"])
+        .groupBy("dom")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    sigma5 = _BOUND[P_USERS]
+    return (
+        est_a.join(est_b, "dom")
+        .join(est_u, "dom")
+        .join(exact, "dom", "left")
+        .fillna(0, subset=["exact_intersection"])
+        .select(
+            "dom",
+            "est_viewers",
+            "est_buyers",
+            "est_union",
+            F.expr("est_viewers + est_buyers - est_union").alias(
+                "est_intersection"
+            ),
+            "exact_intersection",
+            F.expr(
+                "abs((est_viewers + est_buyers - est_union) - "
+                f"exact_intersection) <= {sigma5} * est_union"
+            ).alias("err_ok"),
+        )
+        .orderBy("dom")
+    )
+
+
+_HLL_IX_G_VIEW = (
+    "(SELECT CAST(day(ts) AS BIGINT) AS dom, user_id FROM events"
+    " WHERE event_type = 'view')"
+)
+_HLL_IX_G_BUY = (
+    "(SELECT CAST(day(ts) AS BIGINT) AS dom, user_id FROM events"
+    " WHERE event_type = 'purchase')"
+)
+_HLL_IX_G_UNION = (
+    "(SELECT CAST(day(ts) AS BIGINT) AS dom, user_id FROM events"
+    " WHERE event_type IN ('view', 'purchase'))"
+)
+
+_HLL_IX_GROUPED_SQL = f"""
+WITH a AS ({SK.oracle_estimate_grouped_sql(_HLL_IX_G_VIEW, "user_id", ["dom"], P_USERS)}),
+b AS ({SK.oracle_estimate_grouped_sql(_HLL_IX_G_BUY, "user_id", ["dom"], P_USERS)}),
+u AS ({SK.oracle_estimate_grouped_sql(_HLL_IX_G_UNION, "user_id", ["dom"], P_USERS)}),
+ex AS (
+  SELECT dom, CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT DISTINCT dom, user_id FROM {_HLL_IX_G_VIEW} t1
+    INTERSECT
+    SELECT DISTINCT dom, user_id FROM {_HLL_IX_G_BUY} t2
+  ) t GROUP BY dom
+)
+SELECT a.dom, round(a.est_distinct, 9) AS est_viewers,
+       round(b.est_distinct, 9) AS est_buyers,
+       round(u.est_distinct, 9) AS est_union,
+       round(a.est_distinct, 9) + round(b.est_distinct, 9)
+         - round(u.est_distinct, 9) AS est_intersection,
+       coalesce(ex.exact_intersection, CAST(0 AS BIGINT)) AS exact_intersection,
+       abs((round(a.est_distinct, 9) + round(b.est_distinct, 9)
+            - round(u.est_distinct, 9))
+           - coalesce(ex.exact_intersection, CAST(0 AS BIGINT)))
+         <= {_BOUND[P_USERS]} * round(u.est_distinct, 9) AS err_ok
+FROM a JOIN b USING (dom) JOIN u USING (dom) LEFT JOIN ex USING (dom)
+ORDER BY a.dom
+"""
+
+QUERIES["sketch_hll_intersection_grouped"] = sketch_hll_intersection_grouped
+ORACLES["sketch_hll_intersection_grouped"] = _HLL_IX_GROUPED_SQL
+
+
 def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed equi-depth histogram (r12,
     operators/quantile.equidepth_octiles): 8 equal-frequency buckets of
