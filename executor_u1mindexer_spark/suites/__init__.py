@@ -188,6 +188,7 @@ DRIVER_PRIORITY = (
     # displaced stale rows above):
     "sketch_hll_intersection_grouped",
     "eval_ann_recall_at_k",
+    "sketch_kmv_jaccard",
 )
 
 

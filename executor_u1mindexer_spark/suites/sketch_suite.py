@@ -1653,6 +1653,134 @@ QUERIES["sketch_hll_intersection_grouped"] = sketch_hll_intersection_grouped
 ORACLES["sketch_hll_intersection_grouped"] = _HLL_IX_GROUPED_SQL
 
 
+# 5-sigma band for the KMV Jaccard estimator: the k-sample estimate of a
+# proportion has sigma = sqrt(J(1-J)/k) <= sqrt(0.25/k); in micros.
+_KMV_J_BOUND_MICRO = int(5.0 * (0.25 / KMV_K) ** 0.5 * 1_000_000)
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations (r13): the Jaccard/intersection estimates the
+    module docstring advertises as KMV's edge over HLL
+    (operators/sketch.py:1130 — Beyer et al. SIGMOD'07 §5: over the
+    SHARED hash space, the union summary's members can be tested
+    against each side's summary), now an oracle-checked row. Sides:
+    custkeys ordering in 1996 vs in 1997 — true Jaccard ~0.65 with
+    union 1.4k/14.3k at sf0.01/0.1, so the k=256 summaries genuinely
+    subsample (the view-vs-purchase user sets would be degenerate:
+    every fixture user does both, J = 1 with the sketch never full);
+    at sf0.001 the union (140) is below k, exercising the exact branch.
+
+    Unlike the HLL inclusion-exclusion rows the CORE estimate here is
+    pure integer counting — n_ab = |U ∩ A ∩ B| over bottom-k hash SETS,
+    jaccard_micro = 1e6 * n_ab DIV k_seen — so it is hash-exact with no
+    transcendental anywhere; the only doubles are the shared Beyer
+    union-estimate fragment and the one mult+div intersection scale-up,
+    9-digit-rounded textually identically on both sides. The exact
+    Jaccard rides along in micros with a 5*sqrt(0.25/k) verdict band,
+    and membership tests are leftsemi joins on bounded (<= k-row)
+    summaries — at 100 TB all post-sketch work is O(k)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    side_a = orders.filter(F.year("o_orderdate") == 1996)
+    side_b = orders.filter(F.year("o_orderdate") == 1997)
+    a = SK.kmv_bottomk(side_a, "o_custkey", KMV_K)
+    b = SK.kmv_bottomk(side_b, "o_custkey", KMV_K)
+    u = SK.kmv_merge(a, b, KMV_K)
+    n_ab = (
+        u.join(a, "h", "leftsemi")
+        .join(b, "h", "leftsemi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    agg = u.agg(
+        F.count(F.lit(1)).cast("long").alias("k_seen"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = (
+        side_a.select("o_custkey")
+        .distinct()
+        .join(side_b.select("o_custkey").distinct(), "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+        .crossJoin(
+            orders.filter(
+                F.year("o_orderdate").isin(1996, 1997)
+                & F.col("o_custkey").isNotNull()
+            )
+            .agg(F.countDistinct("o_custkey").alias("exact_union"))
+        )
+    )
+    return (
+        agg.crossJoin(n_ab)
+        .crossJoin(exact)
+        .select(
+            "k_seen",
+            "kth_hash",
+            "n_ab",
+            F.expr(f"CAST(1000000 * n_ab DIV k_seen AS BIGINT)").alias(
+                "jaccard_micro"
+            ),
+            F.expr(f"round({_KMV_EST}, 9)").alias("est_union"),
+            F.expr(
+                f"round(round({_KMV_EST}, 9) * CAST(n_ab AS DOUBLE)"
+                " / CAST(k_seen AS DOUBLE), 9)"
+            ).alias("est_intersection"),
+            "exact_union",
+            "exact_intersection",
+            F.expr(
+                "CAST(1000000 * exact_intersection DIV exact_union AS BIGINT)"
+            ).alias("exact_jaccard_micro"),
+            F.expr(
+                "abs(CAST(1000000 * n_ab DIV k_seen AS BIGINT)"
+                " - CAST(1000000 * exact_intersection DIV exact_union AS BIGINT))"
+                f" <= {_KMV_J_BOUND_MICRO}"
+            ).alias("jaccard_err_ok"),
+        )
+    )
+
+
+_KMV_JACCARD_SQL = f"""
+WITH a AS ({SK.oracle_kmv_bottomk_sql(
+    "(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)",
+    "o_custkey", KMV_K)}),
+b AS ({SK.oracle_kmv_bottomk_sql(
+    "(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)",
+    "o_custkey", KMV_K)}),
+u AS (
+  SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) t
+  ORDER BY h LIMIT {KMV_K}
+),
+nab AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ab FROM u
+  WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+),
+ag AS (SELECT CAST(count(*) AS BIGINT) AS k_seen, max(h) AS kth_hash FROM u),
+ex AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM (
+       (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+       INTERSECT
+       (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+     ) t) AS exact_intersection,
+    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+     WHERE year(o_orderdate) IN (1996, 1997) AND o_custkey IS NOT NULL)
+      AS exact_union
+)
+SELECT k_seen, kth_hash, n_ab,
+       CAST(1000000 * n_ab // k_seen AS BIGINT) AS jaccard_micro,
+       round({_KMV_EST}, 9) AS est_union,
+       round(round({_KMV_EST}, 9) * CAST(n_ab AS DOUBLE)
+             / CAST(k_seen AS DOUBLE), 9) AS est_intersection,
+       exact_union, exact_intersection,
+       CAST(1000000 * exact_intersection // exact_union AS BIGINT)
+         AS exact_jaccard_micro,
+       abs(CAST(1000000 * n_ab // k_seen AS BIGINT)
+           - CAST(1000000 * exact_intersection // exact_union AS BIGINT))
+         <= {_KMV_J_BOUND_MICRO} AS jaccard_err_ok
+FROM ag, nab, ex
+"""
+
+QUERIES["sketch_kmv_jaccard"] = sketch_kmv_jaccard
+ORACLES["sketch_kmv_jaccard"] = _KMV_JACCARD_SQL
+
+
 def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed equi-depth histogram (r12,
     operators/quantile.equidepth_octiles): 8 equal-frequency buckets of
