@@ -942,3 +942,108 @@ nonedge AS (
 SELECT a, b, cn, aa_micro
 FROM nonedge ORDER BY aa_micro DESC, a, b LIMIT {k}
 """
+
+
+# ---------------------------------------------- k-core decomposition (r13)
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
+    """K-core: the maximal subgraph where every node has degree >= k,
+    by synchronous iterative peeling (Seidman 1983; the Batagelj-
+    Zaversnik sequential algorithm's distributed form) — each round
+    drops every node whose degree in the CURRENT surviving subgraph is
+    below k, until fixpoint. Output: one (node, core_degree) row per
+    k-core member plus a `converged` verdict riding every row.
+
+    Correctness does NOT depend on round count or removal order: peeling
+    is CONFLUENT (removing a deg<k node never raises another node's
+    degree, so the deg>=k fixpoint reached is the unique maximal
+    k-core). `converged` re-derives that fixpoint condition in-plan —
+    min surviving degree >= k — so an insufficient max_rounds shows up
+    as an explicit false on every row, never as a silently-wrong core.
+
+    100 TB shape: state between rounds is the surviving symmetric edge
+    list only; each round is one grouped degree count + two semi-joins,
+    eagerly checkpointed (constant plan depth, the Pregel-superstep
+    pattern of pagerank/CC/BFS/SSSP above), with the module's standard
+    bounded driver scalar as the early-exit probe. [NOT IN REFERENCE —
+    executor.py has no graph surface.]"""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (1 <= max_rounds <= 30):
+        raise ValueError(f"max_rounds must be in [1, 30], got {max_rounds}")
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym
+    n_alive = alive.count()  # bounded driver scalar (convergence probe)
+    for _ in range(max_rounds):
+        keep = (
+            alive.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("a")
+        )
+        alive = (
+            alive.join(keep, "a", "leftsemi")
+            .join(keep.select(F.col("a").alias("b")), "b", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = alive.count()
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    deg = alive.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+    conv = deg.agg(
+        F.coalesce(F.min("core_degree") >= k, F.lit(True)).alias("converged")
+    )
+    return (
+        deg.select(F.col("a").alias("node"), "core_degree")
+        .crossJoin(F.broadcast(conv))
+        .orderBy("node")
+    )
+
+
+def oracle_kcore_sql(k: int, max_rounds: int = 8) -> str:
+    """DuckDB twin: the peeling rounds replayed as chained CTEs (the
+    pagerank/LPA playbook). Confluence makes the replay exact: both
+    engines remove the same synchronous batches, and the shared
+    fixpoint verdict (min surviving degree >= k) rides every row.
+    Every stage is MATERIALIZED — DuckDB inlines plain CTEs, and each
+    n_i references n_{i-1} twice, so un-materialized chains re-evaluate
+    the whole prefix 2^rounds times (the BPE oracle's lesson,
+    text_suite.py:851)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_EDGES_SQL}),",
+        "sym AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM e"
+        " UNION SELECT dst, src FROM e),",
+        "n0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),",
+    ]
+    for i in range(1, max_rounds + 1):
+        parts.append(
+            f"n{i} AS MATERIALIZED (\n"
+            f"  SELECT a AS node FROM sym\n"
+            f"  WHERE a IN (SELECT node FROM n{i - 1})\n"
+            f"    AND b IN (SELECT node FROM n{i - 1})\n"
+            f"  GROUP BY a HAVING count(*) >= {k}\n"
+            "),"
+        )
+    last = f"n{max_rounds}"
+    parts.append(
+        "deg AS MATERIALIZED (\n"
+        "  SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree\n"
+        f"  FROM sym WHERE a IN (SELECT node FROM {last})\n"
+        f"    AND b IN (SELECT node FROM {last})\n"
+        "  GROUP BY a\n"
+        "),\n"
+        "conv AS (SELECT coalesce((SELECT min(core_degree) FROM deg)"
+        f" >= {k}, TRUE) AS converged)\n"
+        "SELECT node, core_degree, converged FROM deg, conv ORDER BY node"
+    )
+    return "\n".join(parts)

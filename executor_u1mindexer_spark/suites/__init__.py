@@ -189,6 +189,7 @@ DRIVER_PRIORITY = (
     "sketch_hll_intersection_grouped",
     "eval_ann_recall_at_k",
     "sketch_kmv_jaccard",
+    "graph_kcore_membership",
 )
 
 

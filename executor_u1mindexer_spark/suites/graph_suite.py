@@ -244,3 +244,27 @@ QUERIES["graph_link_prediction_aa"] = graph_link_prediction_aa
 ORACLES["graph_link_prediction_aa"] = G.oracle_link_prediction_aa_sql(
     LP_TOPK, LP_MIN_CN
 )
+
+
+K_CORE = 18
+KCORE_ROUNDS = 8
+
+
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (r13, operators/graph.kcore): the 18-core of
+    the part co-occurrence graph — one (node, core_degree) row per
+    member with the in-plan fixpoint verdict riding every row. k=18
+    makes the peeling genuinely iterative on this fixture (2/5/6
+    synchronous rounds to converge at sf0.001/0.01/0.1, with real
+    cascades — nodes above k initially that fall below it as their
+    neighbors peel) while leaving a non-empty core (185/1853/18743
+    nodes); k=20 would need ~20 rounds at sf0.1 and k=22 dissolves the
+    whole graph. The oracle replays all 8 synchronous rounds as chained
+    CTEs; peeling confluence (docstring of kcore) is what makes the
+    replay exact rather than order-sensitive."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return G.kcore(G.consecutive_line_edges(li), K_CORE, KCORE_ROUNDS)
+
+
+QUERIES["graph_kcore_membership"] = graph_kcore_membership
+ORACLES["graph_kcore_membership"] = G.oracle_kcore_sql(K_CORE, KCORE_ROUNDS)

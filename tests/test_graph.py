@@ -597,3 +597,37 @@ def test_link_prediction_aa_weighs_rare_middles_higher(spark):
     assert got[(1, 2)] == (2, 2 * w(2))
     assert got[(5, 6)] == (2, 2 * w(4))
     assert got[(1, 2)][1] > got[(5, 6)][1]
+
+
+def test_kcore_peels_pendant_path_cascade(spark):
+    """k=2 core of a triangle with a pendant 3-node path: the path peels
+    one node per synchronous round (a genuine cascade — node 4 has
+    degree 2 until node 5 goes), leaving exactly the triangle with
+    core degrees 2; converged verdict true. A second check: k=3 on the
+    same graph dissolves everything (empty result)."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    rows = {r.node: r for r in G.kcore(edges, 2, max_rounds=8).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r.core_degree == 2 and r.converged for r in rows.values())
+    assert G.kcore(edges, 3, max_rounds=8).count() == 0
+
+
+def test_kcore_insufficient_rounds_flags_not_converged(spark):
+    """max_rounds smaller than the cascade depth must flag converged
+    False on the surviving rows, never silently emit a non-core."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    # triangle + 4-node pendant path: needs 3 rounds to fully peel
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    out = G.kcore(edges, 2, max_rounds=1).collect()
+    assert any(not r.converged for r in out)
+    full = {r.node for r in G.kcore(edges, 2, max_rounds=8).collect()}
+    assert full == {1, 2, 3}
