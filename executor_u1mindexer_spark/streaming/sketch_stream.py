@@ -365,11 +365,7 @@ def streaming_heavy_hitters_fold(
             ]
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        parts = SK.misra_gries_partials(batch_df, item_col, k)
-        from pyspark.sql import functions as F
-
-        entry_df = parts.groupBy(item_col).agg(F.sum("cnt_lb").alias("cnt_lb"))
-        entry = [(r[item_col], r["cnt_lb"]) for r in entry_df.collect()]
+        entry = mg_batch_entry(batch_df, item_col, k)
         if store is not None:
             items = [it for it, _ in entry]
             if all(it is None or isinstance(it, int) for it in items):
@@ -382,6 +378,23 @@ def streaming_heavy_hitters_fold(
 
     writer = stream.writeStream.foreachBatch(fold)
     return writer, states
+
+
+def mg_batch_entry(batch_df: DataFrame, item_col: str, k: int = 64) -> list:
+    """One micro-batch's MG ledger entry: partition partials merged
+    in-plan by item-wise sum (a valid MG summary by the Mergeable-
+    Summaries bound — no truncation between partials and the entry),
+    collected as a BOUNDED list of (item, cnt_lb) pairs plus the
+    stream-length sentinel (item None). Shared verbatim by the
+    streaming fold above and the driver-facing drained-backlog row
+    (suites/sketch_suite.sketch_mg_streaming_backlog)."""
+    from pyspark.sql import functions as F
+
+    from executor_u1mindexer_spark.operators import sketch as SK
+
+    parts = SK.misra_gries_partials(batch_df, item_col, k)
+    entry_df = parts.groupBy(item_col).agg(F.sum("cnt_lb").alias("cnt_lb"))
+    return [(r[item_col], r["cnt_lb"]) for r in entry_df.collect()]
 
 
 def heavy_hitters_state(states: dict[int, list]) -> dict:

@@ -190,6 +190,7 @@ DRIVER_PRIORITY = (
     "eval_ann_recall_at_k",
     "sketch_kmv_jaccard",
     "graph_kcore_membership",
+    "sketch_mg_streaming_backlog",
 )
 
 

@@ -1781,6 +1781,57 @@ QUERIES["sketch_kmv_jaccard"] = sketch_kmv_jaccard
 ORACLES["sketch_kmv_jaccard"] = _KMV_JACCARD_SQL
 
 
+def sketch_mg_streaming_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming Misra-Gries ledger's driver-facing row (r13 — the
+    last pytest-only streaming twin after the KMV row landed;
+    streaming/sketch_stream.streaming_heavy_hitters_fold): a three-batch
+    drained backlog over the same deterministically-skewed item stream
+    as the batch row (sketch_heavy_hitters_verified), each micro-batch
+    folded through the fold's OWN per-batch body
+    (sketch_stream.mg_batch_entry) and merged by heavy_hitters_state —
+    the item-wise-sum ledger read, whose no-false-negative guarantee is
+    exactly the Mergeable-Summaries bound per batch.
+
+    The output is the DETERMINISTIC exact-verified heavy-hitter set
+    (items with true count > n/(k+1), with exact counts — the batch
+    row's scheme): MG's order-dependent lower bounds never leave the
+    candidate stage; the stream length comes from the LEDGER's sentinel
+    lane (bit-equal to the exact row count by construction, so a lost
+    sentinel also diverges). A true heavy hitter dropped anywhere in
+    fold/merge/read would be missing from the candidates and hence the
+    output — rows_match catches it against the oracle's full group-by."""
+    from executor_u1mindexer_spark.streaming import sketch_stream as SS
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    item = (
+        F.when(F.col("l_orderkey") % 4 == 0, F.col("l_partkey") % 10)
+        .otherwise(F.col("l_partkey"))
+        .alias("item")
+    )
+    states = {
+        bid: SS.mg_batch_entry(
+            li.filter(F.col("l_orderkey") % 3 == bid).select(item), "item", MG_K
+        )
+        for bid in range(3)
+    }
+    merged = SS.heavy_hitters_state(states)
+    n_total = merged.pop(None)  # the sentinel lane: exact stream length
+    cand = spark.createDataFrame([(int(it),) for it in merged], "item long")
+    exact = (
+        li.select(item)
+        .join(F.broadcast(cand), "item", "leftsemi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return exact.filter(
+        F.col("n_exact") * (MG_K + 1) > F.lit(int(n_total))
+    ).orderBy("item")
+
+
+QUERIES["sketch_mg_streaming_backlog"] = sketch_mg_streaming_backlog
+ORACLES["sketch_mg_streaming_backlog"] = _MG_HH_SQL
+
+
 def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed equi-depth histogram (r12,
     operators/quantile.equidepth_octiles): 8 equal-frequency buckets of
