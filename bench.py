@@ -97,6 +97,14 @@ HEADLINE = [
     "sketch_kmv_distinct",
     "sample_priority_weighted",
     "shard_rendezvous_assignment",
+    # r13: tracks the iterative peeling loop (a lost checkpoint or a
+    # broken early-exit probe shows as a round-count blow-up), the
+    # post-sketch O(k) set-operation joins (a lost broadcast shows as a
+    # corpus-wide exchange), and the four-lane eval harness whose exact
+    # side is the BNLJ the knn pins guard
+    "graph_kcore_membership",
+    "sketch_kmv_jaccard",
+    "eval_ann_recall_at_k",
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,
