@@ -720,7 +720,8 @@ def eval_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_results",
             "n_hits",
             F.expr(
-                f"CAST({EVAL_SCALE} * n_hits DIV (n_queries * {K}) AS BIGINT)"
+                f"CAST({EVAL_SCALE} * n_hits"
+                f" DIV nullif(n_queries * {K}, 0) AS BIGINT)"
             ).alias("recall_at_k_micro"),
         )
         .orderBy("method")
@@ -780,7 +781,7 @@ lanes AS (
             (SELECT * FROM lsh INTERSECT SELECT * FROM exact) x)
 )
 SELECT method, n_queries, n_results, n_hits,
-       CAST(({EVAL_SCALE} * n_hits) // (n_queries * {K}) AS BIGINT)
+       CAST(({EVAL_SCALE} * n_hits) // nullif(n_queries * {K}, 0) AS BIGINT)
          AS recall_at_k_micro
 FROM lanes, nq ORDER BY method
 """

@@ -1714,22 +1714,24 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_seen",
             "kth_hash",
             "n_ab",
-            F.expr(f"CAST(1000000 * n_ab DIV k_seen AS BIGINT)").alias(
-                "jaccard_micro"
-            ),
+            F.expr(
+                "CAST(1000000 * n_ab DIV nullif(k_seen, 0) AS BIGINT)"
+            ).alias("jaccard_micro"),
             F.expr(f"round({_KMV_EST}, 9)").alias("est_union"),
             F.expr(
                 f"round(round({_KMV_EST}, 9) * CAST(n_ab AS DOUBLE)"
-                " / CAST(k_seen AS DOUBLE), 9)"
+                " / CAST(nullif(k_seen, 0) AS DOUBLE), 9)"
             ).alias("est_intersection"),
             "exact_union",
             "exact_intersection",
             F.expr(
-                "CAST(1000000 * exact_intersection DIV exact_union AS BIGINT)"
+                "CAST(1000000 * exact_intersection DIV nullif(exact_union, 0)"
+                " AS BIGINT)"
             ).alias("exact_jaccard_micro"),
             F.expr(
-                "abs(CAST(1000000 * n_ab DIV k_seen AS BIGINT)"
-                " - CAST(1000000 * exact_intersection DIV exact_union AS BIGINT))"
+                "abs(CAST(1000000 * n_ab DIV nullif(k_seen, 0) AS BIGINT)"
+                " - CAST(1000000 * exact_intersection"
+                " DIV nullif(exact_union, 0) AS BIGINT))"
                 f" <= {_KMV_J_BOUND_MICRO}"
             ).alias("jaccard_err_ok"),
         )
@@ -1764,15 +1766,16 @@ ex AS (
       AS exact_union
 )
 SELECT k_seen, kth_hash, n_ab,
-       CAST(1000000 * n_ab // k_seen AS BIGINT) AS jaccard_micro,
+       CAST(1000000 * n_ab // nullif(k_seen, 0) AS BIGINT) AS jaccard_micro,
        round({_KMV_EST}, 9) AS est_union,
        round(round({_KMV_EST}, 9) * CAST(n_ab AS DOUBLE)
-             / CAST(k_seen AS DOUBLE), 9) AS est_intersection,
+             / CAST(nullif(k_seen, 0) AS DOUBLE), 9) AS est_intersection,
        exact_union, exact_intersection,
-       CAST(1000000 * exact_intersection // exact_union AS BIGINT)
+       CAST(1000000 * exact_intersection // nullif(exact_union, 0) AS BIGINT)
          AS exact_jaccard_micro,
-       abs(CAST(1000000 * n_ab // k_seen AS BIGINT)
-           - CAST(1000000 * exact_intersection // exact_union AS BIGINT))
+       abs(CAST(1000000 * n_ab // nullif(k_seen, 0) AS BIGINT)
+           - CAST(1000000 * exact_intersection // nullif(exact_union, 0)
+                  AS BIGINT))
          <= {_KMV_J_BOUND_MICRO} AS jaccard_err_ok
 FROM ag, nab, ex
 """
@@ -1815,7 +1818,7 @@ def sketch_mg_streaming_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         for bid in range(3)
     }
     merged = SS.heavy_hitters_state(states)
-    n_total = merged.pop(None)  # the sentinel lane: exact stream length
+    n_total = merged.pop(None, 0)  # sentinel lane: exact stream length
     cand = spark.createDataFrame([(int(it),) for it in merged], "item long")
     exact = (
         li.select(item)
