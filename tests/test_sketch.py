@@ -707,3 +707,31 @@ def test_kmv_grouped_equals_per_group_plain(spark, n_parts):
             ).collect()
         ]
         assert sorted(got[g]) == want, g
+
+
+def test_kmv_jaccard_counting_matches_python_replay(spark):
+    """The set-operation counting behind sketch_kmv_jaccard (suite row):
+    n_ab = |U ∩ A ∩ B| over bottom-k hash sets replayed in python on
+    overlapping value ranges, at a k small enough that both summaries
+    genuinely subsample; plus the estimator sanity that
+    n_ab/k approximates the true Jaccard within the 5-sigma band."""
+    k = 32
+    a_vals = list(range(0, 300))        # A = [0, 300)
+    b_vals = list(range(150, 450))      # B = [150, 450), true J = 150/450
+    da = spark.createDataFrame([(v,) for v in a_vals], "item long")
+    db = spark.createDataFrame([(v,) for v in b_vals], "item long")
+    bka = SK.kmv_bottomk(da, "item", k)
+    bkb = SK.kmv_bottomk(db, "item", k)
+    u = SK.kmv_merge(bka, bkb, k)
+    got_u = [r.h for r in u.collect()]
+    got_ab = (
+        u.join(bka, "h", "leftsemi").join(bkb, "h", "leftsemi").count()
+    )
+    ha = sorted({_kmv_hash(v) for v in a_vals})[:k]
+    hb = sorted({_kmv_hash(v) for v in b_vals})[:k]
+    hu = sorted(set(ha) | set(hb))[:k]
+    assert got_u == hu
+    assert got_ab == sum(1 for h in hu if h in set(ha) and h in set(hb))
+    true_j = 150 / 450
+    import math
+    assert abs(got_ab / len(hu) - true_j) <= 5 * math.sqrt(0.25 / k)
