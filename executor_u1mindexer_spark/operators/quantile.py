@@ -532,3 +532,141 @@ SELECT CAST({bucket} AS BIGINT) AS bucket,
 FROM __b CROSS JOIN __qs
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------- PSI drift monitor (r13)
+
+
+def psi_drift(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
+    """Population Stability Index between a reference and a comparison
+    population of ``value_col`` — THE standard ML-monitoring drift
+    metric: bin by the REFERENCE octiles (industry convention: equal-
+    frequency bins of the baseline), then PSI = sum over bins of
+    (p_cmp - p_ref) * ln(p_cmp / p_ref). Output: one row per bucket
+    with exact integer count/proportion lanes (1e6-micro proportions),
+    the 9-digit-rounded per-bin PSI term, and the experiment-level
+    psi_total + stable verdict (< 0.1, the conventional no-shift
+    threshold) riding every row.
+
+    Determinism engineering: bucket edges and assignment reuse the
+    equidepth_octiles machinery verbatim (2x-exact weighted percentile,
+    ">= boundary goes up" ties); proportions are exact integer micros;
+    each ln enters once inside a round(, 9) (the transcendental
+    treatment); and psi_total sums the ROUNDED terms through an exact
+    DECIMAL(20,9) lane so fold order cannot move a bit. Empty bins on
+    either side yield a NULL term (sum skips it identically in both
+    engines) rather than ln(0). Scale shape: two value-domain-bounded
+    histogram folds + one 7-double broadcast — the same rollup economy
+    as equidepth_octiles."""
+    y = F.expr(f"CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT)")
+    rb = ref.filter(F.col(value_col).isNotNull()).select(y.alias("__y"))
+    cb = cmp.filter(F.col(value_col).isNotNull()).select(y.alias("__y"))
+    vh_r = rb.groupBy("__y").agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    vh_c = cb.groupBy("__y").agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    fracs = ", ".join(f"{i}.0e0 / 8.0e0" for i in range(1, 8))
+    qs = vh_r.agg(
+        F.expr(f"percentile(__y, array({fracs}), __cnt)").alias("__q")
+    ).select(*[F.element_at("__q", i).alias(f"__q{i}") for i in range(1, 8)])
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(__y AS DOUBLE) >= __q{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 8)
+    )
+
+    def _binned(vh: DataFrame, out: str) -> DataFrame:
+        return (
+            vh.crossJoin(F.broadcast(qs))
+            .select(F.expr(f"CAST({bucket} AS BIGINT)").alias("bucket"), "__cnt")
+            .groupBy("bucket")
+            .agg(F.sum("__cnt").cast("long").alias(out))
+        )
+
+    hr, hc = _binned(vh_r, "n_ref"), _binned(vh_c, "n_cmp")
+    grid = hr.join(hc, "bucket", "full").fillna(0, subset=["n_ref", "n_cmp"])
+    tot = grid.agg(
+        F.sum("n_ref").cast("long").alias("__tr"),
+        F.sum("n_cmp").cast("long").alias("__tc"),
+    )
+    terms = grid.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cmp",
+        F.expr("CAST(1000000 * n_ref DIV nullif(__tr, 0) AS BIGINT)").alias(
+            "p_ref_micro"
+        ),
+        F.expr("CAST(1000000 * n_cmp DIV nullif(__tc, 0) AS BIGINT)").alias(
+            "p_cmp_micro"
+        ),
+        F.expr(
+            "CASE WHEN n_ref = 0 OR n_cmp = 0 THEN NULL ELSE"
+            " round((CAST(n_cmp AS DOUBLE) / CAST(__tc AS DOUBLE)"
+            "  - CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE))"
+            " * ln((CAST(n_cmp AS DOUBLE) / CAST(__tc AS DOUBLE))"
+            "  / (CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE))), 9)"
+            " END"
+        ).alias("psi_term"),
+    )
+    total = terms.agg(
+        F.expr(
+            "CAST(sum(CAST(psi_term AS DECIMAL(20,9))) AS DOUBLE)"
+        ).alias("psi_total")
+    ).select("psi_total", F.expr("psi_total < 0.1e0").alias("stable"))
+    return terms.crossJoin(F.broadcast(total)).orderBy("bucket")
+
+
+def oracle_psi_drift_sql(ref_source: str, cmp_source: str, value_col: str) -> str:
+    """DuckDB twin — formulation-independent where it can be: bucket
+    edges via native quantile_cont over the raw reference rows (no
+    histogram fold), counts via raw group-bys; the shared textual
+    fragments are only the bucket-assignment CASE chain and the final
+    rounded-term arithmetic (the bit-parity surface)."""
+    qcols = ", ".join(
+        f"quantile_cont(__y, {i}.0e0 / 8.0e0) AS __q{i}" for i in range(1, 8)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(__y AS DOUBLE) >= __q{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 8)
+    )
+    return f"""
+WITH __r AS MATERIALIZED (
+  SELECT CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y
+  FROM {ref_source} WHERE {value_col} IS NOT NULL
+),
+__c AS MATERIALIZED (
+  SELECT CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y
+  FROM {cmp_source} WHERE {value_col} IS NOT NULL
+),
+__qs AS MATERIALIZED (SELECT {qcols} FROM __r),
+__hr AS (
+  SELECT CAST({bucket} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_ref
+  FROM __r CROSS JOIN __qs GROUP BY 1
+),
+__hc AS (
+  SELECT CAST({bucket} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_cmp
+  FROM __c CROSS JOIN __qs GROUP BY 1
+),
+__g AS (
+  SELECT coalesce(__hr.bucket, __hc.bucket) AS bucket,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cmp, 0) AS n_cmp
+  FROM __hr FULL JOIN __hc ON __hr.bucket = __hc.bucket
+),
+__t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS __tr,
+               CAST(sum(n_cmp) AS BIGINT) AS __tc FROM __g),
+__terms AS (
+  SELECT bucket, n_ref, n_cmp,
+         CAST(1000000 * n_ref // nullif(__tr, 0) AS BIGINT) AS p_ref_micro,
+         CAST(1000000 * n_cmp // nullif(__tc, 0) AS BIGINT) AS p_cmp_micro,
+         CASE WHEN n_ref = 0 OR n_cmp = 0 THEN NULL ELSE
+           round((CAST(n_cmp AS DOUBLE) / CAST(__tc AS DOUBLE)
+            - CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE))
+           * ln((CAST(n_cmp AS DOUBLE) / CAST(__tc AS DOUBLE))
+            / (CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE))), 9)
+         END AS psi_term
+  FROM __g, __t
+),
+__tot AS (
+  SELECT CAST(sum(CAST(psi_term AS DECIMAL(20,9))) AS DOUBLE) AS psi_total
+  FROM __terms
+)
+SELECT __terms.*, psi_total, psi_total < 0.1e0 AS stable
+FROM __terms, __tot ORDER BY bucket
+"""

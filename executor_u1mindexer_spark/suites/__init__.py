@@ -191,6 +191,7 @@ DRIVER_PRIORITY = (
     "sketch_kmv_jaccard",
     "graph_kcore_membership",
     "sketch_mg_streaming_backlog",
+    "events_psi_value_drift",
 )
 
 

@@ -1853,3 +1853,28 @@ QUERIES["events_equidepth_histogram"] = events_equidepth_histogram
 ORACLES["events_equidepth_histogram"] = QT.oracle_equidepth_octiles_sql(
     "events", "value"
 )
+
+
+def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (r13,
+    operators/quantile.psi_drift): events.value in the month's second
+    half (days 16+) scored against the first half's octile bins — the
+    standard ML-monitoring answer to "did the feature distribution
+    move", one tier above the per-point CUSUM/MAD anomaly rows. Exact
+    integer count/proportion lanes, 9-digit-rounded per-bin ln terms,
+    and a fold-order-free DECIMAL-lane psi_total with the conventional
+    < 0.1 stable verdict riding every row; the fixture's two halves
+    draw from the same generator, so `stable` = true is the expected
+    non-vacuous outcome (a generator or binning bug flips it)."""
+    ev = tables.load(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15)
+    cmp = ev.filter(F.dayofmonth("ts") >= 16)
+    return QT.psi_drift(ref, cmp, "value")
+
+
+QUERIES["events_psi_value_drift"] = events_psi_value_drift
+ORACLES["events_psi_value_drift"] = QT.oracle_psi_drift_sql(
+    "(SELECT * FROM events WHERE day(ts) <= 15)",
+    "(SELECT * FROM events WHERE day(ts) >= 16)",
+    "value",
+)

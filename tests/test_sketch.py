@@ -735,3 +735,43 @@ def test_kmv_jaccard_counting_matches_python_replay(spark):
     true_j = 150 / 450
     import math
     assert abs(got_ab / len(hu) - true_j) <= 5 * math.sqrt(0.25 / k)
+
+
+def test_psi_drift_detects_a_shift_and_clears_identical_halves(spark):
+    """psi_drift (operators/quantile): two samples from the same
+    distribution read stable (< 0.1); a location-shifted comparison
+    flips the verdict and every populated bin carries a term. The
+    python replay pins psi_total arithmetic exactly."""
+    import math
+
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    ref = spark.createDataFrame(
+        [((i * 37) % 1000 / 10.0,) for i in range(800)], "value double"
+    )
+    same = spark.createDataFrame(
+        [((i * 53) % 1000 / 10.0,) for i in range(800)], "value double"
+    )
+    shifted = spark.createDataFrame(
+        [(60.0 + (i * 37) % 400 / 10.0,) for i in range(800)], "value double"
+    )
+    out_same = QT.psi_drift(ref, same, "value").collect()
+    assert all(r.stable for r in out_same) and out_same[0].psi_total < 0.1
+
+    out_shift = QT.psi_drift(ref, shifted, "value").collect()
+    assert all(not r.stable for r in out_shift)
+    assert out_shift[0].psi_total > 0.2  # conventional "major shift" band
+
+    # python replay of psi_total from the emitted exact lanes
+    tr = sum(r.n_ref for r in out_shift)
+    tc = sum(r.n_cmp for r in out_shift)
+    want = sum(
+        round(
+            (r.n_cmp / tc - r.n_ref / tr)
+            * math.log((r.n_cmp / tc) / (r.n_ref / tr)),
+            9,
+        )
+        for r in out_shift
+        if r.n_ref > 0 and r.n_cmp > 0
+    )
+    assert abs(out_shift[0].psi_total - want) < 1e-9
