@@ -90,108 +90,93 @@ SUITE_MODULES = (
 # (a)); rotation_check treats these as legitimate window occupants even
 # while stale rows wait. Keep this list honest — it is the audit trail
 # for why a fresh row occupies a slot ahead of a stale one.
-# r13: events_ab_conversion_lift (ADVICE r12 — rel_lift zero-guard +
-# empty-arm left-join reshape on both engine sides) and events_ols_trend
-# (ADVICE r12 — DECIMAL-operand multiply so the exact lane survives 100
-# TB row counts). Both are ALSO never-driver-checked late-r12 rows, so
-# their slots are legitimate twice over; listed for the audit trail.
+# r14: graph_kcore_membership (ADVICE r13 — the self-loop guard now
+# applies to the UNION result on both engine sides instead of only the
+# first leg). The row is ALSO never-driver-checked (added r13 after the
+# window froze), so its slot is legitimate twice over.
 POLICY_A = (
-    "events_ab_conversion_lift",
-    "events_ols_trend",
+    "graph_kcore_membership",
 )
 
 DRIVER_PRIORITY = (
-    # Round 13 window (VERDICT r12 #1, rotated as the FIRST commit of
-    # the round per the settled protocol): knn_search_batch leads (the
-    # named flagship-tier violation, r09 basis), then the 15 late-r12
-    # never-driver-checked rows (each green at 3 SFs in the committed
-    # r12 sweeps), then 34 of the 37 r09-stale rows (alphabetical).
-    # The 3 r09-stale rows that do not fit (tpch_q8_market_share,
-    # tpch_q9_product_profit, vector_pq_codes) head the r14 queue below
-    # — VERDICT r12 #4 requires the r09 backlog cleared by end of r14,
-    # and 3 rows fit trivially.
-    # §2.A flagship tier (rotation_check guard — r09 basis):
-    "knn_search_batch",
-    # never driver-checked (late-r12; green at 3 SFs locally; the two
-    # POLICY_A rows sit here too — changed this round by the ADVICE
-    # fixes):
-    "sample_priority_weighted",
-    "shard_rendezvous_assignment",
-    "graph_sssp_weighted",
-    "basket_frequent_pairs",
-    "text_tfidf_topk_terms",
-    "events_ols_trend",
-    "events_mad_outliers",
-    "graph_link_prediction_topk",
-    "sketch_kmv_grouped",
-    "events_equidepth_histogram",
-    "text_pmi_collocations",
-    "near_dedup_sorted_neighborhood",
-    "events_ab_conversion_lift",
-    "graph_link_prediction_aa",
-    "text_langid_confusion",
-    # r09-stale rows, alphabetical (34 of 37 — re-earning the oldest
-    # bucket per VERDICT r12 #1/#4):
-    "agg_stats_funcs",
-    "ann_kmeans_ivf_topk",
-    "clean_corpus_pipeline",
-    "correlated_scalar_subquery",
-    "dedup_repeated_spans",
-    "events_asof_purchase_last_view",
-    "events_json_extract",
-    "events_pivot_daily_types",
-    "events_range_join",
-    "events_sliding_1h_30m",
-    "fuzzy_join_part_names",
-    "index_state_diff",
-    "join_anti_customers_without_orders",
-    "join_full_outer_segments",
-    "multimodal_lossy_header_meta",
-    "multimodal_training_manifest",
-    "sample_pps_systematic",
-    "scd2_customer_history",
-    "scd2_point_in_time_join",
-    "text_bigram_lm_scores",
-    "text_bm25_topk",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    # VERDICT r12 #5 demands a driver stamp THIS round for the streaming
-    # KMV ledger row (added in r13) — per the cadence policy above it
-    # displaces the bottom stale slot (tpch_q7_volume_shipping), which
-    # heads the r14 queue:
-    "sketch_kmv_streaming_backlog",
-    # --- 50-slot window boundary ---
-    # r14 window plan: the 4 r09-stale rows below lead (displaced from
-    # the r13 window by the never-checked block and the directive row —
-    # clearing them closes VERDICT r12 #4), then any rows added in r13
-    # after the window froze (never-checked jump the queue per the
-    # cadence policy above), then the oldest r10 rows (50 of them — the
-    # r14 window drains the r10 bucket almost exactly, keeping the
-    # histogram inside the cur-4 bound).
-    # r09-stale, displaced from the r13 window:
+    # Round 14 window (VERDICT r13 #1, rotated as the FIRST commit of
+    # the round, exactly as queued in the r13 boundary comment): the 4
+    # r09-stale rows lead (clearing them closes VERDICT r12 #4 — the
+    # r09 bucket is now EMPTY), then the 6 never-driver-checked r13
+    # growth rows, then the first 40 alphabetical r10-stale rows (40 of
+    # the 49-row r10 bucket; the remaining 9 head the r15 queue below).
+    # r09-stale (displaced from the r13 window; oldest bucket first):
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "vector_pq_codes",
-    # added in r13 AFTER the window froze (VERDICT r12 #6 growth rows;
-    # never-checked, so they jump the r14 queue right behind the
-    # displaced stale rows above):
+    # never driver-checked (added r13 after that window froze; each
+    # green at sf0.01+sf0.1 in the committed r13 sweeps and 7/10
+    # re-oracled by the judge; graph_kcore_membership is also POLICY_A
+    # — the ADVICE r13 self-loop fix changed impl+oracle this round):
     "sketch_hll_intersection_grouped",
     "eval_ann_recall_at_k",
     "sketch_kmv_jaccard",
     "graph_kcore_membership",
     "sketch_mg_streaming_backlog",
     "events_psi_value_drift",
+    # r10-stale rows, alphabetical (first 40 of the 49-row bucket):
+    "agg_approx_family",
+    "ann_cosine_topk_join",
+    "ann_ivf_label_topk",
+    "ann_ivf_pq_topk",
+    "ann_lsh_hyperplane_topk",
+    "bucketed_colocated_join",
+    "chunk_sliding_window",
+    "embedding_quantize_int8",
+    "events_sessionize",
+    "events_tumbling_hourly",
+    "exact_dedup_text",
+    "grouping_analytics",
+    "hybrid_search_rrf",
+    "index_upsert_capacity",
+    "join_broadcast_dim",
+    "join_semi_customers_with_orders",
+    "map_column_ops",
+    "mixture_weighted_sources",
+    "multimodal_binary_metadata",
+    "multimodal_decode_image",
+    "multimodal_join",
+    "near_dedup_embedding_cosine",
+    "near_dedup_minhash_lsh",
+    "near_dedup_ngram_jaccard",
+    "null_handling_funcs",
+    "sample_hash_fraction",
+    "sample_stratified_by_lang",
+    "scalar_funcs",
+    "scd2_two_batch_history",
+    "set_ops_customer_segments",
+    "sketch_ams",
+    "sketch_bloom",
+    "sketch_cms",
+    "sketch_hll",
+    "sketch_quantile",
+    "skew_salted_join",
+    "source_format_roundtrips",
+    "text_benchmark_contamination",
+    "text_fingerprints",
+    "text_language_id",
+    # --- 50-slot window boundary ---
+    # r15 window plan: the 9 remaining r10-stale rows below lead, then
+    # any rows added in r14 after this window froze (never-checked rows
+    # jump the queue per the cadence policy above), then the oldest ~40
+    # r11 rows (48-row bucket; the remainder drains in r16 — see the
+    # cur-5 cycle arithmetic in the cadence policy).
+    # r10-stale, did not fit this window:
+    "text_quality_scores",
+    "text_token_counts",
+    "text_vocab_topk",
+    "topk_orders_by_price",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "traverse_chunks",
+    "window_funcs",
 )
 
 
