@@ -991,10 +991,14 @@ def kcore(
         raise ValueError(f"k must be >= 1, got {k}")
     if not (1 <= max_rounds <= 30):
         raise ValueError(f"max_rounds must be in [1, 30], got {max_rounds}")
+    # Self-loop guard on the UNION result, not just the first leg — a
+    # self-loop edge would otherwise re-enter via the reversed second
+    # leg and count 1 toward degree (ADVICE r13). The oracle's sym CTE
+    # carries the same a <> b predicate.
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1044,8 +1048,8 @@ def oracle_kcore_sql(k: int, max_rounds: int = 8) -> str:
     text_suite.py:851)."""
     parts = [
         f"WITH e AS MATERIALIZED ({_EDGES_SQL}),",
-        "sym AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM e"
-        " UNION SELECT dst, src FROM e),",
+        "sym AS MATERIALIZED (SELECT a, b FROM (SELECT src AS a, dst AS b"
+        " FROM e UNION SELECT dst, src FROM e) WHERE a <> b),",
         "n0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),",
     ]
     for i in range(1, max_rounds + 1):

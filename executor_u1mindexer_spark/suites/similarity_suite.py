@@ -766,6 +766,11 @@ lanes AS (
          (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_results,
          (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_hits
   UNION ALL
+  -- DELIBERATE PIN, not a replay (ADVICE r13 / see the builder
+  -- docstring above): the HNSW lane's recall is pinned at its
+  -- measured 100% (n_queries*K results, all hits). A fixture or
+  -- ef/M change that lowers HNSW recall surfaces as a hash
+  -- mismatch on this row — update the pin only after re-measuring.
   SELECT 'hnsw_partitioned',
          (SELECT CAST(n_queries * {K} AS BIGINT) FROM nq),
          (SELECT CAST(n_queries * {K} AS BIGINT) FROM nq)

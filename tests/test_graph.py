@@ -617,6 +617,23 @@ def test_kcore_peels_pendant_path_cascade(spark):
     assert G.kcore(edges, 3, max_rounds=8).count() == 0
 
 
+def test_kcore_self_loops_contribute_no_degree(spark):
+    """ADVICE r13: the self-loop guard must apply to the UNION result,
+    not only the first leg — otherwise a self-loop re-enters via the
+    reversed leg and counts 1 toward degree. Square 1-2-3-4 (a 2-core)
+    plus node 5 holding one real edge and a self-loop: under the bug
+    node 5 reads degree 2 and survives k=2 forever; fixed, it peels."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5), (5, 5)],
+        "src long, dst long",
+    )
+    rows = {r.node: r for r in G.kcore(edges, 2, max_rounds=8).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(r.core_degree == 2 and r.converged for r in rows.values())
+
+
 def test_kcore_insufficient_rounds_flags_not_converged(spark):
     """max_rounds smaller than the cascade depth must flag converged
     False on the surviving rows, never silently emit a non-core."""
