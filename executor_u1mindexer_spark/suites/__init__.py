@@ -159,14 +159,23 @@ DRIVER_PRIORITY = (
     "skew_salted_join",
     "source_format_roundtrips",
     "text_benchmark_contamination",
+    # VERDICT r13 #3 demands driver stamps THIS round for the two last
+    # pytest-only streaming twins, now driver-facing via the drained-
+    # backlog pattern (added r14, never-checked) — per the cadence
+    # policy they displace the BOTTOM two stale slots
+    # (text_fingerprints, text_language_id), which head the r15 queue:
+    "near_dedup_minhash_streaming_backlog",
+    "events_sessionize_capped_backlog",
+    # --- 50-slot window boundary ---
+    # r15 window plan: the 2 displaced r10-stale rows below lead, then
+    # the 9 r10-stale rows that never fit, then any rows added in r14
+    # after this window froze (never-checked rows jump the queue per
+    # the cadence policy above), then the oldest ~35 r11 rows (48-row
+    # bucket; the remainder drains in r16 — see the cur-5 cycle
+    # arithmetic in the cadence policy).
+    # r10-stale, displaced by the directive rows above:
     "text_fingerprints",
     "text_language_id",
-    # --- 50-slot window boundary ---
-    # r15 window plan: the 9 remaining r10-stale rows below lead, then
-    # any rows added in r14 after this window froze (never-checked rows
-    # jump the queue per the cadence policy above), then the oldest ~40
-    # r11 rows (48-row bucket; the remainder drains in r16 — see the
-    # cur-5 cycle arithmetic in the cadence policy).
     # r10-stale, did not fit this window:
     "text_quality_scores",
     "text_token_counts",

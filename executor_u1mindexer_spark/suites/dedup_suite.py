@@ -561,3 +561,169 @@ WHERE {_JACCARD} >= 0.5
 
 QUERIES["near_dedup_sorted_neighborhood"] = near_dedup_sorted_neighborhood
 ORACLES["near_dedup_sorted_neighborhood"] = ORACLES_SNM_SQL
+
+
+def near_dedup_minhash_streaming_backlog(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming MinHash-LSH dedup ledger's driver-facing row (r14,
+    VERDICT r13 #3 — streaming/dedup_stream.streaming_minhash_dedup was
+    pytest-only since r09): a three-file drained backlog of the
+    documents table (split doc_id % 3) pushed through the REAL
+    applyInPandasWithState bucket kernel — readStream +
+    maxFilesPerTrigger=1 + trigger(availableNow) over tmp parquet, the
+    memory sink collecting the per-bucket decision ledger — then the
+    ledger folded with the documented consumer rule, min(dup_of) per
+    doc across bands and emissions.
+
+    Why this is drivable at all: the kernel's ledger CONVERGES to the
+    batch rule — dup_of(doc) = the smallest same-bucket smaller id with
+    >= 16/32 signature-perm agreement — for ANY micro-batch arrival
+    order (dedup_stream.py's improvement-emission argument, property-
+    tested under random permutations), so the folded verdicts are
+    deterministic even though the emission sequence is not. sim_micro
+    re-derives the winning pair's agreement IN-PLAN from the batch
+    signature expressions (n_agree * 31250 — 1/32nds are exact
+    micros), so a ledger row claiming a non-qualifying pair surfaces
+    as a NULL, and ledger_eq_batch (empty symmetric difference vs the
+    in-plan batch replay) rides every row. The oracle replays
+    signature -> banding -> agreement -> min in DuckDB from the same
+    fragments as near_dedup_minhash_lsh.
+
+    Scale: stream state is (ids, sigs, best) per LSH bucket — bounded
+    by bucket occupancy exactly like the batch path's banded candidate
+    argument; the drained fold touches ledger EMISSIONS only, never
+    the corpus."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from executor_u1mindexer_spark.streaming import dedup_stream as DS
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="spark_graft_mh_backlog_")
+    try:
+        in_dir = f"{root}/in"
+        _os.makedirs(in_dir, exist_ok=True)
+        for bid in range(3):
+            stage = f"{root}/stage{bid}"
+            docs.filter(F.col("doc_id") % 3 == bid).coalesce(1).write.parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            shutil.move(part, f"{in_dir}/b{bid}.parquet")
+        q = (
+            DS.streaming_minhash_dedup(
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            .writeStream.format("memory")
+            .queryName("mh_backlog")
+            .outputMode("update")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emissions = spark.table("mh_backlog").collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    fold: dict[int, int] = {}
+    for r in emissions:
+        d, p = int(r.doc_id), int(r.dup_of)
+        fold[d] = min(fold.get(d, p), p)
+    ledger = spark.createDataFrame(
+        sorted(fold.items()), "doc_id long, dup_of long"
+    )
+    # in-plan batch replay of the identical rule, from the batch
+    # expressions the stream's scan side shares
+    sig_df = docs.select("doc_id", D.minhash_signature("text").alias("sig"))
+    banded = sig_df.select(
+        "doc_id",
+        "sig",
+        F.posexplode(D.lsh_band_keys(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("sa"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("sb"), "band_idx", "band_key"
+    )
+    n_agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    min_agree = int(DS.SIG_SIM_THRESHOLD * D.N_HASHES)  # 16 of 32
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("n_agree", n_agree)
+        .filter(F.col("n_agree") >= min_agree)
+        .groupBy("a", "b")
+        .agg(F.max("n_agree").alias("n_agree"))  # identical across bands
+    )
+    batch = (
+        pairs.groupBy("b")
+        .agg(F.min("a").alias("dup_of"))
+        .select(F.col("b").alias("doc_id"), "dup_of")
+    )
+    n_diff = (
+        ledger.subtract(batch)
+        .unionByName(batch.subtract(ledger))
+        .agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    )
+    return (
+        ledger.join(
+            pairs.select(
+                F.col("b").alias("doc_id"), F.col("a").alias("dup_of"), "n_agree"
+            ),
+            ["doc_id", "dup_of"],
+            "left",
+        )
+        .crossJoin(F.broadcast(n_diff))
+        .select(
+            "doc_id",
+            "dup_of",
+            (F.col("n_agree").cast("long") * F.lit(31250)).alias("sim_micro"),
+            (F.col("__nd") == 0).alias("ledger_eq_batch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MH_STREAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS id, str_split(text, ' ') AS toks FROM documents
+), sh_t AS (
+  SELECT id, {_SHINGLES} AS sh FROM t
+), sig_t AS MATERIALIZED (
+  SELECT id,
+         (SELECT [{_SIG_MINS}]
+          FROM (SELECT list_transform(sh, s -> {_H32.format(s='s')}) AS shh)) AS sig
+  FROM sh_t
+), banded AS (
+  SELECT id, sig, r.range AS band_idx, [{_BAND_KEYS}][r.range + 1] AS band_key
+  FROM sig_t, range({D.BANDS}) r
+), pairs AS (
+  SELECT DISTINCT l.id AS a, r.id AS b,
+         len(list_filter(range(1, {D.N_HASHES} + 1),
+                         i -> l.sig[i] = r.sig[i])) AS n_agree
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.id < r.id
+), q AS (
+  SELECT a, b, n_agree FROM pairs WHERE n_agree >= 16
+), led AS (
+  SELECT b AS doc_id, min(a) AS dup_of FROM q GROUP BY b
+)
+-- ledger_eq_batch is computed genuinely on the Spark side (stream fold
+-- vs in-plan batch replay); DuckDB cannot see the stream, so the oracle
+-- pins the contract: the drained ledger MUST equal this batch rule.
+SELECT l.doc_id, l.dup_of, CAST(q.n_agree * 31250 AS BIGINT) AS sim_micro,
+       TRUE AS ledger_eq_batch
+FROM led l JOIN q ON q.b = l.doc_id AND q.a = l.dup_of
+ORDER BY l.doc_id
+"""
+
+QUERIES["near_dedup_minhash_streaming_backlog"] = near_dedup_minhash_streaming_backlog
+ORACLES["near_dedup_minhash_streaming_backlog"] = _MH_STREAM_SQL
