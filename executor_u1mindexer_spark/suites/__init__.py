@@ -62,10 +62,23 @@ SUITE_MODULES = (
 # tools/rotation_check.py enforces "no wasted slots": every window slot
 # must hold a stale, never-checked, or POLICY_A row while debt exists.
 
-# ROTATION CADENCE POLICY for a 200-row registry (VERDICT r12 #3 — the
-# written policy; tools/rotation_check.py encodes the enforceable parts):
-#   * 50 driver slots x 4 rounds = one full registry cycle. Steady state:
-#     the staleness histogram must never show a bucket older than cur-4.
+# ROTATION CADENCE POLICY for a 200+-row registry (VERDICT r12 #3, cycle
+# bound amended r14 per VERDICT r13 #4 with the arithmetic written down;
+# tools/rotation_check.py encodes the enforceable parts):
+#   * Cycle arithmetic (the reason the bound is cur-5, not cur-4): at
+#     209 registry rows a 50-slot window needs 209/50 = 4.18 rounds of
+#     pure re-earning — already past an exact 4-round fit — and in
+#     practice each window spends ~2-12 slots on POLICY_A, flagship-
+#     guard, directive, and never-checked rows (r13 spent 16, r14
+#     spends 8), so the effective stale-re-earn rate is ~40-48
+#     slots/round and a full cycle is ceil(209/~44) = 5 rounds. Growth
+#     of ~2-7 rows/round stays inside that bound up to ~240 rows
+#     (240/48 = 5.0); past that, fold sibling rows (suites/_fold.py)
+#     before stretching the bound again. Steady state: the staleness
+#     histogram must never show a checked bucket older than cur-5 —
+#     rotation_check enforces this like the flagship guard (assuming
+#     the committed window earns at cur+1, no row outside the window
+#     may be older than (cur+1)-5).
 #   * Slot priority, top to bottom:
 #       1. POLICY_A rows (implementation/oracle changed this round) — a
 #          changed row's old stamp proves nothing about the new code;
@@ -79,10 +92,12 @@ SUITE_MODULES = (
 #     rotated stale row mid-round unless a directive demands a driver
 #     stamp this round (then they displace the BOTTOM stale slot, which
 #     heads the next queue).
-#   * If registry growth pushes the cycle past 4 rounds, either fold
+#   * If registry growth pushes the cycle past 5 rounds (~240 rows at
+#     the measured re-earn rate — see the arithmetic above), fold
 #     sibling rows into parameterized twins (suites/_fold.py machinery)
-#     or amend this comment to state the new cycle length explicitly —
-#     silent cycle stretch is the r08 failure mode.
+#     rather than stretching the bound again — silent cycle stretch is
+#     the r08 failure mode, and rotation_check's MAX_AGE tripwire makes
+#     it loud.
 #   * The boundary comment below the 50th slot always carries the next
 #     window's queue so the rotation commit is a copy-paste.
 

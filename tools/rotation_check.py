@@ -33,7 +33,12 @@ changed-this-round list — rotation policy (a)).
 exit 1 iff:
   1. wasted slots exist while stale or never-checked rows wait outside
      the window; or
-  2. the flagship tier guard fires (below).
+  2. the flagship tier guard fires (below); or
+  3. the MAX_AGE cadence tripwire fires (r14, VERDICT r13 #4): assuming
+     the committed window earns a row at cur+1, no checked registry row
+     may end up older than (cur+1) - MAX_AGE. The cycle arithmetic
+     behind MAX_AGE = 5 lives in the cadence policy comment in
+     suites/__init__.py.
 
 A maximally-rotated window with remaining debt exits 0 and prints the
 queue so the next round's window is a copy-paste.
@@ -52,6 +57,12 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
 WINDOW = 50
+
+# Cadence bound (r14, VERDICT r13 #4): a checked row may never be more
+# than MAX_AGE rounds driver-stale. 209 rows / ~44 effective re-earn
+# slots per window = a 5-round cycle; the full arithmetic is written in
+# the cadence policy comment (suites/__init__.py).
+MAX_AGE = 5
 
 # §2.A flagship tier (VERDICT r08 #8): the reference's core search
 # semantics (executor.py:73–125). These rows may never exceed 2 rounds
@@ -154,6 +165,22 @@ def main() -> int:
         print(
             "FLAGSHIP TIER VIOLATION (must be in the window this round):",
             flagship_violations,
+        )
+        rc = 1
+    # MAX_AGE cadence tripwire: like the flagship guard, judged on the
+    # assumption the committed window earns its rows at cur+1. Never-
+    # checked rows are excluded (they queue per the growth policy and
+    # the wasted-slot rule already polices them).
+    age_violations = sorted(
+        n
+        for n in queries
+        if n not in window and 0 < latest.get(n, 0) < (cur + 1) - MAX_AGE
+    )
+    if age_violations:
+        print(
+            f"MAX_AGE CADENCE VIOLATION (older than cur+1-{MAX_AGE} and "
+            "not in the window):",
+            age_violations,
         )
         rc = 1
     if wasted and (missed or never_missed):
