@@ -670,3 +670,187 @@ __tot AS (
 SELECT __terms.*, psi_total, psi_total < 0.1e0 AS stable
 FROM __terms, __tot ORDER BY bucket
 """
+
+
+def ks_two_sample(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (VERDICT r13 #5a) — the
+    distribution-free member of the drift family beside the binned
+    (PSI/chi2) and sequential (CUSUM) monitors: D = sup_x |F_ref(x) -
+    F_cmp(x)|, evaluated exactly (for step empirical CDFs the sup is
+    attained at an observed value), with the classic large-sample 5%
+    rejection rule D > 1.358 * sqrt((n+m)/(n*m)) (Smirnov 1939 /
+    standard K-S tables).
+
+    Determinism engineering: values enter on the PSI row's exact centi
+    grid; |F_ref - F_cmp| is cross-multiplied to the INTEGER deviation
+    |c_ref*m - c_cmp*n| so the max is over exact BIGINTs (no float
+    compares anywhere near the argmax), and the rejection rule is
+    squared into pure integer lanes — d_num^2 * 10^6 > 1.358^2*10^6 *
+    (n+m)*n*m — evaluated in DECIMAL(38,0) (DuckDB HUGEINT), the OLS
+    row's wide-integer treatment, so the verdict cannot ride a rounding
+    edge. d_stat itself resolves to one 9-digit-rounded division of
+    correctly-rounded IEEE ops, reporting only.
+
+    100 TB shape: one union-side histogram fold bounds the state by the
+    VALUE DOMAIN (the equidepth/PSI rollup economy), then the running
+    CDFs come from BUCKET-PARTITIONED prefix sums — 64 in-plan derived
+    range buckets, within-bucket window cumsum, cross-bucket offsets via
+    a <=64-row broadcast theta-join — never a SinglePartition window and
+    never a driver collect (the r09 registry-wide ban holds; this is the
+    distributed two-pass prefix-sum, with the bounded second pass kept
+    in-plan). [NOT IN REFERENCE — no statistics surface in executor.py.]"""
+    y = F.expr(f"CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT)")
+    u = (
+        ref.filter(F.col(value_col).isNotNull())
+        .select(y.alias("__y"), F.lit(0).alias("__side"))
+        .unionByName(
+            cmp.filter(F.col(value_col).isNotNull()).select(
+                y.alias("__y"), F.lit(1).alias("__side")
+            )
+        )
+    )
+    hist = u.groupBy("__y").agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cmp"),
+    )
+    stats = hist.agg(
+        F.min("__y").alias("__mn"),
+        F.max("__y").alias("__mx"),
+        F.sum("n_ref").cast("long").alias("__tr"),
+        F.sum("n_cmp").cast("long").alias("__tc"),
+    )
+    h2 = hist.crossJoin(F.broadcast(stats)).select(
+        "__y",
+        "n_ref",
+        "n_cmp",
+        "__tr",
+        "__tc",
+        F.expr("CAST((__y - __mn) * 64 DIV (__mx - __mn + 1) AS BIGINT)").alias(
+            "__bkt"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wc = h2.select(
+        "__y",
+        "__bkt",
+        "__tr",
+        "__tc",
+        F.sum("n_ref").over(w).alias("__wr"),
+        F.sum("n_cmp").over(w).alias("__wc"),
+    )
+    btot = h2.groupBy("__bkt").agg(
+        F.sum("n_ref").cast("long").alias("__br"),
+        F.sum("n_cmp").cast("long").alias("__bc"),
+    )
+    prior = btot.select(
+        F.col("__bkt").alias("__pb"),
+        F.col("__br").alias("__pr"),
+        F.col("__bc").alias("__pc"),
+    )
+    off = (
+        btot.join(F.broadcast(prior), F.col("__pb") < F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(
+            F.coalesce(F.sum("__pr"), F.lit(0)).cast("long").alias("__or"),
+            F.coalesce(F.sum("__pc"), F.lit(0)).cast("long").alias("__oc"),
+        )
+    )
+    dev = wc.join(F.broadcast(off), "__bkt").select(
+        "__tr",
+        "__tc",
+        F.abs(
+            (F.col("__wr") + F.col("__or")) * F.col("__tc")
+            - (F.col("__wc") + F.col("__oc")) * F.col("__tr")
+        ).alias("__dev"),
+    )
+    return dev.groupBy("__tr", "__tc").agg(
+        F.max("__dev").cast("long").alias("d_num")
+    ).select(
+        F.col("__tr").alias("n_ref"),
+        F.col("__tc").alias("n_cmp"),
+        "d_num",
+        F.expr(
+            "round(CAST(d_num AS DOUBLE)"
+            " / (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE)), 9)"
+        ).alias("d_stat"),
+        F.expr(
+            "CAST(d_num AS DECIMAL(38,0)) * CAST(d_num AS DECIMAL(38,0))"
+            " * CAST(1000000 AS DECIMAL(38,0))"
+            " > CAST(1844164 AS DECIMAL(38,0))"
+            "   * CAST(__tr + __tc AS DECIMAL(38,0))"
+            "   * CAST(__tr AS DECIMAL(38,0)) * CAST(__tc AS DECIMAL(38,0))"
+        ).alias("drift_detected"),
+    )
+
+
+def oracle_ks_two_sample_sql(
+    ref_source: str, cmp_source: str, value_col: str
+) -> str:
+    """DuckDB twin of ks_two_sample — the identical two-pass prefix-sum
+    over the identical centi-grid histogram (the bit-parity surface is
+    integer-only until the reporting division), HUGEINT standing in for
+    the DECIMAL(38,0) verdict lanes."""
+    return f"""
+WITH __u AS (
+  SELECT CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
+         0 AS __side
+  FROM {ref_source} WHERE {value_col} IS NOT NULL
+  UNION ALL
+  SELECT CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
+         1 AS __side
+  FROM {cmp_source} WHERE {value_col} IS NOT NULL
+),
+__hist AS MATERIALIZED (
+  SELECT __y,
+         CAST(count(*) FILTER (WHERE __side = 0) AS BIGINT) AS n_ref,
+         CAST(count(*) FILTER (WHERE __side = 1) AS BIGINT) AS n_cmp
+  FROM __u GROUP BY __y
+),
+__st AS (SELECT min(__y) AS __mn, max(__y) AS __mx,
+                CAST(sum(n_ref) AS BIGINT) AS __tr,
+                CAST(sum(n_cmp) AS BIGINT) AS __tc FROM __hist),
+__h2 AS MATERIALIZED (
+  SELECT __y, n_ref, n_cmp,
+         CAST((__y - __mn) * 64 // (__mx - __mn + 1) AS BIGINT) AS __bkt
+  FROM __hist, __st
+),
+__wc AS (
+  SELECT __y, __bkt,
+         CAST(sum(n_ref) OVER (PARTITION BY __bkt ORDER BY __y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS __wr,
+         CAST(sum(n_cmp) OVER (PARTITION BY __bkt ORDER BY __y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS __wc
+  FROM __h2
+),
+__bt AS (SELECT __bkt, CAST(sum(n_ref) AS BIGINT) AS __br,
+                CAST(sum(n_cmp) AS BIGINT) AS __bc FROM __h2 GROUP BY __bkt),
+__off AS (
+  SELECT a.__bkt,
+         CAST(coalesce(sum(b.__br), 0) AS BIGINT) AS __or,
+         CAST(coalesce(sum(b.__bc), 0) AS BIGINT) AS __oc
+  FROM __bt a LEFT JOIN __bt b ON b.__bkt < a.__bkt
+  GROUP BY a.__bkt
+),
+__d AS (
+  SELECT CAST(max(abs((__wr + __or) * __tc - (__wc + __oc) * __tr)) AS BIGINT)
+           AS d_num
+  FROM __wc JOIN __off USING (__bkt), __st
+)
+SELECT __tr AS n_ref, __tc AS n_cmp, d_num,
+       round(CAST(d_num AS DOUBLE)
+             / (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE)), 9) AS d_stat,
+       CAST(d_num AS HUGEINT) * d_num * 1000000
+         > CAST(1844164 AS HUGEINT) * (__tr + __tc) * __tr * __tc
+         AS drift_detected
+FROM __d, __st
+"""

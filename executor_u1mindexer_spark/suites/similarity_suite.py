@@ -794,3 +794,147 @@ FROM lanes, nq ORDER BY method
 
 QUERIES["eval_ann_recall_at_k"] = eval_ann_recall_at_k
 ORACLES["eval_ann_recall_at_k"] = _RECALL_SQL
+
+
+def eval_ann_recall_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group recall@K (r14, VERDICT r13 #5b): the slice-level form
+    of eval_ann_recall_at_k — recall by query LABEL, the per-segment
+    retrieval audit a real eval wants (an ANN lane can read 95% overall
+    while one slice sits at 60%; only the grouped view shows it). One
+    row per (method, label): n_queries, n_results, n_hits and the exact
+    integer recall_at_k_micro with the label's own n_queries*K
+    denominator.
+
+    Lanes: ivf_label and lsh_hyperplane — the two lanes whose recall
+    genuinely VARIES by slice and whose retrieval the oracle replays in
+    full (both per-lane registry rows pin the tie-break determinism the
+    set intersections rely on). exact_control is omitted (per-group
+    recall is 1.0 by definition — no measurement) and hnsw_partitioned
+    is omitted because its oracle would be the deliberate per-group PIN
+    the ungrouped row already carries once (see the DELIBERATE PIN note
+    there) while re-running the row's dominant cost, the C-kernel graph
+    build. Scale shape: the same one-exact-KNN + semi-joins-over-
+    result-sets economy as the ungrouped row, cheaper by the HNSW
+    build."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    q2 = q.select("query_id", "query_embedding")
+    qlab = q.select("query_id", F.col("query_label").alias("label"))
+    exact = knn.knn_search(emb, q2, k=K, metric="cosine").select(
+        "query_id", "vec_id"
+    )
+    lanes = {
+        "ivf_label": S.bucketed_topk(
+            emb,
+            q,
+            bucket_stored=F.col("label"),
+            bucket_query=F.col("query_label"),
+            k=K,
+            metric="cosine",
+        ).select("query_id", "vec_id"),
+        "lsh_hyperplane": S.bucketed_topk(
+            emb,
+            q,
+            bucket_stored=S.sign_lsh_bucket(F.col("embedding").cast("array<double>")),
+            bucket_query=S.sign_lsh_bucket(
+                F.col("query_embedding").cast("array<double>")
+            ),
+            k=K,
+            metric="cosine",
+        ).select("query_id", "vec_id"),
+    }
+    nq = q.groupBy(F.col("query_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    per_lane = None
+    for name, res in lanes.items():
+        res_l = res.join(F.broadcast(qlab), "query_id")
+        hits_l = res.join(exact, ["query_id", "vec_id"], "leftsemi").join(
+            F.broadcast(qlab), "query_id"
+        )
+        row = (
+            res_l.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_results"))
+            .join(
+                hits_l.groupBy("label").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_hits")
+                ),
+                "label",
+            )
+            .select(F.lit(name).alias("method"), "label", "n_results", "n_hits")
+        )
+        per_lane = row if per_lane is None else per_lane.unionByName(row)
+    return (
+        per_lane.join(F.broadcast(nq), "label")
+        .select(
+            "method",
+            "label",
+            "n_queries",
+            "n_results",
+            "n_hits",
+            F.expr(
+                f"CAST({EVAL_SCALE} * n_hits"
+                f" DIV nullif(n_queries * {K}, 0) AS BIGINT)"
+            ).alias("recall_at_k_micro"),
+        )
+        .orderBy("method", "label")
+    )
+
+
+_RECALL_GROUP_SQL = (
+    _BASE
+    + f"""
+, scored AS (
+  SELECT q.query_id, e.vec_id, {_COS} AS dist FROM e CROSS JOIN q
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, vec_id ASC) AS rk
+    FROM scored) t WHERE rk <= {K}
+), ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS} ASC, e.vec_id ASC) AS rk
+    FROM e JOIN q ON e.label = q.qlabel) t WHERE rk <= {K}
+), eb AS (
+  SELECT vec_id, v, {_BUCKET.format(v='v')} AS bucket FROM e
+), qb AS (
+  SELECT query_id, qv, {_BUCKET.format(v='qv')} AS bucket FROM q
+), lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qb.query_id, eb.vec_id,
+           row_number() OVER (PARTITION BY qb.query_id
+                              ORDER BY {_LSH_COS} ASC, eb.vec_id ASC) AS rk
+    FROM eb JOIN qb ON eb.bucket = qb.bucket) t WHERE rk <= {K}
+), nq AS (
+  SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries
+  FROM q GROUP BY qlabel
+), ivf_g AS (
+  SELECT q.qlabel AS label, CAST(count(*) AS BIGINT) AS n_results,
+         CAST(count(*) FILTER (WHERE ex.vec_id IS NOT NULL) AS BIGINT) AS n_hits
+  FROM ivf i JOIN q ON q.query_id = i.query_id
+  LEFT JOIN exact ex ON ex.query_id = i.query_id AND ex.vec_id = i.vec_id
+  GROUP BY q.qlabel
+), lsh_g AS (
+  SELECT q.qlabel AS label, CAST(count(*) AS BIGINT) AS n_results,
+         CAST(count(*) FILTER (WHERE ex.vec_id IS NOT NULL) AS BIGINT) AS n_hits
+  FROM lsh s JOIN q ON q.query_id = s.query_id
+  LEFT JOIN exact ex ON ex.query_id = s.query_id AND ex.vec_id = s.vec_id
+  GROUP BY q.qlabel
+), lanes AS (
+  SELECT 'ivf_label' AS method, * FROM ivf_g
+  UNION ALL
+  SELECT 'lsh_hyperplane' AS method, * FROM lsh_g
+)
+SELECT l.method, l.label, n.n_queries, l.n_results, l.n_hits,
+       CAST({EVAL_SCALE} * l.n_hits
+            // nullif(n.n_queries * {K}, 0) AS BIGINT) AS recall_at_k_micro
+FROM lanes l JOIN nq n ON n.label = l.label
+ORDER BY l.method, l.label
+"""
+)
+
+QUERIES["eval_ann_recall_by_group"] = eval_ann_recall_by_group
+ORACLES["eval_ann_recall_by_group"] = _RECALL_GROUP_SQL

@@ -1878,3 +1878,28 @@ ORACLES["events_psi_value_drift"] = QT.oracle_psi_drift_sql(
     "(SELECT * FROM events WHERE day(ts) >= 16)",
     "value",
 )
+
+
+def events_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (r14, VERDICT r13 #5a,
+    operators/quantile.ks_two_sample): the distribution-free member
+    completing the drift family — binned (PSI/chi2), sequential
+    (CUSUM), robust per-point (MAD), and now distribution-free
+    whole-shape (KS) — over the same first-half/second-half split as
+    the PSI row. The exact D statistic rides integer cross-multiplied
+    CDF deviations (max over exact BIGINTs) and the 5% Smirnov verdict
+    runs in DECIMAL(38,0)/HUGEINT lanes; the fixture's same-generator
+    halves make `drift_detected` = false the expected non-vacuous null
+    (the shifted-sample pytest pins detection, mirroring PSI's)."""
+    ev = tables.load(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15)
+    cmp = ev.filter(F.dayofmonth("ts") >= 16)
+    return QT.ks_two_sample(ref, cmp, "value")
+
+
+QUERIES["events_ks_value_drift"] = events_ks_value_drift
+ORACLES["events_ks_value_drift"] = QT.oracle_ks_two_sample_sql(
+    "(SELECT * FROM events WHERE day(ts) <= 15)",
+    "(SELECT * FROM events WHERE day(ts) >= 16)",
+    "value",
+)

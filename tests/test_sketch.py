@@ -775,3 +775,46 @@ def test_psi_drift_detects_a_shift_and_clears_identical_halves(spark):
         if r.n_ref > 0 and r.n_cmp > 0
     )
     assert abs(out_shift[0].psi_total - want) < 1e-9
+
+
+def test_ks_two_sample_detects_a_shift_and_clears_identical_halves(spark):
+    """ks_two_sample (operators/quantile, r14): same-distribution samples
+    stay under the 5% Smirnov critical line; a location-shifted
+    comparison crosses it. The python replay recomputes d_num exactly
+    from the raw samples (brute-force CDF sweep over the merged centi
+    grid), pinning the bucket-partitioned prefix-sum arithmetic."""
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    ref_vals = [(i * 37) % 1000 / 10.0 for i in range(800)]
+    same_vals = [(i * 53) % 1000 / 10.0 for i in range(800)]
+    shift_vals = [60.0 + (i * 37) % 400 / 10.0 for i in range(800)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    same = spark.createDataFrame([(v,) for v in same_vals], "value double")
+    shifted = spark.createDataFrame([(v,) for v in shift_vals], "value double")
+
+    r_same = QT.ks_two_sample(ref, same, "value").collect()[0]
+    assert not r_same.drift_detected
+    r_shift = QT.ks_two_sample(ref, shifted, "value").collect()[0]
+    assert r_shift.drift_detected
+
+    def replay_dnum(a_vals, b_vals):
+        import math
+
+        a = sorted(math.floor(v * 100.0 + 0.5) for v in a_vals)
+        b = sorted(math.floor(v * 100.0 + 0.5) for v in b_vals)
+        n, m = len(a), len(b)
+        best = 0
+        for x in sorted(set(a) | set(b)):
+            ca = sum(1 for v in a if v <= x)
+            cb = sum(1 for v in b if v <= x)
+            best = max(best, abs(ca * m - cb * n))
+        return best
+
+    assert r_same.d_num == replay_dnum(ref_vals, same_vals)
+    assert r_shift.d_num == replay_dnum(ref_vals, shift_vals)
+    assert r_same.n_ref == 800 and r_same.n_cmp == 800
+    # the verdict's integer lane replay: D > 1.358*sqrt((n+m)/(n*m))
+    for r in (r_same, r_shift):
+        lhs = r.d_num * r.d_num * 1_000_000
+        rhs = 1_844_164 * (r.n_ref + r.n_cmp) * r.n_ref * r.n_cmp
+        assert bool(r.drift_detected) == (lhs > rhs)
