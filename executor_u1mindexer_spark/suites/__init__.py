@@ -186,7 +186,7 @@ DRIVER_PRIORITY = (
     # the 9 r10-stale rows that never fit, then the rows added in r14
     # after this window froze (never-checked rows jump the queue per
     # the cadence policy above — as of freeze: events_ks_value_drift,
-    # eval_ann_recall_by_group, the VERDICT r13 #5 growth rows), then
+    # eval_ann_recall_by_group, eval_retrieval_ndcg), then
     # the oldest ~35 r11 rows (48-row bucket; the remainder drains in
     # r16 — see the cur-5 cycle arithmetic in the cadence policy).
     # r10-stale, displaced by the directive rows above:

@@ -938,3 +938,134 @@ ORDER BY l.method, l.label
 
 QUERIES["eval_ann_recall_by_group"] = eval_ann_recall_by_group
 ORACLES["eval_ann_recall_by_group"] = _RECALL_GROUP_SQL
+
+
+# nDCG@K discount literals, computed ONCE here and inlined into BOTH
+# engine sides: d_r = round(1e6 / log2(r+1)). K=5, so the classic
+# transcendental discount table is five integers and the whole metric
+# runs in exact BIGINT arithmetic at query time — the PMI/bigram-LM
+# single-rounding treatment taken to its limit (zero runtime
+# transcendentals; a libm ulp cannot exist where no log is evaluated).
+import math as _math
+
+_NDCG_D = tuple(round(1_000_000 / _math.log2(r + 1)) for r in range(1, K + 1))
+_NDCG_P = tuple(sum(_NDCG_D[:i]) for i in range(K + 1))  # prefix sums, P[0]=0
+_NDCG_GAIN = (
+    "CASE r "
+    + " ".join(f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_D))
+    + " END"
+)
+_NDCG_IDCG = (
+    "CASE n_ideal "
+    + " ".join(f"WHEN {i} THEN {p}" for i, p in enumerate(_NDCG_P))
+    + " END"
+)
+
+
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@K over the label-relevance run (r14) — the graded-ranking
+    member completing the IR metric set (MRR, precision@K, recall@K,
+    and now normalized discounted cumulative gain): same exact-cosine
+    top-K run as eval_retrieval_label_metrics (self excluded, binary
+    label relevance), DCG = sum of the literal integer discounts at the
+    relevant ranks, IDCG = the literal prefix sum at least(n_rel, K),
+    per-query ndcg = 1e6*DCG DIV IDCG — every aggregate exact BIGINT,
+    the discount table shared as module literals with the oracle (see
+    _NDCG_D). One summary row: n_queries, n_queries_with_rel,
+    sum_dcg_micro, mean_ndcg_micro (floor-mean of per-query micros)."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    run = knn.knn_search(
+        emb, q.select("query_id", "query_embedding"), k=K + 1, metric="cosine"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    run = run.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= K)
+    labeled = run.join(emb.select("vec_id", "label"), "vec_id").join(
+        q.select("query_id", F.col("query_label").alias("qlabel")), "query_id"
+    )
+    per_q = labeled.groupBy("query_id", "qlabel").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("qlabel"), F.expr(_NDCG_GAIN)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("dcg_micro")
+    )
+    label_counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    pq = (
+        per_q.join(label_counts, per_q["qlabel"] == label_counts["label"])
+        .select(
+            "query_id",
+            "dcg_micro",
+            F.expr(f"least(n_label - 1, CAST({K} AS BIGINT))").alias("n_ideal"),
+        )
+        .select(
+            "query_id",
+            "dcg_micro",
+            F.expr(
+                f"CASE WHEN n_ideal <= 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE (CAST({EVAL_SCALE} AS BIGINT) * dcg_micro)"
+                f" DIV ({_NDCG_IDCG}) END"
+            ).alias("ndcg_micro"),
+        )
+    )
+    return pq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum((F.col("dcg_micro") > 0).cast("long"))
+        .cast("long")
+        .alias("n_queries_with_rel"),
+        F.sum("dcg_micro").cast("long").alias("sum_dcg_micro"),
+        F.expr("CAST(sum(ndcg_micro) DIV count(*) AS BIGINT)").alias(
+            "mean_ndcg_micro"
+        ),
+    )
+
+
+_NDCG_SQL = (
+    _BASE
+    + f"""
+, scored AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label, {_COS} AS dist
+  FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, qlabel, vec_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rk
+  FROM scored
+), run AS (
+  SELECT query_id, qlabel, vec_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY rk) AS r
+  FROM ranked WHERE rk <= {K + 1} AND vec_id <> query_id
+), topk AS (SELECT * FROM run WHERE r <= {K}),
+per_q AS (
+  SELECT query_id, qlabel,
+         CAST(sum(CASE WHEN label = qlabel THEN {_NDCG_GAIN} ELSE 0 END)
+              AS BIGINT) AS dcg_micro
+  FROM topk GROUP BY query_id, qlabel
+),
+lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM e GROUP BY label),
+pq AS (
+  SELECT query_id, dcg_micro, n_ideal,
+         CASE WHEN n_ideal <= 0 THEN CAST(0 AS BIGINT)
+              ELSE (CAST({EVAL_SCALE} AS BIGINT) * dcg_micro)
+                   // ({_NDCG_IDCG}) END AS ndcg_micro
+  FROM (SELECT query_id, dcg_micro,
+               least(n_label - 1, CAST({K} AS BIGINT)) AS n_ideal
+        FROM per_q JOIN lc ON per_q.qlabel = lc.label) t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN dcg_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_queries_with_rel,
+       CAST(sum(dcg_micro) AS BIGINT) AS sum_dcg_micro,
+       CAST(sum(ndcg_micro) // count(*) AS BIGINT) AS mean_ndcg_micro
+FROM pq
+"""
+)
+
+QUERIES["eval_retrieval_ndcg"] = eval_retrieval_ndcg
+ORACLES["eval_retrieval_ndcg"] = _NDCG_SQL

@@ -811,3 +811,56 @@ def test_sorted_neighborhood_catches_adjacent_and_misses_far_keys(spark):
 
     with _pytest.raises(ValueError):
         D.sorted_neighborhood_pairs(df, window=1)
+
+
+def test_eval_retrieval_ndcg_matches_python_replay(spark, sf_dir):
+    """nDCG@K (r14): the summary row replayed in python from a numpy
+    brute-force run over the same fixture — ranks, binary label
+    relevance, the shared integer discount literals, floor divisions.
+    Also pins the discount table invariants (d_1 = 1e6, strictly
+    decreasing, prefix sums strict-monotone) so an accidental literal
+    edit on one engine side cannot pass."""
+    import numpy as np
+
+    from executor_u1mindexer_spark import tables
+    from executor_u1mindexer_spark.suites import similarity_suite as SS
+
+    assert SS._NDCG_D[0] == 1_000_000
+    assert all(a > b for a, b in zip(SS._NDCG_D, SS._NDCG_D[1:]))
+    assert all(b > a for a, b in zip(SS._NDCG_P, SS._NDCG_P[1:]))
+
+    got = SS.eval_retrieval_ndcg(spark, sf_dir).collect()[0]
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    labels = {r.vec_id: r.label for r in rows}
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    K = SS.K
+    n_label = {}
+    for r in rows:
+        n_label[r.label] = n_label.get(r.label, 0) + 1
+    q_ids = [int(i) for i in ids if i % SS.QUERY_MOD == 0]
+    sum_dcg = sum_ndcg = n_with = 0
+    for qid in q_ids:
+        qv = M[np.where(ids == qid)[0][0]]
+        dist = 1.0 - M @ qv
+        order = sorted(zip(dist, ids), key=lambda t: (t[0], t[1]))
+        run = [int(v) for _, v in order if int(v) != qid][:K]
+        dcg = sum(
+            SS._NDCG_D[r]
+            for r, v in enumerate(run)
+            if labels[v] == labels[qid]
+        )
+        n_ideal = min(n_label[labels[qid]] - 1, K)
+        ndcg = 0 if n_ideal <= 0 else (1_000_000 * dcg) // SS._NDCG_P[n_ideal]
+        sum_dcg += dcg
+        sum_ndcg += ndcg
+        n_with += 1 if dcg > 0 else 0
+    assert got.n_queries == len(q_ids)
+    assert got.n_queries_with_rel == n_with
+    assert got.sum_dcg_micro == sum_dcg
+    assert got.mean_ndcg_micro == sum_ndcg // len(q_ids)
