@@ -672,33 +672,19 @@ FROM __terms, __tot ORDER BY bucket
 """
 
 
-def ks_two_sample(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov drift test (VERDICT r13 #5a) — the
-    distribution-free member of the drift family beside the binned
-    (PSI/chi2) and sequential (CUSUM) monitors: D = sup_x |F_ref(x) -
-    F_cmp(x)|, evaluated exactly (for step empirical CDFs the sup is
-    attained at an observed value), with the classic large-sample 5%
-    rejection rule D > 1.358 * sqrt((n+m)/(n*m)) (Smirnov 1939 /
-    standard K-S tables).
+def _merged_value_cdf(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
+    """Shared two-sample machinery (KS + Mann-Whitney): centi-grid
+    histogram of both samples plus exact running cumulative counts.
 
-    Determinism engineering: values enter on the PSI row's exact centi
-    grid; |F_ref - F_cmp| is cross-multiplied to the INTEGER deviation
-    |c_ref*m - c_cmp*n| so the max is over exact BIGINTs (no float
-    compares anywhere near the argmax), and the rejection rule is
-    squared into pure integer lanes — d_num^2 * 10^6 > 1.358^2*10^6 *
-    (n+m)*n*m — evaluated in DECIMAL(38,0) (DuckDB HUGEINT), the OLS
-    row's wide-integer treatment, so the verdict cannot ride a rounding
-    edge. d_stat itself resolves to one 9-digit-rounded division of
-    correctly-rounded IEEE ops, reporting only.
-
-    100 TB shape: one union-side histogram fold bounds the state by the
-    VALUE DOMAIN (the equidepth/PSI rollup economy), then the running
-    CDFs come from BUCKET-PARTITIONED prefix sums — 64 in-plan derived
-    range buckets, within-bucket window cumsum, cross-bucket offsets via
-    a <=64-row broadcast theta-join — never a SinglePartition window and
-    never a driver collect (the r09 registry-wide ban holds; this is the
-    distributed two-pass prefix-sum, with the bounded second pass kept
-    in-plan). [NOT IN REFERENCE — no statistics surface in executor.py.]"""
+    One union-side fold bounds state by the VALUE DOMAIN (the
+    PSI/equidepth rollup economy); the running counts come from a
+    distributed two-pass prefix sum — 64 in-plan derived range buckets,
+    within-bucket window cumsum, cross-bucket offsets via a <=64-row
+    broadcast theta-join — never a SinglePartition window and never a
+    driver collect (the r09 registry-wide ban holds). Output: one row
+    per distinct centi value with (n_ref, n_cmp) at the value, totals
+    (__tr, __tc) on every row, and inclusive cumulative counts
+    (c_r, c_c) = counts of sample values <= this value."""
     y = F.expr(f"CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT)")
     u = (
         ref.filter(F.col(value_col).isNotNull())
@@ -743,6 +729,8 @@ def ks_two_sample(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
     wc = h2.select(
         "__y",
         "__bkt",
+        "n_ref",
+        "n_cmp",
         "__tr",
         "__tc",
         F.sum("n_ref").over(w).alias("__wr"),
@@ -765,12 +753,43 @@ def ks_two_sample(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
             F.coalesce(F.sum("__pc"), F.lit(0)).cast("long").alias("__oc"),
         )
     )
-    dev = wc.join(F.broadcast(off), "__bkt").select(
+    return wc.join(F.broadcast(off), "__bkt").select(
+        "__y",
+        "n_ref",
+        "n_cmp",
+        "__tr",
+        "__tc",
+        (F.col("__wr") + F.col("__or")).cast("long").alias("c_r"),
+        (F.col("__wc") + F.col("__oc")).cast("long").alias("c_c"),
+    )
+
+
+def ks_two_sample(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (VERDICT r13 #5a) — the
+    distribution-free member of the drift family beside the binned
+    (PSI/chi2) and sequential (CUSUM) monitors: D = sup_x |F_ref(x) -
+    F_cmp(x)|, evaluated exactly (for step empirical CDFs the sup is
+    attained at an observed value), with the classic large-sample 5%
+    rejection rule D > 1.358 * sqrt((n+m)/(n*m)) (Smirnov 1939 /
+    standard K-S tables).
+
+    Determinism engineering: values enter on the PSI row's exact centi
+    grid; |F_ref - F_cmp| is cross-multiplied to the INTEGER deviation
+    |c_ref*m - c_cmp*n| so the max is over exact BIGINTs (no float
+    compares anywhere near the argmax), and the rejection rule is
+    squared into pure integer lanes — d_num^2 * 10^6 > 1.358^2*10^6 *
+    (n+m)*n*m — evaluated in DECIMAL(38,0) (DuckDB HUGEINT), the OLS
+    row's wide-integer treatment, so the verdict cannot ride a rounding
+    edge. d_stat itself resolves to one 9-digit-rounded division of
+    correctly-rounded IEEE ops, reporting only. Scale shape: see
+    _merged_value_cdf (the shared KS/MWU machinery).
+    [NOT IN REFERENCE — no statistics surface in executor.py.]"""
+    cdf = _merged_value_cdf(ref, cmp, value_col)
+    dev = cdf.select(
         "__tr",
         "__tc",
         F.abs(
-            (F.col("__wr") + F.col("__or")) * F.col("__tc")
-            - (F.col("__wc") + F.col("__oc")) * F.col("__tr")
+            F.col("c_r") * F.col("__tc") - F.col("c_c") * F.col("__tr")
         ).alias("__dev"),
     )
     return dev.groupBy("__tr", "__tc").agg(
@@ -793,23 +812,79 @@ def ks_two_sample(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
     )
 
 
-def oracle_ks_two_sample_sql(
-    ref_source: str, cmp_source: str, value_col: str
-) -> str:
-    """DuckDB twin of ks_two_sample — the identical two-pass prefix-sum
-    over the identical centi-grid histogram (the bit-parity surface is
-    integer-only until the reporting division), HUGEINT standing in for
-    the DECIMAL(38,0) verdict lanes."""
-    return f"""
-WITH __u AS (
-  SELECT CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
-         0 AS __side
-  FROM {ref_source} WHERE {value_col} IS NOT NULL
-  UNION ALL
-  SELECT CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
-         1 AS __side
-  FROM {cmp_source} WHERE {value_col} IS NOT NULL
-),
+def mann_whitney_u(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
+    """Two-sample Mann-Whitney U / Wilcoxon rank-sum drift test (r14) —
+    the rank-based LOCATION member beside KS (whole-shape): with ties
+    handled by midranks, U1 = R1 - n1(n1+1)/2 and the large-sample
+    normal approximation z = (U1 - n1*n2/2) / sqrt(var), var =
+    n1*n2/12 * ((n+1) - sum(t^3-t)/(n(n-1))) (the standard tie
+    correction; Mann & Whitney 1947, Lehmann's Nonparametrics). KS sees
+    any distributional change; MWU is the sharper test when the
+    question is specifically "did values shift up or down".
+
+    Determinism engineering: ranks live on the shared centi grid, and
+    every statistic is computed in EXACT integer lanes first — midranks
+    are half-integers so the engine carries DOUBLED ranks (rank2 =
+    2*c_before + t + 1, an integer), giving r1_doubled and u1_doubled
+    as exact BIGINTs; the tie term sum(t^3 - t) folds in DECIMAL(38,0)
+    (DuckDB HUGEINT) since a fully-tied 1e8-row sample cubes past
+    BIGINT. z then resolves through ONE shared arithmetic expression
+    over correctly-rounded casts of those exact integers — bit-identical
+    cross-engine — rounded to 9 digits, and the 5% verdict compares the
+    ROUNDED z against 1.96 (the OLS treatment: exact sufficient
+    statistics, one documented rounded-double resolution; a fixture z
+    within 1e-9 of the critical value could flip it, and the fixture
+    sits nowhere near — same-generator halves read |z| << 1). Scale
+    shape: see _merged_value_cdf. [NOT IN REFERENCE.]"""
+    cdf = _merged_value_cdf(ref, cmp, value_col)
+    per_v = cdf.select(
+        "__tr",
+        "__tc",
+        "n_ref",
+        (F.col("n_ref") + F.col("n_cmp")).alias("__t"),
+        # c_before (strictly smaller values, both samples) = inclusive
+        # cumulative minus this value's own count; midrank doubled:
+        (
+            2 * (F.col("c_r") + F.col("c_c"))
+            - (F.col("n_ref") + F.col("n_cmp"))
+            + 1
+        ).alias("__rank2"),
+    )
+    agg = per_v.groupBy("__tr", "__tc").agg(
+        F.sum(F.col("n_ref") * F.col("__rank2")).cast("long").alias("r1_doubled"),
+        F.expr(
+            "sum(CAST(__t AS DECIMAL(38,0)) * CAST(__t AS DECIMAL(38,0))"
+            " * CAST(__t AS DECIMAL(38,0)) - CAST(__t AS DECIMAL(38,0)))"
+        ).alias("__tie"),
+    )
+    return agg.select(
+        F.col("__tr").alias("n_ref"),
+        F.col("__tc").alias("n_cmp"),
+        "r1_doubled",
+        F.expr("CAST(r1_doubled - __tr * (__tr + 1) AS BIGINT)").alias(
+            "u1_doubled"
+        ),
+        F.expr(
+            "round((CAST(r1_doubled - __tr * (__tr + 1) AS DOUBLE)"
+            "       - CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE))"
+            " / (2.0e0 * sqrt("
+            "   (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE) / 12.0e0)"
+            "   * (CAST(__tr + __tc + 1 AS DOUBLE)"
+            "      - CAST(__tie AS DOUBLE)"
+            "        / (CAST(__tr + __tc AS DOUBLE)"
+            "           * CAST(__tr + __tc - 1 AS DOUBLE))))), 9)"
+        ).alias("z_score"),
+    ).select(
+        "n_ref",
+        "n_cmp",
+        "r1_doubled",
+        "u1_doubled",
+        "z_score",
+        F.expr("abs(z_score) > 1.96e0").alias("drift_detected"),
+    )
+
+
+_ORACLE_CDF_TAIL = """
 __hist AS MATERIALIZED (
   SELECT __y,
          CAST(count(*) FILTER (WHERE __side = 0) AS BIGINT) AS n_ref,
@@ -825,7 +900,7 @@ __h2 AS MATERIALIZED (
   FROM __hist, __st
 ),
 __wc AS (
-  SELECT __y, __bkt,
+  SELECT __y, __bkt, n_ref, n_cmp,
          CAST(sum(n_ref) OVER (PARTITION BY __bkt ORDER BY __y
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS __wr,
          CAST(sum(n_cmp) OVER (PARTITION BY __bkt ORDER BY __y
@@ -841,10 +916,44 @@ __off AS (
   FROM __bt a LEFT JOIN __bt b ON b.__bkt < a.__bkt
   GROUP BY a.__bkt
 ),
+__cdf AS (
+  SELECT __y, n_ref, n_cmp,
+         CAST(__wr + __or AS BIGINT) AS c_r,
+         CAST(__wc + __oc AS BIGINT) AS c_c
+  FROM __wc JOIN __off USING (__bkt)
+)"""
+
+
+def _oracle_merged_cdf_sql(ref_source: str, cmp_source: str, value_col: str) -> str:
+    """DuckDB twin of _merged_value_cdf — the shared KS/MWU WITH chain
+    ending at __cdf (per-value counts + inclusive cumulative counts)
+    and __st (totals __tr/__tc)."""
+    return f"""
+WITH __u AS (
+  SELECT CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
+         0 AS __side
+  FROM {ref_source} WHERE {value_col} IS NOT NULL
+  UNION ALL
+  SELECT CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
+         1 AS __side
+  FROM {cmp_source} WHERE {value_col} IS NOT NULL
+),
+{_ORACLE_CDF_TAIL}"""
+
+
+def oracle_ks_two_sample_sql(
+    ref_source: str, cmp_source: str, value_col: str
+) -> str:
+    """DuckDB twin of ks_two_sample — the identical two-pass prefix-sum
+    over the identical centi-grid histogram (the bit-parity surface is
+    integer-only until the reporting division), HUGEINT standing in for
+    the DECIMAL(38,0) verdict lanes."""
+    return (
+        _oracle_merged_cdf_sql(ref_source, cmp_source, value_col)
+        + """,
 __d AS (
-  SELECT CAST(max(abs((__wr + __or) * __tc - (__wc + __oc) * __tr)) AS BIGINT)
-           AS d_num
-  FROM __wc JOIN __off USING (__bkt), __st
+  SELECT CAST(max(abs(c_r * __tc - c_c * __tr)) AS BIGINT) AS d_num
+  FROM __cdf, __st
 )
 SELECT __tr AS n_ref, __tc AS n_cmp, d_num,
        round(CAST(d_num AS DOUBLE)
@@ -854,3 +963,47 @@ SELECT __tr AS n_ref, __tc AS n_cmp, d_num,
          AS drift_detected
 FROM __d, __st
 """
+    )
+
+
+def oracle_mann_whitney_u_sql(
+    ref_source: str, cmp_source: str, value_col: str
+) -> str:
+    """DuckDB twin of mann_whitney_u — doubled-midrank integer lanes over
+    the shared __cdf chain, HUGEINT tie-term fold, the identical shared
+    z expression over correctly-rounded casts, verdict on the rounded z."""
+    return (
+        _oracle_merged_cdf_sql(ref_source, cmp_source, value_col)
+        + """,
+__pv AS (
+  SELECT n_ref, (n_ref + n_cmp) AS __t,
+         2 * (c_r + c_c) - (n_ref + n_cmp) + 1 AS __rank2
+  FROM __cdf
+),
+__a AS (
+  SELECT CAST(sum(n_ref * __rank2) AS BIGINT) AS r1_doubled,
+         sum(CAST(__t AS HUGEINT) * __t * __t - __t) AS __tie
+  FROM __pv
+)
+SELECT __tr AS n_ref, __tc AS n_cmp, r1_doubled,
+       CAST(r1_doubled - __tr * (__tr + 1) AS BIGINT) AS u1_doubled,
+       round((CAST(r1_doubled - __tr * (__tr + 1) AS DOUBLE)
+              - CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE))
+        / (2.0e0 * sqrt(
+           (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE) / 12.0e0)
+           * (CAST(__tr + __tc + 1 AS DOUBLE)
+              - CAST(__tie AS DOUBLE)
+                / (CAST(__tr + __tc AS DOUBLE)
+                   * CAST(__tr + __tc - 1 AS DOUBLE))))), 9) AS z_score,
+       abs(round((CAST(r1_doubled - __tr * (__tr + 1) AS DOUBLE)
+              - CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE))
+        / (2.0e0 * sqrt(
+           (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE) / 12.0e0)
+           * (CAST(__tr + __tc + 1 AS DOUBLE)
+              - CAST(__tie AS DOUBLE)
+                / (CAST(__tr + __tc AS DOUBLE)
+                   * CAST(__tr + __tc - 1 AS DOUBLE))))), 9)) > 1.96e0
+         AS drift_detected
+FROM __a, __st
+"""
+    )

@@ -186,7 +186,8 @@ DRIVER_PRIORITY = (
     # the 9 r10-stale rows that never fit, then the rows added in r14
     # after this window froze (never-checked rows jump the queue per
     # the cadence policy above — as of freeze: events_ks_value_drift,
-    # eval_ann_recall_by_group, eval_retrieval_ndcg), then
+    # eval_ann_recall_by_group, eval_retrieval_ndcg,
+    # events_mwu_value_drift), then
     # the oldest ~35 r11 rows (48-row bucket; the remainder drains in
     # r16 — see the cur-5 cycle arithmetic in the cadence policy).
     # r10-stale, displaced by the directive rows above:

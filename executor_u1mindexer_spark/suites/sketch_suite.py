@@ -1903,3 +1903,29 @@ ORACLES["events_ks_value_drift"] = QT.oracle_ks_two_sample_sql(
     "(SELECT * FROM events WHERE day(ts) >= 16)",
     "value",
 )
+
+
+def events_mwu_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum drift test (r14,
+    operators/quantile.mann_whitney_u): the rank-based LOCATION member
+    beside KS over the same first-half/second-half split — KS answers
+    "did the shape change anywhere", MWU answers the sharper "did
+    values shift up or down", and the two share the centi-grid
+    prefix-sum machinery (_merged_value_cdf) verbatim. Exact BIGINT
+    doubled-midrank lanes (r1_doubled, u1_doubled), HUGEINT/DECIMAL
+    tie-correction fold, one shared rounded-double z resolution, 5%
+    verdict on the rounded z; the fixture's same-generator halves make
+    drift_detected = false the expected non-vacuous null (the
+    shifted-sample pytest pins detection and replays u1 exactly)."""
+    ev = tables.load(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15)
+    cmp = ev.filter(F.dayofmonth("ts") >= 16)
+    return QT.mann_whitney_u(ref, cmp, "value")
+
+
+QUERIES["events_mwu_value_drift"] = events_mwu_value_drift
+ORACLES["events_mwu_value_drift"] = QT.oracle_mann_whitney_u_sql(
+    "(SELECT * FROM events WHERE day(ts) <= 15)",
+    "(SELECT * FROM events WHERE day(ts) >= 16)",
+    "value",
+)

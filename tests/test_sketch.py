@@ -818,3 +818,57 @@ def test_ks_two_sample_detects_a_shift_and_clears_identical_halves(spark):
         lhs = r.d_num * r.d_num * 1_000_000
         rhs = 1_844_164 * (r.n_ref + r.n_cmp) * r.n_ref * r.n_cmp
         assert bool(r.drift_detected) == (lhs > rhs)
+
+
+def test_mann_whitney_detects_a_shift_and_clears_identical_halves(spark):
+    """mann_whitney_u (operators/quantile, r14): same-distribution
+    samples stay inside |z| <= 1.96; a location shift crosses it. The
+    python replay recomputes the doubled-midrank R1/U1 lanes exactly
+    (scipy-free rank-sum with midranks on the centi grid) and the
+    z arithmetic to 1e-9."""
+    import math
+
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    ref_vals = [(i * 37) % 1000 / 10.0 for i in range(800)]
+    same_vals = [(i * 53) % 1000 / 10.0 for i in range(800)]
+    shift_vals = [60.0 + (i * 37) % 400 / 10.0 for i in range(800)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    same = spark.createDataFrame([(v,) for v in same_vals], "value double")
+    shifted = spark.createDataFrame([(v,) for v in shift_vals], "value double")
+
+    r_same = QT.mann_whitney_u(ref, same, "value").collect()[0]
+    assert not r_same.drift_detected and abs(r_same.z_score) <= 1.96
+    r_shift = QT.mann_whitney_u(ref, shifted, "value").collect()[0]
+    assert r_shift.drift_detected and abs(r_shift.z_score) > 1.96
+
+    def replay(a_vals, b_vals):
+        a = [math.floor(v * 100.0 + 0.5) for v in a_vals]
+        b = [math.floor(v * 100.0 + 0.5) for v in b_vals]
+        merged = sorted(a + b)
+        n1, n2 = len(a), len(b)
+        n = n1 + n2
+        # doubled midranks per distinct value + exact tie term
+        from collections import Counter
+
+        cnt = Counter(merged)
+        ca = Counter(a)
+        c_before = 0
+        r1_d = 0
+        tie = 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            rank2 = 2 * c_before + t + 1
+            r1_d += ca.get(v, 0) * rank2
+            tie += t * t * t - t
+            c_before += t
+        u1_d = r1_d - n1 * (n1 + 1)
+        var = (n1 * n2 / 12.0) * ((n + 1) - tie / (n * (n - 1)))
+        z = round((u1_d - float(n1) * n2) / (2.0 * math.sqrt(var)), 9)
+        return r1_d, u1_d, z
+
+    for got, vals in ((r_same, same_vals), (r_shift, shift_vals)):
+        r1_d, u1_d, z = replay(ref_vals, vals)
+        assert got.r1_doubled == r1_d
+        assert got.u1_doubled == u1_d
+        assert abs(got.z_score - z) < 2e-9
