@@ -105,6 +105,17 @@ HEADLINE = [
     "graph_kcore_membership",
     "sketch_kmv_jaccard",
     "eval_ann_recall_at_k",
+    # r14: tracks the shared two-sample prefix-sum machinery (a lost
+    # bucket partitioning shows as a SinglePartition window blow-up in
+    # both KS and MWU at once), the grouped recall semi-join economy,
+    # and the literal-discount nDCG run (whose cost IS the exact-KNN
+    # BNLJ the knn pins guard). The streaming backlog rows stay out of
+    # HEADLINE deliberately: their cost is state-store fixed overhead
+    # (~30-70 s), which would drown the signal rows.
+    "events_ks_value_drift",
+    "events_mwu_value_drift",
+    "eval_ann_recall_by_group",
+    "eval_retrieval_ndcg",
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,
