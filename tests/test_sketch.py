@@ -872,3 +872,44 @@ def test_mann_whitney_detects_a_shift_and_clears_identical_halves(spark):
         assert got.r1_doubled == r1_d
         assert got.u1_doubled == u1_d
         assert abs(got.z_score - z) < 2e-9
+
+
+def test_merged_value_cdf_matches_python_prefix_sums_on_random_data(spark):
+    """Property: the shared KS/MWU two-pass prefix-sum machinery
+    (_merged_value_cdf: 64 in-plan range buckets + within-bucket window
+    cumsum + broadcast theta-join offsets) equals a plain python
+    cumulative count, on random two-sample data across several domain
+    shapes — including a single-value domain (mx == mn exercises the
+    DIV (mx - mn + 1) guard) and a heavily-tied domain."""
+    import random
+
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    rng = random.Random(14)
+    cases = [
+        [rng.uniform(0, 100) for _ in range(300)],          # spread
+        [rng.choice([1.0, 2.0, 3.0]) for _ in range(200)],  # heavy ties
+        [42.0] * 50,                                        # one value
+        [rng.uniform(-5, 5) for _ in range(150)],           # negatives
+    ]
+    for vals_a in cases:
+        vals_b = [v + rng.choice([0.0, 0.5]) for v in vals_a[::2]]
+        ref = spark.createDataFrame([(v,) for v in vals_a], "value double")
+        cmp = spark.createDataFrame([(v,) for v in vals_b], "value double")
+        got = {
+            r["__y"]: (r["n_ref"], r["n_cmp"], r["c_r"], r["c_c"])
+            for r in QT._merged_value_cdf(ref, cmp, "value").collect()
+        }
+        import math
+
+        a = sorted(math.floor(v * 100.0 + 0.5) for v in vals_a)
+        b = sorted(math.floor(v * 100.0 + 0.5) for v in vals_b)
+        want = {}
+        for y in sorted(set(a) | set(b)):
+            want[y] = (
+                sum(1 for v in a if v == y),
+                sum(1 for v in b if v == y),
+                sum(1 for v in a if v <= y),
+                sum(1 for v in b if v <= y),
+            )
+        assert got == want, (len(vals_a), sorted(got.items())[:3])
