@@ -105,95 +105,50 @@ SUITE_MODULES = (
 # (a)); rotation_check treats these as legitimate window occupants even
 # while stale rows wait. Keep this list honest — it is the audit trail
 # for why a fresh row occupies a slot ahead of a stale one.
-# r14: graph_kcore_membership (ADVICE r13 — the self-loop guard now
-# applies to the UNION result on both engine sides instead of only the
-# first leg). The row is ALSO never-driver-checked (added r13 after the
-# window froze), so its slot is legitimate twice over.
+# r15: the three ADVICE r14 drift/eval rows — eval_ann_recall_by_group
+# (left-join + coalesce so zero-hit slices surface as recall 0 instead
+# of dropping), events_ks_value_drift (overflow-safe verdict lane +
+# empty-input row contract), events_mwu_value_drift (zero-variance
+# guard + empty-input row contract). All three are ALSO never-driver-
+# checked (added r14 after that window froze), so their slots are
+# legitimate twice over.
 POLICY_A = (
-    "graph_kcore_membership",
+    "eval_ann_recall_by_group",
+    "events_ks_value_drift",
+    "events_mwu_value_drift",
 )
 
 DRIVER_PRIORITY = (
-    # Round 14 window (VERDICT r13 #1, rotated as the FIRST commit of
-    # the round, exactly as queued in the r13 boundary comment): the 4
-    # r09-stale rows lead (clearing them closes VERDICT r12 #4 — the
-    # r09 bucket is now EMPTY), then the 6 never-driver-checked r13
-    # growth rows, then the first 40 alphabetical r10-stale rows (40 of
-    # the 49-row r10 bucket; the remaining 9 head the r15 queue below).
-    # r09-stale (displaced from the r13 window; oldest bucket first):
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "vector_pq_codes",
-    # never driver-checked (added r13 after that window froze; each
-    # green at sf0.01+sf0.1 in the committed r13 sweeps and 7/10
-    # re-oracled by the judge; graph_kcore_membership is also POLICY_A
-    # — the ADVICE r13 self-loop fix changed impl+oracle this round):
-    "sketch_hll_intersection_grouped",
-    "eval_ann_recall_at_k",
-    "sketch_kmv_jaccard",
-    "graph_kcore_membership",
-    "sketch_mg_streaming_backlog",
-    "events_psi_value_drift",
-    # r10-stale rows, alphabetical (first 40 of the 49-row bucket):
-    "agg_approx_family",
-    "ann_cosine_topk_join",
-    "ann_ivf_label_topk",
-    "ann_ivf_pq_topk",
-    "ann_lsh_hyperplane_topk",
-    "bucketed_colocated_join",
-    "chunk_sliding_window",
-    "embedding_quantize_int8",
-    "events_sessionize",
-    "events_tumbling_hourly",
-    "exact_dedup_text",
-    "grouping_analytics",
-    "hybrid_search_rrf",
-    "index_upsert_capacity",
-    "join_broadcast_dim",
-    "join_semi_customers_with_orders",
-    "map_column_ops",
-    "mixture_weighted_sources",
-    "multimodal_binary_metadata",
-    "multimodal_decode_image",
-    "multimodal_join",
-    "near_dedup_embedding_cosine",
-    "near_dedup_minhash_lsh",
-    "near_dedup_ngram_jaccard",
-    "null_handling_funcs",
-    "sample_hash_fraction",
-    "sample_stratified_by_lang",
-    "scalar_funcs",
-    "scd2_two_batch_history",
-    "set_ops_customer_segments",
-    "sketch_ams",
-    "sketch_bloom",
-    "sketch_cms",
-    "sketch_hll",
-    "sketch_quantile",
-    "skew_salted_join",
-    "source_format_roundtrips",
-    "text_benchmark_contamination",
-    # VERDICT r13 #3 demands driver stamps THIS round for the two last
-    # pytest-only streaming twins, now driver-facing via the drained-
-    # backlog pattern (added r14, never-checked) — per the cadence
-    # policy they displace the BOTTOM two stale slots
-    # (text_fingerprints, text_language_id), which head the r15 queue:
-    "near_dedup_minhash_streaming_backlog",
-    "events_sessionize_capped_backlog",
-    # --- 50-slot window boundary ---
-    # r15 window plan: the 2 displaced r10-stale rows below lead, then
-    # the 9 r10-stale rows that never fit, then the rows added in r14
-    # after this window froze (never-checked rows jump the queue per
-    # the cadence policy above — as of freeze: events_ks_value_drift,
-    # eval_ann_recall_by_group, eval_retrieval_ndcg,
-    # events_mwu_value_drift), then
-    # the oldest ~35 r11 rows (48-row bucket; the remainder drains in
-    # r16 — see the cur-5 cycle arithmetic in the cadence policy).
-    # r10-stale, displaced by the directive rows above:
+    # Round 15 window (VERDICT r14 #1, rotated as the FIRST commit of
+    # the round, following the FIRING GUARDS rather than the stale r14
+    # boundary comment — rotation_check at the r14 at-rest tree fires
+    # FLAGSHIP TIER VIOLATION for the 8 §2.A rows below, and the 11
+    # r10-stale rows sit at the MAX_AGE=5 bound, so the slot arithmetic
+    # that closes this round is exactly: 8 flagship + 4 never-checked
+    # r14 rows + 11 r10 rows + 27 oldest-alphabetical r11 rows = 50.
+    # The 21 remaining r11 rows head the r16 queue below.
+    # §2.A flagship tier (last stamped r12 — the 2-round bound is red):
+    "knn_search_cosine",
+    "knn_search_euclidean",
+    "knn_search_inner_product",
+    "payload_fetch",
+    "limit_clamp",
+    "score_transform_similarity",
+    "dim_validate",
+    "clear",
+    # never driver-checked (added r14 after that window froze; each
+    # green at sf0.01+sf0.1 in the committed r14 sweeps and all four
+    # ★-re-oracled by the judge; the three POLICY_A rows carry this
+    # round's ADVICE r14 fixes):
+    "events_ks_value_drift",
+    "events_mwu_value_drift",
+    "eval_ann_recall_by_group",
+    "eval_retrieval_ndcg",
+    # r10-stale (the full remaining 11-row bucket — at the MAX_AGE=5
+    # cadence bound; leaving any of these out trips the tripwire at
+    # r16):
     "text_fingerprints",
     "text_language_id",
-    # r10-stale, did not fit this window:
     "text_quality_scores",
     "text_token_counts",
     "text_vocab_topk",
@@ -203,6 +158,67 @@ DRIVER_PRIORITY = (
     "tpch_q5_local_supplier_volume",
     "traverse_chunks",
     "window_funcs",
+    # r11-stale rows, alphabetical (first 27 of the 48-row bucket):
+    "agg_listagg_names",
+    "ann_hnsw_partitioned_topk",
+    "ann_partitioned_topk",
+    "ann_range_search",
+    "decontaminated_training_mix",
+    "delete_by_ids",
+    "dq_backlog_cross_batch",
+    "dq_constraint_audit",
+    "drift_chi2_value_periods",
+    "dump_load_roundtrip",
+    "embedding_centroids_by_label",
+    "embedding_gram_moments",
+    "embedding_matryoshka_stats",
+    "eval_retrieval_label_metrics",
+    "events_funnel_view_click_purchase",
+    "events_gapfill_hourly",
+    "events_interval_gaps",
+    "events_interval_union",
+    "events_markov_transitions",
+    "events_range_join_amplified",
+    "events_range_join_banded_amplified",
+    "events_range_join_bucketed",
+    "events_resample_ohlc",
+    "events_retention_cohorts",
+    "events_rolling_zscore",
+    "events_sessionize_capped",
+    "graph_cc_event_chains",
+    # --- 50-slot window boundary ---
+    # r16 window plan: the 21 remaining r11-stale rows below lead
+    # (after them the r11 bucket is EMPTY and the oldest checked bucket
+    # is r12 — comfortably inside MAX_AGE=5 at r16), then any rows
+    # added in r15 after this window froze (never-checked rows jump
+    # the queue per the cadence policy), then the oldest r12 rows fill
+    # the remainder (~29-25 slots of the 50-row r12 bucket).
+    # Registry-growth margin (VERDICT r14 #5): at 213 rows the written
+    # cur-5 arithmetic holds to ~240 rows at the measured ~44-slot
+    # re-earn rate; r15 growth is capped at ≤2 rows (→ ≤215), leaving
+    # ~25 rows of margin — no fold needed yet, watch again at r16.
+    # r11-stale, did not fit this window (21):
+    "graph_label_propagation",
+    "graph_pagerank_parts",
+    "graph_triangle_count",
+    "index_upsert",
+    "ivm_incremental_agg",
+    "layout_file_skipping",
+    "layout_hilbert_clustering",
+    "layout_zorder_clustering",
+    "mixture_temperature_resample",
+    "multimodal_container_properties",
+    "multimodal_decode_gif_animation",
+    "near_dedup_containment_prefix",
+    "near_dedup_edit_distance",
+    "sample_domain_quota",
+    "sketch_bloom_join_prune",
+    "sketch_quantile_clip_outliers",
+    "source_schema_evolution",
+    "text_bm25_topk_joins",
+    "text_bpe_learn_merges",
+    "text_bpe_tokenize",
+    "topk_per_group_salted",
 )
 
 
