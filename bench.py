@@ -397,6 +397,36 @@ def main() -> None:
     }
     print(json.dumps({"queries_normalized": normalized}))
     print(json.dumps(out))
+    # Truncation-proof summary (VERDICT r14 #2): BENCH_r14.json came back
+    # `parsed: null` — the driver's bounded stdout TAIL cut the HEAD of
+    # the (now ~5KB, 58-row) headline line, losing exactly the
+    # BASELINE-binding rows (ingest + knn), which the headline dict
+    # happens to lead with. The LAST line must therefore be one the tail
+    # can never split: a <1KB record that repeats the headline's metric/
+    # value/unit/sf contract and carries every baseline-binding number
+    # (ingest, the knn single+batch rows, probe medians) verbatim. The
+    # full per-query map stays on the big line above and in the committed
+    # BENCH_r{N}_local*.json records; this line alone suffices to grade
+    # against BASELINE.md even if everything above it is lost.
+    binding = {
+        k: v
+        for k, v in timings.items()
+        if k.startswith(("index_ingest_", "knn_search_"))
+    }
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": binding,
+        "n_queries_full_line_above": len(timings),
+        "probes": {
+            "cpu": [probe_start, probe_end],
+            "spark_disk": [io_start.get("spark_disk_s"), io_end.get("spark_disk_s")],
+            "fsync": [io_start.get("fsync_s"), io_end.get("fsync_s")],
+        },
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
