@@ -852,6 +852,12 @@ def eval_ann_recall_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits_l = res.join(exact, ["query_id", "vec_id"], "leftsemi").join(
             F.broadcast(qlab), "query_id"
         )
+        # LEFT join + coalesce (ADVICE r14): a (lane, label) slice whose
+        # retrieved set contains ZERO exact hits has no n_hits group at
+        # all — an inner join would drop the slice exactly when its
+        # recall collapses to 0, the one measurement this row exists to
+        # surface. The oracle's LEFT JOIN exact + COUNT FILTER keeps the
+        # slice with n_hits = 0; mirror that shape.
         row = (
             res_l.groupBy("label")
             .agg(F.count(F.lit(1)).cast("long").alias("n_results"))
@@ -860,8 +866,14 @@ def eval_ann_recall_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count(F.lit(1)).cast("long").alias("n_hits")
                 ),
                 "label",
+                "left",
             )
-            .select(F.lit(name).alias("method"), "label", "n_results", "n_hits")
+            .select(
+                F.lit(name).alias("method"),
+                "label",
+                "n_results",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            )
         )
         per_lane = row if per_lane is None else per_lane.unionByName(row)
     return (

@@ -864,3 +864,48 @@ def test_eval_retrieval_ndcg_matches_python_replay(spark, sf_dir):
     assert got.n_queries_with_rel == n_with
     assert got.sum_dcg_micro == sum_dcg
     assert got.mean_ndcg_micro == sum_ndcg // len(q_ids)
+
+
+def test_recall_by_group_keeps_zero_hit_slice(spark, tmp_path):
+    # ADVICE r14 (medium): a (lane, label) slice whose retrieved set has
+    # ZERO exact-KNN hits must surface as recall 0, not vanish — the
+    # inner n_hits join dropped exactly the collapsed slice this row
+    # exists to audit. Fixture: six identical unit vectors; the query
+    # (vec 100, label 0) is alone in its IVF cell, while the five global
+    # nearest under the (dist, vec_id) tie-break all sit in label 1 —
+    # the ivf_label slice retrieves only the query itself and hits
+    # nothing; the LSH lane (one shared bucket) mirrors exact.
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    SS = similarity_suite
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    rows = [(i, e1, 1) for i in range(1, 6)] + [(100, e1, 0)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = SS.eval_ann_recall_by_group(spark, str(tmp_path)).collect()
+    got = {
+        (r.method, r.label): (r.n_queries, r.n_results, r.n_hits, r.recall_at_k_micro)
+        for r in out
+    }
+    assert got[("ivf_label", 0)] == (1, 1, 0, 0)
+    assert got[("lsh_hyperplane", 0)] == (1, 5, 5, SS.EVAL_SCALE)
+    assert len(got) == 2
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    ora = con.execute(SS.ORACLES["eval_ann_recall_by_group"]).fetchall()
+    spark_rows = sorted(tuple(r) for r in out)
+    assert sorted(tuple(r) for r in ora) == spark_rows
