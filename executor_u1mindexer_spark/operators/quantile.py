@@ -764,8 +764,73 @@ def _merged_value_cdf(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFra
     )
 
 
+_KS_MWU_SCALE_NOTE = """Shared scale/overflow contract (ADVICE r14):
+- the KS VERDICT lane is exact for n_ref*n_cmp*(n_ref+n_cmp) < ~5.4e31
+  (i.e. two ~3e10-row samples -- 300x the 1e8-row scenario the MWU
+  docstring contemplates); past that the DECIMAL(38,0)/HUGEINT __k
+  product overflows LOUDLY (Spark runs ANSI mode, DuckDB HUGEINT
+  raises) rather than silently corrupting the verdict;
+- the REPORTED d_num / r1_doubled columns stay BIGINT (schema parity
+  with r14) and are exact to n_ref*n_cmp <= 9.2e18; past that the
+  ANSI cast raises loudly;
+- degenerate inputs are first-class: both-empty input yields ZERO rows
+  on both engines (the oracle filters its aggregate-over-empty NULL
+  row); one-sided/under-2-row/all-tied inputs yield z_score NULL and
+  drift_detected false on both engines (no NaN/inf/divide-by-zero --
+  Spark ANSI would otherwise ERROR on the zero denominator)."""
+
+
+def _isqrt_steps(wide: str, idiv: str) -> list[tuple[str, str]]:
+    """Column chain computing __isq = isqrt(__k) EXACTLY from a wide
+    nonnegative integer __k (< 10^38), shared verbatim by both engines
+    (wide = DECIMAL(38,0) / HUGEINT, idiv = div / //).
+
+    The float sqrt only SEEDS the search: g = round(sqrt(double(__k)))
+    is within ~|t|*1.7e-16 + 1.5 of the true root t (one double
+    rounding of __k, one of sqrt, one cast-rounding), then ONE integer
+    Newton correction s1 = g + (__k - g^2) idiv (2g) lands within +-2
+    of floor(t) for ANY such seed (s1_real = t + (g-t)^2/(2g), a
+    second-order error < 0.01 here, plus +-1 of integer-division
+    truncation -- floor vs trunc-toward-zero both land inside the
+    window, so the lane is immune to the engines' idiv semantics), and
+    a 6-step monotone staircase over [s1-3, s1+3] finishes exactly.
+    greatest(..., 0) pins the __k = 0 corner. No intermediate exceeds
+    10^38-1 for __k <= 9.99e37: g <= t+2, so g^2 <= __k + 5t and
+    (s1+3)^2 <= __k + 11t, both ~1e20 above __k at most."""
+    staircase = " + ".join(
+        f"(CASE WHEN (__s1 + {i}) * (__s1 + {i}) <= __k THEN 1 ELSE 0 END)"
+        for i in range(-2, 4)
+    )
+    return [
+        ("__g", f"greatest(CAST(sqrt(CAST(__k AS DOUBLE)) AS {wide}),"
+                f" CAST(1 AS {wide}))"),
+        ("__s1", f"__g + CAST((__k - __g * __g) {idiv} (2 * __g) AS {wide})"),
+        ("__isq", f"greatest((__s1 - 3) + {staircase}, CAST(0 AS {wide}))"),
+    ]
+
+
+def _ks_k_expr(wide: str) -> str:
+    """1358^2 * (n+m) * n * m -- the squared Smirnov 5% threshold times
+    (d_num*1000)^2's denominator-free right side; see ks_two_sample."""
+    return (
+        f"CAST(1844164 AS {wide}) * CAST(__tr + __tc AS {wide})"
+        f" * CAST(__tr AS {wide}) * CAST(__tc AS {wide})"
+    )
+
+
+_KS_DSTAT = (
+    "CASE WHEN __tr = 0 OR __tc = 0 THEN CAST(NULL AS DOUBLE)"
+    " ELSE round(CAST(__dnum AS DOUBLE)"
+    " / (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE)), 9) END"
+)
+_KS_DRIFT = (
+    "CASE WHEN __tr = 0 OR __tc = 0 THEN false"
+    " ELSE __dnum * 1000 > __isq END"
+)
+
+
 def ks_two_sample(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov drift test (VERDICT r13 #5a) — the
+    """Two-sample Kolmogorov-Smirnov drift test (VERDICT r13 #5a) -- the
     distribution-free member of the drift family beside the binned
     (PSI/chi2) and sequential (CUSUM) monitors: D = sup_x |F_ref(x) -
     F_cmp(x)|, evaluated exactly (for step empirical CDFs the sup is
@@ -775,45 +840,73 @@ def ks_two_sample(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
 
     Determinism engineering: values enter on the PSI row's exact centi
     grid; |F_ref - F_cmp| is cross-multiplied to the INTEGER deviation
-    |c_ref*m - c_cmp*n| so the max is over exact BIGINTs (no float
-    compares anywhere near the argmax), and the rejection rule is
-    squared into pure integer lanes — d_num^2 * 10^6 > 1.358^2*10^6 *
-    (n+m)*n*m — evaluated in DECIMAL(38,0) (DuckDB HUGEINT), the OLS
-    row's wide-integer treatment, so the verdict cannot ride a rounding
-    edge. d_stat itself resolves to one 9-digit-rounded division of
-    correctly-rounded IEEE ops, reporting only. Scale shape: see
-    _merged_value_cdf (the shared KS/MWU machinery).
-    [NOT IN REFERENCE — no statistics surface in executor.py.]"""
+    |c_ref*m - c_cmp*n| (DECIMAL(38,0)/HUGEINT lane) so the max is over
+    exact wide integers, and the rejection rule avoids squaring the
+    full cross-product (ADVICE r14: d_num^2 * 1e6 hit the DECIMAL(38,0)
+    ceiling at two 1e8-row samples): D > c*sqrt((n+m)/(n*m)) <=>
+    d_num*1000 > isqrt(1358^2 * (n+m) * n * m), with isqrt computed
+    EXACTLY in-plan by _isqrt_steps (float-seeded, integer-corrected).
+    d_stat itself resolves to one 9-digit-rounded division of
+    correctly-rounded IEEE ops, reporting only, guarded NULL when a
+    side is empty. Bounds + degenerate contract: _KS_MWU_SCALE_NOTE.
+    Scale shape: see _merged_value_cdf (the shared KS/MWU machinery).
+    [NOT IN REFERENCE -- no statistics surface in executor.py.]"""
+    wide = "DECIMAL(38,0)"
     cdf = _merged_value_cdf(ref, cmp, value_col)
     dev = cdf.select(
         "__tr",
         "__tc",
-        F.abs(
-            F.col("c_r") * F.col("__tc") - F.col("c_c") * F.col("__tr")
+        F.expr(
+            f"abs(CAST(c_r AS {wide}) * CAST(__tc AS {wide})"
+            f" - CAST(c_c AS {wide}) * CAST(__tr AS {wide}))"
         ).alias("__dev"),
     )
-    return dev.groupBy("__tr", "__tc").agg(
-        F.max("__dev").cast("long").alias("d_num")
-    ).select(
+    v = (
+        dev.groupBy("__tr", "__tc")
+        .agg(F.max("__dev").alias("__dnum"))
+        .withColumn("__k", F.expr(_ks_k_expr(wide)))
+    )
+    for name, expr in _isqrt_steps(wide, "div"):
+        v = v.withColumn(name, F.expr(expr))
+    return v.select(
         F.col("__tr").alias("n_ref"),
         F.col("__tc").alias("n_cmp"),
-        "d_num",
-        F.expr(
-            "round(CAST(d_num AS DOUBLE)"
-            " / (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE)), 9)"
-        ).alias("d_stat"),
-        F.expr(
-            "CAST(d_num AS DECIMAL(38,0)) * CAST(d_num AS DECIMAL(38,0))"
-            " * CAST(1000000 AS DECIMAL(38,0))"
-            " > CAST(1844164 AS DECIMAL(38,0))"
-            "   * CAST(__tr + __tc AS DECIMAL(38,0))"
-            "   * CAST(__tr AS DECIMAL(38,0)) * CAST(__tc AS DECIMAL(38,0))"
-        ).alias("drift_detected"),
+        F.col("__dnum").cast("long").alias("d_num"),
+        F.expr(_KS_DSTAT).alias("d_stat"),
+        F.expr(_KS_DRIFT).alias("drift_detected"),
     )
+
+
+# Mann-Whitney z lanes, shared VERBATIM between the Spark plan and the
+# DuckDB oracle (the OLS treatment: exact sufficient statistics, one
+# documented rounded-double resolution). __vq is the tie-corrected
+# variance; it is NULL (not an ANSI divide-by-zero error, not a DuckDB
+# NaN) when a side is empty or n < 2, and the z guard additionally
+# catches __vq = 0 (all values tied across both samples) BEFORE sqrt --
+# DuckDB raises on sqrt of a negative and a -1e-16 rounding residue of
+# an exactly-zero variance must never reach it.
+_MWU_NUM = (
+    "(CAST(r1_doubled - __tr * (__tr + 1) AS DOUBLE)"
+    " - CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE))"
+)
+_MWU_VQ = (
+    "CASE WHEN __tr = 0 OR __tc = 0 OR __tr + __tc < 2"
+    " THEN CAST(NULL AS DOUBLE)"
+    " ELSE (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE) / 12.0e0)"
+    " * (CAST(__tr + __tc + 1 AS DOUBLE)"
+    "    - CAST(__tie AS DOUBLE)"
+    "      / (CAST(__tr + __tc AS DOUBLE)"
+    "         * CAST(__tr + __tc - 1 AS DOUBLE))) END"
+)
+_MWU_Z = (
+    "CASE WHEN __vq IS NULL OR __vq <= 0.0e0 THEN CAST(NULL AS DOUBLE)"
+    " ELSE round(__num / (2.0e0 * sqrt(__vq)), 9) END"
+)
+_MWU_DRIFT = "coalesce(abs(z_score) > 1.96e0, false)"
 
 
 def mann_whitney_u(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
-    """Two-sample Mann-Whitney U / Wilcoxon rank-sum drift test (r14) —
+    """Two-sample Mann-Whitney U / Wilcoxon rank-sum drift test (r14) --
     the rank-based LOCATION member beside KS (whole-shape): with ties
     handled by midranks, U1 = R1 - n1(n1+1)/2 and the large-sample
     normal approximation z = (U1 - n1*n2/2) / sqrt(var), var =
@@ -823,19 +916,18 @@ def mann_whitney_u(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
     question is specifically "did values shift up or down".
 
     Determinism engineering: ranks live on the shared centi grid, and
-    every statistic is computed in EXACT integer lanes first — midranks
+    every statistic is computed in EXACT integer lanes first -- midranks
     are half-integers so the engine carries DOUBLED ranks (rank2 =
     2*c_before + t + 1, an integer), giving r1_doubled and u1_doubled
     as exact BIGINTs; the tie term sum(t^3 - t) folds in DECIMAL(38,0)
     (DuckDB HUGEINT) since a fully-tied 1e8-row sample cubes past
-    BIGINT. z then resolves through ONE shared arithmetic expression
-    over correctly-rounded casts of those exact integers — bit-identical
-    cross-engine — rounded to 9 digits, and the 5% verdict compares the
-    ROUNDED z against 1.96 (the OLS treatment: exact sufficient
-    statistics, one documented rounded-double resolution; a fixture z
-    within 1e-9 of the critical value could flip it, and the fixture
-    sits nowhere near — same-generator halves read |z| << 1). Scale
-    shape: see _merged_value_cdf. [NOT IN REFERENCE.]"""
+    BIGINT. z resolves through the _MWU_* expressions shared verbatim
+    with the oracle -- guarded (ADVICE r14) so degenerate inputs (empty
+    side, n < 2, zero variance from a fully-tied pool) yield z NULL and
+    drift false instead of an ANSI divide-by-zero / cross-engine
+    NaN-vs-NULL split. Bounds + degenerate contract:
+    _KS_MWU_SCALE_NOTE. Scale shape: see _merged_value_cdf.
+    [NOT IN REFERENCE.]"""
     cdf = _merged_value_cdf(ref, cmp, value_col)
     per_v = cdf.select(
         "__tr",
@@ -857,30 +949,20 @@ def mann_whitney_u(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
             " * CAST(__t AS DECIMAL(38,0)) - CAST(__t AS DECIMAL(38,0)))"
         ).alias("__tie"),
     )
-    return agg.select(
-        F.col("__tr").alias("n_ref"),
-        F.col("__tc").alias("n_cmp"),
-        "r1_doubled",
-        F.expr("CAST(r1_doubled - __tr * (__tr + 1) AS BIGINT)").alias(
-            "u1_doubled"
-        ),
-        F.expr(
-            "round((CAST(r1_doubled - __tr * (__tr + 1) AS DOUBLE)"
-            "       - CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE))"
-            " / (2.0e0 * sqrt("
-            "   (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE) / 12.0e0)"
-            "   * (CAST(__tr + __tc + 1 AS DOUBLE)"
-            "      - CAST(__tie AS DOUBLE)"
-            "        / (CAST(__tr + __tc AS DOUBLE)"
-            "           * CAST(__tr + __tc - 1 AS DOUBLE))))), 9)"
-        ).alias("z_score"),
-    ).select(
-        "n_ref",
-        "n_cmp",
-        "r1_doubled",
-        "u1_doubled",
-        "z_score",
-        F.expr("abs(z_score) > 1.96e0").alias("drift_detected"),
+    return (
+        agg.withColumn("__num", F.expr(_MWU_NUM))
+        .withColumn("__vq", F.expr(_MWU_VQ))
+        .withColumn("z_score", F.expr(_MWU_Z))
+        .select(
+            F.col("__tr").alias("n_ref"),
+            F.col("__tc").alias("n_cmp"),
+            "r1_doubled",
+            F.expr("CAST(r1_doubled - __tr * (__tr + 1) AS BIGINT)").alias(
+                "u1_doubled"
+            ),
+            "z_score",
+            F.expr(_MWU_DRIFT).alias("drift_detected"),
+        )
     )
 
 
@@ -944,24 +1026,36 @@ WITH __u AS (
 def oracle_ks_two_sample_sql(
     ref_source: str, cmp_source: str, value_col: str
 ) -> str:
-    """DuckDB twin of ks_two_sample — the identical two-pass prefix-sum
-    over the identical centi-grid histogram (the bit-parity surface is
-    integer-only until the reporting division), HUGEINT standing in for
-    the DECIMAL(38,0) verdict lanes."""
+    """DuckDB twin of ks_two_sample -- the identical two-pass prefix-sum
+    over the identical centi-grid histogram, HUGEINT standing in for
+    the DECIMAL(38,0) lanes, the _isqrt_steps verdict chain shared
+    verbatim (// standing in for div -- both truncate toward zero, and
+    the lane is immune to the difference by construction). The
+    `WHERE __tr IS NOT NULL` filter makes the empty-input contract
+    match Spark's groupBy-over-empty ZERO rows (ADVICE r14: the bare
+    aggregate-over-empty emitted one NULL row)."""
+    steps = _isqrt_steps("HUGEINT", "//")
+    chain = "".join(
+        f",\n__v{i + 1} AS (SELECT *, {expr} AS {name} FROM __v{i})"
+        for i, (name, expr) in enumerate(steps)
+    )
     return (
         _oracle_merged_cdf_sql(ref_source, cmp_source, value_col)
-        + """,
+        + f""",
 __d AS (
-  SELECT CAST(max(abs(c_r * __tc - c_c * __tr)) AS BIGINT) AS d_num
+  SELECT max(abs(CAST(c_r AS HUGEINT) * __tc
+                 - CAST(c_c AS HUGEINT) * __tr)) AS __dnum
   FROM __cdf, __st
-)
-SELECT __tr AS n_ref, __tc AS n_cmp, d_num,
-       round(CAST(d_num AS DOUBLE)
-             / (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE)), 9) AS d_stat,
-       CAST(d_num AS HUGEINT) * d_num * 1000000
-         > CAST(1844164 AS HUGEINT) * (__tr + __tc) * __tr * __tc
-         AS drift_detected
-FROM __d, __st
+),
+__v0 AS (
+  SELECT __dnum, __tr, __tc, {_ks_k_expr("HUGEINT")} AS __k
+  FROM __d, __st WHERE __tr IS NOT NULL
+){chain}
+SELECT __tr AS n_ref, __tc AS n_cmp,
+       CAST(__dnum AS BIGINT) AS d_num,
+       {_KS_DSTAT} AS d_stat,
+       {_KS_DRIFT} AS drift_detected
+FROM __v{len(steps)}
 """
     )
 
@@ -969,12 +1063,14 @@ FROM __d, __st
 def oracle_mann_whitney_u_sql(
     ref_source: str, cmp_source: str, value_col: str
 ) -> str:
-    """DuckDB twin of mann_whitney_u — doubled-midrank integer lanes over
-    the shared __cdf chain, HUGEINT tie-term fold, the identical shared
-    z expression over correctly-rounded casts, verdict on the rounded z."""
+    """DuckDB twin of mann_whitney_u -- doubled-midrank integer lanes over
+    the shared __cdf chain, HUGEINT tie-term fold, the _MWU_* guarded z
+    lanes shared verbatim with the engine, verdict on the rounded z.
+    `WHERE __tr IS NOT NULL` mirrors Spark's zero rows on empty input
+    (ADVICE r14)."""
     return (
         _oracle_merged_cdf_sql(ref_source, cmp_source, value_col)
-        + """,
+        + f""",
 __pv AS (
   SELECT n_ref, (n_ref + n_cmp) AS __t,
          2 * (c_r + c_c) - (n_ref + n_cmp) + 1 AS __rank2
@@ -984,26 +1080,17 @@ __a AS (
   SELECT CAST(sum(n_ref * __rank2) AS BIGINT) AS r1_doubled,
          sum(CAST(__t AS HUGEINT) * __t * __t - __t) AS __tie
   FROM __pv
-)
+),
+__z0 AS (
+  SELECT r1_doubled, __tie, __tr, __tc
+  FROM __a, __st WHERE __tr IS NOT NULL
+),
+__z1 AS (SELECT *, {_MWU_NUM} AS __num, {_MWU_VQ} AS __vq FROM __z0),
+__z2 AS (SELECT *, {_MWU_Z} AS z_score FROM __z1)
 SELECT __tr AS n_ref, __tc AS n_cmp, r1_doubled,
        CAST(r1_doubled - __tr * (__tr + 1) AS BIGINT) AS u1_doubled,
-       round((CAST(r1_doubled - __tr * (__tr + 1) AS DOUBLE)
-              - CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE))
-        / (2.0e0 * sqrt(
-           (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE) / 12.0e0)
-           * (CAST(__tr + __tc + 1 AS DOUBLE)
-              - CAST(__tie AS DOUBLE)
-                / (CAST(__tr + __tc AS DOUBLE)
-                   * CAST(__tr + __tc - 1 AS DOUBLE))))), 9) AS z_score,
-       abs(round((CAST(r1_doubled - __tr * (__tr + 1) AS DOUBLE)
-              - CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE))
-        / (2.0e0 * sqrt(
-           (CAST(__tr AS DOUBLE) * CAST(__tc AS DOUBLE) / 12.0e0)
-           * (CAST(__tr + __tc + 1 AS DOUBLE)
-              - CAST(__tie AS DOUBLE)
-                / (CAST(__tr + __tc AS DOUBLE)
-                   * CAST(__tr + __tc - 1 AS DOUBLE))))), 9)) > 1.96e0
-         AS drift_detected
-FROM __a, __st
+       z_score,
+       {_MWU_DRIFT} AS drift_detected
+FROM __z2
 """
     )

@@ -913,3 +913,115 @@ def test_merged_value_cdf_matches_python_prefix_sums_on_random_data(spark):
                 sum(1 for v in b if v <= y),
             )
         assert got == want, (len(vals_a), sorted(got.items())[:3])
+
+
+def test_isqrt_verdict_lane_is_exact_on_both_engines(spark):
+    """Property (ADVICE r14): the shared _isqrt_steps chain — float-
+    seeded, one integer-Newton correction, 6-step staircase — equals
+    math.isqrt exactly on BOTH engines, across the corners the analysis
+    leans on: 0, tiny K, perfect squares +-1 at every magnitude, random
+    K up to the 9.9e37 documented bound, and the exact __k of two
+    1e8-row samples (the scale where the old d_num^2 lane overflowed)."""
+    import math
+    import random
+    from decimal import Decimal
+
+    import duckdb
+
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    rng = random.Random(15)
+    ks = list(range(0, 26))
+    for mag in range(1, 38):
+        p = rng.randrange(10 ** ((mag + 1) // 2))
+        for k in (p * p - 1, p * p, p * p + 1, rng.randrange(10**mag)):
+            if 0 <= k < 10**38 // 2:
+                ks.append(k)
+    ks.append(1844164 * (2 * 10**8) * 10**8 * 10**8)  # two 1e8-row samples
+    ks.append(99 * 10**36)  # documented 9.9e37 bound
+    want = [math.isqrt(k) for k in ks]
+
+    df = spark.createDataFrame(
+        [(Decimal(k),) for k in ks], "__k decimal(38,0)"
+    )
+    for name, expr in QT._isqrt_steps("DECIMAL(38,0)", "div"):
+        df = df.withColumn(name, F.expr(expr))
+    got_spark = [int(r["__isq"]) for r in df.orderBy("__k").collect()]
+    assert got_spark == [w for _, w in sorted(zip(ks, want))]
+
+    values = ", ".join(f"(CAST('{k}' AS HUGEINT))" for k in ks)
+    sql = f"WITH __v0 AS (SELECT col0 AS __k FROM (VALUES {values}) v(col0))"
+    prev = "__v0"
+    for i, (name, expr) in enumerate(QT._isqrt_steps("HUGEINT", "//")):
+        sql += f", __v{i + 1} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"__v{i + 1}"
+    sql += f" SELECT __k, __isq FROM {prev} ORDER BY __k"
+    got_duck = [int(r[1]) for r in duckdb.sql(sql).fetchall()]
+    assert got_duck == [w for _, w in sorted(zip(ks, want))]
+
+
+def test_ks_mwu_degenerate_inputs_agree_across_engines(spark):
+    """ADVICE r14 degenerate contract, pinned on BOTH engines:
+    - both inputs empty -> ZERO rows (Spark groupBy-over-empty; the
+      oracle's WHERE __tr IS NOT NULL filter);
+    - one side empty -> one row, d_stat/z_score NULL, drift false
+      (no ANSI divide-by-zero, no DuckDB inf);
+    - all values tied across both samples (variance exactly 0) and a
+      single-row pool (n < 2) -> MWU z NULL, drift false."""
+    import duckdb
+
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    def duck(sql):
+        return duckdb.sql(sql).fetchall()
+
+    def src(vals):
+        if not vals:
+            return "(SELECT CAST(NULL AS DOUBLE) AS value WHERE 1=0)"
+        rows = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+        return f"(SELECT col0 AS value FROM (VALUES {rows}) t(col0))"
+
+    def frames(vals):
+        return spark.createDataFrame(
+            [(float(v),) for v in vals] or [],  # type: ignore[arg-type]
+            "value double",
+        )
+
+    empty, one, tied = [], [7.5], [3.0] * 40
+
+    # both empty -> zero rows, both engines, both tests
+    for fn, ora in (
+        (QT.ks_two_sample, QT.oracle_ks_two_sample_sql),
+        (QT.mann_whitney_u, QT.oracle_mann_whitney_u_sql),
+    ):
+        assert fn(frames(empty), frames(empty), "value").count() == 0
+        assert duck(ora(src(empty), src(empty), "value")) == []
+
+    # one side empty -> one row, NULL stat, drift false
+    r = QT.ks_two_sample(frames(tied), frames(empty), "value").collect()
+    assert len(r) == 1 and r[0].d_stat is None and r[0].drift_detected is False
+    assert r[0].n_ref == 40 and r[0].n_cmp == 0 and r[0].d_num == 0
+    o = duck(QT.oracle_ks_two_sample_sql(src(tied), src(empty), "value"))
+    assert [tuple(x) for x in o] == [tuple(r[0])]
+
+    r = QT.mann_whitney_u(frames(tied), frames(empty), "value").collect()
+    assert len(r) == 1 and r[0].z_score is None and r[0].drift_detected is False
+    o = duck(QT.oracle_mann_whitney_u_sql(src(tied), src(empty), "value"))
+    assert [tuple(x) for x in o] == [tuple(r[0])]
+
+    # fully-tied pool -> MWU variance exactly 0 -> z NULL, drift false
+    r = QT.mann_whitney_u(frames(tied), frames(tied), "value").collect()
+    assert len(r) == 1 and r[0].z_score is None and r[0].drift_detected is False
+    o = duck(QT.oracle_mann_whitney_u_sql(src(tied), src(tied), "value"))
+    assert [tuple(x) for x in o] == [tuple(r[0])]
+    # ... and KS on the identical tied pools: d_num 0, no drift
+    r = QT.ks_two_sample(frames(tied), frames(tied), "value").collect()
+    assert len(r) == 1 and r[0].d_num == 0 and r[0].drift_detected is False
+    o = duck(QT.oracle_ks_two_sample_sql(src(tied), src(tied), "value"))
+    assert [tuple(x) for x in o] == [tuple(r[0])]
+
+    # single-row pool (n = 1 < 2): the n(n-1) divisor is guarded
+    r = QT.mann_whitney_u(frames(one), frames(empty), "value").collect()
+    assert len(r) == 1 and r[0].z_score is None and r[0].drift_detected is False
+    o = duck(QT.oracle_mann_whitney_u_sql(src(one), src(empty), "value"))
+    assert [tuple(x) for x in o] == [tuple(r[0])]
