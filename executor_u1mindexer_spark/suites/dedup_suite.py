@@ -727,3 +727,77 @@ ORDER BY l.doc_id
 
 QUERIES["near_dedup_minhash_streaming_backlog"] = near_dedup_minhash_streaming_backlog
 ORACLES["near_dedup_minhash_streaming_backlog"] = _MH_STREAM_SQL
+
+
+_SPAN_K = 8  # verbatim-run window, tokens; shared with the oracle below
+
+
+def exact_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (r15, VERDICT r14 #4a,
+    operators/dedup.duplicated_span_profile): the Lee et al. 2022
+    duplicated-span discipline the 11-lane family lacked — verbatim
+    8-token runs shared across DISTINCT documents at ANY offset,
+    merged per-doc into maximal islands. Catches the verbatim span
+    embedded in otherwise-distinct documents that every whole-doc lane
+    (hash/minhash/simhash/ngram/edit/containment) and the fixed
+    non-overlapping grid of dedup_repeated_spans structurally miss.
+    Output: one row per affected doc with island count, covered-token
+    count and the exact integer duplicated fraction."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.duplicated_span_profile(docs, k=_SPAN_K)
+
+
+_SPAN_SHINGLE = " || ' ' || ".join(
+    ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, _SPAN_K)]
+)
+
+ORACLES["exact_dedup_substring_spans"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, len(toks) AS total_tokens,
+         generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+  FROM t
+),
+sh AS (
+  SELECT doc_id, total_tokens, pos AS start_pos,
+         {_SPAN_SHINGLE} AS shingle,
+         lead(tok, {_SPAN_K - 1}) OVER w AS __last
+  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+occ AS (
+  SELECT doc_id, total_tokens, start_pos, shingle
+  FROM sh WHERE __last IS NOT NULL
+),
+dup AS (
+  SELECT shingle FROM occ GROUP BY shingle HAVING min(doc_id) <> max(doc_id)
+),
+hits AS (SELECT occ.* FROM occ JOIN dup USING (shingle)),
+isl AS (
+  SELECT doc_id, total_tokens, start_pos,
+         CASE WHEN start_pos - lag(start_pos) OVER (
+                PARTITION BY doc_id ORDER BY start_pos) > {_SPAN_K}
+              THEN 1 ELSE 0 END AS __new
+  FROM hits
+),
+isl2 AS (
+  SELECT *, sum(__new) OVER (PARTITION BY doc_id ORDER BY start_pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __island
+  FROM isl
+),
+per_island AS (
+  SELECT doc_id, total_tokens, __island,
+         max(start_pos) - min(start_pos) + {_SPAN_K} AS __covered
+  FROM isl2 GROUP BY doc_id, total_tokens, __island
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(__covered) AS BIGINT) AS dup_tokens,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(1000000 * sum(__covered) // total_tokens AS BIGINT)
+         AS dup_fraction_micro
+FROM per_island GROUP BY doc_id, total_tokens ORDER BY doc_id
+"""
+
+QUERIES["exact_dedup_substring_spans"] = exact_dedup_substring_spans

@@ -1929,3 +1929,32 @@ ORACLES["events_mwu_value_drift"] = QT.oracle_mann_whitney_u_sql(
     "(SELECT * FROM events WHERE day(ts) >= 16)",
     "value",
 )
+
+
+def events_ks_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type two-sample KS drift (r15, VERDICT r14 #4b,
+    operators/quantile.ks_two_sample_by_group): the slice-level form of
+    events_ks_value_drift — one KS verdict PER event_type between the
+    month's halves, each with the slice's own totals and critical
+    line, so a single type's distribution shift can't hide inside a
+    stable pooled statistic (the same audit eval_ann_recall_by_group
+    added for recall). The machinery is the ungrouped row's
+    _merged_value_cdf grown by a group key — still ONE histogram fold,
+    group-scoped windows and offset joins, per-group broadcast totals
+    — and the exact in-plan isqrt verdict chain runs once per group.
+    Five same-generator slices make five false verdicts the expected
+    non-vacuous nulls (the shifted-slice pytest pins detection and the
+    slice-isolation contract)."""
+    ev = tables.load(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15)
+    cmp = ev.filter(F.dayofmonth("ts") >= 16)
+    return QT.ks_two_sample_by_group(ref, cmp, "value", "event_type")
+
+
+QUERIES["events_ks_value_drift_by_type"] = events_ks_value_drift_by_type
+ORACLES["events_ks_value_drift_by_type"] = QT.oracle_ks_two_sample_by_group_sql(
+    "(SELECT * FROM events WHERE day(ts) <= 15)",
+    "(SELECT * FROM events WHERE day(ts) >= 16)",
+    "value",
+    "event_type",
+)

@@ -909,3 +909,59 @@ def test_recall_by_group_keeps_zero_hit_slice(spark, tmp_path):
     ora = con.execute(SS.ORACLES["eval_ann_recall_by_group"]).fetchall()
     spark_rows = sorted(tuple(r) for r in out)
     assert sorted(tuple(r) for r in ora) == spark_rows
+
+
+def test_duplicated_span_profile_islands_and_cross_doc_rule(spark):
+    """duplicated_span_profile (r15): any-offset verbatim 8-token runs
+    across DISTINCT docs, islands merged. Handcrafted corpus pins:
+    - a shared 8-token span found at different offsets in two docs;
+    - a shared 10-token run -> three overlapping shingle starts merge
+      into ONE island covering exactly 10 tokens;
+    - two shared runs in one doc separated by > k tokens -> 2 islands;
+    - an intra-doc-only repeat (never in another doc) is NOT duplicated;
+    - docs shorter than k and docs with no shared span emit no row."""
+    from executor_u1mindexer_spark.operators import dedup as D
+
+    A = "a1 a2 a3 a4 a5 a6 a7 a8"           # 8 shared tokens
+    RUN10 = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"  # 10 shared tokens
+    FILL = " ".join(f"f{i}" for i in range(12))
+    docs = [
+        (1, f"{A} x1 x2 x3"),                 # span at offset 0
+        (2, f"y1 y2 {A} y3"),                 # same span at offset 2
+        (3, f"{RUN10} z1"),                   # 10-token run, offset 0
+        (4, f"w1 {RUN10}"),                   # same run, offset 1
+        (5, f"{A} {FILL} {RUN10}"),           # two islands, gap 12 > 8
+        (6, "q1 q2 q3 q4 q5 q6 q7 q8 m q1 q2 q3 q4 q5 q6 q7 q8"),  # intra-only
+        (7, "s1 s2 s3"),                      # shorter than k
+        (8, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),    # unique text
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in D.duplicated_span_profile(df, k=8).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for d, total in ((1, 11), (2, 11)):
+        assert (
+            out[d].n_dup_spans,
+            out[d].dup_tokens,
+            out[d].total_tokens,
+            out[d].dup_fraction_micro,
+        ) == (1, 8, total, 1_000_000 * 8 // total)
+    for d, total in ((3, 11), (4, 11)):
+        assert (out[d].n_dup_spans, out[d].dup_tokens, out[d].total_tokens) == (
+            1,
+            10,
+            total,
+        )
+    assert out[5].n_dup_spans == 2 and out[5].dup_tokens == 18
+    assert out[5].total_tokens == 8 + 12 + 10
+
+    # DuckDB oracle replay over the identical corpus
+    import duckdb
+
+    vals = ", ".join(f"({d}, '{t}')" for d, t in docs)
+    sql = dedup_suite.ORACLES["exact_dedup_substring_spans"].replace(
+        "FROM documents",
+        f"FROM (SELECT col0 AS doc_id, col1 AS text FROM (VALUES {vals}) v(col0, col1))",
+    )
+    ora = duckdb.sql(sql).fetchall()
+    spark_rows = [tuple(out[d]) for d in sorted(out)]
+    assert [tuple(r) for r in ora] == spark_rows

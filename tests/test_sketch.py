@@ -1025,3 +1025,67 @@ def test_ks_mwu_degenerate_inputs_agree_across_engines(spark):
     assert len(r) == 1 and r[0].z_score is None and r[0].drift_detected is False
     o = duck(QT.oracle_mann_whitney_u_sql(src(one), src(empty), "value"))
     assert [tuple(x) for x in o] == [tuple(r[0])]
+
+
+def test_ks_by_group_isolates_the_shifted_slice(spark):
+    """ks_two_sample_by_group (r15): shifting ONE group's comparison
+    values flips ONLY that group's verdict; the other slices stay
+    under their own critical lines. The python replay recomputes each
+    group's d_num exactly (per-group brute-force CDF sweep), pinning
+    the group-scoped prefix-sum machinery, and a one-sided group
+    (present only in ref) surfaces with n_cmp 0, NULL d_stat, false."""
+    import math
+
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    rng_vals = [(i * 37) % 1000 / 10.0 for i in range(400)]
+    ref_rows = [("a", v) for v in rng_vals] + [("b", v) for v in rng_vals]
+    ref_rows += [("lonely", v) for v in rng_vals[:50]]
+    cmp_rows = [("a", v + 60.0) for v in rng_vals]  # shifted slice
+    cmp_rows += [("b", (i * 53) % 1000 / 10.0) for i in range(400)]  # same dist
+    ref = spark.createDataFrame(ref_rows, "grp string, value double")
+    cmp = spark.createDataFrame(cmp_rows, "grp string, value double")
+
+    out = {
+        r.grp: r
+        for r in QT.ks_two_sample_by_group(ref, cmp, "value", "grp").collect()
+    }
+    assert set(out) == {"a", "b", "lonely"}
+    assert out["a"].drift_detected and not out["b"].drift_detected
+    assert out["lonely"].n_cmp == 0 and out["lonely"].d_stat is None
+    assert out["lonely"].drift_detected is False and out["lonely"].d_num == 0
+
+    def replay_dnum(a_vals, b_vals):
+        a = sorted(math.floor(v * 100.0 + 0.5) for v in a_vals)
+        b = sorted(math.floor(v * 100.0 + 0.5) for v in b_vals)
+        n, m = len(a), len(b)
+        best = 0
+        for x in sorted(set(a) | set(b)):
+            ca = sum(1 for v in a if v <= x)
+            cb = sum(1 for v in b if v <= x)
+            best = max(best, abs(ca * m - cb * n))
+        return best
+
+    assert out["a"].d_num == replay_dnum(rng_vals, [v + 60.0 for v in rng_vals])
+    assert out["b"].d_num == replay_dnum(
+        rng_vals, [(i * 53) % 1000 / 10.0 for i in range(400)]
+    )
+    # per-group verdict replay against the slice's own critical line
+    for g in ("a", "b"):
+        r = out[g]
+        lhs = r.d_num * r.d_num * 1_000_000
+        rhs = 1_844_164 * (r.n_ref + r.n_cmp) * r.n_ref * r.n_cmp
+        assert bool(r.drift_detected) == (lhs > rhs)
+
+    # DuckDB twin on the identical rows
+    import duckdb
+
+    def src(rows):
+        vals = ", ".join(f"('{g}', CAST({v!r} AS DOUBLE))" for g, v in rows)
+        return f"(SELECT col0 AS grp, col1 AS value FROM (VALUES {vals}) t(col0, col1))"
+
+    ora = duckdb.sql(
+        QT.oracle_ks_two_sample_by_group_sql(src(ref_rows), src(cmp_rows), "value", "grp")
+    ).fetchall()
+    spark_rows = [tuple(out[g]) for g in sorted(out)]
+    assert [tuple(r) for r in ora] == spark_rows
