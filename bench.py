@@ -116,6 +116,14 @@ HEADLINE = [
     "events_mwu_value_drift",
     "eval_ann_recall_by_group",
     "eval_retrieval_ndcg",
+    # r15: tracks the GROUPED prefix-sum machinery (a lost group scoping
+    # shows as either a cross-slice offset leak caught by correctness or
+    # a per-group window blow-up here) and the shingle-explode + island
+    # merge topology (a lost broadcast of the dup-shingle set shows as a
+    # corpus-wide shuffle join; a lost per-doc window partitioning shows
+    # as a single-task island merge)
+    "events_ks_value_drift_by_type",
+    "exact_dedup_substring_spans",
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,
