@@ -931,3 +931,48 @@ def test_kmv_global_merge_is_bounded_not_corpus_wide(spark, sf_dir):
     # exactly one python (mapInPandas) stage = the bounded fold
     assert plan.count("MapInPandas") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_duplicated_spans_broadcasts_dup_set_and_windows_per_doc(spark, sf_dir):
+    """duplicated_span_profile (r15): the dup-shingle set must reach the
+    occurrence side as a BROADCAST left-semi (a lost broadcast turns
+    the hit filter into a corpus-wide sort-merge shuffle of every
+    shingle string), the island-merge windows must be doc-partitioned,
+    and the whole lane is pure Catalyst — no Python stage anywhere."""
+    from executor_u1mindexer_spark.suites.dedup_suite import (
+        exact_dedup_substring_spans,
+    )
+
+    df = exact_dedup_substring_spans(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin LeftSemi" not in plan, plan
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_op not in plan, plan
+    import re
+
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert re.search(r"windowspecdefinition\(doc_id#\d+", ln), ln
+
+
+def test_grouped_ks_stats_and_offsets_stay_broadcast(spark, sf_dir):
+    """ks_two_sample_by_group (r15): the per-group stats join and the
+    prior-bucket offset theta-join must both be BROADCAST (bounded by
+    groups and groups x 64 buckets respectively — losing either turns
+    bounded metadata into a data-sized shuffle), the cumsum windows
+    must be (group, bucket)-partitioned, and no Python stage exists."""
+    from executor_u1mindexer_spark.suites.sketch_suite import (
+        events_ks_value_drift_by_type,
+    )
+
+    df = events_ks_value_drift_by_type(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    assert plan.count("BroadcastExchange") >= 3, plan  # stats + prior + offsets
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_op not in plan, plan
+    import re
+
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert re.search(r"windowspecdefinition\(__grp#\d+, __bkt#\d+", ln), ln
