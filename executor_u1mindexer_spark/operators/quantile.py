@@ -700,11 +700,19 @@ def _merged_value_cdf(
     y = F.expr(f"CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT)")
     gsel = [F.col(group_col).alias("__grp")] if group_col else []
     gk = ["__grp"] if group_col else []
+    # NULL group keys are EXCLUDED explicitly, like NULL values — without
+    # this filter they would still vanish, but implicitly (NULL never
+    # equi-joins back to its per-group stats row on either engine), which
+    # a future join-shape refactor could silently change. The oracle twin
+    # carries the same predicate.
+    keep = F.col(value_col).isNotNull()
+    if group_col:
+        keep = keep & F.col(group_col).isNotNull()
     u = (
-        ref.filter(F.col(value_col).isNotNull())
+        ref.filter(keep)
         .select(*gsel, y.alias("__y"), F.lit(0).alias("__side"))
         .unionByName(
-            cmp.filter(F.col(value_col).isNotNull()).select(
+            cmp.filter(keep).select(
                 *gsel, y.alias("__y"), F.lit(1).alias("__side")
             )
         )
@@ -1225,12 +1233,14 @@ WITH __u AS (
   SELECT {group_col} AS __grp,
          CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
          0 AS __side
-  FROM {ref_source} WHERE {value_col} IS NOT NULL
+  FROM {ref_source}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
   UNION ALL
   SELECT {group_col} AS __grp,
          CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y,
          1 AS __side
-  FROM {cmp_source} WHERE {value_col} IS NOT NULL
+  FROM {cmp_source}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
 ),
 {_ORACLE_CDF_TAIL_GROUPED}"""
 

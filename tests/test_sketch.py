@@ -1089,3 +1089,33 @@ def test_ks_by_group_isolates_the_shifted_slice(spark):
     ).fetchall()
     spark_rows = [tuple(out[g]) for g in sorted(out)]
     assert [tuple(r) for r in ora] == spark_rows
+
+
+def test_ks_by_group_excludes_null_group_keys_explicitly(spark):
+    """NULL group keys are excluded like NULL values — by an explicit
+    filter on BOTH engines, not by accidental equi-join semantics. A
+    corpus with NULL-group rows yields exactly the non-NULL groups,
+    identical across engines."""
+    import duckdb
+
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    rows_ref = [("a", 1.0), (None, 2.0), ("a", 3.0), (None, 9.0)]
+    rows_cmp = [("a", 1.5), (None, 7.0), ("a", 2.5)]
+    ref = spark.createDataFrame(rows_ref, "grp string, value double")
+    cmp = spark.createDataFrame(rows_cmp, "grp string, value double")
+    out = QT.ks_two_sample_by_group(ref, cmp, "value", "grp").collect()
+    assert [r.grp for r in out] == ["a"]
+    assert (out[0].n_ref, out[0].n_cmp) == (2, 2)
+
+    def src(rows):
+        vals = ", ".join(
+            f"({'NULL' if g is None else repr(g)}, CAST({v!r} AS DOUBLE))"
+            for g, v in rows
+        )
+        return f"(SELECT col0 AS grp, col1 AS value FROM (VALUES {vals}) t(col0, col1))"
+
+    ora = duckdb.sql(
+        QT.oracle_ks_two_sample_by_group_sql(src(rows_ref), src(rows_cmp), "value", "grp")
+    ).fetchall()
+    assert [tuple(r) for r in ora] == [tuple(r) for r in out]
