@@ -187,15 +187,19 @@ DRIVER_PRIORITY = (
     "events_sessionize_capped",
     "graph_cc_event_chains",
     # --- 50-slot window boundary ---
-    # r16 window plan: the 2 never-checked r15 growth rows lead
+    # r16 window plan — run rotation_check with CORRECTNESS_r15.json
+    # present and follow the GUARDS (the r14/r15 lesson), but the
+    # arithmetic is already written here so the guard holds no
+    # surprise: the flagship guard WILL fire for `knn_search_batch`
+    # (last stamped r13, deliberately not in this window because it was
+    # inside the 2-round bound at r15 — at r16 it is not), so the r16
+    # window = knn_search_batch + the 2 never-checked r15 growth rows
     # (events_ks_value_drift_by_type — the grouped-KS slice audit,
     # VERDICT r14 #4b — and exact_dedup_substring_spans — the Lee et
-    # al. duplicated-span lane, VERDICT r14 #4a; both added after this
-    # window froze, never-checked rows jump the queue per the cadence
-    # policy), then the 21 remaining r11-stale rows below (after them
-    # the r11 bucket is EMPTY and the oldest checked bucket is r12 —
-    # comfortably inside MAX_AGE=5 at r16), then the oldest ~27
-    # alphabetical r12 rows fill the remainder of the 50.
+    # al. duplicated-span lane, VERDICT r14 #4a; never-checked rows
+    # jump the queue per the cadence policy) + the 21 remaining
+    # r11-stale rows below (after them the r11 bucket is EMPTY) + the
+    # oldest 26 alphabetical r12 rows = exactly 50.
     # Registry-growth margin (VERDICT r14 #5): at 215 rows (213 + the
     # two r15 growth rows) the written cur-5 arithmetic holds to ~240
     # rows at the measured ~44-slot re-earn rate, leaving ~25 rows of
