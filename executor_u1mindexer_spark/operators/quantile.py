@@ -1050,6 +1050,60 @@ def mann_whitney_u(ref: DataFrame, cmp: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+
+def mann_whitney_u_by_group(
+    ref: DataFrame, cmp: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-group Mann-Whitney U drift (r15, built for the r16 window) —
+    the location-test sibling of ks_two_sample_by_group, completing the
+    grouped two-sample pair: one z verdict PER group between the
+    samples, so a single slice's location shift can't hide inside a
+    stable pooled rank statistic. Identical machinery: the grouped
+    _merged_value_cdf fold (one pass, per-group broadcast totals,
+    group-scoped windows/offsets, NULL groups excluded explicitly) with
+    the _MWU_* guarded lanes evaluated per group — degenerate slices
+    (one-sided, n < 2, fully-tied) get z NULL and drift false exactly
+    like the pooled row. Bounds: _KS_MWU_SCALE_NOTE (per-group totals).
+    [NOT IN REFERENCE.]"""
+    cdf = _merged_value_cdf(ref, cmp, value_col, group_col)
+    per_v = cdf.select(
+        "__grp",
+        "__tr",
+        "__tc",
+        "n_ref",
+        (F.col("n_ref") + F.col("n_cmp")).alias("__t"),
+        (
+            2 * (F.col("c_r") + F.col("c_c"))
+            - (F.col("n_ref") + F.col("n_cmp"))
+            + 1
+        ).alias("__rank2"),
+    )
+    agg = per_v.groupBy("__grp", "__tr", "__tc").agg(
+        F.sum(F.col("n_ref") * F.col("__rank2")).cast("long").alias("r1_doubled"),
+        F.expr(
+            "sum(CAST(__t AS DECIMAL(38,0)) * CAST(__t AS DECIMAL(38,0))"
+            " * CAST(__t AS DECIMAL(38,0)) - CAST(__t AS DECIMAL(38,0)))"
+        ).alias("__tie"),
+    )
+    return (
+        agg.withColumn("__num", F.expr(_MWU_NUM))
+        .withColumn("__vq", F.expr(_MWU_VQ))
+        .withColumn("z_score", F.expr(_MWU_Z))
+        .select(
+            F.col("__grp").alias(group_col),
+            F.col("__tr").alias("n_ref"),
+            F.col("__tc").alias("n_cmp"),
+            "r1_doubled",
+            F.expr("CAST(r1_doubled - __tr * (__tr + 1) AS BIGINT)").alias(
+                "u1_doubled"
+            ),
+            "z_score",
+            F.expr(_MWU_DRIFT).alias("drift_detected"),
+        )
+        .orderBy(group_col)
+    )
+
+
 _ORACLE_CDF_TAIL = """
 __hist AS MATERIALIZED (
   SELECT __y,
@@ -1279,3 +1333,40 @@ FROM __v{len(steps)}
 ORDER BY {group_col}
 """
     )
+
+
+def oracle_mann_whitney_u_by_group_sql(
+    ref_source: str, cmp_source: str, value_col: str, group_col: str
+) -> str:
+    """DuckDB twin of mann_whitney_u_by_group — the grouped __cdf chain
+    with the _MWU_* guarded lanes per group. A group exists iff it has
+    histogram rows, so per-group totals are never NULL and the
+    empty-input contract (zero rows) holds with no filter."""
+    return (
+        _oracle_merged_cdf_grouped_sql(ref_source, cmp_source, value_col, group_col)
+        + f""",
+__pv AS (
+  SELECT __grp, n_ref, (n_ref + n_cmp) AS __t,
+         2 * (c_r + c_c) - (n_ref + n_cmp) + 1 AS __rank2
+  FROM __cdf
+),
+__a AS (
+  SELECT __grp, CAST(sum(n_ref * __rank2) AS BIGINT) AS r1_doubled,
+         sum(CAST(__t AS HUGEINT) * __t * __t - __t) AS __tie
+  FROM __pv GROUP BY __grp
+),
+__z0 AS (
+  SELECT __grp, r1_doubled, __tie, __tr, __tc
+  FROM __a JOIN __st USING (__grp)
+),
+__z1 AS (SELECT *, {_MWU_NUM} AS __num, {_MWU_VQ} AS __vq FROM __z0),
+__z2 AS (SELECT *, {_MWU_Z} AS z_score FROM __z1)
+SELECT __grp AS {group_col}, __tr AS n_ref, __tc AS n_cmp, r1_doubled,
+       CAST(r1_doubled - __tr * (__tr + 1) AS BIGINT) AS u1_doubled,
+       z_score,
+       {_MWU_DRIFT} AS drift_detected
+FROM __z2
+ORDER BY {group_col}
+"""
+    )
+

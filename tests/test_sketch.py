@@ -1119,3 +1119,72 @@ def test_ks_by_group_excludes_null_group_keys_explicitly(spark):
         QT.oracle_ks_two_sample_by_group_sql(src(rows_ref), src(rows_cmp), "value", "grp")
     ).fetchall()
     assert [tuple(r) for r in ora] == [tuple(r) for r in out]
+
+
+def test_mwu_by_group_isolates_the_shifted_slice(spark):
+    """mann_whitney_u_by_group (r15, r16 registry candidate): shifting
+    ONE group's comparison values flips only that group's verdict; the
+    python replay recomputes each slice's doubled-midrank R1/U1 exactly
+    and z to 1e-9; a one-sided group and a fully-tied group surface
+    with z NULL, drift false; the DuckDB twin matches row-for-row."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    base = [(i * 37) % 1000 / 10.0 for i in range(400)]
+    same = [(i * 53) % 1000 / 10.0 for i in range(400)]
+    ref_rows = (
+        [("a", v) for v in base]
+        + [("b", v) for v in base]
+        + [("lonely", v) for v in base[:50]]
+        + [("tied", 4.0)] * 30
+    )
+    cmp_rows = (
+        [("a", v + 60.0) for v in base]
+        + [("b", v) for v in same]
+        + [("tied", 4.0)] * 20
+    )
+    ref = spark.createDataFrame(ref_rows, "grp string, value double")
+    cmp = spark.createDataFrame(cmp_rows, "grp string, value double")
+    out = {
+        r.grp: r
+        for r in QT.mann_whitney_u_by_group(ref, cmp, "value", "grp").collect()
+    }
+    assert set(out) == {"a", "b", "lonely", "tied"}
+    assert out["a"].drift_detected and not out["b"].drift_detected
+    assert out["lonely"].z_score is None and out["lonely"].drift_detected is False
+    assert out["tied"].z_score is None and out["tied"].drift_detected is False
+
+    def replay(a_vals, b_vals):
+        a = [math.floor(v * 100.0 + 0.5) for v in a_vals]
+        b = [math.floor(v * 100.0 + 0.5) for v in b_vals]
+        n1, n2 = len(a), len(b)
+        n = n1 + n2
+        cnt, ca = Counter(a + b), Counter(a)
+        c_before = r1_d = tie = 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            r1_d += ca.get(v, 0) * (2 * c_before + t + 1)
+            tie += t * t * t - t
+            c_before += t
+        u1_d = r1_d - n1 * (n1 + 1)
+        var = (n1 * n2 / 12.0) * ((n + 1) - tie / (n * (n - 1)))
+        z = round((u1_d - float(n1) * n2) / (2.0 * math.sqrt(var)), 9)
+        return r1_d, u1_d, z
+
+    for g, vals in (("a", [v + 60.0 for v in base]), ("b", same)):
+        r1_d, u1_d, z = replay(base, vals)
+        assert out[g].r1_doubled == r1_d and out[g].u1_doubled == u1_d
+        assert abs(out[g].z_score - z) < 2e-9
+
+    def src(rows):
+        vals = ", ".join(f"('{g}', CAST({v!r} AS DOUBLE))" for g, v in rows)
+        return f"(SELECT col0 AS grp, col1 AS value FROM (VALUES {vals}) t(col0, col1))"
+
+    ora = duckdb.sql(
+        QT.oracle_mann_whitney_u_by_group_sql(src(ref_rows), src(cmp_rows), "value", "grp")
+    ).fetchall()
+    assert [tuple(r) for r in ora] == [tuple(out[g]) for g in sorted(out)]
