@@ -204,6 +204,11 @@ DRIVER_PRIORITY = (
     # two r15 growth rows) the written cur-5 arithmetic holds to ~240
     # rows at the measured ~44-slot re-earn rate, leaving ~25 rows of
     # margin — no fold needed yet, watch again at r16.
+    # r16 growth candidate, already built + pytest-pinned but
+    # deliberately unregistered (the <=2-rows cadence cap was spent):
+    # quantile.mann_whitney_u_by_group / oracle_mann_whitney_u_by_group
+    # _sql — register as `events_mwu_value_drift_by_type` beside the
+    # grouped KS row; 3-SF oracle checks still due at registration.
     # r11-stale, did not fit this window (21):
     "graph_label_propagation",
     "graph_pagerank_parts",
