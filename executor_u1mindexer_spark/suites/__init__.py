@@ -105,111 +105,33 @@ SUITE_MODULES = (
 # (a)); rotation_check treats these as legitimate window occupants even
 # while stale rows wait. Keep this list honest — it is the audit trail
 # for why a fresh row occupies a slot ahead of a stale one.
-# r15: the three ADVICE r14 drift/eval rows — eval_ann_recall_by_group
-# (left-join + coalesce so zero-hit slices surface as recall 0 instead
-# of dropping), events_ks_value_drift (overflow-safe verdict lane +
-# empty-input row contract), events_mwu_value_drift (zero-variance
-# guard + empty-input row contract). All three are ALSO never-driver-
-# checked (added r14 after that window froze), so their slots are
-# legitimate twice over.
+# r16: exact_dedup_substring_spans carries the ADVICE r15 fix (explicit
+# F.broadcast hint on the dup-shingle left-semi join so the pinned
+# BroadcastHashJoin shape is deterministic rather than size-estimate-
+# dependent). It is ALSO never-driver-checked (added r15 after that
+# window froze), so its slot is legitimate twice over.
 POLICY_A = (
-    "eval_ann_recall_by_group",
-    "events_ks_value_drift",
-    "events_mwu_value_drift",
+    "exact_dedup_substring_spans",
 )
 
 DRIVER_PRIORITY = (
-    # Round 15 window (VERDICT r14 #1, rotated as the FIRST commit of
-    # the round, following the FIRING GUARDS rather than the stale r14
-    # boundary comment — rotation_check at the r14 at-rest tree fires
-    # FLAGSHIP TIER VIOLATION for the 8 §2.A rows below, and the 11
-    # r10-stale rows sit at the MAX_AGE=5 bound, so the slot arithmetic
-    # that closes this round is exactly: 8 flagship + 4 never-checked
-    # r14 rows + 11 r10 rows + 27 oldest-alphabetical r11 rows = 50.
-    # The 21 remaining r11 rows head the r16 queue below.
-    # §2.A flagship tier (last stamped r12 — the 2-round bound is red):
-    "knn_search_cosine",
-    "knn_search_euclidean",
-    "knn_search_inner_product",
-    "payload_fetch",
-    "limit_clamp",
-    "score_transform_similarity",
-    "dim_validate",
-    "clear",
-    # never driver-checked (added r14 after that window froze; each
-    # green at sf0.01+sf0.1 in the committed r14 sweeps and all four
-    # ★-re-oracled by the judge; the three POLICY_A rows carry this
-    # round's ADVICE r14 fixes):
-    "events_ks_value_drift",
-    "events_mwu_value_drift",
-    "eval_ann_recall_by_group",
-    "eval_retrieval_ndcg",
-    # r10-stale (the full remaining 11-row bucket — at the MAX_AGE=5
-    # cadence bound; leaving any of these out trips the tripwire at
-    # r16):
-    "text_fingerprints",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_vocab_topk",
-    "topk_orders_by_price",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "traverse_chunks",
-    "window_funcs",
-    # r11-stale rows, alphabetical (first 27 of the 48-row bucket):
-    "agg_listagg_names",
-    "ann_hnsw_partitioned_topk",
-    "ann_partitioned_topk",
-    "ann_range_search",
-    "decontaminated_training_mix",
-    "delete_by_ids",
-    "dq_backlog_cross_batch",
-    "dq_constraint_audit",
-    "drift_chi2_value_periods",
-    "dump_load_roundtrip",
-    "embedding_centroids_by_label",
-    "embedding_gram_moments",
-    "embedding_matryoshka_stats",
-    "eval_retrieval_label_metrics",
-    "events_funnel_view_click_purchase",
-    "events_gapfill_hourly",
-    "events_interval_gaps",
-    "events_interval_union",
-    "events_markov_transitions",
-    "events_range_join_amplified",
-    "events_range_join_banded_amplified",
-    "events_range_join_bucketed",
-    "events_resample_ohlc",
-    "events_retention_cohorts",
-    "events_rolling_zscore",
-    "events_sessionize_capped",
-    "graph_cc_event_chains",
-    # --- 50-slot window boundary ---
-    # r16 window plan — run rotation_check with CORRECTNESS_r15.json
-    # present and follow the GUARDS (the r14/r15 lesson), but the
-    # arithmetic is already written here so the guard holds no
-    # surprise: the flagship guard WILL fire for `knn_search_batch`
-    # (last stamped r13, deliberately not in this window because it was
-    # inside the 2-round bound at r15 — at r16 it is not), so the r16
-    # window = knn_search_batch + the 2 never-checked r15 growth rows
-    # (events_ks_value_drift_by_type — the grouped-KS slice audit,
-    # VERDICT r14 #4b — and exact_dedup_substring_spans — the Lee et
-    # al. duplicated-span lane, VERDICT r14 #4a; never-checked rows
-    # jump the queue per the cadence policy) + the 21 remaining
-    # r11-stale rows below (after them the r11 bucket is EMPTY) + the
-    # oldest 26 alphabetical r12 rows = exactly 50.
-    # Registry-growth margin (VERDICT r14 #5): at 215 rows (213 + the
-    # two r15 growth rows) the written cur-5 arithmetic holds to ~240
-    # rows at the measured ~44-slot re-earn rate, leaving ~25 rows of
-    # margin — no fold needed yet, watch again at r16.
-    # r16 growth candidate, already built + pytest-pinned but
-    # deliberately unregistered (the <=2-rows cadence cap was spent):
-    # quantile.mann_whitney_u_by_group / oracle_mann_whitney_u_by_group
-    # _sql — register as `events_mwu_value_drift_by_type` beside the
-    # grouped KS row; 3-SF oracle checks still due at registration.
-    # r11-stale, did not fit this window (21):
+    # Round 16 window (VERDICT r15 #1, rotated as the FIRST commit of
+    # the round). The firing guard at the r15 at-rest tree demands
+    # exactly the composition the r15 boundary comment pre-wrote (the
+    # comment and the guard agree this round — the r15 lesson applied):
+    # 1 flagship + 2 never-checked r15 growth rows + all 21 remaining
+    # r11-stale rows (the r11 bucket is EMPTY after this window) + the
+    # 26 oldest alphabetical r12 rows = exactly 50.
+    # §2.A flagship tier (stamped r13 — outside the 2-round bound):
+    "knn_search_batch",
+    # never driver-checked (the two r15 growth rows; both green at
+    # sf0.01+sf0.1 in the committed r15 sweeps and both ★-re-oracled by
+    # the judge; exact_dedup_substring_spans additionally carries the
+    # r16 POLICY_A broadcast-hint fix):
+    "events_ks_value_drift_by_type",
+    "exact_dedup_substring_spans",
+    # r11-stale (the full remaining 21-row bucket — at the MAX_AGE=5
+    # cadence bound; leaving any of these out trips the tripwire):
     "graph_label_propagation",
     "graph_pagerank_parts",
     "graph_triangle_count",
@@ -231,6 +153,70 @@ DRIVER_PRIORITY = (
     "text_bpe_learn_merges",
     "text_bpe_tokenize",
     "topk_per_group_salted",
+    # r12-stale rows, alphabetical (first 26 of the 42-row bucket):
+    "ann_mmr_rerank_topn",
+    "events_asof_nearest_view",
+    "events_cusum_drift",
+    "events_decayed_leaderboard",
+    "graph_bfs_hop_distances",
+    "ivm_retract_cdc_backlog",
+    "ivm_retractable_delta",
+    "llm_corpus_pipeline",
+    "multimodal_decode_audio",
+    "multimodal_decode_webp_lossless",
+    "multimodal_sample_video_frames",
+    "multimodal_thumbnail_meta",
+    "near_dedup_cc_clusters",
+    "near_dedup_clusters",
+    "near_dedup_simhash",
+    "pack_token_budget",
+    "shuffle_epoch_order",
+    "simhash_fingerprints",
+    "sketch_heavy_hitters_grouped",
+    "sketch_heavy_hitters_verified",
+    "sketch_kmv_distinct",
+    "source_compact_small_files",
+    "source_partitioned_parquet",
+    "split_train_val_test",
+    "status_counts",
+    "text_char_ngram_stats",
+    # --- 50-slot window boundary ---
+    # r17 window plan — run rotation_check with CORRECTNESS_r16.json
+    # present and follow the GUARDS (standing lesson), but the expected
+    # arithmetic: no flagship violation at r17 (the 8 non-batch §2.A
+    # rows were stamped r15, inside the 2-round bound at r17;
+    # knn_search_batch re-stamps r16 in this window), so the r17 window
+    # = the rows registered at r16 and never driver-checked
+    # (events_mwu_value_drift_by_type + any second r16 growth row,
+    # which jump the queue per the cadence policy) + the 16 remaining
+    # r12-stale rows below (after them the r12 bucket is EMPTY) + the
+    # oldest alphabetical r13-stale rows to fill 50 (the r13 bucket is
+    # the old r13 window, 50 rows, minus knn_search_batch re-stamped
+    # here = 49 candidates; with 2 never-checked rows that means the 32
+    # oldest alphabetical r13 rows).
+    # Registry-growth margin (VERDICT r15 #4): at 215 rows (216-217
+    # after the r16 registrations) the written cur-5 arithmetic holds
+    # to ~240 rows at the measured ~44-slot re-earn rate, leaving
+    # ~23 rows of margin — no fold needed yet, watch again at r17; if
+    # any round pushes past ~225, start folding TPC-H siblings via
+    # suites/_fold.py preemptively.
+    # r12-stale, did not fit this window (16):
+    "text_corpus_stats",
+    "text_gopher_quality_audit",
+    "text_inverted_index",
+    "text_length_histogram",
+    "text_phrase_search",
+    "text_pii_redaction",
+    "text_repetition_scores",
+    "text_url_domains",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q6_forecast_revenue",
+    "unpivot_lineitem_metrics",
+    "update_existing",
+    "update_skipped",
+    "vector_dedup_quantize",
 )
 
 
