@@ -396,9 +396,13 @@ def main() -> None:
     # driver keeps only a bounded stdout TAIL and parses the LAST JSON
     # line. Folding this map into the headline in r10 doubled that line
     # past the tail window and truncated its head — BENCH_r10.json has
-    # `parsed: null` (VERDICT r10 #2). The headline line below is the
-    # r01–r09 shape that parsed every round; keep it the FINAL line and
-    # keep it compact.
+    # `parsed: null` (VERDICT r10 #2).
+    # THREE-LINE OUTPUT CONTRACT (since r15, ADVICE r15; matches
+    # BENCH_NOTES.md and the verify skill): line 1 = this normalized
+    # map, line 2 = the full headline record, line 3 (LAST — the one
+    # the driver parses) = the <1KB truncation-proof summary printed
+    # at the bottom of this function. Any new output must go ABOVE the
+    # summary; the summary stays last and stays under 1KB.
     normalized = {
         k: round(v / ((probe_start + probe_end) / 2), 4)
         for k, v in timings.items()

@@ -871,7 +871,12 @@ def duplicated_span_profile(
         .filter(F.col("__lo") != F.col("__hi"))
         .select("shingle")
     )
-    hits = occ.join(dup, "shingle", "leftsemi")
+    # explicit hint: the pinned BroadcastHashJoin shape must not depend
+    # on the optimizer's size estimate of a post-aggregation frame
+    # (ADVICE r15). The dup set is the bounded side — corpus-duplicated
+    # shingles only — and losing the broadcast here would shuffle every
+    # shingle string corpus-wide.
+    hits = occ.join(F.broadcast(dup), "shingle", "leftsemi")
     w = Window.partitionBy(id_col).orderBy("start_pos")
     islands = hits.withColumn(
         "__new",
