@@ -124,6 +124,11 @@ HEADLINE = [
     # as a single-task island merge)
     "events_ks_value_drift_by_type",
     "exact_dedup_substring_spans",
+    # r16: the grouped MWU (registered per VERDICT r15 #2) — same
+    # grouped fold as the grouped KS row, so its number should track
+    # events_ks_value_drift_by_type 1:1; a divergence between the two
+    # means the per-group rank-sum tail (not the shared fold) regressed
+    "events_mwu_value_drift_by_type",
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,

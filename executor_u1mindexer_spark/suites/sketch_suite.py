@@ -1958,3 +1958,32 @@ ORACLES["events_ks_value_drift_by_type"] = QT.oracle_ks_two_sample_by_group_sql(
     "value",
     "event_type",
 )
+
+
+def events_mwu_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type Mann-Whitney U drift (built r15, registered r16
+    per VERDICT r15 #2; operators/quantile.mann_whitney_u_by_group):
+    the location-test sibling of events_ks_value_drift_by_type,
+    completing the grouped two-sample pair — one rank-sum z verdict PER
+    event_type between the month's halves, so a single slice's upward
+    or downward value shift can't hide inside a stable pooled rank
+    statistic. Same grouped _merged_value_cdf fold as the grouped KS
+    row (one pass, per-group broadcast totals, group-scoped windows and
+    offset joins); the _MWU_* guarded lanes run per group, so a
+    degenerate slice (one-sided, n < 2, fully tied) yields z NULL and
+    drift false instead of an ANSI divide-by-zero. Five same-generator
+    slices make five false verdicts the expected non-vacuous nulls (the
+    shifted-slice pytest pins detection and slice isolation)."""
+    ev = tables.load(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15)
+    cmp = ev.filter(F.dayofmonth("ts") >= 16)
+    return QT.mann_whitney_u_by_group(ref, cmp, "value", "event_type")
+
+
+QUERIES["events_mwu_value_drift_by_type"] = events_mwu_value_drift_by_type
+ORACLES["events_mwu_value_drift_by_type"] = QT.oracle_mann_whitney_u_by_group_sql(
+    "(SELECT * FROM events WHERE day(ts) <= 15)",
+    "(SELECT * FROM events WHERE day(ts) >= 16)",
+    "value",
+    "event_type",
+)

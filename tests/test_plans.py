@@ -976,3 +976,26 @@ def test_grouped_ks_stats_and_offsets_stay_broadcast(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert re.search(r"windowspecdefinition\(__grp#\d+, __bkt#\d+", ln), ln
+
+
+def test_grouped_mwu_shares_the_grouped_fold_plan_shape(spark, sf_dir):
+    """mann_whitney_u_by_group (registered r16): same grouped
+    _merged_value_cdf fold as the grouped KS row, so the same pins
+    apply — per-group stats and prior-bucket offsets stay BROADCAST
+    (bounded metadata; losing either is a data-sized shuffle), cumsum
+    windows stay (group, bucket)-partitioned, and the rank-sum tail
+    adds no Python stage and no SinglePartition window."""
+    from executor_u1mindexer_spark.suites.sketch_suite import (
+        events_mwu_value_drift_by_type,
+    )
+
+    df = events_mwu_value_drift_by_type(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    assert plan.count("BroadcastExchange") >= 3, plan  # stats + prior + offsets
+    for python_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_op not in plan, plan
+    import re
+
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert re.search(r"windowspecdefinition\(__grp#\d+, __bkt#\d+", ln), ln
