@@ -129,6 +129,11 @@ HEADLINE = [
     # events_ks_value_drift_by_type 1:1; a divergence between the two
     # means the per-group rank-sum tail (not the shared fold) regressed
     "events_mwu_value_drift_by_type",
+    # r16 second slot: the grouped PSI completing the grouped drift
+    # trio — unlike the KS/MWU pair it has NO window stage (two
+    # histogram folds + broadcast octiles/totals), so its number is a
+    # clean probe of the fold+broadcast economy alone
+    "events_psi_value_drift_by_type",
     # r07 (VERDICT r06 #7): the most expensive registered query — 5
     # Pregel supersteps over the sf0.1 part-adjacency graph. Benched so a
     # lost checkpoint (=> exponential plan growth) shows up as a number,

@@ -672,6 +672,206 @@ FROM __terms, __tot ORDER BY bucket
 """
 
 
+def psi_drift_by_group(
+    ref: DataFrame, cmp: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-group Population Stability Index (r16, VERDICT r15 #3a) —
+    the binned-proportion member of the grouped drift trio beside
+    ks_two_sample_by_group and mann_whitney_u_by_group: one PSI verdict
+    PER group between the samples, each slice binned by ITS OWN
+    reference octiles (the per-segment convention of the industry
+    metric), so a single slice's distribution shift can't hide inside
+    a stable pooled index. Output mirrors the ungrouped row grown by
+    the group key: one row per (group, bucket) with the slice's exact
+    integer count/proportion lanes, the 9-digit-rounded per-bin term,
+    and the slice's psi_total + stable verdict riding every row.
+
+    Semantics at the edges (all deliberate, all loud):
+    - NULL groups are excluded explicitly (the grouped-KS contract).
+    - A group present ONLY in the comparison sample has no reference
+      octiles, hence no defined PSI: it surfaces as bucket-0 rows with
+      n_ref = 0 and NULL p_ref/term/psi_total/stable — visible in the
+      output rather than silently dropped (the zero-hit-slice lesson
+      from eval_ann_recall_by_group).
+    - Empty inputs yield zero rows (the empty-input contract).
+
+    Scale shape: the ungrouped row's economy with a group key — two
+    (group x value-domain)-bounded histogram folds, a per-group octile
+    aggregate (n_groups rows, BROADCAST to both binning joins), and
+    per-group totals/psi_total aggregates (n_groups rows, BROADCAST
+    back onto the grid). No window at all; state is bounded by
+    groups x 8 buckets. [NOT IN REFERENCE.]"""
+    y = F.expr(f"CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT)")
+
+    def _hist(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(
+                F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+            )
+            .select(F.col(group_col).alias("__grp"), y.alias("__y"))
+            .groupBy("__grp", "__y")
+            .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        )
+
+    vh_r, vh_c = _hist(ref), _hist(cmp)
+    fracs = ", ".join(f"{i}.0e0 / 8.0e0" for i in range(1, 8))
+    qs = (
+        vh_r.groupBy("__grp")
+        .agg(F.expr(f"percentile(__y, array({fracs}), __cnt)").alias("__q"))
+        .select(
+            "__grp",
+            *[F.element_at("__q", i).alias(f"__q{i}") for i in range(1, 8)],
+        )
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(__y AS DOUBLE) >= __q{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 8)
+    )
+
+    def _binned(vh: DataFrame, out: str) -> DataFrame:
+        # LEFT join: a cmp-only group keeps its rows with NULL edges —
+        # every >= comparison is NULL, every CASE falls to 0, the whole
+        # slice lands in bucket 0 (identical CASE-on-NULL semantics in
+        # DuckDB), where n_ref = 0 makes its PSI loudly NULL below.
+        return (
+            vh.join(F.broadcast(qs), "__grp", "left")
+            .select(
+                "__grp", F.expr(f"CAST({bucket} AS BIGINT)").alias("bucket"), "__cnt"
+            )
+            .groupBy("__grp", "bucket")
+            .agg(F.sum("__cnt").cast("long").alias(out))
+        )
+
+    grid = (
+        _binned(vh_r, "n_ref")
+        .join(_binned(vh_c, "n_cmp"), ["__grp", "bucket"], "full")
+        .fillna(0, subset=["n_ref", "n_cmp"])
+    )
+    tot = grid.groupBy("__grp").agg(
+        F.sum("n_ref").cast("long").alias("__tr"),
+        F.sum("n_cmp").cast("long").alias("__tc"),
+    )
+    terms = grid.join(F.broadcast(tot), "__grp").select(
+        "__grp",
+        "bucket",
+        "n_ref",
+        "n_cmp",
+        F.expr("CAST(1000000 * n_ref DIV nullif(__tr, 0) AS BIGINT)").alias(
+            "p_ref_micro"
+        ),
+        F.expr("CAST(1000000 * n_cmp DIV nullif(__tc, 0) AS BIGINT)").alias(
+            "p_cmp_micro"
+        ),
+        F.expr(
+            "CASE WHEN n_ref = 0 OR n_cmp = 0 THEN NULL ELSE"
+            " round((CAST(n_cmp AS DOUBLE) / CAST(__tc AS DOUBLE)"
+            "  - CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE))"
+            " * ln((CAST(n_cmp AS DOUBLE) / CAST(__tc AS DOUBLE))"
+            "  / (CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE))), 9)"
+            " END"
+        ).alias("psi_term"),
+    )
+    total = terms.groupBy("__grp").agg(
+        F.expr("CAST(sum(CAST(psi_term AS DECIMAL(20,9))) AS DOUBLE)").alias(
+            "psi_total"
+        )
+    )
+    return (
+        terms.join(F.broadcast(total), "__grp")
+        .select(
+            F.col("__grp").alias(group_col),
+            "bucket",
+            "n_ref",
+            "n_cmp",
+            "p_ref_micro",
+            "p_cmp_micro",
+            "psi_term",
+            "psi_total",
+            F.expr("psi_total < 0.1e0").alias("stable"),
+        )
+        .orderBy(group_col, "bucket")
+    )
+
+
+def oracle_psi_drift_by_group_sql(
+    ref_source: str, cmp_source: str, value_col: str, group_col: str
+) -> str:
+    """DuckDB twin of psi_drift_by_group — the ungrouped twin's chain
+    with the group key threaded through every stage: per-group
+    quantile_cont octiles over the raw reference rows (formulation-
+    independent of Spark's weighted-histogram percentile), LEFT joins
+    so cmp-only groups keep their loud NULL-PSI bucket-0 rows, and the
+    shared bit-parity surface (bucket CASE chain, rounded-term
+    arithmetic, DECIMAL(20,9) total lane) textually identical to the
+    Spark side."""
+    qcols = ", ".join(
+        f"quantile_cont(__y, {i}.0e0 / 8.0e0) AS __q{i}" for i in range(1, 8)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN CAST(__y AS DOUBLE) >= __q{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 8)
+    )
+    return f"""
+WITH __r AS MATERIALIZED (
+  SELECT {group_col} AS __grp,
+         CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y
+  FROM {ref_source}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+__c AS MATERIALIZED (
+  SELECT {group_col} AS __grp,
+         CAST(floor({value_col} * 100.0e0 + 0.5e0) AS BIGINT) AS __y
+  FROM {cmp_source}
+  WHERE {value_col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+__qs AS MATERIALIZED (SELECT __grp, {qcols} FROM __r GROUP BY __grp),
+__hr AS (
+  SELECT __r.__grp, CAST({bucket} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_ref
+  FROM __r LEFT JOIN __qs ON __r.__grp = __qs.__grp GROUP BY 1, 2
+),
+__hc AS (
+  SELECT __c.__grp, CAST({bucket} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_cmp
+  FROM __c LEFT JOIN __qs ON __c.__grp = __qs.__grp GROUP BY 1, 2
+),
+__g AS (
+  SELECT coalesce(__hr.__grp, __hc.__grp) AS __grp,
+         coalesce(__hr.bucket, __hc.bucket) AS bucket,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cmp, 0) AS n_cmp
+  FROM __hr FULL JOIN __hc
+    ON __hr.__grp = __hc.__grp AND __hr.bucket = __hc.bucket
+),
+__t AS (
+  SELECT __grp, CAST(sum(n_ref) AS BIGINT) AS __tr,
+         CAST(sum(n_cmp) AS BIGINT) AS __tc
+  FROM __g GROUP BY __grp
+),
+__terms AS (
+  SELECT __g.__grp, bucket, n_ref, n_cmp,
+         CAST(1000000 * n_ref // nullif(__tr, 0) AS BIGINT) AS p_ref_micro,
+         CAST(1000000 * n_cmp // nullif(__tc, 0) AS BIGINT) AS p_cmp_micro,
+         CASE WHEN n_ref = 0 OR n_cmp = 0 THEN NULL ELSE
+           round((CAST(n_cmp AS DOUBLE) / CAST(__tc AS DOUBLE)
+            - CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE))
+           * ln((CAST(n_cmp AS DOUBLE) / CAST(__tc AS DOUBLE))
+            / (CAST(n_ref AS DOUBLE) / CAST(__tr AS DOUBLE))), 9)
+         END AS psi_term
+  FROM __g JOIN __t ON __g.__grp = __t.__grp
+),
+__tot AS (
+  SELECT __grp,
+         CAST(sum(CAST(psi_term AS DECIMAL(20,9))) AS DOUBLE) AS psi_total
+  FROM __terms GROUP BY __grp
+)
+SELECT __terms.__grp AS {group_col}, bucket, n_ref, n_cmp,
+       p_ref_micro, p_cmp_micro, psi_term, psi_total,
+       psi_total < 0.1e0 AS stable
+FROM __terms JOIN __tot ON __terms.__grp = __tot.__grp
+ORDER BY {group_col}, bucket
+"""
+
+
 def _merged_value_cdf(
     ref: DataFrame, cmp: DataFrame, value_col: str, group_col: str | None = None
 ) -> DataFrame:

@@ -1987,3 +1987,32 @@ ORACLES["events_mwu_value_drift_by_type"] = QT.oracle_mann_whitney_u_by_group_sq
     "value",
     "event_type",
 )
+
+
+def events_psi_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type PSI drift (r16, VERDICT r15 #3a;
+    operators/quantile.psi_drift_by_group): the binned-proportion
+    member completing the grouped drift trio beside the grouped KS and
+    grouped MWU rows — one PSI verdict PER event_type between the
+    month's halves, each slice binned by its own reference octiles, so
+    a single type's distribution shift can't hide inside a stable
+    pooled index. Output is the ungrouped events_psi_value_drift shape
+    grown by the group key: (type, bucket) rows with exact integer
+    count/proportion lanes and the slice's psi_total + stable verdict
+    riding. Five same-generator slices make five stable verdicts the
+    expected non-vacuous nulls (the shifted-slice pytest pins
+    detection, slice isolation, and the loud NULL-PSI contract for
+    cmp-only slices)."""
+    ev = tables.load(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15)
+    cmp = ev.filter(F.dayofmonth("ts") >= 16)
+    return QT.psi_drift_by_group(ref, cmp, "value", "event_type")
+
+
+QUERIES["events_psi_value_drift_by_type"] = events_psi_value_drift_by_type
+ORACLES["events_psi_value_drift_by_type"] = QT.oracle_psi_drift_by_group_sql(
+    "(SELECT * FROM events WHERE day(ts) <= 15)",
+    "(SELECT * FROM events WHERE day(ts) >= 16)",
+    "value",
+    "event_type",
+)

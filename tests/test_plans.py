@@ -999,3 +999,31 @@ def test_grouped_mwu_shares_the_grouped_fold_plan_shape(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert re.search(r"windowspecdefinition\(__grp#\d+, __bkt#\d+", ln), ln
+
+
+def test_grouped_psi_broadcasts_bounded_metadata_only(spark, sf_dir):
+    """psi_drift_by_group (r16): every join in the grouped PSI chain
+    carries only group-bounded metadata — the per-group octile frame
+    (n_groups rows, BROADCAST to both binning joins), the per-group
+    totals, and the per-group psi_total — so losing a broadcast would
+    turn bounded metadata into a data-sized shuffle. The full-outer
+    (group, bucket) grid align is the one legitimate SMJ (full outer
+    cannot broadcast; both sides are groups x 8 rows). No window at
+    all, no Python stage, no cartesian/BNLJ product."""
+    from executor_u1mindexer_spark.suites.sketch_suite import (
+        events_psi_value_drift_by_type,
+    )
+
+    df = events_psi_value_drift_by_type(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    # 2 octile binning joins + per-group totals + per-group psi_total
+    assert plan.count("BroadcastExchange") >= 4, plan
+    assert "windowspecdefinition" not in plan, plan
+    for bad in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert bad not in plan, plan

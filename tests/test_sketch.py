@@ -1188,3 +1188,87 @@ def test_mwu_by_group_isolates_the_shifted_slice(spark):
         QT.oracle_mann_whitney_u_by_group_sql(src(ref_rows), src(cmp_rows), "value", "grp")
     ).fetchall()
     assert [tuple(r) for r in ora] == [tuple(out[g]) for g in sorted(out)]
+
+
+def test_psi_by_group_isolates_the_shifted_slice(spark):
+    """psi_drift_by_group (r16, VERDICT r15 #3a): shifting ONE group's
+    comparison values flips only that group's stable verdict; an
+    untouched group's rows equal the ungrouped psi_drift run on its
+    slice alone (strict isolation); a cmp-only group surfaces as loud
+    bucket-0 NULL-PSI rows and a ref-only group as NULL-PSI rows (not
+    silently dropped); NULL groups are excluded; psi_total replays
+    exactly from the emitted rounded terms; empty inputs yield zero
+    rows; the DuckDB twin matches row-for-row."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    base = [(i * 37) % 1000 / 10.0 for i in range(400)]
+    same = [(i * 53) % 1000 / 10.0 for i in range(400)]
+    ref_rows = (
+        [("a", v) for v in base]
+        + [("b", v) for v in base]
+        + [("gone", v) for v in base[:80]]
+        + [(None, 1.0)]
+    )
+    cmp_rows = (
+        [("a", v + 60.0) for v in base]
+        + [("b", v) for v in same]
+        + [("newcat", v) for v in base[:80]]
+        + [(None, 2.0)]
+    )
+    ref = spark.createDataFrame(ref_rows, "grp string, value double")
+    cmp = spark.createDataFrame(cmp_rows, "grp string, value double")
+    rows = QT.psi_drift_by_group(ref, cmp, "value", "grp").collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert set(by_grp) == {"a", "b", "gone", "newcat"}
+
+    # shifted slice detected; same-distribution slice stable
+    assert all(not r.stable for r in by_grp["a"])
+    assert by_grp["a"][0].psi_total > 0.2
+    assert all(r.stable for r in by_grp["b"])
+    assert by_grp["b"][0].psi_total < 0.1
+
+    # strict isolation: group b's rows == the ungrouped run on b alone
+    solo = QT.psi_drift(
+        ref.filter(F.col("grp") == "b"), cmp.filter(F.col("grp") == "b"), "value"
+    ).collect()
+    assert [tuple(r)[1:] for r in sorted(by_grp["b"], key=lambda r: r.bucket)] == [
+        tuple(r) for r in solo
+    ]
+
+    # cmp-only group: all mass in bucket 0, loudly NULL PSI
+    assert [r.bucket for r in by_grp["newcat"]] == [0]
+    nc = by_grp["newcat"][0]
+    assert nc.n_ref == 0 and nc.n_cmp == 80
+    assert nc.psi_term is None and nc.psi_total is None and nc.stable is None
+    # ref-only group: present with NULL PSI, not dropped
+    assert all(r.n_cmp == 0 and r.psi_total is None for r in by_grp["gone"])
+
+    # psi_total replays exactly from the emitted rounded terms
+    for g in ("a", "b"):
+        want = float(
+            sum(Decimal(repr(r.psi_term)) for r in by_grp[g] if r.psi_term is not None)
+        )
+        assert abs(by_grp[g][0].psi_total - want) < 1e-12
+
+    # empty-input contract
+    empty = spark.createDataFrame([], "grp string, value double")
+    assert QT.psi_drift_by_group(empty, empty, "value", "grp").count() == 0
+
+    def src(rows_):
+        vals = ", ".join(
+            f"({'NULL' if g is None else repr(g)}, CAST({v!r} AS DOUBLE))"
+            for g, v in rows_
+        )
+        return f"(SELECT col0 AS grp, col1 AS value FROM (VALUES {vals}) t(col0, col1))"
+
+    ora = duckdb.sql(
+        QT.oracle_psi_drift_by_group_sql(src(ref_rows), src(cmp_rows), "value", "grp")
+    ).fetchall()
+    want_rows = [tuple(r) for r in sorted(rows, key=lambda r: (r.grp, r.bucket))]
+    assert [tuple(r) for r in ora] == want_rows
