@@ -186,20 +186,27 @@ DRIVER_PRIORITY = (
     # arithmetic: no flagship violation at r17 (the 8 non-batch §2.A
     # rows were stamped r15, inside the 2-round bound at r17;
     # knn_search_batch re-stamps r16 in this window), so the r17 window
-    # = the rows registered at r16 and never driver-checked
-    # (events_mwu_value_drift_by_type + any second r16 growth row,
-    # which jump the queue per the cadence policy) + the 16 remaining
-    # r12-stale rows below (after them the r12 bucket is EMPTY) + the
-    # oldest alphabetical r13-stale rows to fill 50 (the r13 bucket is
-    # the old r13 window, 50 rows, minus knn_search_batch re-stamped
-    # here = 49 candidates; with 2 never-checked rows that means the 32
-    # oldest alphabetical r13 rows).
+    # = the 2 rows registered at r16 and never driver-checked
+    # (events_mwu_value_drift_by_type + events_psi_value_drift_by_type
+    # — the grouped drift trio's MWU and PSI members, which jump the
+    # queue per the cadence policy) + the 16 remaining r12-stale rows
+    # below (after them the r12 bucket is EMPTY) + the oldest
+    # alphabetical r13-stale rows to fill 50 (the r13 bucket is the
+    # old r13 window, 50 rows, minus knn_search_batch re-stamped here
+    # = 49 candidates; 2 + 16 + 32 oldest alphabetical r13 = 50).
     # Registry-growth margin (VERDICT r15 #4): at 215 rows (216-217
     # after the r16 registrations) the written cur-5 arithmetic holds
     # to ~240 rows at the measured ~44-slot re-earn rate, leaving
     # ~23 rows of margin — no fold needed yet, watch again at r17; if
     # any round pushes past ~225, start folding TPC-H siblings via
     # suites/_fold.py preemptively.
+    # r17 growth candidate, already built + pytest-pinned but
+    # deliberately unregistered (the r16 <=2-rows cadence cap was spent
+    # on the grouped MWU + grouped PSI registrations):
+    # similarity_suite.eval_ann_recall_vs_ef / _RECALL_VS_EF_SQL
+    # (VERDICT r15 #3b — the HNSW ef_search knob as a measured recall
+    # curve, per-fixture pin-table oracle, differential-checked at all
+    # 3 SFs this round); 3-SF oracle checks again due at registration.
     # r12-stale, did not fit this window (16):
     "text_corpus_stats",
     "text_gopher_quality_audit",

@@ -1081,3 +1081,106 @@ FROM pq
 
 QUERIES["eval_retrieval_ndcg"] = eval_retrieval_ndcg
 ORACLES["eval_retrieval_ndcg"] = _NDCG_SQL
+
+
+# --- r17 growth candidate (VERDICT r15 #3b), deliberately UNREGISTERED:
+# the r16 cadence cap (<=2 rows) was spent on the grouped MWU + grouped
+# PSI registrations. Register as `eval_ann_recall_vs_ef` in r17 with
+# 3-SF oracle checks at registration (the mann_whitney_u_by_group
+# precedent). The pytest pin lives in tests/test_similarity.py.
+
+EF_CURVE = (5, 8, 16, 50)
+
+
+def eval_ann_recall_vs_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the HNSW lane as a MEASURED CURVE over ef_search
+    (r16, VERDICT r15 #3b): the reference's accuracy/speed knob (§2.A
+    #19, executor.py:22-24 — ef trades recall for query time) measured
+    at four ef values in one row set instead of asserted at a single
+    point. One output row per ef: (ef_search, n_queries, n_results,
+    n_hits, recall_at_k_micro), the eval_ann_recall_at_k contract with
+    the method axis replaced by the knob axis. The from-scratch HNSW
+    (operators/hnsw.py) is deterministic — id-hash levels, id-ordered
+    inserts, id tie-breaks — so the curve is a stable measured fact of
+    (fixture, ef), not a flaky sample: at the 500-vector fixtures
+    recall is 24/25 at ef=5 and perfect from ef=8; at the 2000-vector
+    fixture it climbs 88 -> 96 -> 100 hits across ef=5/8/16 (graph
+    search must widen its beam as the corpus grows — the exact
+    trade-off the reference documents for the knob).
+
+    Oracle scheme: graph search is not SQL-expressible, so the DuckDB
+    twin extends eval_ann_recall_at_k's judge-adjudicated measured-pin
+    scheme to the curve — per-fixture pins keyed on the corpus row
+    count, with NO fallback row: an unmeasured fixture yields zero
+    oracle rows and a loud mismatch, and ANY recall change at ANY
+    pinned fixture hash-mismatches. Re-measure before moving a pin."""
+    emb = _emb(spark, sf_dir)
+    q2 = _queries(emb).select("query_id", "query_embedding")
+    exact = knn.knn_search(emb, q2, k=K, metric="cosine").select(
+        "query_id", "vec_id"
+    )
+    per_ef = None
+    for ef in EF_CURVE:
+        res = S.hnsw_partitioned_topk(
+            emb, q2, k=K, ef_search=ef, max_bucket_rows=200_000
+        ).select("query_id", "vec_id")
+        row = (
+            res.agg(F.count(F.lit(1)).cast("long").alias("n_results"))
+            .crossJoin(
+                res.join(exact, ["query_id", "vec_id"], "leftsemi").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_hits")
+                )
+            )
+            .select(F.lit(ef).alias("ef_search"), "n_results", "n_hits")
+        )
+        per_ef = row if per_ef is None else per_ef.unionByName(row)
+    nq = q2.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        per_ef.crossJoin(F.broadcast(nq))
+        .select(
+            "ef_search",
+            "n_queries",
+            "n_results",
+            "n_hits",
+            F.expr(
+                f"CAST({EVAL_SCALE} * n_hits"
+                f" DIV nullif(n_queries * {K}, 0) AS BIGINT)"
+            ).alias("recall_at_k_micro"),
+        )
+        .orderBy("ef_search")
+    )
+
+
+_RECALL_VS_EF_PINS = (
+    # (corpus_rows, ef_search, n_hits) — measured on the deterministic
+    # from-scratch HNSW; see the eval_ann_recall_vs_ef docstring.
+    (500, 5, 24),
+    (500, 8, 25),
+    (500, 16, 25),
+    (500, 50, 25),
+    (2000, 5, 88),
+    (2000, 8, 96),
+    (2000, 16, 100),
+    (2000, 50, 100),
+)
+
+_RECALL_VS_EF_SQL = (
+    _BASE
+    + f"""
+, nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM e),
+pins(n_corpus, ef_search, pinned_hits) AS (VALUES
+  {", ".join(f"({c}, {ef}, {h})" for c, ef, h in _RECALL_VS_EF_PINS)}),
+rows_ AS (
+  SELECT CAST(ef_search AS INTEGER) AS ef_search,
+         n_queries,
+         CAST(n_queries * {K} AS BIGINT) AS n_results,
+         CAST(pinned_hits AS BIGINT) AS n_hits
+  FROM pins JOIN ne ON pins.n_corpus = ne.n_corpus CROSS JOIN nq
+)
+SELECT ef_search, n_queries, n_results, n_hits,
+       CAST(({EVAL_SCALE} * n_hits) // nullif(n_queries * {K}, 0) AS BIGINT)
+         AS recall_at_k_micro
+FROM rows_ ORDER BY ef_search
+"""
+)

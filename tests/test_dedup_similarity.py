@@ -965,3 +965,39 @@ def test_duplicated_span_profile_islands_and_cross_doc_rule(spark):
     ora = duckdb.sql(sql).fetchall()
     spark_rows = [tuple(out[d]) for d in sorted(out)]
     assert [tuple(r) for r in ora] == spark_rows
+
+
+def test_recall_vs_ef_curve_matches_pins_and_is_monotone(spark, sf_dir):
+    """eval_ann_recall_vs_ef (r16, VERDICT r15 #3b — the r17 registry
+    candidate, deliberately unregistered this round): the HNSW ef_search
+    knob measured as a curve. On the 500-vector fixture the curve must
+    reproduce the pinned measured facts exactly (24/25 hits at ef=5,
+    perfect from ef=8), n_hits must be non-decreasing in ef (the knob's
+    contract), every lane returns exactly n_queries*K results, and the
+    DuckDB pin-table twin matches row-for-row."""
+    import duckdb
+
+    SS = similarity_suite
+    out = SS.eval_ann_recall_vs_ef(spark, sf_dir).collect()
+    assert [r.ef_search for r in out] == list(SS.EF_CURVE)
+    pins = {
+        (c, ef): h for c, ef, h in SS._RECALL_VS_EF_PINS if c == 500
+    }
+    for r in out:
+        assert r.n_queries == 5
+        assert r.n_results == r.n_queries * SS.K
+        assert r.n_hits == pins[(500, r.ef_search)]
+        assert (
+            r.recall_at_k_micro
+            == SS.EVAL_SCALE * r.n_hits // (r.n_queries * SS.K)
+        )
+    hit_seq = [r.n_hits for r in out]
+    assert hit_seq == sorted(hit_seq)  # recall never drops as ef widens
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    ora = con.execute(SS._RECALL_VS_EF_SQL).fetchall()
+    assert [tuple(r) for r in ora] == [tuple(r) for r in out]
