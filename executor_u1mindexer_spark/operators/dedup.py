@@ -911,6 +911,111 @@ def duplicated_span_profile(
     )
 
 
+def duplicated_span_removal(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level exact dedup REMOVAL (r16, built as the r17
+    registry candidate) — the cleaned-corpus counterpart of
+    duplicated_span_profile: where the profile REPORTS cross-doc
+    verbatim k-token runs, this produces the deduplicated corpus Lee
+    et al. 2022 actually train on ("ExactSubstr ... remove all but one
+    occurrence"). Policy, exact and engine-independent: for every
+    duplicated shingle (verbatim k-token run occurring in >= 2 DISTINCT
+    docs) the single keeper occurrence is the lexicographically least
+    (doc, start_pos); every token covered by any NON-keeper occurrence
+    of any duplicated shingle is cut. Note the policy also trims the
+    keeper doc's own EXTRA occurrences (a run shared with another doc
+    and repeated internally keeps exactly one copy — pinned in pytest).
+
+    Returns EVERY doc (unlike the profile's affected-only contract —
+    a cleaned corpus must be complete): (id_col, total_tokens,
+    removed_tokens, kept_tokens, cleaned_text) with cleaned_text the
+    space-joined surviving tokens in original order.
+
+    At 100 TB: the profile's economy plus a bounded tail — the keeper
+    frame is the dup-shingle set (broadcast, same bound and the same
+    lost-broadcast failure mode as the profile's semi join), coverage
+    explode is <= k rows per non-keeper hit, the per-doc cut set is
+    collect_set bounded by doc length, and the final assembly is ONE
+    doc-keyed left join + an index-aware array filter — no window at
+    all, no token-level shuffle (tokens never leave their doc row).
+    The 100 TB shuffle-key variant (xxhash64(shingle) with the string
+    riding for in-bucket verification) is the profile's, unchanged.
+    [NOT IN REFERENCE — executor.py has no text surface.]"""
+    df = _spread(df)
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    shingles = T.let1(
+        words,
+        lambda ws: F.when(
+            F.size(ws) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - F.lit(k)),
+                lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    occ = df.select(
+        F.col(id_col), F.posexplode(shingles).alias("start_pos", "shingle")
+    )
+    # keeper per duplicated shingle: min (doc, start) — min over a
+    # struct is lexicographic, so the rule is total and deterministic
+    keep = (
+        occ.groupBy("shingle")
+        .agg(
+            F.min(id_col).alias("__lo"),
+            F.max(id_col).alias("__hi"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("start_pos").alias("p"))
+            ).alias("__keeper"),
+        )
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("shingle", "__keeper")
+    )
+    cut = (
+        occ.join(F.broadcast(keep), "shingle")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__keeper.d"))
+                & (F.col("start_pos") == F.col("__keeper.p"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start_pos"), F.col("start_pos") + F.lit(k - 1))
+            ).alias("__pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__cut"))
+    )
+    no_cut = F.array().cast("array<int>")
+    kept_words = T.let1(
+        F.coalesce(F.col("__cut"), no_cut),
+        lambda cut_set: F.filter(
+            words, lambda tok, i: ~F.array_contains(cut_set, i)
+        ),
+    )
+    return (
+        df.join(cut, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(words).cast("long").alias("total_tokens"),
+            F.size(F.coalesce(F.col("__cut"), no_cut))
+            .cast("long")
+            .alias("removed_tokens"),
+            (F.size(words) - F.size(F.coalesce(F.col("__cut"), no_cut)))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.array_join(kept_words, " ").alias("cleaned_text"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",

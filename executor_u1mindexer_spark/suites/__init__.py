@@ -200,13 +200,17 @@ DRIVER_PRIORITY = (
     # ~23 rows of margin — no fold needed yet, watch again at r17; if
     # any round pushes past ~225, start folding TPC-H siblings via
     # suites/_fold.py preemptively.
-    # r17 growth candidate, already built + pytest-pinned but
-    # deliberately unregistered (the r16 <=2-rows cadence cap was spent
-    # on the grouped MWU + grouped PSI registrations):
-    # similarity_suite.eval_ann_recall_vs_ef / _RECALL_VS_EF_SQL
-    # (VERDICT r15 #3b — the HNSW ef_search knob as a measured recall
-    # curve, per-fixture pin-table oracle, differential-checked at all
-    # 3 SFs this round); 3-SF oracle checks again due at registration.
+    # r17 growth candidates (two — the r17 cadence allows <=2), both
+    # already built + pytest- and plan-pinned + differential-checked at
+    # all 3 SFs this round, deliberately unregistered (the r16 cap was
+    # spent on the grouped MWU + grouped PSI registrations); 3-SF
+    # oracle checks again due at each registration:
+    # 1. similarity_suite.eval_ann_recall_vs_ef / _RECALL_VS_EF_SQL
+    #    (VERDICT r15 #3b — the HNSW ef_search knob as a measured
+    #    recall curve, per-fixture pin-table oracle).
+    # 2. dedup_suite.exact_dedup_substring_removed / _SPAN_REMOVAL_SQL
+    #    (dedup.duplicated_span_removal — Lee et al. span REMOVAL, the
+    #    cleaned-corpus counterpart of the r15 span profile).
     # r12-stale, did not fit this window (16):
     "text_corpus_stats",
     "text_gopher_quality_audit",

@@ -801,3 +801,71 @@ FROM per_island GROUP BY doc_id, total_tokens ORDER BY doc_id
 """
 
 QUERIES["exact_dedup_substring_spans"] = exact_dedup_substring_spans
+
+
+# --- r17 growth candidate #2 (beside similarity_suite.eval_ann_recall
+# _vs_ef), deliberately UNREGISTERED: the r16 cadence cap was spent on
+# the grouped MWU + grouped PSI registrations. Register as
+# `exact_dedup_substring_removed` in r17 with 3-SF oracle checks at
+# registration. Pytest: tests/test_dedup_similarity.py.
+
+
+def exact_dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup REMOVAL (r16, the r17 candidate;
+    operators/dedup.duplicated_span_removal): the cleaned corpus the
+    Lee et al. 2022 span profile points at — every cross-doc verbatim
+    8-token run keeps exactly its lexicographically-first (doc, offset)
+    occurrence; all other occurrences' tokens are cut, and every doc
+    comes back with its surviving text plus exact kept/removed token
+    accounting."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.duplicated_span_removal(docs, k=_SPAN_K)
+
+
+_SPAN_REMOVAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, len(toks) AS total_tokens,
+         generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+  FROM t
+),
+sh AS (
+  SELECT doc_id, pos AS start_pos,
+         {_SPAN_SHINGLE} AS shingle,
+         lead(tok, {_SPAN_K - 1}) OVER w AS __last
+  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+occ AS (
+  SELECT doc_id, start_pos, shingle FROM sh WHERE __last IS NOT NULL
+),
+dup AS (
+  SELECT shingle FROM occ GROUP BY shingle HAVING min(doc_id) <> max(doc_id)
+),
+h AS (
+  -- keeper = rn 1 under the total (doc, start) order per shingle:
+  -- the window formulation, structurally independent of Spark's
+  -- struct-min aggregate
+  SELECT occ.*, row_number() OVER (
+           PARTITION BY shingle ORDER BY doc_id, start_pos) AS rn
+  FROM occ JOIN dup USING (shingle)
+),
+cutpos AS (
+  SELECT DISTINCT doc_id, start_pos + u AS pos
+  FROM h, unnest(generate_series(0, {_SPAN_K - 1})) r(u)
+  WHERE rn > 1
+),
+clean AS (
+  SELECT g.doc_id,
+         CAST(max(g.total_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(c.pos) AS BIGINT) AS removed_tokens,
+         coalesce(string_agg(CASE WHEN c.pos IS NULL THEN g.tok END,
+                             ' ' ORDER BY g.pos), '') AS cleaned_text
+  FROM g LEFT JOIN cutpos c ON g.doc_id = c.doc_id AND g.pos = c.pos
+  GROUP BY g.doc_id
+)
+SELECT doc_id, total_tokens, removed_tokens,
+       total_tokens - removed_tokens AS kept_tokens, cleaned_text
+FROM clean ORDER BY doc_id
+"""

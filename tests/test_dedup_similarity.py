@@ -1001,3 +1001,46 @@ def test_recall_vs_ef_curve_matches_pins_and_is_monotone(spark, sf_dir):
     )
     ora = con.execute(SS._RECALL_VS_EF_SQL).fetchall()
     assert [tuple(r) for r in ora] == [tuple(r) for r in out]
+
+
+def test_span_removal_keeps_one_occurrence_and_rebuilds_text(spark):
+    """duplicated_span_removal (r16 — the second r17 registry
+    candidate, deliberately unregistered this round): the Lee et al.
+    "all but one occurrence" policy. The lexicographically-first
+    (doc, offset) occurrence of a cross-doc duplicated run survives;
+    every other occurrence — including the keeper doc's own internal
+    repeat — is cut; untouched and sub-k docs come back complete (the
+    cleaned corpus is every doc, unlike the profile's affected-only
+    contract); NULL text follows the empty-string convention; the
+    DuckDB twin matches row-for-row."""
+    import duckdb
+
+    from executor_u1mindexer_spark.operators import dedup as D
+    from executor_u1mindexer_spark.suites import dedup_suite as DS
+
+    S = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        (1, f"{S} a1 a2 {S}"),  # keeper doc, with an internal repeat
+        (2, f"b1 b2 {S} b3"),  # non-keeper occurrence
+        (3, "c1 c2 c3 c4 c5"),  # sub-k doc: untouched
+        (4, None),  # NULL text: [''] convention
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.duplicated_span_removal(docs, k=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert tuple(out[1])[1:] == (18, 8, 10, f"{S} a1 a2")
+    assert tuple(out[2])[1:] == (11, 8, 3, "b1 b2 b3")
+    assert tuple(out[3])[1:] == (5, 0, 5, "c1 c2 c3 c4 c5")
+    assert tuple(out[4])[1:] == (1, 0, 1, "")
+
+    vals = ", ".join(
+        f"({i}, {'NULL' if t is None else repr(t)})" for i, t in rows
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT CAST(col0 AS BIGINT) AS doc_id, col1 AS text "
+        f"FROM (VALUES {vals}) t(col0, col1)"
+    )
+    ora = con.execute(DS._SPAN_REMOVAL_SQL).fetchall()
+    assert [tuple(r) for r in ora] == [tuple(out[i]) for i in sorted(out)]

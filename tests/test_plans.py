@@ -1027,3 +1027,22 @@ def test_grouped_psi_broadcasts_bounded_metadata_only(spark, sf_dir):
         "BroadcastNestedLoopJoin",
     ):
         assert bad not in plan, plan
+
+
+def test_span_removal_broadcasts_keeper_set_no_window_no_python(spark, sf_dir):
+    """duplicated_span_removal (r16 r17-candidate): the keeper frame is
+    the dup-shingle set — bounded, hint-broadcast like the profile's
+    semi join (losing it = corpus-wide shingle-string shuffle). The
+    whole chain needs no window and no Python stage; the final per-doc
+    assembly join may legitimately flip broadcast/SMJ with size, so
+    only the keeper join shape is pinned."""
+    from executor_u1mindexer_spark.suites.dedup_suite import (
+        exact_dedup_substring_removed,
+    )
+
+    df = exact_dedup_substring_removed(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    assert "BroadcastHashJoin [shingle" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
+        assert bad not in plan, plan
