@@ -1272,3 +1272,55 @@ def test_psi_by_group_isolates_the_shifted_slice(spark):
     ).fetchall()
     want_rows = [tuple(r) for r in sorted(rows, key=lambda r: (r.grp, r.bucket))]
     assert [tuple(r) for r in ora] == want_rows
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1", "g2"]),
+            st.integers(0, 1),  # which sample the row lands in
+            st.floats(0.0, 50.0, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=120,
+    )
+)
+def test_grouped_drift_trio_equals_per_slice_ungrouped(spark, rows):
+    """Property (the grouped drift trio's core contract): for ANY
+    grouped two-sample dataset, each grouped operator's per-group rows
+    are EXACTLY the ungrouped operator run on that group's slice alone
+    — grouped KS, grouped MWU, and grouped PSI all reduce to their
+    ungrouped forms slice-by-slice (no cross-slice leakage in the
+    shared folds, windows, offsets, octiles, or totals)."""
+    from executor_u1mindexer_spark.operators import quantile as QT
+
+    ref_rows = [(g, round(v, 2)) for g, side, v in rows if side == 0]
+    cmp_rows = [(g, round(v, 2)) for g, side, v in rows if side == 1]
+    schema = "grp string, value double"
+    ref = spark.createDataFrame(ref_rows, schema) if ref_rows else (
+        spark.createDataFrame([], schema)
+    )
+    cmp = spark.createDataFrame(cmp_rows, schema) if cmp_rows else (
+        spark.createDataFrame([], schema)
+    )
+    groups = sorted({g for g, _ in ref_rows} | {g for g, _ in cmp_rows})
+
+    for grouped_fn, solo_fn in (
+        (QT.ks_two_sample_by_group, QT.ks_two_sample),
+        (QT.mann_whitney_u_by_group, QT.mann_whitney_u),
+        (QT.psi_drift_by_group, QT.psi_drift),
+    ):
+        got = {}
+        for r in grouped_fn(ref, cmp, "value", "grp").collect():
+            got.setdefault(r.grp, []).append(tuple(r)[1:])
+        want = {}
+        for g in groups:
+            solo = solo_fn(
+                ref.filter(F.col("grp") == g),
+                cmp.filter(F.col("grp") == g),
+                "value",
+            ).collect()
+            if solo:
+                want[g] = [tuple(r) for r in solo]
+        assert got == want, grouped_fn.__name__
