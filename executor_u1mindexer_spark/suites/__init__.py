@@ -211,6 +211,12 @@ DRIVER_PRIORITY = (
     # 2. dedup_suite.exact_dedup_substring_removed / _SPAN_REMOVAL_SQL
     #    (dedup.duplicated_span_removal — Lee et al. span REMOVAL, the
     #    cleaned-corpus counterpart of the r15 span profile).
+    # A third prebuilt candidate sits in the pool for whichever round
+    # VERDICT assigns it: similarity_suite.eval_ann_recall_vs_nprobe /
+    # _RECALL_VS_NPROBE_SQL — the IVF probe-width sibling of the ef
+    # curve with the STRONGER oracle (full DuckDB replay of centroids,
+    # cell ranking, probing, top-K; no pin table), also pytest- and
+    # plan-pinned and 3-SF differential-checked this round.
     # r12-stale, did not fit this window (16):
     "text_corpus_stats",
     "text_gopher_quality_audit",

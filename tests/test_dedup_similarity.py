@@ -1044,3 +1044,38 @@ def test_span_removal_keeps_one_occurrence_and_rebuilds_text(spark):
     )
     ora = con.execute(DS._SPAN_REMOVAL_SQL).fetchall()
     assert [tuple(r) for r in ora] == [tuple(out[i]) for i in sorted(out)]
+
+
+def test_recall_vs_nprobe_curve_is_monotone_and_replayable(spark, sf_dir):
+    """eval_ann_recall_vs_nprobe (r16 — prebuilt growth candidate,
+    deliberately unregistered): the IVF probe-width knob measured as a
+    curve, with the FULL-replay oracle (no pin table — centroids, cell
+    ranking, probing, and top-K are all SQL). Pins: one row per probe
+    width, n_results always n_queries*K on this fixture, n_hits
+    non-decreasing in nprobe (widening the probe can only displace a
+    true hit with a closer vector, itself a true hit), the measured
+    500-vector curve (3/7/14/22 hits of 25 — fixture labels are
+    near-random, so recall tracks the probed-cell fraction), and the
+    DuckDB twin row-for-row."""
+    import duckdb
+
+    SS = similarity_suite
+    out = SS.eval_ann_recall_vs_nprobe(spark, sf_dir).collect()
+    assert [r.nprobe for r in out] == list(SS.NPROBE_CURVE)
+    for r in out:
+        assert r.n_queries == 5 and r.n_results == r.n_queries * SS.K
+        assert (
+            r.recall_at_k_micro
+            == SS.EVAL_SCALE * r.n_hits // (r.n_queries * SS.K)
+        )
+    hits = [r.n_hits for r in out]
+    assert hits == sorted(hits)
+    assert hits == [3, 7, 14, 22]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    ora = con.execute(SS._RECALL_VS_NPROBE_SQL).fetchall()
+    assert [tuple(r) for r in ora] == [tuple(r) for r in out]

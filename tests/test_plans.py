@@ -1046,3 +1046,32 @@ def test_span_removal_broadcasts_keeper_set_no_window_no_python(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_nprobe_curve_broadcasts_probe_frame_single_window_axis(spark, sf_dir):
+    """eval_ann_recall_vs_nprobe (r16 candidate): the probed-cells
+    frame (queries x max nprobe rows) must be BROADCAST onto the
+    corpus — losing it shuffles the stored vectors by label for a
+    metadata-sized probe list — and the probes axis must ride ONE
+    (nprobe, query)-partitioned top-K window, not four passes. No
+    Python stage; no SinglePartition window."""
+    import re
+
+    from executor_u1mindexer_spark.suites.similarity_suite import (
+        eval_ann_recall_vs_nprobe,
+    )
+
+    df = eval_ann_recall_vs_nprobe(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    assert plan.count("BroadcastExchange") >= 2, plan  # centroids + probed
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
+        assert bad not in plan, plan
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert any(
+        re.search(r"windowspecdefinition\(nprobe#\d+, query_id#\d+", ln)
+        for ln in specs
+    ), plan
+    for ln in specs:
+        assert "windowspecdefinition()" not in ln, ln  # no SinglePartition
