@@ -911,6 +911,141 @@ def duplicated_span_profile(
     )
 
 
+def semantic_dedup_cells(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "label",
+    max_cos_dist: float = 0.6,
+) -> DataFrame:
+    """Cluster-scoped SEMANTIC dedup (r16, prebuilt for a future
+    window) — the SemDeDup discipline (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, compare pairs only
+    WITHIN a cluster, and among semantic near-duplicates keep the
+    example FARTHEST from its cluster centroid (the paper's
+    diversity-preserving keep rule — the near-dup closest to the
+    centroid is the most redundant with the cluster's bulk). Distinct
+    from embedding_near_dup_pairs (banded sign-LSH pair REPORT, recall
+    < 1 by LSH design): this lane is exhaustive within its cells and
+    produces a per-vector KEEP LIST.
+
+    Deterministic variant, exact on both engines: cells are seeded by
+    the per-``centroid_col`` centroids (label_centroids' round(avg,6)
+    boundary) and every vector is assigned to its NEAREST centroid
+    under cosine with the (dist, cell) tie-break — note a vector may
+    land in a different cell than its own label, which is the
+    clustering actually doing work. The keep rule is the dominance
+    form: v is pruned iff some same-cell vector u within
+    ``max_cos_dist`` of v outranks it for keeping, where keep-rank
+    orders by (centroid_dist DESC, id ASC). (SemDeDup's reference
+    implementation greedily re-checks against only KEPT points — a
+    sequential scan; the dominance form is one semi-join, order-free,
+    and prunes a superset on chains. The choice is documented, not
+    hidden.)
+
+    Output: one row per vector — (id_col, cell, cdist_micro, kept) —
+    so the keep list is complete and driver-hashable.
+
+    At 100 TB: assignment is a corpus x n_cells broadcast compare (the
+    nprobe-curve economy); the within-cell pair join is the SemDeDup
+    design point — O(sum c_i^2) bounded by CELL SIZE, so k scales with
+    the corpus to hold c_i near a constant (the paper runs 50k
+    clusters for LAION); the cell key shuffles ids+vectors once. No
+    global pairwise, no cross-cell traffic. [NOT IN REFERENCE.]"""
+    from executor_u1mindexer_spark.operators.similarity import label_centroids
+
+    base = _spread(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(centroid_col).alias("__lbl"),
+            V.as_double_array(vec_col).alias("v"),
+        )
+    ).withColumn("n", V.norm(F.col("v")))
+    cent = (
+        label_centroids(emb, label_col=centroid_col, vec_col=vec_col)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cvec")
+        )
+        .select(
+            F.col("label").alias("cell"),
+            "cvec",
+            V.norm(F.col("cvec")).alias("cn"),
+        )
+    )
+    aw = Window.partitionBy("id").orderBy(
+        F.col("__cdist").asc(), F.col("cell").asc()
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "id",
+            "v",
+            "n",
+            "cell",
+            (
+                F.lit(1.0)
+                - V.dot(F.col("v"), F.col("cvec")) / (F.col("n") * F.col("cn"))
+            ).alias("__cdist"),
+        )
+        .withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", "n", "cell", "__cdist")
+    )
+    a = assign.select(
+        F.col("id").alias("id_a"),
+        F.col("cell"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        F.col("__cdist").alias("ca"),
+    )
+    b = assign.select(
+        F.col("id").alias("id_b"),
+        F.col("cell"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        F.col("__cdist").alias("cb"),
+    )
+    pair_dist = F.lit(1.0) - V.dot(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_dist <= F.lit(max_cos_dist))
+    )
+    # the dominated (pruned) side of each near-dup pair under the
+    # keep-rank (centroid_dist DESC, id ASC)
+    pruned = pairs.select(
+        F.when(
+            (F.col("ca") > F.col("cb"))
+            | ((F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))),
+            F.col("id_b"),
+        )
+        .otherwise(F.col("id_a"))
+        .alias("id")
+    ).distinct()
+    return (
+        assign.join(pruned.withColumn("__pruned", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            # explicit floor: DuckDB ROUNDS on double->BIGINT cast while
+            # Spark truncates — floor is floor in both engines
+            F.expr("CAST(floor(1000000 * __cdist) AS BIGINT)").alias(
+                "cdist_micro"
+            ),
+            F.col("__pruned").isNull().alias("kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def duplicated_span_removal(
     df: DataFrame,
     *,

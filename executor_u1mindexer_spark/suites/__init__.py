@@ -216,7 +216,12 @@ DRIVER_PRIORITY = (
     # _RECALL_VS_NPROBE_SQL — the IVF probe-width sibling of the ef
     # curve with the STRONGER oracle (full DuckDB replay of centroids,
     # cell ranking, probing, top-K; no pin table), also pytest- and
-    # plan-pinned and 3-SF differential-checked this round.
+    # plan-pinned and 3-SF differential-checked this round. A fourth,
+    # same discipline, r18 pool: dedup_suite.near_dedup_semantic_cells
+    # / _SEMANTIC_CELLS_SQL (dedup.semantic_dedup_cells — SemDeDup,
+    # Abbas et al. 2023: nearest-centroid cells, within-cell exhaustive
+    # pairs, keep the near-dup farthest from its centroid; full-replay
+    # oracle).
     # r12-stale, did not fit this window (16):
     "text_corpus_stats",
     "text_gopher_quality_audit",

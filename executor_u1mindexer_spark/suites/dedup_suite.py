@@ -869,3 +869,67 @@ SELECT doc_id, total_tokens, removed_tokens,
        total_tokens - removed_tokens AS kept_tokens, cleaned_text
 FROM clean ORDER BY doc_id
 """
+
+
+# --- r18-pool growth candidate (beside the two r17 candidates named in
+# suites/__init__.py and the nprobe curve), deliberately UNREGISTERED:
+# register as `near_dedup_semantic_cells` in a future window with 3-SF
+# oracle checks at registration. Pytest: tests/test_dedup_similarity.py.
+
+
+def near_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic dedup keep-list (r16 prebuilt;
+    operators/dedup.semantic_dedup_cells): the SemDeDup discipline
+    (Abbas et al. 2023) — assign every embedding to its nearest
+    label-centroid cell, compare pairs exhaustively WITHIN a cell, and
+    among near-duplicates (cosine distance <= 0.6) keep the example
+    farthest from its centroid. The complete per-vector keep list,
+    unlike the banded-LSH pair REPORT of near_dedup_embedding_cosine."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return D.semantic_dedup_cells(emb, max_cos_dist=0.6)
+
+
+_SEM_DOT = _EDOT
+_SEM_NORM = "sqrt(" + _SEM_DOT.format(a="{a}", b="{a}") + ")"
+_SEM_CDIST = (
+    f"1.0 - {_SEM_DOT.format(a='e.v', b='c.cvec')} / "
+    f"({_SEM_NORM.format(a='e.v')} * {_SEM_NORM.format(a='c.cvec')})"
+)
+_SEM_PDIST = (
+    f"1.0 - {_SEM_DOT.format(a='a.v', b='b.v')} / "
+    f"({_SEM_NORM.format(a='a.v')} * {_SEM_NORM.format(a='b.v')})"
+)
+
+_SEMANTIC_CELLS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cd AS (
+  SELECT label, t.i AS dim, round(avg(v2[t.i]), 6) AS cval
+  FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v2
+        FROM embeddings) s, unnest(range(1, len(v2) + 1)) AS t(i)
+  GROUP BY label, t.i
+),
+c AS (SELECT label AS cell, list(cval ORDER BY dim) AS cvec FROM cd GROUP BY label),
+asn0 AS (
+  SELECT e.vec_id AS id, e.v, c.cell, {_SEM_CDIST} AS cdist
+  FROM e CROSS JOIN c
+),
+asn AS (
+  SELECT * FROM asn0
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cdist ASC, cell ASC) = 1
+),
+pr AS (
+  SELECT DISTINCT CASE WHEN a.cdist > b.cdist
+                        OR (a.cdist = b.cdist AND a.id < b.id)
+                  THEN b.id ELSE a.id END AS id
+  FROM asn a JOIN asn b ON a.cell = b.cell AND a.id < b.id
+  WHERE {_SEM_PDIST} <= 0.6
+)
+SELECT asn.id AS vec_id, cell,
+       CAST(floor(1000000 * cdist) AS BIGINT) AS cdist_micro,
+       pr.id IS NULL AS kept
+FROM asn LEFT JOIN pr ON asn.id = pr.id
+ORDER BY vec_id
+"""

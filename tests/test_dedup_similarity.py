@@ -1079,3 +1079,108 @@ def test_recall_vs_nprobe_curve_is_monotone_and_replayable(spark, sf_dir):
     )
     ora = con.execute(SS._RECALL_VS_NPROBE_SQL).fetchall()
     assert [tuple(r) for r in ora] == [tuple(r) for r in out]
+
+
+def test_semantic_dedup_cells_keep_rule_and_cell_migration(spark):
+    """semantic_dedup_cells (r16 — prebuilt r18-pool candidate,
+    deliberately unregistered): the SemDeDup keep-list. A pure-python
+    replay of the whole contract on a constructed 2-D fixture —
+    round(avg,6)-seeded centroids, nearest-cell assignment with the
+    (dist, cell) tie-break (including a mislabeled vector MIGRATING to
+    the cell its embedding belongs to), exhaustive within-cell pairs
+    at the 0.2 threshold, and the dominance keep rule (keep the
+    near-dup farthest from its centroid; ties to lowest id) — must
+    agree flag-for-flag, and the DuckDB twin row-for-row."""
+    import duckdb
+
+    from executor_u1mindexer_spark.operators import dedup as D
+    from executor_u1mindexer_spark.suites import dedup_suite as DS
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.05], 0),  # near-dup of 0
+        (2, [0.5, 0.5], 0),  # diverse member of cell 0
+        (3, [0.0, 1.0], 1),
+        (4, [0.05, 1.0], 1),  # near-dup of 3
+        (5, [1.0, 0.02], 1),  # mislabeled: embedding belongs with cell 0
+    ]
+    import pyarrow as pa
+
+    emb = spark.createDataFrame(
+        [(i, v, l) for i, v, l in rows],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r.vec_id: r
+        for r in D.semantic_dedup_cells(emb, max_cos_dist=0.2).collect()
+    }
+
+    # pure-python replay
+    import math
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    def norm(a):
+        return math.sqrt(dot(a, a))
+
+    by_label = {}
+    for i, v, l in rows:
+        by_label.setdefault(l, []).append(v)
+    cents = {
+        l: [
+            float(f"{sum(v[d] for v in vs) / len(vs):.6f}")
+            for d in range(2)
+        ]
+        for l, vs in by_label.items()
+    }
+    assign, cdist = {}, {}
+    for i, v, _ in rows:
+        best = min(
+            (
+                (1.0 - dot(v, c) / (norm(v) * norm(c)), l)
+                for l, c in cents.items()
+            )
+        )
+        cdist[i] = best[0]
+        assign[i] = best[1]
+    assert assign[5] == 0  # the mislabeled vector migrated
+    vecs = {i: v for i, v, _ in rows}
+    pruned = set()
+    for i, _, _ in rows:
+        for j, _, _ in rows:
+            if i >= j or assign[i] != assign[j]:
+                continue
+            pd_ = 1.0 - dot(vecs[i], vecs[j]) / (norm(vecs[i]) * norm(vecs[j]))
+            if pd_ > 0.2:
+                continue
+            loser = (
+                j
+                if (cdist[i] > cdist[j]) or (cdist[i] == cdist[j] and i < j)
+                else i
+            )
+            pruned.add(loser)
+    for i, _, _ in rows:
+        assert out[i].cell == assign[i], i
+        assert out[i].kept == (i not in pruned), i
+        assert out[i].cdist_micro == math.floor(1_000_000 * cdist[i]), i
+    assert pruned  # non-vacuous: the keep rule actually fired
+
+    con = duckdb.connect()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([i for i, _, _ in rows], pa.int64()),
+            "embedding": pa.array(
+                [v for _, v, _ in rows], pa.list_(pa.float64())
+            ),
+            "label": pa.array([l for _, _, l in rows], pa.int32()),
+        }
+    )
+    con.register("embeddings", tbl)
+    ora = con.execute(
+        DS._SEMANTIC_CELLS_SQL.replace("<= 0.6", "<= 0.2")
+    ).fetchall()
+    assert [tuple(r) for r in ora] == [tuple(out[i]) for i in sorted(out)]

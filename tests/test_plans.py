@@ -1075,3 +1075,24 @@ def test_nprobe_curve_broadcasts_probe_frame_single_window_axis(spark, sf_dir):
     ), plan
     for ln in specs:
         assert "windowspecdefinition()" not in ln, ln  # no SinglePartition
+
+
+def test_semantic_cells_broadcasts_centroids_no_python(spark, sf_dir):
+    """semantic_dedup_cells (r16 candidate): the centroid frame
+    (n_cells rows) must be BROADCAST for the assignment compare; the
+    within-cell pair join shuffles on the cell key only (the SemDeDup
+    design point — no global pairwise); no Python stage, no cartesian
+    between data-sized frames, no SinglePartition window (the argmin
+    window partitions by vector id)."""
+    from executor_u1mindexer_spark.suites.dedup_suite import (
+        near_dedup_semantic_cells,
+    )
+
+    df = near_dedup_semantic_cells(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    assert "BroadcastExchange" in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "CartesianProduct"):
+        assert bad not in plan, plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "windowspecdefinition()" not in ln, ln
