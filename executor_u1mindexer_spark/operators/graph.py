@@ -968,24 +968,36 @@ def kcore(
     min surviving degree >= k — so an insufficient max_rounds shows up
     as an explicit false on every row, never as a silently-wrong core.
 
-    100 TB shape: state between rounds is the surviving symmetric edge
-    list only; each round is one grouped degree count + two semi-joins,
-    eagerly checkpointed (constant plan depth, the Pregel-superstep
-    pattern of pagerank/CC/BFS/SSSP above). Two measured knobs
-    (sf0.1: 16.9s -> 10.7s with both flipped):
+    100 TB shape (r16 optimization — guide §2.3 "shuffle fewer bytes" /
+    §2.4): rounds run as DELTA-PEELING over NODE-sized state. The
+    symmetric edge list is materialized ONCE; per-round state is one
+    (node, surviving-degree) row per survivor, and each round subtracts
+    the edges lost to the round's REMOVED set — one semi-filtered scan
+    of the pinned edge list grouped by the surviving endpoint — instead
+    of re-semi-joining and re-checkpointing the whole edge list. The
+    previous form checkpointed O(E) rows per round (8 edge-sized
+    materializations at the registered row's max_rounds=8); this form
+    checkpoints O(N) rows per round and touches edge-sized data only in
+    the loss scan, whose shuffled output is bounded by the removed
+    nodes' degree sum (zero once peeling quiesces). Equivalence with
+    the synchronous induced-subgraph recount is inductive — deg in the
+    round-r induced subgraph = full degree minus edges to all
+    previously removed nodes — and is property-tested against a python
+    reference peeling plus a per-round recount twin. Measured A/B at
+    sf0.1 (registered row, same session): ~4.6-5.0 s -> ~3.5-4.1 s.
+    Knobs:
 
-    - broadcast_keep: the per-round survivor list is one long per
-      surviving NODE — orders of magnitude below the edge list. True
-      broadcasts it into both semi-joins so the edge list never
-      shuffles in the join; the default stays False (shuffle-safe)
-      because at extreme scale a billion-node survivor list outgrows a
-      broadcast, and AQE can still pick the broadcast at runtime.
-    - convergence_probe: the module's standard bounded driver scalar as
-      an early-exit check, one count job per round. Worth it when
-      max_rounds far exceeds the peeling depth; False skips the probes
-      and always runs the bounded max_rounds — post-fixpoint rounds are
-      no-op filters over the already-peeled edge list, and the
-      `converged` verdict (not the probe) is what guards correctness.
+    - broadcast_keep: True broadcasts the per-round REMOVED frontier
+      into the loss semi-join so the edge list never shuffles there;
+      the default stays False (shuffle-safe) because at extreme scale
+      a first-round removed set can be a large fraction of the node
+      list, and AQE can still pick the broadcast at runtime.
+    - convergence_probe: bounded driver scalar as an early-exit check,
+      one count job per round — now over the node-sized survivor
+      state, not the edge list. False skips the probes and always runs
+      the bounded max_rounds; post-fixpoint rounds are no-op node-sized
+      filters, and the `converged` verdict (not the probe) is what
+      guards correctness.
     [NOT IN REFERENCE — executor.py has no graph surface.]"""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1002,30 +1014,42 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    alive = sym
-    n_alive = alive.count() if convergence_probe else -1
+    # (node, surviving-degree) state; one edge-sized groupBy, ONCE.
+    surv = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_rounds):
-        keep = (
-            alive.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("__d"))
-            .filter(F.col("__d") >= k)
-            .select("a")
-        )
-        keep_b = keep.select(F.col("a").alias("b"))
+        removed = surv.filter(F.col("__d") < k).select("a")
+        if convergence_probe and removed.isEmpty():
+            break
+        removed_b = removed.select(F.col("a").alias("b"))
         if broadcast_keep:
-            keep, keep_b = F.broadcast(keep), F.broadcast(keep_b)
-        alive = (
-            alive.join(keep, "a", "leftsemi")
-            .join(keep_b, "b", "leftsemi")
+            removed_b = F.broadcast(removed_b)
+        # edges whose far endpoint was just removed, counted per near
+        # endpoint — the only edge-sized touch in the round, and its
+        # shuffle carries one row per (survivor, lost-edge) only
+        loss = (
+            sym.join(removed_b, "b", "leftsemi")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).cast("long").alias("__l"))
+        )
+        surv = (
+            surv.filter(F.col("__d") >= k)
+            .join(loss, "a", "left")
+            .select(
+                "a",
+                (F.col("__d") - F.coalesce(F.col("__l"), F.lit(0).cast("long")))
+                .cast("long")
+                .alias("__d"),
+            )
             .localCheckpoint(eager=True)
         )
-        if convergence_probe:
-            n_next = alive.count()
-            if n_next == n_alive:
-                break
-            n_alive = n_next
-    deg = alive.groupBy("a").agg(
-        F.count(F.lit(1)).cast("long").alias("core_degree")
+    # a survivor whose every neighbor peeled has no surviving edge — the
+    # induced-subgraph recount form had no row for it; drop it here too
+    deg = surv.filter(F.col("__d") >= 1).select(
+        "a", F.col("__d").alias("core_degree")
     )
     conv = deg.agg(
         F.coalesce(F.min("core_degree") >= k, F.lit(True)).alias("converged")

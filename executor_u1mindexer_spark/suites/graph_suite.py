@@ -263,21 +263,25 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs; peeling confluence (docstring of kcore) is what makes the
     replay exact rather than order-sensitive.
 
-    Knobs (measured, 16.9s -> 10.7s at sf0.1 cold): the survivor list
-    here is bounded by the part dimension (one long per surviving
-    part), far below any broadcast ceiling at this graph's scale, so
-    broadcast_keep=True keeps the edge list from shuffling in the
-    semi-joins; convergence_probe=False skips the per-round count jobs
-    because KCORE_ROUNDS=8 is already within 2 rounds of the measured
-    peeling depth and post-fixpoint rounds are no-op filters — the
-    in-plan converged verdict, not the probe, guards correctness."""
+    Knobs (re-measured after the r16 delta-peeling rewrite of
+    operators/graph.kcore): the removed frontier here is bounded by the
+    part dimension (one long per peeled part), far below any broadcast
+    ceiling at this graph's scale, so broadcast_keep=True keeps the
+    edge list from shuffling in the loss semi-join;
+    convergence_probe=True because the probe is now an isEmpty() on the
+    NODE-sized checkpointed survivor state (~tens of ms) while each
+    skipped post-fixpoint round saved an edge-list scan + checkpoint
+    job — the probe flipped from net-loss to net-win when the per-round
+    state went from O(E) to O(N). Results are identical either way
+    (peeling confluence; the oracle replays all 8 synchronous rounds
+    and rounds past the fixpoint are no-ops)."""
     li = tables.load(spark, sf_dir, "lineitem")
     return G.kcore(
         G.consecutive_line_edges(li),
         K_CORE,
         KCORE_ROUNDS,
         broadcast_keep=True,
-        convergence_probe=False,
+        convergence_probe=True,
     )
 
 

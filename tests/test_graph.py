@@ -695,3 +695,49 @@ def test_kcore_matches_reference_peeling_on_random_graphs(spark):
                 ).collect()
             }
             assert got == want, (trial, k, bc, probe)
+
+
+def test_kcore_delta_peeling_matches_synchronous_recount_every_round(spark):
+    """r16 internals pin: kcore now maintains surviving degrees by DELTA
+    (full degree minus edges lost to removed neighbors, round by round)
+    instead of recounting degrees over a re-checkpointed edge list. The
+    two are equal by induction; this test replays the SYNCHRONOUS
+    induced-subgraph recount in python and checks the operator's output
+    — nodes, per-node core_degree, and the converged verdict — at EVERY
+    max_rounds cut, converged or not, so a delta-accounting bug (e.g.
+    double-subtracting a neighbor removed twice, or keeping a survivor
+    whose last edge peeled) cannot hide behind fixpoint confluence."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    # triangle core + two pendant paths of different depths + a node
+    # whose every neighbor eventually peels (degree hits 0 mid-peel)
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # 2-core triangle
+        (3, 4), (4, 5), (5, 6), (6, 7),  # deep cascade path
+        (2, 8), (8, 9),                  # short path
+        (9, 10),                         # 10 hangs off 9: peels to deg 0
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    k = 2
+    for max_rounds in range(1, 6):
+        alive = set(adj)
+        for _ in range(max_rounds):
+            deg = {u: sum(v in alive for v in adj[u]) for u in alive}
+            rem = {u for u in alive if deg[u] < k}
+            alive -= rem
+        want = {
+            u: sum(v in alive for v in adj[u]) for u in alive
+        }
+        want = {u: d for u, d in want.items() if d >= 1}
+        want_conv = (not want) or min(want.values()) >= k
+        rows = G.kcore(
+            df, k, max_rounds=max_rounds,
+            broadcast_keep=True, convergence_probe=False,
+        ).collect()
+        got = {r.node: r.core_degree for r in rows}
+        assert got == want, max_rounds
+        assert all(r.converged == want_conv for r in rows), max_rounds
