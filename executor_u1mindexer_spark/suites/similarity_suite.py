@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from executor_u1mindexer_spark import cache, tables
+from executor_u1mindexer_spark import tables
 from executor_u1mindexer_spark.operators import knn, similarity as S
 from executor_u1mindexer_spark.functions import vector as V
 
@@ -673,49 +673,44 @@ def eval_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = _queries(emb)
     q2 = q.select("query_id", "query_embedding")
-    # Each lane's RESULT SET is consumed twice (its n_results aggregate +
-    # the hit semi-join) and the exact run is additionally the reference
-    # side of every lane's semi-join — without a shared materialization
-    # the optimizer re-executes each retrieval subtree per consumer (the
-    # r16 before-plan carried 26 BroadcastNestedLoopJoins and 4 cogrouped
-    # HNSW Python stages for what is 4 retrievals + 1 exact run; guide
-    # §7.2 "duplicated subtrees", §5 caching-on-reuse). Result sets are
-    # bounded (n_queries x K rows), so pin() memory is metadata-sized at
-    # any corpus scale; release is the session-wide cache registry's job.
-    exact = cache.pin(
-        knn.knn_search(emb, q2, k=K, metric="cosine").select("query_id", "vec_id")
+    # MEASURED NON-CHANGE (r16 optimization round): each lane's result
+    # set is consumed twice and the exact run feeds every lane's hit
+    # semi-join, so the plan textually repeats each retrieval subtree
+    # (26 BNLJ occurrences before). cache.pin()ing the bounded result
+    # sets was tried and REVERTED: the duplicated branches materialize
+    # as CONCURRENT query stages that hide on idle cores, while the
+    # lazy cache adds write/lock overhead on the hot path — interleaved
+    # same-session A/B at sf0.1 read median 3.44 s unpinned vs 4.35 s
+    # pinned. The broadcast hint on the exact side below IS kept: the
+    # semi-joins' build side is n_queries x K rows (bounded metadata at
+    # any corpus scale), and the hint replaces SMJ+exchange pairs with
+    # broadcast-hash semi joins (guide §3.1).
+    exact = knn.knn_search(emb, q2, k=K, metric="cosine").select(
+        "query_id", "vec_id"
     )
     lanes = {
         "exact_control": exact,
-        "hnsw_partitioned": cache.pin(
-            S.hnsw_partitioned_topk(
-                emb, q2, k=K, max_bucket_rows=200_000
-            ).select("query_id", "vec_id")
-        ),
-        "ivf_label": cache.pin(
-            S.bucketed_topk(
-                emb,
-                q,
-                bucket_stored=F.col("label"),
-                bucket_query=F.col("query_label"),
-                k=K,
-                metric="cosine",
-            ).select("query_id", "vec_id")
-        ),
-        "lsh_hyperplane": cache.pin(
-            S.bucketed_topk(
-                emb,
-                q,
-                bucket_stored=S.sign_lsh_bucket(
-                    F.col("embedding").cast("array<double>")
-                ),
-                bucket_query=S.sign_lsh_bucket(
-                    F.col("query_embedding").cast("array<double>")
-                ),
-                k=K,
-                metric="cosine",
-            ).select("query_id", "vec_id")
-        ),
+        "hnsw_partitioned": S.hnsw_partitioned_topk(
+            emb, q2, k=K, max_bucket_rows=200_000
+        ).select("query_id", "vec_id"),
+        "ivf_label": S.bucketed_topk(
+            emb,
+            q,
+            bucket_stored=F.col("label"),
+            bucket_query=F.col("query_label"),
+            k=K,
+            metric="cosine",
+        ).select("query_id", "vec_id"),
+        "lsh_hyperplane": S.bucketed_topk(
+            emb,
+            q,
+            bucket_stored=S.sign_lsh_bucket(F.col("embedding").cast("array<double>")),
+            bucket_query=S.sign_lsh_bucket(
+                F.col("query_embedding").cast("array<double>")
+            ),
+            k=K,
+            metric="cosine",
+        ).select("query_id", "vec_id"),
     }
     per_lane = None
     for name, res in lanes.items():
@@ -838,39 +833,31 @@ def eval_ann_recall_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries(emb)
     q2 = q.select("query_id", "query_embedding")
     qlab = q.select("query_id", F.col("query_label").alias("label"))
-    # Same shared-materialization economy as eval_ann_recall_at_k above:
-    # exact feeds both lanes' hit semi-joins and each lane's result set
-    # feeds its n_results aggregate AND its hit branch — pin the bounded
-    # (n_queries x K)-row result sets so each retrieval executes once
-    # (guide §7.2 duplicated subtrees / §5 caching-on-reuse).
-    exact = cache.pin(
-        knn.knn_search(emb, q2, k=K, metric="cosine").select("query_id", "vec_id")
+    # Pins tried and reverted here exactly as in eval_ann_recall_at_k
+    # (interleaved A/B: median 2.47 s unpinned vs 2.83 s pinned at
+    # sf0.1); the broadcast hint on the exact semi-join side is kept.
+    exact = knn.knn_search(emb, q2, k=K, metric="cosine").select(
+        "query_id", "vec_id"
     )
     lanes = {
-        "ivf_label": cache.pin(
-            S.bucketed_topk(
-                emb,
-                q,
-                bucket_stored=F.col("label"),
-                bucket_query=F.col("query_label"),
-                k=K,
-                metric="cosine",
-            ).select("query_id", "vec_id")
-        ),
-        "lsh_hyperplane": cache.pin(
-            S.bucketed_topk(
-                emb,
-                q,
-                bucket_stored=S.sign_lsh_bucket(
-                    F.col("embedding").cast("array<double>")
-                ),
-                bucket_query=S.sign_lsh_bucket(
-                    F.col("query_embedding").cast("array<double>")
-                ),
-                k=K,
-                metric="cosine",
-            ).select("query_id", "vec_id")
-        ),
+        "ivf_label": S.bucketed_topk(
+            emb,
+            q,
+            bucket_stored=F.col("label"),
+            bucket_query=F.col("query_label"),
+            k=K,
+            metric="cosine",
+        ).select("query_id", "vec_id"),
+        "lsh_hyperplane": S.bucketed_topk(
+            emb,
+            q,
+            bucket_stored=S.sign_lsh_bucket(F.col("embedding").cast("array<double>")),
+            bucket_query=S.sign_lsh_bucket(
+                F.col("query_embedding").cast("array<double>")
+            ),
+            k=K,
+            metric="cosine",
+        ).select("query_id", "vec_id"),
     }
     nq = q.groupBy(F.col("query_label").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_queries")
