@@ -79,6 +79,27 @@ def consecutive_line_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def _both_directions(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Symmetrize an edge list — each row fanned out to itself and its
+    reverse — with ONE evaluation of the upstream subtree.
+
+    r16 optimization (guide §7.2 duplicated subtrees / §2.3): the
+    two-leg ``e.unionByName(e.flipped)`` idiom evaluates the edge
+    builder once per leg (for the part co-occurrence graph that is the
+    lineitem self-join + distinct, twice), because the differing leg
+    projections defeat exchange reuse. One in-partition
+    explode(array(struct fwd, struct rev)) produces the identical row
+    multiset from a single evaluation — a narrow operator, no new
+    barrier, no new shuffle."""
+    e = F.explode(
+        F.array(
+            F.struct(F.col(src).alias(src), F.col(dst).alias(dst)),
+            F.struct(F.col(dst).alias(src), F.col(src).alias(dst)),
+        )
+    ).alias("__e")
+    return edges.select(e).select(f"__e.{src}", f"__e.{dst}")
+
+
 def _adjacency(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared loop-invariant build for the iterative graph operators:
     (deg, adj) over the symmetrized edge list, all eagerly checkpointed.
@@ -93,12 +114,8 @@ def _adjacency(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     join + one edge-sized groupBy, ONCE, outside any iteration; array
     element order is partition-dependent and callers must only consume
     the arrays order-insensitively (sums, counts)."""
-    directed = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+    directed = _both_directions(edges.select("src", "dst")).localCheckpoint(
+        eager=True
     )
     deg = (
         directed.groupBy(F.col("src").alias("node"))
@@ -1008,8 +1025,11 @@ def kcore(
     # leg and count 1 toward degree (ADVICE r13). The oracle's sym CTE
     # carries the same a <> b predicate.
     sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        _both_directions(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            src="a",
+            dst="b",
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
