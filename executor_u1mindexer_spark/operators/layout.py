@@ -95,6 +95,97 @@ def _proxy_expr(df: DataFrame, colname: str):
     return F.lit(0.0)  # unknown type: single bucket (serial but correct)
 
 
+def _rank_space_maps(
+    df: DataFrame, cols: list[str], bits: int = BITS_DEFAULT
+) -> dict[str, DataFrame]:
+    """Batched rank_space_map (r16 optimization, guide §1.2/§2.4): the
+    layout rows call rank_space_map once per dimension, and each call
+    paid TWO serial driver jobs (proxy min/max, coarse-bucket counts)
+    before the main query could even be submitted — four serial
+    barriers per two-dimension row. This form computes the bounded
+    metadata for ALL requested columns in exactly two jobs:
+
+    - one aggregate over the RAW rows for every column's proxy min/max
+      (min/max ignore duplicates, so skipping the per-column distinct
+      changes nothing);
+    - one union of the per-column distinct sets reduced to their coarse
+      bucket ids (ints, so heterogeneous column dtypes never meet) for
+      all the ≤N_COARSE-per-column bucket counts.
+
+    The returned per-column (value, mapped) frames are built exactly as
+    before — bit-identical output, same no-unpartitioned-window shape."""
+    aggs = []
+    for c in cols:
+        p = _proxy_expr(df, c)
+        aggs += [
+            F.min(F.when(F.col(c).isNotNull(), p)).alias(f"__mn_{c}"),
+            F.max(F.when(F.col(c).isNotNull(), p)).alias(f"__mx_{c}"),
+        ]
+    mm = df.agg(*aggs).collect()[0]  # bounded scalars, ONE job for all cols
+
+    def _bkt_expr(dv: DataFrame, c: str):
+        proxy = _proxy_expr(dv, "value")
+        mn, mx = mm[f"__mn_{c}"], mm[f"__mx_{c}"]
+        if mn is None:
+            return None
+        mn, mx = float(mn), float(mx)
+        if mx > mn:
+            return F.least(
+                F.floor(
+                    (proxy - F.lit(mn)) * F.lit(float(N_COARSE)) / F.lit(mx - mn)
+                ),
+                F.lit(N_COARSE - 1),
+            ).cast("int")
+        return F.lit(0).cast("int")
+
+    dvs, legs = {}, None
+    for c in cols:
+        dv = (
+            df.select(F.col(c).alias("value"))
+            .filter(F.col("value").isNotNull())
+            .distinct()
+        )
+        b = _bkt_expr(dv, c)
+        dvs[c] = (dv, b)
+        if b is not None:
+            leg = dv.select(F.lit(c).alias("__col"), b.alias("__bkt"))
+            legs = leg if legs is None else legs.unionByName(leg)
+    counts: dict[str, list] = {c: [] for c in cols}
+    if legs is not None:
+        for r in (
+            legs.groupBy("__col", "__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+        ):  # ≤ len(cols) x N_COARSE rows, ONE job for all cols
+            counts[r["__col"]].append((r["__bkt"], r["c"]))
+
+    spark = df.sparkSession
+    out = {}
+    for c in cols:
+        dv, b = dvs[c]
+        cnts = sorted(counts[c])
+        n = sum(cc for _, cc in cnts)
+        if b is None or n == 0:
+            out[c] = dv.withColumn("mapped", F.lit(0).cast("long"))
+            continue
+        offsets, acc = [], 0
+        for bk, cc in cnts:
+            offsets.append((bk, acc))
+            acc += cc
+        off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
+        out[c] = (
+            dv.select("value", b.alias("__bkt"))
+            .join(F.broadcast(off_df), "__bkt")
+            .select(
+                "value",
+                F.expr(
+                    f"CAST(((__off + (row_number() OVER (PARTITION BY __bkt"
+                    f" ORDER BY value ASC)) - 1) * {1 << bits}L) DIV {n}"
+                    f" AS BIGINT)"
+                ).alias("mapped"),
+            )
+        )
+    return out
+
+
 def rank_space_map(df: DataFrame, col: str, bits: int = BITS_DEFAULT) -> DataFrame:
     """(value, mapped) for each DISTINCT value of `col`: mapped =
     ((dense_rank - 1) * 2^bits) DIV n_distinct — a uniform integer spread
@@ -112,52 +203,12 @@ def rank_space_map(df: DataFrame, col: str, bits: int = BITS_DEFAULT) -> DataFra
     to the single-window formula the DuckDB oracle keeps using. Residual
     hazard is honest: a dimension whose values cluster inside a narrow
     sliver of its min/max range (heavy domain skew) lands in few coarse
-    buckets; granularity degrades, correctness never does."""
-    dv = (
-        df.select(F.col(col).alias("value"))
-        .filter(F.col("value").isNotNull())
-        .distinct()
-    )
-    proxy = _proxy_expr(dv, "value")
-    mm = dv.agg(
-        F.min(proxy).alias("mn"), F.max(proxy).alias("mx")
-    ).collect()[0]  # two bounded scalars (column min/max), one small job
-    if mm.mn is None:
-        return dv.withColumn("mapped", F.lit(0).cast("long"))
-    mn, mx = float(mm.mn), float(mm.mx)
-    if mx > mn:
-        bkt = F.least(
-            F.floor((proxy - F.lit(mn)) * F.lit(float(N_COARSE)) / F.lit(mx - mn)),
-            F.lit(N_COARSE - 1),
-        ).cast("int")
-    else:
-        bkt = F.lit(0)
-    dvb = dv.select("value", bkt.alias("__bkt"))
-    # ≤N_COARSE rows by construction — the bloom literal-stamp pattern
-    cnts = sorted(
-        (r["__bkt"], r["c"])
-        for r in dvb.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
-    )
-    n = sum(c for _, c in cnts)
-    if n == 0:
-        return dv.withColumn("mapped", F.lit(0).cast("long"))
-    offsets, acc = [], 0
-    for b, c in cnts:
-        offsets.append((b, acc))
-        acc += c
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__bkt int, __off long")
-    return (
-        dvb.join(F.broadcast(off_df), "__bkt")
-        .select(
-            "value",
-            F.expr(
-                f"CAST(((__off + (row_number() OVER (PARTITION BY __bkt"
-                f" ORDER BY value ASC)) - 1) * {1 << bits}L) DIV {n}"
-                f" AS BIGINT)"
-            ).alias("mapped"),
-        )
-    )
+    buckets; granularity degrades, correctness never does.
+
+    Single-column wrapper over _rank_space_maps (r16) — multi-dimension
+    callers pass all their columns there at once so the bounded-metadata
+    driver jobs are paid once, not per dimension."""
+    return _rank_space_maps(df, [col], bits)[col]
 
 
 def zorder_layout_stats(
@@ -181,8 +232,9 @@ def zorder_layout_stats(
     booleans state the layout theorem on this data: z-order must beat the
     single-column sort on the SECOND dimension, and the single-column
     sort stays at-least-as-good on its OWN dimension."""
-    amap = rank_space_map(df, col_a, bits).withColumnRenamed("mapped", "__a16")
-    bmap = rank_space_map(df, col_b, bits).withColumnRenamed("mapped", "__b16")
+    maps = _rank_space_maps(df, [col_a, col_b], bits)  # 2 driver jobs, not 4
+    amap = maps[col_a].withColumnRenamed("mapped", "__a16")
+    bmap = maps[col_b].withColumnRenamed("mapped", "__b16")
     rows = (
         df.select(F.col(col_a).alias("__va"), F.col(col_b).alias("__vb"))
         .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
@@ -277,8 +329,9 @@ def file_skipping_stats(
     r10: the Hilbert layout rides the same machinery as a third arm
     (h_files_total / h_files_read / h_not_worse_on_b) — the skipping
     proof for the curve layout_hilbert_clustering measures spans for."""
-    amap = rank_space_map(df, col_a, bits).withColumnRenamed("mapped", "__a16")
-    bmap = rank_space_map(df, col_b, bits).withColumnRenamed("mapped", "__b16")
+    maps = _rank_space_maps(df, [col_a, col_b], bits)  # 2 driver jobs, not 4
+    amap = maps[col_a].withColumnRenamed("mapped", "__a16")
+    bmap = maps[col_b].withColumnRenamed("mapped", "__b16")
     rows = (
         df.select(
             F.col(col_a).alias("__va"), F.col(col_b).cast("long").alias("__vb")
@@ -473,8 +526,9 @@ def hilbert_layout_stats(
     the layout theorem vs the single-column sort; the second states the
     no-diagonal-jump locality advantage as a combined-span comparison on
     this data (both engines compute it identically either way)."""
-    amap = rank_space_map(df, col_a, bits).withColumnRenamed("mapped", "__a16")
-    bmap = rank_space_map(df, col_b, bits).withColumnRenamed("mapped", "__b16")
+    maps = _rank_space_maps(df, [col_a, col_b], bits)  # 2 driver jobs, not 4
+    amap = maps[col_a].withColumnRenamed("mapped", "__a16")
+    bmap = maps[col_b].withColumnRenamed("mapped", "__b16")
     rows = (
         df.select(F.col(col_a).alias("__va"), F.col(col_b).alias("__vb"))
         .filter(F.col("__va").isNotNull() & F.col("__vb").isNotNull())
