@@ -150,17 +150,14 @@ def upsert(state: DataFrame, batch: DataFrame) -> DataFrame:
         F.coalesce(F.max(IID) + 1, F.lit(0)).cast("long").alias("__prior")
     )
 
-    updated = (
-        state.drop(EMB)
-        .join(F.broadcast(b.select(ID, EMB)), on=ID, how="inner")
-        .select(ID, IID, EMB)
-        .withColumn("status", F.lit("updated"))
-    )
-    kept = (
-        state.join(F.broadcast(b.select(ID)), on=ID, how="left_anti")
-        .select(ID, IID, EMB)
-        .withColumn("status", F.lit("kept"))
-    )
+    # kept + updated in ONE left join (r16, guide §3/§2.1): the old
+    # inner-join ('updated') + anti-join ('kept') pair walked the state
+    # twice and built the deduped-batch broadcast twice. b is unique per
+    # id (dedup_latest), so a left join emits each state row exactly once;
+    # the __hit flag (not __bemb's nullness) decides the status, so an
+    # explicit NULL batch embedding still classifies as 'updated' exactly
+    # like the inner-join form did.
+    kept_updated = _apply_updates(state, b)
     new_rows = b.join(state.select(ID), on=ID, how="left_anti")
     inserted = (
         dense_rank_by(new_rows, SEQ, "__arrival")
@@ -172,7 +169,29 @@ def upsert(state: DataFrame, batch: DataFrame) -> DataFrame:
         )
         .withColumn("status", F.lit("inserted"))
     )
-    return kept.unionByName(updated).unionByName(inserted)
+    return kept_updated.unionByName(inserted)
+
+
+def _apply_updates(state: DataFrame, b: DataFrame) -> DataFrame:
+    """kept+updated lanes of upsert/update in one broadcast left join.
+
+    ``b`` MUST be unique per id (dedup_latest output) so each state row
+    is emitted exactly once. Status rides an explicit match flag rather
+    than the joined embedding's nullness, so a batch row carrying a NULL
+    embedding still replaces and classifies as 'updated' — bit-identical
+    to the inner+anti pair this replaces, with one state pass and one
+    broadcast build instead of two of each."""
+    hits = b.select(ID, F.col(EMB).alias("__bemb"), F.lit(True).alias("__hit"))
+    return state.join(F.broadcast(hits), on=ID, how="left").select(
+        ID,
+        IID,
+        F.when(F.col("__hit").isNotNull(), F.col("__bemb"))
+        .otherwise(F.col(EMB))
+        .alias(EMB),
+        F.when(F.col("__hit").isNotNull(), F.lit("updated"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
 
 
 def upsert_capacity_bound(
@@ -218,17 +237,7 @@ def upsert_capacity_bound(
     prior = state.agg(
         F.coalesce(F.max(IID) + 1, F.lit(0)).cast("long").alias("__prior")
     )
-    updated = (
-        state.drop(EMB)
-        .join(F.broadcast(b.select(ID, EMB)), on=ID, how="inner")
-        .select(ID, IID, EMB)
-        .withColumn("status", F.lit("updated"))
-    )
-    kept = (
-        state.join(F.broadcast(b.select(ID)), on=ID, how="left_anti")
-        .select(ID, IID, EMB)
-        .withColumn("status", F.lit("kept"))
-    )
+    kept_updated = _apply_updates(state, b)  # one state pass (see helper)
     ranked = (
         dense_rank_by(
             b.join(state.select(ID), on=ID, how="left_anti"), SEQ, "__arrival"
@@ -242,26 +251,18 @@ def upsert_capacity_bound(
         .withColumn("status", F.lit("inserted"))
     )
     rejected = ranked.filter(F.col(IID) >= capacity).select(ID)
-    new_state = kept.unionByName(updated).unionByName(inserted)
+    new_state = kept_updated.unionByName(inserted)
     return new_state, rejected
 
 
 def update_existing(state: DataFrame, batch: DataFrame) -> DataFrame:
     """The /update endpoint (executor.py:170-211): only already-indexed ids
     are re-embedded; unknown ids are skipped (executor.py:188-196)."""
-    b = dedup_latest(batch).join(F.broadcast(state.select(ID)), on=ID, how="left_semi")
-    updated = (
-        state.drop(EMB)
-        .join(F.broadcast(b.select(ID, EMB)), on=ID, how="inner")
-        .select(ID, IID, EMB)
-        .withColumn("status", F.lit("updated"))
-    )
-    kept = (
-        state.join(F.broadcast(b.select(ID)), on=ID, how="left_anti")
-        .select(ID, IID, EMB)
-        .withColumn("status", F.lit("kept"))
-    )
-    return kept.unionByName(updated)
+    # No pre-semi-join against the state ids: the left join classifies
+    # unknown batch ids out naturally (they match nothing and state rows
+    # keep 'kept'), which is exactly the skip semantics — and it saves a
+    # third state pass (r16).
+    return _apply_updates(state, dedup_latest(batch))
 
 
 def skipped_updates(state: DataFrame, batch: DataFrame) -> DataFrame:

@@ -55,25 +55,45 @@ def _state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 (guide §2.1): one scan with a conditional-struct explode instead
+    # of a 3-leg union — the union form re-scanned `embeddings` once per
+    # leg, and upsert/update evaluate this subtree several times (broadcast
+    # build + anti-join side + rank join), multiplying the waste. Same rows
+    # out (row order is union-leg order neither engine relies on).
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double_array("embedding").alias("e")
     )
-    updates = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias(M.ID),
-        F.transform("e", lambda x: x * 2).alias(M.EMB),
-        F.col("vec_id").alias(M.SEQ),
+    vid = F.col("vec_id")
+    legs = F.array(
+        F.when(
+            vid % 10 == 0,
+            F.struct(
+                vid.alias(M.ID),
+                F.transform("e", lambda x: x * 2).alias(M.EMB),
+                vid.alias(M.SEQ),
+            ),
+        ),
+        F.when(
+            vid % 20 == 0,
+            F.struct(
+                vid.alias(M.ID),
+                F.transform("e", lambda x: x * 3).alias(M.EMB),
+                (vid + DUP_SEQ_OFFSET).alias(M.SEQ),
+            ),
+        ),
+        F.when(
+            vid % 7 == 0,
+            F.struct(
+                (vid + NEW_ID_OFFSET).alias(M.ID),
+                F.col("e").alias(M.EMB),
+                (vid + NEW_ID_OFFSET).alias(M.SEQ),
+            ),
+        ),
     )
-    dup_updates = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias(M.ID),
-        F.transform("e", lambda x: x * 3).alias(M.EMB),
-        (F.col("vec_id") + DUP_SEQ_OFFSET).alias(M.SEQ),
+    return (
+        emb.select(F.explode(F.filter(legs, lambda s: s.isNotNull())).alias("__r"))
+        .select(f"__r.{M.ID}", f"__r.{M.EMB}", f"__r.{M.SEQ}")
     )
-    inserts = emb.filter(F.col("vec_id") % 7 == 0).select(
-        (F.col("vec_id") + NEW_ID_OFFSET).alias(M.ID),
-        F.col("e").alias(M.EMB),
-        (F.col("vec_id") + NEW_ID_OFFSET).alias(M.SEQ),
-    )
-    return updates.unionByName(dup_updates).unionByName(inserts)
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
