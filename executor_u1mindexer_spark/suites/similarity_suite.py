@@ -712,14 +712,21 @@ def eval_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             metric="cosine",
         ).select("query_id", "vec_id"),
     }
+    # r16: n_results and n_hits from ONE pass over each lane's result set
+    # — a broadcast LEFT join against the hit-flagged exact set, counting
+    # rows and non-null flags in a single aggregate. The old
+    # count-agg + semi-join-agg pair evaluated every retrieval subtree
+    # twice (the pinned-cache alternative lost the A/B above; this form
+    # simply halves the work with no cache). exact is unique per
+    # (query_id, vec_id), so the left join emits each result row once.
+    hitflag = exact.withColumn("__hit", F.lit(True))
     per_lane = None
     for name, res in lanes.items():
         row = (
-            res.agg(F.count(F.lit(1)).cast("long").alias("n_results"))
-            .crossJoin(
-                res.join(
-                    F.broadcast(exact), ["query_id", "vec_id"], "leftsemi"
-                ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            res.join(F.broadcast(hitflag), ["query_id", "vec_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_results"),
+                F.count("__hit").cast("long").alias("n_hits"),
             )
             .select(F.lit(name).alias("method"), "n_results", "n_hits")
         )
@@ -862,34 +869,27 @@ def eval_ann_recall_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = q.groupBy(F.col("query_label").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_queries")
     )
+    # r16: one pass per lane — broadcast LEFT join against the
+    # hit-flagged exact set, then a single per-label aggregate counting
+    # rows (n_results) and non-null flags (n_hits). This keeps the
+    # ADVICE r14 zero-hit-slice contract by construction: a slice whose
+    # retrieved rows contain no exact hit still has its result rows in
+    # the group, so it surfaces with n_hits = 0 instead of dropping —
+    # while evaluating each retrieval subtree ONCE instead of twice
+    # (the res_l/hits_l pair; the pinned-cache alternative lost the
+    # interleaved A/B recorded above).
+    hitflag = exact.withColumn("__hit", F.lit(True))
     per_lane = None
     for name, res in lanes.items():
-        res_l = res.join(F.broadcast(qlab), "query_id")
-        hits_l = res.join(
-            F.broadcast(exact), ["query_id", "vec_id"], "leftsemi"
-        ).join(F.broadcast(qlab), "query_id")
-        # LEFT join + coalesce (ADVICE r14): a (lane, label) slice whose
-        # retrieved set contains ZERO exact hits has no n_hits group at
-        # all — an inner join would drop the slice exactly when its
-        # recall collapses to 0, the one measurement this row exists to
-        # surface. The oracle's LEFT JOIN exact + COUNT FILTER keeps the
-        # slice with n_hits = 0; mirror that shape.
         row = (
-            res_l.groupBy("label")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_results"))
-            .join(
-                hits_l.groupBy("label").agg(
-                    F.count(F.lit(1)).cast("long").alias("n_hits")
-                ),
-                "label",
-                "left",
+            res.join(F.broadcast(hitflag), ["query_id", "vec_id"], "left")
+            .join(F.broadcast(qlab), "query_id")
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_results"),
+                F.count("__hit").cast("long").alias("n_hits"),
             )
-            .select(
-                F.lit(name).alias("method"),
-                "label",
-                "n_results",
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            )
+            .select(F.lit(name).alias("method"), "label", "n_results", "n_hits")
         )
         per_lane = row if per_lane is None else per_lane.unionByName(row)
     return (
