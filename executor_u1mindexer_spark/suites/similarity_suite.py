@@ -103,19 +103,23 @@ def ann_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries(emb).select("query_id", "query_embedding")
     ivf = S.kmeans_ivf_topk(emb, q, k=K, n_probe=S.N_PROBE)
     exact = knn.knn_search(emb, q, k=K, metric="cosine").select("query_id", "vec_id")
-    hits = ivf.join(exact, ["query_id", "vec_id"], "leftsemi")
+    # r16 one-pass hit counting (see eval_ann_recall_at_k): broadcast LEFT
+    # join against the hit-flagged exact set + count of non-null flags,
+    # instead of a semi-join branch that re-evaluated the retrieval
+    # subtree; exact is unique per (query_id, vec_id) so no row multiplies
+    # and a hitless query naturally counts h = 0 (the old fillna lane).
     per_q = (
-        ivf.groupBy("query_id")
+        ivf.join(
+            F.broadcast(exact.withColumn("__hit", F.lit(True))),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("cell").alias("n_cells"),
+            F.count("__hit").alias("h"),
         )
-        .join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h")),
-            "query_id",
-            "left",
-        )
-        .fillna(0, subset=["h"])
     )
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
@@ -180,22 +184,22 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries(emb).select("query_id", "query_embedding")
     pq = S.ivf_pq_topk(emb, q, k=K, n_probe=S.N_PROBE)
     exact = knn.knn_search(emb, q, k=K, metric="euclidean").select("query_id", "vec_id")
-    hits = pq.join(exact, ["query_id", "vec_id"], "leftsemi")
+    # r16 one-pass hit counting — same restructure as ann_kmeans_ivf_topk.
     per_q = (
-        pq.groupBy("query_id")
+        pq.join(
+            F.broadcast(exact.withColumn("__hit", F.lit(True))),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("cell").alias("n_cells"),
             F.max(
                 (F.col("query_id") == F.col("vec_id")).cast("int")
             ).alias("self_hit"),
+            F.count("__hit").alias("h"),
         )
-        .join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h")),
-            "query_id",
-            "left",
-        )
-        .fillna(0, subset=["h"])
     )
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
@@ -233,19 +237,20 @@ def ann_hnsw_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the registered query exercises the 100 TB guard path
     res = S.hnsw_partitioned_topk(emb, q, k=K, max_bucket_rows=200_000)
     exact = knn.knn_search(emb, q, k=K, metric="cosine").select("query_id", "vec_id")
-    hits = res.join(exact, ["query_id", "vec_id"], "leftsemi")
+    # r16 one-pass hit counting — the HNSW scatter-gather (the row's
+    # dominant cost) is now evaluated once, not once per aggregate branch.
     per_q = (
-        res.groupBy("query_id")
+        res.join(
+            F.broadcast(exact.withColumn("__hit", F.lit(True))),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.max((F.col("query_id") == F.col("vec_id")).cast("int")).alias("self_hit"),
+            F.count("__hit").alias("h"),
         )
-        .join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h")),
-            "query_id",
-            "left",
-        )
-        .fillna(0, subset=["h"])
     )
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
