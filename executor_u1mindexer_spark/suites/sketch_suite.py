@@ -304,27 +304,40 @@ def sketch_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = SK.bloom_prune_scan(
         orders, cust, "o_custkey", "c_custkey", BLOOM_JOIN_K, BLOOM_JOIN_M
     )
-    dim = cust.select("c_custkey")
-    direct = orders.join(
-        F.broadcast(dim), orders["o_custkey"] == dim["c_custkey"]
+    # r16: the row read the fact side four times (total count, pruned
+    # count, direct join, pruned join). Each scan-count + join pair now
+    # rides ONE broadcast left join: count(*) is the scan total,
+    # count(__hit) / sum(if hit) are the join lanes (c_custkey is the
+    # customer PK, so a fact row matches at most once and the left join
+    # emits it exactly once). 4 fact passes -> 2 — the pruned-vs-direct
+    # comparison the row exists for is untouched.
+    dimf = cust.select("c_custkey", F.lit(True).alias("__hit"))
+    a_c = (
+        orders.join(
+            F.broadcast(dimf), orders["o_custkey"] == dimf["c_custkey"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fact_total"),
+            F.count("__hit").cast("long").alias("n_join_direct"),
+            F.sum(F.when(F.col("__hit"), F.col("o_orderkey")))
+            .cast("long")
+            .alias("cs_direct"),
+        )
     )
-    pjoin = pruned.join(
-        F.broadcast(dim), pruned["o_custkey"] == dim["c_custkey"]
-    )
-    a = orders.agg(F.count(F.lit(1)).cast("long").alias("n_fact_total"))
-    b = pruned.agg(F.count(F.lit(1)).cast("long").alias("n_fact_pruned"))
-    c = direct.agg(
-        F.count(F.lit(1)).cast("long").alias("n_join_direct"),
-        F.sum("o_orderkey").cast("long").alias("cs_direct"),
-    )
-    d = pjoin.agg(
-        F.count(F.lit(1)).cast("long").alias("n_join_pruned"),
-        F.sum("o_orderkey").cast("long").alias("cs_pruned"),
+    b_d = (
+        pruned.join(
+            F.broadcast(dimf), pruned["o_custkey"] == dimf["c_custkey"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fact_pruned"),
+            F.count("__hit").cast("long").alias("n_join_pruned"),
+            F.sum(F.when(F.col("__hit"), F.col("o_orderkey")))
+            .cast("long")
+            .alias("cs_pruned"),
+        )
     )
     return (
-        a.crossJoin(b)
-        .crossJoin(c)
-        .crossJoin(d)
+        a_c.crossJoin(b_d)
         .select(
             "n_fact_total",
             "n_fact_pruned",
