@@ -426,10 +426,15 @@ def chunk_sliding_window(
     id_col: str = "doc_id",
     size: int = 32,
     stride: int = 16,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding-window chunking of the token sequence (training-sample
     construction): windows of `size` words every `stride` words, last
-    partial window kept when anything remains."""
+    partial window kept when anything remains. `keep` names passenger
+    columns carried through unchanged (one copy per chunk row), so a
+    pipeline that needs them downstream does not have to join back to
+    the pre-chunk frame — re-evaluating its whole subtree — to recover
+    them."""
     def _chunks_of(toks: Column) -> Column:
         n = F.size(toks)
         n_chunks = F.greatest(
@@ -447,9 +452,10 @@ def chunk_sliding_window(
 
     chunks = T.let1(F.split(F.col(text_col), r"\s+"), _chunks_of)
     return (
-        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        df.select(F.col(id_col), *(F.col(c) for c in keep), F.explode(chunks).alias("c"))
         .select(
             id_col,
+            *keep,
             F.col("c.chunk_idx").alias("chunk_idx"),
             F.col("c.chunk_text").alias("chunk_text"),
         )

@@ -33,10 +33,14 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").isin(*LANGS)
     )
     sampled = P.sample_fraction(gated, "doc_id", SAMPLE)
-    chunks = P.chunk_sliding_window(sampled, size=32, stride=16)
+    # r16: lang rides through the chunker as a passenger column instead
+    # of a join back to `sampled` — the join re-evaluated the whole
+    # docs-scan + quality-gate subtree a second time just to recover
+    # lang (2 scans + BroadcastHashJoin -> 1 scan, no join; every chunk
+    # row matched exactly one sampled row, so the rows are identical).
+    chunks = P.chunk_sliding_window(sampled, size=32, stride=16, keep=("lang",))
     return (
-        chunks.join(sampled.select("doc_id", "lang"), on="doc_id")
-        .groupBy("lang")
+        chunks.groupBy("lang")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_chunks"),

@@ -53,6 +53,22 @@ def test_chunks_cover_all_words(spark, sf_dir):
         assert all(c.chunk_words <= 32 for c in cs)
 
 
+def test_chunks_keep_passenger_columns_without_changing_chunks(spark, sf_dir):
+    """r16: `keep` carries passenger columns through the chunker so
+    pipelines need no join-back; the chunk rows themselves must be
+    byte-identical to the keep=() form, and every chunk row must carry
+    its source row's passenger value."""
+    docs = tables.load(spark, sf_dir, "documents").limit(20)
+    plain = P.chunk_sliding_window(docs, size=32, stride=16).collect()
+    kept = P.chunk_sliding_window(docs, size=32, stride=16, keep=("lang",)).collect()
+    strip = lambda rows: sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.chunk_words) for r in rows
+    )
+    assert strip(plain) == strip(kept)
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    assert all(r.lang == langs[r.doc_id] for r in kept)
+
+
 def test_quantize_error_bounded_by_half_scale(spark, sf_dir):
     emb = tables.load(spark, sf_dir, "embeddings")
     rows = P.quantize_int8(emb).collect()
