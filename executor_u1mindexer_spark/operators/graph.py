@@ -122,10 +122,16 @@ def _adjacency(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
         .localCheckpoint(eager=True)
     )
+    # r16: outdeg rides INSIDE the adjacency state (constant per node, so
+    # it is a grouping key) — iterative consumers that need the per-node
+    # degree (pagerank's share division) read it off the adj row instead
+    # of paying a ranks ⋈ deg join EVERY round. deg stays the node list /
+    # init table; the arrays are unchanged.
     adj = (
         directed.join(deg, directed["src"] == deg["node"])
         .groupBy(
             "node",
+            F.col("outdeg").alias("__outdeg"),
             F.pmod(
                 F.xxhash64("dst"), F.ceil(F.col("outdeg") / F.lit(1024))
             ).alias("__salt"),
@@ -165,13 +171,13 @@ def pagerank(
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     # Loop-invariant hoists (the GraphX routing-table idea): after the
     # shared adjacency build, NO iteration shuffles edge-sized rows — the
-    # per-round joins are all node-keyed (ranks ⋈ deg, then ⋈ adj), the
-    # fan-out happens by exploding in-partition arrays, and the partial
-    # groupBy(dst) combines the exploded stream map-side back down to
-    # ~distinct-dsts-per-partition before the only exchange. Per-iteration
-    # shuffled bytes drop from O(E) (the previous edges ⋈ share join) to
-    # O(N). The checkpointed (node, outdeg) table serves the per-iteration
-    # share join, the base-rank init, AND the dangling-node left join.
+    # one per-round join is node-keyed (ranks ⋈ adj, which carries
+    # __outdeg in-row), the fan-out happens by exploding in-partition
+    # arrays, and the partial groupBy(dst) combines the exploded stream
+    # map-side back down to ~distinct-dsts-per-partition before the only
+    # exchange. Per-iteration shuffled bytes drop from O(E) (the previous
+    # edges ⋈ share join) to O(N). The checkpointed (node, outdeg) table
+    # serves the base-rank init and the n scalar.
     deg, adj = _adjacency(edges)
     nodes = deg.select("node")
     n = deg.count()  # bounded driver scalar, like the literal-centroid fits
@@ -180,34 +186,35 @@ def pagerank(
     base = SCALE // n
     r = nodes.select("node", F.lit(base).cast("long").alias("rank_scaled"))
     for it in range(n_iter):
-        # node-sized join first: (rank DIV outdeg) per src, THEN the
-        # node-sized adjacency join + in-partition explode fans the share
-        # out along edges without an edge-sized exchange
-        share = r.join(deg, "node").select(
-            "node",
-            F.expr(_idiv("rank_scaled", "outdeg", "spark")).alias("__c"),
-        )
+        # r16 loop slimming (guide §2.1/§3): ONE node-keyed join per
+        # round. The share division reads __outdeg off the adjacency row
+        # (hoisted into the state by _adjacency) instead of a ranks ⋈ deg
+        # pre-join, and the dangling-node left join is gone because it
+        # was VACUOUS: _adjacency symmetrizes, so every node has an edge,
+        # every neighbor holds a rank, and contrib covers the node set
+        # exactly — coalesce(__contrib, 0) never fired. Three node-sized
+        # joins per round -> one; identical integer arithmetic.
         contrib = (
-            adj.join(share, "node")
-            .select(F.explode("__dsts").alias("node"), "__c")
+            adj.join(r, "node")
+            .select(
+                F.explode("__dsts").alias("node"),
+                F.expr(_idiv("rank_scaled", "__outdeg", "spark")).alias("__c"),
+            )
             .groupBy("node")
             .agg(F.sum("__c").cast("long").alias("__contrib"))
         )
-        r = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                F.expr(
-                    _idiv(
-                        f"({100 - damping_pct} * {base}L"
-                        f" + {damping_pct} * coalesce(__contrib, 0L))",
-                        "100",
-                        "spark",
-                    )
+        r = contrib.select(
+            "node",
+            F.expr(
+                _idiv(
+                    f"({100 - damping_pct} * {base}L"
+                    f" + {damping_pct} * __contrib)",
+                    "100",
+                    "spark",
                 )
-                .cast("long")
-                .alias("rank_scaled"),
             )
+            .cast("long")
+            .alias("rank_scaled"),
         )
         # one (node, rank) row per node at each truncation point — plan
         # depth stays bounded by the checkpoint window (linear within it,
