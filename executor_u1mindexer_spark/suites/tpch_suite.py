@@ -415,22 +415,26 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(F.max(late).alias("late"))
     )
-    cand = per_os.filter(F.col("late") == 1).select("ok", "sk")
-    others = per_os.select(F.col("ok").alias("ok2"), F.col("sk").alias("sk2"))
-    others_late = per_os.filter(F.col("late") == 1).select(
-        F.col("ok").alias("ok3"), F.col("sk").alias("sk3")
-    )
+    # r16 (guide §2.1/§3.2): the semi/anti probes re-evaluated the whole
+    # per_os subtree (lineitem ⋈ orders + groupBy) twice more and paid
+    # two orderkey SMJs. Both probes are per-order COUNTS over the very
+    # frame being probed: EXISTS(another supplier) ⟺ the order has >= 2
+    # suppliers, and NOT EXISTS(another late supplier) ⟺ the order has
+    # exactly 1 late supplier (the candidate itself is late). One
+    # order-partitioned window over ONE evaluation of per_os replaces
+    # 3 evaluations + semi SMJ + anti SMJ.
+    from pyspark.sql import Window
+
+    w_ok = Window.partitionBy("ok")
     waiting = (
-        cand.join(
-            others,
-            (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
-            "left_semi",
+        per_os.withColumn("__n_supp", F.count(F.lit(1)).over(w_ok))
+        .withColumn("__n_late", F.sum("late").over(w_ok))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("__n_supp") >= 2)
+            & (F.col("__n_late") == 1)
         )
-        .join(
-            others_late,
-            (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
-            "left_anti",
-        )
+        .select("ok", "sk")
     )
     supp = _t(spark, sf_dir, "supplier")
     out = (

@@ -481,16 +481,20 @@ def test_q4_exists_plans_as_semi_join(spark, sf_dir):
     assert "Distinct" not in plan, plan
 
 
-def test_q21_exists_and_not_exists_plan_as_semi_and_anti(spark, sf_dir):
+def test_q21_exists_and_not_exists_as_one_windowed_pass(spark, sf_dir):
     """Q21's EXISTS(another supplier) / NOT EXISTS(another late supplier)
-    must plan as one LEFT SEMI and one LEFT ANTI join, both hash-keyed on
-    the orderkey with the suppkey inequality as a residual condition —
-    never a cartesian/BNLJ expansion of the per-order supplier sets."""
+    collapse to per-order counts computed by ONE orderkey-partitioned
+    window over a single evaluation of the (order, supplier) frame (r16;
+    was a semi+anti SMJ pair that re-evaluated the subtree twice more).
+    Pin: exactly one lineitem scan, one Window node, no semi/anti joins
+    left, and never a cartesian/BNLJ expansion of the supplier sets."""
     from executor_u1mindexer_spark.suites import tpch_suite as T
 
     plan = plans.physical_plan(T.tpch_q21_waiting_suppliers(spark, sf_dir))
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
+    assert "LeftSemi" not in plan, plan
+    assert "LeftAnti" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
