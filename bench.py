@@ -410,9 +410,10 @@ def main() -> None:
     # THREE-LINE OUTPUT CONTRACT (since r15, ADVICE r15; matches
     # BENCH_NOTES.md and the verify skill): line 1 = this normalized
     # map, line 2 = the full headline record, line 3 (LAST — the one
-    # the driver parses) = the <1KB truncation-proof summary printed
-    # at the bottom of this function. Any new output must go ABOVE the
-    # summary; the summary stays last and stays under 1KB.
+    # the driver parses) = the truncation-proof summary printed at the
+    # bottom of this function (binding + fixed heavy rows since r17;
+    # <1.9KB against the measured 2000-char driver tail). Any new
+    # output must go ABOVE the summary; the summary stays last.
     normalized = {
         k: round(v / ((probe_start + probe_end) / 2), 4)
         for k, v in timings.items()
@@ -424,23 +425,85 @@ def main() -> None:
     # the (now ~5KB, 58-row) headline line, losing exactly the
     # BASELINE-binding rows (ingest + knn), which the headline dict
     # happens to lead with. The LAST line must therefore be one the tail
-    # can never split: a <1KB record that repeats the headline's metric/
-    # value/unit/sf contract and carries every baseline-binding number
-    # (ingest, the knn single+batch rows, probe medians) verbatim. The
-    # full per-query map stays on the big line above and in the committed
-    # BENCH_r{N}_local*.json records; this line alone suffices to grade
-    # against BASELINE.md even if everything above it is lost.
+    # can never split: a compact record that repeats the headline's
+    # metric/value/unit/sf contract and carries every baseline-binding
+    # number (ingest, the knn single+batch rows, probe medians) verbatim.
+    # The full per-query map stays on the big line above and in the
+    # committed BENCH_r{N}_local*.json records; this line alone suffices
+    # to grade against BASELINE.md even if everything above it is lost.
     binding = {
         k: v
         for k, v in timings.items()
         if k.startswith(("index_ingest_", "knn_search_"))
     }
+    # r17 (VERDICT r16 #1): the driver's PERF comparison, regression count,
+    # geomean AND the core-scaling heuristic all run on THIS line's
+    # `queries` map, which until r16 carried only the 8 baseline-binding
+    # rows — i.e. the one subset the optimization rounds never touch, so
+    # every real win/regression was invisible to the driver and
+    # `suspect_cpus_ignored` fired on 0.4-0.9 s knn rows. The full 62-row
+    # map does NOT fit: the driver keeps a bounded stdout TAIL measured at
+    # exactly 2000 chars (BENCH_r14/r15/r16.json all have len(tail)==2000),
+    # and 62 names + values is ~2.3 KB — the line itself would be cut and
+    # parse to null (the r14 failure mode). So the summary carries the
+    # binding rows verbatim (4dp — BASELINE.md grading) plus a FIXED list
+    # of the heavy rows (every row >= ~0.65 s in the r16 close-out record,
+    # all optimization targets among them) rounded to 2dp: ~1.65 KB
+    # measured, ~350 bytes of margin inside the tail window. The list is
+    # fixed by NAME, not by per-run value, so the summary's row set cannot
+    # flap between rounds; the full map still rides line 2 and the
+    # committed BENCH_r{N}_local*.json records. The byte guard below drops
+    # the smallest non-binding entries if a pathological run (10+ s
+    # values) ever pushes the line past 1900 bytes — deterministic, never
+    # expected to fire.
+    SUMMARY_ROWS = (
+        "graph_kcore_membership",
+        "graph_pagerank_parts",
+        "events_range_join_amplified",
+        "events_range_join_banded_amplified",
+        "layout_hilbert_clustering",
+        "eval_ann_recall_at_k",
+        "eval_ann_recall_by_group",
+        "eval_retrieval_ndcg",
+        "events_psi_value_drift_by_type",
+        "events_mwu_value_drift_by_type",
+        "events_ks_value_drift_by_type",
+        "events_mwu_value_drift",
+        "events_ks_value_drift",
+        "events_interval_gaps",
+        "text_bigram_lm_scores",
+        "sketch_bloom_join_prune",
+        "sketch_quantile_estimate",
+        "sketch_heavy_hitters_verified",
+        "sketch_kmv_jaccard",
+        "sketch_kmv_distinct",
+        "index_upsert",
+        "tpch_q1_pricing_summary",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q9_product_profit",
+        "tpch_q18_large_volume_customer",
+        "tpch_q21_waiting_suppliers",
+        "exact_dedup_substring_spans",
+        "ann_hnsw_partitioned_topk",
+        "multimodal_lossy_header_meta",
+        "multimodal_decode_image",
+        "multimodal_decode_audio",
+        "llm_corpus_pipeline",
+        "hybrid_search_rrf",
+        "near_dedup_ngram_jaccard",
+        "near_dedup_edit_distance",
+        "text_gopher_quality_audit",
+    )
+    summary_q = dict(binding)
+    for name in SUMMARY_ROWS:
+        if name in timings and name not in summary_q:
+            summary_q[name] = round(timings[name], 2)
     summary = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
         "sf": sf,
-        "queries": binding,
+        "queries": summary_q,
         "n_queries_full_line_above": len(timings),
         "probes": {
             "cpu": [probe_start, probe_end],
@@ -448,7 +511,14 @@ def main() -> None:
             "fsync": [io_start.get("fsync_s"), io_end.get("fsync_s")],
         },
     }
-    print(json.dumps(summary))
+    line = json.dumps(summary)
+    while len(line) > 1900 and len(summary_q) > len(binding):
+        smallest = min(
+            (k for k in summary_q if k not in binding), key=summary_q.get
+        )
+        del summary_q[smallest]
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":
