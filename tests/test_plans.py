@@ -491,7 +491,16 @@ def test_q21_exists_and_not_exists_as_one_windowed_pass(spark, sf_dir):
     from executor_u1mindexer_spark.suites import tpch_suite as T
 
     plan = plans.physical_plan(T.tpch_q21_waiting_suppliers(spark, sf_dir))
-    assert plan.count("lineitem.parquet") == 1, plan
+    # ADVICE r16: count physical scan NODES, not raw path-substring
+    # occurrences — formatted explain renders each node's file path on
+    # exactly ONE "Location:" detail line, while the path may appear a
+    # version-dependent number of times elsewhere
+    loc_lines = [
+        ln
+        for ln in plan.splitlines()
+        if ln.lstrip().startswith("Location") and "lineitem" in ln
+    ]
+    assert len(loc_lines) == 1, plan
     assert "Window" in plan, plan
     assert "LeftSemi" not in plan, plan
     assert "LeftAnti" not in plan, plan
@@ -1006,23 +1015,31 @@ def test_grouped_mwu_shares_the_grouped_fold_plan_shape(spark, sf_dir):
 
 
 def test_grouped_psi_broadcasts_bounded_metadata_only(spark, sf_dir):
-    """psi_drift_by_group (r16): every join in the grouped PSI chain
-    carries only group-bounded metadata — the per-group octile frame
-    (n_groups rows, BROADCAST to both binning joins), the per-group
-    totals, and the per-group psi_total — so losing a broadcast would
-    turn bounded metadata into a data-sized shuffle. The full-outer
-    (group, bucket) grid align is the one legitimate SMJ (full outer
-    cannot broadcast; both sides are groups x 8 rows). No window at
-    all, no Python stage, no cartesian/BNLJ product."""
+    """psi_drift_by_group (r16, reshaped r17): the per-group octile
+    frame (n_groups rows) stays BROADCAST to both binning joins —
+    losing that broadcast would turn bounded metadata into a data-sized
+    shuffle. The per-group totals and psi_total are r17 unordered
+    windows over ONE hash(__grp) exchange of the ≤9-rows-per-group grid
+    (the old groupBy → broadcast-join-back pairs re-evaluated the grid
+    subtree per aggregate); every windowspecdefinition must be
+    partitioned by __grp — a SinglePartition window here would serialize
+    the whole grid. The full-outer (group, bucket) grid align is the one
+    legitimate SMJ (full outer cannot broadcast; both sides are
+    groups x 8 rows). No Python stage, no cartesian/BNLJ product."""
     from executor_u1mindexer_spark.suites.sketch_suite import (
         events_psi_value_drift_by_type,
     )
 
     df = events_psi_value_drift_by_type(spark, sf_dir)
     plan = plans.physical_plan(df, "simple")
-    # 2 octile binning joins + per-group totals + per-group psi_total
-    assert plan.count("BroadcastExchange") >= 4, plan
-    assert "windowspecdefinition" not in plan, plan
+    # the 2 octile binning joins still broadcast the bounded octiles
+    assert plan.count("BroadcastExchange") >= 2, plan
+    import re
+
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines, plan  # totals + psi_total ride windows now
+    for ln in win_lines:
+        assert re.search(r"windowspecdefinition\(__grp#\d+", ln), ln
     for bad in (
         "BatchEvalPython",
         "ArrowEvalPython",
