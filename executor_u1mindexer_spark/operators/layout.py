@@ -114,6 +114,10 @@ def _rank_space_maps(
 
     The returned per-column (value, mapped) frames are built exactly as
     before — bit-identical output, same no-unpartitioned-window shape."""
+    # ADVICE r16: a repeated column would create duplicate __mn_/__mx_
+    # agg aliases and silently rely on Row name lookup — dedupe here
+    # (the per-column outputs are keyed by name, so one copy suffices).
+    cols = list(dict.fromkeys(cols))
     aggs = []
     for c in cols:
         p = _proxy_expr(df, c)

@@ -435,6 +435,15 @@ def chunk_sliding_window(
     pipeline that needs them downstream does not have to join back to
     the pre-chunk frame — re-evaluating its whole subtree — to recover
     them."""
+    # ADVICE r16: a passenger named like the internal explode alias or
+    # duplicating id_col would surface as a confusing AnalysisException
+    # deep in the select — reject both loudly here instead.
+    if bad := {id_col, "c"}.intersection(keep):
+        raise ValueError(
+            f"keep may not contain the id column or the reserved alias 'c':"
+            f" {sorted(bad)}"
+        )
+
     def _chunks_of(toks: Column) -> Column:
         n = F.size(toks)
         n_chunks = F.greatest(
