@@ -744,3 +744,38 @@ def test_kcore_delta_peeling_matches_synchronous_recount_every_round(spark):
         got = {r.node: r.core_degree for r in rows}
         assert got == want, max_rounds
         assert all(r.converged == want_conv for r in rows), max_rounds
+
+
+def test_kcore_adaptive_compaction_fires_without_changing_results(spark):
+    """r17 internals pin (VERDICT r16 #6): when the nodes peeled since
+    the last edge-list pin exceed compact_frac of the pin's node count,
+    kcore re-filters the pinned edge list to current survivors so the
+    per-round loss scan stops reading dissolved edges. Results must be
+    INDEPENDENT of compaction (confluence: later removed sets are
+    subsets of any earlier pin's survivors): a deep-peel graph where a
+    large fraction dissolves early is run at compact_frac settings that
+    (a) never fire, (b) fire once, (c) fire aggressively, including
+    mid-peel max_rounds cuts, and all outputs must match."""
+    from executor_u1mindexer_spark.operators import graph as G
+
+    # 3-core clique of 5 + a 20-node pendant chain: the chain (80% of
+    # nodes) peels in the first rounds, then cascades — removal
+    # fraction crosses any threshold below ~0.8
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(4, 100)] + [(100 + i, 101 + i) for i in range(19)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for max_rounds in (1, 3, 8):
+        outs = []
+        for frac in (0.0, 0.5, 0.05):
+            rows = G.kcore(
+                df, 3, max_rounds=max_rounds,
+                convergence_probe=True, compact_frac=frac,
+            ).collect()
+            outs.append(
+                (sorted((r.node, r.core_degree) for r in rows),
+                 rows[0].converged if rows else None)
+            )
+        assert outs[0] == outs[1] == outs[2], (max_rounds, outs)
+    # and the clique itself is the 3-core
+    nodes = {n for n, _ in outs[0][0]}
+    assert nodes == {0, 1, 2, 3, 4}
