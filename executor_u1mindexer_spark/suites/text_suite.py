@@ -341,6 +341,12 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unigrams = toks.select(F.explode("toks").alias("w"))
     uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    # r17 note: uni_counts is consumed twice (the V scalar and the w1
+    # probe join) and the STATIC plan prints two scan+tokenize passes,
+    # but both branches hang off byte-identical Exchange(w) subtrees, so
+    # runtime ReuseExchange already evaluates them once — an eager
+    # localCheckpoint here A/B-measured as a pure barrier (wall +16%,
+    # JVM-CPU flat) and was rejected.
     vocab = uni_counts.agg(F.count(F.lit(1)).alias("v"))
     bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
